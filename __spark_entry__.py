@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     -- flagship query (exact k-NN retrieval, SURVEY.md §3.2)
+queries()        -- one entry per implemented operator (SURVEY.md §2 keys)
+oracle_sql()     -- DuckDB twins, same column names + in-query rounding
+
+Cross-engine parity rules used throughout (see SURVEY.md §5):
+- every float derived by arithmetic is rounded IN the query (sums 2 dp,
+  ratios/similarities 4 dp) on BOTH sides;
+- vector math casts to DOUBLE on both sides before multiplying;
+- timestamps are never returned raw (testdata is ns-precision; Spark
+  truncates to us) — always date_trunc + format;
+- top-k orderings rank by the ROUNDED measure with a key tie-break so the
+  cut set is identical in both engines;
+- DuckDB BIGINT/HUGEINT widths are cast to match Spark's (count->BIGINT,
+  len->INTEGER, sum(int)->BIGINT).
 """
 
 from __future__ import annotations
@@ -12,27 +21,475 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators import dedup as _dedup
+from adk_noui_vectordb_spark.operators import knn as _knn
+from adk_noui_vectordb_spark.operators import relational as _rel
+from adk_noui_vectordb_spark.operators import rollups as _roll
+from adk_noui_vectordb_spark.operators import textops as _text
+from adk_noui_vectordb_spark.operators.chunking import chunk_fixed_words
+from adk_noui_vectordb_spark.sources.tables import load_table
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact k-NN top-5 against the sf0.001 embeddings table."""
+    emb = load_table(spark, SF0001, "embeddings")
+    q = _knn.make_query_from_vec(emb, 0)
+    return _knn.knn_topk(emb, q, k=5)
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def _q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _knn.knn_topk(emb, _knn.make_query_from_vec(emb, 0), k=5)
+
+
+def _q_knn_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _knn.knn_topk(
+        emb,
+        _knn.make_query_from_vec(emb, 0),
+        k=5,
+        candidate_filter=F.col("label") == 3,
+    )
+
+
+def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return _knn.knn_topk_batch(emb, queries_df, k=3)
+
+
+def _q_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adk_noui_vectordb_spark.functions.vector import cosine_similarity, l2_distance
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4
+            ).alias("cosine"),
+            F.round(
+                l2_distance(F.col("a.embedding"), F.col("b.embedding")), 4
+            ).alias("l2_dist"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # retrieval core (reference surface, SURVEY.md §2.3/2.6/2.8)
+        "knn_topk": _q_knn_topk,
+        "knn_topk_filtered": _q_knn_topk_filtered,
+        "knn_batch_topk": _q_knn_batch,
+        "score_similarity_pairs": _q_score_pairs,
+        # scans / filters / lookups (SURVEY.md §2.2)
+        "filter_by_lang": _roll.filter_by_lang,
+        "point_lookup": _roll.point_lookup,
+        # rollups (SURVEY.md §2.4)
+        "agg_source_summary": _roll.agg_source_summary,
+        "agg_docs_by_lang": _roll.agg_docs_by_lang,
+        "agg_job_totals": _roll.agg_job_totals,
+        # chunking (SURVEY.md §2.7)
+        "chunk_fixed_words": chunk_fixed_words,
+        # text analysis (SURVEY.md §2.9 + north-star extensions)
+        "text_stats": _text.text_stats,
+        "token_count": _text.token_count,
+        "quality_score": _text.quality_score,
+        "lang_id_ngram": _text.lang_id_ngram,
+        "doc_fingerprint": _text.doc_fingerprint,
+        "diag_generic": _text.diag_generic,
+        # dedup (north star)
+        "dedup_exact": _dedup.dedup_exact,
+        "minhash_signature_rows": _dedup.minhash_signature_rows,
+        "minhash_band_rows": _dedup.minhash_band_rows,
+        "dedup_minhash_pairs": _dedup.dedup_minhash_pairs,
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        "simhash_signatures": _dedup.simhash_signatures,
+        "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
+        # relational surface (extended engine)
+        "q1_pricing_summary": _rel.q1_pricing_summary,
+        "q3_top_orders": _rel.q3_top_orders,
+        "q5_region_revenue": _rel.q5_region_revenue,
+        "q6_revenue_forecast": _rel.q6_revenue_forecast,
+        "window_topn_orders": _rel.window_topn_orders,
+        "window_running_revenue": _rel.window_running_revenue,
+        "customers_without_orders": _rel.customers_without_orders,
+        "customers_with_high_value_orders": _rel.customers_with_high_value_orders,
+        "events_tumbling_counts": _rel.events_tumbling_counts,
+        "events_sessionize": _rel.events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB twins
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "round(list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 4)"
+)
+
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
+
+def _knn_sql(extra_where: str = "") -> str:
+    cos = _COS.format(a="e.embedding", b="q.q_emb")
+    return f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {cos} AS sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0 {extra_where}
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+"""
+
+
+def _minhash_perm_values() -> str:
+    rows = ", ".join(
+        f"({i}, {_dedup.MINHASH_A[i]}, {_dedup.MINHASH_B[i]})"
+        for i in range(_dedup.NUM_HASHES)
+    )
+    return f"(VALUES {rows}) AS perm(hash_idx, a, b)"
+
+
+_MINHASH_SIG_CTE = f"""
+shingle_pos AS (
+    SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 2, 1))) AS i) t
+),
+shingled AS (SELECT DISTINCT doc_id, shingle FROM shingle_pos),
+hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) % {_dedup.MINHASH_PRIME} AS h
+    FROM shingled
+),
+sigs AS (
+    SELECT h.doc_id, perm.hash_idx,
+           min((perm.a * h.h + perm.b) % {_dedup.MINHASH_PRIME}) AS minhash
+    FROM hashed h CROSS JOIN {_minhash_perm_values()}
+    GROUP BY h.doc_id, perm.hash_idx
+)
+"""
+
+_MINHASH_BANDS_CTE = (
+    _MINHASH_SIG_CTE
+    + f""",
+bands AS (
+    SELECT doc_id, CAST(hash_idx // {_dedup.ROWS_PER_BAND} AS INTEGER) AS band,
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_hash
+    FROM sigs
+    GROUP BY doc_id, CAST(hash_idx // {_dedup.ROWS_PER_BAND} AS INTEGER)
+)
+"""
+)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(_dedup.SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+    SELECT DISTINCT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+), h AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words
+), bits AS (
+    SELECT doc_id,
+        {bit_sums}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cos_ab = _COS.format(a="a.embedding", b="b.embedding")
+    return {
+        "knn_topk": _knn_sql(),
+        "knn_topk_filtered": _knn_sql("AND e.label = 3"),
+        "knn_batch_topk": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+sims AS (
+    SELECT q.q_id AS query_id, e.vec_id,
+           {_COS.format(a="e.embedding", b="q.q_emb")} AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+), ranked AS (
+    SELECT query_id, vec_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+    FROM sims
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+""",
+        "score_similarity_pairs": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {cos_ab} AS cosine,
+       round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS l2_dist
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+""",
+        "filter_by_lang": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang = 'es' ORDER BY doc_id LIMIT 10
+""",
+        "point_lookup": """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
+""",
+        "agg_source_summary": """
+SELECT source, count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs, round(avg(n_chars), 4) AS avg_chars,
+       'Source ' || source || ' contains ' || count(*) || ' documents' AS summary
+FROM documents GROUP BY source
+""",
+        "agg_docs_by_lang": """
+WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+SELECT source,
+       string_agg(lang || ': ' || c, ', ' ORDER BY lang || ': ' || c) AS langs_str,
+       CAST(sum(c) AS BIGINT) AS doc_count
+FROM c GROUP BY source
+""",
+        "agg_job_totals": """
+SELECT count(DISTINCT source) AS indexed_sources, count(*) AS total_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+""",
+        "chunk_fixed_words": """
+WITH w AS (
+    SELECT d.doc_id, t.i - 1 AS pos, d.parts[t.i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) t
+)
+SELECT doc_id, CAST(pos // 20 AS INTEGER) AS chunk_id,
+       CAST(min(pos) AS INTEGER) AS start_pos, CAST(max(pos) AS INTEGER) AS end_pos,
+       count(*) AS n_words,
+       string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+       'chunk_' || CAST(pos // 20 AS INTEGER) AS chunk_name
+FROM w GROUP BY doc_id, CAST(pos // 20 AS INTEGER)
+""",
+        "text_stats": """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_words,
+       round(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS DOUBLE)))
+             / len(string_split(text, ' ')), 4) AS avg_word_len
+FROM documents
+""",
+        "token_count": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS regex_tokens
+FROM documents
+""",
+        "quality_score": f"""
+WITH base AS (
+    SELECT doc_id, n_chars, text,
+           string_split(text, ' ') AS words,
+           string_split(lower(text), ' ') AS lwords
+    FROM documents
+), m AS (
+    SELECT doc_id, n_chars, text,
+           (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) AS praw,
+           len(list_filter(lwords, x -> x IN {_STOPWORDS_SQL})) / CAST(len(lwords) AS DOUBLE) AS sraw,
+           len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS draw
+    FROM base
+)
+SELECT doc_id,
+       round(praw, 4) AS punct_ratio,
+       round(sraw, 4) AS stopword_ratio,
+       round(draw, 4) AS distinct_word_ratio,
+       round(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.4 ELSE 0.0 END
+             + sraw * 0.3 + draw * 0.3, 4) AS quality
+FROM m
+""",
+        "lang_id_ngram": """
+WITH letters AS (
+    SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS s FROM documents
+), grams AS (
+    SELECT doc_id, substr(s, t.i, 2) AS bigram
+    FROM letters, LATERAL (SELECT unnest(generate_series(1, greatest(length(s) - 1, 1))) AS i) t
+    WHERE length(substr(s, t.i, 2)) = 2
+), counts AS (
+    SELECT doc_id, bigram, count(*) AS c FROM grams GROUP BY 1, 2
+), ranked AS (
+    SELECT doc_id, bigram, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn
+    FROM counts
+)
+SELECT doc_id, bigram AS top_bigram, c AS bigram_count FROM ranked WHERE rn = 1
+""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(text) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_hash
+FROM documents
+""",
+        "diag_generic": """
+SELECT doc_id, rule, 'warning' AS severity FROM (
+    SELECT doc_id, unnest(list_filter([
+        CASE WHEN length(text) > 500 THEN 'overlong' END,
+        CASE WHEN text <> rtrim(text) THEN 'trailing_ws' END,
+        CASE WHEN length(text) < 60 THEN 'too_short' END
+    ], x -> x IS NOT NULL)) AS rule
+    FROM documents
+)
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "minhash_signature_rows": f"""
+WITH {_MINHASH_SIG_CTE}
+SELECT doc_id, hash_idx, minhash FROM sigs
+""",
+        "minhash_band_rows": f"""
+WITH {_MINHASH_BANDS_CTE}
+SELECT doc_id, band, band_hash FROM bands
+""",
+        "dedup_minhash_pairs": f"""
+WITH {_MINHASH_BANDS_CTE}
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+""",
+        "ngram_jaccard_pairs": """
+WITH docs AS (
+    SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS len_band,
+           list_distinct(string_split(text, ' ')) AS words
+    FROM documents
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.words, x -> list_contains(b.words, x)))
+                 / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE), 4) AS jaccard
+    FROM docs a JOIN docs b
+      ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.2
+""",
+        "simhash_signatures": _simhash_sql(),
+        "dedup_embedding_cosine": f"""
+WITH pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cos_ab} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_top_orders": """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+        "q5_region_revenue": """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+        "q6_revenue_forecast": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "window_topn_orders": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+        "window_running_revenue": """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "customers_with_high_value_orders": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+""",
+        "events_tumbling_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH b AS (
+    SELECT user_id, event_id, value, ts,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+    FROM events
+), flagged AS (
+    SELECT user_id, event_id, value, ts,
+           CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, value,
+           CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,137 @@
+"""Text-analysis operators over the documents corpus.
+
+Extended LLM-pipeline surface (north star) built on the same rule-pipeline
+style as the reference's diagnostics (lsp_tool.py:122-278): pure built-in
+string expressions, no Python in the row path.
+
+Every numeric derived from float math is rounded in-query (oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    TOKEN_REGEX,
+    punct_ratio,
+    stopword_ratio,
+    whitespace_tokens,
+    word_count,
+)
+from ..sources.tables import load_table
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, words, distinct words, avg word length."""
+    d = load_table(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    total_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        word_count(F.col("text")).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.round(total_word_len / F.size(words), 4).alias("avg_word_len"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex token count per document
+    (the intended-but-unused tiktoken budget, indexing_agent.py:76)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_REGEX)).cast("int").alias("regex_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length band + stopword ratio + repetition.
+
+    The standard pre-training quality gates (length, symbol ratio, stopword
+    presence, dedup-within-doc) as one codegen'd projection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    n = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)) / n.cast("double")
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 5000)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + stopword_ratio(F.col("text")) * 0.3
+        + distinct_ratio * 0.3
+    )
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_word_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic character-bigram language fingerprint.
+
+    A real lang-ID model needs per-language n-gram profiles; the engine-side
+    shape is what matters here: lowercase, strip non-letters, explode char
+    bigrams, pick the modal bigram per document. Pure SQL in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    letters = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(letters) - 1, F.lit(1))),
+        lambda i: letters.substr(i, F.lit(2)),
+    )
+    exploded = d.select("doc_id", F.explode(bigrams).alias("bigram")).filter(
+        F.length("bigram") == 2
+    )
+    counts = exploded.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"), F.col("c").alias("bigram_count"))
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5 + sorted-vocabulary signature md5
+    (word-order-insensitive), the change-detection hash of the reference
+    (indexing_agent.py:28-31) plus a canonicalized variant."""
+    d = load_table(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    vocab_sig = F.array_join(F.array_sort(F.array_distinct(words)), " ")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.md5(vocab_sig).alias("vocab_hash"),
+    )
+
+
+def diag_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic text diagnostics (lsp_tool.py:243-278) over documents:
+    overlong doc, trailing whitespace, very short doc. One row per
+    (doc, rule) firing, built by stacking rule predicates."""
+    d = load_table(spark, sf_dir, "documents")
+    rules = d.select(
+        "doc_id",
+        F.when(F.length("text") > 500, F.lit("overlong")).alias("r1"),
+        F.when(F.col("text") != F.rtrim(F.col("text")), F.lit("trailing_ws")).alias(
+            "r2"
+        ),
+        F.when(F.length("text") < 60, F.lit("too_short")).alias("r3"),
+    )
+    stacked = rules.select(
+        "doc_id",
+        F.explode(F.array_compact(F.array("r1", "r2", "r3"))).alias("rule"),
+    )
+    return stacked.withColumn("severity", F.lit("warning"))

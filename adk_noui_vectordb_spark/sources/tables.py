@@ -1,0 +1,66 @@
+"""Parquet table registry over the driver testdata layout.
+
+The reference stores its two collections (`code_elements`, `file_summaries`)
+in a ChromaDB directory (reference: coding_agent/tools/indexing_agent.py:53-72);
+a collection is just a named (id, document, embedding, metadata) table, which
+here is a Parquet-backed DataFrame per table (SURVEY.md section 1.1).
+
+Columnar Parquet (instead of the reference's sqlite+hnswlib directory) is what
+makes the 100 TB path work at all: predicate pushdown + column pruning reach
+the row-group level, and scans parallelize per file split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses to read as a timestamp; it is read as a nanosecond bigint
+    (legacy.parquet.nanosAsLong) and re-derived as a microsecond timestamp
+    via integer division (``div`` keeps it exact — a double round-trip
+    would not be). The raw nanos stay available as ``ts_ns``.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.col("ts").alias("ts_ns"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

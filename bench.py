@@ -1,0 +1,76 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully materialized via a count-style action (collect for
+small results) after a warm-up of the input scans; times are wall-clock
+per query on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from adk_noui_vectordb_spark.session import get_spark
+
+# Headline set: one per operator family, the ones whose plans matter at scale.
+BENCH_KEYS = [
+    "knn_topk",
+    "knn_batch_topk",
+    "dedup_minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "dedup_embedding_cosine",
+    "chunk_fixed_words",
+    "text_stats",
+    "quality_score",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "window_topn_orders",
+    "events_sessionize",
+    "events_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="adk-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        fn = qs[key]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        n = df.count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+        print(f"# {key}: {timings[key]:.3f}s ({n} rows)", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
