@@ -24,11 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adk_noui_vectordb_spark.operators import dedup as _dedup
+from adk_noui_vectordb_spark.operators import embed as _embed
+from adk_noui_vectordb_spark.operators import indexing as _idx
 from adk_noui_vectordb_spark.operators import knn as _knn
 from adk_noui_vectordb_spark.operators import relational as _rel
 from adk_noui_vectordb_spark.operators import rollups as _roll
 from adk_noui_vectordb_spark.operators import textops as _text
 from adk_noui_vectordb_spark.operators.chunking import chunk_fixed_words
+from adk_noui_vectordb_spark.sources.corpus import DERIVED_CORPUS_SQL
 from adk_noui_vectordb_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -119,6 +122,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
+        # indexing pipeline over the derived corpus (SURVEY.md §2.2/2.4/2.9, §3.1)
+        "project_searchable_text": _idx.project_searchable_text,
+        "project_element_ids": _idx.project_element_ids,
+        "agg_file_summary": _idx.agg_file_summary,
+        "agg_elements_by_type": _idx.agg_elements_by_type,
+        "agg_group_structure": _idx.agg_group_structure,
+        "project_truncate": _idx.project_truncate,
+        "corpus_diagnostics": _idx.corpus_diagnostics,
+        "agg_diag_counts": _idx.agg_diag_counts,
+        "agg_collection_count": _idx.agg_collection_count,
+        "upsert_latest_events": _idx.upsert_latest_events,
+        # embedding stage (pandas_udf Arrow path, SURVEY.md §2.11)
+        "embed_projection_rows": _embed.embed_projection_rows,
         # relational surface (extended engine)
         "q1_pricing_summary": _rel.q1_pricing_summary,
         "q3_top_orders": _rel.q3_top_orders,
@@ -221,6 +237,51 @@ WITH words AS (
 )
 SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
 """
+
+
+_ELEMENTS_CTE = (
+    DERIVED_CORPUS_SQL
+    + """,
+clines AS (
+    SELECT c.path, c.ext, t.i - 1 AS pos, c.parts[t.i] AS line
+    FROM (SELECT path, ext, string_split(content, chr(10)) AS parts FROM corpus) c,
+         LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
+),
+elements AS (
+    SELECT path, ext, CAST(pos // 5 AS INTEGER) AS chunk_id,
+           'chunk_' || CAST(pos // 5 AS INTEGER) AS name,
+           CASE CAST(pos // 5 AS INTEGER) % 3
+                WHEN 0 THEN 'function' WHEN 1 THEN 'class'
+                ELSE 'text_chunk' END AS element_type,
+           CAST(min(pos) + 1 AS INTEGER) AS start_line,
+           CAST(max(pos) + 1 AS INTEGER) AS end_line,
+           count(*) AS n_lines,
+           string_agg(line, chr(10) ORDER BY pos) AS content
+    FROM clines
+    GROUP BY path, ext, CAST(pos // 5 AS INTEGER)
+)
+"""
+)
+
+_DIAG_CTE = (
+    _ELEMENTS_CTE
+    + """,
+diags AS (
+    SELECT path, CAST(pos + 1 AS INTEGER) AS line_no,
+           unnest(list_filter([
+             CASE WHEN ext = '.py' AND trim(line) LIKE 'from%' AND contains(line, 'import *') THEN 'wildcard_import' END,
+             CASE WHEN ext = '.py' AND contains(line, 'print(') THEN 'print_call' END,
+             CASE WHEN ext = '.py' AND length(line) > 120 THEN 'long_line' END,
+             CASE WHEN ext IN ('.js','.ts') AND contains(line, 'console.log') THEN 'console_log' END,
+             CASE WHEN ext IN ('.js','.ts') AND contains(line, ';;') THEN 'multi_semicolon' END,
+             CASE WHEN ext IN ('.js','.ts') AND length(line) > 120 THEN 'long_line' END,
+             CASE WHEN ext NOT IN ('.py','.js','.ts') AND length(line) > 200 THEN 'overlong' END,
+             CASE WHEN ext NOT IN ('.py','.js','.ts') AND rtrim(line) <> line THEN 'trailing_ws' END
+           ], x -> x IS NOT NULL)) AS rule
+    FROM clines
+)
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -395,6 +456,99 @@ WITH pairs AS (
       ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+""",
+        "project_searchable_text": f"""
+WITH {_ELEMENTS_CTE}
+SELECT path, name, element_type,
+       name || ' ' || element_type || chr(10) || content AS document
+FROM elements
+""",
+        "project_element_ids": f"""
+WITH {_ELEMENTS_CTE}
+SELECT path, name, start_line,
+       md5(name || ':' || element_type || ':' || content) AS hash,
+       path || ':' || start_line || ':' ||
+           md5(name || ':' || element_type || ':' || content) AS id
+FROM elements
+""",
+        "agg_file_summary": f"""
+WITH {_ELEMENTS_CTE}
+SELECT f.path, f.file_type, f.line_count, e.element_count,
+       'File ' || f.path || ' contains ' || e.element_count || ' code elements' AS summary
+FROM (SELECT path, ext AS file_type,
+             CAST(len(string_split(content, chr(10))) AS INTEGER) AS line_count
+      FROM corpus) f
+JOIN (SELECT path, count(*) AS element_count FROM elements GROUP BY path) e
+  ON f.path = e.path
+""",
+        "agg_elements_by_type": f"""
+WITH {_ELEMENTS_CTE},
+c AS (SELECT path, element_type, count(*) AS c FROM elements GROUP BY 1, 2)
+SELECT path,
+       string_agg(element_type || ': ' || c, ', ' ORDER BY element_type || ': ' || c)
+           AS elements_by_type_str
+FROM c GROUP BY path
+""",
+        "agg_group_structure": f"""
+WITH {_ELEMENTS_CTE}
+SELECT path, element_type,
+       string_agg(name || '[' || start_line || '-' || end_line || ']', ', '
+                  ORDER BY name || '[' || start_line || '-' || end_line || ']')
+           AS members,
+       count(*) AS n_members
+FROM elements GROUP BY path, element_type
+""",
+        "project_truncate": f"""
+WITH {_ELEMENTS_CTE}
+SELECT path, name,
+       CASE WHEN length(content) > 80 THEN substr(content, 1, 80) || '...'
+            ELSE content END AS display
+FROM elements
+""",
+        "corpus_diagnostics": f"""
+WITH {_DIAG_CTE}
+SELECT path, line_no, rule,
+       CASE WHEN rule = 'wildcard_import' THEN 'error' ELSE 'warning' END AS severity
+FROM diags
+""",
+        "agg_diag_counts": f"""
+WITH {_DIAG_CTE}
+SELECT path,
+       CAST(sum(CASE WHEN rule = 'wildcard_import' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(sum(CASE WHEN rule <> 'wildcard_import' THEN 1 ELSE 0 END) AS BIGINT) AS n_warnings
+FROM diags GROUP BY path
+""",
+        "agg_collection_count": """
+SELECT 'documents' AS collection, count(*) AS n_rows FROM documents
+UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+""",
+        "upsert_latest_events": """
+SELECT user_id, event_id AS last_event_id, event_type, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+        "embed_projection_rows": """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), h AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok
+), b AS (
+    SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM h
+), s AS (
+    SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS v FROM b GROUP BY 1, 2
+), n AS (
+    SELECT doc_id, sqrt(sum(v * v)) AS norm FROM s GROUP BY 1
+)
+SELECT s.doc_id, s.bucket, round(s.v / n.norm, 4) AS weight
+FROM s JOIN n ON s.doc_id = n.doc_id
+WHERE s.v <> 0
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -91,7 +91,7 @@ def chunk_fixed_lines(lines_df: DataFrame, chunk_size: int = 50) -> DataFrame:
             (F.max("pos") + 1).alias("end_line"),
             joined.alias("content"),
         )
-        .filter(F.trim(F.col("content")) != "")
+        .filter(F.regexp_replace(F.col("content"), r"\s", "") != "")
         .select(
             "path",
             F.concat(F.lit("chunk_"), F.col("chunk_id").cast("string")).alias("name"),
@@ -151,7 +151,7 @@ def chunk_markdown_sections(md_df: DataFrame) -> DataFrame:
             (F.max("pos") + 1).alias("end_line"),
             joined.alias("content"),
         )
-        .filter(F.trim(F.col("content")) != "")
+        .filter(F.regexp_replace(F.col("content"), r"\s", "") != "")
         .select(
             "path",
             F.col("section_name").alias("name"),

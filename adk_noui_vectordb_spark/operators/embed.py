@@ -1,0 +1,99 @@
+"""Batch embedding stage — Arrow-vectorized pandas_udf.
+
+The reference batch-encodes searchable documents with a SentenceTransformer
+(all-MiniLM-L6-v2, 384-dim; reference: coding_agent/tools/indexing_agent.py:
+50,353 and vector_search_tool.py:37). The Spark-native shape is a
+``pandas_udf`` over Arrow record batches with a per-executor model singleton
+— one model load per executor process, thousands of rows per encode() call,
+exactly the batching the reference does manually (SURVEY.md §2.11, §4).
+
+The container has no sentence-transformers/torch, so the model behind the
+UDF is a deterministic hash-projection embedder (the documented fallback,
+SURVEY.md §7 step 5): token -> md5 -> signed bucket, L2-normalized. Every
+piece of Spark plumbing — Arrow batch transfer, schema, normalization, the
+downstream k-NN — is identical to what a real model would use; swapping in
+SentenceTransformer changes only ``_encode_batch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from ..sources.tables import load_table
+
+EMBED_DIM = 64
+
+# Per-executor "model" handle (lazy; a SentenceTransformer would be loaded
+# here on first use — one load per executor, not per batch).
+_MODEL = None
+
+
+def _get_model():
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = _HashProjectionModel(EMBED_DIM)
+    return _MODEL
+
+
+class _HashProjectionModel:
+    """Deterministic stand-in for SentenceTransformer.encode().
+
+    token -> 60-bit md5 prefix h; bucket = h % dim; sign = bit 6 of h;
+    vector = L2-normalized signed bucket counts. Matches the DuckDB oracle
+    expression in __spark_entry__ exactly (same md5 prefix arithmetic).
+    """
+
+    def __init__(self, dim: int):
+        self.dim = dim
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            vec = np.zeros(self.dim, dtype="float64")
+            for w in t.split(" "):
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                vec[h % self.dim] += 1.0 if (h >> 6) & 1 else -1.0
+            norm = float(np.sqrt((vec * vec).sum()))
+            if norm > 0:
+                vec = vec / norm
+            out.append(vec.tolist())
+        return out
+
+
+def make_embed_udf():
+    """Build the Arrow-batched embedding UDF (constructed lazily so importing
+    this module never requires an active SparkSession)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def embed_batch(texts: pd.Series) -> pd.Series:
+        model = _get_model()
+        return pd.Series(model.encode(texts.tolist()))
+
+    return embed_batch
+
+
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, embedding) through the Arrow batch path."""
+    d = load_table(spark, sf_dir, "documents")
+    embed = make_embed_udf()
+    return d.select("doc_id", embed(F.col("text")).alias("embedding"))
+
+
+def embed_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-comparable exploded view of the embedding output:
+    (doc_id, bucket, weight) for nonzero buckets. Proves the pandas_udf
+    Arrow path end-to-end against a pure-SQL DuckDB twin."""
+    e = embed_documents(spark, sf_dir)
+    x = e.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "w")
+    ).filter(F.col("w") != 0.0)
+    return x.select("doc_id", "bucket", F.round("w", 4).alias("weight"))

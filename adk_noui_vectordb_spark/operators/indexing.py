@@ -1,0 +1,278 @@
+"""Indexing-pipeline operators over the derived corpus — the reference's
+element data model end-to-end (SURVEY.md sections 2.1/2.2/2.4/2.9, 3.1).
+
+Pipeline shape (reference: indexing_agent.index_codebase, SURVEY.md §3.1):
+
+    corpus (path, ext, content)
+      -> explode lines -> fixed chunks  ("elements", §2.7)
+      -> project searchable text / content hash / composite id (§2.2)
+      -> per-file summary + by-type rollups (§2.4)
+      -> rule-based diagnostics routed by extension (§2.9)
+
+All operators run over ``derived_corpus`` (deterministic, shared with the
+DuckDB oracle) so every stage is oracle-checked; the same functions accept
+any (path, ext, content) DataFrame, e.g. from ``scan_corpus``.
+
+element_type here is assigned round-robin per chunk (function/class/
+text_chunk) purely to exercise the by-type rollups deterministically; a real
+code corpus gets types from the tree-sitter chunker (chunking.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.corpus import derived_corpus
+from ..sources.tables import load_table
+
+CHUNK_LINES = 5
+TRUNCATE_AT = 80
+
+
+def _corpus_lines(corpus: DataFrame) -> DataFrame:
+    return corpus.select(
+        "path", "ext", F.posexplode(F.split("content", "\n")).alias("pos", "line")
+    )
+
+
+def corpus_elements(corpus: DataFrame) -> DataFrame:
+    """Fixed-line chunking into element rows (indexing_agent.py:290-312
+    shape, 5-line chunks so small docs still produce several elements)."""
+    lines = _corpus_lines(corpus)
+    chunked = lines.withColumn(
+        "chunk_id", F.floor(F.col("pos") / CHUNK_LINES).cast("int")
+    )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"],
+        ),
+        "\n",
+    )
+    grouped = chunked.groupBy("path", "ext", "chunk_id").agg(
+        (F.min("pos") + 1).cast("int").alias("start_line"),
+        (F.max("pos") + 1).cast("int").alias("end_line"),
+        F.count(F.lit(1)).alias("n_lines"),
+        joined.alias("content"),
+    )
+    etype = (
+        F.when(F.col("chunk_id") % 3 == 0, "function")
+        .when(F.col("chunk_id") % 3 == 1, "class")
+        .otherwise("text_chunk")
+    )
+    return grouped.select(
+        "path",
+        "ext",
+        "chunk_id",
+        F.concat(F.lit("chunk_"), F.col("chunk_id").cast("string")).alias("name"),
+        etype.alias("element_type"),
+        "start_line",
+        "end_line",
+        "n_lines",
+        "content",
+    )
+
+
+def _elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_elements(derived_corpus(spark, sf_dir))
+
+
+def project_searchable_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-input projection (indexing_agent.py:343-347):
+    ``name + ' ' + element_type + '\\n' + content``."""
+    e = _elements(spark, sf_dir)
+    return e.select(
+        "path",
+        "name",
+        "element_type",
+        F.concat(
+            F.col("name"), F.lit(" "), F.col("element_type"), F.lit("\n"),
+            F.col("content"),
+        ).alias("document"),
+    )
+
+
+def project_element_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hash (indexing_agent.py:28-31) + composite id
+    (indexing_agent.py:350): md5(name:type:content), path:start:hash."""
+    e = _elements(spark, sf_dir)
+    h = F.md5(F.concat_ws(":", "name", "element_type", "content"))
+    return e.select(
+        "path",
+        "name",
+        "start_line",
+        h.alias("hash"),
+        F.concat_ws(":", "path", F.col("start_line").cast("string"), h).alias("id"),
+    )
+
+
+def agg_file_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file rollup (indexing_agent.py:314-330): line count, element
+    count, summary sentence."""
+    c = derived_corpus(spark, sf_dir)
+    files = c.select(
+        "path",
+        F.col("ext").alias("file_type"),
+        F.size(F.split("content", "\n")).alias("line_count"),
+    )
+    counts = (
+        _elements(spark, sf_dir)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("element_count"))
+    )
+    return files.join(counts, "path").withColumn(
+        "summary",
+        F.format_string(
+            "File %s contains %d code elements",
+            F.col("path"),
+            F.col("element_count"),
+        ),
+    )
+
+
+def agg_elements_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'function: 3, class: 1'-style flattening (indexing_agent.py:316-321),
+    sorted for determinism (the reference's dict order is not)."""
+    e = _elements(spark, sf_dir)
+    counts = e.groupBy("path", "element_type").agg(F.count(F.lit(1)).alias("c"))
+    entry = F.format_string("%s: %d", F.col("element_type"), F.col("c"))
+    return counts.groupBy("path").agg(
+        F.array_join(F.sort_array(F.collect_list(entry)), ", ").alias(
+            "elements_by_type_str"
+        )
+    )
+
+
+def agg_group_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(file, type) member list (vector_search_tool.py:245-264), each
+    member rendered 'name[start-end]', sorted."""
+    e = _elements(spark, sf_dir)
+    member = F.format_string(
+        "%s[%d-%d]", F.col("name"), F.col("start_line"), F.col("end_line")
+    )
+    return e.groupBy("path", "element_type").agg(
+        F.array_join(F.sort_array(F.collect_list(member)), ", ").alias("members"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def project_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display truncation with ellipsis (vector_search_tool.py:68-76)."""
+    e = _elements(spark, sf_dir)
+    display = F.when(
+        F.length("content") > TRUNCATE_AT,
+        F.concat(F.substring("content", 1, TRUNCATE_AT), F.lit("...")),
+    ).otherwise(F.col("content"))
+    return e.select("path", "name", display.alias("display"))
+
+
+# --- diagnostics (lsp_tool.py:122-278), routed by extension -----------------
+
+
+def _diag_rules(lines: DataFrame, rules: list) -> DataFrame:
+    """Stack per-line rule predicates into (path, line_no, rule) rows."""
+    rule_cols = [
+        F.when(cond, F.lit(rule_name)) for rule_name, cond in rules
+    ]
+    stacked = lines.select(
+        "path",
+        (F.col("pos") + 1).cast("int").alias("line_no"),
+        F.explode(F.array_compact(F.array(*rule_cols))).alias("rule"),
+    )
+    severity = F.when(F.col("rule") == "wildcard_import", "error").otherwise(
+        "warning"
+    )
+    return stacked.withColumn("severity", severity)
+
+
+def _py_rules(line):
+    return [
+        (
+            "wildcard_import",
+            F.trim(line).startswith("from") & line.contains("import *"),
+        ),
+        ("print_call", line.contains("print(")),
+        ("long_line", F.length(line) > 120),
+    ]
+
+
+def _js_rules(line):
+    return [
+        ("console_log", line.contains("console.log")),
+        ("multi_semicolon", line.contains(";;")),
+        ("long_line", F.length(line) > 120),
+    ]
+
+
+def _generic_rules(line):
+    return [
+        ("overlong", F.length(line) > 200),
+        ("trailing_ws", F.rtrim(line) != line),
+    ]
+
+
+def corpus_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diag_dispatch (lsp_tool.py:97-120): route lines to the python / js-ts
+    / generic rule set by extension; union the three branches."""
+    lines = _corpus_lines(derived_corpus(spark, sf_dir))
+    line = F.col("line")
+    py = _diag_rules(lines.filter(F.col("ext") == ".py"), _py_rules(line))
+    js = _diag_rules(
+        lines.filter(F.col("ext").isin(".js", ".ts")), _js_rules(line)
+    )
+    gen = _diag_rules(
+        lines.filter(~F.col("ext").isin(".py", ".js", ".ts")),
+        _generic_rules(line),
+    )
+    return py.unionByName(js).unionByName(gen)
+
+
+def agg_diag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity rollup per file (lsp_tool.py:129-184 counters)."""
+    d = corpus_diagnostics(spark, sf_dir)
+    return d.groupBy("path").agg(
+        F.sum(F.when(F.col("severity") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.sum(F.when(F.col("severity") == "warning", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_warnings"),
+    )
+
+
+def agg_collection_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-collection row counts (indexing_manager.py:131-152 status scan)."""
+    parts = []
+    for t in ("documents", "embeddings", "orders", "lineitem", "events"):
+        parts.append(
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(t).alias("collection"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key upsert semantics (the MERGE resolution of
+    sink_upsert_elements, indexing_agent.py:332-361) as a ranking window:
+    latest event per user wins."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "event_type",
+            "value",
+        )
+    )

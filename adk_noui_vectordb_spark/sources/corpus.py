@@ -1,0 +1,106 @@
+"""Corpus sources: real file scan + deterministic derived corpus.
+
+``scan_corpus`` is the reference's recursive source scan with ignore-dir
+pruning (reference: coding_agent/tools/indexing_agent.py:104-114) as a Spark
+file source: the glob/regex prune happens at planning time (path pruning),
+so ignored trees are never read — the 100 TB analog of partition pruning.
+
+``derived_corpus`` builds a (path, ext, content) corpus DETERMINISTICALLY
+from the ``documents`` table with injected rule-triggering lines, and
+``DERIVED_CORPUS_SQL`` is its DuckDB twin — every downstream indexing
+operator (chunk -> element -> summary -> diagnostics) gets an oracle-checked
+query even though the container has no real source tree to index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+IGNORE_DIRS = (".git", "__pycache__", "node_modules", ".venv", "venv", ".adk_index")
+SOURCE_EXTS = (".py", ".js", ".ts", ".tsx", ".jsx", ".md")
+
+_IGNORE_RE = "/(" + "|".join(d.replace(".", "\\.") for d in IGNORE_DIRS) + ")/"
+
+# lang -> extension routing for the derived corpus (fixed, arbitrary).
+LANG_EXT = {"en": ".py", "de": ".js", "es": ".ts", "fr": ".md", "zh": ".txt"}
+
+
+def scan_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """Recursive scan of source files under ``root`` -> (path, ext, content).
+
+    Reads whole files (wholetext) with recursive lookup; prunes ignored
+    directories with a path filter Catalyst applies before content IO, and
+    keeps only the reference's supported extensions.
+    """
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(root, wholetext=True)
+        .select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("content"),
+        )
+    )
+    ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[^./\\]+)$", 1))
+    return (
+        df.filter(~F.col("path").rlike(_IGNORE_RE))
+        .withColumn("ext", ext)
+        .filter(F.col("ext").isin(*SOURCE_EXTS))
+        .select("path", "ext", "content")
+    )
+
+
+def derived_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (path, ext, content) corpus derived from documents.
+
+    Must stay expression-for-expression identical to DERIVED_CORPUS_SQL.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ext = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in LANG_EXT.items()]
+    )
+    header = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("from os import *\n")
+    ).otherwise(F.lit("import os\n"))
+    printline = F.when(F.col("doc_id") % 3 == 0, F.lit("print(value)\n")).otherwise(
+        F.lit("")
+    )
+    jsline = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("console.log(x);;\n")
+    ).otherwise(F.lit(""))
+    trailing = F.when(F.col("doc_id") % 5 == 0, F.lit("x = 1 \n")).otherwise(
+        F.lit("")
+    )
+    body = F.replace(F.col("text"), F.lit(" the "), F.lit("\n"))
+    return d.select(
+        F.concat(
+            F.lit("corpus/"),
+            F.col("source"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            ext,
+        ).alias("path"),
+        ext.alias("ext"),
+        F.concat(header, printline, jsline, trailing, body).alias("content"),
+    )
+
+
+DERIVED_CORPUS_SQL = """
+corpus AS (
+    SELECT 'corpus/' || source || '/doc_' || doc_id ||
+           CASE lang WHEN 'en' THEN '.py' WHEN 'de' THEN '.js'
+                     WHEN 'es' THEN '.ts' WHEN 'fr' THEN '.md'
+                     ELSE '.txt' END AS path,
+           CASE lang WHEN 'en' THEN '.py' WHEN 'de' THEN '.js'
+                     WHEN 'es' THEN '.ts' WHEN 'fr' THEN '.md'
+                     ELSE '.txt' END AS ext,
+           (CASE WHEN doc_id % 7 = 0 THEN 'from os import *' || chr(10) ELSE 'import os' || chr(10) END)
+           || (CASE WHEN doc_id % 3 = 0 THEN 'print(value)' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0 THEN 'console.log(x);;' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN 'x = 1 ' || chr(10) ELSE '' END)
+           || replace(text, ' the ', chr(10)) AS content
+    FROM documents
+)
+"""

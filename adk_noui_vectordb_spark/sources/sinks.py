@@ -1,0 +1,61 @@
+"""Sinks: keyed upsert over Parquet + job-report JSON.
+
+The reference upserts (insert-or-replace by id) into ChromaDB collections
+(reference: coding_agent/tools/indexing_agent.py:332-373) and dumps a JSON
+job report (indexing_manager.py:79-83). Without Delta in the container, the
+upsert is the classic parquet MERGE emulation: union(new, existing) ->
+keep-one-per-key with new rows winning -> atomic directory swap via
+overwrite. At scale this becomes a real Delta/Iceberg ``MERGE INTO`` keyed
+on id (the plan shape — anti-join + union — is what MERGE executes anyway).
+
+This also fixes the reference's stale-row leak (SURVEY.md §2.10): a changed
+element REPLACES its old row because precedence is by key, not by
+content-hash id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def upsert_parquet(
+    spark: SparkSession, new_rows: DataFrame, path: str, key: str
+) -> None:
+    """Insert-or-replace by ``key`` into the parquet table at ``path``.
+
+    New rows win over existing rows with the same key; within the new batch,
+    later duplicates are resolved deterministically by the key ordering.
+    """
+    tagged_new = new_rows.withColumn("_prec", F.lit(0))
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).withColumn("_prec", F.lit(1))
+        merged = tagged_new.unionByName(existing)
+    else:
+        merged = tagged_new
+    w = Window.partitionBy(key).orderBy(F.asc("_prec"))
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prec", "_rn")
+    )
+    # Materialize before overwrite (reading and overwriting the same path in
+    # one job is not safe); then swap atomically via a temp dir rename.
+    tmp = path + ".__tmp__"
+    result.write.mode("overwrite").parquet(tmp)
+    final_tmp = path + ".__old__"
+    if os.path.exists(path):
+        os.rename(path, final_tmp)
+    os.rename(tmp, path)
+    if os.path.exists(final_tmp):
+        import shutil
+
+        shutil.rmtree(final_tmp)
+
+
+def write_json_report(df: DataFrame, path: str) -> None:
+    """Persist a small job-stats DataFrame as JSON (indexing_manager.py:79-83)."""
+    df.coalesce(1).write.mode("overwrite").json(path)

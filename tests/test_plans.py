@@ -1,0 +1,63 @@
+"""Plan-shape assertions: the 100-TB contract (SURVEY.md §4).
+
+Filters must reach the parquet scan, dimension joins must broadcast, exact
+top-k must plan as TakeOrderedAndProject (heap-based, no global sort).
+Regressions here mean a query silently became a full-scan/shuffle plan.
+"""
+
+from adk_noui_vectordb_spark.operators import relational as rel
+from adk_noui_vectordb_spark.operators import rollups as roll
+from adk_noui_vectordb_spark.operators.knn import knn_topk, make_query_from_vec
+from adk_noui_vectordb_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    explain_str,
+)
+from adk_noui_vectordb_spark.sources.tables import load_table
+
+
+def test_point_lookup_pushes_filter(spark, sf_dir):
+    df = roll.point_lookup(spark, sf_dir)
+    assert_pushed_filters(df, "doc_id")
+
+
+def test_metadata_filter_pushes_to_scan(spark, sf_dir):
+    df = roll.filter_by_lang(spark, sf_dir)
+    assert_pushed_filters(df, "lang")
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = rel.q5_region_revenue(spark, sf_dir)
+    # customer, nation, region all broadcast: >= 3 broadcast joins
+    assert_broadcast_join(df, min_count=3)
+
+
+def test_knn_is_take_ordered(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = knn_topk(emb, make_query_from_vec(emb, 0), k=5)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_knn_filter_pushes_to_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = knn_topk(
+        emb, make_query_from_vec(emb, 0), k=5,
+        candidate_filter=F.col("label") == 3,
+    )
+    assert_pushed_filters(df, "label")
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    df = rel.q6_revenue_forecast(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    df = rel.q1_pricing_summary(spark, sf_dir)
+    plan = explain_str(df)
+    # ReadSchema must not include unused columns like l_orderkey/l_partkey
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_partkey" not in read_schema[0], plan

@@ -1,0 +1,53 @@
+import os
+
+from pyspark.sql import Row
+
+from adk_noui_vectordb_spark.operators.embed import _HashProjectionModel
+from adk_noui_vectordb_spark.sources.corpus import scan_corpus
+from adk_noui_vectordb_spark.sources.sinks import upsert_parquet
+
+
+def test_scan_corpus_prunes_and_filters(spark, tmp_path):
+    (tmp_path / "pkg").mkdir()
+    (tmp_path / "node_modules" / "dep").mkdir(parents=True)
+    (tmp_path / ".git").mkdir()
+    (tmp_path / "pkg" / "a.py").write_text("print('hi')\n")
+    (tmp_path / "pkg" / "b.md").write_text("# title\nbody\n")
+    (tmp_path / "pkg" / "c.bin").write_text("binary-ish")
+    (tmp_path / "node_modules" / "dep" / "d.py").write_text("ignored")
+    (tmp_path / ".git" / "e.py").write_text("ignored")
+    rows = scan_corpus(spark, str(tmp_path)).collect()
+    names = sorted(os.path.basename(r["path"]) for r in rows)
+    assert names == ["a.py", "b.md"]
+    by_name = {os.path.basename(r["path"]): r for r in rows}
+    assert by_name["a.py"]["ext"] == ".py"
+    assert by_name["a.py"]["content"] == "print('hi')\n"
+
+
+def test_upsert_parquet_new_rows_win(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [Row(id="a", val=1), Row(id="b", val=2)]
+    )
+    upsert_parquet(spark, v1, path, key="id")
+    v2 = spark.createDataFrame(
+        [Row(id="b", val=20), Row(id="c", val=3)]
+    )
+    upsert_parquet(spark, v2, path, key="id")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+    # idempotent re-upsert
+    upsert_parquet(spark, v2, path, key="id")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_hash_projection_model_deterministic():
+    m = _HashProjectionModel(64)
+    v1, v2 = m.encode(["hello world"]), m.encode(["hello world"])
+    assert v1 == v2
+    (vec,) = v1
+    norm = sum(x * x for x in vec) ** 0.5
+    assert abs(norm - 1.0) < 1e-9
+    # different text -> different vector
+    assert m.encode(["other text"]) != v1
