@@ -23,8 +23,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from adk_noui_vectordb_spark.operators import ann as _ann
 from adk_noui_vectordb_spark.operators import dedup as _dedup
 from adk_noui_vectordb_spark.operators import embed as _embed
+from adk_noui_vectordb_spark.operators import multimodal as _mm
 from adk_noui_vectordb_spark.operators import indexing as _idx
 from adk_noui_vectordb_spark.operators import knn as _knn
 from adk_noui_vectordb_spark.operators import relational as _rel
@@ -135,6 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest_events": _idx.upsert_latest_events,
         # embedding stage (pandas_udf Arrow path, SURVEY.md §2.11)
         "embed_projection_rows": _embed.embed_projection_rows,
+        "knn_text_query": _embed.knn_text_query,
+        # approximate ANN (SURVEY.md §4; LSH is rows-only — no SQL oracle)
+        "ann_ivf_topk": _ann.ann_ivf_topk,
+        "ann_lsh_topk": _ann.ann_lsh_topk,
+        # multimodal plumbing (north star; mapInPandas over binary payloads)
+        "multimodal_features": _mm.multimodal_features,
         # relational surface (extended engine)
         "q1_pricing_summary": _rel.q1_pricing_summary,
         "q3_top_orders": _rel.q3_top_orders,
@@ -531,6 +539,74 @@ SELECT user_id, event_id AS last_event_id, event_type, value FROM (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
     FROM events
 ) WHERE rn = 1
+""",
+        "ann_ivf_topk": f"""
+WITH ex AS (
+    SELECT e.vec_id, e.label, t.i AS pos, CAST(e.embedding[t.i] AS DOUBLE) AS v
+    FROM embeddings e,
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+), q AS (
+    SELECT pos, v AS qv FROM ex WHERE vec_id = 0
+), cent AS (
+    SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2
+), cscore AS (
+    SELECT cent.label,
+           round(sum(cent.c * q.qv)
+                 / (sqrt(sum(cent.c * cent.c)) * sqrt(sum(q.qv * q.qv))), 4) AS csim_r
+    FROM cent JOIN q ON cent.pos = q.pos GROUP BY cent.label
+), top_labels AS (
+    SELECT label FROM cscore ORDER BY csim_r DESC, label LIMIT 2
+), qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, e.label, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN top_labels USING (label) CROSS JOIN qe
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT 5
+""",
+        "knn_text_query": """
+WITH qtok AS (
+    SELECT unnest(['spark', 'query', 'filter', 'join']) AS w
+), qh AS (
+    SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM qtok
+), qb AS (
+    SELECT CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM qh
+), qs AS (
+    SELECT bucket, CAST(sum(sign) AS DOUBLE) AS v FROM qb GROUP BY 1
+), qn AS (
+    SELECT sqrt(sum(v * v)) AS qnorm FROM qs
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), h AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok
+), b AS (
+    SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM h
+), s AS (
+    SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS v FROM b GROUP BY 1, 2
+), n AS (
+    SELECT doc_id, sqrt(sum(v * v)) AS norm FROM s GROUP BY 1
+), dots AS (
+    SELECT s.doc_id, sum(s.v * qs.v) AS draw
+    FROM s JOIN qs ON s.bucket = qs.bucket GROUP BY 1
+)
+SELECT n.doc_id, round(coalesce(dots.draw, 0) / (n.norm * qn.qnorm), 4) AS sim
+FROM n LEFT JOIN dots ON n.doc_id = dots.doc_id CROSS JOIN qn
+ORDER BY sim DESC, n.doc_id
+LIMIT 5
+""",
+        "multimodal_features": """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       md5(text) AS content_digest
+FROM documents
 """,
         "embed_projection_rows": """
 WITH tok AS (

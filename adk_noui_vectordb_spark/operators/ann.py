@@ -1,0 +1,127 @@
+"""Approximate nearest-neighbor paths — the 100 TB retrieval story.
+
+The reference's ANN is ChromaDB's HNSW (untuned, in-process; reference:
+coding_agent/tools/indexing_agent.py:55, vector_search_tool.py:42). HNSW is
+a single-node graph structure that does not shard naturally; the Spark-first
+equivalents are (SURVEY.md section 4):
+
+- ``ann_lsh_topk``: MLlib BucketedRandomProjectionLSH — hash candidates
+  into buckets, probe only matching buckets. Fixed seed -> deterministic.
+- ``ann_ivf_topk``: inverted-file (IVF) index — partition vectors by
+  nearest centroid, prune to the ``nprobe`` closest centroids at query
+  time, exact search inside. At scale the centroid assignment is the
+  partitioning key, so a query touches nprobe/k of the data. Here the
+  testdata's cluster ``label`` provides the assignment and centroids are
+  the per-label mean vectors (deterministic -> fully oracle-checkable).
+
+Both prune candidates BEFORE the exact top-k kernel in knn.py; recall is
+measured against brute force in tests (BASELINE.md target >= 0.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from ..sources.tables import load_table
+
+LSH_SEED = 42
+LSH_BUCKET_LENGTH = 1.0
+LSH_NUM_TABLES = 8
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (euclidean; on
+    L2-normalized vectors euclidean and cosine rankings agree, SURVEY §2.8).
+
+    Returns (vec_id, dist) — rows-only correctness check (no SQL oracle for
+    LSH); the recall harness in tests compares against exact brute force.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=LSH_BUCKET_LENGTH,
+        numHashTables=LSH_NUM_TABLES,
+        seed=LSH_SEED,
+    ).fit(emb)
+    key = emb.filter(F.col("vec_id") == query_vec_id).head()
+    if key is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    neighbors = model.approxNearestNeighbors(
+        emb.filter(F.col("vec_id") != query_vec_id), key["features"], k
+    )
+    return neighbors.select("vec_id", F.round(F.col("distCol"), 4).alias("dist"))
+
+
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid in exploded (label, pos, c) form: elementwise mean.
+
+    Exploded form (not an array column) keeps the whole computation in
+    hash-agg land and mirrors the DuckDB oracle expression exactly.
+    """
+    ex = embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, keep ``nprobe``
+    partitions, exact top-k inside them.
+
+    Plan shape at scale: the centroid ranking touches k_centroids rows (a
+    broadcastable table); the candidate scan reads only the nprobe matching
+    partitions (partition pruning on the assignment key); the exact kernel
+    is the same TakeOrderedAndProject as knn_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "qv")
+    )
+    cent = ivf_centroids(emb)
+    # cosine(centroid, query) per label from the exploded join
+    joined = cent.join(F.broadcast(q), "pos")
+    scored = joined.groupBy("label").agg(
+        (
+            F.sum(F.col("c") * F.col("qv"))
+            / (
+                F.sqrt(F.sum(F.col("c") * F.col("c")))
+                * F.sqrt(F.sum(F.col("qv") * F.col("qv")))
+            )
+        ).alias("csim")
+    )
+    top_labels = (
+        scored.select("label", F.round("csim", 4).alias("csim_r"))
+        .orderBy(F.desc("csim_r"), F.asc("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    # prune to nprobe partitions, then exact search (broadcast query row)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.join(F.broadcast(top_labels), "label").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        cand.crossJoin(F.broadcast(qrow))
+        .select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -88,6 +88,39 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", embed(F.col("text")).alias("embedding"))
 
 
+DEFAULT_QUERY_TEXT = "spark query filter join"
+
+
+def knn_text_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = DEFAULT_QUERY_TEXT,
+    k: int = 5,
+) -> DataFrame:
+    """The reference's flagship semantic-search flow end-to-end (SURVEY.md
+    §3.2): embed the natural-language query, embed the corpus, rank by
+    cosine, top-k.
+
+    The query embeds driver-side (one row — reference does the same,
+    vector_search_tool.py:37) and enters the plan as a broadcast literal;
+    documents embed executor-side through the Arrow batch path. Cosine of
+    the two normalized vectors is their dot product.
+    """
+    qvec = _get_model().encode([query_text])[0]
+    docs = embed_documents(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select("doc_id", F.round(dot, 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def embed_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-comparable exploded view of the embedding output:
     (doc_id, bucket, weight) for nonzero buckets. Proves the pandas_udf

@@ -1,0 +1,120 @@
+"""Structured Streaming: incremental re-index + watermarked event windows.
+
+The reference *intended* incremental indexing (watchdog pinned but never
+wired, content-hash change detection — SURVEY.md section 2.10) but re-scans
+everything per run and leaks stale rows. The Spark-native design:
+
+- ``stream_incremental_index``: file-source stream over a corpus directory
+  -> the same chunk pipeline as batch -> ``foreachBatch`` keyed upsert.
+  New/changed files are the only work per trigger (the file source tracks
+  processed files in checkpointed state); the keyed upsert replaces stale
+  rows (fixing the reference's leak).
+- ``stream_events_tumbling``: watermarked tumbling event-time windows over
+  the events table — the streaming twin of the batch
+  ``events_tumbling_counts`` query; the watermark bounds state for late
+  data, which is what makes the aggregation runnable forever at scale.
+
+Both run with ``trigger(availableNow=True)`` in tests: process everything
+currently available, then stop — which also makes streaming/batch
+equivalence assertable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_fixed_lines
+from ..sources.sinks import upsert_parquet
+
+
+def stream_events_tumbling(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, queryName: str
+):
+    """Watermarked 1-hour tumbling counts per event_type, to a memory sink.
+
+    Returns the started StreamingQuery; caller awaits termination (tests
+    use availableNow so it drains and stops).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # schema from a batch read of the same directory (ts arrives as ns bigint)
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_incremental_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    chunk_size: int = 50,
+):
+    """File-source stream -> chunk -> keyed upsert into the element index.
+
+    Each micro-batch contains only files not seen by the checkpoint; the
+    foreachBatch upsert keys on (path, name) so a re-written file replaces
+    its old chunks instead of leaking them (the reference's stale-row bug,
+    SURVEY.md section 2.10).
+    """
+    raw = (
+        spark.readStream.option("recursiveFileLookup", "true")
+        .text(corpus_dir, wholetext=True)
+        .select(
+            F.input_file_name().alias("path"), F.col("value").alias("content")
+        )
+    )
+
+    def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        elements = chunk_fixed_lines(batch_df, chunk_size=chunk_size)
+        keyed = elements.withColumn(
+            "element_key", F.concat_ws("#", "path", "name")
+        )
+        if keyed.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession, keyed, index_path, key="element_key"
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,49 @@
+"""Approximate-ANN quality gates (BASELINE.md: recall@10 >= 0.9 vs brute
+force). The driver can only rows-check LSH, so recall is enforced here."""
+
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators.ann import ann_ivf_topk, ann_lsh_topk
+from adk_noui_vectordb_spark.operators.knn import knn_topk, make_query_from_vec
+from adk_noui_vectordb_spark.sources.tables import load_table
+
+
+def _exact_topk_ids(spark, sf_dir, query_vec_id, k):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = knn_topk(emb, make_query_from_vec(emb, query_vec_id), k=k)
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_lsh_recall_at_10(spark, sf_dir):
+    recalls = []
+    for qid in (0, 1, 2):
+        exact = set(_exact_topk_ids(spark, sf_dir, qid, 10))
+        approx = {
+            r["vec_id"]
+            for r in ann_lsh_topk(spark, sf_dir, query_vec_id=qid, k=10).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"LSH recall@10 {avg} < 0.9 (per-query {recalls})"
+
+
+def test_ivf_returns_k_and_respects_probe(spark, sf_dir):
+    df = ann_ivf_topk(spark, sf_dir, query_vec_id=0, k=5, nprobe=2)
+    rows = df.collect()
+    assert len(rows) == 5
+    # all results come from <= nprobe partitions
+    assert len({r["label"] for r in rows}) <= 2
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    # nprobe = all partitions -> IVF must equal exact brute force
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    exact = _exact_topk_ids(spark, sf_dir, 0, 5)
+    full = [
+        r["vec_id"]
+        for r in ann_ivf_topk(
+            spark, sf_dir, query_vec_id=0, k=5, nprobe=n_labels
+        ).collect()
+    ]
+    assert full == exact

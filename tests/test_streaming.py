@@ -1,0 +1,55 @@
+import uuid
+
+from adk_noui_vectordb_spark.operators import relational as rel
+from adk_noui_vectordb_spark.streaming.pipeline import (
+    stream_events_tumbling,
+    stream_incremental_index,
+)
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    name = f"ev_{uuid.uuid4().hex[:8]}"
+    q = stream_events_tumbling(spark, sf_dir, str(tmp_path / "ckpt"), name)
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in rel.events_tumbling_counts(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
+def test_incremental_index_upserts_changed_files(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    index = str(tmp_path / "index")
+    (corpus / "a.txt").write_text("\n".join(f"a{i}" for i in range(60)))
+    (corpus / "b.txt").write_text("b0\nb1")
+
+    q = stream_incremental_index(
+        spark, str(corpus), index, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["element_key"]): r["content"]
+        for r in spark.read.parquet(index).collect()
+    }
+    # a.txt -> 2 chunks (60 lines @ 50), b.txt -> 1
+    assert len(rows) == 3
+    assert any(k.endswith("a.txt#chunk_1") for k in rows)
+
+    # new file arrives; restart with the SAME checkpoint -> only c.txt processed
+    (corpus / "c.txt").write_text("c0")
+    q2 = stream_incremental_index(
+        spark, str(corpus), index, str(tmp_path / "ck1")
+    )
+    q2.awaitTermination(120)
+    rows2 = spark.read.parquet(index).collect()
+    keys = {r["element_key"] for r in rows2}
+    assert len(rows2) == 4
+    assert any(k.endswith("c.txt#chunk_0") for k in keys)
+    # prior elements survived the incremental upsert
+    assert any(k.endswith("a.txt#chunk_0") for k in keys)
