@@ -33,7 +33,7 @@ from adk_noui_vectordb_spark.operators import relational as _rel
 from adk_noui_vectordb_spark.operators import rollups as _roll
 from adk_noui_vectordb_spark.operators import textops as _text
 from adk_noui_vectordb_spark.operators.chunking import chunk_fixed_words
-from adk_noui_vectordb_spark.sources.corpus import DERIVED_CORPUS_SQL
+from adk_noui_vectordb_spark.sources.corpus import DERIVED_CORPUS_SQL, DERIVED_MD_SQL
 from adk_noui_vectordb_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -107,8 +107,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_source_summary": _roll.agg_source_summary,
         "agg_docs_by_lang": _roll.agg_docs_by_lang,
         "agg_job_totals": _roll.agg_job_totals,
+        "filter_by_element_type": _idx.filter_by_element_type,
+        "filter_by_file": _idx.filter_by_file,
+        "filter_ext_dispatch": _idx.filter_ext_dispatch,
         # chunking (SURVEY.md §2.7)
         "chunk_fixed_words": chunk_fixed_words,
+        "chunk_fixed_lines": _idx.chunk_fixed_lines_q,
+        "chunk_markdown_sections": _idx.chunk_markdown_sections_q,
         # text analysis (SURVEY.md §2.9 + north-star extensions)
         "text_stats": _text.text_stats,
         "token_count": _text.token_count,
@@ -116,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": _text.lang_id_ngram,
         "doc_fingerprint": _text.doc_fingerprint,
         "diag_generic": _text.diag_generic,
+        "diag_python": _idx.diag_python,
+        "diag_js_ts": _idx.diag_js_ts,
         # dedup (north star)
         "dedup_exact": _dedup.dedup_exact,
         "minhash_signature_rows": _dedup.minhash_signature_rows,
@@ -512,6 +519,87 @@ SELECT path, name,
        CASE WHEN length(content) > 80 THEN substr(content, 1, 80) || '...'
             ELSE content END AS display
 FROM elements
+""",
+        "filter_by_element_type": f"""
+WITH {_ELEMENTS_CTE}
+SELECT path, name, element_type, start_line, end_line
+FROM elements WHERE element_type = 'class'
+ORDER BY path, start_line LIMIT 10
+""",
+        "filter_by_file": f"""
+WITH {_ELEMENTS_CTE}
+SELECT path, name, element_type, start_line, end_line, n_lines
+FROM elements WHERE path LIKE '%/doc_42.%'
+""",
+        "filter_ext_dispatch": f"""
+WITH {DERIVED_CORPUS_SQL}
+SELECT path, ext,
+       CASE WHEN ext = '.py' THEN 'tree_sitter_python'
+            WHEN ext IN ('.js','.ts','.tsx','.jsx') THEN 'tree_sitter_js'
+            WHEN ext = '.md' THEN 'markdown_sections'
+            ELSE 'fixed_chunks' END AS parser
+FROM corpus
+""",
+        "chunk_fixed_lines": f"""
+WITH {DERIVED_CORPUS_SQL},
+clines AS (
+    SELECT c.path, t.i - 1 AS pos, c.parts[t.i] AS line
+    FROM (SELECT path, string_split(content, chr(10)) AS parts FROM corpus) c,
+         LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
+),
+chunks AS (
+    SELECT path, CAST(pos // 10 AS INTEGER) AS chunk_id,
+           CAST(min(pos) + 1 AS INTEGER) AS start_line,
+           CAST(max(pos) + 1 AS INTEGER) AS end_line,
+           string_agg(line, chr(10) ORDER BY pos) AS content
+    FROM clines GROUP BY path, CAST(pos // 10 AS INTEGER)
+)
+SELECT path, 'chunk_' || chunk_id AS name, 'text_chunk' AS element_type,
+       start_line, end_line, content
+FROM chunks
+WHERE regexp_replace(content, '\\s', '', 'g') <> ''
+""",
+        "chunk_markdown_sections": f"""
+WITH {DERIVED_MD_SQL},
+mlines AS (
+    SELECT c.path, t.i - 1 AS pos, c.parts[t.i] AS line
+    FROM (SELECT path, string_split(content, chr(10)) AS parts FROM md_corpus) c,
+         LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
+),
+flagged AS (
+    SELECT path, pos, line,
+           CASE WHEN trim(line) LIKE '#%' THEN 1 ELSE 0 END AS is_heading,
+           CASE WHEN trim(line) LIKE '#%'
+                THEN trim(regexp_replace(trim(line), '^#+', '')) END AS heading_text
+    FROM mlines
+),
+sectioned AS (
+    SELECT *,
+           sum(is_heading) OVER w AS section_id,
+           coalesce(last_value(heading_text IGNORE NULLS) OVER w,
+                    'Introduction') AS section_name
+    FROM flagged
+    WINDOW w AS (PARTITION BY path ORDER BY pos ROWS UNBOUNDED PRECEDING)
+)
+SELECT path, section_name AS name, 'markdown_section' AS element_type,
+       CAST(min(pos) + 1 AS INTEGER) AS start_line,
+       CAST(max(pos) + 1 AS INTEGER) AS end_line,
+       string_agg(line, chr(10) ORDER BY pos) AS content
+FROM sectioned WHERE is_heading = 0
+GROUP BY path, section_id, section_name
+HAVING regexp_replace(string_agg(line, chr(10) ORDER BY pos), '\\s', '', 'g') <> ''
+""",
+        "diag_python": f"""
+WITH {_DIAG_CTE}
+SELECT path, line_no, rule,
+       CASE WHEN rule = 'wildcard_import' THEN 'error' ELSE 'warning' END AS severity
+FROM diags WHERE path LIKE '%.py'
+""",
+        "diag_js_ts": f"""
+WITH {_DIAG_CTE}
+SELECT path, line_no, rule,
+       CASE WHEN rule = 'wildcard_import' THEN 'error' ELSE 'warning' END AS severity
+FROM diags WHERE path LIKE '%.js' OR path LIKE '%.ts'
 """,
         "corpus_diagnostics": f"""
 WITH {_DIAG_CTE}

@@ -167,6 +167,43 @@ def project_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("path", "name", display.alias("display"))
 
 
+def filter_by_element_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only typed scan with a cap (vector_search_tool.py:149-201).
+
+    The reference's ``get`` has storage order; we rank on the unique
+    (path, start_line) key so the limit-10 cut set is deterministic and
+    oracle-checkable (SURVEY.md §2.6 nondeterminism note)."""
+    e = _elements(spark, sf_dir)
+    return (
+        e.filter(F.col("element_type") == "class")
+        .orderBy("path", "start_line")
+        .limit(10)
+        .select("path", "name", "element_type", "start_line", "end_line")
+    )
+
+
+def filter_by_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All element rows of one file (vector_search_tool.py:217-219) — the
+    per-file metadata fetch behind get_file_structure."""
+    e = _elements(spark, sf_dir)
+    return e.filter(F.col("path").like("%/doc_42.%")).select(
+        "path", "name", "element_type", "start_line", "end_line", "n_lines"
+    )
+
+
+def filter_ext_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension -> parser routing (indexing_agent.py:131-142,
+    lsp_tool.py:114-120) as a pure projection."""
+    c = derived_corpus(spark, sf_dir)
+    parser = (
+        F.when(F.col("ext") == ".py", "tree_sitter_python")
+        .when(F.col("ext").isin(".js", ".ts", ".tsx", ".jsx"), "tree_sitter_js")
+        .when(F.col("ext") == ".md", "markdown_sections")
+        .otherwise("fixed_chunks")
+    )
+    return c.select("path", "ext", parser.alias("parser"))
+
+
 # --- diagnostics (lsp_tool.py:122-278), routed by extension -----------------
 
 
@@ -212,6 +249,22 @@ def _generic_rules(line):
     ]
 
 
+def diag_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python branch alone (lsp_tool.py:122-191): wildcard-import error,
+    print-call + long-line warnings over exploded lines."""
+    lines = _corpus_lines(derived_corpus(spark, sf_dir))
+    return _diag_rules(lines.filter(F.col("ext") == ".py"), _py_rules(F.col("line")))
+
+
+def diag_js_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS/TS branch alone (lsp_tool.py:193-241): console.log, multi-semicolon,
+    long-line warnings."""
+    lines = _corpus_lines(derived_corpus(spark, sf_dir))
+    return _diag_rules(
+        lines.filter(F.col("ext").isin(".js", ".ts")), _js_rules(F.col("line"))
+    )
+
+
 def corpus_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """diag_dispatch (lsp_tool.py:97-120): route lines to the python / js-ts
     / generic rule set by extension; union the three branches."""
@@ -239,6 +292,26 @@ def agg_diag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_warnings"),
     )
+
+
+def chunk_fixed_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fallback chunker (indexing_agent.py:290-312) over the
+    derived corpus; 10-line blocks (docs here are short — the reference's 50
+    would mostly yield one block per file; same operator, smaller constant)."""
+    from .chunking import chunk_fixed_lines
+
+    return chunk_fixed_lines(
+        derived_corpus(spark, sf_dir).select("path", "content"), chunk_size=10
+    )
+
+
+def chunk_markdown_sections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown heading sectioner (indexing_agent.py:242-288) over the
+    derived markdown corpus."""
+    from ..sources.corpus import derived_markdown_corpus
+    from .chunking import chunk_markdown_sections
+
+    return chunk_markdown_sections(derived_markdown_corpus(spark, sf_dir))
 
 
 def agg_collection_count(spark: SparkSession, sf_dir: str) -> DataFrame:

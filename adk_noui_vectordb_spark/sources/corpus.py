@@ -87,6 +87,40 @@ def derived_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derived_markdown_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (path, content) MARKDOWN corpus with real headings, for
+    the heading sectioner (indexing_agent.py:242-288). Built from the 'fr'
+    documents (the .md slice of the derived corpus); every ' the ' becomes a
+    '## Part' heading line so each doc yields several sections.
+
+    Must stay expression-for-expression identical to DERIVED_MD_SQL.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    return d.select(
+        F.concat(
+            F.lit("corpus/"),
+            F.col("source"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".md"),
+        ).alias("path"),
+        F.concat(
+            F.lit("# Overview\n"),
+            F.replace(F.col("text"), F.lit(" the "), F.lit("\n## Part\n")),
+        ).alias("content"),
+    )
+
+
+DERIVED_MD_SQL = """
+md_corpus AS (
+    SELECT 'corpus/' || source || '/doc_' || doc_id || '.md' AS path,
+           '# Overview' || chr(10) ||
+           replace(text, ' the ', chr(10) || '## Part' || chr(10)) AS content
+    FROM documents WHERE lang = 'fr'
+)
+"""
+
+
 DERIVED_CORPUS_SQL = """
 corpus AS (
     SELECT 'corpus/' || source || '/doc_' || doc_id ||
