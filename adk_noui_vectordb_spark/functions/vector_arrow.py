@@ -1,0 +1,59 @@
+"""Arrow-vectorized vector math — the hot path for similarity scoring.
+
+The pure-Catalyst expressions in ``functions/vector.py`` are semantically
+exact (left-to-right double fold, mirrors the DuckDB oracle) but Spark
+evaluates higher-order-function lambdas per element, interpreted — at 384
+dims that is ~1000 virtual calls per row. For the scan-heavy operators
+(k-NN scoring, embedding-cosine dedup) we instead ship Arrow batches to a
+``pandas_udf`` and let numpy/BLAS do the row-block at native speed — the
+idiomatic Spark answer when built-in expressions can't express a vectorized
+kernel (reference computation: ChromaDB's native hnswlib distance loop,
+coding_agent/tools/vector_search_tool.py:42-63).
+
+Numeric note: numpy's SIMD/pairwise summation and DuckDB's sequential sum
+differ at ~1e-13 relative error; every query-layer consumer rounds to 4 dp
+before ranking/returning, far above that noise floor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.stack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+@pandas_udf(DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    va, vb = _stack(a), _stack(b)
+    num = np.einsum("ij,ij->i", va, vb)
+    den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+    return pd.Series(num / den)
+
+
+@pandas_udf(DoubleType())
+def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(np.einsum("ij,ij->i", _stack(a), _stack(b)))
+
+
+@pandas_udf(DoubleType())
+def _l2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    d = _stack(a) - _stack(b)
+    return pd.Series(np.sqrt(np.einsum("ij,ij->i", d, d)))
+
+
+def cosine_similarity_arrow(a: Column, b: Column) -> Column:
+    return _cosine_udf(a, b)
+
+
+def dot_product_arrow(a: Column, b: Column) -> Column:
+    return _dot_udf(a, b)
+
+
+def l2_distance_arrow(a: Column, b: Column) -> Column:
+    return _l2_udf(a, b)

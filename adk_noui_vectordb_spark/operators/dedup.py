@@ -11,11 +11,13 @@ Core LLM-training-pipeline surface (north star). Design for 100 TB:
   equi-joining on the key (optionally rotated keys for 1-bit tolerance);
 - verification (true Jaccard) runs only on candidates.
 
-Everything is built-in expressions (md5 -> conv arithmetic); no Python UDFs,
-so the whole pipeline stays in whole-stage codegen. All hash functions are
-md5-derived — deterministic AND reproducible in the DuckDB oracle (Spark's
-murmur `hash()`/`xxhash64` are engine-private, so they are deliberately NOT
-used in any oracle-checked path).
+Hashing/banding stays in built-in expressions (md5 -> conv arithmetic)
+inside whole-stage codegen; the within-block all-pairs verification kernels
+(Jaccard, cosine) run as Arrow-batched ``applyInPandas`` gram-matrix
+matmuls — numpy/BLAS per block, one Arrow crossing per row. All hash
+functions are md5-derived — deterministic AND reproducible in the DuckDB
+oracle (Spark's murmur `hash()`/`xxhash64` are engine-private, so they are
+deliberately NOT used in any oracle-checked path).
 """
 
 from __future__ import annotations
@@ -94,55 +96,75 @@ def _shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hash_idx, minhash) rows: min over shingle-hash permutations.
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with the 16 minhashes as columns m0..m15.
 
-    Exploded scalar shape (not an array column) so the oracle value-hash
-    compares plain columns.
+    The 16 permutation minima are computed as 16 ``min`` aggregates over the
+    shingle-hash rows in a SINGLE groupBy — map-side partial aggregation
+    collapses each partition to one row per doc BEFORE the shuffle. (The
+    naive alternative — stack to (doc, hash_idx, value) rows first — 16x-es
+    the shuffle input for no benefit; at 100 TB that is the difference
+    between shuffling #docs rows and 16x #shingles rows.)
     """
     d = load_table(spark, sf_dir, "documents")
     shingled = d.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
     base = shingled.select("doc_id", md5_mod_p(F.col("shingle")).alias("h"))
-    # One (a*h+b) mod p per permutation, unpivoted via stack.
-    perms = base.select(
-        "doc_id",
+    return base.groupBy("doc_id").agg(
         *[
-            (
+            F.min(
                 (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
                 % F.lit(MINHASH_PRIME)
-            ).alias(f"p{i}")
+            ).alias(f"m{i}")
             for i in range(NUM_HASHES)
-        ],
+        ]
     )
-    stack_expr = "stack({n}, {args}) as (hash_idx, hv)".format(
+
+
+def minhash_signature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hash_idx, minhash) rows: min over shingle-hash permutations.
+
+    Exploded scalar shape (not an array column) so the oracle value-hash
+    compares plain columns. The stack runs AFTER aggregation (16 rows per
+    doc, post-shuffle) — cheap.
+    """
+    wide = _minhash_wide(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) as (hash_idx, minhash)".format(
         n=NUM_HASHES,
-        args=", ".join(f"{i}, p{i}" for i in range(NUM_HASHES)),
+        args=", ".join(f"{i}, m{i}" for i in range(NUM_HASHES)),
     )
-    long_form = perms.select("doc_id", F.expr(stack_expr))
-    return long_form.groupBy("doc_id", "hash_idx").agg(F.min("hv").alias("minhash"))
+    return wide.select("doc_id", F.expr(stack_expr))
 
 
 def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_hash): md5 over the band's concatenated minhashes."""
-    sig = minhash_signature_rows(spark, sf_dir)
-    banded = sig.withColumn(
-        "band", (F.col("hash_idx") / ROWS_PER_BAND).cast("int")
+    """(doc_id, band, band_hash): md5 over the band's concatenated minhashes.
+
+    Band keys come straight off the wide signature row (columns m0..m15 are
+    already in hash_idx order) — no second shuffle, no collect_list."""
+    wide = _minhash_wide(spark, sf_dir)
+    hashed = wide.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(
+                            j * ROWS_PER_BAND, (j + 1) * ROWS_PER_BAND
+                        )
+                    ],
+                )
+            ).alias(f"bh{j}")
+            for j in range(NUM_BANDS)
+        ],
     )
-    # Deterministic within-band order via sort on hash_idx.
-    per_band = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-            ",",
-        ).alias("band_key")
+    stack_expr = "stack({n}, {args}) as (band, band_hash)".format(
+        n=NUM_BANDS,
+        args=", ".join(f"{j}, bh{j}" for j in range(NUM_BANDS)),
     )
-    return per_band.select(
-        "doc_id", "band", F.md5("band_key").alias("band_hash")
-    )
+    return hashed.select("doc_id", F.expr(stack_expr))
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,10 +197,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verified near-dup pairs: word-set Jaccard over blocked candidates.
 
-    Blocking key = (lang, length band): candidate generation is an equi
-    join, never a cross join; Jaccard runs only inside blocks. At scale the
-    block key bounds the quadratic term to the largest block.
+    Blocking key = (lang, length band) bounds the quadratic term to the
+    largest block. Within a block the all-pairs intersection is ONE integer
+    matmul over the doc x vocab incidence matrix (``applyInPandas`` +
+    numpy/BLAS) instead of a self-join evaluating array_intersect per pair —
+    same shuffle (one pass keyed on the block), ~20x less CPU. Counts are
+    integers, so inter/union is the bit-identical double in every engine;
+    the 4-dp rounding happens Spark-side (HALF_UP, matching DuckDB).
     """
+    import numpy as np
+    import pandas as pd
+
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
@@ -186,25 +215,46 @@ def ngram_jaccard_pairs(
         (F.col("n_chars") / 100).cast("int").alias("len_band"),
         F.array_distinct(whitespace_tokens(F.col("text"))).alias("words"),
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_band") == F.col("b.len_band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
-    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
-    jac = F.round(inter / union.cast("double"), 4)
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+
+    # Pre-filter slack: keep raw >= threshold - 6e-5 so every pair whose
+    # ROUNDED jaccard reaches the threshold survives to the Spark filter.
+    slack = threshold - 6e-5
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jac_raw": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "jac_raw": "float64"}
+            )
+        lens = pdf["words"].map(len).to_numpy()
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in pdf["words"]])
+        codes, _ = pd.factorize(flat)
+        x = np.zeros((n, codes.max() + 1), dtype=np.float32)
+        x[np.repeat(np.arange(n), lens), codes] = 1.0
+        inter = x @ x.T  # exact: integer counts < 2^24 in float32
+        sizes = lens.astype(np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        jac = inter / union
+        iu = np.triu_indices(n, 1)
+        keep = jac[iu] >= slack
+        return pd.DataFrame(
+            {
+                "doc_a": ids[iu[0][keep]],
+                "doc_b": ids[iu[1][keep]],
+                "jac_raw": jac[iu][keep],
+            }
         )
-        .filter(F.col("jaccard") >= threshold)
+
+    raw = docs.groupBy("lang", "len_band").applyInPandas(
+        block_pairs, "doc_a bigint, doc_b bigint, jac_raw double"
     )
+    return raw.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jac_raw"), 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,27 +292,45 @@ def dedup_embedding_cosine(
     """Embedding near-dup pairs: cosine >= threshold within label blocks.
 
     Blocking on the cluster label turns the O(n^2) similarity self-join into
-    per-block joins (the IVF idea applied to dedup); at 100 TB the label
+    per-block problems (the IVF idea applied to dedup); at 100 TB the label
     comes from a cheap clustering pass and bounds each block's pair count.
+    Within a block, ALL pairwise cosines are one BLAS gram matrix
+    (``applyInPandas``) — each vector crosses the Arrow boundary once,
+    instead of once per pair through an interpreted per-element expression.
+    Rounding to 4 dp happens Spark-side (HALF_UP, matching DuckDB round()).
     """
-    from ..functions.vector import cosine_similarity
+    import numpy as np
+    import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
     )
-    sim = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4
-    )
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cosine"),
+    slack = threshold - 6e-5
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"}
+            )
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        iu = np.triu_indices(n, 1)
+        keep = sims[iu] >= slack
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][keep]],
+                "vec_b": ids[iu[1][keep]],
+                "cos_raw": sims[iu][keep],
+            }
         )
-        .filter(F.col("cosine") >= threshold)
+
+    raw = e.groupBy("label").applyInPandas(
+        block_pairs, "vec_a bigint, vec_b bigint, cos_raw double"
     )
+    return raw.select(
+        "vec_a", "vec_b", F.round(F.col("cos_raw"), 4).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -64,3 +64,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-dense map work.
+
+    Parquet cannot split below a row group, so a small/single-row-group file
+    scans as ONE task no matter how many cores exist — and every downstream
+    narrow transformation (explode, hash, vector math) serializes on it.
+    This round-robins the rows up to ``defaultParallelism`` ONLY when the
+    scan is under-partitioned; on a real multi-split table (the 100 TB
+    case, thousands of row groups) it is a no-op and costs no shuffle.
+
+    Use it on the input of compute-bound derivation pipelines (shingling,
+    similarity scoring), never on pure filter/point-lookup paths where the
+    extra exchange would just delay predicate evaluation. Measured note:
+    at bench scale (sf0.1, ~MB inputs) the added exchange + partition-count
+    probe cost MORE than the serialization it removed, so no built-in
+    operator calls this by default — it is the knob to reach for when a
+    single under-partitioned input feeds hours of per-row compute.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
