@@ -31,6 +31,7 @@ from adk_noui_vectordb_spark.operators import indexing as _idx
 from adk_noui_vectordb_spark.operators import knn as _knn
 from adk_noui_vectordb_spark.operators import relational as _rel
 from adk_noui_vectordb_spark.operators import rollups as _roll
+from adk_noui_vectordb_spark.operators import temporal as _temporal
 from adk_noui_vectordb_spark.operators import textops as _text
 from adk_noui_vectordb_spark.operators.chunking import chunk_fixed_words
 from adk_noui_vectordb_spark.sources.corpus import DERIVED_CORPUS_SQL, DERIVED_MD_SQL
@@ -161,6 +162,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_high_value_orders": _rel.customers_with_high_value_orders,
         "events_tumbling_counts": _rel.events_tumbling_counts,
         "events_sessionize": _rel.events_sessionize,
+        "rollup_segment_status": _rel.rollup_segment_status,
+        "agg_percentiles": _rel.agg_percentiles,
+        "setop_active_noncustomers": _rel.setop_active_noncustomers,
+        "json_props_rollup": _rel.json_props_rollup,
+        # temporal joins (as-of / banded range — north star, no reference analog)
+        "asof_join_purchase_click": _temporal.asof_join_purchase_click,
+        "range_join_bursts": _temporal.range_join_bursts,
     }
 
 
@@ -787,6 +795,54 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "rollup_segment_status": """
+SELECT c_mktsegment, o_orderstatus,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       CAST(GROUPING(c_mktsegment, o_orderstatus) AS INTEGER) AS grp
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+""",
+        "agg_percentiles": """
+WITH r AS (
+    SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
+FROM r GROUP BY l_returnflag
+""",
+        "setop_active_noncustomers": """
+SELECT CAST(user_id AS BIGINT) AS uid FROM events
+EXCEPT
+SELECT CAST(o_custkey AS BIGINT) FROM orders
+""",
+        "json_props_rollup": """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+       max(CAST(props->>'k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+""",
+        "asof_join_purchase_click": """
+SELECT p.event_id AS purchase_id, p.user_id, p.value AS purchase_value,
+       c.event_id AS click_id,
+       round((epoch_ns(p.ts) - epoch_ns(c.ts)) / 1e9, 3) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "range_join_bursts": """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events)
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       round((b.ts_ns - a.ts_ns) / 1e9, 3) AS gap_s
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.ts_ns > a.ts_ns AND b.ts_ns - a.ts_ns <= 60000000000
 """,
         "events_sessionize": """
 WITH b AS (

@@ -219,3 +219,89 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+def rollup_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP(mktsegment, orderstatus): per-pair,
+    per-segment subtotal, and grand total in one aggregation pass.
+
+    GROUPING SETS are absent in the reference; in Spark the rollup is a
+    single shuffle (Expand feeds one hash aggregate) — strictly cheaper
+    than the three separate groupBys it replaces.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        j.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("grp"),
+        )
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) percentiles of extended price per return flag:
+    the ceil(q*n)-th smallest value, selected by ranking window.
+
+    Deliberately rank-based rather than Spark's interpolating
+    ``percentile``: interpolation arithmetic differs across engines in the
+    last ulp (lower + frac*(upper-lower) vs the symmetric form), which can
+    flip a 2-dp rounding — rank selection returns a STORED value, so both
+    engines agree bit-for-bit. One shuffle (window + final agg share the
+    l_returnflag partitioning).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    by_flag = Window.partitionBy("l_returnflag")
+    ranked = l.select("l_returnflag", "l_extendedprice").select(
+        "*",
+        F.row_number()
+        .over(by_flag.orderBy("l_extendedprice"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(by_flag).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        at = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.max(
+            F.when(F.col("rn") == at, F.col("l_extendedprice"))
+        ).alias(name)
+
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99")
+    )
+
+
+def setop_active_noncustomers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with events but no orders: EXCEPT (distinct set difference).
+
+    The event-user and order-customer id domains overlap in the testdata;
+    set ops compile to a left-anti-style aggregate join in Spark.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("uid")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("uid")
+    )
+    return e.subtract(o)  # EXCEPT DISTINCT, same as the SQL set op
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the integer `k` from the events' JSON props column and roll
+    it up per event type — JSON path extraction (get_json_object) staying
+    fully JVM-side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""Temporal join operators — as-of join and banded range self-join.
+
+Spark has no built-in AS-OF join (DuckDB/Pandas do); the scalable
+DataFrame formulation used here is the UNION + running ``last(...,
+ignorenulls)`` window: tag both sides, sort within the partition key by
+event time, and carry the most recent right-side row forward. ONE shuffle
+on the partition key, no point-in-time probe per row, no skew beyond the
+key's own distribution — this is the plan a 100 TB event table wants.
+
+The range self-join ("events of the same user within N seconds") uses
+time-bucket banding: join on (user, bucket) and (user, bucket+1) instead
+of an inequality-only theta join — turning O(n^2) per user into
+O(pairs-in-adjacent-buckets), the standard interval-join strategy
+(Flink/Trino implement their interval joins the same way).
+
+These extend the reference surface (north-star training-pipeline ops);
+the reference itself has no temporal operators (SURVEY.md section 2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'purchase' event: the most recent 'click' of the same user
+    at-or-before the purchase (AS-OF backward join), plus the gap in
+    seconds.
+
+    Implementation: union the two sides with a kind tag, then one window
+    pass per user ordered by (ts, kind, event_id) — clicks sort before a
+    purchase at the same timestamp so ties resolve to "at or before".
+    ``last(click_*, ignorenulls=True)`` carries the latest click forward;
+    purchases with no prior click keep NULLs (left as-of semantics).
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_ns",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_ns",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "kind", F.coalesce("purchase_id", "click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn(
+        "last_click_ts_ns",
+        F.last(
+            F.when(F.col("kind") == 0, F.col("ts_ns")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_value",
+            F.col("last_click_id").alias("click_id"),
+            F.round(
+                (F.col("ts_ns") - F.col("last_click_ts_ns")) / 1.0e9, 3
+            ).alias("gap_s"),
+        )
+    )
+
+
+BURST_WINDOW_S = 60
+
+
+def range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs of the same user within BURST_WINDOW_S seconds — a
+    banded range self-join.
+
+    Each event lands in bucket floor(ts / W); a pair within W seconds is
+    in the same or adjacent buckets, so the candidate join is TWO equi
+    joins (bucket, bucket+1) with the exact |dt| <= W predicate applied
+    after — never an inequality-only cross product. Output: ordered pairs
+    (earlier event_a, later event_b, gap_s > 0) per user.
+    """
+    # Integer `div`, NOT float division: ts_ns ~ 1.7e18 exceeds double's
+    # 2^53 exact range, so a float path could mis-bucket boundary events.
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_ns",
+        F.expr(f"ts_ns div {BURST_WINDOW_S * 1_000_000_000}L").alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    gap_ns = F.col("b.ts_ns") - F.col("a.ts_ns")
+
+    def candidates(bucket_offset: int) -> DataFrame:
+        return (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("b.bucket") == F.col("a.bucket") + bucket_offset),
+            )
+            .filter((gap_ns > 0) & (gap_ns <= BURST_WINDOW_S * 1_000_000_000))
+            .select(
+                F.col("a.user_id").alias("user_id"),
+                F.col("a.event_id").alias("event_a"),
+                F.col("b.event_id").alias("event_b"),
+                F.round(gap_ns / 1.0e9, 3).alias("gap_s"),
+            )
+        )
+
+    return candidates(0).unionByName(candidates(1))
