@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature_rows": _dedup.minhash_signature_rows,
         "minhash_band_rows": _dedup.minhash_band_rows,
         "dedup_minhash_pairs": _dedup.dedup_minhash_pairs,
+        "dedup_connected_components": _dedup.dedup_connected_components,
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
@@ -455,6 +456,22 @@ WITH {_MINHASH_BANDS_CTE}
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+""",
+        "dedup_connected_components": f"""
+WITH RECURSIVE {_MINHASH_BANDS_CTE},
+edges AS (
+    SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.band_hash = r.band_hash
+         AND l.doc_id <> r.doc_id
+),
+reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT reach.src, edges.dst
+    FROM reach JOIN edges ON reach.dst = edges.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """,
         "ngram_jaccard_pairs": """
 WITH docs AS (

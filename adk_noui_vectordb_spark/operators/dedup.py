@@ -334,3 +334,58 @@ def dedup_embedding_cosine(
     return raw.select(
         "vec_a", "vec_b", F.round(F.col("cos_raw"), 4).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, max_iterations: int = 20
+) -> DataFrame:
+    """Duplicate CLUSTERS from the MinHash candidate edges: every doc gets
+    the min doc_id of its connected component as cluster_id (that doc is
+    the canonical copy to keep).
+
+    Pregel-style iterative min-label propagation over the undirected edge
+    list — the standard distributed CC (GraphX/GraphFrames use the same
+    shape). Each round is one join + one aggregate (both shuffle on
+    doc_id); rounds needed = component diameter, which for near-dup
+    clusters is tiny (they are near-cliques). The driver loop only checks
+    a scalar convergence count — no row data ever reaches the driver.
+
+    Docs with no candidate edge are their own singleton cluster.
+    """
+    edges = dedup_minhash_pairs(spark, sf_dir)
+    # Undirected: propagate labels both ways.
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
+                .cast("int")
+                .alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = updated.select("doc_id", "cluster_id")
+        if n_changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

@@ -118,3 +118,74 @@ def stream_incremental_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_user_running_totals(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, queryName: str
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (n_events, total_value), state carried across
+    micro-batches.
+
+    This is the arbitrary-state surface the built-in windowed aggregations
+    can't express (e.g. per-key counters with custom merge/expiry logic);
+    state lives in the state store partitioned by user_id, so it scales
+    horizontally with key cardinality. Emits one updated row per user per
+    micro-batch (update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.select("user_id", "value")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    updated = events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -53,3 +53,36 @@ def test_incremental_index_upserts_changed_files(spark, tmp_path):
     assert any(k.endswith("c.txt#chunk_0") for k in keys)
     # prior elements survived the incremental upsert
     assert any(k.endswith("a.txt#chunk_0") for k in keys)
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.sources.tables import load_table
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_user_running_totals,
+    )
+
+    q = stream_user_running_totals(
+        spark, sf_dir, str(tmp_path / "ckpt_state"), "user_totals"
+    )
+    q.awaitTermination(120)
+    # keep the LAST emitted row per user (update mode may emit per batch)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM user_totals").collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, total) in expected.items():
+        assert got[uid][0] == n, uid
+        assert abs(got[uid][1] - total) < 0.05, (uid, got[uid], total)
