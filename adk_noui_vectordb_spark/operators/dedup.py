@@ -361,10 +361,17 @@ def dedup_connected_components(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
     )
-    d = load_table(spark, sf_dir, "documents")
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
     sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    # Iterate ONLY over nodes that have at least one edge — duplicates are
+    # rare by construction, so this is a tiny fraction of the corpus;
+    # singleton docs join back in closed form at the end. At 100 TB this is
+    # the difference between iterating on the corpus and on the dup graph.
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -388,4 +395,11 @@ def dedup_connected_components(
         labels = updated.select("doc_id", "cluster_id")
         if n_changed == 0:
             break
-    return labels.select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents")
+    singletons = (
+        d.select("doc_id")
+        .join(labels.select(F.col("doc_id").alias("edge_doc")),
+              F.col("doc_id") == F.col("edge_doc"), "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return labels.select("doc_id", "cluster_id").unionByName(singletons)
