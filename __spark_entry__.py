@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_counts": _rel.events_tumbling_counts,
         "events_sessionize": _rel.events_sessionize,
         "rollup_segment_status": _rel.rollup_segment_status,
+        "salted_event_totals": _rel.salted_event_totals,
         "agg_percentiles": _rel.agg_percentiles,
         "setop_active_noncustomers": _rel.setop_active_noncustomers,
         "json_props_rollup": _rel.json_props_rollup,
@@ -812,6 +813,10 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "salted_event_totals": """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
 """,
         "rollup_segment_status": """
 SELECT c_mktsegment, o_orderstatus,

@@ -305,3 +305,29 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def salted_event_totals(
+    spark: SparkSession, sf_dir: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-stage salted aggregation over a LOW-cardinality, skewed key.
+
+    event_type has ~5 values; a naive groupBy funnels the whole table into
+    5 reducers regardless of cluster size. Salting fans the partial
+    aggregate across (key, salt) — n_salts * n_keys reducers — and the
+    final stage combines n_salts tiny rows per key. Same result as the
+    plain groupBy (the oracle IS the plain groupBy); at 100 TB this is the
+    difference between 5 hot reducers and full-cluster parallelism.
+    The salt is deterministic (event_id % n_salts), not rand(), so the
+    query stays reproducible and oracle-checkable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.col("event_id") % n_salts)
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )

@@ -61,3 +61,33 @@ def test_q1_prunes_columns(spark, sf_dir):
     # ReadSchema must not include unused columns like l_orderkey/l_partkey
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "l_partkey" not in read_schema[0], plan
+
+
+def test_asof_join_is_join_free(spark, sf_dir):
+    """The as-of is union+window — no join operator may appear."""
+    from adk_noui_vectordb_spark.operators import temporal
+
+    plan = explain_str(temporal.asof_join_purchase_click(spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+def test_range_join_is_equi_not_cartesian(spark, sf_dir):
+    """Bucket banding must turn the interval join into equi joins."""
+    from adk_noui_vectordb_spark.operators import temporal
+
+    plan = explain_str(temporal.range_join_bursts(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rollup_is_single_expand_aggregate(spark, sf_dir):
+    """ROLLUP = one Expand + one aggregation pass, not 3 groupBys."""
+    plan = explain_str(rel.rollup_segment_status(spark, sf_dir))
+    assert "Expand" in plan, plan
+
+
+def test_percentiles_share_one_partitioning(spark, sf_dir):
+    """Ranking window and final agg both key on l_returnflag: exactly one
+    hash-partitioning exchange in the plan."""
+    plan = explain_str(rel.agg_percentiles(spark, sf_dir))
+    assert plan.count("- Exchange") == 1, plan
