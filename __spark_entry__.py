@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann.ann_lsh_topk,
         # multimodal plumbing (north star; mapInPandas over binary payloads)
         "multimodal_features": _mm.multimodal_features,
+        "multimodal_resize": _mm.resize_images,
+        "multimodal_frames": _mm.sample_frames,
         # relational surface (extended engine)
         "q1_pricing_summary": _rel.q1_pricing_summary,
         "q3_top_orders": _rel.q3_top_orders,
@@ -721,6 +723,23 @@ SELECT doc_id AS asset_id,
        CAST(strlen(text) AS INTEGER) AS n_bytes,
        md5(text) AS content_digest
 FROM documents
+""",
+        "multimodal_resize": """
+SELECT doc_id AS asset_id,
+       CAST(length(text) AS INTEGER) AS orig_chars,
+       md5(substr(text, 1, 32)) AS thumb_digest,
+       round(CASE WHEN length(text) = 0 THEN 1.0
+                  ELSE least(32, length(text)) / CAST(length(text) AS DOUBLE)
+             END, 4) AS scale
+FROM documents WHERE doc_id % 3 = 0
+""",
+        "multimodal_frames": """
+SELECT doc_id AS asset_id, CAST(t.i AS INTEGER) AS frame_idx,
+       CAST((t.i + 1) * n // 4 - t.i * n // 4 AS INTEGER) AS frame_chars,
+       md5(substr(text, t.i * n // 4 + 1, (t.i + 1) * n // 4 - t.i * n // 4))
+           AS frame_digest
+FROM (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 2),
+     LATERAL (SELECT unnest(generate_series(0, 3)) AS i) t
 """,
         "embed_projection_rows": """
 WITH tok AS (

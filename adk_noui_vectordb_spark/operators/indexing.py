@@ -349,3 +349,87 @@ def upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus_root: str,
+    index_dir: str,
+    chunk_size: int = 50,
+) -> dict:
+    """The reference's `index_codebase` lifecycle (indexing_agent.py:104-124,
+    SURVEY.md §3.1) as one batch Spark pipeline:
+
+        scan_corpus -> route chunker by ext (.md sectioner / fixed lines)
+          -> project (searchable text, content hash, composite id)
+          -> ANTI-JOIN against the existing index on id   (the §4 fix: an
+             unchanged element is never re-embedded — the reference
+             re-encodes everything every run)
+          -> Arrow pandas_udf embedding of the NEW/CHANGED elements only
+          -> keyed upsert (path#name) into the elements table -- replaces
+             stale chunks of changed files (fixes the §2.10 stale-row leak)
+          -> per-file summary upsert + JSON job report.
+
+    Returns the report as a plain dict (files, elements, embedded_new).
+    """
+    import os
+
+    from ..sources.corpus import scan_corpus
+    from ..sources.sinks import upsert_parquet, write_json_report
+    from .chunking import chunk_fixed_lines, chunk_markdown_sections
+    from .embed import make_embed_udf
+
+    corpus = scan_corpus(spark, corpus_root)
+    md = corpus.filter(F.col("ext") == ".md").select("path", "content")
+    rest = corpus.filter(F.col("ext") != ".md").select("path", "content")
+    elements = chunk_fixed_lines(rest, chunk_size=chunk_size).unionByName(
+        chunk_markdown_sections(md)
+    )
+    h = F.md5(F.concat_ws(":", "name", "element_type", "content"))
+    keyed = elements.select(
+        "*",
+        h.alias("hash"),
+        F.concat_ws(":", "path", F.col("start_line").cast("string"), h).alias("id"),
+        F.concat_ws("#", "path", "name").alias("element_key"),
+        F.concat(
+            F.col("name"), F.lit(" "), F.col("element_type"), F.lit("\n"),
+            F.col("content"),
+        ).alias("document"),
+    )
+    elements_path = os.path.join(index_dir, "code_elements.parquet")
+    if os.path.exists(elements_path):
+        existing_ids = spark.read.parquet(elements_path).select("id")
+        fresh = keyed.join(existing_ids, "id", "left_anti")
+    else:
+        fresh = keyed
+    embed = make_embed_udf()
+    embedded = fresh.withColumn("embedding", embed(F.col("document")))
+    n_new = embedded.count()
+    if n_new:
+        upsert_parquet(spark, embedded, elements_path, key="element_key")
+
+    summaries = (
+        corpus.select(
+            "path",
+            F.col("ext").alias("file_type"),
+            F.size(F.split("content", "\n")).alias("line_count"),
+        )
+        .join(
+            keyed.groupBy("path").agg(F.count(F.lit(1)).alias("element_count")),
+            "path",
+        )
+    )
+    upsert_parquet(
+        spark, summaries, os.path.join(index_dir, "file_summaries.parquet"),
+        key="path",
+    )
+    report = {
+        "indexed_files": corpus.count(),
+        "total_elements": keyed.count(),
+        "embedded_new": n_new,
+    }
+    report_df = spark.createDataFrame(
+        [tuple(report.values())], list(report.keys())
+    )
+    write_json_report(report_df, os.path.join(index_dir, "report.json"))
+    return report

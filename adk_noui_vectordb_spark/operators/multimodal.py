@@ -108,3 +108,89 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked end-to-end: synthesize assets -> mapInPandas decode
     stub -> typed features."""
     return extract_features(multimodal_assets(spark, sf_dir))
+
+
+RESIZE_SCHEMA = (
+    "asset_id bigint, orig_chars int, thumb_digest string, scale double"
+)
+THUMB_CHARS = 32
+
+
+def resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image 'resize' stage: image-modality assets -> fixed-size thumbnail.
+
+    Real deployment: PIL decode -> resize -> re-encode inside the same
+    mapInPandas batch loop. Stub kernel: utf-8 decode + fixed-length char
+    crop + digest (deterministic, oracle-checkable). The Spark shape is
+    what matters: modality filter pushed to the scan, narrow Arrow-batched
+    1:1 transform, typed output schema.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            texts = [bytes(p).decode("utf-8") for p in pdf["payload"]]
+            thumbs = [t[:THUMB_CHARS] for t in texts]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "orig_chars": [len(t) for t in texts],
+                    "thumb_digest": [
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in thumbs
+                    ],
+                    "scale": [
+                        min(THUMB_CHARS, len(t)) / len(t) if t else 1.0
+                        for t in texts
+                    ],
+                }
+            )
+
+    assets = multimodal_assets(spark, sf_dir).filter(
+        F.col("modality") == "image"
+    )
+    out = assets.mapInPandas(_batches, schema=RESIZE_SCHEMA)
+    return out.select(
+        "asset_id", "orig_chars", "thumb_digest", F.round("scale", 4).alias("scale")
+    )
+
+
+FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame_chars int, frame_digest string"
+N_FRAMES = 4
+
+
+def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one asset row -> N_FRAMES frame rows (the
+    flatMap-shaped multimodal stage).
+
+    Real deployment: ffmpeg keyframe extraction per batch. Stub kernel:
+    utf-8 decode + contiguous char-range slices (frame i covers
+    [i*L//N, (i+1)*L//N)), digested. mapInPandas naturally emits a
+    different row count than it consumes — no explode needed, no shuffle;
+    at scale each executor fans its own assets into frames locally.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = {k: [] for k in ("asset_id", "frame_idx", "frame_chars", "frame_digest")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                t = bytes(payload).decode("utf-8")
+                n = len(t)
+                for i in range(N_FRAMES):
+                    lo, hi = i * n // N_FRAMES, (i + 1) * n // N_FRAMES
+                    frame = t[lo:hi]
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_chars"].append(len(frame))
+                    rows["frame_digest"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    assets = multimodal_assets(spark, sf_dir).filter(
+        F.col("modality") == "video"
+    )
+    return assets.mapInPandas(_batches, schema=FRAME_SCHEMA)

@@ -51,3 +51,32 @@ def test_hash_projection_model_deterministic():
     assert abs(norm - 1.0) < 1e-9
     # different text -> different vector
     assert m.encode(["other text"]) != v1
+
+
+def test_build_index_end_to_end_and_incremental(spark, tmp_path):
+    """Full §3.1 lifecycle + the §4 anti-join skip: a second run over an
+    unchanged corpus embeds ZERO elements; a changed file re-embeds only
+    its own chunks and replaces the stale ones."""
+    from adk_noui_vectordb_spark.operators.indexing import build_index
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.py").write_text("\n".join(f"line{i}" for i in range(120)))
+    (corpus / "b.md").write_text("# Top\nalpha\nbeta\n## Next\ngamma\n")
+    idx = str(tmp_path / "index")
+
+    r1 = build_index(spark, str(corpus), idx, chunk_size=50)
+    assert r1["indexed_files"] == 2
+    assert r1["embedded_new"] == r1["total_elements"] > 0
+
+    r2 = build_index(spark, str(corpus), idx, chunk_size=50)
+    assert r2["embedded_new"] == 0  # nothing changed -> nothing re-embedded
+
+    (corpus / "a.py").write_text("\n".join(f"LINE{i}" for i in range(120)))
+    r3 = build_index(spark, str(corpus), idx, chunk_size=50)
+    assert 0 < r3["embedded_new"] < r3["total_elements"]
+
+    stored = spark.read.parquet(f"{idx}/code_elements.parquet")
+    # stale chunks replaced, not leaked: one row per (path, name)
+    assert stored.count() == stored.select("element_key").distinct().count()
+    assert stored.filter(stored.content.contains("LINE1")).count() > 0
