@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _rel.events_sessionize,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
+        "pivot_event_matrix": _rel.pivot_event_matrix,
         "agg_percentiles": _rel.agg_percentiles,
         "setop_active_noncustomers": _rel.setop_active_noncustomers,
         "json_props_rollup": _rel.json_props_rollup,
@@ -832,6 +833,15 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "pivot_event_matrix": """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
 """,
         "salted_event_totals": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value

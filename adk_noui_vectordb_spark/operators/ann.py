@@ -16,6 +16,13 @@ equivalents are (SURVEY.md section 4):
 
 Both prune candidates BEFORE the exact top-k kernel in knn.py; recall is
 measured against brute force in tests (BASELINE.md target >= 0.9).
+
+Measured caveat (BASELINE.md): the synthetic embeddings are ISOTROPIC —
+same-label mean cosine equals cross-label (~0) — so partition pruning
+cannot beat random on this data: IVF recall measures exactly nprobe/k.
+The IVF plan shape is still the 100 TB design for real (clusterable)
+embeddings; LSH's multi-table OR-amplification is the approximate path
+that works regardless of cluster structure (measured recall@10 = 0.98).
 """
 
 from __future__ import annotations

@@ -331,3 +331,23 @@ def salted_event_totals(
         F.sum("pn").alias("n_events"),
         F.round(F.sum("pv"), 2).alias("total_value"),
     )
+
+
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User x event_type count matrix via pivot (wide aggregation).
+
+    The pivot values are enumerated explicitly — at scale an implicit pivot
+    forces an extra distinct-values job over the full table; enumerating
+    them keeps it to ONE aggregation pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
