@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _text.quality_score,
         "lang_id_ngram": _text.lang_id_ngram,
         "doc_fingerprint": _text.doc_fingerprint,
+        "curate_corpus": _text.curate_corpus,
         "diag_generic": _text.diag_generic,
         "diag_python": _idx.diag_python,
         "diag_js_ts": _idx.diag_js_ts,
@@ -411,6 +412,28 @@ SELECT doc_id,
        round(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.4 ELSE 0.0 END
              + sraw * 0.3 + draw * 0.3, 4) AS quality
 FROM m
+""",
+        "curate_corpus": f"""
+WITH base AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS lwords,
+           string_split(text, ' ') AS words
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(list_filter(lwords, x -> x IN {_STOPWORDS_SQL})) / CAST(len(lwords) AS DOUBLE) AS sraw,
+           len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS draw
+    FROM base
+), q AS (
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           round(CASE WHEN d.n_chars BETWEEN 100 AND 5000 THEN 0.4 ELSE 0.0 END
+                 + m.sraw * 0.3 + m.draw * 0.3, 4) AS quality
+    FROM documents d JOIN m ON d.doc_id = m.doc_id
+), keep AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT q.doc_id, q.lang, q.source, q.n_chars, q.quality
+FROM q JOIN keep ON q.doc_id = keep.doc_id
+WHERE q.quality >= 0.5
 """,
         "lang_id_ngram": """
 WITH letters AS (

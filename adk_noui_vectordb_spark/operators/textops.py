@@ -135,3 +135,34 @@ def diag_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_compact(F.array("r1", "r2", "r3"))).alias("rule"),
     )
     return stacked.withColumn("severity", F.lit("warning"))
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, min_quality: float = 0.5
+) -> DataFrame:
+    """End-to-end training-data curation: quality gate + exact dedup.
+
+    The composed flow every LLM-data pipeline runs before tokenization:
+
+        documents -> quality_score >= threshold        (signal filter)
+                  -> keep ONE doc per exact text hash  (dedup, min doc_id)
+
+    Built by composing the engine's own operators — quality_score and the
+    dedup keep-list are each one aggregation pass, joined on doc_id/hash.
+    At 100 TB both sides shuffle once; the keep-list join is a semi join on
+    the hash (no row multiplication).
+    """
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        d.join(q, "doc_id")
+        .join(keep, "doc_id", "left_semi")
+        .filter(F.col("quality") >= min_quality)
+        .select("doc_id", "lang", "source", "n_chars", "quality")
+    )
