@@ -29,7 +29,13 @@ from ..sources.tables import load_table
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every 'purchase' event: the most recent 'click' of the same user
     at-or-before the purchase (AS-OF backward join), plus the gap in
-    seconds.
+    seconds. See ``asof_purchase_click_frame`` for the plan shape."""
+    return asof_purchase_click_frame(load_table(spark, sf_dir, "events"))
+
+
+def asof_purchase_click_frame(e: DataFrame) -> DataFrame:
+    """Backward as-of core over any events-shaped frame
+    (event_id, user_id, ts_ns, event_type, value).
 
     Implementation: union the two sides with a kind tag, then one window
     pass per user ordered by (ts, kind, event_id) — clicks sort before a
@@ -37,7 +43,6 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(click_*, ignorenulls=True)`` carries the latest click forward;
     purchases with no prior click keep NULLs (left as-of semantics).
     """
-    e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts_ns",

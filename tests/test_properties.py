@@ -1,0 +1,119 @@
+"""Property-based invariants (hypothesis) for core operators.
+
+These guard the semantics the oracle parity tests can't randomize: the
+deterministic testdata exercises one input distribution; hypothesis
+exercises the edges (blank blocks, ties, empty sides, duplicate keys).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators.chunking import chunk_fixed_lines
+from adk_noui_vectordb_spark.operators.temporal import asof_purchase_click_frame
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+line = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F),
+    max_size=8,
+)
+
+
+@given(lines=st.lists(line, min_size=1, max_size=30))
+@SETTINGS
+def test_chunk_fixed_lines_partitions_content(spark, lines):
+    """Chunks partition the file: every line of every non-blank 5-line block
+    appears exactly once, in order, with consistent 1-based spans."""
+    content = "\n".join(lines)
+    df = spark.createDataFrame([("f.txt", content)], "path string, content string")
+    chunks = sorted(
+        chunk_fixed_lines(df, chunk_size=5).collect(), key=lambda r: r.start_line
+    )
+    # spans: within bounds, <= 5 lines, non-overlapping and increasing
+    prev_end = 0
+    rebuilt = []
+    for c in chunks:
+        n = c.end_line - c.start_line + 1
+        assert 1 <= n <= 5
+        assert c.start_line > prev_end
+        prev_end = c.end_line
+        rebuilt.append((c.start_line, c.content.split("\n")))
+    # every emitted line matches the original at its position
+    for start, chunk_lines in rebuilt:
+        assert chunk_lines == lines[start - 1 : start - 1 + len(chunk_lines)]
+    # lines NOT covered by any chunk only come from all-blank blocks
+    covered = set()
+    for start, chunk_lines in rebuilt:
+        covered.update(range(start - 1, start - 1 + len(chunk_lines)))
+    for i, text in enumerate(lines):
+        if i not in covered:
+            block = lines[(i // 5) * 5 : (i // 5) * 5 + 5]
+            assert "".join("".join(block).split()) == ""
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user_id
+        st.integers(0, 50),           # ts_ns (tiny domain -> forces ties)
+        st.sampled_from(["click", "purchase"]),
+        st.floats(0, 100, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=events_strategy)
+@SETTINGS
+def test_asof_matches_bruteforce(spark, rows):
+    """The union+window as-of equals the brute-force definition: for each
+    purchase, the click of the same user with the greatest ts <= purchase
+    ts (ties on ts resolved toward the click; ties between clicks at the
+    same ts by greatest event_id, matching the window order)."""
+    data = [
+        (i, ts, uid, et, val) for i, (uid, ts, et, val) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts_ns bigint, user_id int, event_type string, value double"
+    )
+    got = {
+        r.purchase_id: r.click_id
+        for r in asof_purchase_click_frame(df).collect()
+    }
+    purchases = [d for d in data if d[3] == "purchase"]
+    clicks = [d for d in data if d[3] == "click"]
+    assert set(got) == {p[0] for p in purchases}
+    for pid, ts, uid, _, _ in purchases:
+        cands = [c for c in clicks if c[2] == uid and c[1] <= ts]
+        expected = max(cands, key=lambda c: (c[1], c[0]))[0] if cands else None
+        assert got[pid] == expected, (pid, got[pid], expected)
+
+
+@given(
+    batch=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=20
+    )
+)
+@SETTINGS
+def test_upsert_idempotent_and_keyed(spark, batch, tmp_path_factory):
+    """Upserting the same batch twice yields the same table, keyed uniquely."""
+    from adk_noui_vectordb_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path_factory.mktemp("ups") / "t.parquet")
+    df = spark.createDataFrame(batch, "k int, v int")
+    upsert_parquet(spark, df, path, key="k")
+    first = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    upsert_parquet(spark, df, path, key="k")
+    second = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert first == second
+    keys = [r[0] for r in first]
+    assert len(keys) == len(set(keys)) == len({k for k, _ in batch})
