@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
         "pivot_event_matrix": _rel.pivot_event_matrix,
+        "agg_correlation": _rel.agg_correlation,
+        "events_by_dow": _rel.events_by_dow,
         "agg_percentiles": _rel.agg_percentiles,
         "setop_active_noncustomers": _rel.setop_active_noncustomers,
         "json_props_rollup": _rel.json_props_rollup,
@@ -855,6 +857,20 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
         "events_tumbling_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "agg_correlation": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+        "events_by_dow": """
+SELECT strftime(ts, '%A') AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """,
         "pivot_event_matrix": """

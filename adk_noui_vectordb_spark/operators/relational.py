@@ -351,3 +351,38 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
         )
     )
+
+
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: Pearson correlation and
+    sample covariance of quantity vs extended price. Both engines use
+    numerically-stable merge formulas; values are O(1)/O(1e5) so the 4/2 dp
+    rounding sits far above float noise.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def events_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: events per (day-of-week name, hour-of-day).
+
+    Day names instead of numeric dow — Spark (1=Sunday) and DuckDB
+    (0=Sunday) disagree on numbering, English names are unambiguous.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "EEEE").alias("dow"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
