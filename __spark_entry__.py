@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": _text.lang_id_ngram,
         "doc_fingerprint": _text.doc_fingerprint,
         "curate_corpus": _text.curate_corpus,
+        "stratified_sample": _text.stratified_sample,
+        "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
         "diag_python": _idx.diag_python,
         "diag_js_ts": _idx.diag_js_ts,
@@ -177,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins (as-of / banded range — north star, no reference analog)
         "asof_join_purchase_click": _temporal.asof_join_purchase_click,
         "range_join_bursts": _temporal.range_join_bursts,
+        "funnel_signup_purchase": _temporal.funnel_signup_purchase,
     }
 
 
@@ -917,6 +920,37 @@ SELECT event_type, count(*) AS n_events,
        round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
        max(CAST(props->>'k' AS INTEGER)) AS max_k
 FROM events GROUP BY event_type
+""",
+        "stratified_sample": """
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE (rn - 1) % 10 = 0
+""",
+        "split_assignment": """
+WITH b AS (
+    SELECT lang, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2
+""",
+        "funnel_signup_purchase": """
+SELECT user_id,
+       CAST(CASE WHEN fs IS NOT NULL AND lp IS NOT NULL AND lp > fs
+                 THEN 1 ELSE 0 END AS INTEGER) AS converted
+FROM (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS fs,
+           max(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS lp
+    FROM events GROUP BY user_id
+)
 """,
         "asof_join_purchase_click": """
 SELECT p.event_id AS purchase_id, p.user_id, p.value AS purchase_value,

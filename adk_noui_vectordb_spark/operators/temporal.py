@@ -126,3 +126,36 @@ def range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return candidates(0).unionByName(candidates(1))
+
+
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: did a purchase happen AFTER the first signup?
+
+    Sequence-pattern analytics as one aggregation pass: min(signup ts) and
+    max(purchase ts) per user, compared. No join, no window — two
+    conditional aggregates sharing the user_id shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts_ns"))
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            first_signup.alias("first_signup_ns"),
+            last_purchase.alias("last_purchase_ns"),
+        )
+        .select(
+            "user_id",
+            (
+                F.col("first_signup_ns").isNotNull()
+                & F.col("last_purchase_ns").isNotNull()
+                & (F.col("last_purchase_ns") > F.col("first_signup_ns"))
+            )
+            .cast("int")
+            .alias("converted"),
+        )
+    )

@@ -166,3 +166,50 @@ def curate_corpus(
         .filter(F.col("quality") >= min_quality)
         .select("doc_id", "lang", "source", "n_chars", "quality")
     )
+
+
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, keep_one_in: int = 10
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep every Nth document per
+    language, by doc_id order within the stratum.
+
+    Training pipelines downsample over-represented strata; doing it by
+    ranked position (not rand()) keeps the sample reproducible across runs
+    and engines. One shuffle (the ranking window on lang).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rank_in_lang", F.row_number().over(w))
+        .filter((F.col("rank_in_lang") - 1) % keep_one_in == 0)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test split (90/5/5) with per-split stats.
+
+    The split key is md5(doc_id) — content-independent, stable under
+    re-partitioning and appends, the standard way to split at 100 TB (a
+    rand() split changes membership every run; a modulo-on-id split skews
+    if ids correlate with time/source).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
