@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding stage (pandas_udf Arrow path, SURVEY.md §2.11)
         "embed_projection_rows": _embed.embed_projection_rows,
         "knn_text_query": _embed.knn_text_query,
+        "knn_file_summary_query": _embed.knn_file_summary_query,
+        "file_context": _idx.file_context,
         # approximate ANN (SURVEY.md §4; LSH is rows-only — no SQL oracle)
         "ann_ivf_topk": _ann.ann_ivf_topk,
         "ann_lsh_topk": _ann.ann_lsh_topk,
@@ -752,6 +754,65 @@ SELECT doc_id AS asset_id,
        CAST(strlen(text) AS INTEGER) AS n_bytes,
        md5(text) AS content_digest
 FROM documents
+""",
+        "knn_file_summary_query": f"""
+WITH {_ELEMENTS_CTE},
+summaries AS (
+    SELECT f.path,
+           'File ' || f.path || ' contains ' || e.element_count ||
+               ' code elements' AS text
+    FROM (SELECT path FROM corpus) f
+    JOIN (SELECT path, count(*) AS element_count FROM elements GROUP BY path) e
+      USING (path)
+),
+qtok AS (SELECT unnest(['code', 'elements']) AS w),
+qh AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM qtok),
+qb AS (
+    SELECT CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM qh
+),
+qs AS (SELECT bucket, CAST(sum(sign) AS DOUBLE) AS v FROM qb GROUP BY 1),
+qn AS (SELECT sqrt(sum(v * v)) AS qnorm FROM qs),
+tok AS (SELECT path, unnest(string_split(text, ' ')) AS w FROM summaries),
+h AS (SELECT path, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+b AS (
+    SELECT path, CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM h
+),
+s AS (SELECT path, bucket, CAST(sum(sign) AS DOUBLE) AS v FROM b GROUP BY 1, 2),
+n AS (SELECT path, sqrt(sum(v * v)) AS norm FROM s GROUP BY 1),
+dots AS (
+    SELECT s.path, sum(s.v * qs.v) AS draw
+    FROM s JOIN qs ON s.bucket = qs.bucket GROUP BY 1
+)
+SELECT n.path, round(coalesce(dots.draw, 0) / (n.norm * qn.qnorm), 4) AS sim
+FROM n LEFT JOIN dots ON n.path = dots.path CROSS JOIN qn
+ORDER BY sim DESC, n.path
+LIMIT 5
+""",
+        "file_context": f"""
+WITH {_ELEMENTS_CTE},
+grouped AS (
+    SELECT path, element_type,
+           string_agg(name || '[' || start_line || '-' || end_line || ']', ', '
+                      ORDER BY name || '[' || start_line || '-' || end_line || ']')
+               AS members,
+           count(*) AS n_members
+    FROM elements WHERE path LIKE '%/doc_42.%' GROUP BY path, element_type
+),
+summary AS (
+    SELECT f.path, f.file_type, f.line_count, e.element_count
+    FROM (SELECT path, ext AS file_type,
+                 CAST(len(string_split(content, chr(10))) AS INTEGER) AS line_count
+          FROM corpus) f
+    JOIN (SELECT path, count(*) AS element_count FROM elements GROUP BY path) e
+      ON f.path = e.path
+)
+SELECT g.path, g.element_type, g.members, g.n_members,
+       s.file_type, s.line_count, s.element_count
+FROM grouped g JOIN summary s ON g.path = s.path
 """,
         "multimodal_resize": """
 SELECT doc_id AS asset_id,

@@ -130,3 +130,39 @@ def embed_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode("embedding").alias("bucket", "w")
     ).filter(F.col("w") != 0.0)
     return x.select("doc_id", "bucket", F.round("w", 4).alias("weight"))
+
+
+def knn_file_summary_query(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = "code elements",
+    k: int = 5,
+) -> DataFrame:
+    """The reference's SECOND retrieval surface: semantic search over the
+    file_summaries collection (search_files / find_files_by_content,
+    vector_search_tool.py:81-147; same trace as §3.2 against the other
+    collection).
+
+    Summary documents are derived from the corpus rollup (one row per
+    file), embedded through the same Arrow batch path, ranked by cosine
+    against the embedded query.
+    """
+    from ..operators.indexing import agg_file_summary
+
+    summaries = agg_file_summary(spark, sf_dir).select(
+        "path", F.col("summary").alias("text")
+    )
+    embed = make_embed_udf()
+    docs = summaries.select("path", embed(F.col("text")).alias("embedding"))
+    qvec = _get_model().encode([query_text])[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select("path", F.round(dot, 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("path"))
+        .limit(k)
+    )

@@ -433,3 +433,25 @@ def build_index(
     )
     write_json_report(report_df, os.path.join(index_dir, "report.json"))
     return report
+
+
+def file_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The get_file_context lifecycle (SURVEY.md §3.3) end-to-end for one
+    file: element rows grouped by type joined with the file-summary row.
+
+    One groupBy shuffle over the (tiny, filter-pruned) per-file slice plus
+    a broadcast-sized summary join — the full trace of the reference's
+    third entry point (vector_search_tool.py:217-266).
+    """
+    e = _elements(spark, sf_dir).filter(F.col("path").like("%/doc_42.%"))
+    member = F.format_string(
+        "%s[%d-%d]", F.col("name"), F.col("start_line"), F.col("end_line")
+    )
+    grouped = e.groupBy("path", "element_type").agg(
+        F.array_join(F.sort_array(F.collect_list(member)), ", ").alias("members"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    summary = agg_file_summary(spark, sf_dir).select(
+        "path", "file_type", "line_count", "element_count"
+    )
+    return grouped.join(summary, "path")
