@@ -189,3 +189,42 @@ def stream_user_running_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, queryName: str
+):
+    """Streaming exact dedup: drop duplicate event_ids within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon — the streaming twin of ``dedup_exact`` that runs
+    forever on an unbounded stream with BOUNDED state (the naive
+    dropDuplicates would grow state without limit). Emits the deduplicated
+    per-type counts to a memory sink.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+    )
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from adk_noui_vectordb_spark.session import get_spark
@@ -82,7 +83,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[key] = round(best, 3)
-        print(f"# {key}: {timings[key]:.3f}s ({n} rows)", flush=True)
+        # progress to stderr — stdout carries ONLY the final JSON line
+        print(f"# {key}: {timings[key]:.3f}s ({n} rows)", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

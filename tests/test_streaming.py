@@ -86,3 +86,26 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
     for uid, (n, total) in expected.items():
         assert got[uid][0] == n, uid
         assert abs(got[uid][1] - total) < 0.05, (uid, got[uid], total)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.sources.tables import load_table
+    from adk_noui_vectordb_spark.streaming.pipeline import stream_dedup_events
+
+    q = stream_dedup_events(spark, sf_dir, str(tmp_path / "ckpt_dd"), "dedup_counts")
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.n_events
+        for r in spark.sql("SELECT * FROM dedup_counts").collect()
+    }
+    expected = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
