@@ -59,3 +59,23 @@ def upsert_parquet(
 def write_json_report(df: DataFrame, path: str) -> None:
     """Persist a small job-stats DataFrame as JSON (indexing_manager.py:79-83)."""
     df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_bucketed(
+    df, name: str, path: str, key: str, buckets: int = 8
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT any exchange — the shuffle happened once at write time and is
+    amortized over every later join/aggregation on that key. This is the
+    co-located fact-fact join strategy for keys too big to broadcast
+    (verified by plan assertion in tests/test_plans.py).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )

@@ -91,3 +91,31 @@ def test_percentiles_share_one_partitioning(spark, sf_dir):
     hash-partitioning exchange in the plan."""
     plan = explain_str(rel.agg_percentiles(spark, sf_dir))
     assert plan.count("- Exchange") == 1, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """orders |x| lineitem bucketed on the join key: zero exchanges."""
+    from adk_noui_vectordb_spark.sources.sinks import write_bucketed
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_b",
+        str(tmp_path / "orders_b"), "o_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "lineitem_b",
+        str(tmp_path / "lineitem_b"), "l_orderkey",
+    )
+    try:
+        o = spark.table("orders_b").hint("merge")
+        l = spark.table("lineitem_b")
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
