@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_high_value_orders": _rel.customers_with_high_value_orders,
         "events_tumbling_counts": _rel.events_tumbling_counts,
         "events_sessionize": _rel.events_sessionize,
+        "events_sliding_counts": _rel.events_sliding_counts,
+        "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
         "pivot_event_matrix": _rel.pivot_event_matrix,
@@ -917,6 +919,33 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         "customers_with_high_value_orders": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+""",
+        "events_sliding_counts": """
+WITH secs AS (
+    SELECT event_type, value,
+           (epoch_ns(ts) // 1000000000 // 1800) * 1800 AS grid_s
+    FROM events
+), exploded AS (
+    SELECT event_type, value, grid_s - t.off AS start_s
+    FROM secs, LATERAL (SELECT unnest([0, 1800]) AS off) t
+)
+SELECT strftime(to_timestamp(start_s), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM exploded GROUP BY 1, 2
+""",
+        "window_moving_avg": """
+WITH lagged AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS l1,
+           lag(o_totalprice, 2) OVER w AS l2
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice + coalesce(l1, 0.0) + coalesce(l2, 0.0), 2)
+           AS sum_last3
+FROM lagged
 """,
         "events_tumbling_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -386,3 +386,52 @@ def events_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows: 1-hour length, 30-minute hop — each
+    event lands in two overlapping windows (built-in `window()`, epoch
+    aligned). Completes the window-family trio: tumbling
+    (events_tumbling_counts), session (events_sessionize), sliding.
+    """
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(
+            F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame: 3-order moving TOTAL of order value per
+    customer — the bounded-frame window variant (running_revenue covers
+    the unbounded growing frame).
+
+    Explicit lag arithmetic rather than sum() OVER a bounded frame, and a
+    sum rather than an average: frame aggregates associate differently
+    across engines (DuckDB segment tree), and dividing by the row count
+    manufactures exact .xx5 rounding ties where Spark's BigDecimal
+    HALF_UP and DuckDB's float-path round() disagree. Sums of 2-dp values
+    never sit near a 2-dp rounding boundary, so the result is cross-engine
+    stable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    l1 = F.lag("o_totalprice", 1).over(w)
+    l2 = F.lag("o_totalprice", 2).over(w)
+    total = F.col("o_totalprice") + F.coalesce(l1, F.lit(0.0)) + F.coalesce(
+        l2, F.lit(0.0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(total, 2).alias("sum_last3"),
+    )
