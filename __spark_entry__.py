@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
+        "salted_skew_join": _rel.salted_skew_join,
         "pivot_event_matrix": _rel.pivot_event_matrix,
         "agg_correlation": _rel.agg_correlation,
         "events_by_dow": _rel.events_by_dow,
@@ -978,6 +979,15 @@ FROM events GROUP BY user_id
         "salted_event_totals": """
 SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY event_type
+""",
+        "salted_skew_join": """
+WITH weights(event_type, weight) AS (VALUES
+    ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+    ('signup', 3.0), ('error', 0.0))
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(e.value * w.weight), 2) AS weighted_value
+FROM events e JOIN weights w ON e.event_type = w.event_type
+GROUP BY e.event_type
 """,
         "rollup_segment_status": """
 SELECT c_mktsegment, o_orderstatus,

@@ -9,7 +9,7 @@ Spark-first plan shape (SURVEY.md section 3.2):
 
     candidates(parquet scan, filter pushed into scan)
       crossJoin BROADCAST(single query row)          -- no shuffle
-      project cosine_similarity                      -- codegen'd HOF, no UDF
+      project cosine_similarity                      -- JVM-side HOF, no UDF
       ORDER BY sim DESC LIMIT k                      -- TakeOrderedAndProject
 
 ``TakeOrderedAndProject`` keeps a k-row heap per partition and merges heaps

@@ -435,3 +435,40 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(total, 2).alias("sum_last3"),
     )
+
+
+def salted_skew_join(
+    spark: SparkSession, sf_dir: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-neutralized join against a hot low-cardinality key.
+
+    event_type has 5 values — a plain shuffle join lands each value on one
+    reducer. Salting: the fact side derives a deterministic salt
+    (event_id % n_salts); the 5-row dimension side is EXPLODED n_salts
+    times; the join key becomes (event_type, salt), fanning each hot key
+    across n_salts reducers. The oracle is the plain unsalted join —
+    salting must be result-invariant. (AQE skew-join does this adaptively
+    for shuffle joins; explicit salting is the static variant that also
+    works where AQE can't see the skew, e.g. under aggregation.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+         ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    salted_dim = weights.select(
+        "event_type", "weight",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("salt"),
+    )
+    salted_fact = e.withColumn("salt", (F.col("event_id") % n_salts).cast("int"))
+    joined = salted_fact.join(salted_dim, ["event_type", "salt"])
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+    )

@@ -79,3 +79,34 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(name)
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_bytes_per_file: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Returns the new file count.
+
+    The 100 TB operational chore: streaming/incremental upserts accumulate
+    small files; scans then pay per-file open cost and lose row-group
+    pruning. Rewrite via coalesce (no shuffle) into ~128 MB files, atomic
+    directory swap like upsert_parquet.
+    """
+    import math
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+    df = spark.read.parquet(path)
+    tmp = path + ".__compact__"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

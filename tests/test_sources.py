@@ -80,3 +80,19 @@ def test_build_index_end_to_end_and_incremental(spark, tmp_path):
     # stale chunks replaced, not leaked: one row per (path, name)
     assert stored.count() == stored.select("element_key").distinct().count()
     assert stored.filter(stored.content.contains("LINE1")).count() > 0
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from adk_noui_vectordb_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "frag.parquet")
+    # 16 tiny files
+    spark.range(10000).repartition(16).write.parquet(p)
+    import os as _os
+
+    before = sum(f.endswith(".parquet") for f in _os.listdir(p))
+    assert before == 16
+    n = compact_parquet(spark, p)
+    after = sum(f.endswith(".parquet") for f in _os.listdir(p))
+    assert after == n == 1
+    assert spark.read.parquet(p).count() == 10000
