@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_rows": _dedup.minhash_band_rows,
         "dedup_minhash_pairs": _dedup.dedup_minhash_pairs,
         "dedup_connected_components": _dedup.dedup_connected_components,
+        "minhash_jaccard_estimate": _dedup.minhash_jaccard_estimate,
+        "dedup_simhash_pairs": _dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
@@ -525,6 +527,29 @@ WITH docs AS (
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.2
 """,
         "simhash_signatures": _simhash_sql(),
+        "minhash_jaccard_estimate": f"""
+WITH {_MINHASH_BANDS_CTE},
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0, 4)
+           AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.hash_idx = sa.hash_idx
+GROUP BY c.doc_a, c.doc_b
+""",
+        "dedup_simhash_pairs": f"""
+WITH sig AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b
+  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
         "dedup_embedding_cosine": f"""
 WITH pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

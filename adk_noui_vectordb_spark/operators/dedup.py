@@ -403,3 +403,66 @@ def dedup_connected_components(
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     return labels.select("doc_id", "cluster_id").unionByName(singletons)
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard for LSH candidate pairs: fraction of the 16
+    minhash permutations that agree — the unbiased MinHash estimator,
+    computed WITHOUT touching the documents again.
+
+    Pipeline: candidate pairs from the banded join (cheap), then one join
+    against the wide signature row per side. At scale this is the
+    verify-cheaply step between candidate generation and exact
+    verification: 16 integer comparisons per pair instead of re-tokenizing
+    two documents.
+    """
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    wide = _minhash_wide(spark, sf_dir)
+    left = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"la{i}") for i in range(NUM_HASHES)],
+    )
+    right = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"lb{i}") for i in range(NUM_HASHES)],
+    )
+    joined = pairs.join(left, "doc_a").join(right, "doc_b")
+    matches = None
+    for i in range(NUM_HASHES):
+        term = (F.col(f"la{i}") == F.col(f"lb{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches / F.lit(float(NUM_HASHES)), 4).alias("est_jaccard"),
+    )
+
+
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 2
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= max_hamming on the
+    16-bit signature, blocked on the high byte.
+
+    The high-byte equi join bounds the pair space (two docs within
+    hamming 2 of each other USUALLY share the high byte; the standard
+    multi-rotation scheme closes the gap — one block here keeps the
+    oracle simple and documents the recall trade-off). bit_count(xor)
+    stays in codegen on both engines.
+    """
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    pairs = a.join(
+        b,
+        (F.shiftright(F.col("sig_a"), 8) == F.shiftright(F.col("sig_b"), 8))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
