@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": _text.lang_id_ngram,
         "doc_fingerprint": _text.doc_fingerprint,
         "curate_corpus": _text.curate_corpus,
+        "winnow_fingerprints": _text.winnow_fingerprints,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
@@ -462,6 +463,21 @@ WITH letters AS (
     FROM counts
 )
 SELECT doc_id, bigram AS top_bigram, c AS bigram_count FROM ranked WHERE rn = 1
+""",
+        "winnow_fingerprints": """
+WITH g AS (
+    SELECT doc_id, t.i AS pos,
+           CAST(('0x' || substr(md5(substr(text, t.i, 5)), 1, 15)) AS BIGINT) AS h
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t
+), w AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM g
+)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM w WHERE pos <= n - 3
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,

@@ -213,3 +213,52 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    char k-gram, keep the MINIMUM hash of each sliding window of `window`
+    consecutive positions, emit the distinct minima.
+
+    The classic formulation uses a sequential rolling (Rabin-Karp) hash;
+    the parallel-friendly equivalent hashes each k-gram directly (same
+    output set, no recurrence) so the whole op is explode + frame-min —
+    and integer MIN over a frame is association-free, hence bit-identical
+    in every engine. Guarantees: two documents sharing a substring of
+    length >= window+k-1 share at least one fingerprint.
+    """
+    from pyspark.sql.window import Window as W
+
+    from .dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    # (pos, gram) pairs via sequence+transform: gram i = text[i : i+k]
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.col("text").substr(i, F.lit(k)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), md5_long(F.col("g.gram")).alias("h"))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    n = W.partitionBy("doc_id")
+    winnowed = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    ).filter(F.col("pos") <= F.col("n") - (window - 1))
+    return winnowed.select("doc_id", F.col("fp").alias("fingerprint")).distinct()
