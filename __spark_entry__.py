@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _text.doc_fingerprint,
         "curate_corpus": _text.curate_corpus,
         "winnow_fingerprints": _text.winnow_fingerprints,
+        "tfidf_top_terms": _text.tfidf_top_terms,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
@@ -463,6 +464,28 @@ WITH letters AS (
     FROM counts
 )
 SELECT doc_id, bigram AS top_bigram, c AS bigram_count FROM ranked WHERE rn = 1
+""",
+        "tfidf_top_terms": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (
+    SELECT term, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
 """,
         "winnow_fingerprints": """
 WITH g AS (

@@ -262,3 +262,39 @@ def winnow_fingerprints(
         F.count(F.lit(1)).over(n).alias("n"),
     ).filter(F.col("pos") <= F.col("n") - (window - 1))
     return winnowed.select("doc_id", F.col("fp").alias("fingerprint")).distinct()
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
+    """Top-N TF-IDF terms per document.
+
+    tf = term count in doc; idf = ln(N / df). Two aggregations (term
+    counts, document frequencies) + a broadcastable doc-count scalar + a
+    ranking window — the vocabulary side (df) is tiny relative to the
+    corpus and the tf aggregation is the only corpus-sized shuffle.
+    Ranking uses the ROUNDED score with a term tie-break so the top-N cut
+    is deterministic cross-engine.
+    """
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = d.count()  # scalar; enters the plan as a literal
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
