@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchase_click": _temporal.asof_join_purchase_click,
         "range_join_bursts": _temporal.range_join_bursts,
         "funnel_signup_purchase": _temporal.funnel_signup_purchase,
+        "retention_day_over_day": _temporal.retention_day_over_day,
     }
 
 
@@ -1104,6 +1105,19 @@ SELECT CASE WHEN bucket < 90 THEN 'train'
             ELSE 'test' END AS split,
        lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY 1, 2
+""",
+        "retention_day_over_day": """
+WITH user_days AS (
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+)
+SELECT t.day, count(*) AS active_users,
+       CAST(sum(CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained_next_day
+FROM user_days t
+LEFT JOIN user_days n
+  ON t.user_id = n.user_id
+ AND n.day = strftime(CAST(t.day AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+GROUP BY t.day
 """,
         "funnel_signup_purchase": """
 SELECT user_id,

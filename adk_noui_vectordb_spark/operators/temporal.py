@@ -159,3 +159,38 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted"),
         )
     )
+
+
+def retention_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: of the users active on day D, how many were
+    also active on D+1.
+
+    Cohort analytics as two aggregations: distinct (user, day) pairs, then
+    a self-join shifted by one day. The distinct collapses the event
+    volume to user-day granularity BEFORE the join — at 100 TB the join
+    input is |users| x |days|, not |events|. All-integer counts: exact in
+    every engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    user_days = e.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    today = user_days.alias("t")
+    tomorrow = user_days.alias("n")
+    retained = today.join(
+        tomorrow,
+        (F.col("t.user_id") == F.col("n.user_id"))
+        & (F.col("n.day") == F.date_format(
+            F.date_add(F.to_date(F.col("t.day")), 1), "yyyy-MM-dd"
+        )),
+        "left",
+    )
+    return (
+        retained.groupBy(F.col("t.day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                F.when(F.col("n.user_id").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("retained_next_day"),
+        )
+    )
