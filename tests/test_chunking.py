@@ -51,3 +51,16 @@ def test_fixed_lines_skips_blank_chunks(spark):
     df = spark.createDataFrame([Row(path="pad.txt", content=content)])
     rows = chunk_fixed_lines(df, chunk_size=50).collect()
     assert [r["name"] for r in rows] == ["chunk_0"]
+
+
+def test_minhash_arrow_equals_expr(spark, sf_dir):
+    """The Arrow minhash kernel must be value-identical to the pure-JVM
+    expression pipeline (same md5-prefix/int64 arithmetic)."""
+    from adk_noui_vectordb_spark.operators.dedup import (
+        _minhash_wide,
+        _minhash_wide_expr,
+    )
+
+    a = sorted(tuple(r) for r in _minhash_wide(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in _minhash_wide_expr(spark, sf_dir).collect())
+    assert a == b
