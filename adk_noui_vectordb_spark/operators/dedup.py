@@ -420,10 +420,14 @@ def dedup_connected_components(
     # rare by construction, so this is a tiny fraction of the corpus;
     # singleton docs join back in closed form at the end. At 100 TB this is
     # the difference between iterating on the corpus and on the dup graph.
+    # Seed = the first propagation round computed directly from the edge
+    # aggregate (min over self+neighbors, no join): near-dup clusters are
+    # near-cliques, so most components converge in this seed and the loop
+    # exits after one confirming round.
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        sym.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
+        .select(F.col("src").alias("doc_id"), "cluster_id")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):

@@ -110,3 +110,14 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def write_partitioned(df, path: str, partition_col: str) -> None:
+    """Persist a table hive-partitioned by a column (one directory per
+    value). Queries filtering on the partition column read ONLY the
+    matching directories — partition pruning happens at planning time,
+    before any IO (verified by plan assertion in tests/test_plans.py).
+    The 100 TB default layout for time-series: partition by date, bucket
+    or sort within partitions by the hot join key.
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)

@@ -119,3 +119,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column becomes a PartitionFilter — the
+    scan lists only matching directories, no data IO elsewhere."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.sources.sinks import write_partitioned
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    p = str(tmp_path / "events_by_type")
+    write_partitioned(
+        load_table(spark, sf_dir, "events").select("event_id", "value", "event_type"),
+        p,
+        "event_type",
+    )
+    df = spark.read.parquet(p).filter(F.col("event_type") == "purchase")
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0], plan
+    assert df.count() > 0
