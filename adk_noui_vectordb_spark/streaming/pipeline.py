@@ -228,3 +228,54 @@ def stream_dedup_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_purchase_click_join(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, queryName: str
+):
+    """Stream-stream inner join with event-time bounds: each purchase joined
+    to the same user's clicks from the preceding hour.
+
+    Both sides are watermarked; the time-range join condition lets Spark
+    BOUND the buffered state on each side (clicks older than the watermark
+    minus the join window are evicted) — without the range condition a
+    stream-stream join must buffer forever. This is the streaming analog
+    of the batch banded range join (operators/temporal.py).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+
+    def side(event_type: str, prefix: str):
+        raw = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            raw.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "c_id", "p_user")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

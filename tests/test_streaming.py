@@ -109,3 +109,40 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.sources.tables import load_table
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_purchase_click_join,
+    )
+
+    q = stream_purchase_click_join(
+        spark, sf_dir, str(tmp_path / "ckpt_ss"), "pc_join"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.p_id, r.c_id)
+        for r in spark.sql("SELECT * FROM pc_join").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("p_id"),
+        F.col("ts_ns").alias("p_ns"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("c_id"),
+        F.col("ts_ns").alias("c_ns"),
+    )
+    expected = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("c_ns") <= F.col("p_ns"))
+            & (F.col("c_ns") >= F.col("p_ns") - 3_600_000_000_000),
+        ).collect()
+    }
+    assert got == expected
