@@ -94,6 +94,25 @@ def _q_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING query under the batch oracle: run the watermarked tumbling
+    aggregation as a real Structured Streaming job (availableNow drains all
+    input, complete-mode memory sink), then return the sink table. The
+    DuckDB oracle is the identical batch SQL — streaming/batch equivalence
+    is part of the checked contract, not just a unit test."""
+    import tempfile
+    import uuid
+
+    from adk_noui_vectordb_spark.streaming.pipeline import stream_events_tumbling
+
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = stream_events_tumbling(spark, sf_dir, tempfile.mkdtemp(), name)
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT window_start, event_type, n_events, total_value FROM {name}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # retrieval core (reference surface, SURVEY.md §2.3/2.6/2.8)
@@ -175,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_counts": _rel.events_tumbling_counts,
         "events_sessionize": _rel.events_sessionize,
         "events_sliding_counts": _rel.events_sliding_counts,
+        "stream_tumbling_counts": _q_stream_tumbling,
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
@@ -1014,6 +1034,11 @@ SELECT o_custkey, o_orderkey,
 FROM lagged
 """,
         "events_tumbling_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "stream_tumbling_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
