@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": _rel.salted_skew_join,
         "pivot_event_matrix": _rel.pivot_event_matrix,
         "agg_correlation": _rel.agg_correlation,
+        "orders_above_avg": _rel.orders_above_avg,
         "events_by_dow": _rel.events_by_dow,
         "agg_percentiles": _rel.agg_percentiles,
         "setop_active_noncustomers": _rel.setop_active_noncustomers,
@@ -1042,6 +1043,13 @@ FROM events GROUP BY 1, 2
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "orders_above_avg": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY c_mktsegment
 """,
         "agg_correlation": """
 SELECT l_returnflag,

@@ -472,3 +472,27 @@ def salted_skew_join(
             ),
         )
     )
+
+
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: orders above the global average order value,
+    summarized per market segment.
+
+    The scalar aggregate is computed once and broadcast into the filter
+    (crossJoin of a 1-row frame — Catalyst plans a broadcast nested-loop
+    with a single-row build side, the same plan a SQL scalar subquery
+    gets). One pass over orders for the average, one for the filter+agg.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_row = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
