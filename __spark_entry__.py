@@ -1166,7 +1166,7 @@ FROM (
         "asof_join_purchase_click": """
 SELECT p.event_id AS purchase_id, p.user_id, p.value AS purchase_value,
        c.event_id AS click_id,
-       round((epoch_ns(p.ts) - epoch_ns(c.ts)) / 1e9, 3) AS gap_s
+       ((epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000) / 1000000.0 AS gap_s
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -1174,7 +1174,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         "range_join_bursts": """
 WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events)
 SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
-       round((b.ts_ns - a.ts_ns) / 1e9, 3) AS gap_s
+       ((b.ts_ns - a.ts_ns) // 1000) / 1000000.0 AS gap_s
 FROM e a JOIN e b
   ON a.user_id = b.user_id
  AND b.ts_ns > a.ts_ns AND b.ts_ns - a.ts_ns <= 60000000000

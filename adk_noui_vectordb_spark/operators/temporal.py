@@ -80,8 +80,12 @@ def asof_purchase_click_frame(e: DataFrame) -> DataFrame:
             "user_id",
             "purchase_value",
             F.col("last_click_id").alias("click_id"),
-            F.round(
-                (F.col("ts_ns") - F.col("last_click_ts_ns")) / 1.0e9, 3
+            # Exact integer microseconds / 1e6, NOT round(ns/1e9, 3): the
+            # data is us-precision, so ns gaps hit exact .xxx5 ties at 3 dp
+            # where Spark's BigDecimal round and DuckDB's float-path round
+            # disagree. Same integer -> same double in every engine.
+            (
+                F.expr("(ts_ns - last_click_ts_ns) div 1000") / 1.0e6
             ).alias("gap_s"),
         )
     )
@@ -121,7 +125,8 @@ def range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.user_id").alias("user_id"),
                 F.col("a.event_id").alias("event_a"),
                 F.col("b.event_id").alias("event_b"),
-                F.round(gap_ns / 1.0e9, 3).alias("gap_s"),
+                # exact us / 1e6 — no rounding ties (see asof note)
+                ((gap_ns / F.lit(1000)).cast("bigint") / 1.0e6).alias("gap_s"),
             )
         )
 

@@ -50,10 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
+        # ts_ns is truncated to MICROsecond precision (div 1000 * 1000):
+        # the raw parquet nanos carry sub-us digits that DuckDB's reader
+        # drops when it maps TIMESTAMP(NANOS) -> us timestamps, so any
+        # ns-granular comparison would silently disagree with the oracle.
+        # us is the effective cross-engine contract.
         return raw.select(
             "event_id",
             F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.col("ts").alias("ts_ns"),
+            F.expr("ts div 1000 * 1000").alias("ts_ns"),
             "user_id",
             "event_type",
             "value",
