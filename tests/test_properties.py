@@ -117,3 +117,27 @@ def test_upsert_idempotent_and_keyed(spark, batch, tmp_path_factory):
     assert first == second
     keys = [r[0] for r in first]
     assert len(keys) == len(set(keys)) == len({k for k, _ in batch})
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "ann_lsh_topk",            # seeded MLlib model
+        "filter_by_element_type",  # ranked limit cut
+        "stratified_sample",       # ranked modulo sample
+        "dedup_minhash_pairs",     # Arrow kernel + self-join
+        "ngram_jaccard_pairs",     # applyInPandas blocked kernel
+        "knn_topk",                # rounded-sim top-k cut
+    ],
+)
+def test_repeat_run_determinism(spark, sf_dir, key):
+    """Queries must return identical (order-insensitive) results on
+    repeated execution in one session — no RNG, no partition-order
+    dependence, stable limit cuts."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[key]
+    def run():
+        df = fn(spark, sf_dir)
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+    assert run() == run()
