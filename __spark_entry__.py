@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": _rel.q3_top_orders,
         "q5_region_revenue": _rel.q5_region_revenue,
         "q6_revenue_forecast": _rel.q6_revenue_forecast,
+        "q9_brand_profit": _rel.q9_brand_profit,
         "window_topn_orders": _rel.window_topn_orders,
         "window_running_revenue": _rel.window_running_revenue,
         "customers_without_orders": _rel.customers_without_orders,
@@ -984,6 +985,17 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.03 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "q9_brand_profit": """
+SELECT n_name, p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1), 2) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand
 """,
         "window_topn_orders": """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (

@@ -496,3 +496,29 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+def q9_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, part brand).
+
+    Exercises the two remaining dimension tables (part, supplier): three
+    broadcast joins around one pass over lineitem; profit = discounted
+    revenue minus a retail-price cost proxy per unit.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(F.sum(profit), 2).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
