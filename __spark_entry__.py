@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_diag_counts": _idx.agg_diag_counts,
         "agg_collection_count": _idx.agg_collection_count,
         "upsert_latest_events": _idx.upsert_latest_events,
+        "index_pipeline": _idx.index_pipeline_q,
         # embedding stage (pandas_udf Arrow path, SURVEY.md §2.11)
         "embed_projection_rows": _embed.embed_projection_rows,
         "knn_text_query": _embed.knn_text_query,
@@ -769,6 +770,63 @@ UNION ALL SELECT 'embeddings', count(*) FROM embeddings
 UNION ALL SELECT 'orders', count(*) FROM orders
 UNION ALL SELECT 'lineitem', count(*) FROM lineitem
 UNION ALL SELECT 'events', count(*) FROM events
+""",
+        "index_pipeline": f"""
+WITH {DERIVED_CORPUS_SQL},
+nlines AS (
+    SELECT c.path, t.i - 1 AS pos, c.parts[t.i] AS line
+    FROM (SELECT path, string_split(content, chr(10)) AS parts
+          FROM corpus WHERE ext <> '.md') c,
+         LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
+),
+nchunks AS (
+    SELECT path, CAST(pos // 50 AS INTEGER) AS chunk_id,
+           CAST(min(pos) + 1 AS INTEGER) AS start_line,
+           CAST(max(pos) + 1 AS INTEGER) AS end_line,
+           string_agg(line, chr(10) ORDER BY pos) AS content
+    FROM nlines GROUP BY 1, 2
+),
+nelems AS (
+    SELECT path, 'chunk_' || chunk_id AS name, 'text_chunk' AS element_type,
+           start_line, end_line, content
+    FROM nchunks WHERE regexp_replace(content, '\\s', '', 'g') <> ''
+),
+mlines AS (
+    SELECT c.path, t.i - 1 AS pos, c.parts[t.i] AS line
+    FROM (SELECT path, string_split(content, chr(10)) AS parts
+          FROM corpus WHERE ext = '.md') c,
+         LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
+),
+mflag AS (
+    SELECT path, pos, line,
+           CASE WHEN trim(line) LIKE '#%' THEN 1 ELSE 0 END AS is_heading,
+           CASE WHEN trim(line) LIKE '#%'
+                THEN trim(regexp_replace(trim(line), '^#+', '')) END AS heading_text
+    FROM mlines
+),
+msect AS (
+    SELECT *,
+           sum(is_heading) OVER w AS section_id,
+           coalesce(last_value(heading_text IGNORE NULLS) OVER w,
+                    'Introduction') AS section_name
+    FROM mflag
+    WINDOW w AS (PARTITION BY path ORDER BY pos ROWS UNBOUNDED PRECEDING)
+),
+melems AS (
+    SELECT path, section_name AS name, 'markdown_section' AS element_type,
+           CAST(min(pos) + 1 AS INTEGER) AS start_line,
+           CAST(max(pos) + 1 AS INTEGER) AS end_line,
+           string_agg(line, chr(10) ORDER BY pos) AS content
+    FROM msect WHERE is_heading = 0
+    GROUP BY path, section_id, section_name
+    HAVING regexp_replace(string_agg(line, chr(10) ORDER BY pos), '\\s', '', 'g') <> ''
+),
+allelems AS (SELECT * FROM nelems UNION ALL SELECT * FROM melems)
+SELECT path, name, element_type, start_line, end_line,
+       md5(name || ':' || element_type || ':' || content) AS hash,
+       path || ':' || start_line || ':' ||
+           md5(name || ':' || element_type || ':' || content) AS id
+FROM allelems
 """,
         "upsert_latest_events": """
 SELECT user_id, event_id AS last_event_id, event_type, value FROM (

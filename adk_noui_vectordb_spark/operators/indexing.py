@@ -372,14 +372,26 @@ def build_index(
 
     Returns the report as a plain dict (files, elements, embedded_new).
     """
+    from ..sources.corpus import scan_corpus
+
+    return build_index_from_corpus(
+        spark, scan_corpus(spark, corpus_root), index_dir, chunk_size
+    )
+
+
+def build_index_from_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    chunk_size: int = 50,
+) -> dict:
+    """`build_index` body over an arbitrary (path, ext, content) corpus
+    DataFrame (file scan, derived corpus, or a streaming micro-batch)."""
     import os
 
-    from ..sources.corpus import scan_corpus
     from ..sources.sinks import upsert_parquet, write_json_report
     from .chunking import chunk_fixed_lines, chunk_markdown_sections
     from .embed import make_embed_udf
-
-    corpus = scan_corpus(spark, corpus_root)
     md = corpus.filter(F.col("ext") == ".md").select("path", "content")
     rest = corpus.filter(F.col("ext") != ".md").select("path", "content")
     elements = chunk_fixed_lines(rest, chunk_size=chunk_size).unionByName(
@@ -455,3 +467,26 @@ def file_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path", "file_type", "line_count", "element_count"
     )
     return grouped.join(summary, "path")
+
+
+def index_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE §3.1 lifecycle as an oracle-checked driver query: run
+    ``build_index_from_corpus`` over the derived corpus into a throwaway
+    index directory (chunk -> hash/id -> embed -> keyed upsert), then read
+    the persisted elements table back. The DuckDB oracle recomputes the
+    same elements in SQL — what lands on disk is the checked contract,
+    covering the chunker routing, projections, AND the upsert path.
+    """
+    import os
+    import tempfile
+
+    index_dir = tempfile.mkdtemp(prefix="adk_index_")
+    from ..sources.corpus import derived_corpus
+
+    build_index_from_corpus(
+        spark, derived_corpus(spark, sf_dir), index_dir, chunk_size=50
+    )
+    stored = spark.read.parquet(os.path.join(index_dir, "code_elements.parquet"))
+    return stored.select(
+        "path", "name", "element_type", "start_line", "end_line", "hash", "id"
+    )
