@@ -6,8 +6,13 @@ TPC-H-shaped queries expressed declaratively so Catalyst supplies predicate
 pushdown, column pruning, join reordering and AQE for free.
 
 Scale notes baked into each query:
-- dimension joins (region/nation/supplier, customer at small SF) are
-  explicitly ``broadcast()`` — no shuffle of the fact table;
+- fixed-size dimensions (region: 5 rows, nation: 25 rows at ANY scale
+  factor) are unconditionally ``broadcast()``; SF-proportional dimensions
+  (customer, part, supplier) get a SIZE-GATED hint via
+  ``sources.tables.maybe_broadcast`` — an explicit hint is honored by Spark
+  regardless of size (AQE demotes auto-planned broadcasts, never hinted
+  ones), so hinting a growing table unconditionally would OOM at 100x
+  scale instead of demoting to a shuffle join;
 - fact-fact joins (orders |x| lineitem) shuffle on the join key once; AQE
   splits skewed keys at runtime;
 - aggregates are partial (map-side combine) automatically via hash-agg;
@@ -25,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import (
+    BROADCAST_MAX_BYTES,
+    load_table,
+    maybe_broadcast,
+    parquet_size_bytes,
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,14 +60,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q3_top_orders(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
     """TPC-H Q3 shape: dim-filter -> fact join -> group -> top-k.
 
-    customer is broadcast (150*SF rows); orders |x| lineitem shuffles on
+    customer grows with SF, so its broadcast hint is size-gated (the
+    filtered side is at most the table; the gate uses the table's on-disk
+    size as the safe upper bound). orders |x| lineitem shuffles on
     l_orderkey once. Top-10 by revenue plans as TakeOrderedAndProject.
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
+    )
+    c = maybe_broadcast(
+        c, parquet_size_bytes(sf_dir, "customer"), dim_broadcast_bytes
     )
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01")
@@ -66,7 +83,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -74,22 +91,31 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q5_region_revenue(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
     """TPC-H Q5 shape: snowflake join through region->nation->customer.
 
-    All dimension sides broadcast; the only shuffles are the orders|x|lineitem
-    key exchange and the final group-by. At 100 TB this is the canonical
-    "star join": one pass over the fact table.
+    region (5 rows) and nation (25 rows) are fixed-size at any SF and
+    broadcast unconditionally; customer grows with SF and gets the
+    size-gated hint — above the gate it joins by shuffle, which at 100 TB
+    is correct (a hinted broadcast is never demoted; it OOMs). The only
+    large shuffles are the orders|x|lineitem key exchange and the final
+    group-by: one pass over the fact table.
     """
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
-    customer = load_table(spark, sf_dir, "customer")
+    customer = maybe_broadcast(
+        load_table(spark, sf_dir, "customer"),
+        parquet_size_bytes(sf_dir, "customer"),
+        dim_broadcast_bytes,
+    )
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -486,10 +512,11 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_row = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    c = maybe_broadcast(c, parquet_size_bytes(sf_dir, "customer"))
     return (
         o.crossJoin(F.broadcast(avg_row))
         .filter(F.col("o_totalprice") > F.col("avg_price"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -498,23 +525,36 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q9_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9_brand_profit(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
     """TPC-H Q9 shape: profit per (supplier nation, part brand).
 
-    Exercises the two remaining dimension tables (part, supplier): three
-    broadcast joins around one pass over lineitem; profit = discounted
-    revenue minus a retail-price cost proxy per unit.
+    Exercises the two remaining dimension tables: part and supplier are
+    SF-proportional, so their broadcast hints are size-gated (above the
+    gate the join demotes to shuffle instead of OOMing on a forced
+    broadcast); nation is 25 rows at any SF and broadcasts
+    unconditionally. One pass over lineitem; profit = discounted revenue
+    minus a retail-price cost proxy per unit.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    s = load_table(spark, sf_dir, "supplier")
+    p = maybe_broadcast(
+        load_table(spark, sf_dir, "part"),
+        parquet_size_bytes(sf_dir, "part"),
+        dim_broadcast_bytes,
+    )
+    s = maybe_broadcast(
+        load_table(spark, sf_dir, "supplier"),
+        parquet_size_bytes(sf_dir, "supplier"),
+        dim_broadcast_bytes,
+    )
     n = load_table(spark, sf_dir, "nation")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity") * 0.1
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", "p_brand")
         .agg(

@@ -71,6 +71,55 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+# On-disk parquet size above which a dimension table is NOT hinted for
+# broadcast. An explicit broadcast() hint is honored by Spark REGARDLESS of
+# size — AQE demotes auto-planned broadcasts, but never hinted ones — so an
+# unconditional hint on an SF-proportional table (customer, part) OOMs the
+# driver/executors at 100x scale. 32 MB compressed parquet is ~3x the AQE
+# auto-threshold and decompresses to ~100-150 MB in memory: comfortably
+# broadcastable, conservatively below executor working memory.
+BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
+def parquet_size_bytes(sf_dir: str, name: str) -> int:
+    """Total on-disk bytes of one testdata table (file or directory)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def maybe_broadcast(
+    df: DataFrame, size_bytes: int, max_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """Size-gated broadcast hint: hint only when the side is provably small.
+
+    Above the gate the join is left unhinted — Catalyst/AQE then picks
+    shuffle-hash or sort-merge from runtime statistics, which is the correct
+    (and only memory-safe) plan for a dimension that grew with the dataset.
+    """
+    from pyspark.sql import functions as F
+
+    if size_bytes <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
+def load_dim(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_bytes: int = BROADCAST_MAX_BYTES,
+) -> DataFrame:
+    """Load a dimension table with a size-gated broadcast hint."""
+    return maybe_broadcast(
+        load_table(spark, sf_dir, name), parquet_size_bytes(sf_dir, name), max_bytes
+    )
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-dense map work.
 

@@ -32,6 +32,39 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
     assert_broadcast_join(df, min_count=3)
 
 
+def test_q5_gate_demotes_customer_broadcast(spark, sf_dir):
+    """With the size gate at 0 bytes, customer must NOT be broadcast-hinted:
+    the c_custkey join plans as a shuffle join (sort-merge or shuffle-hash),
+    while the fixed-size nation/region dims stay broadcast. This is the
+    100 TB demotion path — a hinted broadcast is never demoted by AQE.
+    Auto-broadcast is disabled to simulate customer being too big for the
+    stats-based planner too (at test SF the file is tiny; stats-based
+    broadcast is fine because AQE CAN demote that one)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = rel.q5_region_revenue(spark, sf_dir, dim_broadcast_bytes=0)
+        plan = explain_str(df, mode="simple")
+        # exactly nation + region still broadcast; customer is not
+        assert plan.count("BroadcastHashJoin") == 2, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q9_gate_demotes_part_supplier_broadcast(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = rel.q9_brand_profit(spark, sf_dir, dim_broadcast_bytes=0)
+        plan = explain_str(df, mode="simple")
+        # only nation (fixed-size) still broadcast; part and supplier demoted
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_knn_is_take_ordered(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     df = knn_topk(emb, make_query_from_vec(emb, 0), k=5)
