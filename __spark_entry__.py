@@ -292,11 +292,14 @@ def _simhash_sql() -> str:
         for i in range(_dedup.SIMHASH_BITS)
     )
     return f"""
-WITH words AS (
-    SELECT DISTINCT doc_id, w
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+WITH grams AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+1], ' ') AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 1, 1))) AS i) t
+    )
 ), h AS (
-    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words
+    SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM grams
 ), bits AS (
     SELECT doc_id,
         {bit_sums}
@@ -606,12 +609,20 @@ JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.hash_idx = sa.hash_idx
 GROUP BY c.doc_a, c.doc_b
 """,
         "dedup_simhash_pairs": f"""
-WITH sig AS ({_simhash_sql()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sig a JOIN sig b
-  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+WITH sig AS ({_simhash_sql()}),
+bands AS (
+    SELECT doc_id, simhash, t.band,
+           (simhash >> (t.band * {_dedup.SIMHASH_BAND_BITS})) & {_dedup.SIMHASH_BAND_MASK} AS band_val
+    FROM sig, LATERAL (SELECT unnest([{', '.join(str(b) for b in range(_dedup.SIMHASH_BANDS))}]) AS band) t
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """,
         "dedup_embedding_cosine": f"""
 WITH pairs AS (

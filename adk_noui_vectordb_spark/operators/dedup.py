@@ -48,7 +48,17 @@ MINHASH_B = [
     333333, 444444, 555555, 666666, 777777, 888888, 999999, 101010,
 ]
 
-SIMHASH_BITS = 16
+# 60-bit SimHash (the full md5_long prefix width), banded into 4 bands of
+# 15 bits. Pigeonhole: two signatures within hamming distance 3 differ in
+# at most 3 bands, so they MATCH on at least one band — banded candidate
+# generation has exact recall for the hamming <= 3 predicate while each
+# band key has 2^15 = 32768 buckets (bounded blocks, real selectivity).
+# The previous 16-bit/high-byte scheme had 256 buckets and ~11% pair
+# selectivity at sf0.001 — near-quadratic and non-discriminative.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def md5_long(c: Column) -> Column:
@@ -312,18 +322,27 @@ def ngram_jaccard_pairs(
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 16-bit SimHash over word hashes.
+    """Per-doc 60-bit SimHash over word-BIGRAM hashes.
 
-    bit_i(doc) = 1 iff sum over distinct words of (+1 if bit_i(md5_long(w))
+    bit_i(doc) = 1 iff sum over distinct bigrams of (+1 if bit_i(md5_long(g))
     else -1) > 0. Explode -> per-bit signed sum -> recompose. Bounded
-    expression width (16 conditional sums), one shuffle.
+    expression width (60 conditional sums, map-side partial agg), one
+    shuffle. 60 bits = the md5_long width; the recomposed signature stays
+    < 2^60 so int64 arithmetic never overflows under ANSI mode.
+
+    Bigram features, not unigrams: the corpus vocabulary is small and
+    heavily shared, so unigram signatures concentrate (measured: 19% of
+    sf0.001 pairs shared a band; hamming<=3 passed 2.5% of all pairs).
+    Bigrams have enough entropy to separate near-dups from background —
+    measured candidate rate 0.03%, hamming<=3 rate 0.014%, with a clear
+    hamming gap (near-dups <=5, background >=17).
     """
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
+    grams = d.select(
         "doc_id",
-        F.explode(F.array_distinct(whitespace_tokens(F.col("text")))).alias("w"),
+        F.explode(_shingles(F.col("text"), 2)).alias("g"),
     )
-    hashed = words.select("doc_id", md5_long(F.col("w")).alias("h"))
+    hashed = grams.select("doc_id", md5_long(F.col("g")).alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -497,30 +516,59 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 2
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= max_hamming on the
-    16-bit signature, blocked on the high byte.
+    60-bit signature, candidates from the 4x15-bit band join.
 
-    The high-byte equi join bounds the pair space (two docs within
-    hamming 2 of each other USUALLY share the high byte; the standard
-    multi-rotation scheme closes the gap — one block here keeps the
-    oracle simple and documents the recall trade-off). bit_count(xor)
-    stays in codegen on both engines.
+    Each doc explodes into 4 (band, band_val) keys; candidates are the
+    equi self-join on that key — the same bucketed shape as MinHash-LSH
+    (shuffle keyed on a 2^15-bucket-per-band key, AQE splits hot
+    buckets). Pigeonhole guarantees EXACT recall for hamming <= 3: at
+    most 3 differing bits can dirty at most 3 of the 4 bands.
+    bit_count(xor) verification stays in codegen on both engines.
     """
     sig = simhash_signatures(spark, sf_dir)
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "band_val",
     )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("band").alias("band_r"),
+        F.col("band_val").alias("band_val_r"),
     )
-    pairs = a.join(
-        b,
-        (F.shiftright(F.col("sig_a"), 8) == F.shiftright(F.col("sig_b"), 8))
-        & (F.col("doc_a") < F.col("doc_b")),
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("band_val") == F.col("band_val_r"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select(
+    return cand.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
