@@ -257,21 +257,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.2
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2,
+    block_cap: int = 4096,
 ) -> DataFrame:
     """Verified near-dup pairs: word-set Jaccard over blocked candidates.
 
     Blocking key = (lang, length band) bounds the quadratic term to the
-    largest block. Within a block the all-pairs intersection is ONE integer
-    matmul over the doc x vocab incidence matrix (``applyInPandas`` +
-    numpy/BLAS) instead of a self-join evaluating array_intersect per pair —
-    same shuffle (one pass keyed on the block), ~20x less CPU. Counts are
-    integers, so inter/union is the bit-identical double in every engine;
-    the 4-dp rounding happens Spark-side (HALF_UP, matching DuckDB).
+    largest block; ``block_cap`` then bounds MEMORY within a block (see
+    ``jaccard_pairs_blocked``). Counts are integers, so inter/union is the
+    bit-identical double in every engine; the 4-dp rounding happens
+    Spark-side (HALF_UP, matching DuckDB).
     """
-    import numpy as np
-    import pandas as pd
-
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
@@ -279,19 +275,73 @@ def ngram_jaccard_pairs(
         (F.col("n_chars") / 100).cast("int").alias("len_band"),
         F.array_distinct(whitespace_tokens(F.col("text"))).alias("words"),
     )
+    return jaccard_pairs_blocked(docs, threshold, block_cap)
+
+
+def jaccard_pairs_blocked(
+    docs: DataFrame, threshold: float = 0.2, block_cap: int = 4096
+) -> DataFrame:
+    """All-pairs word-set Jaccard >= threshold within (lang, len_band)
+    blocks, with per-task memory BOUNDED by ``block_cap``.
+
+    Within a block the all-pairs intersection is ONE integer matmul over
+    the doc x vocab incidence matrix (``applyInPandas`` + numpy/BLAS)
+    instead of a self-join evaluating array_intersect per pair — same
+    shuffle (one pass keyed on the block), ~20x less CPU.
+
+    A popular stratum at 100 TB would make that dense matrix OOM one
+    executor, so blocks larger than ``block_cap`` docs are split by a
+    deterministic secondary key (doc_id mod n_splits) and every unordered
+    sub-block pair (lo, hi) becomes its own task: lo == hi verifies pairs
+    within a sub-block, lo < hi verifies the cross pairs. Each doc is
+    replicated n_splits times, every pair is examined in EXACTLY one task
+    (the (min, max) of the two docs' sub keys), and each task holds at
+    most 2 * block_cap docs. When a block fits the cap, n_splits == 1 and
+    the plan is identical to the unsplit one.
+    """
+    import numpy as np
+    import pandas as pd
 
     # Pre-filter slack: keep raw >= threshold - 6e-5 so every pair whose
     # ROUNDED jaccard reaches the threshold survives to the Spark filter.
     slack = threshold - 6e-5
 
+    counts = docs.groupBy("lang", "len_band").agg(
+        F.count(F.lit(1)).alias("_block_n")
+    )
+    n_splits = F.ceil(F.col("_block_n") / F.lit(block_cap)).cast("int")
+    split = (
+        docs.join(counts, ["lang", "len_band"])
+        .withColumn("_splits", n_splits)
+        .withColumn("sub", F.pmod(F.col("doc_id"), F.col("_splits")).cast("int"))
+        .select(
+            "doc_id",
+            "lang",
+            "len_band",
+            "words",
+            "sub",
+            F.explode(F.sequence(F.lit(0), F.col("_splits") - 1)).alias("other"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "len_band",
+            "words",
+            "sub",
+            F.least("sub", "other").alias("lo"),
+            F.greatest("sub", "other").alias("hi"),
+        )
+    )
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jac_raw": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jac_raw": "float64"}
+        )
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy()
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jac_raw": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "jac_raw": "float64"}
-            )
+            return empty
         lens = pdf["words"].map(len).to_numpy()
         flat = np.concatenate([np.asarray(w, dtype=object) for w in pdf["words"]])
         codes, _ = pd.factorize(flat)
@@ -303,6 +353,10 @@ def ngram_jaccard_pairs(
         jac = inter / union
         iu = np.triu_indices(n, 1)
         keep = jac[iu] >= slack
+        if int(pdf["lo"].iat[0]) != int(pdf["hi"].iat[0]):
+            # cross-split task: only pairs straddling the two sub-blocks
+            sub = pdf["sub"].to_numpy()
+            keep &= sub[iu[0]] != sub[iu[1]]
         return pd.DataFrame(
             {
                 "doc_a": ids[iu[0][keep]],
@@ -311,7 +365,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    raw = docs.groupBy("lang", "len_band").applyInPandas(
+    raw = split.groupBy("lang", "len_band", "lo", "hi").applyInPandas(
         block_pairs, "doc_a bigint, doc_b bigint, jac_raw double"
     )
     return raw.select(

@@ -141,3 +141,33 @@ def test_repeat_run_determinism(spark, sf_dir, key):
         df = fn(spark, sf_dir)
         return sorted(tuple(str(v) for v in r) for r in df.collect())
     assert run() == run()
+
+
+def test_jaccard_block_cap_preserves_pairs(spark):
+    """Splitting an oversized (lang, len_band) stratum into capped
+    sub-blocks must emit EXACTLY the same pair set as the unsplit plan:
+    every pair lands in one (lo, hi) task, none twice, cross-split pairs
+    are recovered by the lo < hi tasks."""
+    import random
+
+    from adk_noui_vectordb_spark.operators.dedup import jaccard_pairs_blocked
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc_id in range(240):
+        words = rng.sample(vocab, rng.randint(5, 12))
+        rows.append((doc_id, "en", 0, words))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, len_band int, words array<string>"
+    )
+    unsplit = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_blocked(docs, 0.2, block_cap=10**9).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_blocked(docs, 0.2, block_cap=50).collect()
+    }
+    assert unsplit, "test corpus produced no pairs - weak test"
+    assert capped == unsplit
