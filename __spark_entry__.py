@@ -33,8 +33,16 @@ from adk_noui_vectordb_spark.operators import relational as _rel
 from adk_noui_vectordb_spark.operators import rollups as _roll
 from adk_noui_vectordb_spark.operators import temporal as _temporal
 from adk_noui_vectordb_spark.operators import textops as _text
-from adk_noui_vectordb_spark.operators.chunking import chunk_fixed_words
-from adk_noui_vectordb_spark.sources.corpus import DERIVED_CORPUS_SQL, DERIVED_MD_SQL
+from adk_noui_vectordb_spark.operators.chunking import (
+    chunk_fixed_words,
+    chunk_python_ast,
+)
+from adk_noui_vectordb_spark.sources.corpus import (
+    DERIVED_CORPUS_SQL,
+    DERIVED_MD_SQL,
+    DERIVED_PY_SQL,
+    derived_python_corpus,
+)
 from adk_noui_vectordb_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -113,6 +121,13 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ``ast.parse`` extraction over the valid-Python derived corpus;
+    the oracle predicts the exact rows arithmetically from the corpus
+    generation rules (see sources/corpus.py:derived_python_corpus)."""
+    return chunk_python_ast(derived_python_corpus(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # retrieval core (reference surface, SURVEY.md §2.3/2.6/2.8)
@@ -134,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed_words": chunk_fixed_words,
         "chunk_fixed_lines": _idx.chunk_fixed_lines_q,
         "chunk_markdown_sections": _idx.chunk_markdown_sections_q,
+        "chunk_ast_python": _q_chunk_ast,
         # text analysis (SURVEY.md §2.9 + north-star extensions)
         "text_stats": _text.text_stats,
         "token_count": _text.token_count,
@@ -148,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diag_generic": _text.diag_generic,
         "diag_python": _idx.diag_python,
         "diag_js_ts": _idx.diag_js_ts,
+        "diag_python_syntax": _idx.diag_python_syntax,
+        "diag_python_flakes": _idx.diag_python_flakes,
         # dedup (north star)
         "dedup_exact": _dedup.dedup_exact,
         "minhash_signature_rows": _dedup.minhash_signature_rows,
@@ -345,12 +363,49 @@ diags AS (
              CASE WHEN ext IN ('.js','.ts') AND contains(line, 'console.log') THEN 'console_log' END,
              CASE WHEN ext IN ('.js','.ts') AND contains(line, ';;') THEN 'multi_semicolon' END,
              CASE WHEN ext IN ('.js','.ts') AND length(line) > 120 THEN 'long_line' END,
+             CASE WHEN ext IN ('.js','.ts') AND trim(line) <> ''
+                   AND trim(line) NOT LIKE '//%' AND trim(line) NOT LIKE '/*%'
+                   AND trim(line) NOT LIKE '%;' AND trim(line) NOT LIKE '%{'
+                   AND trim(line) NOT LIKE '%}' AND trim(line) NOT LIKE '%,'
+                   AND NOT contains(trim(line), 'if (')
+                   AND NOT contains(trim(line), 'for (')
+                   AND NOT contains(trim(line), 'while (') THEN 'missing_semicolon' END,
              CASE WHEN ext NOT IN ('.py','.js','.ts') AND length(line) > 200 THEN 'overlong' END,
              CASE WHEN ext NOT IN ('.py','.js','.ts') AND rtrim(line) <> line THEN 'trailing_ws' END
            ], x -> x IS NOT NULL)) AS rule
     FROM clines
 )
 """
+)
+
+# Expected output of the REAL ast.parse extraction over the generated
+# python corpus, predicted arithmetically from the generation rules
+# (sources/corpus.py:derived_python_corpus docstring has the layout).
+_PY_ELEMENTS_CTE = (
+    DERIVED_PY_SQL.strip()
+    + ''',
+py_elements AS (
+    SELECT path, 'import' AS name, 'import' AS element_type,
+           1 AS start_line, 1 AS end_line, 'import os' AS content, '' AS docstring
+    FROM py_base
+    UNION ALL
+    SELECT path, 'import', 'import', 2, 2, 'from collections import OrderedDict', '' FROM py_base
+    UNION ALL
+    SELECT path, 'f_' || t.i, 'function', 4 + 4*t.i, 6 + 4*t.i,
+           'def f_' || t.i || '(x):' || chr(10) || '    """' || w || ' ' || t.i || '"""' || chr(10) || '    return x + ' || t.i,
+           w || ' ' || t.i
+    FROM py_base, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) t
+    UNION ALL
+    SELECT path, 'C' || doc_id, 'class', 4 + 4*nf, 7 + 4*nf,
+           'class C' || doc_id || ':' || chr(10) || '    """' || w || ' class"""' || chr(10) || '    def m(self):' || chr(10) || '        return ' || doc_id,
+           w || ' class'
+    FROM py_base
+    UNION ALL
+    SELECT path, 'm', 'function', 6 + 4*nf, 7 + 4*nf,
+           '    def m(self):' || chr(10) || '        return ' || doc_id, ''
+    FROM py_base
+)
+'''
 )
 
 
@@ -750,6 +805,19 @@ FROM sectioned WHERE is_heading = 0
 GROUP BY path, section_id, section_name
 HAVING regexp_replace(string_agg(line, chr(10) ORDER BY pos), '\\s', '', 'g') <> ''
 """,
+        "chunk_ast_python": f"""
+WITH {_PY_ELEMENTS_CTE}
+SELECT path, name, element_type, CAST(start_line AS INTEGER) AS start_line,
+       CAST(end_line AS INTEGER) AS end_line, content, docstring
+FROM py_elements
+""",
+        "diag_python_flakes": f"""
+WITH {DERIVED_PY_SQL.strip()}
+SELECT path, CAST(1 AS INTEGER) AS line_no, 'unused_import' AS rule, 'os' AS name
+FROM py_base
+UNION ALL
+SELECT path, CAST(2 AS INTEGER), 'unused_import', 'OrderedDict' FROM py_base
+""",
         "diag_python": f"""
 WITH {_DIAG_CTE}
 SELECT path, line_no, rule,
@@ -784,10 +852,11 @@ UNION ALL SELECT 'events', count(*) FROM events
 """,
         "index_pipeline": f"""
 WITH {DERIVED_CORPUS_SQL},
+{_PY_ELEMENTS_CTE},
 nlines AS (
     SELECT c.path, t.i - 1 AS pos, c.parts[t.i] AS line
     FROM (SELECT path, string_split(content, chr(10)) AS parts
-          FROM corpus WHERE ext <> '.md') c,
+          FROM corpus WHERE ext NOT IN ('.md', '.py')) c,
          LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
 ),
 nchunks AS (
@@ -832,7 +901,14 @@ melems AS (
     GROUP BY path, section_id, section_name
     HAVING regexp_replace(string_agg(line, chr(10) ORDER BY pos), '\\s', '', 'g') <> ''
 ),
-allelems AS (SELECT * FROM nelems UNION ALL SELECT * FROM melems)
+allelems AS (
+    SELECT * FROM nelems
+    UNION ALL SELECT * FROM melems
+    UNION ALL
+    SELECT path, name, element_type,
+           CAST(start_line AS INTEGER), CAST(end_line AS INTEGER), content
+    FROM py_elements
+)
 SELECT path, name, element_type, start_line, end_line,
        md5(name || ':' || element_type || ':' || content) AS hash,
        path || ':' || start_line || ':' ||

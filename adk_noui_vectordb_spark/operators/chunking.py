@@ -163,21 +163,133 @@ def chunk_markdown_sections(md_df: DataFrame) -> DataFrame:
     )
 
 
-def chunk_tree_sitter(source_df: DataFrame) -> DataFrame:
-    """AST-based chunking (indexing_agent.py:150-240) — gated on the native
-    tree-sitter wheels being importable on executors; falls back to
-    ``chunk_fixed_lines`` otherwise (SURVEY.md section 7 step 8).
+PY_AST_SCHEMA = (
+    "path string, name string, element_type string, "
+    "start_line int, end_line int, content string, docstring string"
+)
 
-    The reference walks the AST emitting function/class/import elements; a
-    Spark port runs the parser per-partition inside ``mapInPandas`` with a
-    per-executor parser singleton. The container ships no tree-sitter
-    grammar wheels, so this is the documented fallback path.
+_FALLBACK_CHUNK_LINES = 50
+
+
+def chunk_python_ast(source_df: DataFrame, chunk_size: int = _FALLBACK_CHUNK_LINES) -> DataFrame:
+    """AST-based Python chunking — the reference's core extraction operator
+    (indexing_agent.py:150-240) on stdlib ``ast`` instead of tree-sitter
+    (zero native deps; also sidesteps the reference's 'function_def'
+    node-type bug, SURVEY.md §2.7a — the correct tree-sitter type is
+    'function_definition', so the reference never actually emitted
+    functions).
+
+    Runs ``ast.parse`` per file inside ``mapInPandas`` — a NARROW op (no
+    shuffle): each Arrow batch of (path, content) rows maps to element
+    rows. Emitted, matching the reference's walk:
+
+    - every function/method def -> 'function' (the reference's recursive
+      traverse_node also descends into class bodies), with its docstring
+      (indexing_agent.py:227-240) and exact source line span;
+    - every class def -> 'class' with docstring;
+    - every import / import-from -> 'import' named 'import'
+      (indexing_agent.py:197-198);
+    - content = the source lines [start_line-1:end_line] joined, the
+      reference's slice (indexing_agent.py:181-183).
+
+    Files that do not parse fall back to the reference's fixed-line text
+    chunks (indexing_agent.py:290-312) so one bad file cannot poison a
+    batch — at 100 TB some fraction of any corpus is malformed.
     """
+
+    def extract(batches):
+        import ast as ast_mod
+
+        import pandas as pd
+
+        cols = (
+            "path",
+            "name",
+            "element_type",
+            "start_line",
+            "end_line",
+            "content",
+            "docstring",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+
+            def emit(path, name, etype, start, end, content, ds):
+                out["path"].append(path)
+                out["name"].append(name)
+                out["element_type"].append(etype)
+                out["start_line"].append(start)
+                out["end_line"].append(end)
+                out["content"].append(content)
+                out["docstring"].append(ds)
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                lines = content.split("\n")
+                try:
+                    tree = ast_mod.parse(content)
+                except SyntaxError:
+                    for c0 in range(0, len(lines), chunk_size):
+                        seg = lines[c0 : c0 + chunk_size]
+                        text = "\n".join(seg)
+                        if not "".join(text.split()):
+                            continue
+                        emit(
+                            path,
+                            f"chunk_{c0 // chunk_size}",
+                            "text_chunk",
+                            c0 + 1,
+                            c0 + len(seg),
+                            text,
+                            "",
+                        )
+                    continue
+                for node in ast_mod.walk(tree):
+                    if isinstance(
+                        node, (ast_mod.FunctionDef, ast_mod.AsyncFunctionDef)
+                    ):
+                        etype, name = "function", node.name
+                        ds = ast_mod.get_docstring(node, clean=False) or ""
+                    elif isinstance(node, ast_mod.ClassDef):
+                        etype, name = "class", node.name
+                        ds = ast_mod.get_docstring(node, clean=False) or ""
+                    elif isinstance(node, (ast_mod.Import, ast_mod.ImportFrom)):
+                        etype, name, ds = "import", "import", ""
+                    else:
+                        continue
+                    start, end = node.lineno, node.end_lineno
+                    emit(
+                        path,
+                        name,
+                        etype,
+                        start,
+                        end,
+                        "\n".join(lines[start - 1 : end]),
+                        ds,
+                    )
+            df = pd.DataFrame(out)
+            df["start_line"] = df["start_line"].astype("int32")
+            df["end_line"] = df["end_line"].astype("int32")
+            yield df
+
+    return source_df.select("path", "content").mapInPandas(extract, PY_AST_SCHEMA)
+
+
+def chunk_tree_sitter(source_df: DataFrame) -> DataFrame:
+    """Multi-language AST chunking (indexing_agent.py:150-240): .py routes
+    through the stdlib-``ast`` extractor (real functions/classes/imports,
+    no native deps); other languages would use tree-sitter, which is gated
+    on the native wheels being importable on executors and falls back to
+    ``chunk_fixed_lines`` (SURVEY.md section 7 step 8 — the container
+    ships no grammar wheels)."""
+    py = source_df.filter(F.col("path").endswith(".py"))
+    rest = source_df.filter(~F.col("path").endswith(".py"))
+    py_elems = chunk_python_ast(py).drop("docstring")
     try:
         import tree_sitter  # noqa: F401
+
+        raise NotImplementedError(
+            "tree-sitter available but grammar loading not wired yet"
+        )
     except ImportError:
-        return chunk_fixed_lines(source_df)
-    raise NotImplementedError(
-        "tree-sitter available but grammar loading not wired yet; "
-        "use chunk_fixed_lines"
-    )
+        rest_elems = chunk_fixed_lines(rest)
+    return py_elems.unionByName(rest_elems)

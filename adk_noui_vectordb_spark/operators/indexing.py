@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.corpus import derived_corpus
+from ..sources.corpus import derived_corpus, derived_python_corpus
 from ..sources.tables import load_table
 
 CHUNK_LINES = 5
@@ -235,10 +235,28 @@ def _py_rules(line):
 
 
 def _js_rules(line):
+    s = F.trim(line)
+    # The reference's 7-clause missing-semicolon heuristic
+    # (lsp_tool.py:206-230): non-blank stripped line that is not a comment,
+    # does not end a statement/block/continuation, and is not a control
+    # header. Pure SQL predicate — stays in codegen, DuckDB-twinned.
+    missing_semicolon = (
+        (s != "")
+        & ~s.startswith("//")
+        & ~s.startswith("/*")
+        & ~s.endswith(";")
+        & ~s.endswith("{")
+        & ~s.endswith("}")
+        & ~s.endswith(",")
+        & ~s.contains("if (")
+        & ~s.contains("for (")
+        & ~s.contains("while (")
+    )
     return [
         ("console_log", line.contains("console.log")),
         ("multi_semicolon", line.contains(";;")),
         ("long_line", F.length(line) > 120),
+        ("missing_semicolon", missing_semicolon),
     ]
 
 
@@ -263,6 +281,104 @@ def diag_js_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _diag_rules(
         lines.filter(F.col("ext").isin(".js", ".ts")), _js_rules(F.col("line"))
     )
+
+
+_PY_SYNTAX_SCHEMA = "path string, line_no int, rule string, severity string"
+_PY_FLAKES_SCHEMA = "path string, line_no int, rule string, name string"
+
+
+def diag_python_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file ``ast.parse`` syntax check (lsp_tool.py:129-137): one
+    'syntax_error' row per unparseable .py file at the reported line.
+
+    Runs inside ``mapInPandas`` (narrow, no shuffle). The error LINE is a
+    parser artifact no SQL engine can predict, so this is a rows-only
+    contract (driver records rows-only; the unit test pins semantics on a
+    hand-built corpus instead)."""
+    corpus = derived_corpus(spark, sf_dir).filter(F.col("ext") == ".py")
+    return python_syntax_errors(corpus)
+
+
+def python_syntax_errors(corpus: DataFrame) -> DataFrame:
+    def check(batches):
+        import ast as ast_mod
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"path": [], "line_no": [], "rule": [], "severity": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    ast_mod.parse(content)
+                except SyntaxError as exc:
+                    out["path"].append(path)
+                    out["line_no"].append(exc.lineno or 0)
+                    out["rule"].append("syntax_error")
+                    out["severity"].append("error")
+            df = pd.DataFrame(out)
+            df["line_no"] = df["line_no"].astype("int32")
+            yield df
+
+    return corpus.select("path", "content").mapInPandas(check, _PY_SYNTAX_SCHEMA)
+
+
+def diag_python_flakes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unused-import analysis — the highest-frequency rule of the
+    reference's pyflakes pass (lsp_tool.py:157-177) as a real AST walk:
+    collect imported bindings (asname-aware), collect every loaded Name,
+    report bindings never referenced.
+
+    Implemented on stdlib ``ast`` inside ``mapInPandas`` (pyflakes is not
+    in the container; its API is a drop-in replacement for ``_file_flakes``
+    at deployment — same (line, rule, name) rows). Runs over the VALID
+    Python corpus so the DuckDB oracle can predict the exact output from
+    the corpus generation rules — the checker is graded against an
+    independent arithmetic prediction, not against itself. Unparseable
+    files yield no rows (the syntax check owns those)."""
+    corpus = derived_python_corpus(spark, sf_dir)
+
+    def check(batches):
+        import ast as ast_mod
+
+        import pandas as pd
+
+        def file_flakes(path, content):
+            try:
+                tree = ast_mod.parse(content)
+            except SyntaxError:
+                return
+            imported = {}  # binding name -> first import line
+            used = set()
+            for node in ast_mod.walk(tree):
+                if isinstance(node, ast_mod.Import):
+                    for a in node.names:
+                        binding = a.asname or a.name.split(".")[0]
+                        imported.setdefault(binding, node.lineno)
+                elif isinstance(node, ast_mod.ImportFrom):
+                    for a in node.names:
+                        binding = a.asname or a.name
+                        imported.setdefault(binding, node.lineno)
+                elif isinstance(node, ast_mod.Name):
+                    used.add(node.id)
+                elif isinstance(node, ast_mod.Attribute):
+                    pass  # root Name of the chain is walked separately
+            for binding, line in sorted(imported.items(), key=lambda kv: kv[1]):
+                if binding not in used:
+                    yield path, line, "unused_import", binding
+
+        for pdf in batches:
+            out = {"path": [], "line_no": [], "rule": [], "name": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for p, line, rule, name in file_flakes(path, content):
+                    out["path"].append(p)
+                    out["line_no"].append(line)
+                    out["rule"].append(rule)
+                    out["name"].append(name)
+            df = pd.DataFrame(out)
+            df["line_no"] = df["line_no"].astype("int32")
+            yield df
+
+    return corpus.select("path", "content").mapInPandas(check, _PY_FLAKES_SCHEMA)
 
 
 def corpus_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,19 +506,38 @@ def build_index_from_corpus(
     import os
 
     from ..sources.sinks import upsert_parquet, write_json_report
-    from .chunking import chunk_fixed_lines, chunk_markdown_sections
+    from .chunking import (
+        chunk_fixed_lines,
+        chunk_markdown_sections,
+        chunk_python_ast,
+    )
     from .embed import make_embed_udf
     md = corpus.filter(F.col("ext") == ".md").select("path", "content")
-    rest = corpus.filter(F.col("ext") != ".md").select("path", "content")
-    elements = chunk_fixed_lines(rest, chunk_size=chunk_size).unionByName(
-        chunk_markdown_sections(md)
+    py = corpus.filter(F.col("ext") == ".py").select("path", "content")
+    rest = corpus.filter(~F.col("ext").isin(".md", ".py")).select(
+        "path", "content"
+    )
+    # Route by extension (indexing_agent.py:131-142): .py through the REAL
+    # AST extractor (element types from actual functions/classes/imports),
+    # .md through the heading sectioner, the rest through fixed-line chunks.
+    elements = (
+        chunk_python_ast(py)
+        .drop("docstring")
+        .unionByName(chunk_fixed_lines(rest, chunk_size=chunk_size))
+        .unionByName(chunk_markdown_sections(md))
     )
     h = F.md5(F.concat_ws(":", "name", "element_type", "content"))
+    # element_key includes start_line: names repeat within a file (two
+    # import rows, repeated markdown headings), and the upsert must not
+    # collapse distinct elements (reference keys on path:start:hash,
+    # indexing_agent.py:350).
     keyed = elements.select(
         "*",
         h.alias("hash"),
         F.concat_ws(":", "path", F.col("start_line").cast("string"), h).alias("id"),
-        F.concat_ws("#", "path", "name").alias("element_key"),
+        F.concat_ws(
+            "#", "path", "name", F.col("start_line").cast("string")
+        ).alias("element_key"),
         F.concat(
             F.col("name"), F.lit(" "), F.col("element_type"), F.lit("\n"),
             F.col("content"),
@@ -481,10 +616,10 @@ def index_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     index_dir = tempfile.mkdtemp(prefix="adk_index_")
-    from ..sources.corpus import derived_corpus
+    from ..sources.corpus import indexing_corpus
 
     build_index_from_corpus(
-        spark, derived_corpus(spark, sf_dir), index_dir, chunk_size=50
+        spark, indexing_corpus(spark, sf_dir), index_dir, chunk_size=50
     )
     stored = spark.read.parquet(os.path.join(index_dir, "code_elements.parquet"))
     return stored.select(

@@ -111,6 +111,104 @@ def derived_markdown_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derived_python_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VALID-Python corpus for the AST chunker — the 'en'
+    documents rendered as real modules: two imports, 1-3 functions with
+    docstrings, one class with a method.
+
+    The point of the construction: the Spark side parses these files with
+    GENUINE ``ast.parse`` (operators/chunking.py:chunk_python_ast) while
+    the DuckDB oracle predicts the expected elements ARITHMETICALLY from
+    the same generation rules (DERIVED_PY_SQL + the py_elements CTE in
+    __spark_entry__) — a hash-checked oracle over a real parser, not a
+    string heuristic checked against itself.
+
+    Layout (1-based lines; nf = doc_id % 3 + 1 functions; w = first
+    lowercase word of the doc text):
+
+        1  import os
+        2  from collections import OrderedDict
+        3
+        4+4i  def f_i(x):            (for i in 0..nf-1)
+        5+4i      \"\"\"w i\"\"\"
+        6+4i      return x + i
+        7+4i
+        4+4nf class C<doc_id>:
+        5+4nf     \"\"\"w class\"\"\"
+        6+4nf     def m(self):
+        7+4nf         return <doc_id>
+
+    Must stay expression-for-expression identical to DERIVED_PY_SQL.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    w = F.regexp_extract(F.col("text"), "[a-z]+", 0)
+    nf = F.col("doc_id") % 3 + 1
+    doc_id_s = F.col("doc_id").cast("string")
+    header = F.lit("import os\nfrom collections import OrderedDict\n\n")
+
+    def fn_block(i: int):
+        return F.when(
+            nf > i,
+            F.concat(
+                F.lit(f'def f_{i}(x):\n    """'),
+                w,
+                F.lit(f' {i}"""\n    return x + {i}\n\n'),
+            ),
+        ).otherwise(F.lit(""))
+
+    cls_block = F.concat(
+        F.lit("class C"),
+        doc_id_s,
+        F.lit(':\n    """'),
+        w,
+        F.lit(' class"""\n    def m(self):\n        return '),
+        doc_id_s,
+    )
+    return d.select(
+        F.concat(
+            F.lit("corpus_py/"),
+            F.col("source"),
+            F.lit("/mod_"),
+            doc_id_s,
+            F.lit(".py"),
+        ).alias("path"),
+        F.lit(".py").alias("ext"),
+        F.concat(header, fn_block(0), fn_block(1), fn_block(2), cls_block).alias(
+            "content"
+        ),
+    )
+
+
+def indexing_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus the full indexing pipeline runs over: ``derived_corpus``
+    with the .py slice replaced by the VALID-Python modules, so the AST
+    route does real extraction instead of falling back on unparseable
+    word-soup files."""
+    base = derived_corpus(spark, sf_dir).filter(F.col("ext") != ".py")
+    return base.unionByName(derived_python_corpus(spark, sf_dir))
+
+
+DERIVED_PY_SQL = '''
+py_base AS (
+    SELECT 'corpus_py/' || source || '/mod_' || doc_id || '.py' AS path,
+           doc_id,
+           doc_id % 3 + 1 AS nf,
+           regexp_extract(text, '[a-z]+') AS w
+    FROM documents WHERE lang = 'en'
+),
+py_corpus AS (
+    SELECT path, '.py' AS ext,
+           'import os' || chr(10) || 'from collections import OrderedDict' || chr(10) || chr(10)
+           || CASE WHEN nf > 0 THEN 'def f_0(x):' || chr(10) || '    """' || w || ' 0"""' || chr(10) || '    return x + 0' || chr(10) || chr(10) ELSE '' END
+           || CASE WHEN nf > 1 THEN 'def f_1(x):' || chr(10) || '    """' || w || ' 1"""' || chr(10) || '    return x + 1' || chr(10) || chr(10) ELSE '' END
+           || CASE WHEN nf > 2 THEN 'def f_2(x):' || chr(10) || '    """' || w || ' 2"""' || chr(10) || '    return x + 2' || chr(10) || chr(10) ELSE '' END
+           || 'class C' || doc_id || ':' || chr(10) || '    """' || w || ' class"""' || chr(10) || '    def m(self):' || chr(10) || '        return ' || doc_id
+           AS content
+    FROM py_base
+)
+'''
+
+
 DERIVED_MD_SQL = """
 md_corpus AS (
     SELECT 'corpus/' || source || '/doc_' || doc_id || '.md' AS path,

@@ -103,8 +103,12 @@ def stream_incremental_index(
 
     def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         elements = chunk_fixed_lines(batch_df, chunk_size=chunk_size)
+        # start_line in the key: chunk names can repeat within a file, and
+        # the upsert must not collapse distinct elements (same rule as
+        # build_index_from_corpus).
         keyed = elements.withColumn(
-            "element_key", F.concat_ws("#", "path", "name")
+            "element_key",
+            F.concat_ws("#", "path", "name", F.col("start_line").cast("string")),
         )
         if keyed.isEmpty():
             return

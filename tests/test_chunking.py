@@ -64,3 +64,82 @@ def test_minhash_arrow_equals_expr(spark, sf_dir):
     a = sorted(tuple(r) for r in _minhash_wide(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in _minhash_wide_expr(spark, sf_dir).collect())
     assert a == b
+
+
+def test_chunk_python_ast_extracts_real_elements(spark):
+    src = (
+        "import os, sys\n"
+        "from typing import List\n"
+        "\n"
+        "@decorated\n"
+        "def top(a, b):\n"
+        '    """does things"""\n'
+        "    return a + b\n"
+        "\n"
+        "async def fetch():\n"
+        "    pass\n"
+        "\n"
+        "class Outer:\n"
+        '    """outer doc"""\n'
+        "    def method(self):\n"
+        "        return 1\n"
+        "\n"
+        "    class Inner:\n"
+        "        pass\n"
+    )
+    from adk_noui_vectordb_spark.operators.chunking import chunk_python_ast
+
+    df = spark.createDataFrame([("m.py", src)], "path string, content string")
+    rows = {(r.name, r.element_type): r for r in chunk_python_ast(df).collect()}
+    assert set(rows) == {
+        ("import", "import"),  # two import rows share the (name, type) key
+        ("top", "function"),
+        ("fetch", "function"),
+        ("method", "function"),
+        ("Outer", "class"),
+        ("Inner", "class"),
+    }
+    # both import statements present as separate rows
+    imports = [
+        r for r in chunk_python_ast(df).collect() if r.element_type == "import"
+    ]
+    assert sorted((r.start_line, r.content) for r in imports) == [
+        (1, "import os, sys"),
+        (2, "from typing import List"),
+    ]
+    top = rows[("top", "function")]
+    # ast linenos exclude the decorator; span covers the def through body
+    assert (top.start_line, top.end_line) == (5, 7)
+    assert top.docstring == "does things"
+    assert top.content.startswith("def top")
+    outer = rows[("Outer", "class")]
+    assert outer.docstring == "outer doc"
+    assert (outer.start_line, outer.end_line) == (12, 18)
+
+
+def test_chunk_python_ast_falls_back_on_syntax_error(spark):
+    from adk_noui_vectordb_spark.operators.chunking import chunk_python_ast
+
+    bad = "def broken(:\n" + "\n".join(f"x{i}" for i in range(60))
+    df = spark.createDataFrame([("bad.py", bad)], "path string, content string")
+    rows = sorted(chunk_python_ast(df).collect(), key=lambda r: r.start_line)
+    assert [r.element_type for r in rows] == ["text_chunk", "text_chunk"]
+    assert [(r.start_line, r.end_line) for r in rows] == [(1, 50), (51, 61)]
+
+
+def test_python_syntax_errors_reports_line(spark):
+    from adk_noui_vectordb_spark.operators.indexing import python_syntax_errors
+
+    df = spark.createDataFrame(
+        [
+            ("ok.py", ".py", "import os\n\nx = 1\n"),
+            ("bad.py", ".py", "import os\ndef f(:\n    pass\n"),
+        ],
+        "path string, ext string, content string",
+    )
+    rows = python_syntax_errors(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.path, r.line_no, r.rule, r.severity) == (
+        "bad.py", 2, "syntax_error", "error"
+    )

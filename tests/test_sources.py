@@ -53,33 +53,60 @@ def test_hash_projection_model_deterministic():
     assert m.encode(["other text"]) != v1
 
 
+_PY_V1 = '''import os
+
+def alpha(x):
+    """first"""
+    return x + 1
+
+def beta(y):
+    """second"""
+    return y * 2
+'''
+
+_PY_V2 = _PY_V1.replace("return y * 2", "return y * 3")
+
+
 def test_build_index_end_to_end_and_incremental(spark, tmp_path):
     """Full §3.1 lifecycle + the §4 anti-join skip: a second run over an
-    unchanged corpus embeds ZERO elements; a changed file re-embeds only
-    its own chunks and replaces the stale ones."""
+    unchanged corpus embeds ZERO elements; a changed FUNCTION re-embeds
+    only its own element (real AST extraction) and replaces the stale
+    row."""
     from adk_noui_vectordb_spark.operators.indexing import build_index
 
     corpus = tmp_path / "corpus"
     corpus.mkdir()
-    (corpus / "a.py").write_text("\n".join(f"line{i}" for i in range(120)))
+    (corpus / "a.py").write_text(_PY_V1)
     (corpus / "b.md").write_text("# Top\nalpha\nbeta\n## Next\ngamma\n")
     idx = str(tmp_path / "index")
 
     r1 = build_index(spark, str(corpus), idx, chunk_size=50)
     assert r1["indexed_files"] == 2
     assert r1["embedded_new"] == r1["total_elements"] > 0
+    stored = spark.read.parquet(f"{idx}/code_elements.parquet")
+    # AST route extracted the real elements
+    types = {
+        (r["name"], r["element_type"])
+        for r in stored.filter(stored.path.endswith(".py")).collect()
+    }
+    assert types == {
+        ("import", "import"), ("alpha", "function"), ("beta", "function")
+    }
 
     r2 = build_index(spark, str(corpus), idx, chunk_size=50)
     assert r2["embedded_new"] == 0  # nothing changed -> nothing re-embedded
 
-    (corpus / "a.py").write_text("\n".join(f"LINE{i}" for i in range(120)))
+    (corpus / "a.py").write_text(_PY_V2)
     r3 = build_index(spark, str(corpus), idx, chunk_size=50)
-    assert 0 < r3["embedded_new"] < r3["total_elements"]
+    # only the changed function re-embeds
+    assert r3["embedded_new"] == 1
+    assert r3["total_elements"] == r1["total_elements"]
 
     stored = spark.read.parquet(f"{idx}/code_elements.parquet")
-    # stale chunks replaced, not leaked: one row per (path, name)
+    # stale rows replaced, not leaked: one row per element key
     assert stored.count() == stored.select("element_key").distinct().count()
-    assert stored.filter(stored.content.contains("LINE1")).count() > 0
+    assert stored.filter(stored.content.contains("return y * 3")).count() == 1
+    assert stored.filter(stored.content.contains("return y * 2")).count() == 0
 
 
 def test_compact_parquet_reduces_files(spark, tmp_path):

@@ -39,7 +39,7 @@ def test_incremental_index_upserts_changed_files(spark, tmp_path):
     }
     # a.txt -> 2 chunks (60 lines @ 50), b.txt -> 1
     assert len(rows) == 3
-    assert any(k.endswith("a.txt#chunk_1") for k in rows)
+    assert any(k.endswith("a.txt#chunk_1#51") for k in rows)
 
     # new file arrives; restart with the SAME checkpoint -> only c.txt processed
     (corpus / "c.txt").write_text("c0")
@@ -50,9 +50,9 @@ def test_incremental_index_upserts_changed_files(spark, tmp_path):
     rows2 = spark.read.parquet(index).collect()
     keys = {r["element_key"] for r in rows2}
     assert len(rows2) == 4
-    assert any(k.endswith("c.txt#chunk_0") for k in keys)
+    assert any(k.endswith("c.txt#chunk_0#1") for k in keys)
     # prior elements survived the incremental upsert
-    assert any(k.endswith("a.txt#chunk_0") for k in keys)
+    assert any(k.endswith("a.txt#chunk_0#1") for k in keys)
 
 
 def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
