@@ -379,10 +379,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 60-bit SimHash over word-BIGRAM hashes.
 
     bit_i(doc) = 1 iff sum over distinct bigrams of (+1 if bit_i(md5_long(g))
-    else -1) > 0. Explode -> per-bit signed sum -> recompose. Bounded
-    expression width (60 conditional sums, map-side partial agg), one
-    shuffle. 60 bits = the md5_long width; the recomposed signature stays
-    < 2^60 so int64 arithmetic never overflows under ANSI mode.
+    else -1) > 0. 60 bits = the md5_long width; the signature stays < 2^60
+    so int64 arithmetic never overflows under ANSI mode.
 
     Bigram features, not unigrams: the corpus vocabulary is small and
     heavily shared, so unigram signatures concentrate (measured: 19% of
@@ -390,7 +388,53 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams have enough entropy to separate near-dups from background —
     measured candidate rate 0.03%, hamming<=3 rate 0.014%, with a clear
     hamming gap (near-dups <=5, background >=17).
+
+    Computed in ONE ``mapInPandas`` pass (shingle -> md5 -> vectorized
+    60-bit majority vote per doc) — narrow op, no explode, no shuffle;
+    the same kernel-beats-wide-expression trade measured for MinHash
+    (explode + 60 conditional sums benched 3.8x slower at sf0.1).
+    ``_simhash_signatures_expr`` keeps the pure-JVM formulation;
+    equality of the two is pinned in tests.
     """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                k = max(len(words) - 1, 1)
+                grams = {" ".join(words[i : i + 2]) for i in range(k)}
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                ones = ((h[:, None] >> shift) & 1).sum(axis=0)
+                # signed sum = 2*ones - n; bit set iff sum > 0
+                bits = (2 * ones - len(h) > 0).astype(np.int64)
+                ids.append(doc_id)
+                sigs.append(int((bits << shift).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash": np.array(sigs, dtype=np.int64)}
+            )
+
+    return d.mapInPandas(batches, "doc_id bigint, simhash bigint")
+
+
+def _simhash_signatures_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM formulation of ``simhash_signatures`` (explode bigrams ->
+    60 conditional sums -> recompose). Kept as the no-Python-workers
+    alternative; must stay value-identical to the Arrow kernel (tested)."""
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",

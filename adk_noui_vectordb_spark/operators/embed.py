@@ -35,10 +35,40 @@ _MODEL = None
 
 
 def _get_model():
+    """Per-executor model singleton.
+
+    Set ``SPARK_GRAFT_EMBED_MODEL`` (e.g. ``all-MiniLM-L6-v2``) to load a
+    real SentenceTransformer (the reference's encoder, indexing_agent.py:
+    50,353) — a GPU environment is a one-env-var swap, no code change.
+    Unset (the default, and the only option in this container: no torch),
+    the deterministic hash-projection embedder runs instead; it is the
+    oracle-checked path, so the env gate also keeps CI deterministic.
+    """
     global _MODEL
     if _MODEL is None:
-        _MODEL = _HashProjectionModel(EMBED_DIM)
+        import os
+
+        model_name = os.environ.get("SPARK_GRAFT_EMBED_MODEL")
+        if model_name:
+            _MODEL = _SentenceTransformerModel(model_name)
+        else:
+            _MODEL = _HashProjectionModel(EMBED_DIM)
     return _MODEL
+
+
+class _SentenceTransformerModel:
+    """Real-model adapter: same ``encode(list[str]) -> list[list[float]]``
+    surface as the fallback, normalized embeddings for cosine-as-dot."""
+
+    def __init__(self, model_name: str):
+        from sentence_transformers import SentenceTransformer
+
+        self._model = SentenceTransformer(model_name)
+        self.dim = self._model.get_sentence_embedding_dimension()
+
+    def encode(self, texts: list[str]) -> list[list[float]]:
+        vecs = self._model.encode(list(texts), normalize_embeddings=True)
+        return [v.tolist() for v in vecs]
 
 
 class _HashProjectionModel:

@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (events.ts) is unreadable in Spark 4
+        # without this; it is session-wide, so it lives HERE in the factory
+        # (load_table also sets it at runtime for externally created
+        # sessions, e.g. the driver's vanilla one — same visibility caveat).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

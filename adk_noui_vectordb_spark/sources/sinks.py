@@ -22,38 +22,68 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Heal the directory-swap crash window.
+
+    The swap is two renames (path -> .__old__, then .__tmp__/.__compact__
+    -> path); a crash between them leaves no table at ``path`` but an
+    intact copy at ``.__old__``. POSIX has no atomic directory exchange,
+    so the window cannot be closed — instead every writer/reader entry
+    point calls this first: if ``path`` is missing and ``.__old__``
+    exists, the old table is restored (the interrupted write is simply
+    lost, which upsert semantics allow — the caller re-runs it).
+    """
+    old = path + ".__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def _swap_into_place(tmp: str, path: str) -> None:
+    old = path + ".__old__"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        import shutil
+
+        shutil.rmtree(old)
+
+
 def upsert_parquet(
     spark: SparkSession, new_rows: DataFrame, path: str, key: str
 ) -> None:
     """Insert-or-replace by ``key`` into the parquet table at ``path``.
 
-    New rows win over existing rows with the same key; within the new batch,
-    later duplicates are resolved deterministically by the key ordering.
+    New rows win over existing rows with the same key; duplicate keys
+    WITHIN the new batch are resolved deterministically by a full-row
+    digest tie-break (lowest digest wins), so repeated runs pick the same
+    survivor regardless of partitioning order.
     """
-    tagged_new = new_rows.withColumn("_prec", F.lit(0))
+    _recover_interrupted_swap(path)
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in new_rows.columns])))
+    tagged_new = new_rows.withColumn("_prec", F.lit(0)).withColumn(
+        "_tie", digest
+    )
     if os.path.exists(path):
-        existing = spark.read.parquet(path).withColumn("_prec", F.lit(1))
+        existing = (
+            spark.read.parquet(path)
+            .withColumn("_prec", F.lit(1))
+            .withColumn("_tie", F.lit(""))
+        )
         merged = tagged_new.unionByName(existing)
     else:
         merged = tagged_new
-    w = Window.partitionBy(key).orderBy(F.asc("_prec"))
+    w = Window.partitionBy(key).orderBy(F.asc("_prec"), F.asc("_tie"))
     result = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_prec", "_rn")
+        .drop("_prec", "_tie", "_rn")
     )
     # Materialize before overwrite (reading and overwriting the same path in
-    # one job is not safe); then swap atomically via a temp dir rename.
+    # one job is not safe); then swap via the recoverable two-rename dance.
     tmp = path + ".__tmp__"
     result.write.mode("overwrite").parquet(tmp)
-    final_tmp = path + ".__old__"
-    if os.path.exists(path):
-        os.rename(path, final_tmp)
-    os.rename(tmp, path)
-    if os.path.exists(final_tmp):
-        import shutil
-
-        shutil.rmtree(final_tmp)
+    _swap_into_place(tmp, path)
 
 
 def write_json_report(df: DataFrame, path: str) -> None:
@@ -93,8 +123,8 @@ def compact_parquet(
     directory swap like upsert_parquet.
     """
     import math
-    import shutil
 
+    _recover_interrupted_swap(path)
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(path)
@@ -105,10 +135,7 @@ def compact_parquet(
     df = spark.read.parquet(path)
     tmp = path + ".__compact__"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = path + ".__old__"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_into_place(tmp, path)
     return n_files
 
 

@@ -48,6 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # SESSION-WIDE side effect, deliberate: nanosAsLong changes how any
+        # nanos-timestamp parquet in this session is read (as bigint).
+        # session.get_spark sets it at build time; this runtime set covers
+        # externally created sessions (the driver's vanilla one). Every
+        # table in this registry reads identically either way — only
+        # events carries nanos timestamps.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         # ts_ns is truncated to MICROsecond precision (div 1000 * 1000):

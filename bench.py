@@ -44,7 +44,34 @@ BENCH_KEYS = [
     "curate_corpus",
     "multimodal_features",
     "pivot_event_matrix",
+    "q9_brand_profit",
+    "retention_day_over_day",
+    "chunk_ast_python",
 ]
+
+
+def _previous_bench() -> dict[str, float]:
+    """Per-query timings from the latest BENCH_r*.json, for delta reporting."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, p)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+        # Driver files wrap the bench JSON line under "parsed".
+        data = data.get("parsed", data)
+        return data.get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def main() -> None:
@@ -69,6 +96,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     qs = entrymod.queries()
+    prev = _previous_bench()
     timings: dict[str, float] = {}
     RUNS = 2  # best-of-2: report steady-state, not scheduler noise
     for key in BENCH_KEYS:
@@ -84,9 +112,21 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[key] = round(best, 3)
         # progress to stderr — stdout carries ONLY the final JSON line
-        print(f"# {key}: {timings[key]:.3f}s ({n} rows)", file=sys.stderr, flush=True)
+        delta = (
+            f" [prev {prev[key]:.3f}s, {timings[key] - prev[key]:+.3f}]"
+            if key in prev
+            else ""
+        )
+        print(
+            f"# {key}: {timings[key]:.3f}s ({n} rows){delta}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
+    prev_total = round(
+        sum(prev[k] for k in timings if k in prev), 3
+    ) if prev else None
     print(
         json.dumps(
             {
@@ -97,6 +137,7 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "prev_total_same_keys": prev_total,
             }
         ),
         flush=True,
