@@ -198,6 +198,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _text.curate_corpus,
         "winnow_fingerprints": _text.winnow_fingerprints,
         "tfidf_top_terms": _text.tfidf_top_terms,
+        "quality_repetition": _text.quality_repetition,
+        "decontaminate_corpus": _text.decontaminate_corpus,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
@@ -622,6 +624,49 @@ WITH g AS (
     FROM g
 )
 SELECT DISTINCT doc_id, fp AS fingerprint FROM w WHERE pos <= n - 3
+""",
+        "quality_repetition": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+base AS (
+    SELECT doc_id,
+           1.0 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS dup_word_frac
+    FROM w
+),
+g3 AS (
+    SELECT doc_id,
+           1.0 - len(list_distinct(l)) / CAST(len(l) AS DOUBLE) AS dup_3gram_frac
+    FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+                              i -> array_to_string(words[i:i+2], ' ')) AS l
+        FROM w
+    )
+),
+g2 AS (
+    SELECT w.doc_id, array_to_string(w.words[t.i:t.i+1], ' ') AS gram
+    FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words) - 1, 1))) AS i) t
+),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+t2 AS (
+    SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_2gram_frac
+    FROM c2 GROUP BY doc_id
+)
+SELECT base.doc_id, base.dup_word_frac, t2.top_2gram_frac, g3.dup_3gram_frac
+FROM base JOIN t2 USING (doc_id) JOIN g3 USING (doc_id)
+""",
+        "decontaminate_corpus": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(len(words) - 7, 1)),
+                                        i -> array_to_string(words[i:i+7], ' '))) AS shingles
+    FROM w
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0),
+cand AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 <> 0)
+SELECT c.doc_id, count(DISTINCT c.shingle) AS n_hits
+FROM cand c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
 """,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,

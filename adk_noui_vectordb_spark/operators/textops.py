@@ -298,3 +298,99 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFra
         .filter(F.col("rank") <= top_n)
         .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, most-frequent-2-gram fraction, duplicate-3-gram
+    fraction. Documents dominated by repeated n-grams are boilerplate /
+    spam and get filtered before pre-training.
+
+    Shapes: the two within-document fractions are pure array HOFs (no
+    shuffle, codegen'd); the top-2-gram mode needs a per-(doc, gram) count,
+    one explode + two partial-aggregated groupBys keyed on doc_id.
+
+    Values are emitted as RAW doubles, deliberately unrounded: each is one
+    integer/integer division, which is bit-identical in every IEEE engine —
+    no float-order sensitivity, and rounding would only ADD the .xxx5
+    cross-engine tie hazard (SURVEY.md §5 rounding rules).
+    """
+    from .dedup import _shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    n = F.size(words)
+    grams3 = _shingles(F.col("text"), 3)
+    # _shingles dedups; for the duplicate fraction we need totals too.
+    raw3 = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    within = d.select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct(words)) / n.cast("double")).alias(
+            "dup_word_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.size(grams3) / F.size(raw3).cast("double")
+        ).alias("dup_3gram_frac"),
+    )
+    g2 = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+            )
+        ).alias("gram"),
+    )
+    counts = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    top2 = counts.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c").cast("double")).alias("top_2gram_frac")
+    )
+    return within.join(top2, "doc_id").select(
+        "doc_id", "dup_word_frac", "top_2gram_frac", "dup_3gram_frac"
+    )
+
+
+def decontaminate_corpus(
+    spark: SparkSession, sf_dir: str, shingle_words: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``shingle_words``-word shingle with the held-out benchmark set — the
+    exact-substring-overlap rule GPT-3/The Pile used to decontaminate
+    training data against eval sets.
+
+    The benchmark slice here is doc_id % 50 == 0 (deterministic stand-in
+    for MMLU et al.). Scale shape: benchmarks are tiny relative to a
+    100 TB corpus, so the DISTINCT benchmark shingle set is broadcast and
+    the candidate side is ONE narrow pass (explode + broadcast-hash
+    semi-ish join + per-doc count) — the fact table never shuffles on the
+    shingle key.
+
+    Returns (doc_id, n_hits): contaminated docs with the number of
+    distinct overlapping shingles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    n = F.size(words)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (shingle_words - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, shingle_words)),
+        )
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    cand = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )

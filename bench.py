@@ -47,6 +47,8 @@ BENCH_KEYS = [
     "q9_brand_profit",
     "retention_day_over_day",
     "chunk_ast_python",
+    "quality_repetition",
+    "decontaminate_corpus",
 ]
 
 

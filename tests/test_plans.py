@@ -174,3 +174,17 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         "PartitionFilters"
     )[1].split("\n")[0], plan
     assert df.count() > 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set (tiny vs the corpus) must broadcast; the
+    candidate side must never shuffle on the shingle key."""
+    from adk_noui_vectordb_spark.operators import textops
+
+    df = textops.decontaminate_corpus(spark, sf_dir)
+    assert_broadcast_join(df, min_count=1)
+    plan = explain_str(df, mode="simple")
+    # the candidate x benchmark join must be broadcast-hash, never a
+    # shuffle join keyed on the shingle (the bench .distinct() and the
+    # post-join count_distinct shuffles are tiny-side / hits-only)
+    assert "SortMergeJoin" not in plan, plan
