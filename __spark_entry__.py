@@ -43,6 +43,7 @@ from adk_noui_vectordb_spark.sources.corpus import (
     DERIVED_PY_SQL,
     derived_python_corpus,
 )
+from adk_noui_vectordb_spark.sources import formats as _fmt
 from adk_noui_vectordb_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -200,6 +201,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _text.tfidf_top_terms,
         "quality_repetition": _text.quality_repetition,
         "decontaminate_corpus": _text.decontaminate_corpus,
+        # multi-format IO fidelity (sources/formats.py): write->read round
+        # trips; the oracle aggregates the ORIGINAL parquet
+        "jsonl_roundtrip": _fmt.jsonl_roundtrip,
+        "csv_roundtrip": _fmt.csv_roundtrip,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
@@ -286,6 +291,17 @@ _COS = (
 )
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
+# Fidelity oracle for the format round trips: aggregates the ORIGINAL
+# parquet — the Spark side aggregates what came back from JSONL/CSV, so
+# any value bent in transit breaks the checksum hash-match.
+_ROUNDTRIP_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       CAST(sum(CAST(('0x' || substr(md5(doc_id || '|' || lang || '|' || n_chars || '|' || text), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+FROM documents GROUP BY source
+"""
 
 
 def _knn_sql(extra_where: str = "") -> str:
@@ -668,6 +684,8 @@ SELECT c.doc_id, count(DISTINCT c.shingle) AS n_hits
 FROM cand c JOIN bench b ON c.shingle = b.shingle
 GROUP BY c.doc_id
 """,
+        "jsonl_roundtrip": _ROUNDTRIP_SQL,
+        "csv_roundtrip": _ROUNDTRIP_SQL,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_hash
