@@ -31,6 +31,7 @@ from adk_noui_vectordb_spark.operators import indexing as _idx
 from adk_noui_vectordb_spark.operators import knn as _knn
 from adk_noui_vectordb_spark.operators import relational as _rel
 from adk_noui_vectordb_spark.operators import rollups as _roll
+from adk_noui_vectordb_spark.operators import sketches as _sketch
 from adk_noui_vectordb_spark.operators import temporal as _temporal
 from adk_noui_vectordb_spark.operators import textops as _text
 from adk_noui_vectordb_spark.operators.chunking import (
@@ -243,6 +244,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate ANN (SURVEY.md §4; LSH is rows-only — no SQL oracle)
         "ann_ivf_topk": _ann.ann_ivf_topk,
         "ann_lsh_topk": _ann.ann_lsh_topk,
+        # mergeable sketches (rows-only — approximate by construction;
+        # 5% error bound vs exact pinned in tests/test_sketches.py)
+        "sketch_distinct_users": _sketch.sketch_distinct_users,
         # multimodal plumbing (north star; mapInPandas over binary payloads)
         "multimodal_features": _mm.multimodal_features,
         "multimodal_resize": _mm.resize_images,

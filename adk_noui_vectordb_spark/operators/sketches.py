@@ -1,0 +1,39 @@
+"""Mergeable sketch operators — approximate distinct counts at 100 TB.
+
+Exact count-distinct over a 100 TB fact table shuffles every distinct key;
+a DataSketches HLL sketch is a few KB per group, built with map-side
+partial aggregation and merged associatively — the standard way to keep
+cardinality dashboards cheap. Spark 4 ships the DataSketches HLL family
+(`hll_sketch_agg`, `hll_union_agg`, `hll_sketch_estimate`) JVM-side, so
+the whole pipeline stays in codegen with no Python in the row path.
+
+Driver contract is rows-only: an approximate estimator cannot hash-match
+an exact SQL oracle by construction. The accuracy bound (relative error
+vs exact count-distinct) is pinned in tests/test_sketches.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type PLUS the global union —
+    computed by MERGING the per-group sketches, not re-scanning events
+    (the mergeability that makes sketches work at scale: the fact table
+    is read once, the union runs over five ~KB sketch blobs)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per_est = per.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").alias("approx_users"),
+    )
+    union_est = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    return per_est.unionByName(union_est)
