@@ -27,8 +27,10 @@ from adk_noui_vectordb_spark.operators import ann as _ann
 from adk_noui_vectordb_spark.operators import dedup as _dedup
 from adk_noui_vectordb_spark.operators import embed as _embed
 from adk_noui_vectordb_spark.operators import multimodal as _mm
+from adk_noui_vectordb_spark.operators import hybrid as _hyb
 from adk_noui_vectordb_spark.operators import indexing as _idx
 from adk_noui_vectordb_spark.operators import knn as _knn
+from adk_noui_vectordb_spark.operators import quantize as _quant
 from adk_noui_vectordb_spark.operators import relational as _rel
 from adk_noui_vectordb_spark.operators import rollups as _roll
 from adk_noui_vectordb_spark.operators import sketches as _sketch
@@ -244,6 +246,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approximate ANN (SURVEY.md §4; LSH is rows-only — no SQL oracle)
         "ann_ivf_topk": _ann.ann_ivf_topk,
         "ann_lsh_topk": _ann.ann_lsh_topk,
+        # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
+        "bm25_topk": _hyb.bm25_topk,
+        "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
+        "embed_quantize_int8": _quant.quantize_embeddings,
+        "knn_int8_topk": _quant.knn_int8_topk,
+        "knn_int8_rerank": _quant.knn_int8_rerank,
         # mergeable sketches (rows-only — approximate by construction;
         # 5% error bound vs exact pinned in tests/test_sketches.py)
         "sketch_distinct_users": _sketch.sketch_distinct_users,
@@ -318,6 +326,70 @@ WHERE e.vec_id <> 0 {extra_where}
 ORDER BY sim DESC, e.vec_id
 LIMIT 5
 """
+
+
+# BM25 CTE chain shared by bm25_topk / hybrid_rrf_topk (operators/hybrid.py).
+# Every fractional literal is ::DOUBLE so DuckDB never takes its exact-DECIMAL
+# arithmetic path (e.g. decimal tf*2.2 re-rounded to double differs from
+# Spark's double multiply by 1 ulp); fixed-order per-term combination mirrors
+# the Spark conditional aggregates.
+_BM25_CTE = """
+words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE term IN ('join', 'scan', 'window') GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm_scored AS (
+    SELECT tf.doc_id, tf.term,
+           ln((stats.n_docs - tdf.df + 0.5::DOUBLE) / (tdf.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * (tf.tf * 2.2::DOUBLE)
+           / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+              * (dl.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs)))) AS part
+    FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm_agg AS (
+    SELECT doc_id,
+           sum(CASE WHEN term = 'join' THEN part END) AS _s0,
+           sum(CASE WHEN term = 'scan' THEN part END) AS _s1,
+           sum(CASE WHEN term = 'window' THEN part END) AS _s2
+    FROM bm_scored GROUP BY 1
+),
+bm AS (
+    SELECT doc_id,
+           round(coalesce(_s0, 0.0::DOUBLE) + coalesce(_s1, 0.0::DOUBLE)
+                 + coalesce(_s2, 0.0::DOUBLE), 4) AS bm25
+    FROM bm_agg
+)"""
+
+# Int8 quantization CTE chain (operators/quantize.py): qz = stored form,
+# deq = reconstructed doubles. floor(x*127/max+0.5), never round() — the
+# engines' round() half-tie behaviors differ; floor of identical doubles
+# cannot.
+_QUANTIZE_CTE = """
+qb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+    FROM embeddings
+),
+qz AS (
+    SELECT vec_id, max_abs,
+           CASE WHEN max_abs = 0.0::DOUBLE
+                THEN list_transform(e, x -> CAST(0 AS TINYINT))
+                ELSE list_transform(e, x -> CAST(floor(
+                     x * 127.0::DOUBLE / max_abs + 0.5::DOUBLE) AS TINYINT))
+           END AS q
+    FROM qb
+),
+deq AS (
+    SELECT vec_id,
+           list_transform(q, v -> CAST(v AS DOUBLE) * max_abs / 127.0::DOUBLE) AS deq
+    FROM qz
+)"""
 
 
 def _minhash_perm_values() -> str:
@@ -1052,6 +1124,63 @@ FROM embeddings e JOIN top_labels USING (label) CROSS JOIN qe
 WHERE e.vec_id <> 0
 ORDER BY sim DESC, e.vec_id
 LIMIT 5
+""",
+        "bm25_topk": f"""
+WITH {_BM25_CTE}
+SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+        "hybrid_rrf_topk": f"""
+WITH {_BM25_CTE},
+lex_top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+lex_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+    FROM lex_top
+),
+qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+vsims AS (
+    SELECT e.vec_id AS doc_id, {_COS.format(a="e.embedding", b="qv.q_emb")} AS sim
+    FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.q_id
+),
+vec_top AS (SELECT doc_id, sim FROM vsims ORDER BY sim DESC, doc_id LIMIT 100),
+vec_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+    FROM vec_top
+),
+fused AS (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+    FROM lex_ranked l FULL OUTER JOIN vec_ranked v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+       CAST(vec_rank AS INTEGER) AS vec_rank,
+       coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
+       + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+        "embed_quantize_int8": f"""
+WITH {_QUANTIZE_CTE}
+SELECT vec_id, max_abs, q FROM qz
+""",
+        "knn_int8_topk": f"""
+WITH {_QUANTIZE_CTE},
+qq AS (SELECT vec_id AS q_id, deq AS q_deq FROM deq WHERE vec_id = 0)
+SELECT d.vec_id, {_COS.format(a="d.deq", b="qq.q_deq")} AS sim8
+FROM deq d CROSS JOIN qq WHERE d.vec_id <> qq.q_id
+ORDER BY sim8 DESC, d.vec_id LIMIT 10
+""",
+        "knn_int8_rerank": f"""
+WITH {_QUANTIZE_CTE},
+qq AS (SELECT vec_id AS q_id, deq AS q_deq FROM deq WHERE vec_id = 0),
+coarse AS (
+    SELECT d.vec_id, {_COS.format(a="d.deq", b="qq.q_deq")} AS sim8
+    FROM deq d CROSS JOIN qq WHERE d.vec_id <> qq.q_id
+    ORDER BY sim8 DESC, d.vec_id LIMIT 50
+),
+qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN coarse USING (vec_id) CROSS JOIN qe
+ORDER BY sim DESC, e.vec_id LIMIT 10
 """,
         "knn_text_query": """
 WITH qtok AS (

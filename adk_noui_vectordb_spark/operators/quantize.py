@@ -1,0 +1,128 @@
+"""Int8 embedding quantization and quantized kNN (scan-side ANN).
+
+The reference stores float32 embeddings in ChromaDB
+(coding_agent/tools/indexing_agent.py:50,353). At 100 TB the embedding
+column dominates storage and scan I/O; symmetric int8 quantization
+(``q = round(x * 127 / max|x|)`` per vector, scale stored alongside) cuts
+both 4x and makes the candidate scan SIMD/dictionary friendly — the
+standard serving trick (e.g. FAISS ``ScalarQuantizer``). Search then runs
+in two stages: a coarse top-C over DEQUANTIZED int8 vectors (cheap scan),
+then an exact float rerank of the C survivors — recall loss comes only
+from quantization error at the top-C boundary, measured in
+``tests/test_retrieval.py``.
+
+Everything is Catalyst HOFs (transform / aggregate) — no UDF, no shuffle
+beyond the final TakeOrderedAndProject heap merge.
+
+Determinism contract: quantization uses ``floor(x * 127.0 / max_abs + 0.5)``
+— fixed-order IEEE ops on identical doubles on both engines (NOT ``round``,
+whose half-even/half-up behavior differs across engines at ties). The
+quantized values are exact small integers, so every downstream integer sum
+is bit-stable; dequantized cosine follows the proven rounded-4dp kNN
+contract (operators/knn.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from ..sources.tables import load_table
+from .knn import make_query_from_vec
+
+Q_MAX = 127.0
+
+
+def with_quantized(emb: DataFrame) -> DataFrame:
+    """Add ``max_abs`` (per-vector scale, double) and ``q``
+    (array<tinyint>) columns. All-zero vectors quantize to all zeros."""
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.withColumn("emb_d", as_double)
+    df = df.withColumn(
+        "max_abs",
+        F.array_max(F.transform(F.col("emb_d"), lambda x: F.abs(x))),
+    )
+    quantized = F.when(
+        F.col("max_abs") == 0.0,
+        F.transform(F.col("emb_d"), lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            F.col("emb_d"),
+            lambda x: F.floor(
+                x * F.lit(Q_MAX) / F.col("max_abs") + F.lit(0.5)
+            ).cast("tinyint"),
+        )
+    )
+    return df.withColumn("q", quantized).drop("emb_d")
+
+
+def dequantized(q_col: F.Column, max_abs_col: F.Column) -> F.Column:
+    """Reconstruct doubles: ``q * max_abs / 127.0`` (fixed op order)."""
+    return F.transform(
+        q_col, lambda v: v.cast("double") * max_abs_col / F.lit(Q_MAX)
+    )
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored representation: (vec_id, max_abs, q[int8])."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return with_quantized(emb).select("vec_id", "max_abs", "q")
+
+
+def _dequantized_vectors(emb: DataFrame) -> DataFrame:
+    qdf = with_quantized(emb)
+    return qdf.select(
+        "vec_id", dequantized(F.col("q"), F.col("max_abs")).alias("deq")
+    )
+
+
+def knn_int8_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Exact kNN over the int8-quantized (then dequantized) vectors —
+    isolates pure quantization error vs operators/knn.py's float path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = _dequantized_vectors(emb)
+    q = deq.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("q_id"), F.col("deq").alias("q_deq")
+    )
+    sim8 = F.round(cosine_similarity(F.col("deq"), F.col("q_deq")), 4)
+    return (
+        deq.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", sim8.alias("sim8"))
+        .orderBy(F.desc("sim8"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_int8_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    n_coarse: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval: coarse top-C on the quantized scan
+    (TakeOrderedAndProject — per-partition C-heap over the cheap int8
+    column), then exact float cosine on the C survivors only. This is the
+    100 TB serving shape: the float column is read for C rows, not the
+    corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = knn_int8_topk(spark, sf_dir, query_vec_id, k=n_coarse).select(
+        "vec_id"
+    )
+    q = make_query_from_vec(emb, query_vec_id)
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        emb.join(F.broadcast(coarse), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )

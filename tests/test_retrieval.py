@@ -1,0 +1,167 @@
+"""Hybrid retrieval (BM25 + RRF) and int8-quantized kNN semantics.
+
+Pins the operators' math on hand-built inputs and measures the int8
+quantization recall against the exact float path (the number BASELINE.md
+reports). Plan shape: the coarse stage must be TakeOrderedAndProject and
+the rerank join must broadcast the candidate list — the 100 TB contract.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators import hybrid as hyb
+from adk_noui_vectordb_spark.operators import quantize as qz
+from adk_noui_vectordb_spark.operators.knn import knn_topk, make_query_from_vec
+from adk_noui_vectordb_spark.plans import explain_str
+from adk_noui_vectordb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_orders_by_term_density(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "join join scan window pad"),       # all 3 terms, 2x join
+            (1, "join scan window pad pad"),        # all 3 terms once
+            (2, "join pad pad pad pad"),            # 1 term
+            (3, "pad pad pad pad pad"),             # no terms -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["bm25"]
+        for r in hyb.bm25_scores(docs).collect()
+    }
+    assert set(rows) == {0, 1, 2}, "zero-match doc must not appear"
+    assert rows[0] > rows[1] > rows[2] > 0
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # 'join' in every doc (df=4), 'window' in one (df=1): the rare term
+    # must contribute more to equal-tf docs.
+    docs = spark.createDataFrame(
+        [
+            (0, "join window pad"),
+            (1, "join pad pad"),
+            (2, "join pad pad"),
+            (3, "join pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in hyb.bm25_scores(docs).collect()}
+    # doc 0 = join + window; docs 1-3 = join only, identical scores
+    assert rows[0] > rows[1] == rows[2] == rows[3]
+    # and window's contribution (rare) exceeds join's (ubiquitous)
+    assert rows[0] - rows[1] > rows[1]
+
+
+def test_hybrid_rrf_values_and_cut(spark):
+    out = hyb.hybrid_rrf_topk(spark, SF, k=10).collect()
+    assert len(out) == 10
+    for r in out:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (hyb.RRF_K + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (hyb.RRF_K + r["vec_rank"])
+        assert r["rrf"] == expect
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+    rrfs = [r["rrf"] for r in out]
+    assert rrfs == sorted(rrfs, reverse=True)
+
+
+# ------------------------------------------------------------- int8
+
+
+def test_quantize_bounds_and_roundtrip(spark):
+    emb = load_table(spark, SF, "embeddings")
+    rows = (
+        qz.with_quantized(emb)
+        .select(
+            "max_abs",
+            F.array_max("q").alias("qmax"),
+            F.array_min("q").alias("qmin"),
+            F.array_max(
+                F.zip_with(
+                    qz.dequantized(F.col("q"), F.col("max_abs")),
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    ),
+                    lambda d, x: F.abs(d - x),
+                )
+            ).alias("max_err"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert -127 <= r["qmin"] and r["qmax"] <= 127
+        # one of the extremes must hit full scale (that element IS max_abs)
+        assert r["qmax"] == 127 or r["qmin"] == -127
+        # reconstruction error <= half a quantization step
+        step = r["max_abs"] / 127.0
+        assert r["max_err"] <= step / 2 + 1e-12
+
+
+def test_quantize_zero_vector_guard(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in qz.with_quantized(emb).collect()}
+    assert rows[0]["q"] == [0, 0, 0]
+    assert rows[0]["max_abs"] == 0.0
+    assert rows[1]["q"] == [64, -127, 32]  # 1/2*127 rounds half-up to 64
+
+
+def test_int8_recall_vs_float(spark):
+    """Quantization-only recall@10: how many of the float top-10 survive in
+    the int8 top-10. Measured, then pinned (BASELINE.md)."""
+    exact = {
+        r["vec_id"]
+        for r in knn_topk(
+            load_table(spark, SF, "embeddings"),
+            make_query_from_vec(load_table(spark, SF, "embeddings"), 0),
+            k=10,
+        ).collect()
+    }
+    quant = {r["vec_id"] for r in qz.knn_int8_topk(spark, SF, k=10).collect()}
+    recall = len(exact & quant) / 10
+    assert recall >= 0.8, f"int8 recall@10 degraded: {recall}"
+
+
+def test_rerank_recovers_exact_ranking(spark):
+    """Two-stage (coarse int8 top-50 -> float rerank) must reproduce the
+    exact float top-10 whenever the true top-10 survives the coarse cut —
+    with 50 candidates for k=10 at this SF it does."""
+    exact = [
+        (r["vec_id"], r["sim"])
+        for r in knn_topk(
+            load_table(spark, SF, "embeddings"),
+            make_query_from_vec(load_table(spark, SF, "embeddings"), 0),
+            k=10,
+        ).collect()
+    ]
+    reranked = [
+        (r["vec_id"], r["sim"])
+        for r in qz.knn_int8_rerank(spark, SF, k=10).collect()
+    ]
+    assert reranked == exact
+
+
+def test_int8_plan_shapes(spark):
+    plan = explain_str(qz.knn_int8_rerank(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan  # coarse candidate list AND 1-row query both broadcast
+
+
+def test_hybrid_plan_no_global_sort_before_cut(spark):
+    # both source cuts are TakeOrderedAndProject; ranking windows only ever
+    # see the <= n_candidates survivors
+    plan = explain_str(hyb.hybrid_rrf_topk(spark, SF), mode="simple")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
