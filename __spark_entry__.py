@@ -265,6 +265,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _rel.q5_region_revenue,
         "q6_revenue_forecast": _rel.q6_revenue_forecast,
         "q9_brand_profit": _rel.q9_brand_profit,
+        "q4_order_priority": _rel.q4_order_priority,
+        "q14_promo_revenue": _rel.q14_promo_revenue,
+        "q16_supplier_part_counts": _rel.q16_supplier_part_counts,
+        "q18_large_orders": _rel.q18_large_orders,
+        "q19_disjunctive_revenue": _rel.q19_disjunctive_revenue,
         "window_topn_orders": _rel.window_topn_orders,
         "window_running_revenue": _rel.window_running_revenue,
         "customers_without_orders": _rel.customers_without_orders,
@@ -1376,6 +1381,62 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name, p_brand
+""",
+        "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "q14_promo_revenue": """
+WITH agg AS (
+    SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END), 2) AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       round(100.0::DOUBLE * promo_revenue / total_revenue, 4) AS promo_pct
+FROM agg
+""",
+        "q16_supplier_part_counts": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        "q18_large_orders": """
+WITH big AS (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING round(sum(l_quantity), 2) > 300.0
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+        "q19_disjunctive_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)
 """,
         "window_topn_orders": """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (

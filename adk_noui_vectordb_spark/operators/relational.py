@@ -562,3 +562,179 @@ def q9_brand_profit(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — priority counts for orders in a
+    window having at least one late-shipped line item.
+
+    The testdata has no commit/receipt dates, so "late" is l_shipdate more
+    than 60 days after o_orderdate (same correlated-EXISTS shape). Spark
+    plans the leftsemi join with the non-equi clause attached to the
+    equi-key join — lineitem is scanned once, never materialized per
+    order, and the date filter is pushed into the orders scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, late, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_revenue(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one ship month.
+
+    part is SF-proportional -> size-gated broadcast. The percentage is
+    computed from the two ALREADY-ROUNDED sums (exact 2-dp doubles on both
+    engines), so the division sees deterministic inputs — dividing the
+    raw float sums would expose cross-engine accumulation-order ulps
+    (SURVEY.md section 5 rounding rules).
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = maybe_broadcast(
+        load_table(spark, sf_dir, "part"),
+        parquet_size_bytes(sf_dir, "part"),
+        dim_broadcast_bytes,
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(disc_price), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+def q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with an
+    anti-joined supplier blacklist.
+
+    Blacklist = suppliers with negative account balance (the testdata has
+    no comment column; same NOT-IN shape as the spec's complaint filter).
+    The blacklist is tiny -> broadcast anti-join, no shuffle added; the
+    count-distinct expands to a two-level aggregate (partial dedup
+    map-side) which is the scale-correct plan for high-cardinality
+    distincts.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = maybe_broadcast(
+        load_table(spark, sf_dir, "part"),
+        parquet_size_bytes(sf_dir, "part"),
+        dim_broadcast_bytes,
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .filter(F.col("p_size").isin(1, 14, 23, 45))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q18_large_orders(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (group -> HAVING -> join back).
+
+    The HAVING side aggregates lineitem by order key FIRST (map-side
+    partial sums), so only the ~0.5% of keys above the threshold flow into
+    the joins — the group-then-join order is the 100 TB-correct shape
+    (joining first would shuffle the whole fact table twice). l_quantity
+    values are integral doubles, so the sums and the >300 cut are exact.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300.0)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = maybe_broadcast(
+        load_table(spark, sf_dir, "customer"),
+        parquet_size_bytes(sf_dir, "customer"),
+        dim_broadcast_bytes,
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-branch disjunctive predicate
+    mixing part and lineitem columns.
+
+    The classic optimizer stress test: no single-table residual can be cut
+    from the OR across tables, so the join must stay a (broadcast) hash
+    join with the disjunction as a post-join filter — what must NOT happen
+    is a cartesian/nested-loop plan. Asserted in tests/test_plans.py.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = maybe_broadcast(
+        load_table(spark, sf_dir, "part"),
+        parquet_size_bytes(sf_dir, "part"),
+        dim_broadcast_bytes,
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(16, 30) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(31, 50) & q.between(20, 30))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(disc_price), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

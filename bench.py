@@ -48,6 +48,9 @@ BENCH_KEYS = [
     "retention_day_over_day",
     "chunk_ast_python",
     "quality_repetition",
+    "hybrid_rrf_topk",
+    "knn_int8_rerank",
+    "q18_large_orders",
     "decontaminate_corpus",
 ]
 

@@ -188,3 +188,44 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     # shuffle join keyed on the shingle (the bench .distinct() and the
     # post-join count_distinct shuffles are tiny-side / hits-only)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
+    """EXISTS must plan as a single semi join (lineitem scanned once,
+    never materialized per order) with the window pushed into the orders
+    scan."""
+    df = rel.q4_order_priority(spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The HAVING-side aggregate must run BEFORE the joins so only
+    above-threshold keys flow into them: in the simple plan the lineitem
+    aggregate appears below (after, textually) the join operators."""
+    plan = explain_str(rel.q18_large_orders(spark, sf_dir), mode="simple")
+    first_join = min(
+        i for i in (
+            plan.find("SortMergeJoin"),
+            plan.find("BroadcastHashJoin"),
+            plan.find("ShuffledHashJoin"),
+        ) if i >= 0
+    )
+    agg_pos = plan.find("total_qty", first_join)
+    assert agg_pos > first_join, plan
+
+
+def test_q19_no_cartesian(spark, sf_dir):
+    """The disjunctive cross-table predicate must not degrade the equi
+    join to a nested-loop/cartesian plan."""
+    plan = explain_str(rel.q19_disjunctive_revenue(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    plan = explain_str(rel.q16_supplier_part_counts(spark, sf_dir), mode="simple")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
