@@ -140,11 +140,12 @@ def _q_chunk_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_python_ast(derived_python_corpus(spark, sf_dir))
 
 
-# Keys that already have a green row in CORRECTNESS_r01.json. The round-1
-# driver recorded only the first 50 dict entries, so queries() puts keys
-# WITHOUT a driver row yet ahead of these — a prefix-sampling sweep then
-# covers the unchecked ones first (all keys also pass the identical local
-# replica in tests/test_oracle_parity.py).
+# Keys with a green row in CORRECTNESS_r01.json / _r02.json. The driver
+# records only the first 50 dict entries per round, so queries() orders
+# keys by how much a fresh driver row is worth: never-green first, then
+# r1-green keys whose outputs changed since (stale), then the stable r1
+# set (oldest green), then the r2 set (freshest green). All keys always
+# pass the identical local replica (tools/sweep_parity.py, tests/).
 _CHECKED_R1 = frozenset({
     "knn_topk", "knn_topk_filtered", "knn_batch_topk", "score_similarity_pairs",
     "filter_by_lang", "point_lookup", "agg_source_summary", "agg_docs_by_lang",
@@ -164,10 +165,65 @@ _CHECKED_R1 = frozenset({
 })
 
 
+# Green in CORRECTNESS_r02.json (49 of the 50-key window; the 50th,
+# embed_quantize_int8, crashed the driver canonicalizer and is re-queued
+# via _PRIORITY_R3 after the posexplode shape fix). Includes the three
+# rows-only-by-design keys — their rows-only driver row is their contract.
+_CHECKED_R2 = frozenset({
+    "chunk_ast_python", "quality_repetition", "decontaminate_corpus",
+    "jsonl_roundtrip", "csv_roundtrip", "diag_python_syntax",
+    "diag_python_flakes", "knn_text_query", "knn_file_summary_query",
+    "file_context", "ann_ivf_topk", "ann_lsh_topk", "bm25_topk",
+    "hybrid_rrf_topk", "knn_int8_topk", "knn_int8_rerank",
+    "sketch_distinct_users", "multimodal_features", "multimodal_resize",
+    "multimodal_frames", "q1_pricing_summary", "q3_top_orders",
+    "q5_region_revenue", "q6_revenue_forecast", "q9_brand_profit",
+    "q4_order_priority", "q14_promo_revenue", "q16_supplier_part_counts",
+    "q18_large_orders", "q19_disjunctive_revenue", "window_topn_orders",
+    "window_running_revenue", "customers_without_orders",
+    "customers_with_high_value_orders", "events_tumbling_counts",
+    "events_sessionize", "events_sliding_counts", "stream_tumbling_counts",
+    "window_moving_avg", "rollup_segment_status", "salted_event_totals",
+    "salted_skew_join", "pivot_event_matrix", "agg_correlation",
+    "orders_above_avg", "events_by_dow", "agg_percentiles",
+    "setop_active_noncustomers", "json_props_rollup",
+})
+
+# r1-green keys whose OUTPUTS changed in round 2 (60-bit SimHash
+# signatures, ngram-Jaccard block split, index upsert key now includes
+# start_line) — their r1 driver row is stale, so they outrank the stable
+# r1 set for re-verification (ADVICE.md round-2, low).
+_STALE_R1 = frozenset({
+    "dedup_simhash_pairs", "simhash_signatures", "ngram_jaccard_pairs",
+    "index_pipeline",
+})
+
+# Never had a green driver row in any round: the 4 temporal keys landed at
+# positions 51-54 of the r2 window, and embed_quantize_int8's r2 row was
+# red (bare-array shape crash, fixed in operators/quantize.py:quantize_rows).
+_PRIORITY_R3 = (
+    "embed_quantize_int8",
+    "asof_join_purchase_click",
+    "range_join_bursts",
+    "funnel_signup_purchase",
+    "retention_day_over_day",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    ordered = {k: v for k, v in q.items() if k not in _CHECKED_R1}
-    ordered.update({k: v for k, v in q.items() if k in _CHECKED_R1})
+    checked = (_CHECKED_R1 | _CHECKED_R2) - _STALE_R1
+    ordered = {k: q[k] for k in _PRIORITY_R3 if k in q}
+    # new/stale keys without a trustworthy driver row (insertion order)
+    ordered.update(
+        {k: v for k, v in q.items() if k not in checked and k not in ordered}
+    )
+    # stable r1 greens (oldest rows) fill the rest of the 50-key window
+    ordered.update(
+        {k: v for k, v in q.items() if k in _CHECKED_R1 and k not in ordered}
+    )
+    # freshest greens (r2) at the back
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
 
@@ -249,7 +305,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
-        "embed_quantize_int8": _quant.quantize_embeddings,
+        "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
         # mergeable sketches (rows-only — approximate by construction;
@@ -1165,7 +1221,9 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """,
         "embed_quantize_int8": f"""
 WITH {_QUANTIZE_CTE}
-SELECT vec_id, max_abs, q FROM qz
+SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos,
+       CAST(q[t.i] AS INTEGER) AS q_val, max_abs
+FROM qz, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t
 """,
         "knn_int8_topk": f"""
 WITH {_QUANTIZE_CTE},

@@ -70,6 +70,24 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quantized(emb).select("vec_id", "max_abs", "q")
 
 
+def quantize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-comparable exploded view of the quantized store:
+    (vec_id, pos, q_val, max_abs) — one row per vector component, the same
+    shape contract ``embed_projection_rows`` uses (operators/embed.py).
+    ``quantize_embeddings`` stays the storage/serving representation; this
+    is the verification surface (array cells are not sortable by the
+    driver's pandas canonicalizer)."""
+    qdf = quantize_embeddings(spark, sf_dir)
+    return qdf.select(
+        "vec_id", "max_abs", F.posexplode("q").alias("pos", "q_val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("q_val").cast("int").alias("q_val"),
+        "max_abs",
+    )
+
+
 def _dequantized_vectors(emb: DataFrame) -> DataFrame:
     qdf = with_quantized(emb)
     return qdf.select(

@@ -18,6 +18,7 @@ import time
 import traceback
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
@@ -29,19 +30,28 @@ TABLES = (
 )
 
 
-def _normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def _canon(rows, colnames):
+    """EXACT replica of the driver's canonicalizer: a pandas DataFrame with
+    columns sorted by name, rows sorted by ``sort_values`` over ALL columns.
+    ``sort_values`` raises ``TypeError: unhashable type`` on list/array
+    cells — deliberately NOT worked around, so any query emitting a bare
+    array column fails here the same way it fails the driver (the round-2
+    ``embed_quantize_int8`` crash class)."""
+    df = pd.DataFrame(rows, columns=list(colnames))
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _cells(df):
     out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda r: tuple((str(type(v)), str(v)) for v in r))
-    return [tuple(colnames[i] for i in order)] + out
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(
+            "NaN" if isinstance(v, float) and math.isnan(v) else v
+            for v in row
+        ))
+    return out
 
 
 def main() -> int:
@@ -64,6 +74,9 @@ def main() -> int:
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
             if key not in oracles:
+                # still canonicalize, so rows-only queries with a shape the
+                # driver's pandas path cannot sort fail here too
+                _canon(spark_rows, spark_cols)
                 print(f"ROWSONLY {key}: {len(spark_rows)} rows "
                       f"({time.time() - t0:.1f}s)", flush=True)
                 continue
@@ -77,8 +90,8 @@ def main() -> int:
                 problems.append(
                     f"rows spark={len(spark_rows)} duck={len(duck_rows)}")
             if not problems:
-                s_norm = _normalize(spark_rows, spark_cols)
-                d_norm = _normalize(duck_rows, duck_cols)
+                s_norm = _cells(_canon(spark_rows, spark_cols))
+                d_norm = _cells(_canon(duck_rows, duck_cols))
                 bad = [(i, a, b) for i, (a, b) in
                        enumerate(zip(s_norm, d_norm)) if a != b]
                 if bad:
