@@ -38,12 +38,15 @@ from adk_noui_vectordb_spark.operators import temporal as _temporal
 from adk_noui_vectordb_spark.operators import textops as _text
 from adk_noui_vectordb_spark.operators.chunking import (
     chunk_fixed_words,
+    chunk_js_elements,
     chunk_python_ast,
 )
 from adk_noui_vectordb_spark.sources.corpus import (
     DERIVED_CORPUS_SQL,
     DERIVED_MD_SQL,
     DERIVED_PY_SQL,
+    derived_js_corpus,
+    derived_js_sql,
     derived_python_corpus,
 )
 from adk_noui_vectordb_spark.sources import formats as _fmt
@@ -138,6 +141,14 @@ def _q_chunk_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle predicts the exact rows arithmetically from the corpus
     generation rules (see sources/corpus.py:derived_python_corpus)."""
     return chunk_python_ast(derived_python_corpus(spark, sf_dir))
+
+
+def _q_chunk_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic js/ts element extraction (the reference's tree-sitter
+    walk, indexing_agent.py:164-225) over the valid-JS derived corpus; the
+    oracle predicts the exact rows arithmetically from the corpus
+    generation rules (see sources/corpus.py:derived_js_corpus)."""
+    return chunk_js_elements(derived_js_corpus(spark, sf_dir, "de", ".js"))
 
 
 # Keys with a green row in CORRECTNESS_r01.json / _r02.json. The driver
@@ -249,6 +260,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed_lines": _idx.chunk_fixed_lines_q,
         "chunk_markdown_sections": _idx.chunk_markdown_sections_q,
         "chunk_ast_python": _q_chunk_ast,
+        "chunk_js_elements": _q_chunk_js,
         # text analysis (SURVEY.md §2.9 + north-star extensions)
         "text_stats": _text.text_stats,
         "token_count": _text.token_count,
@@ -601,6 +613,45 @@ py_elements AS (
 )
 '''
 )
+
+
+def _js_elements_cte(lang: str = "de", ext: str = ".js", sfx: str = "") -> str:
+    """Expected output of the heuristic js/ts element extraction over the
+    generated JS corpus, predicted arithmetically from the generation
+    rules (sources/corpus.py:derived_js_corpus docstring has the layout).
+    Methods are emitted as 'function' — see chunk_js_elements' docstring
+    on the reference's method_definition drop bug."""
+    return (
+        derived_js_sql(lang, ext, sfx).strip().rstrip()
+        + f""",
+js_elements{sfx} AS (
+    SELECT path, 'import' AS name, 'import' AS element_type,
+           1 AS start_line, 1 AS end_line,
+           'import os from ''os'';' AS content
+    FROM js_base{sfx}
+    UNION ALL
+    SELECT path, 'import', 'import', 2, 2,
+           'import {{ readFile }} from ''fs'';'
+    FROM js_base{sfx}
+    UNION ALL
+    SELECT path, 'f_' || t.i, 'function', 4 + 4*t.i, 6 + 4*t.i,
+           'export function f_' || t.i || '(x) {{' || chr(10) || '  return x + ' || t.i || '; // ' || w || ' ' || t.i || chr(10) || '}}'
+    FROM js_base{sfx}, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) t
+    UNION ALL
+    SELECT path, 'C' || doc_id, 'class', 4 + 4*nf, 4 + 4*nf + 3*nm + 1,
+           'class C' || doc_id || ' {{' || chr(10)
+           || '  m_0(x) {{' || chr(10) || '    return ' || doc_id || ' + 0;' || chr(10) || '  }}' || chr(10)
+           || CASE WHEN nm > 1 THEN '  m_1(x) {{' || chr(10) || '    return ' || doc_id || ' + 1;' || chr(10) || '  }}' || chr(10) ELSE '' END
+           || '}}'
+    FROM js_base{sfx}
+    UNION ALL
+    SELECT path, 'm_' || t.j, 'function',
+           4 + 4*nf + 1 + 3*t.j, 4 + 4*nf + 3 + 3*t.j,
+           '  m_' || t.j || '(x) {{' || chr(10) || '    return ' || doc_id || ' + ' || t.j || ';' || chr(10) || '  }}'
+    FROM js_base{sfx}, LATERAL (SELECT unnest(generate_series(0, nm - 1)) AS j) t
+)
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1050,6 +1101,12 @@ SELECT path, name, element_type, CAST(start_line AS INTEGER) AS start_line,
        CAST(end_line AS INTEGER) AS end_line, content, docstring
 FROM py_elements
 """,
+        "chunk_js_elements": f"""
+WITH {_js_elements_cte("de", ".js")}
+SELECT path, name, element_type, CAST(start_line AS INTEGER) AS start_line,
+       CAST(end_line AS INTEGER) AS end_line, content
+FROM js_elements
+""",
         "diag_python_flakes": f"""
 WITH {DERIVED_PY_SQL.strip()}
 SELECT path, CAST(1 AS INTEGER) AS line_no, 'unused_import' AS rule, 'os' AS name
@@ -1092,10 +1149,12 @@ UNION ALL SELECT 'events', count(*) FROM events
         "index_pipeline": f"""
 WITH {DERIVED_CORPUS_SQL},
 {_PY_ELEMENTS_CTE},
+{_js_elements_cte("de", ".js", "_j")},
+{_js_elements_cte("es", ".ts", "_t")},
 nlines AS (
     SELECT c.path, t.i - 1 AS pos, c.parts[t.i] AS line
     FROM (SELECT path, string_split(content, chr(10)) AS parts
-          FROM corpus WHERE ext NOT IN ('.md', '.py')) c,
+          FROM corpus WHERE ext NOT IN ('.md', '.py', '.js', '.ts')) c,
          LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
 ),
 nchunks AS (
@@ -1147,6 +1206,14 @@ allelems AS (
     SELECT path, name, element_type,
            CAST(start_line AS INTEGER), CAST(end_line AS INTEGER), content
     FROM py_elements
+    UNION ALL
+    SELECT path, name, element_type,
+           CAST(start_line AS INTEGER), CAST(end_line AS INTEGER), content
+    FROM js_elements_j
+    UNION ALL
+    SELECT path, name, element_type,
+           CAST(start_line AS INTEGER), CAST(end_line AS INTEGER), content
+    FROM js_elements_t
 )
 SELECT path, name, element_type, start_line, end_line,
        md5(name || ':' || element_type || ':' || content) AS hash,

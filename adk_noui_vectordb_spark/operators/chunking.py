@@ -274,22 +274,140 @@ def chunk_python_ast(source_df: DataFrame, chunk_size: int = _FALLBACK_CHUNK_LIN
     return source_df.select("path", "content").mapInPandas(extract, PY_AST_SCHEMA)
 
 
-def chunk_tree_sitter(source_df: DataFrame) -> DataFrame:
-    """Multi-language AST chunking (indexing_agent.py:150-240): .py routes
-    through the stdlib-``ast`` extractor (real functions/classes/imports,
-    no native deps); other languages would use tree-sitter, which is gated
-    on the native wheels being importable on executors and falls back to
-    ``chunk_fixed_lines`` (SURVEY.md section 7 step 8 — the container
-    ships no grammar wheels)."""
-    py = source_df.filter(F.col("path").endswith(".py"))
-    rest = source_df.filter(~F.col("path").endswith(".py"))
-    py_elems = chunk_python_ast(py).drop("docstring")
-    try:
-        import tree_sitter  # noqa: F401
+JS_SCHEMA = (
+    "path string, name string, element_type string, "
+    "start_line int, end_line int, content string"
+)
 
-        raise NotImplementedError(
-            "tree-sitter available but grammar loading not wired yet"
+# Control-flow keywords that look like `name(...) {` inside a class body
+# but are NOT method definitions.
+_JS_KEYWORDS = frozenset(
+    "if for while switch catch return else do with new try function".split()
+)
+
+
+def chunk_js_elements(source_df: DataFrame) -> DataFrame:
+    """Heuristic JS/TS element extraction — the reference's js/ts
+    tree-sitter walk (indexing_agent.py:150-240) via line/regex scanning
+    with brace matching, zero native deps.
+
+    The reference visits ``function_declaration`` / ``method_definition``
+    / ``class_declaration`` / ``import_statement`` nodes
+    (indexing_agent.py:165). Its extractor has NO branch for
+    ``method_definition`` (indexing_agent.py:210-225 handles only the
+    other three), so methods are silently dropped — the same class of bug
+    as its Python 'function_def' node-type typo. As with the Python path,
+    we emit them (as 'function', matching how the reference's recursive
+    walk labels nested defs) rather than reproducing the drop.
+
+    Heuristics (documented preconditions, same spirit as the reference's
+    line-slice extraction):
+    - string literals and ``//`` comments are stripped before brace
+      counting (block comments spanning lines are not handled);
+    - an import is a line whose stripped text starts with ``import``
+      (single-line imports, the overwhelmingly common form);
+    - function/class declarations are recognized at top-level brace depth,
+      method definitions at depth class+1 inside a class body;
+    - spans run from the declaration line to the line that closes its
+      brace, content = the exact source line slice
+      (indexing_agent.py:207-208).
+
+    Runs per-file inside ``mapInPandas`` — a NARROW op, no shuffle, same
+    scale shape as ``chunk_python_ast``.
+    """
+
+    def extract(batches):
+        import re
+
+        import pandas as pd
+
+        strip_re = re.compile(
+            r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"|`(?:\\.|[^`\\])*`"
         )
-    except ImportError:
-        rest_elems = chunk_fixed_lines(rest)
-    return py_elems.unionByName(rest_elems)
+        comment_re = re.compile(r"//.*")
+        import_re = re.compile(r"^\s*import\b")
+        func_re = re.compile(
+            r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?"
+            r"function\s*\*?\s*([A-Za-z_$][\w$]*)"
+        )
+        class_re = re.compile(
+            r"^\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?"
+            r"class\s+([A-Za-z_$][\w$]*)"
+        )
+        method_re = re.compile(
+            r"^\s*(?:static\s+)?(?:async\s+)?(?:get\s+|set\s+)?\*?\s*"
+            r"([A-Za-z_$][\w$]*)\s*\([^)]*\)\s*\{"
+        )
+        cols = ("path", "name", "element_type", "start_line", "end_line",
+                "content")
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+
+            def emit(path, name, etype, start, end, lines):
+                out["path"].append(path)
+                out["name"].append(name)
+                out["element_type"].append(etype)
+                out["start_line"].append(start)
+                out["end_line"].append(end)
+                out["content"].append("\n".join(lines[start - 1 : end]))
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                lines = content.split("\n")
+                depth = 0
+                stack = []  # open constructs: (kind, name, start, open_depth)
+                for ln, raw in enumerate(lines, start=1):
+                    stripped = comment_re.sub("", strip_re.sub("''", raw))
+                    in_class = bool(stack) and stack[-1][0] == "class"
+                    if import_re.match(stripped):
+                        emit(path, "import", "import", ln, ln, lines)
+                    else:
+                        fm = func_re.match(stripped)
+                        cm = class_re.match(stripped)
+                        mm = method_re.match(stripped)
+                        if fm and depth == 0:
+                            stack.append(("function", fm.group(1), ln, depth))
+                        elif cm and depth == 0:
+                            stack.append(("class", cm.group(1), ln, depth))
+                        elif (
+                            mm
+                            and in_class
+                            and depth == stack[-1][3] + 1
+                            and mm.group(1) not in _JS_KEYWORDS
+                        ):
+                            stack.append(("function", mm.group(1), ln, depth))
+                    depth += stripped.count("{") - stripped.count("}")
+                    while stack and depth <= stack[-1][3]:
+                        kind, name, start, _ = stack.pop()
+                        emit(path, name, kind, start, ln, lines)
+            df = pd.DataFrame(out)
+            df["start_line"] = df["start_line"].astype("int32")
+            df["end_line"] = df["end_line"].astype("int32")
+            yield df
+
+    return source_df.select("path", "content").mapInPandas(extract, JS_SCHEMA)
+
+
+def chunk_tree_sitter(source_df: DataFrame) -> DataFrame:
+    """Multi-language element chunking (indexing_agent.py:150-240): .py
+    routes through the stdlib-``ast`` extractor (real
+    functions/classes/imports), .js/.ts/.tsx/.jsx through the heuristic
+    js/ts element extractor — both zero-native-dep reimplementations of
+    the reference's tree-sitter walk — and everything else through
+    ``chunk_fixed_lines`` (the reference's fallback,
+    indexing_agent.py:140-142)."""
+    is_js = (
+        F.col("path").endswith(".js")
+        | F.col("path").endswith(".ts")
+        | F.col("path").endswith(".tsx")
+        | F.col("path").endswith(".jsx")
+    )
+    py = source_df.filter(F.col("path").endswith(".py"))
+    js = source_df.filter(is_js)
+    rest = source_df.filter(~F.col("path").endswith(".py") & ~is_js)
+    return (
+        chunk_python_ast(py)
+        .drop("docstring")
+        .unionByName(chunk_js_elements(js))
+        .unionByName(chunk_fixed_lines(rest))
+    )

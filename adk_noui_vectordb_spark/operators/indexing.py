@@ -476,14 +476,17 @@ def build_index(
     """The reference's `index_codebase` lifecycle (indexing_agent.py:104-124,
     SURVEY.md §3.1) as one batch Spark pipeline:
 
-        scan_corpus -> route chunker by ext (.md sectioner / fixed lines)
+        scan_corpus -> route chunker by ext (.py AST / .js-.ts elements /
+             .md sectioner / fixed lines)
           -> project (searchable text, content hash, composite id)
           -> ANTI-JOIN against the existing index on id   (the §4 fix: an
              unchanged element is never re-embedded — the reference
              re-encodes everything every run)
           -> Arrow pandas_udf embedding of the NEW/CHANGED elements only
-          -> keyed upsert (path#name) into the elements table -- replaces
-             stale chunks of changed files (fixes the §2.10 stale-row leak)
+          -> keyed upsert (path#name#start_line) into the elements table --
+             replaces stale chunks of changed files (fixes the §2.10
+             stale-row leak; start_line in the key because names repeat
+             within a file — two imports, repeated headings)
           -> per-file summary upsert + JSON job report.
 
     Returns the report as a plain dict (files, elements, embedded_new).
@@ -508,21 +511,26 @@ def build_index_from_corpus(
     from ..sources.sinks import upsert_parquet, write_json_report
     from .chunking import (
         chunk_fixed_lines,
+        chunk_js_elements,
         chunk_markdown_sections,
         chunk_python_ast,
     )
     from .embed import make_embed_udf
+    js_exts = (".js", ".ts", ".tsx", ".jsx")
     md = corpus.filter(F.col("ext") == ".md").select("path", "content")
     py = corpus.filter(F.col("ext") == ".py").select("path", "content")
-    rest = corpus.filter(~F.col("ext").isin(".md", ".py")).select(
-        "path", "content"
-    )
+    js = corpus.filter(F.col("ext").isin(*js_exts)).select("path", "content")
+    rest = corpus.filter(
+        ~F.col("ext").isin(".md", ".py", *js_exts)
+    ).select("path", "content")
     # Route by extension (indexing_agent.py:131-142): .py through the REAL
     # AST extractor (element types from actual functions/classes/imports),
-    # .md through the heading sectioner, the rest through fixed-line chunks.
+    # .js/.ts through the heuristic element extractor, .md through the
+    # heading sectioner, the rest through fixed-line chunks.
     elements = (
         chunk_python_ast(py)
         .drop("docstring")
+        .unionByName(chunk_js_elements(js))
         .unionByName(chunk_fixed_lines(rest, chunk_size=chunk_size))
         .unionByName(chunk_markdown_sections(md))
     )

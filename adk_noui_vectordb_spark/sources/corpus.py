@@ -179,13 +179,100 @@ def derived_python_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derived_js_corpus(
+    spark: SparkSession, sf_dir: str, lang: str = "de", ext: str = ".js"
+) -> DataFrame:
+    """Deterministic VALID-JS/TS corpus for the heuristic element extractor
+    (operators/chunking.py:chunk_js_elements) — the ``lang`` documents
+    rendered as real modules: two imports, 1-3 exported functions, one
+    class with 1-2 methods.
+
+    Same construction as ``derived_python_corpus``: the Spark side extracts
+    elements with the GENERAL js/ts extractor while the DuckDB oracle
+    predicts the rows ARITHMETICALLY from these generation rules
+    (DERIVED_JS_SQL + the js_elements CTE in __spark_entry__).
+
+    Layout (1-based lines; nf = doc_id % 3 + 1 functions; nm = doc_id % 2
+    + 1 methods; w = first lowercase word of the doc text):
+
+        1      import os from 'os';
+        2      import { readFile } from 'fs';
+        3
+        4+4i   export function f_i(x) {      (for i in 0..nf-1)
+        5+4i     return x + i; // w i
+        6+4i   }
+        7+4i
+        S      class C<doc_id> {             (S = 4 + 4*nf)
+        S+1+3j   m_j(x) {                    (for j in 0..nm-1)
+        S+2+3j     return <doc_id> + j;
+        S+3+3j   }
+        S+3nm+1 }
+
+    Must stay expression-for-expression identical to DERIVED_JS_SQL.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang") == lang)
+    w = F.regexp_extract(F.col("text"), "[a-z]+", 0)
+    nf = F.col("doc_id") % 3 + 1
+    nm = F.col("doc_id") % 2 + 1
+    doc_id_s = F.col("doc_id").cast("string")
+    prefix = "corpus_js/" if ext == ".js" else "corpus_ts/"
+    header = F.lit(
+        "import os from 'os';\nimport { readFile } from 'fs';\n\n"
+    )
+
+    def fn_block(i: int):
+        return F.when(
+            nf > i,
+            F.concat(
+                F.lit(f"export function f_{i}(x) {{\n  return x + {i}; // "),
+                w,
+                F.lit(f" {i}\n}}\n\n"),
+            ),
+        ).otherwise(F.lit(""))
+
+    def m_block(j: int):
+        return F.when(
+            nm > j,
+            F.concat(
+                F.lit(f"  m_{j}(x) {{\n    return "),
+                doc_id_s,
+                F.lit(f" + {j};\n  }}\n"),
+            ),
+        ).otherwise(F.lit(""))
+
+    cls_block = F.concat(
+        F.lit("class C"), doc_id_s, F.lit(" {\n"),
+        m_block(0), m_block(1), F.lit("}"),
+    )
+    return d.select(
+        F.concat(
+            F.lit(prefix),
+            F.col("source"),
+            F.lit("/mod_"),
+            doc_id_s,
+            F.lit(ext),
+        ).alias("path"),
+        F.lit(ext).alias("ext"),
+        F.concat(header, fn_block(0), fn_block(1), fn_block(2), cls_block).alias(
+            "content"
+        ),
+    )
+
+
 def indexing_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus the full indexing pipeline runs over: ``derived_corpus``
-    with the .py slice replaced by the VALID-Python modules, so the AST
-    route does real extraction instead of falling back on unparseable
-    word-soup files."""
-    base = derived_corpus(spark, sf_dir).filter(F.col("ext") != ".py")
-    return base.unionByName(derived_python_corpus(spark, sf_dir))
+    with the .py slice replaced by the VALID-Python modules and the .js/.ts
+    slices replaced by the VALID-JS/TS modules, so both AST/element routes
+    do real extraction instead of falling back on unparseable word-soup
+    files."""
+    base = derived_corpus(spark, sf_dir).filter(
+        ~F.col("ext").isin(".py", ".js", ".ts")
+    )
+    return (
+        base.unionByName(derived_python_corpus(spark, sf_dir))
+        .unionByName(derived_js_corpus(spark, sf_dir, "de", ".js"))
+        .unionByName(derived_js_corpus(spark, sf_dir, "es", ".ts"))
+    )
 
 
 DERIVED_PY_SQL = '''
@@ -207,6 +294,39 @@ py_corpus AS (
     FROM py_base
 )
 '''
+
+
+DERIVED_JS_SQL = """
+js_base{sfx} AS (
+    SELECT '{prefix}' || source || '/mod_' || doc_id || '{ext}' AS path,
+           doc_id,
+           doc_id % 3 + 1 AS nf,
+           doc_id % 2 + 1 AS nm,
+           regexp_extract(text, '[a-z]+') AS w
+    FROM documents WHERE lang = '{lang}'
+),
+js_corpus{sfx} AS (
+    SELECT path, '{ext}' AS ext,
+           'import os from ''os'';' || chr(10) || 'import {{ readFile }} from ''fs'';' || chr(10) || chr(10)
+           || CASE WHEN nf > 0 THEN 'export function f_0(x) {{' || chr(10) || '  return x + 0; // ' || w || ' 0' || chr(10) || '}}' || chr(10) || chr(10) ELSE '' END
+           || CASE WHEN nf > 1 THEN 'export function f_1(x) {{' || chr(10) || '  return x + 1; // ' || w || ' 1' || chr(10) || '}}' || chr(10) || chr(10) ELSE '' END
+           || CASE WHEN nf > 2 THEN 'export function f_2(x) {{' || chr(10) || '  return x + 2; // ' || w || ' 2' || chr(10) || '}}' || chr(10) || chr(10) ELSE '' END
+           || 'class C' || doc_id || ' {{' || chr(10)
+           || '  m_0(x) {{' || chr(10) || '    return ' || doc_id || ' + 0;' || chr(10) || '  }}' || chr(10)
+           || CASE WHEN nm > 1 THEN '  m_1(x) {{' || chr(10) || '    return ' || doc_id || ' + 1;' || chr(10) || '  }}' || chr(10) ELSE '' END
+           || '}}'
+           AS content
+    FROM js_base{sfx}
+)
+"""
+
+
+def derived_js_sql(lang: str = "de", ext: str = ".js", sfx: str = "") -> str:
+    """DERIVED_JS_SQL instantiated for a (lang, ext) slice — the DuckDB
+    twin of ``derived_js_corpus(spark, sf_dir, lang, ext)``. ``sfx``
+    suffixes the CTE names so two slices can share one WITH clause."""
+    prefix = "corpus_js/" if ext == ".js" else "corpus_ts/"
+    return DERIVED_JS_SQL.format(prefix=prefix, ext=ext, lang=lang, sfx=sfx)
 
 
 DERIVED_MD_SQL = """

@@ -143,3 +143,71 @@ def test_python_syntax_errors_reports_line(spark):
     assert (r.path, r.line_no, r.rule, r.severity) == (
         "bad.py", 2, "syntax_error", "error"
     )
+
+
+JS = """import React from 'react';
+import { useState } from 'react';
+// a comment with a brace { that must not affect depth
+const label = "not an import { either";
+
+export default async function fetchData(url) {
+  if (true) {
+    return url + '}';  // brace in string + comment
+  }
+}
+
+export class Widget extends Base {
+  constructor(props) {
+    this.props = props;
+  }
+
+  static async render(ctx) {
+    for (const x of ctx.items) {
+      draw(x);
+    }
+  }
+}
+
+function helper() {
+  return 1;
+}"""
+
+
+def test_chunk_js_elements_realistic(spark):
+    from pyspark.sql import Row
+
+    from adk_noui_vectordb_spark.operators.chunking import chunk_js_elements
+
+    df = spark.createDataFrame([Row(path="app.js", content=JS)])
+    rows = chunk_js_elements(df).collect()
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r["name"], []).append(r)
+
+    # two single-line imports
+    assert [r["start_line"] for r in by_name["import"]] == [1, 2]
+    assert all(r["element_type"] == "import" for r in by_name["import"])
+
+    # export default async function, span to its closing brace
+    (fd,) = by_name["fetchData"]
+    assert fd["element_type"] == "function"
+    assert (fd["start_line"], fd["end_line"]) == (6, 10)
+    # braces inside strings/comments did not break the span
+    assert fd["content"].startswith("export default async function")
+
+    # class with two methods; methods emitted as 'function' (the reference
+    # VISITS method_definition but its extractor drops them — we emit)
+    (w,) = by_name["Widget"]
+    assert w["element_type"] == "class"
+    assert (w["start_line"], w["end_line"]) == (12, 22)
+    (ctor,) = by_name["constructor"]
+    assert ctor["element_type"] == "function"
+    assert (ctor["start_line"], ctor["end_line"]) == (13, 15)
+    (render,) = by_name["render"]
+    assert (render["start_line"], render["end_line"]) == (17, 21)
+
+    # control flow inside methods is NOT an element (`if (`/`for (` guard)
+    assert "if" not in by_name and "for" not in by_name
+
+    (helper,) = by_name["helper"]
+    assert (helper["start_line"], helper["end_line"]) == (24, 26)
