@@ -10,9 +10,15 @@ driver-side loop.
 
 Plan shape at scale:
 
-    lexical:  explode(tokens) -> filter(term IN query)   -- tiny after filter
-              groupBy(doc_id, term) partial-agged        -- one corpus shuffle
-              join broadcast(df per term, <= |query| rows)
+    lexical:  ONE narrow pass over documents computing (dl, tf per literal
+              query term) with array HOFs — no explode, no shuffle;
+              corpus stats (N, total dl, df per term) fold into a SINGLE
+              scalar aggregate (map-side partial -> 1 row) that re-enters
+              as a broadcast; matching docs filter to a tiny frame.
+              ZERO corpus-sized shuffles — the round-2 design joined a
+              corpus-wide (doc_id, dl) frame against the term-filtered
+              tf frame, which at 100 TB shuffled the whole corpus's dl
+              projection (round-2 VERDICT scale note; fixed here).
     vector:   candidates crossJoin broadcast(1-row query) -> cosine
     both:     ORDER BY score LIMIT N  == TakeOrderedAndProject (per-partition
               k-heap, no global sort) -> rank the N survivors -> full-outer
@@ -59,53 +65,65 @@ def bm25_scores(
     always positive), ``tf`` part ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``.
     Only documents matching >= 1 query term appear (the inverted-index
     semantics — everything else scores 0 and is never materialized).
+
+    Shuffle-free shape: ``tf`` per literal term and ``dl`` come from array
+    HOFs over the token array in ONE narrow projection (no explode, no
+    groupBy on doc_id); ``n_docs``/``tot_dl``/``df`` per term fold into a
+    single scalar aggregate (map-side partial -> 1 row) that re-enters as
+    a broadcast so ``avgdl`` is computed by the SAME division (sum/count)
+    on both engines. The only exchange in the whole ranking is that 1-row
+    aggregate — nothing corpus-sized ever shuffles.
     """
-    words = docs.select(
-        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    tokens = whitespace_tokens(F.col("text"))
+
+    def count_of(term: str) -> F.Column:
+        # NOTE: must be a ONE-arg lambda — pyspark passes (element, index)
+        # to two-arg HOF lambdas, so a `t=t` default-capture breaks it.
+        return F.size(F.filter(tokens, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(tokens).alias("dl"),
+        *[count_of(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
     )
-    dl = docs.select(
-        "doc_id", F.size(whitespace_tokens(F.col("text"))).alias("dl")
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    # Corpus stats enter as a broadcast 1-row join so avgdl is computed by
-    # the SAME division (sum/count) on both engines.
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
-    )
-    tf = (
-        words.filter(F.col("term").isin(*terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    matched = F.lit(False)
+    for i in range(len(terms)):
+        matched = matched | (F.col(f"_tf{i}") > 0)
 
     avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    part = (
-        idf
-        * (F.col("tf") * (K1 + 1.0))
-        / (F.col("tf") + K1 * ((1.0 - B) + B * (F.col("dl") / avgdl)))
-    )
 
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "term", part.alias("part"))
-    )
-    # Fixed-order combination: one conditional aggregate per literal term
-    # (each sums <= 1 non-null value, i.e. exact), then added in literal
+    def part(i: int) -> F.Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+            + 1.0
+        )
+        contrib = (
+            idf
+            * (tf * (K1 + 1.0))
+            / (tf + K1 * ((1.0 - B) + B * (F.col("dl") / avgdl)))
+        )
+        return F.when(F.col(f"_tf{i}") > 0, contrib).otherwise(F.lit(0.0))
+
+    # Fixed-order combination: per-term contributions added in literal term
     # order — no engine-dependent float accumulation order.
-    per_term = [
-        F.sum(F.when(F.col("term") == t, F.col("part"))).alias(f"_s{i}")
-        for i, t in enumerate(terms)
-    ]
-    agg = scored.groupBy("doc_id").agg(*per_term)
-    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    total = part(0)
     for i in range(1, len(terms)):
-        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-    return agg.select("doc_id", F.round(total, 4).alias("bm25"))
+        total = total + part(i)
+    return (
+        per_doc.filter(matched)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(total, 4).alias("bm25"))
+    )
 
 
 def bm25_topk(

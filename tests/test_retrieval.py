@@ -165,3 +165,14 @@ def test_hybrid_plan_no_global_sort_before_cut(spark):
     # see the <= n_candidates survivors
     plan = explain_str(hyb.hybrid_rrf_topk(spark, SF), mode="simple")
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_bm25_plan_no_corpus_shuffle(spark):
+    # round-3 fix: tf/dl come from array HOFs in one narrow pass and the
+    # corpus stats are a single scalar aggregate re-entering as a
+    # broadcast — no shuffle JOIN of anything corpus-sized (the round-2
+    # design shuffled a corpus-wide (doc_id, dl) frame into the tf join)
+    plan = explain_str(hyb.bm25_topk(spark, SF), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
