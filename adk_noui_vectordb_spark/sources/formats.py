@@ -38,19 +38,43 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 def write_csv(df: DataFrame, path: str) -> None:
     # the CSV WRITER trims leading/trailing whitespace by default — a
-    # silent value corruption; disabled for the fidelity contract
+    # silent value corruption; disabled for the fidelity contract.
+    # '' vs NULL are distinct values and CSV's unquoted-empty token is
+    # ambiguous between them, so: empty string is written as a QUOTED
+    # empty ("") and NULL as the out-of-band \N sentinel (the standard
+    # convention). Precondition (documented, inherent to CSV): a field
+    # whose literal value is the two characters \N cannot round-trip.
     (
         df.write.mode("overwrite")
         .option("header", "true")
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("emptyValue", '""')
+        .option("nullValue", "\\N")
         .csv(path)
     )
 
 
 def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    # multiLine: document text with embedded newlines must survive (quoted
+    # records spanning lines); quote/escape/nullValue/emptyValue mirror
+    # the writer so "" reads back as '' and \N as NULL. multiLine costs
+    # file-at-a-time parallelism (a quoted newline prevents line-splitting
+    # a file), so corpus-scale CSV should arrive as many files — the
+    # connector keeps per-file parallelism either way.
     return (
-        spark.read.schema(schema).option("header", "true").csv(path)
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
     )
 
 

@@ -23,19 +23,30 @@ from pyspark.sql.window import Window
 
 
 def _recover_interrupted_swap(path: str) -> None:
-    """Heal the directory-swap crash window.
+    """Heal BOTH directory-swap crash windows.
 
-    The swap is two renames (path -> .__old__, then .__tmp__/.__compact__
-    -> path); a crash between them leaves no table at ``path`` but an
-    intact copy at ``.__old__``. POSIX has no atomic directory exchange,
-    so the window cannot be closed — instead every writer/reader entry
-    point calls this first: if ``path`` is missing and ``.__old__``
-    exists, the old table is restored (the interrupted write is simply
-    lost, which upsert semantics allow — the caller re-runs it).
+    The swap is two renames plus a cleanup (path -> .__old__, then
+    .__tmp__/.__compact__ -> path, then rmtree .__old__); POSIX has no
+    atomic directory exchange, so every writer/reader entry point calls
+    this first. Two distinct crash windows:
+
+    - between the renames: no table at ``path``, intact copy at
+      ``.__old__`` — restore it (the interrupted write is simply lost,
+      which upsert semantics allow — the caller re-runs it);
+    - after the second rename but before the rmtree: the swap COMPLETED
+      (``path`` is the new table) but a stale ``.__old__`` remains —
+      remove it, otherwise the next swap's ``os.rename(path, old)``
+      hits an existing non-empty directory and every subsequent
+      upsert/compaction fails with ENOTEMPTY.
     """
+    import shutil
+
     old = path + ".__old__"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
 
 
 def _swap_into_place(tmp: str, path: str) -> None:

@@ -141,6 +141,10 @@ def test_format_roundtrips_preserve_adversarial_values(spark, tmp_path):
         (2, "comma, semicolon; pipe|tab\tdone", "de", "s2", 31),
         (3, "unicode: ñ 中文 éàö", "zh", "s3", 17),
         (4, "trailing spaces   ", "fr", "s4", 18),
+        # embedded newlines: require multiLine quoted-record reads
+        (5, "line one\nline two\n\nline four", "en", "s5", 28),
+        # empty string must round-trip as '', NOT collapse to NULL
+        (6, "", "en", "s6", 0),
     ]
     df = spark.createDataFrame(rows, schema)
     expected = {tuple(r) for r in rows}
@@ -154,3 +158,33 @@ def test_format_roundtrips_preserve_adversarial_values(spark, tmp_path):
     write_csv(df, p2)
     got_c = {tuple(r) for r in read_csv(spark, p2, schema).collect()}
     assert got_c == expected
+
+
+def test_upsert_recovers_both_swap_crash_windows(spark, tmp_path):
+    import os
+    import shutil
+
+    from adk_noui_vectordb_spark.sources.sinks import (
+        _recover_interrupted_swap,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([Row(id="a", val=1)])
+    upsert_parquet(spark, v1, path, key="id")
+
+    # window 1: crash between the two renames — table missing, .__old__
+    # intact -> restored
+    os.rename(path, path + ".__old__")
+    _recover_interrupted_swap(path)
+    assert os.path.exists(path) and not os.path.exists(path + ".__old__")
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {"a"}
+
+    # window 2: crash after the final rename but before the rmtree — swap
+    # completed, stale .__old__ left behind. The next upsert must heal it
+    # and succeed (previously: ENOTEMPTY on every subsequent swap).
+    shutil.copytree(path, path + ".__old__")
+    v2 = spark.createDataFrame([Row(id="b", val=2)])
+    upsert_parquet(spark, v2, path, key="id")
+    assert not os.path.exists(path + ".__old__")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": 1, "b": 2}
