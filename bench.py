@@ -52,6 +52,8 @@ BENCH_KEYS = [
     "knn_int8_rerank",
     "q18_large_orders",
     "decontaminate_corpus",
+    "bm25_topk",
+    "chunk_js_elements",
 ]
 
 
@@ -103,7 +105,9 @@ def main() -> None:
     qs = entrymod.queries()
     prev = _previous_bench()
     timings: dict[str, float] = {}
-    RUNS = 2  # best-of-2: report steady-state, not scheduler noise
+    # best-of-3: machine load varies runs by up to 2x (BASELINE.md); the
+    # min over 3 is the stable steady-state signal for regression deltas
+    RUNS = 3
     for key in BENCH_KEYS:
         fn = qs[key]
         best, n = None, 0
@@ -132,6 +136,11 @@ def main() -> None:
     prev_total = round(
         sum(prev[k] for k in timings if k in prev), 3
     ) if prev else None
+    # per-query delta vs the latest BENCH_r*.json, so real plan
+    # regressions separate from machine-load noise at a glance
+    deltas = {
+        k: round(timings[k] - prev[k], 3) for k in timings if k in prev
+    }
     print(
         json.dumps(
             {
@@ -143,6 +152,7 @@ def main() -> None:
                 "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "prev_total_same_keys": prev_total,
+                "delta_vs_prev": deltas,
             }
         ),
         flush=True,
