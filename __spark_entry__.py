@@ -272,6 +272,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _text.tfidf_top_terms,
         "quality_repetition": _text.quality_repetition,
         "decontaminate_corpus": _text.decontaminate_corpus,
+        "line_dedup_corpus": _text.line_dedup_corpus,
+        "pack_sequences": _text.pack_sequences,
+        "redact_pii": _text.redact_pii,
         # multi-format IO fidelity (sources/formats.py): write->read round
         # trips; the oracle aggregates the ORIGINAL parquet
         "jsonl_roundtrip": _fmt.jsonl_roundtrip,
@@ -338,6 +341,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": _rel.q16_supplier_part_counts,
         "q18_large_orders": _rel.q18_large_orders,
         "q19_disjunctive_revenue": _rel.q19_disjunctive_revenue,
+        "q10_returned_revenue": _rel.q10_returned_revenue,
+        "q12_ship_delay_priority": _rel.q12_ship_delay_priority,
+        "q13_customer_distribution": _rel.q13_customer_distribution,
+        "q17_small_qty_revenue": _rel.q17_small_qty_revenue,
+        "q22_idle_customer_balance": _rel.q22_idle_customer_balance,
         "window_topn_orders": _rel.window_topn_orders,
         "window_running_revenue": _rel.window_running_revenue,
         "customers_without_orders": _rel.customers_without_orders,
@@ -871,6 +879,63 @@ cand AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 <>
 SELECT c.doc_id, count(DISTINCT c.shingle) AS n_hits
 FROM cand c JOIN bench b ON c.shingle = b.shingle
 GROUP BY c.doc_id
+""",
+        "line_dedup_corpus": f"""
+WITH {DERIVED_CORPUS_SQL},
+ld_lines AS (
+    SELECT c.path, t.i - 1 AS pos, c.parts[t.i] AS line
+    FROM (SELECT path, string_split(content, chr(10)) AS parts FROM corpus) c,
+         LATERAL (SELECT unnest(generate_series(1, len(c.parts))) AS i) t
+),
+ld_boiler AS (
+    SELECT line FROM ld_lines GROUP BY line HAVING count(DISTINCT path) >= 100
+),
+ld_flagged AS (
+    SELECT path, pos, line,
+           line IN (SELECT line FROM ld_boiler) AS is_boiler
+    FROM ld_lines
+)
+SELECT path,
+       CAST(sum(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE NOT is_boiler), '')) AS clean_hash
+FROM ld_flagged GROUP BY path
+""",
+        "pack_sequences": """
+WITH toks AS (
+    SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT source, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS c
+    FROM toks
+)
+SELECT source, CAST((c - n_tokens) // 512 AS INTEGER) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY source, seq_id
+""",
+        "redact_pii": f"""
+WITH t AS (
+    SELECT doc_id,
+           text || ' contact_' || doc_id || '@example.com'
+           || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-0100' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' host 192.168.1.42' ELSE '' END
+           AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_text.PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_text.PII_PHONE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_text.PII_IPV4}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           t, '{_text.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_text.PII_PHONE}', '<PHONE>', 'g'),
+           '{_text.PII_IPV4}', '<IP>', 'g')) AS redacted_hash
+FROM t
 """,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
@@ -1562,6 +1627,68 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "q10_returned_revenue": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        "q12_ship_delay_priority": """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'slow'
+            WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'medium'
+            ELSE 'fast' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+""",
+        "q13_customer_distribution": """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders
+      ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        "q17_small_qty_revenue": """
+WITH sel AS (
+    SELECT l.l_quantity, l.l_extendedprice,
+           avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS part_avg
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 10
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM sel WHERE l_quantity < 0.2 * part_avg
+""",
+        "q22_idle_customer_balance": """
+WITH pos_avg AS (
+    SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, pos_avg
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY n_name
 """,
         "window_topn_orders": """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (

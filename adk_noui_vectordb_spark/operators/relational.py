@@ -738,3 +738,160 @@ def q19_disjunctive_revenue(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def q10_returned_revenue(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+
+    orders |x| lineitem is the fact-fact shuffle on orderkey; customer is
+    a size-gated broadcast, nation (25 rows at ANY SF) unconditional.
+    Top-20 by the ROUNDED revenue with custkey tie-break so the cut set
+    matches the oracle bit-for-bit; plans as TakeOrderedAndProject.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    c = maybe_broadcast(
+        c, parquet_size_bytes(sf_dir, "customer"), dim_broadcast_bytes
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority counts per shipping bucket.
+
+    The testdata has no shipmode/commit/receipt dates, so the bucket is
+    the ship DELAY (days between order and ship date) — same
+    conditional-sum-over-a-fact-join shape. One shuffle on orderkey; the
+    CASE sums partial-aggregate map-side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay > 90, "slow")
+        .when(delay > 30, "medium")
+        .otherwise("fast")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("delay_bucket"), is_high.alias("hi"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.col("hi").cast("bigint")).alias("high_line_count"),
+            F.sum((~F.col("hi")).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count.
+
+    LEFT OUTER join keeps zero-order customers (their count is 0), then a
+    second aggregation builds the histogram. Both shuffles are on keys
+    with bounded skew (custkey, then the small count domain); the
+    predicate (the comment-filter stand-in: exclude URGENT orders) is
+    part of the JOIN condition, not a WHERE — the Q13 subtlety that makes
+    excluded-order customers count 0 instead of disappearing.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (F.col("o_custkey") == F.col("c_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, cond, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q17_small_qty_revenue(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's typical
+    quantity (the correlated-average filter).
+
+    part filters to one brand + small sizes (container stand-in) and
+    broadcasts size-gated; the per-part average is a WINDOW over the
+    part-restricted lineitem slice — one shuffle on partkey, balanced
+    keys, no self-join re-scan of lineitem. The threshold 0.2*avg is
+    exact cross-engine: quantities are integral doubles, so the sum (and
+    thus the average) is exact in IEEE double.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    )
+    p = maybe_broadcast(
+        p.select("p_partkey"),
+        parquet_size_bytes(sf_dir, "part"),
+        dim_broadcast_bytes,
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    thresh = 0.2 * F.avg("l_quantity").over(w)
+    return (
+        joined.withColumn("_thresh", thresh)
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered, by nation.
+
+    The scalar positive-balance average enters as a broadcast 1-row cross
+    join (same division on both engines); the anti-join predicate is "no
+    URGENT orders" (every synthetic customer has SOME order, so the
+    literal no-orders form of Q22 is empty here) — a LEFT ANTI join on
+    custkey against the priority-filtered orders slice, never a NOT IN
+    shuffle of the full key set; nation (fixed 25 rows) broadcasts. The
+    phone-country-code grouping of real Q22 maps to the nation dimension.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    pos_avg = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -394,3 +394,155 @@ def decontaminate_corpus(
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_hits"))
     )
+
+
+def line_dedup_corpus(
+    spark: SparkSession, sf_dir: str, min_docs: int = 100
+) -> DataFrame:
+    """C4/CCNet-style cross-document line deduplication: drop every line
+    that occurs in >= ``min_docs`` distinct documents (boilerplate
+    headers, nav bars, license blurbs), keep everything else in order.
+
+    Runs over the derived corpus (its injected 'import os' headers are
+    exactly the boilerplate class this removes). Plan shape at scale:
+
+    - ONE global aggregation keyed on the line to get its document
+      frequency — map-side partial agg; at 100 TB group on a 64-bit line
+      hash instead of the line text to shrink shuffle width (the
+      text-keyed form here keeps the oracle exact);
+    - the boilerplate set (lines above the threshold) is SMALL by
+      construction — it re-enters as a broadcast hash join, so the
+      corpus-side pass stays narrow;
+    - per-document reassembly groups on path (balanced keys), emitting
+      kept/removed counts and an md5 of the cleaned text so the driver
+      hash-checks the exact surviving content.
+    """
+    from ..sources.corpus import derived_corpus
+
+    c = derived_corpus(spark, sf_dir)
+    lines = c.select(
+        "path",
+        F.posexplode(F.split(F.col("content"), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("path").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left_outer").select(
+        "path",
+        "pos",
+        "line",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct("pos", "line")
+    )  # collect_list skips nulls -> only kept lines aggregate
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+        ),
+        "\n",
+    )
+    return (
+        flagged.groupBy("path")
+        .agg(
+            F.sum((~F.col("is_boiler")).cast("bigint")).alias("n_kept"),
+            F.sum(F.col("is_boiler").cast("bigint")).alias("n_removed"),
+            F.md5(cleaned).alias("clean_hash"),
+        )
+    )
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = 512
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-token-budget
+    training sequences (the batch-construction step of an LLM data
+    pipeline).
+
+    Spec (deterministic, no document splitting): within each source
+    shard, documents are taken in doc_id order; a document belongs to
+    sequence ``floor(tokens_before_it / budget)`` — a sequence overflows
+    its budget by at most one document rather than splitting it.
+
+    Scale shape: packing is windowed PER SOURCE SHARD
+    (``partitionBy(source)``) — embarrassingly parallel across shards,
+    never a global single-partition sort; the running sum is integer
+    arithmetic (exact cross-engine). Output is the per-sequence manifest
+    (doc span + exact token total) a trainer's data loader consumes.
+    """
+    from ..functions.text import word_count
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", word_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    seq_id = F.floor((cum - F.col("n_tokens")) / budget).cast("int")
+    return (
+        d.withColumn("seq_id", seq_id)
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# Conservative cross-engine patterns (Java regex AND RE2 compatible: no
+# lookaround, no backreferences).
+PII_EMAIL = r"[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email / phone / IPv4) — the compliance pass every
+    training corpus needs before the tokenizer sees it.
+
+    The synthetic documents carry no PII, so a deterministic injection
+    derives a contaminated twin (same construction idea as the derived
+    corpora: the oracle reproduces the injection arithmetically), then
+    the scrubber counts and redacts with pure regexp expressions — one
+    narrow codegen'd projection, no shuffle, no UDF; at 100 TB this is a
+    free rider on whatever scan already reads the text column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    contaminated = F.concat(
+        F.col("text"),
+        F.lit(" contact_"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" call +1-555-0100")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(" host 192.168.1.42")
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", contaminated.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(PII_IPV4)).cast("int").alias("n_ips"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

