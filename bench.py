@@ -54,6 +54,10 @@ BENCH_KEYS = [
     "decontaminate_corpus",
     "bm25_topk",
     "chunk_js_elements",
+    "line_dedup_corpus",
+    "pack_sequences",
+    "redact_pii",
+    "q10_returned_revenue",
 ]
 
 
