@@ -346,6 +346,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_customer_distribution": _rel.q13_customer_distribution,
         "q17_small_qty_revenue": _rel.q17_small_qty_revenue,
         "q22_idle_customer_balance": _rel.q22_idle_customer_balance,
+        "q2_min_cost_supplier": _rel.q2_min_cost_supplier,
+        "q7_volume_shipping": _rel.q7_volume_shipping,
+        "q8_market_share": _rel.q8_market_share,
+        "q11_important_stock": _rel.q11_important_stock,
+        "q15_top_supplier": _rel.q15_top_supplier,
+        "q20_excess_suppliers": _rel.q20_excess_suppliers,
+        "q21_waiting_suppliers": _rel.q21_waiting_suppliers,
         "window_topn_orders": _rel.window_topn_orders,
         "window_running_revenue": _rel.window_running_revenue,
         "customers_without_orders": _rel.customers_without_orders,
@@ -1689,6 +1696,128 @@ WHERE c_acctbal > avg_bal
                     AND o_orderpriority = '1-URGENT')
 GROUP BY n_name
 ORDER BY n_name
+""",
+        "q2_min_cost_supplier": """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem GROUP BY 1, 2
+),
+j AS (
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           ps.supply_cost,
+           min(ps.supply_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+    FROM ps
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size < 10
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(supply_cost, 4) AS supply_cost
+FROM j WHERE supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+        "q7_volume_shipping": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+        "q8_market_share": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END), 2)
+             / round(sum(l_extendedprice * (1 - l_discount)), 2), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+        "q11_important_stock": """
+WITH sn AS (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5'
+),
+per_part AS (
+    SELECT l_partkey AS p_partkey, round(sum(l_extendedprice), 2) AS part_value
+    FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+    GROUP BY 1
+),
+tot AS (SELECT round(sum(part_value), 2) AS total_value FROM per_part)
+SELECT p_partkey, part_value
+FROM per_part CROSS JOIN tot
+WHERE part_value > total_value * 0.001
+ORDER BY part_value DESC, p_partkey
+""",
+        "q15_top_supplier": """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY 1
+),
+mx AS (SELECT max(total_revenue) AS m FROM rev)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev CROSS JOIN mx
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = m
+ORDER BY s_suppkey
+""",
+        "q20_excess_suppliers": """
+WITH good AS (
+    SELECT l_suppkey FROM lineitem
+    WHERE year(l_shipdate) = 1997
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey HAVING sum(l_quantity) > 200.0
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (SELECT l_suppkey FROM good)
+ORDER BY s_name
+""",
+        "q21_waiting_suppliers": """
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           date_diff('day', o_orderdate, l_shipdate) > 90 AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+stats AS (
+    SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+    FROM lo GROUP BY 1
+),
+late_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late_pairs
+JOIN stats USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """,
         "window_topn_orders": """
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (

