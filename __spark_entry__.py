@@ -275,6 +275,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_corpus": _text.line_dedup_corpus,
         "pack_sequences": _text.pack_sequences,
         "redact_pii": _text.redact_pii,
+        "lm_perplexity_score": _text.lm_perplexity_score,
         # multi-format IO fidelity (sources/formats.py): write->read round
         # trips; the oracle aggregates the ORIGINAL parquet
         "jsonl_roundtrip": _fmt.jsonl_roundtrip,
@@ -943,6 +944,29 @@ SELECT doc_id,
            '{_text.PII_PHONE}', '<PHONE>', 'g'),
            '{_text.PII_IPV4}', '<IP>', 'g')) AS redacted_hash
 FROM t
+""",
+        "lm_perplexity_score": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS cnt FROM words GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts),
+vocab AS (
+    SELECT term, round(ln(cnt / total_tokens), 6) AS logp
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, term
+    LIMIT 16
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(coalesce(v.logp, round(ln(1.0 / t.total_tokens), 6))), 4)
+           AS nll,
+       CAST(sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+FROM words w
+LEFT JOIN vocab v USING (term)
+CROSS JOIN tot t
+GROUP BY 1
 """,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,

@@ -546,3 +546,56 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(PII_IPV4)).cast("int").alias("n_ips"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+def lm_perplexity_score(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 16
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train a unigram model
+    on the corpus itself, score each document by mean negative log
+    probability (low = fluent/common, high = gibberish/rare) — the
+    filter real pipelines run with a KenLM model; here the model IS the
+    corpus unigram distribution, so the whole thing stays in one engine.
+
+    Scale shape:
+    - token counting is ONE explode + map-side-combined groupBy (the
+      corpus-sized shuffle this op inherently needs);
+    - the vocabulary is cut to the top ``vocab_size`` tokens by count
+      (count desc, token asc — a deterministic TakeOrderedAndProject,
+      never a global sort); everything else scores at the unseen-token
+      floor 1/total, so model size is CAPPED regardless of corpus size
+      (at 100 TB use 2^16-2^20; the test default 16 exercises the OOV
+      path on the tiny synthetic vocabulary);
+    - the capped model re-enters as a BROADCAST join onto the exploded
+      tokens; per-doc reduction shuffles once on doc_id.
+    Per-token log-probs are rounded to 6 dp before averaging and the
+    score to 4 dp after (the tfidf_top_terms cross-engine convention).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    )
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    vocab = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(vocab_size)
+        .select(
+            "term",
+            F.round(F.log(F.col("cnt") / F.col("total_tokens")), 6).alias(
+                "logp"
+            ),
+        )
+    )
+    oov = F.round(F.log(F.lit(1.0) / F.col("total_tokens")), 6)
+    return (
+        words.join(F.broadcast(vocab), "term", "left_outer")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.coalesce(F.col("logp"), oov)), 4).alias("nll"),
+            F.sum(F.col("logp").isNull().cast("bigint")).alias("n_oov"),
+        )
+    )

@@ -58,6 +58,9 @@ BENCH_KEYS = [
     "pack_sequences",
     "redact_pii",
     "q10_returned_revenue",
+    "lm_perplexity_score",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -262,3 +262,29 @@ def test_q21_sole_late_supplier_invariant(spark, sf_dir):
     # ranked descending with name tie-break
     vals = [(-(r["numwait"]), r["s_name"]) for r in rows]
     assert vals == sorted(vals)
+
+
+# ----------------------------------------------------------- LM perplexity
+
+def test_lm_perplexity_oov_path_exercised(spark, sf_dir):
+    """With the capped vocab some tokens must fall to the OOV floor, and
+    counts stay within bounds; nll is positive (probabilities < 1)."""
+    rows = tx.lm_perplexity_score(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in rows)
+    assert sum(r["n_oov"] for r in rows) > 0
+    assert all(r["nll"] > 0 for r in rows)
+
+
+def test_lm_perplexity_full_vocab_has_no_oov(spark, sf_dir):
+    """A vocab cap above the corpus vocabulary means zero OOV tokens."""
+    rows = tx.lm_perplexity_score(spark, sf_dir, vocab_size=10**6).collect()
+    assert sum(r["n_oov"] for r in rows) == 0
+
+
+def test_lm_perplexity_model_is_broadcast(spark, sf_dir):
+    """The capped unigram model must re-enter as a broadcast join; the
+    vocabulary cut must be a TakeOrderedAndProject, not a global sort."""
+    plan = explain_str(tx.lm_perplexity_score(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
