@@ -280,6 +280,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trips; the oracle aggregates the ORIGINAL parquet
         "jsonl_roundtrip": _fmt.jsonl_roundtrip,
         "csv_roundtrip": _fmt.csv_roundtrip,
+        "orc_roundtrip": _fmt.orc_roundtrip,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
@@ -970,6 +971,7 @@ GROUP BY 1
 """,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
+        "orc_roundtrip": _ROUNDTRIP_SQL,
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_hash

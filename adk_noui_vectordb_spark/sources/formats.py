@@ -131,3 +131,30 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="adk_fmt_"), "docs_csv")
     write_csv(d, path)
     return _fidelity_rollup(read_csv(spark, path, DOCUMENTS_SCHEMA))
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC with zlib — the Hive-ecosystem columnar interchange format;
+    splittable stripes, predicate pushdown, and type fidelity like
+    parquet (no text-encoding hazards at all)."""
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # self-describing columnar schema; no inference pass needed.
+    return spark.read.orc(path)
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> ORC -> read back -> fidelity rollup (same oracle
+    contract as the JSONL/CSV trips: the oracle aggregates the ORIGINAL
+    parquet, so any value bent in transit hash-mismatches)."""
+    import os
+    import tempfile
+
+    from .tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.mkdtemp(prefix="adk_fmt_"), "docs_orc")
+    write_orc(d, path)
+    return _fidelity_rollup(read_orc(spark, path))
