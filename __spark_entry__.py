@@ -281,6 +281,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _fmt.jsonl_roundtrip,
         "csv_roundtrip": _fmt.csv_roundtrip,
         "orc_roundtrip": _fmt.orc_roundtrip,
+        "cluster_kmeans": _ann.cluster_kmeans,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
@@ -393,6 +394,45 @@ _COS = (
 )
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs, mirroring
+    operators/ann.py cluster_kmeans exactly: 6-dp-rounded squared-L2
+    argmin with cluster tie-break, 6-dp-rounded per-dim centroid means."""
+    dist = (
+        "round(list_inner_product(e.emb, e.emb)"
+        " - 2 * list_inner_product(e.emb, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        " FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, emb AS c"
+        f" FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM e CROSS JOIN c{i} c) WHERE rn = 1)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT cluster, list(v ORDER BY pos) AS c FROM (
+    SELECT a.cluster, t.i AS pos, round(avg(e.emb[t.i]), 6) AS v
+    FROM a{i} a JOIN e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(e.emb))) AS i) t
+    GROUP BY 1, 2) GROUP BY 1)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1
+"""
+    )
 
 # Fidelity oracle for the format round trips: aggregates the ORIGINAL
 # parquet — the Spark side aggregates what came back from JSONL/CSV, so
@@ -972,6 +1012,7 @@ GROUP BY 1
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "orc_roundtrip": _ROUNDTRIP_SQL,
+        "cluster_kmeans": _kmeans_sql(),
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_hash

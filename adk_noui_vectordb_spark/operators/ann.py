@@ -132,3 +132,76 @@ def ann_ivf_topk(
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def cluster_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the clustering step of
+    SemDeDup-style curation (cluster, then dedup/select within clusters)
+    and of IVF index training.
+
+    Deterministic and oracle-checkable: centroids initialize from the
+    first ``k`` vectors by vec_id, run ``iters`` fixed assignment/update
+    rounds, and output the final (vec_id, cluster) assignment — integer
+    columns only. Cross-engine stability: squared L2 distances are
+    ROUNDED to 6 dp with a cluster-id tie-break before the argmin, and
+    centroid means are rounded to 6 dp per dimension, so both engines
+    rank identical decimals.
+
+    Scale shape (per round):
+    - centroids are k x dim doubles — ALWAYS broadcast (k <= 2^16 even
+      for IVF training at 100 TB);
+    - assignment is a broadcast nested-loop over k candidates per vector
+      with a per-vec_id argmin window — the corpus never shuffles for
+      ranking (window keys are the balanced vec_id);
+    - the centroid update is one posexplode + map-side-combined
+      (cluster, pos) average — output k*dim rows, tiny;
+    - iterations chain lazily; at production scale each round's
+      centroids would be checkpointed (the Pregel pattern of
+      dedup.connected_components) — at k*dim this size, recomputation
+      is cheaper than a checkpoint barrier.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import dot_product
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("emb").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = F.round(
+            dot_product(F.col("emb"), F.col("emb"))
+            - 2 * dot_product(F.col("emb"), F.col("c"))
+            + dot_product(F.col("c"), F.col("c")),
+            6,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        return (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+
+    for _ in range(iters):
+        cent = (
+            assign(cent)
+            .join(e, "vec_id")
+            .select("cluster", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("c")
+            )
+        )
+    return assign(cent)

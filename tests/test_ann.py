@@ -47,3 +47,35 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         ).collect()
     ]
     assert full == exact
+
+
+def test_kmeans_assigns_every_vector_once(spark, sf_dir):
+    from adk_noui_vectordb_spark.operators.ann import cluster_kmeans
+    from adk_noui_vectordb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    k = 8
+    got = cluster_kmeans(spark, sf_dir, k=k)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert got.count() == n
+    assert got.select("vec_id").distinct().count() == n
+    bad = got.filter((F.col("cluster") < 0) | (F.col("cluster") >= k)).count()
+    assert bad == 0
+
+
+def test_kmeans_k1_is_single_cluster(spark, sf_dir):
+    from adk_noui_vectordb_spark.operators.ann import cluster_kmeans
+    from pyspark.sql import functions as F
+
+    got = cluster_kmeans(spark, sf_dir, k=1, iters=1)
+    assert got.filter(F.col("cluster") != 0).count() == 0
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """Assignment must broadcast the k x dim centroid frame — the corpus
+    side never shuffles for the argmin (window keys on vec_id only)."""
+    from adk_noui_vectordb_spark.operators.ann import cluster_kmeans
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    plan = explain_str(cluster_kmeans(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
