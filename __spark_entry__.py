@@ -276,6 +276,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _text.pack_sequences,
         "redact_pii": _text.redact_pii,
         "lm_perplexity_score": _text.lm_perplexity_score,
+        "mixture_sample": _text.mixture_sample,
         # multi-format IO fidelity (sources/formats.py): write->read round
         # trips; the oracle aggregates the ORIGINAL parquet
         "jsonl_roundtrip": _fmt.jsonl_roundtrip,
@@ -1008,6 +1009,34 @@ FROM words w
 LEFT JOIN vocab v USING (term)
 CROSS JOIN tot t
 GROUP BY 1
+""",
+        "mixture_sample": """
+WITH d AS (
+    SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+sw AS (
+    SELECT DISTINCT source,
+           CAST(substr(source, 4) AS INTEGER) % 3 + 1 AS w
+    FROM d
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM sw),
+b AS (
+    SELECT source, CAST(floor(5000 * w / tw) AS BIGINT) AS budget_tokens
+    FROM sw CROSS JOIN tot
+),
+cum AS (
+    SELECT source, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                               ROWS UNBOUNDED PRECEDING) AS c
+    FROM d
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sel, budget_tokens
+FROM cum JOIN b USING (source)
+WHERE c - n_tokens < budget_tokens
+GROUP BY source, budget_tokens
 """,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,

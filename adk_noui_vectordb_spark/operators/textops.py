@@ -599,3 +599,56 @@ def lm_perplexity_score(
             F.sum(F.col("logp").isNull().cast("bigint")).alias("n_oov"),
         )
     )
+
+
+def mixture_sample(
+    spark: SparkSession, sf_dir: str, token_budget: int = 5000
+) -> DataFrame:
+    """Domain-mixture sampling: fill a global token budget with
+    per-source quotas proportional to mixture weights — the Pile/Dolma
+    recipe step that turns a raw corpus into a training mixture.
+
+    Weights here derive from the source id (id % 3 + 1) so the check is
+    self-contained; a real recipe passes a weight table (it would enter
+    the same broadcast path). Selection within a source is greedy by
+    md5(doc_id) order — a content-independent deterministic shuffle that
+    is stable under repartitioning and appends (the split_assignment
+    convention) — overflowing the quota by at most one document.
+
+    Scale shape: the quota table is #sources rows (broadcast); the
+    cumulative-token window partitions BY SOURCE (parallel across
+    shards, same bound as pack_sequences); one narrow scan, one
+    window shuffle, one map-side-combined rollup.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", word_count(F.col("text")).alias("n_tokens")
+    )
+    src_w = d.select("source").distinct().withColumn(
+        "w", F.substring("source", 4, 10).cast("int") % 3 + 1
+    )
+    tot = src_w.agg(F.sum("w").alias("tw"))
+    budgets = src_w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.lit(token_budget) * F.col("w") / F.col("tw"))
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )
+    wnd = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.sum("n_tokens").over(wnd) - F.col("n_tokens")
+    return (
+        d.withColumn("prev_tokens", prev)
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("prev_tokens") < F.col("budget_tokens"))
+        .groupBy("source", "budget_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("n_tokens").alias("tok_sel"),
+        )
+        .select("source", "n_sel", "tok_sel", "budget_tokens")
+    )

@@ -288,3 +288,36 @@ def test_lm_perplexity_model_is_broadcast(spark, sf_dir):
     plan = explain_str(tx.lm_perplexity_score(spark, sf_dir), mode="simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ------------------------------------------------------------ mixture sample
+
+def test_mixture_sample_quota_bounds(spark, sf_dir):
+    """Each source fills its quota: selected tokens reach the budget
+    (or the source ran dry) and overflow is at most one document."""
+    rows = tx.mixture_sample(spark, sf_dir).collect()
+    assert rows
+    src_tokens = {
+        r["source"]: r["tot"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("tot"))
+        .collect()
+    }
+    for r in rows:
+        exhausted = r["tok_sel"] == src_tokens[r["source"]]
+        assert r["tok_sel"] >= r["budget_tokens"] or exhausted, r
+        # greedy prefix: removing the last doc must drop below budget —
+        # equivalently the pre-final cumulative is < budget, so overflow
+        # is bounded by one document; n_sel is at least 1 given budget>0
+        assert r["n_sel"] >= 1
+
+
+def test_mixture_sample_weights_proportional(spark, sf_dir):
+    """Quota ratio between a weight-3 and a weight-1 source is 3x
+    (floor rounding aside)."""
+    rows = {r["source"]: r["budget_tokens"]
+            for r in tx.mixture_sample(spark, sf_dir).collect()}
+    # src2 -> 2%3+1 = 3; src0 -> 0%3+1 = 1
+    assert rows["src2"] == 3 * rows["src0"] or abs(
+        rows["src2"] - 3 * rows["src0"]) <= 2
