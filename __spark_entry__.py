@@ -277,6 +277,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _text.redact_pii,
         "lm_perplexity_score": _text.lm_perplexity_score,
         "mixture_sample": _text.mixture_sample,
+        "bpe_pair_counts": _text.bpe_pair_counts,
         # multi-format IO fidelity (sources/formats.py): write->read round
         # trips; the oracle aggregates the ORIGINAL parquet
         "jsonl_roundtrip": _fmt.jsonl_roundtrip,
@@ -1037,6 +1038,23 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
 FROM cum JOIN b USING (source)
 WHERE c - n_tokens < budget_tokens
 GROUP BY source, budget_tokens
+""",
+        "bpe_pair_counts": """
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wf AS (
+    SELECT w, count(*) AS f FROM words WHERE len(w) >= 2 GROUP BY 1
+),
+pairs AS (
+    SELECT substr(w, t.i, 2) AS pair, f
+    FROM wf,
+         LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1
+ORDER BY cnt DESC, pair
+LIMIT 50
 """,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,

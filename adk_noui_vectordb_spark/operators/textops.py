@@ -652,3 +652,49 @@ def mixture_sample(
         )
         .select("source", "n_sel", "tok_sel", "budget_tokens")
     )
+
+
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, top_n: int = 50
+) -> DataFrame:
+    """One round of BPE vocabulary induction: frequency-weighted adjacent
+    character-pair counts over the corpus — the inner loop of training
+    the tokenizer a data pipeline feeds (Sennrich et al. 2016). The full
+    trainer repeats this with merges applied; each round is this exact
+    aggregation shape.
+
+    Scale shape: the corpus-sized work is ONE token count (map-side
+    combined); pair expansion then runs over the DISTINCT vocabulary —
+    orders of magnitude smaller than the corpus — via an array HOF
+    (``transform(sequence)``, codegen'd, no UDF), and the final pair
+    rollup + top-N is a TakeOrderedAndProject over pair-cardinality
+    (bounded by byte-pair space, ~bytes² at most).
+
+    Words shorter than 2 chars are filtered BEFORE the sequence expr:
+    Spark's ``sequence(1, 0)`` generates a DESCENDING sequence rather
+    than an empty one, which would fabricate a reversed pair.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("w")
+    )
+    wf = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_n)
+    )

@@ -321,3 +321,27 @@ def test_mixture_sample_weights_proportional(spark, sf_dir):
     # src2 -> 2%3+1 = 3; src0 -> 0%3+1 = 1
     assert rows["src2"] == 3 * rows["src0"] or abs(
         rows["src2"] - 3 * rows["src0"]) <= 2
+
+
+# ---------------------------------------------------------------- BPE pairs
+
+def test_bpe_pairs_are_two_chars_and_ranked(spark, sf_dir):
+    rows = tx.bpe_pair_counts(spark, sf_dir).collect()
+    assert rows
+    assert all(len(r["pair"]) == 2 for r in rows)
+    vals = [(-(r["cnt"]), r["pair"]) for r in rows]
+    assert vals == sorted(vals)
+
+
+def test_bpe_pair_expansion_runs_on_vocab_not_corpus(spark, sf_dir):
+    """The sequence/substr HOF must sit ABOVE the word-frequency
+    aggregate (distinct vocab), not on the exploded corpus tokens, and
+    the top-N must be a TakeOrderedAndProject."""
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    plan = explain_str(tx.bpe_pair_counts(spark, sf_dir), mode="formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the explode of pairs appears after (above) the first HashAggregate
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("HashAggregate")
+    assert gen_pos != -1 and agg_pos != -1
