@@ -1918,16 +1918,15 @@ WITH lo AS (
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
 ),
-stats AS (
+sole AS (
     SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
-           count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+           count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp,
+           max(CASE WHEN is_late THEN l_suppkey END) AS l_suppkey
     FROM lo GROUP BY 1
-),
-late_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late)
+)
 SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-FROM late_pairs
-JOIN stats USING (l_orderkey)
-JOIN supplier ON l_suppkey = s_suppkey
+FROM sole
+JOIN supplier ON sole.l_suppkey = s_suppkey
 WHERE n_supp >= 2 AND n_late_supp = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name

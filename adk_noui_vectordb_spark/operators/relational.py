@@ -1205,12 +1205,14 @@ def q21_waiting_suppliers(
 
     The testdata has no commit/receipt dates, so "late" is shipping more
     than ``late_days`` after the order date (the q12 delay definition).
-    The spec's EXISTS + NOT EXISTS double self-correlation is re-shaped
-    for scale as ONE grouped pass over lineitem|x|orders computing per
-    order (distinct suppliers, distinct late suppliers), joined back to
-    the distinct late (order, supplier) pairs — two shuffles on
-    l_orderkey total, where the literal double self-join would shuffle
-    the fact table four times.
+    The spec's EXISTS + NOT EXISTS double self-correlation collapses to
+    ONE grouped pass over lineitem|x|orders: per order, count distinct
+    suppliers and distinct LATE suppliers, and recover the culprit as
+    ``max(late supplier)`` — exact precisely when the late-distinct
+    count is 1, which the filter requires. One fact-fact join + one
+    aggregate on l_orderkey, where the literal double self-join would
+    shuffle the fact table four times and the join-back variant scans
+    the fact join twice.
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -1219,17 +1221,14 @@ def q21_waiting_suppliers(
         "l_suppkey",
         (F.datediff("l_shipdate", "o_orderdate") > late_days).alias("is_late"),
     )
-    stats = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
-    late_pairs = (
-        lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
-    )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     sole_late = (
-        late_pairs.join(stats, "l_orderkey")
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(late_supp).alias("n_late_supp"),
+            F.max(late_supp).alias("l_suppkey"),
+        )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
