@@ -345,3 +345,13 @@ def test_bpe_pair_expansion_runs_on_vocab_not_corpus(spark, sf_dir):
     gen_pos = plan.find("Generate")
     agg_pos = plan.find("HashAggregate")
     assert gen_pos != -1 and agg_pos != -1
+
+
+def test_q21_single_fact_join(spark, sf_dir):
+    """The sole-late-supplier recovery must not scan the lineitem-orders
+    join twice: exactly one join of the two fact tables in the plan."""
+    # formatted mode lists each scan twice (tree node + detail block):
+    # 3 scans (lineitem, orders, supplier) -> 6 mentions; a doubled fact
+    # join would add 4 more
+    plan = explain_str(rel.q21_waiting_suppliers(spark, sf_dir), mode="formatted")
+    assert plan.count("Scan parquet") <= 6, plan
