@@ -136,6 +136,30 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup under the batch oracle: drain the events table
+    through ``dropDuplicatesWithinWatermark`` (bounded per-key state) and
+    return the per-type deduplicated counts from the memory sink. The
+    testdata's event_ids are unique, so the result is deterministic and
+    the DuckDB twin is a plain COUNT(DISTINCT event_id) — the streaming
+    machinery (watermark, keyed state, availableNow drain) is what's
+    under test, same contract style as ``stream_tumbling_counts``."""
+    import tempfile
+    import uuid
+
+    from adk_noui_vectordb_spark.streaming.pipeline import stream_dedup_events
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = stream_dedup_events(spark, sf_dir, tempfile.mkdtemp(), name)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "stream_dedup_events did not drain within 120s; "
+            "refusing to read a partial memory sink"
+        )
+    return spark.sql(f"SELECT event_type, n_events FROM {name}")
+
+
 def _q_chunk_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``ast.parse`` extraction over the valid-Python derived corpus;
     the oracle predicts the exact rows arithmetically from the corpus
@@ -366,6 +390,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _rel.events_sessionize,
         "events_sliding_counts": _rel.events_sliding_counts,
         "stream_tumbling_counts": _q_stream_tumbling,
+        "stream_dedup_counts": _q_stream_dedup,
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
@@ -995,21 +1020,26 @@ WITH words AS (
 counts AS (SELECT term, count(*) AS cnt FROM words GROUP BY 1),
 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts),
 vocab AS (
-    SELECT term, round(ln(cnt / total_tokens), 6) AS logp
+    SELECT term,
+           CAST(floor(ln(cnt / total_tokens) * 1000000) AS BIGINT) AS logp_micro
     FROM counts CROSS JOIN tot
     ORDER BY cnt DESC, term
     LIMIT 16
 )
-SELECT w.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       round(-avg(coalesce(v.logp, round(ln(1.0 / t.total_tokens), 6))), 4)
-           AS nll,
-       CAST(sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_oov
-FROM words w
-LEFT JOIN vocab v USING (term)
-CROSS JOIN tot t
-GROUP BY 1
+SELECT doc_id, n_tokens, (-nll_sum) // n_tokens AS nll_micro, n_oov
+FROM (
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(v.logp_micro,
+                CAST(floor(ln(1.0 / t.total_tokens) * 1000000) AS BIGINT)))
+                AS BIGINT) AS nll_sum,
+           CAST(sum(CASE WHEN v.logp_micro IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov
+    FROM words w
+    LEFT JOIN vocab v USING (term)
+    CROSS JOIN tot t
+    GROUP BY 1
+)
 """,
         "mixture_sample": """
 WITH d AS (
@@ -1059,6 +1089,10 @@ LIMIT 50
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,
         "orc_roundtrip": _ROUNDTRIP_SQL,
+        "stream_dedup_counts": """
+SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
         "cluster_kmeans": _kmeans_sql(),
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,
@@ -1829,7 +1863,7 @@ j AS (
     WHERE p.p_type = 'LARGE' AND p.p_size < 10
 )
 SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(supply_cost, 4) AS supply_cost
+       CAST(floor(supply_cost * 10000) AS BIGINT) AS supply_cost_e4
 FROM j WHERE supply_cost = min_cost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100

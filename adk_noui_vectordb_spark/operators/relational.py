@@ -949,7 +949,14 @@ def q2_min_cost_supplier(
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("supply_cost", 4).alias("supply_cost"),
+            # FLOOR-scaled integer, not round(x, 4): a 2-dp price over an
+            # integral quantity lands EXACTLY on 4-dp .xxxx5 ties (x/8 ->
+            # ...375, found by the sf0.1 sweep) where Spark's exact
+            # HALF_UP and DuckDB's float-path round() disagree; floor of
+            # identical doubles is tie-free.
+            F.floor(F.col("supply_cost") * 1e4)
+            .cast("bigint")
+            .alias("supply_cost_e4"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

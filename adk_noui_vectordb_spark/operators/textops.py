@@ -577,26 +577,41 @@ def lm_perplexity_score(
     )
     counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    # Log-probs carry as FLOOR-SCALED INTEGER micro-nats, never rounded
+    # floats: an avg of 6-dp decimals over n tokens lands EXACTLY on
+    # .xxxx5 rounding ties whenever n divides a power of 10 (n=40 ->
+    # x.xxxx5, found by the sf0.1 sweep), and Spark (exact BigDecimal
+    # HALF_UP) vs DuckDB (float-path) round() disagree on exact ties.
+    # floor() of identical doubles has no tie concept, and integer
+    # sums/divisions are exact on any engine.
     vocab = (
         counts.crossJoin(F.broadcast(total))
         .orderBy(F.desc("cnt"), F.asc("term"))
         .limit(vocab_size)
         .select(
             "term",
-            F.round(F.log(F.col("cnt") / F.col("total_tokens")), 6).alias(
-                "logp"
-            ),
+            F.floor(F.log(F.col("cnt") / F.col("total_tokens")) * 1e6)
+            .cast("bigint")
+            .alias("logp_micro"),
         )
     )
-    oov = F.round(F.log(F.lit(1.0) / F.col("total_tokens")), 6)
+    oov = F.floor(F.log(F.lit(1.0) / F.col("total_tokens")) * 1e6).cast(
+        "bigint"
+    )
     return (
         words.join(F.broadcast(vocab), "term", "left_outer")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(-F.avg(F.coalesce(F.col("logp"), oov)), 4).alias("nll"),
-            F.sum(F.col("logp").isNull().cast("bigint")).alias("n_oov"),
+            (-F.sum(F.coalesce(F.col("logp_micro"), oov))).alias("_nll_sum"),
+            F.sum(F.col("logp_micro").isNull().cast("bigint")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("_nll_sum div n_tokens").alias("nll_micro"),
+            "n_oov",
         )
     )
 

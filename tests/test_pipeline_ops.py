@@ -273,7 +273,7 @@ def test_lm_perplexity_oov_path_exercised(spark, sf_dir):
     assert rows
     assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in rows)
     assert sum(r["n_oov"] for r in rows) > 0
-    assert all(r["nll"] > 0 for r in rows)
+    assert all(r["nll_micro"] > 0 for r in rows)
 
 
 def test_lm_perplexity_full_vocab_has_no_oov(spark, sf_dir):
