@@ -160,6 +160,39 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT event_type, n_events FROM {name}")
 
 
+def _q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator under the batch oracle: drain
+    events through the ``applyInPandasWithState`` per-user running-total
+    operator and return each user's FINAL state (last update per user —
+    the update-mode sink may hold one row per micro-batch). Equivalent to
+    the batch per-user aggregate, which is the DuckDB twin; event values
+    are exact 2-dp decimals so the rounded sum is tie-free."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_user_running_totals,
+    )
+
+    name = f"totals_{uuid.uuid4().hex[:8]}"
+    q = stream_user_running_totals(spark, sf_dir, tempfile.mkdtemp(), name)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "stream_user_running_totals did not drain within 120s; "
+            "refusing to read a partial memory sink"
+        )
+    sink = spark.sql(f"SELECT user_id, n_events, total_value FROM {name}")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 def _q_chunk_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``ast.parse`` extraction over the valid-Python derived corpus;
     the oracle predicts the exact rows arithmetically from the corpus
@@ -391,6 +424,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_counts": _rel.events_sliding_counts,
         "stream_tumbling_counts": _q_stream_tumbling,
         "stream_dedup_counts": _q_stream_dedup,
+        "stream_running_totals": _q_stream_running_totals,
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
@@ -1091,6 +1125,11 @@ LIMIT 50
         "orc_roundtrip": _ROUNDTRIP_SQL,
         "stream_dedup_counts": """
 SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
+        "stream_running_totals": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
 FROM events GROUP BY 1
 """,
         "cluster_kmeans": _kmeans_sql(),
