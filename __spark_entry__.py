@@ -341,6 +341,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _fmt.csv_roundtrip,
         "orc_roundtrip": _fmt.orc_roundtrip,
         "cluster_kmeans": _ann.cluster_kmeans,
+        "sketch_value_quantiles": _sketch.sketch_value_quantiles,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,

@@ -37,3 +37,29 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users")
     ).select(F.lit("__all__").alias("event_type"), "approx_users")
     return per_est.unionByName(union_est)
+
+
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of event value per event_type via Spark's
+    mergeable quantile sketch (`approx_percentile`, Greenwald-Khanna with
+    accuracy 10000 → error ≤ 0.01%% of rank) — the tail-latency/quantile
+    dashboard primitive at 100 TB, where exact percentiles would sort or
+    multi-pass the fact table. Map-side partial sketches merge
+    associatively like the HLL path; one scan, one small shuffle of
+    sketch state per group.
+
+    Rows-only driver contract (approximate by construction); the rank
+    error bound vs exact rank-selected percentiles is pinned in
+    tests/test_sketches.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("q")
+    ).select(
+        "event_type",
+        F.round(F.col("q")[0], 2).alias("p50"),
+        F.round(F.col("q")[1], 2).alias("p95"),
+        F.round(F.col("q")[2], 2).alias("p99"),
+    )
