@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adk_noui_vectordb_spark.operators import ann as _ann
+from adk_noui_vectordb_spark.operators import graph as _graph
 from adk_noui_vectordb_spark.operators import dedup as _dedup
 from adk_noui_vectordb_spark.operators import embed as _embed
 from adk_noui_vectordb_spark.operators import multimodal as _mm
@@ -342,6 +343,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _fmt.orc_roundtrip,
         "cluster_kmeans": _ann.cluster_kmeans,
         "sketch_value_quantiles": _sketch.sketch_value_quantiles,
+        "pagerank_trade_graph": _graph.pagerank_customer_supplier,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
         "diag_generic": _text.diag_generic,
@@ -1120,6 +1122,39 @@ SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
 FROM pairs GROUP BY 1
 ORDER BY cnt DESC, pair
 LIMIT 50
+""",
+        "pagerank_trade_graph": """
+WITH e0 AS (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+p0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS p FROM nodes),
+s1 AS (
+    SELECT e.dst AS node, CAST(sum(p.p // d.deg) AS BIGINT) AS sc
+    FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY 1
+),
+p1 AS (
+    SELECT n.node,
+           CAST(150000000 + (85 * coalesce(s.sc, 0)) // 100 AS BIGINT) AS p
+    FROM nodes n LEFT JOIN s1 s USING (node)
+),
+s2 AS (
+    SELECT e.dst AS node, CAST(sum(p.p // d.deg) AS BIGINT) AS sc
+    FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY 1
+),
+p2 AS (
+    SELECT n.node,
+           CAST(150000000 + (85 * coalesce(s.sc, 0)) // 100 AS BIGINT) AS p
+    FROM nodes n LEFT JOIN s2 s USING (node)
+)
+SELECT node, p FROM p2
 """,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,

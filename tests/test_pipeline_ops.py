@@ -355,3 +355,38 @@ def test_q21_single_fact_join(spark, sf_dir):
     # join would add 4 more
     plan = explain_str(rel.q21_waiting_suppliers(spark, sf_dir), mode="formatted")
     assert plan.count("Scan parquet") <= 6, plan
+
+
+# ------------------------------------------------------------------ pagerank
+
+def test_pagerank_mass_and_bounds(spark, sf_dir):
+    """Every node gets the damping floor; supplier hubs (degree-rich)
+    outrank leaf customers; total nodes = customers-with-orders +
+    suppliers-with-lineitems."""
+    from adk_noui_vectordb_spark.operators.graph import (
+        pagerank_customer_supplier,
+    )
+
+    rows = pagerank_customer_supplier(spark, sf_dir).collect()
+    assert rows
+    base = 15 * 10**9 // 100
+    assert all(r["p"] >= base for r in rows)
+    supp = [r["p"] for r in rows if r["node"].startswith("s")]
+    cust = [r["p"] for r in rows if r["node"].startswith("c")]
+    assert supp and cust
+    # ~100 suppliers absorb mass from ~1000+ customers: mean supplier
+    # rank must exceed mean customer rank
+    assert sum(supp) / len(supp) > sum(cust) / len(cust)
+
+
+def test_pagerank_is_integer_exact(spark, sf_dir):
+    """Two runs produce identical assignments (no float anywhere)."""
+    from adk_noui_vectordb_spark.operators.graph import (
+        pagerank_customer_supplier,
+    )
+
+    a = {r["node"]: r["p"] for r in
+         pagerank_customer_supplier(spark, sf_dir).collect()}
+    b = {r["node"]: r["p"] for r in
+         pagerank_customer_supplier(spark, sf_dir).collect()}
+    assert a == b
