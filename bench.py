@@ -61,6 +61,8 @@ BENCH_KEYS = [
     "lm_perplexity_score",
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
+    "pagerank_trade_graph",
+    "cluster_kmeans",
 ]
 
 
