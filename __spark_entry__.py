@@ -194,6 +194,31 @@ def _q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM time-range join under the batch oracle: purchases
+    joined to same-user clicks from the preceding hour, both sides
+    watermarked so buffered state is bounded. With a single availableNow
+    batch the watermark never evicts a valid match, so the sink equals
+    the batch join — the DuckDB twin. Timestamps compare at the us
+    truncation both engines share (see load_table's ts contract)."""
+    import tempfile
+    import uuid
+
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_purchase_click_join,
+    )
+
+    name = f"rjoin_{uuid.uuid4().hex[:8]}"
+    q = stream_purchase_click_join(spark, sf_dir, tempfile.mkdtemp(), name)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "stream_purchase_click_join did not drain within 120s; "
+            "refusing to read a partial memory sink"
+        )
+    return spark.sql(f"SELECT p_id, c_id, p_user FROM {name}")
+
+
 def _q_chunk_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``ast.parse`` extraction over the valid-Python derived corpus;
     the oracle predicts the exact rows arithmetically from the corpus
@@ -428,6 +453,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_counts": _q_stream_tumbling,
         "stream_dedup_counts": _q_stream_dedup,
         "stream_running_totals": _q_stream_running_totals,
+        "stream_range_join": _q_stream_range_join,
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
@@ -1167,6 +1193,20 @@ FROM events GROUP BY 1
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS total_value
 FROM events GROUP BY 1
+""",
+        "stream_range_join": """
+WITH p AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+    WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+    WHERE event_type = 'click'
+)
+SELECT p.p_id, c.c_id, p.user_id AS p_user
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.c_ts <= p.p_ts
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
 """,
         "cluster_kmeans": _kmeans_sql(),
         "doc_fingerprint": """
