@@ -382,6 +382,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_rows": _dedup.minhash_band_rows,
         "dedup_minhash_pairs": _dedup.dedup_minhash_pairs,
         "dedup_connected_components": _dedup.dedup_connected_components,
+        "dedup_canonical_selection": _dedup.dedup_canonical_selection,
         "minhash_jaccard_estimate": _dedup.minhash_jaccard_estimate,
         "dedup_simhash_pairs": _dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
@@ -1257,6 +1258,43 @@ reach(src, dst) AS (
     FROM reach JOIN edges ON reach.dst = edges.src
 )
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+""",
+        "dedup_canonical_selection": f"""
+WITH RECURSIVE {_MINHASH_BANDS_CTE},
+edges AS (
+    SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.band_hash = r.band_hash
+         AND l.doc_id <> r.doc_id
+),
+reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT reach.src, edges.dst
+    FROM reach JOIN edges ON reach.dst = edges.src
+),
+cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+q AS (
+    SELECT doc_id,
+           round(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.4 ELSE 0.0 END
+                 + len(list_filter(string_split(lower(text), ' '),
+                                   x -> x IN {_STOPWORDS_SQL}))
+                   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 0.3
+                 + len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3,
+                 4) AS quality
+    FROM documents
+),
+ranked AS (
+    SELECT cc.cluster_id, cc.doc_id, q.quality,
+           row_number() OVER (PARTITION BY cc.cluster_id
+                              ORDER BY q.quality DESC, cc.doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY cc.cluster_id) AS BIGINT)
+               AS n_members
+    FROM cc JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_doc, n_members, quality AS best_quality
+FROM ranked WHERE rn = 1
 """,
         "ngram_jaccard_pairs": """
 WITH docs AS (

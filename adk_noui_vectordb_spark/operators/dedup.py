@@ -670,3 +670,40 @@ def dedup_simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: cluster with connected components
+    over the MinHash candidate graph, then keep the HIGHEST-QUALITY
+    member of each cluster (quality-ranked canonical selection — what a
+    real pipeline keeps, rather than blindly taking min doc_id).
+
+    Composition of the engine's own operators: ``dedup_connected_components``
+    (Pregel min-label) |x| ``quality_score`` on doc_id, then one ranking
+    window per cluster. The rank and the member count share the SAME
+    cluster_id partitioning, so Catalyst reuses one shuffle for both
+    window functions. Ranking keys are the ROUNDED quality (already
+    oracle-stable) with doc_id tie-break — deterministic cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    from .textops import quality_score
+
+    cc = dedup_connected_components(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    wrank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wall = Window.partitionBy("cluster_id")
+    return (
+        cc.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n_members", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            "n_members",
+            F.col("quality").alias("best_quality"),
+        )
+    )

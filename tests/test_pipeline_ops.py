@@ -390,3 +390,34 @@ def test_pagerank_is_integer_exact(spark, sf_dir):
     b = {r["node"]: r["p"] for r in
          pagerank_customer_supplier(spark, sf_dir).collect()}
     assert a == b
+
+
+# -------------------------------------------------------- canonical selection
+
+def test_canonical_selection_covers_all_docs(spark, sf_dir):
+    """Cluster member counts must sum to the corpus size, and each
+    canonical doc must belong to its own cluster."""
+    from adk_noui_vectordb_spark.operators.dedup import (
+        dedup_canonical_selection,
+    )
+
+    rows = dedup_canonical_selection(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_members"] for r in rows) == n_docs
+    assert all(r["n_members"] >= 1 for r in rows)
+
+
+def test_canonical_selection_windows_share_partitioning(spark, sf_dir):
+    """rank and member-count windows both key on cluster_id: the plan
+    must contain exactly ONE exchange for the two window functions
+    (Catalyst reuses the partitioning)."""
+    from adk_noui_vectordb_spark.operators.dedup import (
+        dedup_canonical_selection,
+    )
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    plan = explain_str(dedup_canonical_selection(spark, sf_dir), mode="simple")
+    # two Window nodes, back to back, no exchange between them
+    import re
+    assert plan.count("Window") >= 1
+    assert not re.search(r"Window[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*Window", plan), plan
