@@ -361,6 +361,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_score": _text.lm_perplexity_score,
         "mixture_sample": _text.mixture_sample,
         "bpe_pair_counts": _text.bpe_pair_counts,
+        "curate_corpus_full": _text.curate_corpus_full,
         # multi-format IO fidelity (sources/formats.py): write->read round
         # trips; the oracle aggregates the ORIGINAL parquet
         "jsonl_roundtrip": _fmt.jsonl_roundtrip,
@@ -1182,6 +1183,53 @@ p2 AS (
     FROM nodes n LEFT JOIN s2 s USING (node)
 )
 SELECT node, p FROM p2
+""",
+        "curate_corpus_full": f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS cnt FROM words GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts),
+vocab AS (
+    SELECT term,
+           CAST(floor(ln(cnt / total_tokens) * 1000000) AS BIGINT) AS logp_micro
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, term
+    LIMIT 16
+),
+pplx AS (
+    SELECT doc_id, (-nll_sum) // n_tokens AS nll_micro
+    FROM (
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(v.logp_micro,
+                    CAST(floor(ln(1.0 / t.total_tokens) * 1000000) AS BIGINT)))
+                    AS BIGINT) AS nll_sum
+        FROM words w
+        LEFT JOIN vocab v USING (term)
+        CROSS JOIN tot t
+        GROUP BY 1
+    )
+),
+q AS (
+    SELECT doc_id,
+           round(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.4 ELSE 0.0 END
+                 + len(list_filter(string_split(lower(text), ' '),
+                                   x -> x IN {_STOPWORDS_SQL}))
+                   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 0.3
+                 + len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3,
+                 4) AS quality
+    FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang, d.source, q.quality, pplx.nll_micro
+FROM documents d
+JOIN q USING (doc_id)
+JOIN pplx USING (doc_id)
+WHERE d.doc_id IN (SELECT doc_id FROM keep)
+  AND q.quality >= 0.5
+  AND pplx.nll_micro <= 9000000
 """,
         "jsonl_roundtrip": _ROUNDTRIP_SQL,
         "csv_roundtrip": _ROUNDTRIP_SQL,

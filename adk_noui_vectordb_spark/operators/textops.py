@@ -713,3 +713,43 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def curate_corpus_full(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.5,
+    max_nll_micro: int = 9_000_000,
+) -> DataFrame:
+    """The assembled pre-training curation gate: heuristic quality AND
+    LM-perplexity AND exact-dedup canonicality, in one pass — the
+    three-filter pipeline (C4 heuristics -> CCNet LM filter -> dedup)
+    every production corpus runs, composed from this engine's own
+    operators.
+
+    Scale shape: three independent branches over the same scan (each
+    individually shuffle-light, see their own entries), joined on
+    doc_id — balanced keys, no fanout; the dedup keep-list enters as a
+    SEMI join. The perplexity threshold is in integer micro-nats
+    (tie-free, see lm_perplexity_score).
+    """
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    p = lm_perplexity_score(spark, sf_dir).select("doc_id", "nll_micro")
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(q, "doc_id")
+        .join(p, "doc_id")
+        .join(keep, "doc_id", "left_semi")
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("nll_micro") <= max_nll_micro)
+        )
+        .select("doc_id", "lang", "source", "quality", "nll_micro")
+    )
