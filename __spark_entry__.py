@@ -389,6 +389,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
+        "semdedup_prune": _dedup.semdedup_prune,
         # indexing pipeline over the derived corpus (SURVEY.md §2.2/2.4/2.9, §3.1)
         "project_searchable_text": _idx.project_searchable_text,
         "project_element_ids": _idx.project_element_ids,
@@ -488,10 +489,12 @@ _COS = (
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> tuple[list[str], str]:
     """Unrolled Lloyd's iterations as chained CTEs, mirroring
     operators/ann.py cluster_kmeans exactly: 6-dp-rounded squared-L2
-    argmin with cluster tie-break, 6-dp-rounded per-dim centroid means."""
+    argmin with cluster tie-break, 6-dp-rounded per-dim centroid means.
+    Returns (cte_list, final_assignment_select) so callers
+    (``_kmeans_sql``, ``_semdedup_sql``) can extend the chain."""
     dist = (
         "round(list_inner_product(e.emb, e.emb)"
         " - 2 * list_inner_product(e.emb, c.c)"
@@ -516,13 +519,40 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     FROM a{i} a JOIN e USING (vec_id),
          LATERAL (SELECT unnest(generate_series(1, len(e.emb))) AS i) t
     GROUP BY 1, 2) GROUP BY 1)""")
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
-SELECT vec_id, cluster FROM (
+    final = f"""SELECT vec_id, cluster FROM (
     SELECT e.vec_id, c.cluster,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {dist}, c.cluster) AS rn
-    FROM e CROSS JOIN c{iters} c) WHERE rn = 1
+    FROM e CROSS JOIN c{iters} c) WHERE rn = 1"""
+    return ctes, final
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    ctes, final = _kmeans_ctes(k, iters)
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, thr: float = 0.35) -> str:
+    """SemDeDup oracle: extend the k-means CTE chain with a within-cluster
+    pairwise-cosine prune (operators/dedup.py semdedup_prune). A vector is
+    pruned when a lower-vec_id cluster-mate has round(cos, 4) >= thr."""
+    cos = _COS.format(a="va.emb", b="vb.emb")
+    ctes, final = _kmeans_ctes(k, iters)
+    ctes.append(f"asg AS (\n{final})")
+    ctes.append(
+        "v AS (SELECT a.vec_id, a.cluster, e.emb FROM asg a JOIN e USING (vec_id))"
+    )
+    ctes.append(
+        f"""pruned AS (
+  SELECT DISTINCT vb.vec_id FROM v va JOIN v vb
+  ON va.cluster = vb.cluster AND va.vec_id < vb.vec_id
+  WHERE {cos} >= {thr})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT v.vec_id, v.cluster,
+       CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM v LEFT JOIN pruned p ON v.vec_id = p.vec_id
 """
     )
 
@@ -1258,6 +1288,7 @@ FROM p JOIN c ON p.user_id = c.user_id
  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
 """,
         "cluster_kmeans": _kmeans_sql(),
+        "semdedup_prune": _semdedup_sql(),
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_hash

@@ -457,26 +457,19 @@ def _simhash_signatures_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
-) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold within label blocks.
+def _gram_block_pairs(slack: float):
+    """Arrow-batched within-block all-pairs cosine kernel (shared by
+    ``dedup_embedding_cosine`` and ``semdedup_prune``).
 
-    Blocking on the cluster label turns the O(n^2) similarity self-join into
-    per-block problems (the IVF idea applied to dedup); at 100 TB the label
-    comes from a cheap clustering pass and bounds each block's pair count.
-    Within a block, ALL pairwise cosines are one BLAS gram matrix
-    (``applyInPandas``) — each vector crosses the Arrow boundary once,
-    instead of once per pair through an interpreted per-element expression.
-    Rounding to 4 dp happens Spark-side (HALF_UP, matching DuckDB round()).
+    One BLAS gram matrix per block — each vector crosses the Arrow boundary
+    once, instead of once per pair through an interpreted per-element
+    expression. Emits raw cosines above ``slack`` (a hair under the real
+    threshold); the caller rounds Spark-side to 4 dp (HALF_UP, matching
+    DuckDB round()) and applies the exact threshold on the rounded value.
+    Requires ``vec_id`` and ``embedding`` columns in the block.
     """
     import numpy as np
     import pandas as pd
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
-    )
-    slack = threshold - 6e-5
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -499,12 +492,75 @@ def dedup_embedding_cosine(
             }
         )
 
+    return block_pairs
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold within label blocks.
+
+    Blocking on the cluster label turns the O(n^2) similarity self-join into
+    per-block problems (the IVF idea applied to dedup); at 100 TB the label
+    comes from a cheap clustering pass and bounds each block's pair count.
+    Within a block the all-pairs kernel is ``_gram_block_pairs``.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
     raw = e.groupBy("label").applyInPandas(
-        block_pairs, "vec_a bigint, vec_b bigint, cos_raw double"
+        _gram_block_pairs(threshold - 6e-5),
+        "vec_a bigint, vec_b bigint, cos_raw double",
     )
     return raw.select(
         "vec_a", "vec_b", F.round(F.col("cos_raw"), 4).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def semdedup_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then prune semantic near-duplicates WITHIN each
+    cluster — pairwise cosine never crosses cluster boundaries, so the
+    O(n^2) similarity problem becomes k independent O((n/k)^2) blocks.
+
+    Deterministic keep-rule: a vector is pruned when a lower-vec_id vector
+    in the SAME cluster has round(cosine, 4) >= threshold (the canonical
+    copy of every near-dup group is its minimum vec_id). Output is one row
+    per vector: (vec_id, cluster, keep) — integer columns only, fully
+    oracle-checkable since ``cluster_kmeans`` is itself integer-exact.
+
+    Scale shape: clustering is the broadcast-centroid Lloyd's pass of
+    ``cluster_kmeans`` (at 100 TB, k is sized ~sqrt(n) so blocks stay
+    small — SemDeDup's published runs use 50k clusters for 5B docs); the
+    within-cluster kernel is the same one-Arrow-crossing BLAS gram matrix
+    as ``dedup_embedding_cosine``; the final keep-flag is a broadcast
+    anti-join of the (small) pruned-id set against the assignment.
+    """
+    from .ann import cluster_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = cluster_kmeans(spark, sf_dir, k=k, iters=iters)
+    v = assign.join(e, "vec_id")
+    raw = v.groupBy("cluster").applyInPandas(
+        _gram_block_pairs(threshold - 6e-5),
+        "vec_a bigint, vec_b bigint, cos_raw double",
+    )
+    pruned = (
+        raw.filter(F.round(F.col("cos_raw"), 4) >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(F.broadcast(pruned.withColumn("p", F.lit(1))), "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.when(F.col("p").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
 
 
 def dedup_connected_components(

@@ -63,6 +63,7 @@ BENCH_KEYS = [
     "q21_waiting_suppliers",
     "pagerank_trade_graph",
     "cluster_kmeans",
+    "semdedup_prune",
 ]
 
 
