@@ -368,6 +368,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _fmt.csv_roundtrip,
         "orc_roundtrip": _fmt.orc_roundtrip,
         "cluster_kmeans": _ann.cluster_kmeans,
+        "pq_encode_rows": _ann.pq_encode_rows,
+        "knn_pq_topk": _ann.knn_pq_topk,
+        "knn_pq_rerank": _ann.knn_pq_rerank,
         "sketch_value_quantiles": _sketch.sketch_value_quantiles,
         "pagerank_trade_graph": _graph.pagerank_customer_supplier,
         "stratified_sample": _text.stratified_sample,
@@ -489,47 +492,141 @@ _COS = (
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 2) -> tuple[list[str], str]:
+def _kmeans_ctes(
+    k: int = 8,
+    iters: int = 2,
+    tag: str = "",
+    emb_sql: str = "CAST(embedding AS DOUBLE[])",
+) -> tuple[list[str], str]:
     """Unrolled Lloyd's iterations as chained CTEs, mirroring
-    operators/ann.py cluster_kmeans exactly: 6-dp-rounded squared-L2
-    argmin with cluster tie-break, 6-dp-rounded per-dim centroid means.
-    Returns (cte_list, final_assignment_select) so callers
-    (``_kmeans_sql``, ``_semdedup_sql``) can extend the chain."""
+    operators/ann.py _lloyd exactly: 6-dp-rounded squared-L2 argmin with
+    cluster tie-break, 6-dp-rounded per-dim centroid means. Returns
+    (cte_list, final_assignment_select) so callers (``_kmeans_sql``,
+    ``_semdedup_sql``, ``_pq_*_sql``) can extend the chain; ``tag``
+    suffixes every CTE name (per-subspace PQ codebooks) and ``emb_sql``
+    is the vector expression (full array or a list slice)."""
     dist = (
-        "round(list_inner_product(e.emb, e.emb)"
-        " - 2 * list_inner_product(e.emb, c.c)"
-        " + list_inner_product(c.c, c.c), 6)"
+        f"round(list_inner_product(e{tag}.emb, e{tag}.emb)"
+        f" - 2 * list_inner_product(e{tag}.emb, c.c)"
+        f" + list_inner_product(c.c, c.c), 6)"
     )
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
-        " FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, emb AS c"
-        f" FROM e WHERE vec_id < {k})",
+        f"e{tag} AS (SELECT vec_id, {emb_sql} AS emb FROM embeddings)",
+        f"c0{tag} AS (SELECT CAST(vec_id AS INTEGER) AS cluster, emb AS c"
+        f" FROM e{tag} WHERE vec_id < {k})",
     ]
     for i in range(iters):
-        ctes.append(f"""a{i} AS (
+        ctes.append(f"""a{i}{tag} AS (
   SELECT vec_id, cluster FROM (
-    SELECT e.vec_id, c.cluster,
-           row_number() OVER (PARTITION BY e.vec_id
+    SELECT e{tag}.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e{tag}.vec_id
                               ORDER BY {dist}, c.cluster) AS rn
-    FROM e CROSS JOIN c{i} c) WHERE rn = 1)""")
-        ctes.append(f"""c{i + 1} AS (
+    FROM e{tag} CROSS JOIN c{i}{tag} c) WHERE rn = 1)""")
+        ctes.append(f"""c{i + 1}{tag} AS (
   SELECT cluster, list(v ORDER BY pos) AS c FROM (
-    SELECT a.cluster, t.i AS pos, round(avg(e.emb[t.i]), 6) AS v
-    FROM a{i} a JOIN e USING (vec_id),
-         LATERAL (SELECT unnest(generate_series(1, len(e.emb))) AS i) t
+    SELECT a.cluster, t.i AS pos, round(avg(e{tag}.emb[t.i]), 6) AS v
+    FROM a{i}{tag} a JOIN e{tag} USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(e{tag}.emb))) AS i) t
     GROUP BY 1, 2) GROUP BY 1)""")
     final = f"""SELECT vec_id, cluster FROM (
-    SELECT e.vec_id, c.cluster,
-           row_number() OVER (PARTITION BY e.vec_id
+    SELECT e{tag}.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e{tag}.vec_id
                               ORDER BY {dist}, c.cluster) AS rn
-    FROM e CROSS JOIN c{iters} c) WHERE rn = 1"""
+    FROM e{tag} CROSS JOIN c{iters}{tag} c) WHERE rn = 1"""
     return ctes, final
 
 
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     ctes, final = _kmeans_ctes(k, iters)
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _pq_ctes(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> list[str]:
+    """Per-subspace Lloyd's chains for the PQ oracles (operators/ann.py
+    _pq_codebooks): one tagged _kmeans_ctes chain per dim/m-wide slice,
+    plus af_s{s} = that subspace's final code assignment."""
+    d = dim // m
+    ctes: list[str] = []
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        sub, final = _kmeans_ctes(
+            k, iters, tag=f"_s{s}", emb_sql=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]"
+        )
+        ctes += sub
+        ctes.append(f"af_s{s} AS (\n{final})")
+    return ctes
+
+
+def _pq_encode_sql(m: int = 4, k: int = 8, iters: int = 2) -> str:
+    ctes = _pq_ctes(m, k, iters)
+    selects = [
+        f"SELECT vec_id, {s} AS subspace, cluster AS code FROM af_s{s}"
+        for s in range(m)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _pq_adc_parts(
+    qid: int, topk: int, m: int, k: int, iters: int
+) -> tuple[list[str], str]:
+    """ADC oracle parts: distance table per subspace (code -> floor-scaled
+    BIGINT micro-units, integer-exact cross-engine), summed over the m code
+    columns per vector. Returns (ctes, top-k select)."""
+    ctes = _pq_ctes(m, k, iters)
+    for s in range(m):
+        ctes.append(f"q_s{s} AS (SELECT emb FROM e_s{s} WHERE vec_id = {qid})")
+        ctes.append(f"""dtab_s{s} AS (
+  SELECT c.cluster AS code,
+         CAST(floor((list_inner_product(q.emb, q.emb)
+                     - 2 * list_inner_product(q.emb, c.c)
+                     + list_inner_product(c.c, c.c)) * 1000000.0 + 0.5)
+              AS BIGINT) AS d2_micro
+  FROM c{iters}_s{s} c CROSS JOIN q_s{s} q)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT a.vec_id, d.d2_micro FROM af_s{s} a"
+        f" JOIN dtab_s{s} d ON a.cluster = d.code WHERE a.vec_id <> {qid}"
+        for s in range(m)
+    )
+    select = f"""SELECT vec_id, CAST(sum(d2_micro) AS BIGINT) AS adc_d2_micro FROM (
+{union}
+) GROUP BY vec_id ORDER BY adc_d2_micro, vec_id LIMIT {topk}"""
+    return ctes, select
+
+
+def _pq_topk_sql(
+    qid: int = 0, topk: int = 10, m: int = 4, k: int = 8, iters: int = 2
+) -> str:
+    ctes, select = _pq_adc_parts(qid, topk, m, k, iters)
+    return "WITH " + ",\n".join(ctes) + "\n" + select
+
+
+def _pq_rerank_sql(
+    qid: int = 0,
+    topk: int = 10,
+    candidates: int = 100,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> str:
+    """Two-stage oracle (operators/ann.py knn_pq_rerank): ADC top-C
+    candidates, exact squared-L2 rerank in the same micro-unit integers."""
+    ctes, select = _pq_adc_parts(qid, candidates, m, k, iters)
+    ctes.append(f"cand AS (\n{select})")
+    ctes.append(
+        "ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+    )
+    ctes.append(f"qf AS (SELECT emb FROM ef WHERE vec_id = {qid})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT ef.vec_id,
+       CAST(floor((list_inner_product(ef.emb, ef.emb)
+                   - 2 * list_inner_product(ef.emb, qf.emb)
+                   + list_inner_product(qf.emb, qf.emb)) * 1000000.0 + 0.5)
+            AS BIGINT) AS d2_micro
+FROM ef JOIN cand USING (vec_id) CROSS JOIN qf
+ORDER BY d2_micro, vec_id LIMIT {topk}
+"""
+    )
 
 
 def _semdedup_sql(k: int = 8, iters: int = 2, thr: float = 0.35) -> str:
@@ -1289,6 +1386,9 @@ FROM p JOIN c ON p.user_id = c.user_id
 """,
         "cluster_kmeans": _kmeans_sql(),
         "semdedup_prune": _semdedup_sql(),
+        "pq_encode_rows": _pq_encode_sql(),
+        "knn_pq_topk": _pq_topk_sql(),
+        "knn_pq_rerank": _pq_rerank_sql(),
         "doc_fingerprint": """
 SELECT doc_id, md5(text) AS content_hash,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_hash

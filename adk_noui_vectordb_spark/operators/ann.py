@@ -162,13 +162,23 @@ def cluster_kmeans(
       dedup.connected_components) — at k*dim this size, recomputation
       is cheaper than a checkpoint barrier.
     """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    assignment, _ = _lloyd(e, k=k, iters=iters)
+    return assignment
+
+
+def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """The deterministic Lloyd's kernel shared by ``cluster_kmeans`` and the
+    product-quantization codebook trainer: ``e`` is any (vec_id, emb) frame;
+    returns (final assignment (vec_id, cluster), final centroids
+    (cluster, c)). Same rounding discipline as the module doc: 6-dp squared
+    L2 with cluster tie-break, 6-dp centroid means."""
     from pyspark.sql.window import Window
 
     from ..functions.vector import dot_product
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("emb").alias("c")
     )
@@ -204,4 +214,167 @@ def cluster_kmeans(
                 ).alias("c")
             )
         )
-    return assign(cent)
+    return assign(cent), cent
+
+
+PQ_M = 4  # subspaces; dim 64 -> 16-dim sub-vectors
+PQ_K = 8  # codes per subspace codebook
+PQ_DIM = 64  # testdata embedding dimensionality (asserted at runtime)
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str, m: int, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Train one deterministic Lloyd's codebook per subspace.
+
+    Returns (codes, cents): ``codes`` = (vec_id, subspace, code) — the PQ
+    encoding of every vector; ``cents`` = (subspace, code, c) — the
+    codebooks. Both are unions of ``m`` independent broadcast-centroid
+    Lloyd's runs over ``dim/m``-wide slices, so nothing here shuffles the
+    corpus; the codebooks total m*k*(dim/m) = k*dim doubles — always
+    broadcastable.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    d = PQ_DIM // m
+    codes = None
+    cents = None
+    for s in range(m):
+        sub = e.select("vec_id", F.slice("emb", s * d + 1, d).alias("emb"))
+        a, c = _lloyd(sub, k=k, iters=iters)
+        a = a.select("vec_id", F.lit(s).alias("subspace"), F.col("cluster").alias("code"))
+        c = c.select(F.lit(s).alias("subspace"), F.col("cluster").alias("code"), "c")
+        codes = a if codes is None else codes.unionByName(a)
+        cents = c if cents is None else cents.unionByName(c)
+    return codes, cents
+
+
+def pq_encode_rows(
+    spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = 2
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, TPAMI 33(1)):
+    each vector is represented by ``m`` codebook ids, one per ``dim/m``-wide
+    subspace — here 4 x 3 bits against 64 x 64-bit doubles, a ~170x
+    compression of the scan payload (vs int8's 4x). Output is one row per
+    (vec_id, subspace): (vec_id, subspace, code) — integer columns only,
+    oracle-checked against the same unrolled Lloyd's CTEs per subspace.
+
+    Scale shape: codebook training samples/iterates over broadcast
+    centroids exactly like ``cluster_kmeans`` (at 100 TB you train on a
+    sample, then encoding is ONE broadcast nested-loop pass); the encoded
+    table is the thing a PQ-ANN serving layer scans, m small ints per row.
+    """
+    codes, _ = _pq_codebooks(spark, sf_dir, m, k, iters)
+    return codes.orderBy("vec_id", "subspace")
+
+
+def knn_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    codebook_k: int = PQ_K,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes: the query stays
+    exact; each subspace contributes the squared L2 between the query's
+    sub-vector and the code's centroid, looked up from an m x k distance
+    table. approx_d2(q, v) = sum_s dtab[s, code_s(v)].
+
+    Distances travel as FLOOR-SCALED BIGINT micro-units
+    (floor(d2*1e6 + 0.5)) so the 4-term sum is integer-exact on any
+    engine — the float-sum-then-round tie class documented in SCALE.md
+    never arises. Ties break on vec_id.
+
+    Scale shape: the distance table is m*k rows (BROADCAST); the scan side
+    reads ONLY the (vec_id, subspace, code) table — 4 small ints per
+    vector instead of 64 doubles — one broadcast join + a map-side-combined
+    sum + TakeOrderedAndProject. This is the serving plan where PQ's 170x
+    scan-payload cut pays off; rerank the ADC top-C with exact float
+    distance (the knn_int8_rerank pattern) when recall must be exact.
+    """
+    codes, cents = _pq_codebooks(spark, sf_dir, m, codebook_k, iters)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    d = PQ_DIM // m
+    qsubs = None
+    for s in range(m):
+        qs = (
+            e.filter(F.col("vec_id") == query_vec_id)
+            .select(F.lit(s).alias("subspace"), F.slice("emb", s * d + 1, d).alias("q"))
+        )
+        qsubs = qs if qsubs is None else qsubs.unionByName(qs)
+
+    from ..functions.vector import dot_product
+
+    d2 = (
+        dot_product(F.col("q"), F.col("q"))
+        - 2 * dot_product(F.col("q"), F.col("c"))
+        + dot_product(F.col("c"), F.col("c"))
+    )
+    dtab = (
+        cents.join(F.broadcast(qsubs), "subspace")
+        .select(
+            "subspace",
+            "code",
+            F.floor(d2 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("d2_micro"),
+        )
+    )
+    return (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(dtab), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2_micro").alias("adc_d2_micro"))
+        .orderBy(F.asc("adc_d2_micro"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_pq_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    candidates: int = 100,
+) -> DataFrame:
+    """Two-stage PQ serving (the knn_int8_rerank pattern, one tier coarser):
+    ADC over the 4-small-int codes cuts the corpus to ``candidates`` rows,
+    then ONLY those rows are reranked by exact squared L2 on the float
+    vectors. Exact distances travel as the same floor-scaled BIGINT
+    micro-units as the ADC stage (cross-engine integer-exact).
+
+    Scale: stage 1 scans m ints/vector (the 170x payload cut); stage 2
+    touches ``candidates`` full vectors — constant, not corpus-sized.
+    Recall is bounded by stage 1's candidate containment, measured in
+    tests/test_ann.py and honestly data-limited on the isotropic testdata
+    (BASELINE.md — same caveat as IVF).
+    """
+    from ..functions.vector import dot_product
+
+    cand = knn_pq_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=candidates
+    ).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qrow = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb")
+    )
+    d2 = (
+        dot_product(F.col("emb"), F.col("emb"))
+        - 2 * dot_product(F.col("emb"), F.col("q_emb"))
+        + dot_product(F.col("q_emb"), F.col("q_emb"))
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.floor(d2 * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("d2_micro"),
+        )
+        .orderBy(F.asc("d2_micro"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -64,6 +64,7 @@ BENCH_KEYS = [
     "pagerank_trade_graph",
     "cluster_kmeans",
     "semdedup_prune",
+    "knn_pq_rerank",
 ]
 
 

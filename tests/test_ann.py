@@ -71,6 +71,60 @@ def test_kmeans_k1_is_single_cluster(spark, sf_dir):
     assert got.filter(F.col("cluster") != 0).count() == 0
 
 
+def test_pq_encode_structure(spark, sf_dir):
+    """Every vector gets exactly one code per subspace, codes in [0, k)."""
+    from adk_noui_vectordb_spark.operators.ann import PQ_K, PQ_M, pq_encode_rows
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    codes = pq_encode_rows(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert codes.count() == n * PQ_M
+    assert codes.select("vec_id", "subspace").distinct().count() == n * PQ_M
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= PQ_K)).count()
+    assert bad == 0
+
+
+def test_pq_rerank_recall(spark, sf_dir):
+    """Two-stage PQ (ADC top-100 -> exact rerank) recall@10 vs exact L2.
+    Measured 0.9 avg on the isotropic sf0.001 testdata (BASELINE.md: the
+    4x3-bit code budget is data-limited here, same caveat as IVF); the
+    rerank stage makes the top-10 ORDER exact within the candidate set."""
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators.ann import knn_pq_rerank
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.asarray(r["emb"]) for r in rows])
+    recalls = []
+    for qi in (0, 1, 2):
+        q = M[ids == qi][0]
+        d2 = ((M - q) ** 2).sum(1)
+        d2[ids == qi] = np.inf
+        exact = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        got = {
+            r["vec_id"]
+            for r in knn_pq_rerank(spark, sf_dir, query_vec_id=int(qi), k=10).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.7, f"PQ rerank recall@10 {avg} < 0.7 (per-query {recalls})"
+
+
+def test_pq_adc_scan_is_broadcast(spark, sf_dir):
+    """The ADC stage must broadcast the m*k distance table — the encoded
+    corpus side never shuffles for the lookup."""
+    from adk_noui_vectordb_spark.operators.ann import knn_pq_topk
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    plan = explain_str(knn_pq_topk(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_semdedup_keep_rule(spark, sf_dir):
     """Brute-force re-check of the SemDeDup keep rule: a vector is pruned
     iff a lower-vec_id vector in the SAME cluster has round(cos,4) >= thr."""
