@@ -219,6 +219,43 @@ def _q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT p_id, c_id, p_user FROM {name}")
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization under the batch oracle: drain events
+    through the built-in ``session_window`` (30-min gap, calibrated to the
+    batch predicate — see stream_sessionize_events), then number each
+    user's sessions by start time so the output matches the batch
+    gaps-and-islands ordinal exactly. The DuckDB twin is the identical
+    batch sessionize SQL — the fifth streaming mode under the checked
+    streaming/batch-equivalence contract."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_sessionize_events,
+    )
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = stream_sessionize_events(spark, sf_dir, tempfile.mkdtemp(), name)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "stream_sessionize_events did not drain within 120s; "
+            "refusing to read a partial memory sink"
+        )
+    sink = spark.sql(
+        f"SELECT win_start, user_id, n_events, session_value FROM {name}"
+    )
+    w = Window.partitionBy("user_id").orderBy("win_start")
+    return sink.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        "n_events",
+        "session_value",
+    )
+
+
 def _q_chunk_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``ast.parse`` extraction over the valid-Python derived corpus;
     the oracle predicts the exact rows arithmetically from the corpus
@@ -460,6 +497,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_counts": _q_stream_dedup,
         "stream_running_totals": _q_stream_running_totals,
         "stream_range_join": _q_stream_range_join,
+        "stream_sessionize": _q_stream_sessionize,
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "salted_event_totals": _rel.salted_event_totals,
@@ -676,6 +714,31 @@ ORDER BY sim DESC, e.vec_id
 LIMIT 5
 """
 
+
+# Gaps-and-islands sessionization: shared verbatim by the batch
+# events_sessionize and streaming stream_sessionize oracles.
+_SESSIONIZE_SQL = """
+WITH b AS (
+    SELECT user_id, event_id, value, ts,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+    FROM events
+), flagged AS (
+    SELECT user_id, event_id, value, ts,
+           CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, value,
+           CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY 1, 2
+"""
 
 # BM25 CTE chain shared by bm25_topk / hybrid_rrf_topk (operators/hybrid.py).
 # Every fractional literal is ::DOUBLE so DuckDB never takes its exact-DECIMAL
@@ -1384,6 +1447,10 @@ FROM p JOIN c ON p.user_id = c.user_id
  AND c.c_ts <= p.p_ts
  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
 """,
+        # streaming sessionization checks against the IDENTICAL batch
+        # gaps-and-islands SQL as events_sessionize (the equivalence
+        # contract; gap calibration in stream_sessionize_events).
+        "stream_sessionize": _SESSIONIZE_SQL,
         "cluster_kmeans": _kmeans_sql(),
         "semdedup_prune": _semdedup_sql(),
         "pq_encode_rows": _pq_encode_sql(),
@@ -2492,26 +2559,5 @@ FROM e a JOIN e b
   ON a.user_id = b.user_id
  AND b.ts_ns > a.ts_ns AND b.ts_ns - a.ts_ns <= 60000000000
 """,
-        "events_sessionize": """
-WITH b AS (
-    SELECT user_id, event_id, value, ts,
-           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
-    FROM events
-), flagged AS (
-    SELECT user_id, event_id, value, ts,
-           CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
-                THEN 1 ELSE 0 END AS new_s
-    FROM b
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), s AS (
-    SELECT user_id, value,
-           CAST(sum(new_s) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-    FROM flagged
-)
-SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 2) AS session_value
-FROM s GROUP BY 1, 2
-""",
+        "events_sessionize": _SESSIONIZE_SQL,
     }

@@ -283,3 +283,65 @@ def stream_purchase_click_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize_events(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, queryName: str
+):
+    """Streaming sessionization via the built-in ``session_window``: per-user
+    sessions close after a 30-minute silence, aggregated incrementally as
+    events arrive — the streaming twin of the batch ``events_sessionize``
+    gaps-and-islands query.
+
+    Gap calibration against the batch rule: the batch query starts a new
+    session when the SECOND-truncated timestamp gap exceeds 1800 s, i.e.
+    a gap of exactly 1800 s stays in-session. ``session_window`` merges an
+    event into the open session iff its start < session end = last_ts +
+    gap, so gap = 1801 s over second-truncated timestamps reproduces the
+    batch predicate exactly (integer-second gaps: merge iff <= 1800).
+
+    State scales with OPEN sessions per user (the watermark closes idle
+    ones at production; complete mode here because availableNow's final
+    watermark would hold back the trailing hour of sessions in append
+    mode). Session state is partitioned by user_id — horizontal scale-out
+    is by key, the same story as the other stateful operators.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.select(
+        "user_id",
+        "value",
+        F.date_trunc("second", F.timestamp_micros(F.expr("ts div 1000"))).alias(
+            "ts_sec"
+        ),
+    )
+    agg = (
+        events.groupBy(
+            F.session_window("ts_sec", "1801 seconds").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
