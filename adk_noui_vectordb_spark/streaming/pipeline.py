@@ -295,10 +295,13 @@ def stream_sessionize_events(
 
     Gap calibration against the batch rule: the batch query starts a new
     session when the SECOND-truncated timestamp gap exceeds 1800 s, i.e.
-    a gap of exactly 1800 s stays in-session. ``session_window`` merges an
-    event into the open session iff its start < session end = last_ts +
-    gap, so gap = 1801 s over second-truncated timestamps reproduces the
-    batch predicate exactly (integer-second gaps: merge iff <= 1800).
+    a gap of exactly 1800 s stays in-session. Spark's ``session_window``
+    merge is boundary-INCLUSIVE — an event arriving exactly at session end
+    (last_ts + gap) still extends the session — so gap = 1800 s reproduces
+    the batch predicate exactly (integer-second gaps: merge iff <= 1800).
+    A 1801-s gap setting would wrongly merge an exactly-1801-s silence
+    (one such pair exists at sf0.01; caught by the round-3 driver sweep).
+    Both boundaries are pinned in tests/test_streaming.py.
 
     State scales with OPEN sessions per user (the watermark closes idle
     ones at production; complete mode here because availableNow's final
@@ -324,7 +327,7 @@ def stream_sessionize_events(
     )
     agg = (
         events.groupBy(
-            F.session_window("ts_sec", "1801 seconds").alias("win"), "user_id"
+            F.session_window("ts_sec", "1800 seconds").alias("win"), "user_id"
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -111,6 +111,76 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_session_window_boundary_calibration(spark):
+    """Pin Spark's session_window merge semantics at the gap boundary.
+
+    The batch sessionize rule splits when gap > 1800 s. Spark's merge is
+    boundary-INCLUSIVE (an event at exactly last_ts + gap extends the
+    session), so the streaming gap must be 1800 s, not 1801: with gap=1800,
+    a 1800-s silence merges and a 1801-s silence splits — exactly the batch
+    predicate. (Round-3 red row: gap=1801 wrongly merged a 1801-s silence.)
+    """
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("u", "2024-01-01 00:00:00"),
+        ("u", "2024-01-01 00:30:00"),  # gap = 1800 s -> same session
+        ("v", "2024-01-01 00:00:00"),
+        ("v", "2024-01-01 00:30:01"),  # gap = 1801 s -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts_sec")
+    )
+    per_user = (
+        df.groupBy(F.session_window("ts_sec", "1800 seconds"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in per_user}
+    assert got == {"u": 1, "v": 2}
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming session count must equal the batch gaps-and-islands
+    count (split iff second-truncated gap > 1800 s)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from adk_noui_vectordb_spark.sources.tables import load_table
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_sessionize_events,
+    )
+
+    q = stream_sessionize_events(
+        spark, sf_dir, str(tmp_path / "ckpt_sess"), "sess_counts"
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT count(*) AS n FROM sess_counts").collect()[0].n
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(
+            F.date_trunc("second", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        ).alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es")
+    batch = (
+        ev.withColumn("prev", F.lag("es").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull() | (F.col("es") - F.col("prev") > 1800)).cast(
+                "int"
+            ),
+        )
+        .agg(F.sum("new_sess").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert streamed == batch
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
