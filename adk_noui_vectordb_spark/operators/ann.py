@@ -38,6 +38,17 @@ LSH_BUCKET_LENGTH = 1.0
 LSH_NUM_TABLES = 8
 
 
+def _seq_self_dot(vals) -> float:
+    """Left-to-right double fold of sum(x*x) — the exact summation order of
+    functions.vector.dot_product's HOF aggregate (and of DuckDB's
+    list_inner_product), so a driver-side precomputed dot(c, c) literal is
+    bit-identical to the in-plan expression it replaces."""
+    acc = 0.0
+    for x in vals:
+        acc += float(x) * float(x)
+    return acc
+
+
 def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:
@@ -150,11 +161,12 @@ def cluster_kmeans(
     rank identical decimals.
 
     Scale shape (per round):
-    - centroids are k x dim doubles — ALWAYS broadcast (k <= 2^16 even
-      for IVF training at 100 TB);
-    - assignment is a broadcast nested-loop over k candidates per vector
-      with a per-vec_id argmin window — the corpus never shuffles for
-      ranking (window keys are the balanced vec_id);
+    - centroids are k x dim doubles — ALWAYS tiny: collected to the
+      driver and embedded as a literal array (k <= 2^16 even for IVF
+      training at 100 TB);
+    - assignment is a pure projection (``array_min`` argmin over the
+      literal centroid array) — ZERO sort, ZERO exchange; the corpus
+      never shuffles for the ranking (plan-pinned in tests/test_plans.py);
     - the centroid update is one posexplode + map-side-combined
       (cluster, pos) average — output k*dim rows, tiny;
     - iterations chain lazily; at production scale each round's
@@ -174,9 +186,20 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     product-quantization codebook trainer: ``e`` is any (vec_id, emb) frame;
     returns (final assignment (vec_id, cluster), final centroids
     (cluster, c)). Same rounding discipline as the module doc: 6-dp squared
-    L2 with cluster tie-break, 6-dp centroid means."""
-    from pyspark.sql.window import Window
+    L2 with cluster tie-break, 6-dp centroid means.
 
+    Assignment is a PURE PROJECTION: the k x dim centroids (tiny — k <=
+    2^16 even for IVF training at 100 TB) are collected to the driver and
+    embedded as a literal array of (c, cc, cluster) structs; the per-row
+    argmin is ``array_min`` over a ``transform`` of that array, so the
+    corpus never sorts or shuffles for the ranking (a
+    ``Window.partitionBy(vec_id)`` argmin — the previous shape — still
+    plans Sort + Exchange hashpartitioning even after a broadcast join).
+    Struct comparison is lexicographic, so ``array_min`` over
+    (d2, cluster) structs IS the 6-dp-rounded distance argmin with the
+    cluster-id tie-break. ``cc`` = dot(c, c) is folded driver-side with
+    the same left-to-right double summation as the HOF ``dot_product``,
+    so values are bit-identical to the previous in-plan form."""
     from ..functions.vector import dot_product
 
     cent = e.filter(F.col("vec_id") < k).select(
@@ -184,19 +207,29 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        d2 = F.round(
-            dot_product(F.col("emb"), F.col("emb"))
-            - 2 * dot_product(F.col("emb"), F.col("c"))
-            + dot_product(F.col("c"), F.col("c")),
-            6,
+        rows = sorted(centroids.collect(), key=lambda r: r["cluster"])
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
+                    F.lit(_seq_self_dot(r["c"])).alias("cc"),
+                    F.lit(int(r["cluster"])).alias("cluster"),
+                )
+                for r in rows
+            ]
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        return (
-            e.crossJoin(F.broadcast(centroids))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster")
+        ee = dot_product(F.col("emb"), F.col("emb"))
+        dists = F.transform(
+            cent_lit,
+            lambda s: F.struct(
+                F.round(
+                    ee - 2 * dot_product(F.col("emb"), s["c"]) + s["cc"], 6
+                ).alias("d2"),
+                s["cluster"].alias("cluster"),
+            ),
+        )
+        return e.select(
+            "vec_id", F.array_min(dists)["cluster"].alias("cluster")
         )
 
     for _ in range(iters):

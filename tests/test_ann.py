@@ -179,11 +179,15 @@ def test_semdedup_prunes_planted_dups(spark, sf_dir):
     assert bad.count() == 0
 
 
-def test_kmeans_centroids_broadcast(spark, sf_dir):
-    """Assignment must broadcast the k x dim centroid frame — the corpus
-    side never shuffles for the argmin (window keys on vec_id only)."""
+def test_kmeans_assignment_is_pure_projection(spark, sf_dir):
+    """The k-means assignment is an array_min argmin over a LITERAL
+    centroid array — a pure projection over the scan. No join, no window,
+    no sort, no exchange anywhere in the assignment plan (the previous
+    Window.partitionBy(vec_id) argmin planned Sort + Exchange even after
+    a broadcast join)."""
     from adk_noui_vectordb_spark.operators.ann import cluster_kmeans
     from adk_noui_vectordb_spark.plans import explain_str
 
     plan = explain_str(cluster_kmeans(spark, sf_dir), mode="simple")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    for bad in ("Exchange", "Sort", "Window", "Join"):
+        assert bad not in plan, f"{bad} in assignment plan:\n{plan}"
