@@ -27,6 +27,8 @@ that works regardless of cluster structure (measured recall@10 = 0.98).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -283,6 +285,53 @@ def _pq_codebooks(
     return codes, cents
 
 
+def _pq_index_root(sf_dir: str, m: int, k: int, iters: int) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(
+        f"pq_v1|{os.path.abspath(sf_dir)}|{m}|{k}|{iters}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"adk_pq_index_{tag}")
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 2,
+) -> tuple[str, str]:
+    """Train-once / serve-many: materialize the PQ codes table and the
+    codebooks as parquet (keyed by (sf_dir, m, k, iters)) and return
+    their paths. Serving queries (``knn_pq_topk`` / ``knn_pq_rerank``)
+    read the stored codes instead of re-running Lloyd's per query — the
+    production PQ lifecycle (train on a sample, encode once, serve from
+    codes; SCALE.md "Product quantization"). The build is idempotent and
+    crash-safe via the sinks module's directory-swap discipline
+    (build under ``.__tmp__``, atomic rename, heal half-swaps first).
+    """
+    import shutil
+
+    from ..sources.sinks import _recover_interrupted_swap, _swap_into_place
+
+    root = _pq_index_root(sf_dir, m, k, iters)
+    _recover_interrupted_swap(root)
+    codes_p = os.path.join(root, "codes")
+    cents_p = os.path.join(root, "cents")
+    if os.path.exists(os.path.join(root, "_BUILT")):
+        return codes_p, cents_p
+    codes, cents = _pq_codebooks(spark, sf_dir, m, k, iters)
+    tmp = root + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+    cents.write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
+    with open(os.path.join(tmp, "_BUILT"), "w") as f:
+        f.write("ok\n")
+    _swap_into_place(tmp, root)
+    return codes_p, cents_p
+
+
 def pq_encode_rows(
     spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K, iters: int = 2
 ) -> DataFrame:
@@ -293,13 +342,15 @@ def pq_encode_rows(
     (vec_id, subspace): (vec_id, subspace, code) — integer columns only,
     oracle-checked against the same unrolled Lloyd's CTEs per subspace.
 
-    Scale shape: codebook training samples/iterates over broadcast
+    Scale shape: codebook training samples/iterates over literal
     centroids exactly like ``cluster_kmeans`` (at 100 TB you train on a
-    sample, then encoding is ONE broadcast nested-loop pass); the encoded
-    table is the thing a PQ-ANN serving layer scans, m small ints per row.
+    sample, then encoding is ONE shuffle-free projection pass); the
+    encoded table is MATERIALIZED via ``build_pq_index`` (train-once /
+    encode-once) and is what the PQ serving layer scans — m small ints
+    per row.
     """
-    codes, _ = _pq_codebooks(spark, sf_dir, m, k, iters)
-    return codes.orderBy("vec_id", "subspace")
+    codes_p, _ = build_pq_index(spark, sf_dir, m, k, iters)
+    return spark.read.parquet(codes_p).orderBy("vec_id", "subspace")
 
 
 def knn_pq_topk(
@@ -322,13 +373,16 @@ def knn_pq_topk(
     never arises. Ties break on vec_id.
 
     Scale shape: the distance table is m*k rows (BROADCAST); the scan side
-    reads ONLY the (vec_id, subspace, code) table — 4 small ints per
-    vector instead of 64 doubles — one broadcast join + a map-side-combined
-    sum + TakeOrderedAndProject. This is the serving plan where PQ's 170x
-    scan-payload cut pays off; rerank the ADC top-C with exact float
-    distance (the knn_int8_rerank pattern) when recall must be exact.
+    reads ONLY the STORED (vec_id, subspace, code) parquet built once by
+    ``build_pq_index`` — 4 small ints per vector instead of 64 doubles —
+    one broadcast join + a map-side-combined sum + TakeOrderedAndProject.
+    Codebooks are never retrained at query time (the train-once /
+    serve-many lifecycle); rerank the ADC top-C with exact float distance
+    (the knn_int8_rerank pattern) when recall must be exact.
     """
-    codes, cents = _pq_codebooks(spark, sf_dir, m, codebook_k, iters)
+    codes_p, cents_p = build_pq_index(spark, sf_dir, m, codebook_k, iters)
+    codes = spark.read.parquet(codes_p)
+    cents = spark.read.parquet(cents_p)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
