@@ -329,31 +329,82 @@ _STALE_R1 = frozenset({
     "index_pipeline",
 })
 
-# Never had a green driver row in any round: the 4 temporal keys landed at
-# positions 51-54 of the r2 window, and embed_quantize_int8's r2 row was
-# red (bare-array shape crash, fixed in operators/quantize.py:quantize_rows).
-_PRIORITY_R3 = (
-    "embed_quantize_int8",
+# Green (rows+schema+hash) in CORRECTNESS_r04.json — the freshest rows, so
+# they sort to the BACK of the 50-key driver window.
+_CHECKED_R4 = frozenset({
+    "embed_quantize_int8", "chunk_js_elements", "line_dedup_corpus",
+    "pack_sequences", "redact_pii", "lm_perplexity_score", "mixture_sample",
+    "bpe_pair_counts", "curate_corpus_full", "orc_roundtrip", "cluster_kmeans",
+    "pq_encode_rows", "knn_pq_topk", "knn_pq_rerank", "pagerank_trade_graph",
+    "dedup_canonical_selection", "dedup_simhash_pairs", "ngram_jaccard_pairs",
+    "simhash_signatures", "semdedup_prune", "index_pipeline",
+    "q10_returned_revenue", "q12_ship_delay_priority",
+    "q13_customer_distribution", "q17_small_qty_revenue",
+    "q22_idle_customer_balance", "q2_min_cost_supplier", "q7_volume_shipping",
+    "q8_market_share", "q11_important_stock", "q15_top_supplier",
+    "q20_excess_suppliers", "q21_waiting_suppliers", "stream_running_totals",
+    "knn_topk", "knn_topk_filtered", "knn_batch_topk", "score_similarity_pairs",
+    "filter_by_lang", "point_lookup", "agg_source_summary", "agg_docs_by_lang",
+})
+
+# Round-5 window head. The r3→r4 testdata regeneration changed events.ts
+# from TIMESTAMP(NANOS) to timestamp[us], breaking every events consumer
+# until the schema-adaptive loader (sources/tables.py:events_time_exprs)
+# landed this round — so the whole events family needs fresh rows:
+# first the 8 keys the r4 driver saw red, then the 13 events keys whose
+# last green row predates the drift (stale-green per VERDICT r4), then the
+# two keys whose latest row was no_oracle (diag_python_syntax gained a
+# normalized-output oracle this round; ann_lsh_topk is rows-only by design
+# but its row is 3 rounds old).
+_PRIORITY_R5 = (
     "asof_join_purchase_click",
     "range_join_bursts",
     "funnel_signup_purchase",
     "retention_day_over_day",
+    "sketch_value_quantiles",
+    "stream_dedup_counts",
+    "stream_range_join",
+    "stream_sessionize",
+    "events_by_dow",
+    "events_sessionize",
+    "events_sliding_counts",
+    "events_tumbling_counts",
+    "pivot_event_matrix",
+    "json_props_rollup",
+    "salted_event_totals",
+    "salted_skew_join",
+    "setop_active_noncustomers",
+    "upsert_latest_events",
+    "agg_collection_count",
+    "stream_tumbling_counts",
+    "sketch_distinct_users",
+    "diag_python_syntax",
+    "ann_lsh_topk",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    checked = (_CHECKED_R1 | _CHECKED_R2) - _STALE_R1
-    ordered = {k: q[k] for k in _PRIORITY_R3 if k in q}
+    # a stale-r1 key re-greened in r4 is no longer stale
+    checked = _CHECKED_R4 | ((_CHECKED_R1 | _CHECKED_R2) - _STALE_R1)
+    ordered = {k: q[k] for k in _PRIORITY_R5 if k in q}
     # new/stale keys without a trustworthy driver row (insertion order)
     ordered.update(
         {k: v for k, v in q.items() if k not in checked and k not in ordered}
     )
-    # stable r1 greens (oldest rows) fill the rest of the 50-key window
+    # oldest stable greens (r1, not refreshed since) fill the rest of the
+    # 50-key window
     ordered.update(
-        {k: v for k, v in q.items() if k in _CHECKED_R1 and k not in ordered}
+        {
+            k: v
+            for k, v in q.items()
+            if k in _CHECKED_R1 and k not in _CHECKED_R4 and k not in ordered
+        }
     )
-    # freshest greens (r2) at the back
+    # then r2, then the freshest (r4) at the back
+    ordered.update(
+        {k: v for k, v in q.items() if k not in _CHECKED_R4 and k not in ordered}
+    )
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

@@ -33,38 +33,63 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+def events_time_exprs(schema):
+    """Schema-adaptive ``(ts, ts_ns)`` projection columns for ``events``.
+
+    Upstream testdata has shipped ``events.ts`` two ways across
+    regenerations: parquet TIMESTAMP(NANOS) — which Spark 4 only reads with
+    ``legacy.parquet.nanosAsLong``, arriving as a ns-since-epoch bigint —
+    and plain ``timestamp[us]``, arriving as TIMESTAMP_NTZ. Branching on the
+    post-read dtype normalizes both to one downstream contract:
+
+    - ``ts``:    microsecond-precision TIMESTAMP
+    - ``ts_ns``: bigint epoch nanoseconds, µs-truncated — DuckDB's parquet
+      reader drops sub-µs digits, so µs is the cross-engine contract and
+      any ns-granular comparison would silently disagree with the oracle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        # NANOS variant, read as raw ns bigint: integer ``div`` keeps the
+        # µs truncation exact (a double round-trip would not).
+        return (
+            F.timestamp_micros(F.expr("ts div 1000")),
+            F.expr("ts div 1000 * 1000"),
+        )
+    # timestamp[us] variant (TIMESTAMP or TIMESTAMP_NTZ): already µs, so no
+    # truncation; the cast is a no-op for TIMESTAMP and reinterprets NTZ
+    # wall-clock in the (UTC) session timezone — the same instants DuckDB
+    # assigns the naive values.
+    ts = F.col("ts").cast("timestamp")
+    return ts, F.unix_micros(ts) * F.lit(1000)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses to read as a timestamp; it is read as a nanosecond bigint
-    (legacy.parquet.nanosAsLong) and re-derived as a microsecond timestamp
-    via integer division (``div`` keeps it exact — a double round-trip
-    would not be). The raw nanos stay available as ``ts_ns``.
+    ``events`` gets a schema-adaptive time projection (see
+    ``events_time_exprs``): ``ts`` is always a µs TIMESTAMP and ``ts_ns``
+    the µs-truncated epoch nanos, whichever physical type the parquet
+    carries.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         # SESSION-WIDE side effect, deliberate: nanosAsLong changes how any
         # nanos-timestamp parquet in this session is read (as bigint).
         # session.get_spark sets it at build time; this runtime set covers
-        # externally created sessions (the driver's vanilla one). Every
-        # table in this registry reads identically either way — only
-        # events carries nanos timestamps.
+        # externally created sessions (the driver's vanilla one). It is a
+        # no-op for the timestamp[us] data variant — only TIMESTAMP(NANOS)
+        # files parse differently under it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        # ts_ns is truncated to MICROsecond precision (div 1000 * 1000):
-        # the raw parquet nanos carry sub-us digits that DuckDB's reader
-        # drops when it maps TIMESTAMP(NANOS) -> us timestamps, so any
-        # ns-granular comparison would silently disagree with the oracle.
-        # us is the effective cross-engine contract.
+        ts, ts_ns = events_time_exprs(raw.schema)
         return raw.select(
             "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.expr("ts div 1000 * 1000").alias("ts_ns"),
+            ts.alias("ts"),
+            ts_ns.alias("ts_ns"),
             "user_id",
             "event_type",
             "value",

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..operators.chunking import chunk_fixed_lines
 from ..sources.sinks import upsert_parquet
+from ..sources.tables import events_time_exprs
 
 
 def stream_events_tumbling(
@@ -39,7 +40,8 @@ def stream_events_tumbling(
     use availableNow so it drains and stops).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # schema from a batch read of the same directory (ts arrives as ns bigint)
+    # schema from a batch read of the same directory; the ts projection is
+    # schema-adaptive (ns bigint or timestamp[us] — see events_time_exprs)
     batch_schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")
     ).schema
@@ -49,7 +51,7 @@ def stream_events_tumbling(
         .parquet(sf_dir)
     )
     events = raw.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        events_time_exprs(batch_schema)[0].alias("ts"),
         "event_type",
         "value",
     )
@@ -217,7 +219,7 @@ def stream_dedup_events(
     )
     events = raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        events_time_exprs(batch_schema)[0].alias("ts"),
         "event_type",
     )
     deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
@@ -262,7 +264,7 @@ def stream_purchase_click_join(
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("event_id").alias(f"{prefix}_id"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                events_time_exprs(batch_schema)[0].alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", "2 hours")
         )
@@ -321,7 +323,7 @@ def stream_sessionize_events(
     events = raw.select(
         "user_id",
         "value",
-        F.date_trunc("second", F.timestamp_micros(F.expr("ts div 1000"))).alias(
+        F.date_trunc("second", events_time_exprs(batch_schema)[0]).alias(
             "ts_sec"
         ),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -69,27 +70,43 @@ BENCH_KEYS = [
 
 
 def _previous_bench() -> dict[str, float]:
-    """Per-query timings from the latest BENCH_r*.json, for delta reporting."""
-    import glob
-    import re
+    """Per-query timings from the newest BENCH_r*.json that has any.
 
-    best: tuple[int, str] | None = None
+    Walks rounds newest-first so a crashed round (r4: rc=1, no stdout)
+    falls back to the last round with real numbers.
+    """
+    import glob
+
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, p)
-    if best is None:
-        return {}
-    try:
-        with open(best[1]) as f:
-            data = json.load(f)
-        # Driver files wrap the bench JSON line under "parsed".
-        data = data.get("parsed", data)
-        return data.get("queries", {})
-    except (OSError, json.JSONDecodeError):
-        return {}
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # Driver files wrap the bench JSON line under "parsed" — which is
+        # null (key PRESENT) when the driver's parser failed, so
+        # .get("parsed", data) would keep the None and crash (the r4 bug).
+        parsed = data.get("parsed") or data
+        queries = parsed.get("queries") if isinstance(parsed, dict) else None
+        if queries:
+            return queries
+        # Recover from the driver's raw 2000-char output tail (r3: the
+        # JSON line was longer than the tail window, so "parsed" is null
+        # but most per-query pairs survive in the tail). Only the queries
+        # object — before "runs_per_query" — and only known bench keys.
+        head = (data.get("tail") or "").split('"runs_per_query"')[0]
+        out: dict[str, float] = {}
+        for m in re.finditer(r'"([a-z0-9_]+)"\s*:\s*(\d+(?:\.\d+)?)', head):
+            if m.group(1) in BENCH_KEYS and m.group(1) not in out:
+                out[m.group(1)] = float(m.group(2))
+        if out:
+            return out
+    return {}
 
 
 def main() -> None:
@@ -144,31 +161,37 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    prev_total = round(
-        sum(prev[k] for k in timings if k in prev), 3
-    ) if prev else None
-    # per-query delta vs the latest BENCH_r*.json, so real plan
-    # regressions separate from machine-load noise at a glance
-    deltas = {
-        k: round(timings[k] - prev[k], 3) for k in timings if k in prev
-    }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": RUNS,
-                "agg": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "prev_total_same_keys": prev_total,
-                "delta_vs_prev": deltas,
-            }
-        ),
-        flush=True,
+    # Delta summary vs the latest BENCH_r*.json goes to STDERR: the driver
+    # keeps only the last 2000 chars of output and parses the final JSON
+    # line from it, so the stdout line must stay well under 2000 chars —
+    # r3's line with embedded deltas exceeded the window and parsed as null.
+    if prev:
+        prev_total = round(sum(prev[k] for k in timings if k in prev), 3)
+        deltas = {k: round(timings[k] - prev[k], 3) for k in timings if k in prev}
+        worst = sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
+        print(
+            f"# prev_total_same_keys={prev_total} worst_deltas={worst}",
+            file=sys.stderr,
+            flush=True,
+        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "runs_per_query": RUNS,
+            "agg": "min",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench JSON line {len(line)} chars — driver tail is 2000"
+    # stop() BEFORE the final print: the driver may capture stderr merged
+    # with stdout, and JVM shutdown noise after the JSON line could push it
+    # out of the 2000-char tail window.
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
