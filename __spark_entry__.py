@@ -1784,6 +1784,15 @@ FROM py_base
 UNION ALL
 SELECT path, CAST(2 AS INTEGER), 'unused_import', 'OrderedDict' FROM py_base
 """,
+        # Real ast.parse Spark-side; the oracle predicts its verdicts from
+        # the generation rule alone (doc_id % 11 == 0 modules are broken at
+        # line 1 — operators/indexing.py:diag_python_syntax).
+        "diag_python_syntax": f"""
+WITH {DERIVED_PY_SQL.strip()}
+SELECT path, CAST(1 AS INTEGER) AS line_no, 'syntax_error' AS rule,
+       'error' AS severity
+FROM py_base WHERE doc_id % 11 = 0
+""",
         "diag_python": f"""
 WITH {_DIAG_CTE}
 SELECT path, line_no, rule,
@@ -2538,6 +2547,16 @@ SELECT l_returnflag,
        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
        max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
 FROM r GROUP BY l_returnflag
+""",
+        # GK sketch with accuracy > group row count retains every value, so
+        # at test SFs the Spark side is exact discrete percentiles =
+        # quantile_disc (operators/sketches.py:sketch_value_quantiles).
+        "sketch_value_quantiles": """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 2) AS p50,
+       round(quantile_disc(value, 0.95), 2) AS p95,
+       round(quantile_disc(value, 0.99), 2) AS p99
+FROM events GROUP BY event_type
 """,
         "setop_active_noncustomers": """
 SELECT CAST(user_id AS BIGINT) AS uid FROM events

@@ -302,8 +302,10 @@ def chunk_js_elements(source_df: DataFrame) -> DataFrame:
 
     Heuristics (documented preconditions, same spirit as the reference's
     line-slice extraction):
-    - string literals and ``//`` comments are stripped before brace
-      counting (block comments spanning lines are not handled);
+    - string literals, ``//`` comments, ``/* */`` block comments, and
+      backtick template literals (both possibly spanning lines) are
+      stripped before brace counting, newline-preserving so reported
+      line numbers stay exact;
     - an import is a line whose stripped text starts with ``import``
       (single-line imports, the overwhelmingly common form);
     - function/class declarations are recognized at top-level brace depth,
@@ -321,10 +323,28 @@ def chunk_js_elements(source_df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        strip_re = re.compile(
-            r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"|`(?:\\.|[^`\\])*`"
+        # One whole-file alternation pass: earliest-match-wins makes the
+        # constructs mutually exclusive (a backtick inside a block comment
+        # opens nothing, a /* inside a string closes nothing). Multi-line
+        # spans are replaced newline-preserving so line numbers and
+        # per-line brace counts stay aligned with the original source.
+        sanitize_re = re.compile(
+            r"'(?:\\.|[^'\\\n])*'"  # single-quoted string (one line)
+            r"|\"(?:\\.|[^\"\\\n])*\""  # double-quoted string (one line)
+            r"|`(?:\\.|[^`\\])*`"  # template literal (may span lines)
+            r"|/\*.*?\*/"  # block comment (may span lines)
+            r"|/\*.*\Z"  # unterminated block comment at EOF
+            r"|//[^\n]*",  # line comment
+            re.S,
         )
-        comment_re = re.compile(r"//.*")
+
+        def scrub(m: "re.Match[str]") -> str:
+            s = m.group(0)
+            nl = "\n" * s.count("\n")
+            # keep an inert literal token where a string/template stood so
+            # declaration-shaped lines still match their regexes
+            return ("''" + nl) if s[0] in "'\"`" else nl
+
         import_re = re.compile(r"^\s*import\b")
         func_re = re.compile(
             r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?"
@@ -353,11 +373,11 @@ def chunk_js_elements(source_df: DataFrame) -> DataFrame:
                 out["content"].append("\n".join(lines[start - 1 : end]))
 
             for path, content in zip(pdf["path"], pdf["content"]):
-                lines = content.split("\n")
+                lines = content.split("\n")  # original, for emitted slices
+                slines = sanitize_re.sub(scrub, content).split("\n")
                 depth = 0
                 stack = []  # open constructs: (kind, name, start, open_depth)
-                for ln, raw in enumerate(lines, start=1):
-                    stripped = comment_re.sub("", strip_re.sub("''", raw))
+                for ln, stripped in enumerate(slines, start=1):
                     in_class = bool(stack) and stack[-1][0] == "class"
                     if import_re.match(stripped):
                         emit(path, "import", "import", ln, ln, lines)

@@ -291,12 +291,26 @@ def diag_python_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-file ``ast.parse`` syntax check (lsp_tool.py:129-137): one
     'syntax_error' row per unparseable .py file at the reported line.
 
-    Runs inside ``mapInPandas`` (narrow, no shuffle). The error LINE is a
-    parser artifact no SQL engine can predict, so this is a rows-only
-    contract (driver records rows-only; the unit test pins semantics on a
-    hand-built corpus instead)."""
-    corpus = derived_corpus(spark, sf_dir).filter(F.col("ext") == ".py")
-    return python_syntax_errors(corpus)
+    Runs the REAL CPython parser inside ``mapInPandas`` (narrow, no
+    shuffle) over the derived valid-Python corpus with a deterministically
+    injected breakage: modules with doc_id % 11 == 0 get ``def broken(:``
+    prepended, which fails at line 1 regardless of the rest of the module.
+    That makes the output arithmetic-predictable — the oracle derives the
+    same rows from the generation rule alone — the same
+    real-parser-vs-arithmetic-oracle construction as chunk_ast_python
+    (sources/corpus.py:derived_python_corpus). Previously rows-only
+    because the parser ran on arbitrary text, whose error lines no SQL
+    engine can predict."""
+    corpus = derived_python_corpus(spark, sf_dir)
+    doc_id = F.regexp_extract(F.col("path"), r"mod_(\d+)\.py$", 1).cast("long")
+    seeded = corpus.withColumn(
+        "content",
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(F.lit("def broken(:\n"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    return python_syntax_errors(seeded)
 
 
 def python_syntax_errors(corpus: DataFrame) -> DataFrame:

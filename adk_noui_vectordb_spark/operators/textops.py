@@ -568,8 +568,10 @@ def lm_perplexity_score(
       path on the tiny synthetic vocabulary);
     - the capped model re-enters as a BROADCAST join onto the exploded
       tokens; per-doc reduction shuffles once on doc_id.
-    Per-token log-probs are rounded to 6 dp before averaging and the
-    score to 4 dp after (the tfidf_top_terms cross-engine convention).
+    Per-token log-probs carry as floor-scaled integer micro-nats (see the
+    inline note below: floor of identical doubles has no rounding-tie
+    concept, unlike 6-dp round-then-average which lands exactly on .xxxx5
+    ties); only the final per-doc score is rendered as a 4-dp decimal.
     """
     d = load_table(spark, sf_dir, "documents")
     words = d.select(

@@ -211,3 +211,45 @@ def test_chunk_js_elements_realistic(spark):
 
     (helper,) = by_name["helper"]
     assert (helper["start_line"], helper["end_line"]) == (24, 26)
+
+
+JS_TRICKY = """import fs from 'fs';
+/* block comment opening brace {
+   still inside the comment }
+   and an unbalanced { here too */
+export function first(x) {
+  const msg = `template with { unbalanced
+  spanning } lines { and more
+  lines`;
+  return msg;
+}
+
+/* a comment with `backtick` that must not open a template */
+function second() {
+  const q = 'quote with /* not a comment';
+  return 2;
+}"""
+
+
+def test_chunk_js_elements_block_comments_and_templates(spark):
+    """Multi-line block comments and template literals must not skew brace
+    depth or line numbers (the r3/r4 ADVICE leftover)."""
+    from pyspark.sql import Row
+
+    from adk_noui_vectordb_spark.operators.chunking import chunk_js_elements
+
+    df = spark.createDataFrame([Row(path="tricky.js", content=JS_TRICKY)])
+    rows = {r["name"]: r for r in chunk_js_elements(df).collect()}
+
+    assert rows["import"]["start_line"] == 1
+    f = rows["first"]
+    assert (f["element_type"], f["start_line"], f["end_line"]) == (
+        "function", 5, 10,
+    )
+    # emitted content is the ORIGINAL slice, template intact
+    assert "`template with {" in f["content"]
+    s = rows["second"]
+    assert (s["element_type"], s["start_line"], s["end_line"]) == (
+        "function", 13, 16,
+    )
+    assert set(rows) == {"import", "first", "second"}

@@ -28,8 +28,8 @@ def test_hll_estimates_within_five_percent_of_exact(spark, sf_dir):
 
 def test_value_quantile_sketch_error_bound(spark, sf_dir):
     """Sketch percentiles must land within 1% rank error of the exact
-    rank-selected values (GK accuracy 10000 is far tighter; 1% absorbs
-    value-gap amplification on small groups)."""
+    rank-selected values (GK accuracy 100000 is far tighter — exact at
+    test SFs; 1% absorbs value-gap amplification on small groups)."""
     from pyspark.sql import functions as F
 
     from adk_noui_vectordb_spark.operators.sketches import (

@@ -188,3 +188,51 @@ def test_upsert_recovers_both_swap_crash_windows(spark, tmp_path):
     assert not os.path.exists(path + ".__old__")
     got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
     assert got == {"a": 1, "b": 2}
+
+
+def test_testdata_schema_contract(spark, sf_dir):
+    """Post-projection dtype contract for every testdata table.
+
+    The r3->r4 driver testdata regeneration silently changed events.ts
+    from parquet TIMESTAMP(NANOS) to timestamp[us] and broke 21 queries
+    downstream; this pins what load_table must DELIVER regardless of the
+    physical encoding, so the next upstream drift fails here first.
+    """
+    from adk_noui_vectordb_spark.sources.tables import TABLES, load_table
+
+    expected_events = {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "ts_ns": "bigint",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    }
+    got = dict(load_table(spark, sf_dir, "events").dtypes)
+    assert got == expected_events, got
+
+    key_cols = {
+        "region": ("r_regionkey", "int"),
+        "nation": ("n_nationkey", "int"),
+        "customer": ("c_custkey", "bigint"),
+        "supplier": ("s_suppkey", "bigint"),
+        "part": ("p_partkey", "bigint"),
+        "orders": ("o_orderkey", "bigint"),
+        "lineitem": ("l_orderkey", "bigint"),
+        "documents": ("doc_id", "bigint"),
+        "embeddings": ("vec_id", "bigint"),
+    }
+    for name in TABLES:
+        if name == "events":
+            continue
+        dtypes = dict(load_table(spark, sf_dir, name).dtypes)
+        col, typ = key_cols[name]
+        assert dtypes.get(col) == typ, (name, dtypes)
+    # columns whose drift would silently poison many oracles
+    docs = dict(load_table(spark, sf_dir, "documents").dtypes)
+    assert docs.get("text") == "string" and docs.get("lang") == "string", docs
+    emb = dict(load_table(spark, sf_dir, "embeddings").dtypes)
+    assert emb.get("embedding", "").startswith("array"), emb
+    li = dict(load_table(spark, sf_dir, "lineitem").dtypes)
+    assert li.get("l_shipdate", "").startswith(("date", "timestamp")), li
