@@ -507,8 +507,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
-        # mergeable sketches (rows-only — approximate by construction;
-        # 5% error bound vs exact pinned in tests/test_sketches.py)
+        # mergeable sketches — exact (and oracle-checked) at test-SF
+        # cardinalities, approximate with pinned error bounds at scale
+        # (tests/test_sketches.py)
         "sketch_distinct_users": _sketch.sketch_distinct_users,
         # multimodal plumbing (north star; mapInPandas over binary payloads)
         "multimodal_features": _mm.multimodal_features,
@@ -2547,6 +2548,15 @@ SELECT l_returnflag,
        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
        max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
 FROM r GROUP BY l_returnflag
+""",
+        # HLL in coupon mode is an exact distinct-hash set and its rounded
+        # estimator equals n at test-SF cardinalities (150/1500 ≪ the
+        # lgK-21 coupon capacity) — operators/sketches.py.
+        "sketch_distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
 """,
         # GK sketch with accuracy > group row count retains every value, so
         # at test SFs the Spark side is exact discrete percentiles =

