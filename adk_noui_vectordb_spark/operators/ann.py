@@ -459,6 +459,9 @@ def knn_pq_rerank(
     query_vec_id: int = 0,
     k: int = 10,
     candidates: int = 100,
+    m: int = PQ_M,
+    codebook_k: int = PQ_K,
+    iters: int = 2,
 ) -> DataFrame:
     """Two-stage PQ serving (the knn_int8_rerank pattern, one tier coarser):
     ADC over the 4-small-int codes cuts the corpus to ``candidates`` rows,
@@ -475,7 +478,13 @@ def knn_pq_rerank(
     from ..functions.vector import dot_product
 
     cand = knn_pq_topk(
-        spark, sf_dir, query_vec_id=query_vec_id, k=candidates
+        spark,
+        sf_dir,
+        query_vec_id=query_vec_id,
+        k=candidates,
+        m=m,
+        codebook_k=codebook_k,
+        iters=iters,
     ).select("vec_id")
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
