@@ -236,3 +236,54 @@ def test_testdata_schema_contract(spark, sf_dir):
     assert emb.get("embedding", "").startswith("array"), emb
     li = dict(load_table(spark, sf_dir, "lineitem").dtypes)
     assert li.get("l_shipdate", "").startswith(("date", "timestamp")), li
+
+
+def test_events_loader_handles_both_ts_encodings(spark, sf_dir, tmp_path):
+    """The NANOS branch of events_time_exprs must stay equivalent to the
+    timestamp[us] branch: the driver's testdata has shipped BOTH physical
+    encodings across regenerations (VERDICT r4), and the current testdata
+    only exercises one, so this synthesizes the other.
+
+    Writes the first rows of the real events table back out as parquet
+    TIMESTAMP(NANOS) (with sub-µs digits appended, which the contract must
+    truncate away) and asserts load_table delivers identical (ts, ts_ns)
+    to the native read.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    native = (
+        load_table(spark, sf_dir, "events").orderBy("event_id").limit(20)
+    ).collect()
+
+    ns_dir = str(tmp_path / "sfnanos")
+    os.makedirs(ns_dir)
+    table = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in native], pa.int64()),
+            # re-encode as ns since epoch + fake sub-µs digits (the old
+            # testdata carried them; DuckDB truncates, so must we)
+            "ts": pa.array(
+                [r["ts_ns"] + (i % 1000) for i, r in enumerate(native)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([r["user_id"] for r in native], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in native]),
+            "value": pa.array([r["value"] for r in native], pa.float64()),
+            "props": pa.array([r["props"] for r in native]),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(ns_dir, "events.parquet"), coerce_timestamps=None
+    )
+    assert (
+        str(pq.read_schema(os.path.join(ns_dir, "events.parquet")).field("ts").type)
+        == "timestamp[ns]"
+    )
+
+    from_nanos = load_table(spark, ns_dir, "events").orderBy("event_id").collect()
+    assert [(r["event_id"], r["ts"], r["ts_ns"]) for r in from_nanos] == [
+        (r["event_id"], r["ts"], r["ts_ns"]) for r in native
+    ]
