@@ -307,8 +307,13 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     spam and get filtered before pre-training.
 
     Shapes: the two within-document fractions are pure array HOFs (no
-    shuffle, codegen'd); the top-2-gram mode needs a per-(doc, gram) count,
-    one explode + two partial-aggregated groupBys keyed on doc_id.
+    shuffle); the top-2-gram mode is a single Arrow ``mapInPandas`` pass
+    (narrow, no shuffle) — the explode + two-groupBy formulation spent
+    ~1.6 s at sf0.1 just BUILDING the gram strings in interpreted HOF
+    lambdas (same finding as dedup._minhash_wide: Python-with-Arrow beats
+    interpreted expression trees for per-doc token kernels). Counts are
+    integers and the fraction is one int/int IEEE division, so the Arrow
+    kernel is value-identical to the SQL formulation the oracle runs.
 
     Values are emitted as RAW doubles, deliberately unrounded: each is one
     integer/integer division, which is bit-identical in every IEEE engine —
@@ -321,11 +326,11 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = whitespace_tokens(F.col("text"))
     n = F.size(words)
     grams3 = _shingles(F.col("text"), 3)
-    # _shingles dedups; for the duplicate fraction we need totals too.
-    raw3 = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-    )
+    # _shingles dedups; the duplicate fraction needs the RAW total too —
+    # which is just the gram-window count greatest(n-2, 1): never build
+    # the raw 3-gram strings only to F.size them (an interpreted HOF over
+    # every row that measured ~0.3 s of the query at sf0.1).
+    n_raw3 = F.greatest(n - 2, F.lit(1))
     within = d.select(
         "doc_id",
         (F.lit(1.0) - F.size(F.array_distinct(words)) / n.cast("double")).alias(
@@ -333,21 +338,29 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             F.lit(1.0)
-            - F.size(grams3) / F.size(raw3).cast("double")
+            - F.size(grams3) / n_raw3.cast("double")
         ).alias("dup_3gram_frac"),
     )
-    g2 = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-            )
-        ).alias("gram"),
-    )
-    counts = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    top2 = counts.groupBy("doc_id").agg(
-        (F.max("c") / F.sum("c").cast("double")).alias("top_2gram_frac")
+    def top2gram(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fracs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # same token/gram construction as the HOF form: split on
+                # single spaces (empties kept), m = greatest(n-1, 1)
+                # windows, the n=1 window degenerating to the lone word
+                w = text.split(" ")
+                m = max(len(w) - 1, 1)
+                c = Counter(" ".join(w[i : i + 2]) for i in range(m))
+                ids.append(doc_id)
+                fracs.append(max(c.values()) / float(m))
+            yield pd.DataFrame({"doc_id": ids, "top_2gram_frac": fracs})
+
+    top2 = d.select("doc_id", "text").mapInPandas(
+        top2gram, "doc_id bigint, top_2gram_frac double"
     )
     return within.join(top2, "doc_id").select(
         "doc_id", "dup_word_frac", "top_2gram_frac", "dup_3gram_frac"
@@ -364,35 +377,56 @@ def decontaminate_corpus(
 
     The benchmark slice here is doc_id % 50 == 0 (deterministic stand-in
     for MMLU et al.). Scale shape: benchmarks are tiny relative to a
-    100 TB corpus, so the DISTINCT benchmark shingle set is broadcast and
-    the candidate side is ONE narrow pass (explode + broadcast-hash
-    semi-ish join + per-doc count) — the fact table never shuffles on the
-    shingle key.
+    100 TB corpus BY DEFINITION (eval sets are MBs), so the distinct
+    benchmark shingle set is collected once and broadcast to every
+    executor; the candidate side is then ONE narrow Arrow pass computing
+    per-doc overlap — ZERO shuffles anywhere (the previous
+    explode + broadcast-join + groupBy formulation spent ~1.5 s at sf0.1
+    building shingle strings in interpreted HOF lambdas and still
+    shuffled the hit rows; same Arrow-beats-HOF finding as
+    dedup._minhash_wide). Set-intersection counts are integers, so the
+    kernel is value-identical to the join formulation the oracle runs.
 
     Returns (doc_id, n_hits): contaminated docs with the number of
     distinct overlapping shingles.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = whitespace_tokens(F.col("text"))
-    n = F.size(words)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (shingle_words - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, shingle_words)),
-        )
-    )
-    bench = (
-        d.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
-    cand = d.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", F.explode(shingles).alias("shingle")
-    )
+
+    def doc_shingles(text: str) -> set:
+        # same construction as the HOF form: split on single spaces
+        # (empties kept), greatest(n - (k-1), 1) windows, short docs
+        # degenerating to one whole-doc shingle
+        w = text.split(" ")
+        m = max(len(w) - (shingle_words - 1), 1)
+        return {" ".join(w[i : i + shingle_words]) for i in range(m)}
+
+    bench: set = set()
+    for r in d.filter(F.col("doc_id") % 50 == 0).select("text").collect():
+        bench.update(doc_shingles(r["text"]))
+    bc = spark.sparkContext.broadcast(bench)
+
+    def hits(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            b = bc.value
+            ids, ns = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k = len(doc_shingles(text) & b)
+                if k:
+                    ids.append(doc_id)
+                    ns.append(k)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_hits": pd.Series(ns, dtype="int64"),
+                }
+            )
+
     return (
-        cand.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("shingle").alias("n_hits"))
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text")
+        .mapInPandas(hits, "doc_id bigint, n_hits bigint")
     )
 
 

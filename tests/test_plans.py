@@ -176,18 +176,20 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert df.count() > 0
 
 
-def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
-    """The benchmark shingle set (tiny vs the corpus) must broadcast; the
-    candidate side must never shuffle on the shingle key."""
+def test_decontaminate_is_single_narrow_pass(spark, sf_dir):
+    """The benchmark shingle set (tiny by definition) is collected and
+    broadcast executor-side; the candidate side is ONE narrow Arrow pass —
+    no join, no shuffle, no sort anywhere in the plan (the previous
+    broadcast-join formulation was replaced in round 5; interpreted HOF
+    shingle construction dominated its runtime)."""
     from adk_noui_vectordb_spark.operators import textops
 
     df = textops.decontaminate_corpus(spark, sf_dir)
-    assert_broadcast_join(df, min_count=1)
     plan = explain_str(df, mode="simple")
-    # the candidate x benchmark join must be broadcast-hash, never a
-    # shuffle join keyed on the shingle (the bench .distinct() and the
-    # post-join count_distinct shuffles are tiny-side / hits-only)
-    assert "SortMergeJoin" not in plan, plan
+    for bad in ("Join", "Exchange", "Sort"):
+        assert bad not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert df.count() > 0
 
 
 def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
