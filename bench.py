@@ -174,19 +174,31 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "runs_per_query": RUNS,
-            "agg": "min",
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, f"bench JSON line {len(line)} chars — driver tail is 2000"
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(timings),
+        "runs_per_query": RUNS,
+        "agg": "min",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # Never crash on length (a crash = zero perf evidence for the round,
+    # the r4 failure mode): if the key set outgrows the window, shed the
+    # FASTEST queries — the slow ones are the informative ones — and say so.
+    while len(line) >= 1900 and payload["queries"]:
+        fastest = min(payload["queries"], key=payload["queries"].get)
+        payload["queries"].pop(fastest)
+        payload["queries_dropped"] = len(timings) - len(payload["queries"])
+        line = json.dumps(payload, separators=(",", ":"))
+    if "queries_dropped" in payload:
+        print(
+            f"# WARNING: dropped {payload['queries_dropped']} fastest query "
+            "timings to fit the driver's 2000-char output tail",
+            file=sys.stderr,
+            flush=True,
+        )
     # stop() BEFORE the final print: the driver may capture stderr merged
     # with stdout, and JVM shutdown noise after the JSON line could push it
     # out of the 2000-char tail window.
