@@ -237,8 +237,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equi self-join on the bucket key — the scalable plan: no cross join,
     shuffle keyed on band_hash, AQE handles hot buckets. Output is the
     distinct (doc_a < doc_b) candidate edge list.
+
+    The band rows are MATERIALIZED once (localCheckpoint) before the
+    self-join: Spark does not share identical narrow subtrees across join
+    sides, so an unmaterialized self-join runs the whole
+    scan -> shingle -> md5 -> minhash Arrow kernel TWICE (measured ~0.8 s
+    per run at sf0.1 — it was most of this query's cost). At 100 TB the
+    same move is writing the signature table to parquet once and serving
+    joins from it (the build_pq_index lifecycle); localCheckpoint is the
+    in-session equivalent.
     """
-    bands = minhash_band_rows(spark, sf_dir)
+    bands = minhash_band_rows(spark, sf_dir).localCheckpoint(eager=True)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
