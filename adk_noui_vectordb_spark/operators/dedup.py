@@ -690,8 +690,12 @@ def dedup_simhash_pairs(
     buckets). Pigeonhole guarantees EXACT recall for hamming <= 3: at
     most 3 differing bits can dirty at most 3 of the 4 bands.
     bit_count(xor) verification stays in codegen on both engines.
+
+    Signatures are MATERIALIZED once before the self-join (same reasoning
+    as dedup_minhash_pairs: identical narrow subtrees are not shared
+    across join sides, so the signature kernel would run once per side).
     """
-    sig = simhash_signatures(spark, sf_dir)
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         "simhash",
