@@ -218,3 +218,18 @@ def test_line_dedup_monotone_in_threshold(spark, min_docs):
         .collect()[0]["r"]
     )
     assert high <= low
+
+
+def test_driver_window_prioritizes_round5_keys():
+    """The driver records only the FIRST 50 queries() entries per round;
+    the keys broken or stale-green after the r4 events schema drift must
+    all sit inside that window, with every registered key still present
+    exactly once."""
+    import __spark_entry__ as entrymod
+
+    keys = list(entrymod.queries())
+    window = set(keys[:50])
+    for k in entrymod._PRIORITY_R5:
+        assert k in window, f"{k} fell out of the 50-key driver window"
+    assert len(keys) == len(set(keys))
+    assert set(keys) == set(entrymod._all_queries())
