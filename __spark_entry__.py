@@ -347,63 +347,79 @@ _CHECKED_R4 = frozenset({
     "filter_by_lang", "point_lookup", "agg_source_summary", "agg_docs_by_lang",
 })
 
-# Round-5 window head. The r3→r4 testdata regeneration changed events.ts
-# from TIMESTAMP(NANOS) to timestamp[us], breaking every events consumer
-# until the schema-adaptive loader (sources/tables.py:events_time_exprs)
-# landed this round — so the whole events family needs fresh rows:
-# first the 8 keys the r4 driver saw red, then the 13 events keys whose
-# last green row predates the drift (stale-green per VERDICT r4), then the
-# two keys whose latest row was no_oracle (diag_python_syntax gained a
-# normalized-output oracle this round; ann_lsh_topk is rows-only by design
-# but its row is 3 rounds old).
-_PRIORITY_R5 = (
-    "asof_join_purchase_click",
-    "range_join_bursts",
-    "funnel_signup_purchase",
-    "retention_day_over_day",
-    "sketch_value_quantiles",
-    "stream_dedup_counts",
-    "stream_range_join",
-    "stream_sessionize",
-    "events_by_dow",
-    "events_sessionize",
-    "events_sliding_counts",
-    "events_tumbling_counts",
-    "pivot_event_matrix",
-    "json_props_rollup",
-    "salted_event_totals",
-    "salted_skew_join",
-    "setop_active_noncustomers",
-    "upsert_latest_events",
-    "agg_collection_count",
-    "stream_tumbling_counts",
-    "sketch_distinct_users",
-    "diag_python_syntax",
-    "ann_lsh_topk",
-)
+# Green (rows+schema+hash) in CORRECTNESS_r05.json — 49 keys (every r5
+# window entry except the retired no-oracle ann_lsh_topk).
+_CHECKED_R5 = frozenset({
+    "asof_join_purchase_click", "range_join_bursts", "funnel_signup_purchase",
+    "retention_day_over_day", "sketch_value_quantiles", "stream_dedup_counts",
+    "stream_range_join", "stream_sessionize", "events_by_dow",
+    "events_sessionize", "events_sliding_counts", "events_tumbling_counts",
+    "pivot_event_matrix", "json_props_rollup", "salted_event_totals",
+    "salted_skew_join", "setop_active_noncustomers", "upsert_latest_events",
+    "agg_collection_count", "stream_tumbling_counts", "sketch_distinct_users",
+    "diag_python_syntax", "agg_job_totals", "filter_by_element_type",
+    "filter_by_file", "filter_ext_dispatch", "chunk_fixed_words",
+    "chunk_fixed_lines", "chunk_markdown_sections", "text_stats",
+    "token_count", "quality_score", "lang_id_ngram", "doc_fingerprint",
+    "curate_corpus", "winnow_fingerprints", "tfidf_top_terms",
+    "stratified_sample", "split_assignment", "diag_generic", "diag_python",
+    "diag_js_ts", "dedup_exact", "minhash_signature_rows",
+    "minhash_band_rows", "dedup_minhash_pairs", "dedup_connected_components",
+    "minhash_jaccard_estimate", "dedup_embedding_cosine",
+})
+
+# Keys whose implementation changed AFTER their latest green driver row
+# (ADVICE r5, medium): a rewrite strips checked status so the next driver
+# window re-verifies the NEW code at sf0.01 before anything else. Two
+# cohorts: the r5 rewrites whose last green row is r4-era (confirmed
+# absent from CORRECTNESS_r05.json), and every key this round's code
+# changes touch. Maintained per-round: when a rewritten key gets a fresh
+# green row, move it into that round's _CHECKED set and drop it here.
+_REWRITTEN = frozenset({
+    # rewritten in r5, last green row predates the rewrite (ADVICE r5)
+    "cluster_kmeans", "semdedup_prune", "knn_pq_rerank",
+    "quality_repetition", "decontaminate_corpus", "dedup_simhash_pairs",
+    "chunk_js_elements",
+    # rewritten in r6 (decontaminate collect cap; _lloyd centroid-broadcast
+    # threshold touches every Lloyd's consumer; js chunker comment/template
+    # strip; multimodal PNG decode; CC round-structure change)
+    "pq_encode_rows", "knn_pq_topk", "ann_ivf_topk",
+    "multimodal_features", "multimodal_resize",
+    "dedup_connected_components",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Keys ordered by how much a fresh driver row is worth (the driver
+    records the first 50 entries): brand-new and rewritten-since-last-green
+    keys first, then the oldest stable greens (r1, never refreshed), then
+    r2, then r4, with the freshest (r5) greens at the back."""
     q = _all_queries()
-    # a stale-r1 key re-greened in r4 is no longer stale
-    checked = _CHECKED_R4 | ((_CHECKED_R1 | _CHECKED_R2) - _STALE_R1)
-    ordered = {k: q[k] for k in _PRIORITY_R5 if k in q}
-    # new/stale keys without a trustworthy driver row (insertion order)
-    ordered.update(
-        {k: v for k, v in q.items() if k not in checked and k not in ordered}
-    )
-    # oldest stable greens (r1, not refreshed since) fill the rest of the
-    # 50-key window
+    checked = (
+        _CHECKED_R5 | _CHECKED_R4 | _CHECKED_R2 | (_CHECKED_R1 - _STALE_R1)
+    ) - _REWRITTEN
+    fresh = _CHECKED_R5 | _CHECKED_R4
+    ordered = {k: v for k, v in q.items() if k not in checked}
     ordered.update(
         {
             k: v
             for k, v in q.items()
-            if k in _CHECKED_R1 and k not in _CHECKED_R4 and k not in ordered
+            if k in _CHECKED_R1 and k not in fresh and k not in ordered
         }
     )
-    # then r2, then the freshest (r4) at the back
     ordered.update(
-        {k: v for k, v in q.items() if k not in _CHECKED_R4 and k not in ordered}
+        {
+            k: v
+            for k, v in q.items()
+            if k in _CHECKED_R2 and k not in fresh and k not in ordered
+        }
+    )
+    ordered.update(
+        {
+            k: v
+            for k, v in q.items()
+            if k in _CHECKED_R4 and k not in _CHECKED_R5 and k not in ordered
+        }
     )
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -498,9 +514,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_text_query": _embed.knn_text_query,
         "knn_file_summary_query": _embed.knn_file_summary_query,
         "file_context": _idx.file_context,
-        # approximate ANN (SURVEY.md §4; LSH is rows-only — no SQL oracle)
+        # approximate ANN (SURVEY.md §4). r6: the engine-owned
+        # random-hyperplane LSH (md5-seeded +-1 projections, integer-exact
+        # sign bits — operators/ann.py:rp_lsh_band_rows) replaces the MLlib
+        # key in the registry: BucketedRandomProjectionLSH's projections are
+        # Spark-ML-internal, so the old ann_lsh_topk could never have a SQL
+        # twin (err: no_oracle in every round r1-r5). The MLlib path remains
+        # the recall harness in tests/test_ann.py.
         "ann_ivf_topk": _ann.ann_ivf_topk,
-        "ann_lsh_topk": _ann.ann_lsh_topk,
+        "rp_lsh_band_rows": _ann.rp_lsh_band_rows,
+        "ann_rp_lsh_topk": _ann.ann_rp_lsh_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -580,6 +603,33 @@ _COS = (
 )
 
 _STOPWORDS_SQL = "('the','a','of','and','to','in','is','it')"
+
+# Random-hyperplane LSH band table (operators/ann.py:rp_lsh_band_rows):
+# +-1 hyperplanes regenerated from md5 parity; the sign-determining dot
+# runs over floor-scaled integer micro-units, so every term and the
+# 64-term sum are integer-valued doubles far below 2^53 — exact in any
+# engine and any summation order.
+_RP_BANDS_CTE = """
+rp_planes AS (
+    SELECT p.p, list_transform(range(1, 65), i ->
+        CASE WHEN CAST(('0x' || substr(md5('rp|' || p.p || '|' || i), 1, 15))
+                       AS BIGINT) % 2 = 0
+             THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS plane
+    FROM generate_series(0, 23) p(p)
+),
+rp_bits AS (
+    SELECT e.vec_id, pl.p,
+           CASE WHEN list_inner_product(
+                    list_transform(CAST(e.embedding AS DOUBLE[]),
+                                   x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE)),
+                    pl.plane) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM embeddings e CROSS JOIN rp_planes pl
+),
+rp_bands AS (
+    SELECT vec_id, CAST(p // 4 AS INTEGER) AS band,
+           CAST(sum(bit * (1 << CAST(p % 4 AS INTEGER))) AS INTEGER) AS band_key
+    FROM rp_bits GROUP BY 1, 2
+)"""
 
 
 def _kmeans_ctes(
@@ -1932,6 +1982,26 @@ FROM embeddings e JOIN top_labels USING (label) CROSS JOIN qe
 WHERE e.vec_id <> 0
 ORDER BY sim DESC, e.vec_id
 LIMIT 5
+""",
+        "rp_lsh_band_rows": f"""
+WITH {_RP_BANDS_CTE}
+SELECT vec_id, band, band_key FROM rp_bands
+""",
+        "ann_rp_lsh_topk": f"""
+WITH {_RP_BANDS_CTE},
+qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb USING (band, band_key)
+    WHERE b.vec_id <> 0
+),
+qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
+ORDER BY sim DESC, e.vec_id LIMIT 10
 """,
         "bm25_topk": f"""
 WITH {_BM25_CTE}

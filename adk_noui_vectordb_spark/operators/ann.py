@@ -39,6 +39,30 @@ LSH_SEED = 42
 LSH_BUCKET_LENGTH = 1.0
 LSH_NUM_TABLES = 8
 
+# Engine-owned random-hyperplane (cosine) LSH — the oracle-checkable
+# replacement for MLlib's BucketedRandomProjectionLSH (whose projections
+# are Spark-ML-internal, hence unreproducible in SQL). Hyperplane p's
+# component for dimension i is +1/-1 by the parity of the 60-bit md5
+# prefix of "rp|{p}|{i}" (the dedup.py:md5_long seeding pattern applied
+# to cosine LSH; Rademacher hyperplanes are a valid LSH family for
+# angular distance — Charikar, STOC 2002). Sign bits are banded
+# SIMHASH_BANDS-style: RP_PLANES sign bits -> RP_BANDS keys of
+# RP_BAND_BITS bits; two vectors are candidates iff they share a band
+# key with the query.
+#
+# Cross-engine exactness: the sign-determining dot product runs over
+# FLOOR-SCALED INTEGER MICRO-UNITS (floor(x*1e6 + 0.5), the knn_pq_topk
+# discipline). Products of micro-unit ints against +-1 are
+# integer-valued and their 64-term sums stay far below 2^53, so the dot
+# is EXACT in numpy int64, Spark, and DuckDB double alike — summation
+# order cannot flip a sign bit, unlike a float dot whose last-ulp
+# rounding differs between engines' fold orders.
+RP_PLANES = 24
+RP_BANDS = 6
+RP_BAND_BITS = RP_PLANES // RP_BANDS
+RP_DIM = 64  # testdata embedding dimensionality (asserted in the kernel)
+RP_SCALE = 1_000_000
+
 
 def _seq_self_dot(vals) -> float:
     """Left-to-right double fold of sum(x*x) — the exact summation order of
@@ -80,6 +104,130 @@ def ann_lsh_topk(
         emb.filter(F.col("vec_id") != query_vec_id), key["features"], k
     )
     return neighbors.select("vec_id", F.round(F.col("distCol"), 4).alias("dist"))
+
+
+def _rp_plane_signs(planes: int = RP_PLANES, dim: int = RP_DIM) -> list[list[int]]:
+    """The planes x dim +-1 hyperplane matrix, derived from md5 so the
+    DuckDB oracle regenerates it bit-identically in SQL:
+    ``CAST(('0x' || substr(md5('rp|' || p || '|' || i), 1, 15)) AS BIGINT) % 2``.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp|{p}|{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for i in range(1, dim + 1)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _rp_band_keys(mat, signs_t) -> "object":
+    """n x RP_BANDS band keys from an n x dim float64 matrix: quantize to
+    micro-units, integer dot against the +-1 planes, pack sign bits
+    little-endian within each band. Shared by the distributed kernel and
+    the driver-side query-signature path (identical arithmetic)."""
+    import numpy as np
+
+    q = np.floor(mat * RP_SCALE + 0.5).astype(np.int64)
+    bits = (q @ signs_t >= 0).astype(np.int64)  # n x planes
+    weights = (1 << np.arange(RP_BAND_BITS, dtype=np.int64))
+    return bits.reshape(mat.shape[0], RP_BANDS, RP_BAND_BITS) @ weights
+
+
+def rp_lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, band_key) for every corpus vector — the materialized
+    LSH index table. One narrow Arrow pass (the _minhash_wide shape): no
+    explode, no shuffle; at 100 TB this is the table you write to parquet
+    partitioned/bucketed by (band, band_key) so a query probe prunes to
+    its RP_BANDS buckets at scan time."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    signs_t = np.array(_rp_plane_signs(), dtype=np.int64).T  # dim x planes
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            if mat.shape[1] != RP_DIM:
+                raise ValueError(
+                    f"rp_lsh expects dim={RP_DIM}, got {mat.shape[1]}"
+                )
+            keys = _rp_band_keys(mat, signs_t)  # n x bands
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, RP_BANDS),
+                    "band": np.tile(
+                        np.arange(RP_BANDS, dtype=np.int32), len(ids)
+                    ),
+                    "band_key": keys.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return e.mapInPandas(batches, "vec_id bigint, band int, band_key int")
+
+
+def ann_rp_lsh_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Approximate top-k by engine-owned random-hyperplane LSH: probe the
+    query's RP_BANDS band buckets for candidates, then exact cosine rerank
+    (round 4 dp, vec_id tie-break) of the candidate set only.
+
+    Fully oracle-checkable (unlike the MLlib ``ann_lsh_topk`` twin, kept
+    as the recall harness): hyperplanes are md5-derived, sign bits are
+    integer-exact, and the rerank is the established _COS discipline.
+
+    Scale shape: the query signature is computed CLIENT-side (one point
+    lookup + 24 tiny integer dots — no corpus job); the probe is a
+    broadcast semi-join of RP_BANDS (band, band_key) rows against the
+    band table, i.e. bucket pruning, never a corpus self-join; the rerank
+    touches only candidates (TakeOrderedAndProject caps the sort at k).
+    Candidate volume ~= corpus * (1 - (1 - 2^-RP_BAND_BITS)^RP_BANDS) for
+    isotropic data, far less for genuinely clustered neighbors.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    ).head()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    signs_t = np.array(_rp_plane_signs(), dtype=np.int64).T
+    qkeys = _rp_band_keys(
+        np.asarray(qrow["q_emb"], dtype=np.float64)[None, :], signs_t
+    )[0]
+    probe = spark.createDataFrame(
+        [(int(b), int(qkeys[b])) for b in range(RP_BANDS)],
+        "band int, band_key int",
+    )
+    cand = (
+        rp_lsh_band_rows(spark, sf_dir)
+        .join(F.broadcast(probe), ["band", "band_key"])
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
+    )
+    qlit = F.expr(
+        "array(" + ",".join(_double_sql(x) for x in qrow["q_emb"]) + ")"
+    )
+    sim = F.round(
+        cosine_similarity(F.col("embedding"), qlit), 4
+    ).alias("sim")
+    return (
+        emb.join(cand, "vec_id")
+        .select("vec_id", sim)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def ivf_centroids(embeddings: DataFrame) -> DataFrame:

@@ -66,6 +66,7 @@ BENCH_KEYS = [
     "cluster_kmeans",
     "semdedup_prune",
     "knn_pq_rerank",
+    "ann_rp_lsh_topk",
 ]
 
 
@@ -201,8 +202,13 @@ def main() -> None:
         )
     # stop() BEFORE the final print: the driver may capture stderr merged
     # with stdout, and JVM shutdown noise after the JSON line could push it
-    # out of the 2000-char tail window.
-    spark.stop()
+    # out of the 2000-char tail window. But a stop() failure must NOT
+    # suppress the result line (that would be the zero-perf-evidence r4
+    # failure mode all over again) — swallow it and print regardless.
+    try:
+        spark.stop()
+    except Exception as exc:  # noqa: BLE001 — shutdown noise is non-fatal
+        print(f"# spark.stop() failed: {exc!r}", file=sys.stderr, flush=True)
     print(line, flush=True)
 
 

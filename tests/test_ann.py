@@ -27,6 +27,74 @@ def test_lsh_recall_at_10(spark, sf_dir):
     assert avg >= 0.9, f"LSH recall@10 {avg} < 0.9 (per-query {recalls})"
 
 
+def test_rp_lsh_band_table_shape(spark, sf_dir):
+    """Every vector gets exactly RP_BANDS band rows with keys in
+    [0, 2^RP_BAND_BITS)."""
+    from adk_noui_vectordb_spark.operators.ann import (
+        RP_BAND_BITS,
+        RP_BANDS,
+        rp_lsh_band_rows,
+    )
+
+    bands = rp_lsh_band_rows(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert bands.count() == n * RP_BANDS
+    assert bands.select("vec_id", "band").distinct().count() == n * RP_BANDS
+    bad = bands.filter(
+        (F.col("band_key") < 0) | (F.col("band_key") >= (1 << RP_BAND_BITS))
+    ).count()
+    assert bad == 0
+
+
+def test_rp_lsh_results_are_candidate_restricted_exact(spark, sf_dir):
+    """RP-LSH top-k must equal the exact cosine ranking RESTRICTED to the
+    band-probe candidate set — the rerank stage adds no approximation."""
+    from adk_noui_vectordb_spark.operators.ann import (
+        ann_rp_lsh_topk,
+        rp_lsh_band_rows,
+    )
+
+    qid = 0
+    bands = rp_lsh_band_rows(spark, sf_dir)
+    qb = bands.filter(F.col("vec_id") == qid).select("band", "band_key")
+    cand = {
+        r["vec_id"]
+        for r in bands.join(qb, ["band", "band_key"])
+        .filter(F.col("vec_id") != qid)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    exact_order = _exact_topk_ids(spark, sf_dir, qid, 10_000_000)
+    expected = [v for v in exact_order if v in cand][:10]
+    got = [
+        r["vec_id"]
+        for r in ann_rp_lsh_topk(spark, sf_dir, query_vec_id=qid, k=10).collect()
+    ]
+    assert got == expected
+
+
+def test_rp_lsh_recall_matches_band_theory(spark, sf_dir):
+    """Honest recall floor on the ISOTROPIC testdata (BASELINE.md caveat,
+    same as IVF): top-10 neighbors sit at cosine ~0.3 (theta ~72 deg), so
+    per-plane agreement p = 1 - theta/pi ~ 0.6 and band-match probability
+    1 - (1 - p^4)^6 ~ 0.55 — measured avg recall@10 is 0.5 at sf0.001.
+    Genuinely clustered neighbors (higher cosine) match with much higher
+    probability; the MLlib harness above stays the high-recall path."""
+    from adk_noui_vectordb_spark.operators.ann import ann_rp_lsh_topk
+
+    recalls = []
+    for qid in (0, 1, 2):
+        exact = set(_exact_topk_ids(spark, sf_dir, qid, 10))
+        approx = {
+            r["vec_id"]
+            for r in ann_rp_lsh_topk(spark, sf_dir, query_vec_id=qid, k=10).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.3, f"RP-LSH recall@10 {avg} < 0.3 (per-query {recalls})"
+
+
 def test_ivf_returns_k_and_respects_probe(spark, sf_dir):
     df = ann_ivf_topk(spark, sf_dir, query_vec_id=0, k=5, nprobe=2)
     rows = df.collect()

@@ -220,16 +220,24 @@ def test_line_dedup_monotone_in_threshold(spark, min_docs):
     assert high <= low
 
 
-def test_driver_window_prioritizes_round5_keys():
+def test_driver_window_prioritizes_unverified_keys():
     """The driver records only the FIRST 50 queries() entries per round;
-    the keys broken or stale-green after the r4 events schema drift must
-    all sit inside that window, with every registered key still present
+    every key without a trustworthy driver row — brand-new keys and keys
+    rewritten since their last green row (_REWRITTEN, ADVICE r5) — must
+    sit inside that window, with every registered key still present
     exactly once."""
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    for k in entrymod._PRIORITY_R5:
-        assert k in window, f"{k} fell out of the 50-key driver window"
+    checked = (
+        entrymod._CHECKED_R5
+        | entrymod._CHECKED_R4
+        | entrymod._CHECKED_R2
+        | entrymod._CHECKED_R1
+    )
+    for k in entrymod._all_queries():
+        if k not in checked or k in entrymod._REWRITTEN:
+            assert k in window, f"{k} fell out of the 50-key driver window"
     assert len(keys) == len(set(keys))
     assert set(keys) == set(entrymod._all_queries())
