@@ -334,8 +334,19 @@ def cluster_kmeans(
 def _double_sql(x: float) -> str:
     """Spark-SQL double literal whose JVM parse is bit-identical to ``x``
     (repr is the shortest round-tripping decimal; Double.parseDouble is
-    correctly rounded, so the round trip is exact)."""
-    return repr(float(x)) + "D"
+    correctly rounded, so the round trip is exact). Non-finite doubles
+    would render as 'infD'/'nanD' — unparseable SQL — so they fail here
+    with a diagnosable data error instead of an opaque ParseException
+    (ADVICE r5: a NaN/Inf sneaking in via testdata drift)."""
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite double {x!r} cannot be rendered as a SQL literal "
+            "(NaN/Inf in the input vectors?)"
+        )
+    return repr(x) + "D"
 
 
 def _centroid_literal(rows) -> "F.Column":
@@ -346,13 +357,112 @@ def _centroid_literal(rows) -> "F.Column":
     expression tree."""
     parts = []
     for r in rows:
-        cs = ",".join(_double_sql(x) for x in r["c"])
+        try:
+            cs = ",".join(_double_sql(x) for x in r["c"])
+            cc = _double_sql(_seq_self_dot(r["c"]))
+        except ValueError as exc:
+            raise ValueError(
+                f"cluster {int(r['cluster'])}: {exc}"
+            ) from exc
         parts.append(
             "named_struct('c',array({}),'cc',{},'cluster',{})".format(
-                cs, _double_sql(_seq_self_dot(r["c"])), int(r["cluster"])
+                cs, cc, int(r["cluster"])
             )
         )
     return F.expr("array(" + ",".join(parts) + ")")
+
+
+# k*dim above which the literal-centroid strategy stops scaling: one SQL
+# parse of k*dim double literals is milliseconds at k=8 x dim=64 but grows
+# linearly in text size — at IVF-training scale (k up to 2^16, VERDICT r5
+# item 3) the literal would be ~4M doubles of SQL text and parse time +
+# plan size dominate long before broadcast memory does. Above this, the
+# assignment ships centroids via sparkContext.broadcast and runs an Arrow
+# argmin kernel with the IDENTICAL ranking contract.
+CENTROID_LITERAL_MAX_KDIM = 100_000
+
+
+def _assign_broadcast(e: DataFrame, rows, with_emb: bool) -> DataFrame:
+    """Broadcast + Arrow argmin twin of the literal-centroid assignment,
+    used above CENTROID_LITERAL_MAX_KDIM. The ranking contract is the
+    SAME as the literal path — argmin over (round(d2, 6), cluster)
+    lexicographic, where round is Spark's double round (HALF_UP on the
+    SHORTEST-REPR decimal, java.math.BigDecimal.valueOf semantics) and d2
+    folds left-to-right in double — reproduced exactly:
+
+    - the bulk argmin runs vectorized in numpy (raw doubles, no rounding);
+    - numpy's pairwise summation and the HOF fold differ only in the last
+      ulps (~1e-12 absolute here), and 6-dp rounding can only reorder two
+      distances within 1e-6 of each other, so ONLY rows whose top-2 raw
+      distances sit within a 1.5e-6 ambiguity window can possibly differ
+      from the literal path — for exactly those rows the kernel recomputes
+      the candidates with the exact left-to-right fold and
+      Decimal(repr(x)) HALF_UP rounding and applies the cluster tie-break.
+      Equality with the literal path is pinned in tests/test_ann.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.stack([np.asarray(r["c"], dtype=np.float64) for r in rows])
+    clusters = np.array([int(r["cluster"]) for r in rows], dtype=np.int64)
+    ccs = np.array([_seq_self_dot(r["c"]) for r in rows], dtype=np.float64)
+    bc = e.sparkSession.sparkContext.broadcast((cmat, clusters, ccs))
+    schema = "vec_id bigint, cluster int" + (
+        ", emb array<double>" if with_emb else ""
+    )
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+        cmat, clusters, ccs = bc.value
+
+        def exact_key(emb, j):
+            ee = _seq_self_dot(emb)
+            dot = 0.0
+            cj = cmat[j]
+            for i, x in enumerate(emb):
+                dot += float(x) * float(cj[i])
+            d2 = ee - 2 * dot + float(ccs[j])
+            return (
+                Decimal(repr(d2)).quantize(six, rounding=ROUND_HALF_UP),
+                int(clusters[j]),
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                - 2.0 * (mat @ cmat.T)
+                + ccs[None, :]
+            )
+            order = np.argsort(d2, axis=1, kind="stable")
+            best = order[:, 0]
+            # rows where rounding/tie-break could reorder the top
+            # candidates: top-2 raw distances within the ambiguity window
+            gap = (
+                np.take_along_axis(d2, order[:, 1:2], 1)[:, 0]
+                - np.take_along_axis(d2, order[:, 0:1], 1)[:, 0]
+                if cmat.shape[0] > 1
+                else np.full(len(mat), np.inf)
+            )
+            out = clusters[best].copy()
+            for ridx in np.nonzero(gap < 1.5e-6)[0]:
+                cand = np.nonzero(d2[ridx] < d2[ridx].min() + 1.5e-6)[0]
+                emb = mat[ridx]
+                out[ridx] = min(exact_key(emb, j) for j in cand)[1]
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": out.astype(np.int32),
+            }
+            if with_emb:
+                cols["emb"] = pdf["emb"]
+            yield pd.DataFrame(cols)
+
+    src = e.select("vec_id", "emb")
+    return src.mapInPandas(kernel, schema)
 
 
 def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
@@ -362,13 +472,18 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     (cluster, c)). Same rounding discipline as the module doc: 6-dp squared
     L2 with cluster tie-break, 6-dp centroid means.
 
-    Assignment is a PURE PROJECTION: the k x dim centroids (tiny — k <=
-    2^16 even for IVF training at 100 TB) are collected to the driver and
-    embedded as a literal array of (c, cc, cluster) structs; the per-row
-    argmin is ``array_min`` over a ``transform`` of that array, so the
-    corpus never sorts or shuffles for the ranking (a
-    ``Window.partitionBy(vec_id)`` argmin — the previous shape — still
-    plans Sort + Exchange hashpartitioning even after a broadcast join).
+    Assignment is a PURE PROJECTION: the k x dim centroids are collected
+    to the driver and — below CENTROID_LITERAL_MAX_KDIM — embedded as a
+    literal array of (c, cc, cluster) structs; the per-row argmin is
+    ``array_min`` over a ``transform`` of that array, so the corpus never
+    sorts or shuffles for the ranking (a ``Window.partitionBy(vec_id)``
+    argmin — the previous shape — still plans Sort + Exchange
+    hashpartitioning even after a broadcast join). Above the k*dim
+    threshold (IVF training at 100 TB: k up to 2^16 would be ~4M doubles
+    of SQL text — parse time and plan size hurt before broadcast memory
+    does) the same ranking contract ships via ``sparkContext.broadcast``
+    and an Arrow argmin kernel (``_assign_broadcast``) — still a narrow,
+    shuffle-free projection.
     Struct comparison is lexicographic, so ``array_min`` over
     (d2, cluster) structs IS the 6-dp-rounded distance argmin with the
     cluster-id tie-break. ``cc`` = dot(c, c) is folded driver-side with
@@ -394,6 +509,8 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     )
 
     def assign(rows, with_emb: bool = False) -> DataFrame:
+        if len(rows) * len(rows[0]["c"]) > CENTROID_LITERAL_MAX_KDIM:
+            return _assign_broadcast(e, rows, with_emb)
         cent_lit = _centroid_literal(rows)
         ee = dot_product(F.col("emb"), F.col("emb"))
         dists = F.transform(

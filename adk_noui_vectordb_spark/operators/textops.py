@@ -367,8 +367,35 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver-side budget for the collected benchmark text. Real eval sets are
+# MBs, so the collect path is the default; but the TESTDATA parameterizes
+# the "benchmark" as 2% of the corpus, which grows linearly with SF — above
+# this budget the collect would become the one driver-side bottleneck in
+# the package (VERDICT r5 item 2), so the operator falls back to the fully
+# distributed join formulation instead of collecting.
+DECONTAM_COLLECT_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def _shingle_array(text: "F.Column", shingle_words: int) -> "F.Column":
+    """Distinct ``shingle_words``-word shingles as an array column — the
+    exact SQL twin of the kernel's ``doc_shingles`` (split on single
+    spaces keeping empties, greatest(n-(k-1), 1) windows, short docs
+    degenerating to one whole-doc shingle; F.slice truncates at the end
+    exactly like a Python slice)."""
+    words = F.split(text, " ")
+    k = F.greatest(F.size(words) - (shingle_words - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, shingle_words)),
+    )
+    return F.array_distinct(grams)
+
+
 def decontaminate_corpus(
-    spark: SparkSession, sf_dir: str, shingle_words: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_words: int = 8,
+    collect_budget_bytes: int = DECONTAM_COLLECT_BUDGET_BYTES,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     ``shingle_words``-word shingle with the held-out benchmark set — the
@@ -376,24 +403,56 @@ def decontaminate_corpus(
     training data against eval sets.
 
     The benchmark slice here is doc_id % 50 == 0 (deterministic stand-in
-    for MMLU et al.). Scale shape: benchmarks are tiny relative to a
-    100 TB corpus BY DEFINITION (eval sets are MBs), so the distinct
-    benchmark shingle set is collected once and broadcast to every
-    executor; the candidate side is then ONE narrow Arrow pass computing
-    per-doc overlap — ZERO shuffles anywhere (the previous
-    explode + broadcast-join + groupBy formulation spent ~1.5 s at sf0.1
-    building shingle strings in interpreted HOF lambdas and still
-    shuffled the hit rows; same Arrow-beats-HOF finding as
-    dedup._minhash_wide). Set-intersection counts are integers, so the
-    kernel is value-identical to the join formulation the oracle runs.
+    for MMLU et al.). Scale shape, two regimes gated on the benchmark
+    slice's measured byte size (one cheap pushed-down aggregate):
+
+    - WITHIN ``collect_budget_bytes`` (the real-world case — eval sets
+      are MBs BY DEFINITION): the distinct benchmark shingle set is
+      collected once and broadcast; the candidate side is ONE narrow
+      Arrow pass computing per-doc overlap — ZERO shuffles anywhere
+      (the explode+join formulation spent ~1.5 s at sf0.1 building
+      shingle strings in interpreted HOF lambdas; same Arrow-beats-HOF
+      finding as dedup._minhash_wide).
+    - ABOVE the budget (testdata defines the benchmark as 2% of the
+      corpus, so at 100x the collect would grow linearly — VERDICT r5):
+      nothing is collected; benchmark shingles stay distributed, the
+      candidate side explodes its distinct shingles and joins (size-gated
+      broadcast via maybe_broadcast: hinted only if the benchmark slice
+      is provably small, else AQE picks shuffle-hash), then one groupBy
+      on doc_id over the hit rows only. Both regimes compute the same
+      integer overlap counts (pinned by a unit test).
 
     Returns (doc_id, n_hits): contaminated docs with the number of
     distinct overlapping shingles.
     """
     d = load_table(spark, sf_dir, "documents")
+    bench_docs = d.filter(F.col("doc_id") % 50 == 0)
+    cand_docs = d.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    bench_bytes = (
+        bench_docs.agg(F.sum(F.octet_length("text")).alias("b")).collect()[0]["b"]
+        or 0
+    )
+
+    if bench_bytes > collect_budget_bytes:
+        from ..sources.tables import maybe_broadcast
+
+        sh = _shingle_array(F.col("text"), shingle_words)
+        bench_sh = bench_docs.select(F.explode(sh).alias("shingle")).distinct()
+        cand_sh = cand_docs.select("doc_id", F.explode(sh).alias("shingle"))
+        # estimate of the distinct-shingle side's in-memory size: the raw
+        # slice bytes upper-bound the distinct shingle text (each word
+        # appears in <= shingle_words shingles, distinct removes repeats);
+        # gate the hint on that measurable proxy rather than hoping
+        return (
+            cand_sh.join(
+                maybe_broadcast(bench_sh, bench_bytes * shingle_words), "shingle"
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
 
     def doc_shingles(text: str) -> set:
-        # same construction as the HOF form: split on single spaces
+        # same construction as _shingle_array: split on single spaces
         # (empties kept), greatest(n - (k-1), 1) windows, short docs
         # degenerating to one whole-doc shingle
         w = text.split(" ")
@@ -401,7 +460,7 @@ def decontaminate_corpus(
         return {" ".join(w[i : i + shingle_words]) for i in range(m)}
 
     bench: set = set()
-    for r in d.filter(F.col("doc_id") % 50 == 0).select("text").collect():
+    for r in bench_docs.select("text").collect():
         bench.update(doc_shingles(r["text"]))
     bc = spark.sparkContext.broadcast(bench)
 
@@ -423,11 +482,7 @@ def decontaminate_corpus(
                 }
             )
 
-    return (
-        d.filter(F.col("doc_id") % 50 != 0)
-        .select("doc_id", "text")
-        .mapInPandas(hits, "doc_id bigint, n_hits bigint")
-    )
+    return cand_docs.mapInPandas(hits, "doc_id bigint, n_hits bigint")
 
 
 def line_dedup_corpus(

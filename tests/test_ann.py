@@ -247,6 +247,73 @@ def test_semdedup_prunes_planted_dups(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_kmeans_broadcast_assignment_equals_literal(spark, sf_dir, monkeypatch):
+    """Above CENTROID_LITERAL_MAX_KDIM the assignment switches to
+    sparkContext.broadcast + Arrow argmin (VERDICT r5 item 3); the two
+    strategies implement the identical (round(d2,6), cluster) ranking
+    contract and must agree assignment-for-assignment. Forcing the
+    threshold to 0 runs the broadcast path on the same small-k data the
+    literal path runs."""
+    from adk_noui_vectordb_spark.operators import ann
+
+    lit = {
+        (r["vec_id"], r["cluster"])
+        for r in ann.cluster_kmeans(spark, sf_dir, k=8, iters=2).collect()
+    }
+    monkeypatch.setattr(ann, "CENTROID_LITERAL_MAX_KDIM", 0)
+    bcast = {
+        (r["vec_id"], r["cluster"])
+        for r in ann.cluster_kmeans(spark, sf_dir, k=8, iters=2).collect()
+    }
+    assert lit == bcast
+    # the broadcast path must stay a narrow, shuffle-free projection too
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    plan = explain_str(ann.cluster_kmeans(spark, sf_dir, k=8), mode="simple")
+    for bad in ("Exchange", "Sort", "Window", "Join"):
+        assert bad not in plan, f"{bad} in broadcast assignment plan:\n{plan}"
+
+
+def test_kmeans_large_k_smoke(spark, sf_dir):
+    """k large enough that k*dim would cross the default threshold at IVF
+    scale — here forced over the line by a low threshold bound check:
+    k=32 x dim=64 = 2048 stays literal by default, so instead assert the
+    broadcast path handles a real multi-iteration run end-to-end."""
+    from adk_noui_vectordb_spark.operators import ann
+
+    old = ann.CENTROID_LITERAL_MAX_KDIM
+    ann.CENTROID_LITERAL_MAX_KDIM = 1
+    try:
+        got = ann.cluster_kmeans(spark, sf_dir, k=32, iters=2)
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert got.count() == n
+        bad = got.filter(
+            (F.col("cluster") < 0) | (F.col("cluster") >= 32)
+        ).count()
+        assert bad == 0
+    finally:
+        ann.CENTROID_LITERAL_MAX_KDIM = old
+
+
+def test_double_sql_rejects_non_finite():
+    """ADVICE r5: NaN/Inf must fail with a diagnosable ValueError, not an
+    opaque Spark ParseException from an 'infD' literal."""
+    import math
+
+    import pytest
+
+    from adk_noui_vectordb_spark.operators.ann import _centroid_literal, _double_sql
+
+    assert _double_sql(1.5) == "1.5D"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _double_sql(bad)
+    with pytest.raises(ValueError, match="cluster 3"):
+        _centroid_literal(
+            [{"cluster": 3, "c": [1.0, float("nan")]}]
+        )
+
+
 def test_kmeans_assignment_is_pure_projection(spark, sf_dir):
     """The k-means assignment is an array_min argmin over a LITERAL
     centroid array — a pure projection over the scan. No join, no window,

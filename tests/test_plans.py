@@ -192,6 +192,33 @@ def test_decontaminate_is_single_narrow_pass(spark, sf_dir):
     assert df.count() > 0
 
 
+def test_decontaminate_fallback_matches_collect_path(spark, sf_dir):
+    """Above the driver-collect byte budget the operator must switch to
+    the fully distributed join formulation (VERDICT r5 item 2) and
+    produce IDENTICAL (doc_id, n_hits) rows. Forcing the budget to 0
+    exercises the fallback on the same data the collect path runs."""
+    from adk_noui_vectordb_spark.operators import textops
+
+    collected = {
+        (r["doc_id"], r["n_hits"])
+        for r in textops.decontaminate_corpus(spark, sf_dir).collect()
+    }
+    distributed = {
+        (r["doc_id"], r["n_hits"])
+        for r in textops.decontaminate_corpus(
+            spark, sf_dir, collect_budget_bytes=0
+        ).collect()
+    }
+    assert collected == distributed
+    assert len(collected) > 0
+    # and the fallback plan must not collect: it is a join + one groupBy
+    plan = explain_str(
+        textops.decontaminate_corpus(spark, sf_dir, collect_budget_bytes=0),
+        mode="simple",
+    )
+    assert "Join" in plan, plan
+
+
 def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
     """EXISTS must plan as a single semi join (lineitem scanned once,
     never materialized per order) with the window pushed into the orders
