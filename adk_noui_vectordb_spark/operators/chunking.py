@@ -285,6 +285,131 @@ _JS_KEYWORDS = frozenset(
     "if for while switch catch return else do with new try function".split()
 )
 
+import re as _re
+
+# One whole-file alternation pass: earliest-match-wins makes the
+# constructs mutually exclusive (a backtick inside a block comment opens
+# nothing, a /* inside a string closes nothing). Multi-line spans are
+# replaced newline-preserving so line numbers and per-line brace counts
+# stay aligned with the original source.
+_JS_SANITIZE_RE = _re.compile(
+    r"'(?:\\.|[^'\\\n])*'"  # single-quoted string (one line)
+    r"|\"(?:\\.|[^\"\\\n])*\""  # double-quoted string (one line)
+    r"|`(?:\\.|[^`\\])*`"  # template literal (may span lines)
+    r"|/\*.*?\*/"  # block comment (may span lines)
+    r"|/\*.*\Z"  # unterminated block comment at EOF
+    r"|//[^\n]*",  # line comment
+    _re.S,
+)
+
+
+def _js_scrub(m: "_re.Match[str]") -> str:
+    s = m.group(0)
+    nl = "\n" * s.count("\n")
+    # keep an inert literal token where a string/template stood so
+    # declaration-shaped lines still match their regexes
+    return ("''" + nl) if s[0] in "'\"`" else nl
+
+
+def _sanitize_js_scan(src: str) -> str:
+    """Single-pass scanner twin of the regex sanitizer for sources
+    containing ``${`` interpolations: a template literal's interpolation
+    can hold braces, comments, strings, and NESTED template literals —
+    pairing those backticks correctly needs a stack, which a regex
+    alternation cannot express (the regex would close the outer template
+    at the nested template's opening backtick and leak interpolation
+    braces into the depth count)."""
+    out: list[str] = []
+    n = len(src)
+
+    def skip_string(i: int, quote: str) -> int:
+        i += 1
+        while i < n and src[i] not in (quote, "\n"):
+            if src[i] == "\\" and i + 1 < n:
+                i += 1
+            i += 1
+        return i + 1 if i < n and src[i] == quote else i
+
+    def skip_block_comment(i: int) -> int:
+        j = src.find("*/", i + 2)
+        if j == -1:
+            out.append("\n" * src.count("\n", i))
+            return n
+        out.append("\n" * src.count("\n", i, j))
+        return j + 2
+
+    def skip_line_comment(i: int) -> int:
+        while i < n and src[i] != "\n":
+            i += 1
+        return i
+
+    def skip_template(i: int) -> int:
+        i += 1  # opening backtick
+        while i < n:
+            c = src[i]
+            if c == "\\" and i + 1 < n:
+                i += 2
+            elif c == "`":
+                return i + 1
+            elif c == "\n":
+                out.append("\n")
+                i += 1
+            elif c == "$" and i + 1 < n and src[i + 1] == "{":
+                i = skip_interp(i + 2)
+            else:
+                i += 1
+        return i
+
+    def skip_interp(i: int) -> int:
+        depth = 1
+        while i < n and depth:
+            c = src[i]
+            if c in "'\"":
+                i = skip_string(i, c)
+            elif c == "`":
+                i = skip_template(i)
+            elif c == "/" and i + 1 < n and src[i + 1] == "*":
+                i = skip_block_comment(i)
+            elif c == "/" and i + 1 < n and src[i + 1] == "/":
+                i = skip_line_comment(i)
+            else:
+                if c == "\n":
+                    out.append("\n")
+                elif c == "{":
+                    depth += 1
+                elif c == "}":
+                    depth -= 1
+                i += 1
+        return i
+
+    i = 0
+    while i < n:
+        c = src[i]
+        if c in "'\"":
+            out.append("''")
+            i = skip_string(i, c)
+        elif c == "`":
+            out.append("''")
+            i = skip_template(i)
+        elif c == "/" and i + 1 < n and src[i + 1] == "*":
+            i = skip_block_comment(i)
+        elif c == "/" and i + 1 < n and src[i + 1] == "/":
+            i = skip_line_comment(i)
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def sanitize_js(content: str) -> str:
+    """Strip strings/comments/template literals newline-preserving before
+    brace counting. The regex alternation is the fast (C-speed) path; a
+    ``${`` anywhere means interpolations may nest templates/braces, so
+    those sources take the exact scanner instead."""
+    if "${" in content:
+        return _sanitize_js_scan(content)
+    return _JS_SANITIZE_RE.sub(_js_scrub, content)
+
 
 def chunk_js_elements(source_df: DataFrame) -> DataFrame:
     """Heuristic JS/TS element extraction — the reference's js/ts
@@ -323,28 +448,6 @@ def chunk_js_elements(source_df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        # One whole-file alternation pass: earliest-match-wins makes the
-        # constructs mutually exclusive (a backtick inside a block comment
-        # opens nothing, a /* inside a string closes nothing). Multi-line
-        # spans are replaced newline-preserving so line numbers and
-        # per-line brace counts stay aligned with the original source.
-        sanitize_re = re.compile(
-            r"'(?:\\.|[^'\\\n])*'"  # single-quoted string (one line)
-            r"|\"(?:\\.|[^\"\\\n])*\""  # double-quoted string (one line)
-            r"|`(?:\\.|[^`\\])*`"  # template literal (may span lines)
-            r"|/\*.*?\*/"  # block comment (may span lines)
-            r"|/\*.*\Z"  # unterminated block comment at EOF
-            r"|//[^\n]*",  # line comment
-            re.S,
-        )
-
-        def scrub(m: "re.Match[str]") -> str:
-            s = m.group(0)
-            nl = "\n" * s.count("\n")
-            # keep an inert literal token where a string/template stood so
-            # declaration-shaped lines still match their regexes
-            return ("''" + nl) if s[0] in "'\"`" else nl
-
         import_re = re.compile(r"^\s*import\b")
         func_re = re.compile(
             r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?"
@@ -374,7 +477,7 @@ def chunk_js_elements(source_df: DataFrame) -> DataFrame:
 
             for path, content in zip(pdf["path"], pdf["content"]):
                 lines = content.split("\n")  # original, for emitted slices
-                slines = sanitize_re.sub(scrub, content).split("\n")
+                slines = sanitize_js(content).split("\n")
                 depth = 0
                 stack = []  # open constructs: (kind, name, start, open_depth)
                 for ln, stripped in enumerate(slines, start=1):

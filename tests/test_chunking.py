@@ -231,6 +231,106 @@ function second() {
 }"""
 
 
+JS_NESTED = """export function outer() {
+  const t = `top ${ `nested ${ deep } tmpl` } } stray-brace-in-template`;
+  const u = `multi ${ {a: 1, b: {c: 2}} } line
+  ${ /* comment with } brace */ 'str with }' }`;
+  return t + u;
+}
+
+class Holder {
+  run() {
+    return `x ${ `y ${ `z` } w` } v`;
+  }
+}"""
+
+
+def test_chunk_js_elements_nested_template_interpolations(spark):
+    """Template interpolations can hold braces, comments, strings, and
+    NESTED template literals — a regex alternation pairs those backticks
+    wrong (it closes the outer template at the nested one's opening
+    backtick and leaks interpolation braces into the depth count); the
+    scanner path must keep spans exact."""
+    from pyspark.sql import Row
+
+    from adk_noui_vectordb_spark.operators.chunking import chunk_js_elements
+
+    df = spark.createDataFrame([Row(path="nested.js", content=JS_NESTED)])
+    rows = {r["name"]: r for r in chunk_js_elements(df).collect()}
+    assert set(rows) == {"outer", "Holder", "run"}
+    o = rows["outer"]
+    assert (o["element_type"], o["start_line"], o["end_line"]) == (
+        "function", 1, 6,
+    )
+    h = rows["Holder"]
+    assert (h["element_type"], h["start_line"], h["end_line"]) == (
+        "class", 8, 12,
+    )
+    r = rows["run"]
+    assert (r["element_type"], r["start_line"], r["end_line"]) == (
+        "function", 9, 11,
+    )
+
+
+def test_sanitize_js_property_adversarial_bodies():
+    """Property test (VERDICT r5 item 4): for files assembled from
+    adversarial body fragments — comments containing braces, strings with
+    braces/backticks, template literals with nested templates inside
+    interpolations — the sanitizer must (a) preserve line count exactly
+    and (b) leave each top-level function's brace structure balanced so
+    extraction recovers every generated declaration at its exact span."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adk_noui_vectordb_spark.operators.chunking import sanitize_js
+
+    fragments = st.sampled_from([
+        "const a = 1;",
+        "/* brace { inside } comment */ let b = 2;",
+        "/* multi\n   line { comment\n   } */",
+        "// line comment with { braces }",
+        "const s = 'string with } brace';",
+        'const d = "double \\" with { brace";',
+        "const t = `template } with { braces`;",
+        "const n = `outer ${ `inner ${ x } tmpl` } }`;",
+        "const m = `a ${ {k: {j: 1}} } b\n  ${ 'str }' } c`;",
+        "const c = `${ /* cmt } */ 1 }`;",
+        "if (x) { y(); }",
+    ])
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.lists(fragments, min_size=0, max_size=4), min_size=1, max_size=4))
+    def run(bodies):
+        lines = []
+        expected = []  # (name, start, end)
+        for fi, body in enumerate(bodies):
+            name = f"fn{fi}"
+            start = len(lines) + 1
+            lines.append(f"function {name}() {{")
+            for frag in body:
+                lines.extend(frag.split("\n"))
+            lines.append("}")
+            expected.append((name, start, len(lines)))
+        src = "\n".join(lines)
+        cleaned = sanitize_js(src)
+        assert cleaned.count("\n") == src.count("\n")
+        # re-derive spans from the sanitized text by brace counting — the
+        # exact logic chunk_js_elements applies
+        depth = 0
+        got = []
+        open_fn = None
+        for ln, text in enumerate(cleaned.split("\n"), start=1):
+            if text.startswith("function ") and depth == 0:
+                open_fn = (text.split()[1].split("(")[0], ln)
+            depth += text.count("{") - text.count("}")
+            if open_fn and depth == 0:
+                got.append((open_fn[0], open_fn[1], ln))
+                open_fn = None
+        assert got == expected, f"{got} != {expected}\n--- sanitized:\n{cleaned}"
+
+    run()
+
+
 def test_chunk_js_elements_block_comments_and_templates(spark):
     """Multi-line block comments and template literals must not skew brace
     depth or line numbers (the r3/r4 ADVICE leftover)."""
