@@ -2097,12 +2097,18 @@ ORDER BY sim DESC, n.doc_id
 LIMIT 5
 """,
         "multimodal_features": """
+-- image payloads are real PNGs whose decoded pixel bytes are exactly the
+-- document's utf-8 bytes (one grayscale scanline), so width/n_bytes/digest
+-- are arithmetically predictable from the text; audio/video take the
+-- byte-level stub (digest of the raw payload == the same text bytes)
 SELECT doc_id AS asset_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS modality,
        CAST(strlen(text) AS INTEGER) AS n_bytes,
-       md5(text) AS content_digest
+       md5(text) AS content_digest,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(strlen(text) AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS INTEGER) END AS height
 FROM documents
 """,
         "knn_file_summary_query": f"""

@@ -5,15 +5,20 @@ as ``binary`` columns beside typed metadata, and runs decode / feature
 extraction / resize / frame-sampling as Arrow-batched Python stages
 (``mapInPandas``), because the decoders are native libraries, not SQL.
 
-The container ships no image/audio libraries, so the decode step is STUBBED
-(documented NotImplementedError) behind a deterministic byte-level feature
-extractor — but every piece of Spark plumbing is real: binary schema, Arrow
-record-batch iteration, per-batch vectorization, output schema contract.
-Swapping in PIL/ffmpeg changes only ``_decode_stub``.
+The IMAGE modality is REAL end-to-end (round 6): image payloads are genuine
+PNG files (8-bit grayscale, synthesized deterministically from document
+text so the testdata stays oracle-checkable) and the feature/resize stages
+parse them with a pure-stdlib PNG decoder (zlib inflate + chunk/CRC walk +
+full scanline-filter reconstruction — ``png_decode``). The container ships
+no audio/video libraries, so those decoders remain STUBBED (documented
+NotImplementedError in ``decode_real``) behind a deterministic byte-level
+extractor — the Spark plumbing (binary schema, Arrow record-batch
+iteration, per-batch vectorization, typed output contract) is identical
+for all three modalities; swapping in soundfile/ffmpeg changes only
+``decode_real``.
 
-``multimodal_assets`` synthesizes assets from the documents table (text
-bytes as payload) so the pipeline is runnable and oracle-checkable on the
-driver testdata.
+``multimodal_assets`` synthesizes assets from the documents table so the
+pipeline is runnable and oracle-checkable on the driver testdata.
 """
 
 from __future__ import annotations
@@ -28,15 +33,135 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 FEATURE_SCHEMA = (
-    "asset_id bigint, modality string, n_bytes int, content_digest string"
+    "asset_id bigint, modality string, n_bytes int, content_digest string, "
+    "width int, height int"
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode_gray(pixels: bytes, width: int | None = None) -> bytes:
+    """Minimal-but-valid PNG writer: 8-bit grayscale, non-interlaced,
+    filter 0 scanlines, one IDAT. stdlib only (zlib + struct). Default
+    layout is a single scanline (height 1) so ``pixels`` round-trips
+    byte-for-byte through any conformant decoder."""
+    import struct
+    import zlib
+
+    if not pixels:
+        raise ValueError("cannot encode an empty image")
+    w = width or len(pixels)
+    if len(pixels) % w:
+        raise ValueError(f"{len(pixels)} pixels not divisible by width {w}")
+    h = len(pixels) // w
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * w : (r + 1) * w] for r in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> dict:
+    """Pure-stdlib PNG decoder for 8-bit grayscale non-interlaced images:
+    chunk walk with CRC verification, zlib inflate of the concatenated
+    IDAT stream, and FULL scanline-filter reconstruction (None/Sub/Up/
+    Average/Paeth — the decoder handles any conformant encoder's filter
+    choices, not just our own filter-0 output; pinned in tests).
+
+    Returns {"width", "height", "pixels": bytes}.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    width = height = None
+    idat = b""
+    i = 8
+    n = len(payload)
+    while i + 12 <= n:
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[i + 8 + ln : i + 12 + ln])
+        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit grayscale non-interlaced PNGs are supported "
+                    f"(got depth={depth} colortype={ctype} interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != height * stride:
+        raise ValueError("IDAT length does not match dimensions")
+    out = bytearray()
+    prev = bytearray(width)
+    for r in range(height):
+        ftype = raw[r * stride]
+        row = bytearray(raw[r * stride + 1 : (r + 1) * stride])
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub (bpp = 1 for grayscale)
+            for x in range(1, width):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(width):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(width):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(width):
+                a = row[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += row
+        prev = row
+    return {"width": width, "height": height, "pixels": bytes(out)}
 
 
 def multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(asset_id, modality, payload binary, meta) synthesized from documents.
 
-    Modality is assigned deterministically; payload is the document text
-    encoded as bytes (stands in for image/audio bytes).
+    Modality is assigned deterministically. IMAGE payloads are REAL PNG
+    files (one grayscale scanline whose pixels are the document's utf-8
+    bytes — built by an Arrow kernel running ``png_encode_gray``), so the
+    decode stage downstream parses genuine image bytes while features
+    stay arithmetically predictable for the oracle (decoded pixels ==
+    text bytes). Audio/video payloads are the raw text bytes (stand-in
+    until those decoders exist).
     """
     d = load_table(spark, sf_dir, "documents")
     modality = (
@@ -44,33 +169,59 @@ def multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
-    return d.select(
+    base = d.select(
         F.col("doc_id").alias("asset_id"),
         modality.alias("modality"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.encode(F.col("text"), "UTF-8").alias("raw"),
         F.struct(
             F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars")
         ).alias("meta"),
     )
 
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                png_encode_gray(bytes(r)) if m == "image" else bytes(r)
+                for r, m in zip(pdf["raw"], pdf["modality"])
+            ]
+            yield pdf[["asset_id", "modality", "payload", "meta"]]
+
+    return base.mapInPandas(
+        encode,
+        "asset_id bigint, modality string, payload binary, "
+        "meta struct<lang: string, n_chars: int>",
+    )
+
 
 def _decode_stub(payload: bytes, modality: str) -> dict:
-    """Deterministic byte-level 'decode'. A real deployment decodes with the
-    native library for the modality; none ship in this container."""
+    """Deterministic byte-level 'decode' for the modalities whose native
+    decoders are not in this container (audio/video)."""
     import hashlib
 
     return {
         "n_bytes": len(payload),
         "content_digest": hashlib.md5(payload).hexdigest(),
+        "width": None,
+        "height": None,
     }
 
 
-def decode_real(payload: bytes, modality: str):  # pragma: no cover
-    """Real decoder entry point — intentionally unimplemented here.
+def decode_real(payload: bytes, modality: str) -> dict:
+    """Real decoder entry point. image -> the pure-stdlib PNG decoder
+    above (REAL since round 6); audio -> soundfile/librosa, video ->
+    ffmpeg frame extraction — those libs are not in the container, so the
+    gate below remains for them (swap-in changes only this function)."""
+    if modality == "image":
+        import hashlib
 
-    image -> PIL.Image.open, audio -> soundfile/librosa, video -> ffmpeg
-    frame sampling. Gate: these libs are not in the container.
-    """
+        img = png_decode(payload)
+        return {
+            "n_bytes": len(img["pixels"]),
+            "content_digest": hashlib.md5(img["pixels"]).hexdigest(),
+            "width": img["width"],
+            "height": img["height"],
+        }
     raise NotImplementedError(
         f"no {modality} decoder available in this environment; "
         "use the deterministic _decode_stub path"
@@ -89,7 +240,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _decode_stub(p, m)
+                decode_real(p, m) if m == "image" else _decode_stub(p, m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(
@@ -98,6 +249,12 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "modality": pdf["modality"],
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "content_digest": [f["content_digest"] for f in feats],
+                    "width": pd.array(
+                        [f["width"] for f in feats], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [f["height"] for f in feats], dtype="Int32"
+                    ),
                 }
             )
 
@@ -119,18 +276,23 @@ THUMB_CHARS = 32
 def resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image 'resize' stage: image-modality assets -> fixed-size thumbnail.
 
-    Real deployment: PIL decode -> resize -> re-encode inside the same
-    mapInPandas batch loop. Stub kernel: utf-8 decode + fixed-length char
-    crop + digest (deterministic, oracle-checkable). The Spark shape is
-    what matters: modality filter pushed to the scan, narrow Arrow-batched
-    1:1 transform, typed output schema.
+    REAL decode since round 6: the payload is a genuine PNG, so the kernel
+    runs the stdlib ``png_decode`` first (inflate + unfilter), then the
+    deterministic thumbnail logic over the decoded pixel bytes (== the
+    source utf-8 text, keeping the oracle arithmetic). A PIL deployment
+    would swap the crop+digest for resize+re-encode in the same loop. The
+    Spark shape is what matters: modality filter pushed to the scan,
+    narrow Arrow-batched 1:1 transform, typed output schema.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            texts = [bytes(p).decode("utf-8") for p in pdf["payload"]]
+            texts = [
+                png_decode(bytes(p))["pixels"].decode("utf-8")
+                for p in pdf["payload"]
+            ]
             thumbs = [t[:THUMB_CHARS] for t in texts]
             yield pd.DataFrame(
                 {
