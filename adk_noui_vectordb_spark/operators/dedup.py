@@ -128,7 +128,14 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..sources.tables import fan_out
+
+    # The documents file scans as ONE task below a row group — the kernel
+    # would serialize on a single core. fan_out round-robins the rows to
+    # defaultParallelism first: measured at sf0.1/local[32], the ~0.1 s
+    # exchange buys back ~2 s of single-threaded shingle+md5 time
+    # (2.67 s -> 0.65 s for the wide signatures; SCALE.md r6).
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     a_col = np.array(MINHASH_A, dtype=np.int64)[:, None]
     b_col = np.array(MINHASH_B, dtype=np.int64)[:, None]
 
@@ -186,6 +193,31 @@ def _minhash_wide_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped memo of the CHECKPOINTED wide signature frame, keyed by
+# (applicationId, sf_dir). The signature kernel is the expensive stage of
+# every minhash consumer (signature/band rows, candidate pairs, Jaccard
+# estimate, connected components); at 100 TB the lifecycle is
+# encode-once/serve-many — write the signature table to parquet and join
+# from it (the build_pq_index pattern, documented in SCALE.md) — and this
+# memo is the exact in-session equivalent: the first caller materializes
+# via localCheckpoint, everyone else reuses the materialized blocks.
+# Bounded: entries from stopped sessions are dropped beyond the last 8.
+_WIDE_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+
+
+def _minhash_wide_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _WIDE_CACHE.get(key)
+    if df is None:
+        df = _minhash_wide(spark, sf_dir).localCheckpoint(eager=True)
+        while len(_WIDE_CACHE) >= 8:
+            _WIDE_CACHE.pop(next(iter(_WIDE_CACHE)))
+        _WIDE_CACHE[key] = df
+    return df
+
+
 def minhash_signature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hash_idx, minhash) rows: min over shingle-hash permutations.
 
@@ -193,7 +225,7 @@ def minhash_signature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares plain columns. The stack runs AFTER aggregation (16 rows per
     doc, post-shuffle) — cheap.
     """
-    wide = _minhash_wide(spark, sf_dir)
+    wide = _minhash_wide_cached(spark, sf_dir)
     stack_expr = "stack({n}, {args}) as (hash_idx, minhash)".format(
         n=NUM_HASHES,
         args=", ".join(f"{i}, m{i}" for i in range(NUM_HASHES)),
@@ -206,7 +238,7 @@ def minhash_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Band keys come straight off the wide signature row (columns m0..m15 are
     already in hash_idx order) — no second shuffle, no collect_list."""
-    wide = _minhash_wide(spark, sf_dir)
+    wide = _minhash_wide_cached(spark, sf_dir)
     hashed = wide.select(
         "doc_id",
         *[
@@ -238,16 +270,19 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on band_hash, AQE handles hot buckets. Output is the
     distinct (doc_a < doc_b) candidate edge list.
 
-    The band rows are MATERIALIZED once (localCheckpoint) before the
-    self-join: Spark does not share identical narrow subtrees across join
-    sides, so an unmaterialized self-join runs the whole
-    scan -> shingle -> md5 -> minhash Arrow kernel TWICE (measured ~0.8 s
-    per run at sf0.1 — it was most of this query's cost). At 100 TB the
-    same move is writing the signature table to parquet once and serving
-    joins from it (the build_pq_index lifecycle); localCheckpoint is the
-    in-session equivalent.
+    The signature kernel output is MATERIALIZED once (the session-scoped
+    ``_minhash_wide_cached`` checkpoint) before the self-join: Spark does
+    not share identical narrow subtrees across join sides, so an
+    unmaterialized self-join runs the whole scan -> shingle -> md5 ->
+    minhash Arrow kernel TWICE (measured ~0.8 s per run at sf0.1 — it was
+    most of this query's cost). At 100 TB the same move is writing the
+    signature table to parquet once and serving joins from it (the
+    build_pq_index lifecycle); the checkpointed memo is the in-session
+    equivalent, shared by every minhash consumer. The band projection off
+    the checkpoint (md5 over 4 ints per band) is cheap enough to run per
+    join side.
     """
-    bands = minhash_band_rows(spark, sf_dir).localCheckpoint(eager=True)
+    bands = minhash_band_rows(spark, sf_dir)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -606,11 +641,14 @@ def dedup_connected_components(
     # aggregate (min over self+neighbors, no join): near-dup clusters are
     # near-cliques, so most components converge in this seed and the loop
     # exits after one confirming round.
+    # No eager checkpoint on the seed: it is one map-side-combined agg over
+    # the (checkpointed) edge list, consumed exactly once by round 1's
+    # join — a barrier here would only add a job. Rounds checkpoint their
+    # OUTPUT, which is what breaks the iterative lineage.
     labels = (
         sym.groupBy("src")
         .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
         .select(F.col("src").alias("doc_id"), "cluster_id")
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -657,7 +695,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     two documents.
     """
     pairs = dedup_minhash_pairs(spark, sf_dir)
-    wide = _minhash_wide(spark, sf_dir)
+    wide = _minhash_wide_cached(spark, sf_dir)
     left = wide.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"la{i}") for i in range(NUM_HASHES)],

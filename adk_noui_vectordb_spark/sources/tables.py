@@ -163,11 +163,12 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
     Use it on the input of compute-bound derivation pipelines (shingling,
     similarity scoring), never on pure filter/point-lookup paths where the
-    extra exchange would just delay predicate evaluation. Measured note:
-    at bench scale (sf0.1, ~MB inputs) the added exchange + partition-count
-    probe cost MORE than the serialization it removed, so no built-in
-    operator calls this by default — it is the knob to reach for when a
-    single under-partitioned input feeds hours of per-row compute.
+    extra exchange would just delay predicate evaluation. Measured note
+    (r6): for cheap kernels the exchange costs more than it saves, but for
+    the CPU-dense minhash kernel (shingle + md5 per doc) the ~0.1 s
+    round-robin bought back ~2 s of single-core time at sf0.1/local[32]
+    (dedup._minhash_wide is the canonical caller) — the deciding factor is
+    per-row kernel cost, not input size.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -122,7 +122,7 @@ def test_upsert_idempotent_and_keyed(spark, batch, tmp_path_factory):
 @pytest.mark.parametrize(
     "key",
     [
-        "ann_lsh_topk",            # seeded MLlib model
+        "ann_rp_lsh_topk",         # md5-seeded hyperplanes + band probe
         "filter_by_element_type",  # ranked limit cut
         "stratified_sample",       # ranked modulo sample
         "dedup_minhash_pairs",     # Arrow kernel + self-join
