@@ -26,6 +26,39 @@ def test_hll_estimates_within_five_percent_of_exact(spark, sf_dir):
         assert abs(est[k] - ex) <= max(1, 0.05 * ex), (k, est[k], ex)
 
 
+def test_testdata_stays_below_sketch_exactness_thresholds(spark, sf_dir):
+    """Drift guard (ADVICE r5): the sketch oracles hash-match exact SQL
+    only because the test-SF cardinalities sit far below the regimes where
+    the sketches go approximate — HLL coupon mode is an exact hash set
+    while distinct-per-group ≲ 10^4 at lgConfigK 21, and a GK sketch at
+    accuracy 100000 retains every value while rows-per-group stay well
+    under it. If a testdata regeneration (or a Spark minor bump shifting
+    the thresholds) pushes cardinalities toward those limits, THIS test
+    names the problem before the driver rows silently flip red."""
+    e = load_table(spark, sf_dir, "events")
+    per_group = {
+        r["event_type"]: (r["rows"], r["users"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("user_id").alias("users"),
+        )
+        .collect()
+    }
+    total_users = e.select("user_id").distinct().count()
+    GK_ACCURACY, HLL_EXACT_MAX = 100_000, 10_000
+    for etype, (rows, users) in per_group.items():
+        assert rows <= GK_ACCURACY / 5, (
+            f"{etype}: {rows} rows/group approaches GK accuracy "
+            f"{GK_ACCURACY} — quantile oracle would go approximate"
+        )
+        assert users <= HLL_EXACT_MAX, (
+            f"{etype}: {users} distinct users approaches the HLL "
+            "coupon-mode exactness bound"
+        )
+    assert total_users <= HLL_EXACT_MAX, total_users
+
+
 def test_value_quantile_sketch_error_bound(spark, sf_dir):
     """Sketch percentiles must land within 1% rank error of the exact
     rank-selected values (GK accuracy 100000 is far tighter — exact at
