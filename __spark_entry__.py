@@ -382,10 +382,14 @@ _REWRITTEN = frozenset({
     "chunk_js_elements",
     # rewritten in r6 (decontaminate collect cap; _lloyd centroid-broadcast
     # threshold touches every Lloyd's consumer; js chunker comment/template
-    # strip; multimodal PNG decode; CC round-structure change)
+    # strip; multimodal PNG decode; CC seed/checkpoint change; fan_out +
+    # session-memoized signatures touch the whole minhash family and the
+    # simhash kernel)
     "pq_encode_rows", "knn_pq_topk", "ann_ivf_topk",
     "multimodal_features", "multimodal_resize",
-    "dedup_connected_components",
+    "dedup_connected_components", "simhash_signatures",
+    "minhash_signature_rows", "minhash_band_rows", "dedup_minhash_pairs",
+    "minhash_jaccard_estimate",
 })
 
 

@@ -312,6 +312,8 @@ def ngram_jaccard_pairs(
     bit-identical double in every engine; the 4-dp rounding happens
     Spark-side (HALF_UP, matching DuckDB).
     """
+    # NOT fan_out here (measured r6): the groupBy-block shuffle right after
+    # already spreads the work, and the extra exchange showed no gain.
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
@@ -445,7 +447,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..sources.tables import fan_out
+
+    # same single-row-group serialization as _minhash_wide: the md5-per-
+    # bigram kernel is CPU-dense, so spread the scan before it (SCALE.md r6)
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     shift = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     def batches(it):
