@@ -2101,10 +2101,11 @@ ORDER BY sim DESC, n.doc_id
 LIMIT 5
 """,
         "multimodal_features": """
--- image payloads are real PNGs whose decoded pixel bytes are exactly the
--- document's utf-8 bytes (one grayscale scanline), so width/n_bytes/digest
--- are arithmetically predictable from the text; audio/video take the
--- byte-level stub (digest of the raw payload == the same text bytes)
+-- image payloads are real PNGs (decoded pixels == the document's utf-8
+-- bytes, one grayscale scanline) and audio payloads are real WAVs (PCM8
+-- samples == the same bytes at 8 kHz), so every decoded feature is
+-- arithmetically predictable from the text; video takes the byte-level
+-- stub (digest of the raw payload == the same text bytes)
 SELECT doc_id AS asset_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
@@ -2112,7 +2113,9 @@ SELECT doc_id AS asset_id,
        CAST(strlen(text) AS INTEGER) AS n_bytes,
        md5(text) AS content_digest,
        CASE WHEN doc_id % 3 = 0 THEN CAST(strlen(text) AS INTEGER) END AS width,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS INTEGER) END AS height
+       CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(strlen(text) AS INTEGER) END AS n_samples,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate
 FROM documents
 """,
         "knn_file_summary_query": f"""

@@ -136,12 +136,31 @@ def _rp_band_keys(mat, signs_t) -> "object":
     return bits.reshape(mat.shape[0], RP_BANDS, RP_BAND_BITS) @ weights
 
 
+# Session-scoped memo of the CHECKPOINTED band table, keyed by
+# (applicationId, sf_dir) — the LSH index is built once and served many
+# times (the dedup._minhash_wide_cached / build_pq_index lifecycle); a
+# per-query rebuild would re-run the signature kernel every probe.
+_RP_BANDS_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+
+
+def _rp_band_rows_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _RP_BANDS_CACHE.get(key)
+    if df is None:
+        df = rp_lsh_band_rows(spark, sf_dir).localCheckpoint(eager=True)
+        while len(_RP_BANDS_CACHE) >= 8:
+            _RP_BANDS_CACHE.pop(next(iter(_RP_BANDS_CACHE)))
+        _RP_BANDS_CACHE[key] = df
+    return df
+
+
 def rp_lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, band, band_key) for every corpus vector — the materialized
     LSH index table. One narrow Arrow pass (the _minhash_wide shape): no
     explode, no shuffle; at 100 TB this is the table you write to parquet
     partitioned/bucketed by (band, band_key) so a query probe prunes to
-    its RP_BANDS buckets at scan time."""
+    its RP_BANDS buckets at scan time (in-session, ``_rp_band_rows_cached``
+    memoizes the checkpointed frame — build-once/serve-many)."""
     import numpy as np
     import pandas as pd
 
@@ -210,7 +229,7 @@ def ann_rp_lsh_topk(
         "band int, band_key int",
     )
     cand = (
-        rp_lsh_band_rows(spark, sf_dir)
+        _rp_band_rows_cached(spark, sf_dir)
         .join(F.broadcast(probe), ["band", "band_key"])
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id")

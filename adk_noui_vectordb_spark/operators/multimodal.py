@@ -5,17 +5,18 @@ as ``binary`` columns beside typed metadata, and runs decode / feature
 extraction / resize / frame-sampling as Arrow-batched Python stages
 (``mapInPandas``), because the decoders are native libraries, not SQL.
 
-The IMAGE modality is REAL end-to-end (round 6): image payloads are genuine
-PNG files (8-bit grayscale, synthesized deterministically from document
-text so the testdata stays oracle-checkable) and the feature/resize stages
-parse them with a pure-stdlib PNG decoder (zlib inflate + chunk/CRC walk +
-full scanline-filter reconstruction — ``png_decode``). The container ships
-no audio/video libraries, so those decoders remain STUBBED (documented
-NotImplementedError in ``decode_real``) behind a deterministic byte-level
-extractor — the Spark plumbing (binary schema, Arrow record-batch
-iteration, per-batch vectorization, typed output contract) is identical
-for all three modalities; swapping in soundfile/ffmpeg changes only
-``decode_real``.
+The IMAGE and AUDIO modalities are REAL end-to-end (round 6): image
+payloads are genuine PNG files (8-bit grayscale, synthesized
+deterministically from document text so the testdata stays
+oracle-checkable) parsed by a pure-stdlib PNG decoder (zlib inflate +
+chunk/CRC walk + full scanline-filter reconstruction — ``png_decode``);
+audio payloads are genuine WAV files (RIFF/PCM 8-bit mono) parsed by a
+pure-stdlib RIFF reader (``wav_decode``). Only VIDEO remains stubbed
+(frame extraction genuinely needs ffmpeg, which the container lacks —
+documented NotImplementedError in ``decode_real``); its byte-level
+extractor keeps the Spark plumbing (binary schema, Arrow record-batch
+iteration, per-batch vectorization, typed output contract) identical for
+all three modalities, so swapping in ffmpeg changes only ``decode_real``.
 
 ``multimodal_assets`` synthesizes assets from the documents table so the
 pipeline is runnable and oracle-checkable on the driver testdata.
@@ -34,10 +35,75 @@ from ..sources.tables import load_table
 
 FEATURE_SCHEMA = (
     "asset_id bigint, modality string, n_bytes int, content_digest string, "
-    "width int, height int"
+    "width int, height int, n_samples int, sample_rate int"
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+WAV_SAMPLE_RATE = 8000
+
+
+def wav_encode_pcm8(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Minimal-but-valid WAV writer: RIFF/WAVE container, PCM format
+    chunk, one data chunk, 8-bit unsigned mono — stdlib struct only.
+    8-bit PCM stores each sample as one unsigned byte, so ``samples``
+    round-trips byte-for-byte through any conformant reader."""
+    import struct
+
+    if not samples:
+        raise ValueError("cannot encode an empty clip")
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * 1 * 1,  # byte rate = rate * channels * bytes/sample
+        1,  # block align
+        8,  # bits per sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> dict:
+    """Pure-stdlib WAV reader for PCM 8-bit mono: RIFF chunk walk, fmt
+    validation, data extraction. Returns {"sample_rate", "n_samples",
+    "samples": bytes}."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if riff_len != len(payload) - 8:
+        raise ValueError("RIFF length does not match payload")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        chunk = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if (audio_fmt, channels, bits) != (1, 1, 8):
+        raise NotImplementedError(
+            "only PCM 8-bit mono WAVs are supported "
+            f"(got fmt={audio_fmt} channels={channels} bits={bits})"
+        )
+    return {"sample_rate": rate, "n_samples": len(data), "samples": data}
 
 
 def png_encode_gray(pixels: bytes, width: int | None = None) -> bytes:
@@ -179,10 +245,15 @@ def multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = {
+            "image": lambda r: png_encode_gray(r),
+            "audio": lambda r: wav_encode_pcm8(r),
+            "video": lambda r: r,
+        }
         for pdf in batches:
             pdf = pdf.copy()
             pdf["payload"] = [
-                png_encode_gray(bytes(r)) if m == "image" else bytes(r)
+                enc[m](bytes(r))
                 for r, m in zip(pdf["raw"], pdf["modality"])
             ]
             yield pdf[["asset_id", "modality", "payload", "meta"]]
@@ -195,8 +266,9 @@ def multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, modality: str) -> dict:
-    """Deterministic byte-level 'decode' for the modalities whose native
-    decoders are not in this container (audio/video)."""
+    """Deterministic byte-level 'decode' for the one modality whose native
+    decoder is not in this container (video — frame extraction genuinely
+    needs ffmpeg; image and audio are REAL, see decode_real)."""
     import hashlib
 
     return {
@@ -204,23 +276,37 @@ def _decode_stub(payload: bytes, modality: str) -> dict:
         "content_digest": hashlib.md5(payload).hexdigest(),
         "width": None,
         "height": None,
+        "n_samples": None,
+        "sample_rate": None,
     }
 
 
 def decode_real(payload: bytes, modality: str) -> dict:
     """Real decoder entry point. image -> the pure-stdlib PNG decoder
-    above (REAL since round 6); audio -> soundfile/librosa, video ->
-    ffmpeg frame extraction — those libs are not in the container, so the
-    gate below remains for them (swap-in changes only this function)."""
-    if modality == "image":
-        import hashlib
+    (REAL since round 6); audio -> the pure-stdlib WAV reader (REAL since
+    round 6); video -> ffmpeg frame extraction — not in the container, so
+    the gate below remains for it (swap-in changes only this function)."""
+    import hashlib
 
+    if modality == "image":
         img = png_decode(payload)
         return {
             "n_bytes": len(img["pixels"]),
             "content_digest": hashlib.md5(img["pixels"]).hexdigest(),
             "width": img["width"],
             "height": img["height"],
+            "n_samples": None,
+            "sample_rate": None,
+        }
+    if modality == "audio":
+        clip = wav_decode(payload)
+        return {
+            "n_bytes": clip["n_samples"],
+            "content_digest": hashlib.md5(clip["samples"]).hexdigest(),
+            "width": None,
+            "height": None,
+            "n_samples": clip["n_samples"],
+            "sample_rate": clip["sample_rate"],
         }
     raise NotImplementedError(
         f"no {modality} decoder available in this environment; "
@@ -240,23 +326,18 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                decode_real(p, m) if m == "image" else _decode_stub(p, m)
+                decode_real(p, m) if m in ("image", "audio") else _decode_stub(p, m)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "content_digest": [f["content_digest"] for f in feats],
-                    "width": pd.array(
-                        [f["width"] for f in feats], dtype="Int32"
-                    ),
-                    "height": pd.array(
-                        [f["height"] for f in feats], dtype="Int32"
-                    ),
-                }
-            )
+            cols = {
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "n_bytes": [f["n_bytes"] for f in feats],
+                "content_digest": [f["content_digest"] for f in feats],
+            }
+            for c in ("width", "height", "n_samples", "sample_rate"):
+                cols[c] = pd.array([f[c] for f in feats], dtype="Int32")
+            yield pd.DataFrame(cols)
 
     return assets.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 

@@ -74,6 +74,18 @@ def test_rp_lsh_results_are_candidate_restricted_exact(spark, sf_dir):
     assert got == expected
 
 
+def test_rp_lsh_probe_plan_is_broadcast_topk(spark, sf_dir):
+    """The bucket probe must broadcast the RP_BANDS-row probe table (never
+    shuffle the band table for it) and the rerank must cap at k via
+    TakeOrderedAndProject — the serving-path plan contract."""
+    from adk_noui_vectordb_spark.operators.ann import ann_rp_lsh_topk
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    plan = explain_str(ann_rp_lsh_topk(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_rp_lsh_recall_matches_band_theory(spark, sf_dir):
     """Honest recall floor on the ISOTROPIC testdata (BASELINE.md caveat,
     same as IVF): top-10 neighbors sit at cosine ~0.3 (theta ~72 deg), so

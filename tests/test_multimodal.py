@@ -12,12 +12,15 @@ from pyspark.sql import functions as F
 
 from adk_noui_vectordb_spark.operators.multimodal import (
     _PNG_SIG,
+    WAV_SAMPLE_RATE,
     extract_features,
     multimodal_assets,
     png_decode,
     png_encode_gray,
     resize_images,
     sample_frames,
+    wav_decode,
+    wav_encode_pcm8,
 )
 
 
@@ -115,6 +118,52 @@ def test_png_decode_rejects_corruption():
         png_decode(bytes(bad))
 
 
+def test_wav_roundtrip_property():
+    """encode -> decode is the identity on sample bytes for arbitrary
+    content, and the header fields survive."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=1, max_size=512))
+    def run(data):
+        clip = wav_decode(wav_encode_pcm8(data))
+        assert clip["sample_rate"] == WAV_SAMPLE_RATE
+        assert clip["n_samples"] == len(data)
+        assert clip["samples"] == data
+
+    run()
+
+
+def test_wav_decode_rejects_corruption():
+    good = wav_encode_pcm8(b"hello wav world")
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"not a wav at all!!")
+    truncated = good[:-3]
+    with pytest.raises(ValueError):
+        wav_decode(truncated)
+    # stereo/16-bit fmt must hit the documented gate
+    bad_fmt = bytearray(good)
+    bad_fmt[22] = 2  # channels = 2
+    # fix the RIFF itself so only the fmt is wrong
+    with pytest.raises(NotImplementedError, match="PCM 8-bit mono"):
+        wav_decode(bytes(bad_fmt))
+
+
+def test_audio_payloads_are_real_wavs(spark, sf_dir):
+    rows = (
+        multimodal_assets(spark, sf_dir)
+        .filter(F.col("modality") == "audio")
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        clip = wav_decode(bytes(r["payload"]))
+        assert clip["sample_rate"] == WAV_SAMPLE_RATE
+        assert clip["n_samples"] == len(clip["samples"])
+
+
 def test_image_payloads_are_real_pngs(spark, sf_dir):
     rows = (
         multimodal_assets(spark, sf_dir)
@@ -147,8 +196,13 @@ def test_multimodal_features_real_image_decode(spark, sf_dir):
         assert r["content_digest"] == hashlib.md5(raw).hexdigest()
         if r["modality"] == "image":
             assert (r["width"], r["height"]) == (len(raw), 1)
+            assert r["n_samples"] is None and r["sample_rate"] is None
+        elif r["modality"] == "audio":
+            assert (r["n_samples"], r["sample_rate"]) == (len(raw), 8000)
+            assert r["width"] is None and r["height"] is None
         else:
             assert r["width"] is None and r["height"] is None
+            assert r["n_samples"] is None and r["sample_rate"] is None
 
 
 def test_resize_and_frames_still_roundtrip(spark, sf_dir):
