@@ -526,6 +526,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin (err: no_oracle in every round r1-r5). The MLlib path remains
         # the recall harness in tests/test_ann.py.
         "ann_ivf_topk": _ann.ann_ivf_topk,
+        "ann_ivf_trained_topk": _ann.ann_ivf_trained_topk,
         "rp_lsh_band_rows": _ann.rp_lsh_band_rows,
         "ann_rp_lsh_topk": _ann.ann_rp_lsh_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
@@ -683,6 +684,44 @@ def _kmeans_ctes(
 def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     ctes, final = _kmeans_ctes(k, iters)
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _ivf_trained_sql(
+    k: int = 5, nprobe: int = 2, n_centroids: int = 8, iters: int = 2
+) -> str:
+    """Trained-IVF twin (operators/ann.py ann_ivf_trained_topk): the same
+    unrolled Lloyd's chain as cluster_kmeans, then centroid cosine ranking
+    (4 dp, cluster tie-break), nprobe pruning through the assignment, and
+    the exact rerank."""
+    ctes, final = _kmeans_ctes(n_centroids, iters)
+    ctes = list(ctes)
+    ctes.append(f"af AS (\n{final})")
+    ctes.append(
+        "qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        " FROM embeddings WHERE vec_id = 0)"
+    )
+    ctes.append(f"""cs AS (
+  SELECT c.cluster,
+         round(list_inner_product(c.c, qe.q)
+               / (sqrt(list_inner_product(c.c, c.c))
+                  * sqrt(list_inner_product(qe.q, qe.q))), 4) AS csim
+  FROM c{iters} c CROSS JOIN qe)""")
+    ctes.append(
+        f"top_c AS (SELECT cluster FROM cs ORDER BY csim DESC, cluster"
+        f" LIMIT {nprobe})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id, af.cluster, {_COS.format(a="e.embedding", b="qe.q")} AS sim
+FROM embeddings e
+JOIN af ON af.vec_id = e.vec_id
+JOIN top_c USING (cluster)
+CROSS JOIN qe
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id LIMIT {k}"""
+    )
 
 
 def _pq_ctes(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> list[str]:
@@ -1987,6 +2026,7 @@ WHERE e.vec_id <> 0
 ORDER BY sim DESC, e.vec_id
 LIMIT 5
 """,
+        "ann_ivf_trained_topk": _ivf_trained_sql(),
         "rp_lsh_band_rows": f"""
 WITH {_RP_BANDS_CTE}
 SELECT vec_id, band, band_key FROM rp_bands

@@ -314,6 +314,101 @@ def ann_ivf_topk(
     )
 
 
+# Session-scoped memo of the TRAINED IVF index (assignment checkpoint +
+# centroid rows), keyed by (applicationId, sf_dir, k, iters) — train once,
+# serve every query from the materialized assignment (the build_pq_index
+# lifecycle; at 100 TB the assignment is the partitioning key of the
+# stored table and the centroids live in the catalog).
+_IVF_CACHE: "dict[tuple, tuple[DataFrame, list]]" = {}
+
+
+def _ivf_trained_index(
+    spark: SparkSession, sf_dir: str, n_centroids: int, iters: int
+) -> "tuple[DataFrame, list]":
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        n_centroids,
+        iters,
+    )
+    hit = _IVF_CACHE.get(key)
+    if hit is None:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        assignment, cents = _lloyd(e, k=n_centroids, iters=iters)
+        assignment = assignment.localCheckpoint(eager=True)
+        cent_rows = sorted(
+            ((r["cluster"], list(r["c"])) for r in cents.collect()),
+            key=lambda t: t[0],
+        )
+        while len(_IVF_CACHE) >= 8:
+            _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
+        _IVF_CACHE[key] = (assignment, cent_rows)
+        hit = (assignment, cent_rows)
+    return hit
+
+
+def ann_ivf_trained_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer — the full 100 TB lifecycle in
+    one operator: Lloyd's k-means trains the centroids (``_lloyd``, the
+    shuffle-free argmin assignment), the assignment is materialized once
+    per session (at scale: the partitioning key of the stored table),
+    queries rank the k centroids by cosine DRIVER-side (k tiny rows),
+    prune to ``nprobe`` cells via a broadcast semi-join, and rerank
+    exactly inside them. Unlike ``ann_ivf_topk`` (whose cells come from
+    the testdata's label column), nothing here depends on pre-clustered
+    input — this is the index you build when the data has no labels.
+
+    Fully oracle-checkable: the DuckDB twin replays the same unrolled
+    Lloyd's CTEs (the cluster_kmeans oracle machinery) plus the same
+    rounded centroid ranking and rerank.
+    """
+    assignment, cent_rows = _ivf_trained_index(spark, sf_dir, n_centroids, iters)
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").cast("array<double>").alias("q")
+    ).head()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = [float(x) for x in qrow["q"]]
+
+    def cos(c: list) -> float:
+        num = dd = qq = 0.0
+        for a, b in zip(c, q):
+            num += a * b
+            dd += a * a
+            qq += b * b
+        import math
+
+        return num / (math.sqrt(dd) * math.sqrt(qq))
+
+    ranked = sorted(
+        ((round(cos(c), 4), cluster) for cluster, c in cent_rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = [cluster for _, cluster in ranked[:nprobe]]
+    probe = spark.createDataFrame([(int(c),) for c in top], "cluster int")
+    qlit = F.expr("array(" + ",".join(_double_sql(x) for x in q) + ")")
+    sim = F.round(cosine_similarity(F.col("embedding"), qlit), 4).alias("sim")
+    return (
+        assignment.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(e, "vec_id")
+        .select("vec_id", "cluster", sim)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def cluster_kmeans(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2
 ) -> DataFrame:

@@ -67,6 +67,7 @@ BENCH_KEYS = [
     "semdedup_prune",
     "knn_pq_rerank",
     "ann_rp_lsh_topk",
+    "ann_ivf_trained_topk",
 ]
 
 

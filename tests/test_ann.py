@@ -129,6 +129,28 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert full == exact
 
 
+def test_ivf_trained_respects_probe_and_recovers_exact(spark, sf_dir):
+    """The trained-IVF key: results come from <= nprobe trained cells, and
+    with nprobe = n_centroids the pruning is a no-op so the top-k must
+    equal exact brute force (the same contract as label-IVF)."""
+    from adk_noui_vectordb_spark.operators.ann import ann_ivf_trained_topk
+
+    rows = ann_ivf_trained_topk(
+        spark, sf_dir, query_vec_id=0, k=5, nprobe=2
+    ).collect()
+    assert len(rows) == 5
+    assert len({r["cluster"] for r in rows}) <= 2
+
+    exact = _exact_topk_ids(spark, sf_dir, 0, 5)
+    full = [
+        r["vec_id"]
+        for r in ann_ivf_trained_topk(
+            spark, sf_dir, query_vec_id=0, k=5, nprobe=8, n_centroids=8
+        ).collect()
+    ]
+    assert full == exact
+
+
 def test_kmeans_assigns_every_vector_once(spark, sf_dir):
     from adk_noui_vectordb_spark.operators.ann import cluster_kmeans
     from adk_noui_vectordb_spark.sources.tables import load_table
