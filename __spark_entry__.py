@@ -469,6 +469,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_score": _text.lm_perplexity_score,
         "mixture_sample": _text.mixture_sample,
         "bpe_pair_counts": _text.bpe_pair_counts,
+        "tokenize_bpe_encode": _text.tokenize_bpe_encode,
         "curate_corpus_full": _text.curate_corpus_full,
         # multi-format IO fidelity (sources/formats.py): write->read round
         # trips; the oracle aggregates the ORIGINAL parquet
@@ -1485,6 +1486,54 @@ SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
 FROM pairs GROUP BY 1
 ORDER BY cnt DESC, pair
 LIMIT 50
+""",
+        "tokenize_bpe_encode": """
+-- operators/textops.py tokenize_bpe_encode: the merge list is the
+-- trainer's top-8 pairs; the recursive CTE applies merge rank r at step
+-- r (replace() is non-overlapping left-to-right in both engines). Word
+-- separators are newlines with no adjacent spaces, so merges cannot
+-- cross word boundaries.
+WITH RECURSIVE
+bpe_words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+bpe_wf AS (
+    SELECT w, count(*) AS f FROM bpe_words WHERE len(w) >= 2 GROUP BY 1
+),
+bpe_pairs AS (
+    SELECT substr(w, t.i, 2) AS pair, f
+    FROM bpe_wf,
+         LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+),
+bpe_merges AS (
+    SELECT pair, row_number() OVER (ORDER BY sum(f) DESC, pair) AS rank
+    FROM bpe_pairs GROUP BY pair
+    QUALIFY rank <= 8
+),
+bpe_base AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(string_split(text, ' '),
+                              w -> rtrim(regexp_replace(w, '(.)', '\\1 ', 'g'))),
+               chr(10)) AS enc,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+),
+bpe_rec AS (
+    SELECT doc_id, enc, n_words, 0 AS step FROM bpe_base
+    UNION ALL
+    SELECT r.doc_id,
+           replace(r.enc,
+                   substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1),
+                   m.pair),
+           r.n_words, r.step + 1
+    FROM bpe_rec r JOIN bpe_merges m ON m.rank = r.step + 1
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       CAST(len(enc) - len(replace(enc, ' ', '')) + n_words AS INTEGER)
+           AS n_symbols,
+       md5(enc) AS encoded_hash
+FROM bpe_rec WHERE step = 8
 """,
         "pagerank_trade_graph": """
 WITH e0 AS (

@@ -825,6 +825,57 @@ def bpe_pair_counts(
     )
 
 
+def tokenize_bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """BPE ENCODING — the tokenizer-side complement of the
+    ``bpe_pair_counts`` trainer: take the top ``n_merges`` character
+    pairs (count desc, pair asc — the trainer's own ranking), then apply
+    them IN RANK ORDER to every document: each word becomes its
+    space-joined character sequence and merge ``ab`` replaces every
+    non-overlapping left-to-right occurrence of ``"a b"`` with ``"ab"``.
+    This greedy sequential scheme is a documented deterministic variant
+    of reference BPE (which re-ranks pairs between merges); the merge
+    LIST is what a production tokenizer ships, and applying it is the
+    per-document encode pass a 100 TB pipeline runs before packing.
+
+    Scale shape: the merge table is tiny and rides into the plan as
+    ``n_merges`` chained literal ``replace`` expressions — pure codegen'd
+    string ops, ZERO shuffles, no UDF, a free rider on the text scan
+    (the trainer's one aggregation is amortized across the corpus via
+    its own key). Words never contain spaces (they are space-split), so
+    word boundaries (joined with newline) are unmergeable by
+    construction.
+
+    Output: (doc_id, n_words, n_symbols, encoded_hash) — symbol count =
+    remaining intra-word separators + words (pure integer arithmetic,
+    immune to cross-engine split-semantics edge cases), and the md5 of
+    the full encoded text so the driver hash-checks the exact encoding.
+    """
+    merges = [
+        r["pair"]
+        for r in bpe_pair_counts(spark, sf_dir, top_n=n_merges).collect()
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    words = whitespace_tokens(F.col("text"))
+    enc = F.array_join(
+        F.transform(
+            words, lambda w: F.rtrim(F.regexp_replace(w, "(.)", "$1 "))
+        ),
+        "\n",
+    )
+    for p in merges:
+        enc = F.replace(enc, F.lit(p[0] + " " + p[1]), F.lit(p))
+    n_words = F.size(words)
+    n_spaces = F.length(enc) - F.length(F.replace(enc, F.lit(" "), F.lit("")))
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        (n_spaces + n_words).cast("int").alias("n_symbols"),
+        F.md5(enc).alias("encoded_hash"),
+    )
+
+
 def curate_corpus_full(
     spark: SparkSession,
     sf_dir: str,

@@ -68,6 +68,7 @@ BENCH_KEYS = [
     "knn_pq_rerank",
     "ann_rp_lsh_topk",
     "ann_ivf_trained_topk",
+    "tokenize_bpe_encode",
 ]
 
 

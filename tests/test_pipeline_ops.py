@@ -347,6 +347,47 @@ def test_bpe_pair_expansion_runs_on_vocab_not_corpus(spark, sf_dir):
     assert gen_pos != -1 and agg_pos != -1
 
 
+def test_bpe_encode_matches_independent_python(spark, sf_dir):
+    """The chained-replace encoding must equal a from-scratch Python BPE
+    apply (word -> char sequence, merges in rank order, str.replace) on
+    every document — symbol counts AND the exact encoded text hash."""
+    import hashlib
+
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    merges = [
+        r["pair"] for r in tx.bpe_pair_counts(spark, sf_dir, top_n=8).collect()
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_symbols"], r["encoded_hash"])
+        for r in tx.tokenize_bpe_encode(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        ws = text.split(" ")
+        enc = "\n".join(" ".join(w) for w in ws)
+        for p in merges:
+            enc = enc.replace(p[0] + " " + p[1], p)
+        n_symbols = enc.count(" ") + len(ws)
+        expect = (len(ws), n_symbols, hashlib.md5(enc.encode()).hexdigest())
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+
+def test_bpe_encode_plan_is_shuffle_free_scan(spark, sf_dir):
+    """The encode pass itself must be a pure projection over the text
+    scan — the only shuffle in the WHOLE plan is the trainer's pair
+    aggregation, which runs once driver-side before the plan is built,
+    so the final encode plan has no Exchange at all."""
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    plan = explain_str(tx.tokenize_bpe_encode(spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
 def test_q21_single_fact_join(spark, sf_dir):
     """The sole-late-supplier recovery must not scan the lineitem-orders
     join twice: exactly one join of the two fact tables in the plan."""
