@@ -552,16 +552,16 @@ def _assign_broadcast(e: DataFrame, rows, with_emb: bool) -> DataFrame:
                 - 2.0 * (mat @ cmat.T)
                 + ccs[None, :]
             )
-            order = np.argsort(d2, axis=1, kind="stable")
-            best = order[:, 0]
-            # rows where rounding/tie-break could reorder the top
-            # candidates: top-2 raw distances within the ambiguity window
-            gap = (
-                np.take_along_axis(d2, order[:, 1:2], 1)[:, 0]
-                - np.take_along_axis(d2, order[:, 0:1], 1)[:, 0]
-                if cmat.shape[0] > 1
-                else np.full(len(mat), np.inf)
-            )
+            # O(k) min + second-min per row (argsort would be O(k log k)
+            # per row — this path exists precisely for large k). argmin's
+            # lowest-index tie rule is irrelevant: raw ties have gap 0 and
+            # take the exact re-check branch below.
+            best = np.argmin(d2, axis=1)
+            if cmat.shape[0] > 1:
+                top2 = np.partition(d2, 1, axis=1)
+                gap = top2[:, 1] - top2[:, 0]
+            else:
+                gap = np.full(len(mat), np.inf)
             out = clusters[best].copy()
             for ridx in np.nonzero(gap < 1.5e-6)[0]:
                 cand = np.nonzero(d2[ridx] < d2[ridx].min() + 1.5e-6)[0]
