@@ -13,7 +13,15 @@ Cross-engine parity rules used throughout (see SURVEY.md §5):
 - top-k orderings rank by the ROUNDED measure with a key tie-break so the
   cut set is identical in both engines;
 - DuckDB BIGINT/HUGEINT widths are cast to match Spark's (count->BIGINT,
-  len->INTEGER, sum(int)->BIGINT).
+  len->INTEGER, sum(int)->BIGINT);
+- comparisons that pick a WINNER from floats near a boundary (LSH sign
+  bits, PQ/k-means distance ranks) travel as floor-scaled integer units
+  (micro: 1e6) so any summation order yields the same integer in every
+  engine — round-then-compare is reserved for display-grade values;
+- data-dependent constants an operator bakes into its plan (BPE merges,
+  k-means centroids, LSH hyperplanes) are derived from md5/integer
+  arithmetic the oracle re-computes in SQL (recursive CTEs for the
+  sequential cases), never from engine-private RNG.
 """
 
 from __future__ import annotations
