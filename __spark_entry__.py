@@ -589,6 +589,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
+        "cube_status_priority": _rel.cube_status_priority,
         "salted_event_totals": _rel.salted_event_totals,
         "salted_skew_join": _rel.salted_skew_join,
         "pivot_event_matrix": _rel.pivot_event_matrix,
@@ -2715,6 +2716,14 @@ SELECT c_mktsegment, o_orderstatus,
        CAST(GROUPING(c_mktsegment, o_orderstatus) AS INTEGER) AS grp
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+""",
+        "cube_status_priority": """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS grp
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """,
         "agg_percentiles": """
 WITH r AS (

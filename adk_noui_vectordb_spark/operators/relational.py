@@ -268,6 +268,26 @@ def rollup_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE(orderstatus, orderpriority): all four grouping sets —
+    per-pair, each dimension alone, grand total — in ONE aggregation
+    pass, completing the GROUPING SETS surface next to
+    ``rollup_segment_status``.
+
+    Spark plans a single Expand feeding one hash aggregate: one shuffle
+    for every subtotal level (pinned in tests/test_plans.py), strictly
+    cheaper at 100 TB than the four separate groupBys it replaces —
+    Expand multiplies rows map-side where the partial aggregate
+    immediately collapses them.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().cast("int").alias("grp"),
+    )
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (type-1) percentiles of extended price per return flag:
     the ceil(q*n)-th smallest value, selected by ranking window.

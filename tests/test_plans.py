@@ -219,6 +219,16 @@ def test_decontaminate_fallback_matches_collect_path(spark, sf_dir):
     assert "Join" in plan, plan
 
 
+def test_cube_is_one_expand_one_shuffle(spark, sf_dir):
+    """CUBE must plan as a single Expand feeding one hash aggregate —
+    one shuffle covers all four grouping sets (never four groupBys)."""
+    from adk_noui_vectordb_spark.operators import relational as rel_mod
+
+    plan = explain_str(rel_mod.cube_status_priority(spark, sf_dir), mode="simple")
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
     """EXISTS must plan as a single semi join (lineitem scanned once,
     never materialized per order) with the window pushed into the orders
