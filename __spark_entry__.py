@@ -397,7 +397,7 @@ _REWRITTEN = frozenset({
     "multimodal_features", "multimodal_resize",
     "dedup_connected_components", "simhash_signatures",
     "minhash_signature_rows", "minhash_band_rows", "dedup_minhash_pairs",
-    "minhash_jaccard_estimate",
+    "minhash_jaccard_estimate", "index_pipeline",
 })
 
 
