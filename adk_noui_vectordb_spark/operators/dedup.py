@@ -722,6 +722,24 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped memo of the CHECKPOINTED simhash signature frame — the
+# _minhash_wide_cached lifecycle applied to the simhash kernel.
+_SIMHASH_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+
+
+def _simhash_signatures_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _SIMHASH_CACHE.get(key)
+    if df is None:
+        df = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+        while len(_SIMHASH_CACHE) >= 8:
+            _SIMHASH_CACHE.pop(next(iter(_SIMHASH_CACHE)))
+        _SIMHASH_CACHE[key] = df
+    return df
+
+
 def dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -737,9 +755,11 @@ def dedup_simhash_pairs(
 
     Signatures are MATERIALIZED once before the self-join (same reasoning
     as dedup_minhash_pairs: identical narrow subtrees are not shared
-    across join sides, so the signature kernel would run once per side).
+    across join sides, so the signature kernel would run once per side)
+    and memoized per (session, sf_dir) like the minhash wide frame —
+    encode-once/serve-many.
     """
-    sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    sig = _simhash_signatures_cached(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         "simhash",
