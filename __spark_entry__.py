@@ -398,6 +398,7 @@ _REWRITTEN = frozenset({
     "dedup_connected_components", "simhash_signatures",
     "minhash_signature_rows", "minhash_band_rows", "dedup_minhash_pairs",
     "minhash_jaccard_estimate", "index_pipeline",
+    "lang_id_ngram", "winnow_fingerprints",
 })
 
 

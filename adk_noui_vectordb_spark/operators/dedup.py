@@ -95,9 +95,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as distinct strings."""
-    words = whitespace_tokens(text)
+def _shingles(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as distinct strings.
+
+    ``words`` must be a PRE-PROJECTED split-array COLUMN: an inline
+    ``split(text)`` here would re-evaluate once per sequence element —
+    expressions inlined into a HOF lambda are outside subexpression
+    elimination (the lang_id_ngram O(n^2) finding, SCALE.md r6)."""
     k = F.size(words) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
@@ -177,9 +181,11 @@ def _minhash_wide_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions + 16 min aggregates in one groupBy, map-side partial agg).
     Kept as the no-Python-workers alternative; must stay value-identical
     to the Arrow kernel (tested)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
     shingled = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(_shingles(F.col("w"))).alias("shingle")
     )
     base = shingled.select("doc_id", md5_mod_p(F.col("shingle")).alias("h"))
     return base.groupBy("doc_id").agg(
@@ -485,10 +491,12 @@ def _simhash_signatures_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-JVM formulation of ``simhash_signatures`` (explode bigrams ->
     60 conditional sums -> recompose). Kept as the no-Python-workers
     alternative; must stay value-identical to the Arrow kernel (tested)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
     grams = d.select(
         "doc_id",
-        F.explode(_shingles(F.col("text"), 2)).alias("g"),
+        F.explode(_shingles(F.col("w"), 2)).alias("g"),
     )
     hashed = grams.select("doc_id", md5_long(F.col("g")).alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(

@@ -82,9 +82,22 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     A real lang-ID model needs per-language n-gram profiles; the engine-side
     shape is what matters here: lowercase, strip non-letters, explode char
     bigrams, pick the modal bigram per document. Pure SQL in both engines.
+
+    Two measured plan fixes (r6, 9.3 s -> 0.46 s at sf0.1): the stripped
+    ``letters`` string is PROJECTED once per row before the HOF — inlined
+    into the lambda, the full-text regexp re-evaluated per sequence
+    element, turning an O(n) derivation into O(n^2) per document — and
+    the single-row-group scan is fan_out so the explode stage does not
+    serialize on one core.
     """
-    d = load_table(spark, sf_dir, "documents")
-    letters = F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    from ..sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("letters"),
+    )
+    letters = F.col("letters")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(letters) - 1, F.lit(1))),
         lambda i: letters.substr(i, F.lit(2)),
@@ -231,9 +244,13 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window as W
 
+    from ..sources.tables import fan_out
     from .dedup import md5_long
 
-    d = load_table(spark, sf_dir, "documents")
+    # ~1 md5 per character of corpus text on the pre-shuffle side of the
+    # frame-min — fan_out so the single-row-group scan does not serialize
+    # it on one core (measured 3.6 s -> 0.7 s at sf0.1, SCALE.md r6)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # (pos, gram) pairs via sequence+transform: gram i = text[i : i+k]
     grams = d.select(
         "doc_id",
@@ -327,15 +344,18 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on BOTH sides — 0.52 s -> 0.61 s at sf0.1. The kernel is cheap
     # enough that the single-task scan wins.
     d = load_table(spark, sf_dir, "documents")
-    words = whitespace_tokens(F.col("text"))
+    dw = d.select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
+    words = F.col("w")
     n = F.size(words)
-    grams3 = _shingles(F.col("text"), 3)
+    grams3 = _shingles(words, 3)
     # _shingles dedups; the duplicate fraction needs the RAW total too —
     # which is just the gram-window count greatest(n-2, 1): never build
     # the raw 3-gram strings only to F.size them (an interpreted HOF over
     # every row that measured ~0.3 s of the query at sf0.1).
     n_raw3 = F.greatest(n - 2, F.lit(1))
-    within = d.select(
+    within = dw.select(
         "doc_id",
         (F.lit(1.0) - F.size(F.array_distinct(words)) / n.cast("double")).alias(
             "dup_word_frac"
@@ -386,13 +406,18 @@ DECONTAM_COLLECT_BUDGET_BYTES = 64 * 1024 * 1024
 _BENCH_BYTES_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _shingle_array(text: "F.Column", shingle_words: int) -> "F.Column":
+def _shingle_array(words: "F.Column", shingle_words: int) -> "F.Column":
     """Distinct ``shingle_words``-word shingles as an array column — the
     exact SQL twin of the kernel's ``doc_shingles`` (split on single
     spaces keeping empties, greatest(n-(k-1), 1) windows, short docs
     degenerating to one whole-doc shingle; F.slice truncates at the end
-    exactly like a Python slice)."""
-    words = F.split(text, " ")
+    exactly like a Python slice).
+
+    ``words`` must be a PRE-PROJECTED split array COLUMN, not an inline
+    ``F.split`` expression: expressions inlined into a HOF lambda
+    re-evaluate once PER SEQUENCE ELEMENT (subexpression elimination does
+    not cross the lambda boundary — the lang_id_ngram O(n^2) finding,
+    SCALE.md r6), which would make this quadratic in document length."""
     k = F.greatest(F.size(words) - (shingle_words - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), k),
@@ -455,9 +480,15 @@ def decontaminate_corpus(
     if bench_bytes > collect_budget_bytes:
         from ..sources.tables import maybe_broadcast
 
-        sh = _shingle_array(F.col("text"), shingle_words)
-        bench_sh = bench_docs.select(F.explode(sh).alias("shingle")).distinct()
-        cand_sh = cand_docs.select("doc_id", F.explode(sh).alias("shingle"))
+        sh = _shingle_array(F.col("w"), shingle_words)
+        bench_sh = (
+            bench_docs.select(F.split(F.col("text"), " ").alias("w"))
+            .select(F.explode(sh).alias("shingle"))
+            .distinct()
+        )
+        cand_sh = cand_docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("w")
+        ).select("doc_id", F.explode(sh).alias("shingle"))
         # estimate of the distinct-shingle side's in-memory size: the raw
         # slice bytes upper-bound the distinct shingle text (each word
         # appears in <= shingle_words shingles, distinct removes repeats);
