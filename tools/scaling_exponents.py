@@ -50,6 +50,10 @@ KEYS = {
     "asof_join_purchase_click": "events",
     "range_join_bursts": "events",
     "pagerank_trade_graph": "lineitem",
+    "lang_id_ngram": "documents",
+    "tokenize_bpe_encode": "documents",
+    "ann_ivf_trained_topk": "embeddings",
+    "dedup_simhash_pairs": "documents",
 }
 
 
