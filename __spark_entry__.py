@@ -279,6 +279,14 @@ def _q_chunk_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_js_elements(derived_js_corpus(spark, sf_dir, "de", ".js"))
 
 
+def _q_ann_rp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe RP-LSH (operators/ann.py ann_rp_lsh_topk with
+    multiprobe_hamming=1): per band, probe the query's bucket plus its
+    RP_BAND_BITS Hamming-1 neighbor buckets of the on-disk partitioned
+    band table."""
+    return _ann.ann_rp_lsh_topk(spark, sf_dir, multiprobe_hamming=1)
+
+
 # Keys with a green row in CORRECTNESS_r01.json / _r02.json. The driver
 # records only the first 50 dict entries per round, so queries() orders
 # keys by how much a fresh driver row is worth: never-green first, then
@@ -539,6 +547,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": _ann.ann_ivf_trained_topk,
         "rp_lsh_band_rows": _ann.rp_lsh_band_rows,
         "ann_rp_lsh_topk": _ann.ann_rp_lsh_topk,
+        # r7: multiprobe recall knob (Hamming-1 bucket expansion per band,
+        # Lv et al. VLDB 2007) over the SAME on-disk partitioned band
+        # table — recall 1.00 on the isotropic worst case (BASELINE.md)
+        # at 30/96 partitions probed, no re-banding.
+        "ann_rp_lsh_multiprobe_topk": _q_ann_rp_multiprobe,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -2097,6 +2110,30 @@ qb AS (
 ),
 cand AS (
     SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb USING (band, band_key)
+    WHERE b.vec_id <> 0
+),
+qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+        # Multiprobe twin: the probe set per band is the query's key plus
+        # its RP_BAND_BITS Hamming-1 neighbors (xor with each power of 2).
+        "ann_rp_lsh_multiprobe_topk": f"""
+WITH {_RP_BANDS_CTE},
+qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+qb_exp AS (
+    SELECT band, band_key FROM qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb_exp USING (band, band_key)
     WHERE b.vec_id <> 0
 ),
 qe AS (

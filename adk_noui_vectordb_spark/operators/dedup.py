@@ -199,29 +199,24 @@ def _minhash_wide_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session-scoped memo of the CHECKPOINTED wide signature frame, keyed by
-# (applicationId, sf_dir). The signature kernel is the expensive stage of
-# every minhash consumer (signature/band rows, candidate pairs, Jaccard
-# estimate, connected components); at 100 TB the lifecycle is
-# encode-once/serve-many — write the signature table to parquet and join
-# from it (the build_pq_index pattern, documented in SCALE.md) — and this
-# memo is the exact in-session equivalent: the first caller materializes
-# via localCheckpoint, everyone else reuses the materialized blocks.
-# Bounded: entries from stopped sessions are dropped beyond the last 8.
-_WIDE_CACHE: "dict[tuple[str, str], DataFrame]" = {}
-
-
+# Session-scoped memo of the CHECKPOINTED wide signature frame (shared
+# memo.session_memo — keyed by session + dataset fingerprint, ADVICE r6).
+# The signature kernel is the expensive stage of every minhash consumer
+# (signature/band rows, candidate pairs, Jaccard estimate, connected
+# components); at 100 TB the lifecycle is encode-once/serve-many — write
+# the signature table to parquet and join from it (the build_pq_index
+# pattern, documented in SCALE.md) — and this memo is the exact
+# in-session equivalent: the first caller materializes via
+# localCheckpoint, everyone else reuses the materialized blocks.
 def _minhash_wide_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from ..memo import session_memo
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    df = _WIDE_CACHE.get(key)
-    if df is None:
-        df = _minhash_wide(spark, sf_dir).localCheckpoint(eager=True)
-        while len(_WIDE_CACHE) >= 8:
-            _WIDE_CACHE.pop(next(iter(_WIDE_CACHE)))
-        _WIDE_CACHE[key] = df
-    return df
+    return session_memo(
+        spark,
+        sf_dir,
+        "minhash_wide",
+        lambda: _minhash_wide(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def minhash_signature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,21 +726,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Session-scoped memo of the CHECKPOINTED simhash signature frame — the
-# _minhash_wide_cached lifecycle applied to the simhash kernel.
-_SIMHASH_CACHE: "dict[tuple[str, str], DataFrame]" = {}
-
-
+# _minhash_wide_cached lifecycle applied to the simhash kernel (shared
+# memo.session_memo, keyed by session + dataset fingerprint).
 def _simhash_signatures_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from ..memo import session_memo
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    df = _SIMHASH_CACHE.get(key)
-    if df is None:
-        df = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
-        while len(_SIMHASH_CACHE) >= 8:
-            _SIMHASH_CACHE.pop(next(iter(_SIMHASH_CACHE)))
-        _SIMHASH_CACHE[key] = df
-    return df
+    return session_memo(
+        spark,
+        sf_dir,
+        "simhash_signatures",
+        lambda: simhash_signatures(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def dedup_simhash_pairs(
