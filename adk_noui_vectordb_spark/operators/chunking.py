@@ -311,14 +311,51 @@ def _js_scrub(m: "_re.Match[str]") -> str:
     return ("''" + nl) if s[0] in "'\"`" else nl
 
 
+# Characters after which a `/` opens a REGEX LITERAL, not division —
+# expression-start positions (the standard pre-scanner heuristic used by
+# formatter front-ends; division can only follow a value: identifier,
+# number, `)`, `]`, `}`, or a string/our inert `''` token).
+_JS_REGEX_PREV_CHARS = frozenset("=([{,;:!&|?+-*%^~<>")
+# ...and keywords after which a `/` is likewise a regex
+# (`return /x/.test(s)`, `case /x/:`, `typeof /x/`, ...).
+_JS_REGEX_PREV_WORDS = frozenset(
+    "return case typeof instanceof in of do else void delete new throw "
+    "yield await".split()
+)
+
+# Cheap routing hint: a `/` in expression-start position that is not a
+# comment opener means the source MAY contain regex literals, so it takes
+# the exact scanner. False positives only cost speed (the scanner is
+# semantically identical for regex-free sources); a miss keeps the old
+# behavior.
+_JS_REGEX_HINT_RE = _re.compile(
+    r"(?:[=(\[{,;:!&|?+\-*%^~<>]|\b(?:return|case|typeof|instanceof|in|of|"
+    r"do|else|void|delete|new|throw|yield|await)\b)\s*/[^/*=]"
+)
+
+
 def _sanitize_js_scan(src: str) -> str:
     """Single-pass scanner twin of the regex sanitizer for sources
-    containing ``${`` interpolations: a template literal's interpolation
-    can hold braces, comments, strings, and NESTED template literals —
-    pairing those backticks correctly needs a stack, which a regex
-    alternation cannot express (the regex would close the outer template
-    at the nested template's opening backtick and leak interpolation
-    braces into the depth count)."""
+    containing ``${`` interpolations or regex literals.
+
+    Interpolations: a template literal's interpolation can hold braces,
+    comments, strings, and NESTED template literals — pairing those
+    backticks correctly needs a stack, which a regex alternation cannot
+    express (the regex would close the outer template at the nested
+    template's opening backtick and leak interpolation braces into the
+    depth count).
+
+    Regex literals (r7): a ``/`` in expression-start position (after
+    ``= ( [ { , ; : ! & | ? + - * % ^ ~ < >`` or a keyword like
+    ``return``) opens a regex literal — ``/[{]/`` would otherwise leak a
+    spurious brace into the depth count. The literal is skipped to its
+    unescaped closing ``/`` honoring ``[...]`` character classes (where
+    ``/`` is literal) and replaced by the inert ``''`` token. The
+    division-vs-regex decision is the standard pre-scanner heuristic
+    (division can only FOLLOW a value); an unterminated candidate (no
+    close before the newline) is treated as plain division. Reference
+    fidelity target: the tree-sitter walk at indexing_agent.py:150-240,
+    which parses these for free."""
     out: list[str] = []
     n = len(src)
 
@@ -360,18 +397,57 @@ def _sanitize_js_scan(src: str) -> str:
                 i += 1
         return i
 
+    def regex_end(i: int) -> int:
+        """End index (past flags) of a regex literal opening at
+        ``src[i] == '/'``, or -1 if no unescaped close before the newline
+        (then the slash was division after all). Inside ``[...]`` a ``/``
+        is literal; ``\\x`` escapes anywhere."""
+        j = i + 1
+        in_class = False
+        while j < n and src[j] != "\n":
+            c = src[j]
+            if c == "\\" and j + 1 < n:
+                j += 2
+                continue
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+            elif c == "/":
+                j += 1
+                while j < n and (src[j].isalnum() or src[j] in "_$"):
+                    j += 1  # regex flags
+                return j
+            j += 1
+        return -1
+
+    def regex_opens(prev: str, word: str) -> bool:
+        return (
+            prev == ""
+            or prev in _JS_REGEX_PREV_CHARS
+            or word in _JS_REGEX_PREV_WORDS
+        )
+
     def skip_interp(i: int) -> int:
         depth = 1
+        prev = "{"  # interpolation body starts in expression position
+        word = ""
         while i < n and depth:
             c = src[i]
             if c in "'\"":
                 i = skip_string(i, c)
+                prev, word = "'", ""
             elif c == "`":
                 i = skip_template(i)
+                prev, word = "'", ""
             elif c == "/" and i + 1 < n and src[i + 1] == "*":
                 i = skip_block_comment(i)
             elif c == "/" and i + 1 < n and src[i + 1] == "/":
                 i = skip_line_comment(i)
+            elif c == "/" and regex_opens(prev, word) and regex_end(i) != -1:
+                i = regex_end(i)
+                prev, word = "'", ""
             else:
                 if c == "\n":
                     out.append("\n")
@@ -379,34 +455,50 @@ def _sanitize_js_scan(src: str) -> str:
                     depth += 1
                 elif c == "}":
                     depth -= 1
+                if not c.isspace():
+                    prev = c
+                    word = word + c if (c.isalnum() or c in "_$") else ""
                 i += 1
         return i
 
     i = 0
+    prev = ""  # last meaningful (non-space) char of the sanitized stream
+    word = ""  # trailing identifier run, for keyword-preceded regexes
     while i < n:
         c = src[i]
         if c in "'\"":
             out.append("''")
+            prev, word = "'", ""
             i = skip_string(i, c)
         elif c == "`":
             out.append("''")
+            prev, word = "'", ""
             i = skip_template(i)
         elif c == "/" and i + 1 < n and src[i + 1] == "*":
             i = skip_block_comment(i)
         elif c == "/" and i + 1 < n and src[i + 1] == "/":
             i = skip_line_comment(i)
+        elif c == "/" and regex_opens(prev, word) and regex_end(i) != -1:
+            out.append("''")
+            prev, word = "'", ""
+            i = regex_end(i)
         else:
             out.append(c)
+            if not c.isspace():
+                prev = c
+                word = word + c if (c.isalnum() or c in "_$") else ""
             i += 1
     return "".join(out)
 
 
 def sanitize_js(content: str) -> str:
-    """Strip strings/comments/template literals newline-preserving before
-    brace counting. The regex alternation is the fast (C-speed) path; a
-    ``${`` anywhere means interpolations may nest templates/braces, so
-    those sources take the exact scanner instead."""
-    if "${" in content:
+    """Strip strings/comments/template literals/regex literals
+    newline-preserving before brace counting. The regex alternation is
+    the fast (C-speed) path; a ``${`` anywhere means interpolations may
+    nest templates/braces, and a ``/`` in expression-start position
+    means regex literals (whose char classes can hold braces) may be
+    present — either routes the source to the exact scanner instead."""
+    if "${" in content or _JS_REGEX_HINT_RE.search(content):
         return _sanitize_js_scan(content)
     return _JS_SANITIZE_RE.sub(_js_scrub, content)
 

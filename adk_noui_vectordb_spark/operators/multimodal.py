@@ -46,7 +46,10 @@ def wav_encode_pcm8(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes
     """Minimal-but-valid WAV writer: RIFF/WAVE container, PCM format
     chunk, one data chunk, 8-bit unsigned mono — stdlib struct only.
     8-bit PCM stores each sample as one unsigned byte, so ``samples``
-    round-trips byte-for-byte through any conformant reader."""
+    round-trips byte-for-byte through any conformant reader. An
+    odd-length data chunk gets the RIFF word-alignment pad byte
+    (counted in the RIFF length, NOT in the data chunk length — so
+    strict readers that require aligned chunks parse it too, ADVICE r6)."""
     import struct
 
     if not samples:
@@ -68,6 +71,7 @@ def wav_encode_pcm8(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes
         + b"data"
         + struct.pack("<I", len(samples))
         + samples
+        + (b"\x00" if len(samples) % 2 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -223,11 +227,13 @@ def multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Modality is assigned deterministically. IMAGE payloads are REAL PNG
     files (one grayscale scanline whose pixels are the document's utf-8
-    bytes — built by an Arrow kernel running ``png_encode_gray``), so the
-    decode stage downstream parses genuine image bytes while features
-    stay arithmetically predictable for the oracle (decoded pixels ==
-    text bytes). Audio/video payloads are the raw text bytes (stand-in
-    until those decoders exist).
+    bytes — built by an Arrow kernel running ``png_encode_gray``) and
+    AUDIO payloads are REAL WAV files (RIFF/PCM8 containers whose
+    samples are the text bytes — ``wav_encode_pcm8``), so the decode
+    stage downstream parses genuine media bytes while features stay
+    arithmetically predictable for the oracle (decoded pixels/samples ==
+    text bytes). Only VIDEO payloads remain the raw text bytes (stand-in
+    until an ffmpeg-backed decoder exists).
     """
     d = load_table(spark, sf_dir, "documents")
     modality = (

@@ -869,6 +869,14 @@ def tokenize_bpe_encode(
     of reference BPE (which re-ranks pairs between merges); the merge
     LIST is what a production tokenizer ships, and applying it is the
     per-document encode pass a 100 TB pipeline runs before packing.
+    Second documented deviation (ADVICE r6): the chained ``replace`` is
+    NOT symbol-boundary aware — after a merge creates a multi-char
+    symbol (say ``th``), a later pair ``(h, e)`` matches the ``"h e"``
+    spanning that symbol's end (``"th e"`` -> ``"the"``), a merge
+    real rank-ordered BPE apply would not make. Both engines and the
+    test twin share the behavior, so parity holds; a boundary-aware
+    encode would tokenize on spaces and merge adjacent symbol pairs
+    instead of string-replacing.
 
     Scale shape: the merge table is tiny and rides into the plan as
     ``n_merges`` chained literal ``replace`` expressions — pure codegen'd

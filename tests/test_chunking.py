@@ -296,6 +296,15 @@ def test_sanitize_js_property_adversarial_bodies():
         "const m = `a ${ {k: {j: 1}} } b\n  ${ 'str }' } c`;",
         "const c = `${ /* cmt } */ 1 }`;",
         "if (x) { y(); }",
+        # regex literals (VERDICT r6 next #3): braces/quotes/backticks in
+        # char classes or bodies must not leak into depth counts
+        "const re = /[{]/g;",
+        "const re2 = /[}]'`/;",
+        "if (/^{/.test(s)) { y(); }",
+        "return /}{/ .test(s);",
+        "const dv = a / b + c / d;",
+        "const t2 = `${ s.replace(/[{]/g, '') }`;",
+        "const esc = /\\/[{]/;",
     ])
 
     @settings(max_examples=40, deadline=None)
@@ -353,3 +362,70 @@ def test_chunk_js_elements_block_comments_and_templates(spark):
         "function", 13, 16,
     )
     assert set(rows) == {"import", "first", "second"}
+
+
+def test_sanitize_js_regex_literals():
+    """A `/` in expression-start position opens a regex literal whose
+    char classes may contain braces (`/[{]/` — VERDICT r6 "what's wrong"
+    #1); a `/` after a value is division and must NOT swallow source."""
+    from adk_noui_vectordb_spark.operators.chunking import sanitize_js
+
+    # regex stripped to inert token; brace inside the class gone
+    s = sanitize_js("const re = /[{]/g;\nfunction f() { return 1; }")
+    assert "{]" not in s and s.count("{") == s.count("}")
+
+    # quotes inside a regex must not open a string
+    s = sanitize_js("const re = /it's[{]/;\nconst x = 'a { b';")
+    assert s.count("{") == 0
+
+    # division is untouched (prev token is a value)
+    s = sanitize_js("const d = a / b;\nconst e = (a) / b;")
+    assert "a / b" in s and "(a) / b" in s
+
+    # unterminated candidate falls back to division, nothing swallowed
+    s = sanitize_js("const d = 1 + 2 / x;\nif (q) { y(); }")
+    assert "{ y(); }" in s
+
+    # keyword-preceded regex
+    s = sanitize_js("function t(s) {\n  return /[{]}/.test(s);\n}")
+    assert s.count("{") == s.count("}")
+
+    # regex inside a template interpolation (scanner path)
+    s = sanitize_js("const t = `${ s.replace(/[{]/g, '') }`;\nlet z = 1;")
+    assert s.count("{") == 0 and "let z = 1;" in s
+
+    # line count always preserved
+    src = "const a = /[{]/;\n// c\nconst b = `${/[}]/}`;\n"
+    assert sanitize_js(src).count("\n") == src.count("\n")
+
+
+def test_chunk_js_elements_with_regex_literals(spark):
+    """End-to-end: a file whose methods use `/[{]/`-style regexes still
+    yields exact spans for every declaration."""
+    from adk_noui_vectordb_spark.operators.chunking import chunk_js_elements
+
+    src = "\n".join([
+        "import re from 'x';",             # 1
+        "class Matcher {",                 # 2
+        "  braces(s) {",                   # 3
+        "    return /[{]/.test(s) && /[}]/.test(s);",  # 4
+        "  }",                             # 5
+        "  ratio(a, b) {",                 # 6
+        "    return a / b;",               # 7
+        "  }",                             # 8
+        "}",                               # 9
+        "function scan(line) {",           # 10
+        "  const m = line.match(/^\\s*[{](.*)[}]\\s*$/);",  # 11
+        "  return m ? m[1] : '';",         # 12
+        "}",                               # 13
+    ])
+    df = spark.createDataFrame([("m.js", src)], "path string, content string")
+    rows = {
+        (r["name"], r["element_type"]): (r["start_line"], r["end_line"])
+        for r in chunk_js_elements(df).collect()
+    }
+    assert rows[("import", "import")] == (1, 1)
+    assert rows[("Matcher", "class")] == (2, 9)
+    assert rows[("braces", "function")] == (3, 5)
+    assert rows[("ratio", "function")] == (6, 8)
+    assert rows[("scan", "function")] == (10, 13)
