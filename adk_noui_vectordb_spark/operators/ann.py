@@ -574,14 +574,19 @@ def _centroid_literal(rows) -> "F.Column":
     return F.expr("array(" + ",".join(parts) + ")")
 
 
-# k*dim above which the literal-centroid strategy stops scaling: one SQL
-# parse of k*dim double literals is milliseconds at k=8 x dim=64 but grows
-# linearly in text size — at IVF-training scale (k up to 2^16, VERDICT r5
-# item 3) the literal would be ~4M doubles of SQL text and parse time +
-# plan size dominate long before broadcast memory does. Above this, the
-# assignment ships centroids via sparkContext.broadcast and runs an Arrow
-# argmin kernel with the IDENTICAL ranking contract.
-CENTROID_LITERAL_MAX_KDIM = 100_000
+# k*dim above which the literal-centroid strategy stops winning. MEASURED
+# (tools/bench_assign_literal_vs_broadcast.py, r7, n=10k rows, dim 64,
+# local[32], best-of-2): the literal path's cost grows linearly in k —
+# SQL parse of k*dim double literals plus a per-row O(k) interpreted
+# `transform` — 0.46 s at k=8, 4.8 s at k=1024, 8.5 s at k=2048; the
+# Arrow argmin is one BLAS matmul + np.partition, nearly flat: 0.5-0.8 s
+# across k=16..4096. Crossover sits at k*dim ~ 1-4k, so the gate is 4096:
+# the k=8 consumers (cluster_kmeans, PQ codebooks, IVF training) keep the
+# in-plan literal (fastest there, and the plan the oracle mirrors
+# term-for-term); anything bigger ships centroids via
+# sparkContext.broadcast and runs the Arrow argmin kernel with the
+# IDENTICAL ranking contract (equality pinned in tests/test_ann.py).
+CENTROID_LITERAL_MAX_KDIM = 4_096
 
 
 def _assign_broadcast(e: DataFrame, rows, with_emb: bool) -> DataFrame:
