@@ -384,66 +384,81 @@ _CHECKED_R5 = frozenset({
     "minhash_jaccard_estimate", "dedup_embedding_cosine",
 })
 
+# Green (rows+schema+hash) in CORRECTNESS_r06.json — all 50 window keys,
+# including every key the r5/r6 rewrites touched (the _REWRITTEN
+# mechanism worked: 50/50 green).
+_CHECKED_R6 = frozenset({
+    "agg_diag_counts", "agg_elements_by_type", "agg_file_summary",
+    "agg_group_structure", "ann_ivf_topk", "ann_ivf_trained_topk",
+    "ann_rp_lsh_topk", "bm25_topk", "chunk_ast_python", "chunk_js_elements",
+    "cluster_kmeans", "corpus_diagnostics", "csv_roundtrip",
+    "cube_status_priority", "decontaminate_corpus",
+    "dedup_connected_components", "dedup_minhash_pairs",
+    "dedup_simhash_pairs", "diag_python_flakes", "embed_projection_rows",
+    "file_context", "hybrid_rrf_topk", "index_pipeline", "jsonl_roundtrip",
+    "knn_file_summary_query", "knn_int8_rerank", "knn_int8_topk",
+    "knn_pq_rerank", "knn_pq_topk", "knn_text_query", "lang_id_ngram",
+    "minhash_band_rows", "minhash_jaccard_estimate",
+    "minhash_signature_rows", "multimodal_features", "multimodal_frames",
+    "multimodal_resize", "pq_encode_rows", "project_element_ids",
+    "project_searchable_text", "project_truncate", "q1_pricing_summary",
+    "q3_top_orders", "q5_region_revenue", "quality_repetition",
+    "rp_lsh_band_rows", "semdedup_prune", "simhash_signatures",
+    "tokenize_bpe_encode", "winnow_fingerprints",
+})
+
+# Latest green driver round per key — the freshness ranking queries()
+# sorts by (older green = more valuable re-check). Derived from the
+# _CHECKED sets; a key in several sets takes its newest round.
+_LATEST_GREEN: dict[str, int] = {}
+for _rnd, _s in (
+    (1, _CHECKED_R1),
+    (2, _CHECKED_R2),
+    (4, _CHECKED_R4),
+    (5, _CHECKED_R5),
+    (6, _CHECKED_R6),
+):
+    for _k in _s:
+        _LATEST_GREEN[_k] = _rnd
+
 # Keys whose implementation changed AFTER their latest green driver row
 # (ADVICE r5, medium): a rewrite strips checked status so the next driver
-# window re-verifies the NEW code at sf0.01 before anything else. Two
-# cohorts: the r5 rewrites whose last green row is r4-era (confirmed
-# absent from CORRECTNESS_r05.json), and every key this round's code
-# changes touch. Maintained per-round: when a rewritten key gets a fresh
-# green row, move it into that round's _CHECKED set and drop it here.
+# window re-verifies the NEW code at sf0.01 before anything else.
+# Maintained per-round: when a rewritten key gets a fresh green row, move
+# it into that round's _CHECKED set and drop it here. r7 changes:
 _REWRITTEN = frozenset({
-    # rewritten in r5, last green row predates the rewrite (ADVICE r5)
-    "cluster_kmeans", "semdedup_prune", "knn_pq_rerank",
-    "quality_repetition", "decontaminate_corpus", "dedup_simhash_pairs",
+    # serving rewritten to the on-disk partition-pruned index (r7)
+    "ann_rp_lsh_topk", "ann_ivf_trained_topk",
+    # sanitizer gained regex-literal recognition (r7)
     "chunk_js_elements",
-    # rewritten in r6 (decontaminate collect cap; _lloyd centroid-broadcast
-    # threshold touches every Lloyd's consumer; js chunker comment/template
-    # strip; multimodal PNG decode; CC seed/checkpoint change; fan_out +
-    # session-memoized signatures touch the whole minhash family and the
-    # simhash kernel)
-    "pq_encode_rows", "knn_pq_topk", "ann_ivf_topk",
-    "multimodal_features", "multimodal_resize",
-    "dedup_connected_components", "simhash_signatures",
-    "minhash_signature_rows", "minhash_band_rows", "dedup_minhash_pairs",
-    "minhash_jaccard_estimate", "index_pipeline",
-    "lang_id_ngram", "winnow_fingerprints",
+    # audio assets gained the RIFF pad byte (decoded features unchanged,
+    # but the payload bytes the kernel parses did change) (r7)
+    "multimodal_features",
 })
+
+# VERDICT r6 next #7: the streaming keys' green rows date to r4-r5 and
+# they read events through the dtype-pinned loader whose dependencies
+# changed since — wedge them into the r7 window ahead of the r4 cohort.
+_PRIORITY_R7 = frozenset({"stream_tumbling_counts", "stream_dedup_counts"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Keys ordered by how much a fresh driver row is worth (the driver
     records the first 50 entries): brand-new and rewritten-since-last-green
-    keys first, then the oldest stable greens (r1, never refreshed), then
-    r2, then r4, with the freshest (r5) greens at the back."""
+    keys first, then ascending by latest-green round (the r2 cohort — the
+    oldest surviving greens — ahead of r4, r5, r6), with the explicitly
+    prioritized streaming keys wedged between r2 and r4. Ties keep
+    registry insertion order (sorted() is stable)."""
     q = _all_queries()
-    checked = (
-        _CHECKED_R5 | _CHECKED_R4 | _CHECKED_R2 | (_CHECKED_R1 - _STALE_R1)
-    ) - _REWRITTEN
-    fresh = _CHECKED_R5 | _CHECKED_R4
-    ordered = {k: v for k, v in q.items() if k not in checked}
-    ordered.update(
-        {
-            k: v
-            for k, v in q.items()
-            if k in _CHECKED_R1 and k not in fresh and k not in ordered
-        }
-    )
-    ordered.update(
-        {
-            k: v
-            for k, v in q.items()
-            if k in _CHECKED_R2 and k not in fresh and k not in ordered
-        }
-    )
-    ordered.update(
-        {
-            k: v
-            for k, v in q.items()
-            if k in _CHECKED_R4 and k not in _CHECKED_R5 and k not in ordered
-        }
-    )
-    ordered.update({k: v for k, v in q.items() if k not in ordered})
-    return ordered
+
+    def rank(k: str) -> float:
+        if k in _REWRITTEN or k not in _LATEST_GREEN:
+            return 0.0  # new or rewritten: re-verify before anything else
+        if k in _PRIORITY_R7:
+            return 2.5
+        return float(_LATEST_GREEN[k])
+
+    return {k: q[k] for k in sorted(q, key=rank)}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

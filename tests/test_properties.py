@@ -230,14 +230,21 @@ def test_driver_window_prioritizes_unverified_keys():
 
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    checked = (
-        entrymod._CHECKED_R5
-        | entrymod._CHECKED_R4
-        | entrymod._CHECKED_R2
-        | entrymod._CHECKED_R1
+    for k in entrymod._all_queries():
+        if k not in entrymod._LATEST_GREEN or k in entrymod._REWRITTEN:
+            assert k in window, f"{k} fell out of the 50-key driver window"
+    # the explicitly prioritized keys and the OLDEST green cohort must be
+    # in the window too (the r7 freshness-rotation contract)
+    oldest = min(
+        r
+        for k, r in entrymod._LATEST_GREEN.items()
+        if k in entrymod._all_queries() and k not in entrymod._REWRITTEN
     )
     for k in entrymod._all_queries():
-        if k not in checked or k in entrymod._REWRITTEN:
-            assert k in window, f"{k} fell out of the 50-key driver window"
+        if k in entrymod._PRIORITY_R7 or (
+            entrymod._LATEST_GREEN.get(k) == oldest
+            and k not in entrymod._REWRITTEN
+        ):
+            assert k in window, f"{k} (oldest/priority) missed the window"
     assert len(keys) == len(set(keys))
     assert set(keys) == set(entrymod._all_queries())
