@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adk_noui_vectordb_spark.operators import ann as _ann
+from adk_noui_vectordb_spark.operators import bloom as _bloom
 from adk_noui_vectordb_spark.operators import graph as _graph
+from adk_noui_vectordb_spark.operators import layout as _layout
 from adk_noui_vectordb_spark.operators import dedup as _dedup
 from adk_noui_vectordb_spark.operators import embed as _embed
 from adk_noui_vectordb_spark.operators import multimodal as _mm
@@ -513,6 +515,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_topk": _ann.knn_pq_topk,
         "knn_pq_rerank": _ann.knn_pq_rerank,
         "sketch_value_quantiles": _sketch.sketch_value_quantiles,
+        # r7: Misra-Gries mergeable heavy hitters (exact below capacity,
+        # like the HLL/GK sketches' contract)
+        "sketch_heavy_hitters": _sketch.sketch_heavy_hitters,
+        # r7: explicit Bloom runtime-filter join (no false negatives ->
+        # result equals the plain semi join the oracle runs)
+        "bloom_filter_orders": _bloom.bloom_filter_orders,
+        # r7: Z-order (Morton) clustering kernel — the multi-dimensional
+        # layout key behind ZORDER BY; exact integer bit interleave
+        "zorder_events": _layout.zorder_events,
         "pagerank_trade_graph": _graph.pagerank_customer_supplier,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
@@ -534,6 +545,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
         "semdedup_prune": _dedup.semdedup_prune,
+        # r7: n-gram-granularity exact-substring dedup analysis
+        # (Lee et al. 2021, arXiv:2107.06499)
+        "dedup_repeated_ngrams": _dedup.dedup_repeated_ngrams,
         # indexing pipeline over the derived corpus (SURVEY.md §2.2/2.4/2.9, §3.1)
         "project_searchable_text": _idx.project_searchable_text,
         "project_element_ids": _idx.project_element_ids,
@@ -630,6 +644,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": _rel.json_props_rollup,
         # temporal joins (as-of / banded range — north star, no reference analog)
         "asof_join_purchase_click": _temporal.asof_join_purchase_click,
+        # r7: SCD2 validity intervals from the event log (CDC surface)
+        "scd2_user_state_history": _temporal.scd2_user_state_history,
         "range_join_bursts": _temporal.range_join_bursts,
         "funnel_signup_purchase": _temporal.funnel_signup_purchase,
         "retention_day_over_day": _temporal.retention_day_over_day,
@@ -1788,6 +1804,36 @@ WITH docs AS (
 )
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.2
 """,
+        # dedup_repeated_ngrams (operators/dedup.py): per-doc distinct
+        # 8-gram shingles (same slice/truncate semantics as _shingles),
+        # shared = gram seen in >= 2 docs (pairs are distinct per doc, so
+        # count(*) suffices), ratio in EXACT integer round-half-up
+        # micro-units: (2a*1e6 + b) // (2b) = floor(a*1e6/b + 1/2).
+        "dedup_repeated_ngrams": """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 7, 1) + 1),
+        i -> array_to_string(w[i:i+7], ' ')))) AS g
+    FROM w
+),
+shared AS (
+    SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+),
+tot AS (SELECT doc_id, count(*) AS n_ngrams FROM g GROUP BY doc_id),
+hit AS (
+    SELECT g.doc_id, count(*) AS n_dup FROM g JOIN shared USING (g)
+    GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_ngrams AS INTEGER) AS n_ngrams,
+       CAST(coalesce(h.n_dup, 0) AS INTEGER) AS n_dup_ngrams,
+       CAST((2 * coalesce(h.n_dup, 0) * 1000000 + t.n_ngrams)
+            // (2 * t.n_ngrams) AS BIGINT) AS dup_per_million
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+""",
         "simhash_signatures": _simhash_sql(),
         "minhash_jaccard_estimate": f"""
 WITH {_MINHASH_BANDS_CTE},
@@ -2800,6 +2846,49 @@ FROM events GROUP BY event_type
 UNION ALL
 SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
 """,
+        # Morton interleave (operators/layout.py:z_interleave) replayed
+        # as pure integer arithmetic; the time bucket derives from
+        # epoch_us (the loader's µs-truncated contract).
+        "zorder_events": f"""
+WITH b AS (
+    SELECT event_id,
+           CAST(user_id % 65536 AS BIGINT) AS ux,
+           CAST((epoch_us(ts) // 60000000) % 65536 AS BIGINT) AS tx
+    FROM events
+)
+SELECT event_id, ux, tx,
+       CAST({" + ".join(
+           f"((ux // {1 << b}) % 2) * {1 << (2 * b)}"
+           f" + ((tx // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+           for b in range(16)
+       )} AS BIGINT) AS zval
+FROM b
+""",
+        # The Bloom pre-filter has no false negatives and the exact semi
+        # join removes false positives, so the operator's result equals
+        # the plain semi join at ANY filter sizing
+        # (operators/bloom.py:bloom_filter_orders).
+        "bloom_filter_orders": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderstatus
+""",
+        # Misra-Gries with capacity > per-partition vocabulary never
+        # compresses, so at test SFs counts are exact and err_bound = 0
+        # (operators/sketches.py:sketch_heavy_hitters; drift-guarded).
+        "sketch_heavy_hitters": """
+WITH t AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM t GROUP BY token
+ORDER BY est_count DESC, token LIMIT 20
+""",
         # GK sketch with accuracy > group row count retains every value, so
         # at test SFs the Spark side is exact discrete percentiles =
         # quantile_disc (operators/sketches.py:sketch_value_quantiles).
@@ -2840,6 +2929,35 @@ SELECT CASE WHEN bucket < 90 THEN 'train'
             ELSE 'test' END AS split,
        lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY 1, 2
+""",
+        # SCD2 gaps-and-islands (operators/temporal.py): run segmentation
+        # by lag+running-sum ordered (ts_ns, event_id) — unique ordering,
+        # so default window frames agree across engines.
+        "scd2_user_state_history": """
+WITH o AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events
+),
+runs AS (
+    SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+    FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+),
+runid AS (
+    SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM runs
+),
+iv AS (
+    SELECT user_id, run_id, event_type, min(ts_ns) AS valid_from_ns,
+           count(*) AS n_events
+    FROM runid GROUP BY 1, 2, 3
+)
+SELECT user_id, CAST(run_id AS INTEGER) AS run_id, event_type, valid_from_ns,
+       lead(valid_from_ns) OVER w2 AS valid_to_ns,
+       CAST(n_events AS INTEGER) AS n_events,
+       (lead(valid_from_ns) OVER w2 IS NULL) AS is_current
+FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
 """,
         "retention_day_over_day": """
 WITH user_days AS (

@@ -839,3 +839,66 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("best_quality"),
         )
     )
+
+
+def dedup_repeated_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """Cross-document repeated n-gram analysis — the n-gram-granularity
+    form of exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499, which
+    removes 50-token substrings occurring more than once; the reference
+    has no analog — pure north-star surface). Per document: how many of
+    its DISTINCT word n-grams also occur in at least one other document,
+    i.e. the memorization-risk mass a substring-dedup pass would target.
+
+    Returns (doc_id, n_ngrams, n_dup_ngrams, dup_per_million) where
+    dup_per_million = round(n_dup/n_ngrams * 1e6) computed in EXACT
+    integer arithmetic — ``(2*a*1e6 + b) div (2*b)`` is floor(a*1e6/b
+    + 1/2) with no float division anywhere, so both engines produce the
+    identical bigint (the knn_pq micro-unit discipline applied to a
+    ratio; a float `round(a/b, 4)` would hit cross-engine .xxxx5 ties
+    whenever b divides 2*10^4).
+
+    Scale shape (100 TB): per-doc distinct n-grams come from the
+    ``_shingles`` HOF over a PRE-PROJECTED split array (no shuffle);
+    (doc_id, gram) pairs are distinct BY CONSTRUCTION (array_distinct),
+    so the shared-gram detector is a plain count(*) >= 2 — a map-side
+    combined hash aggregate on the gram key, NEVER count(DISTINCT)
+    (which would carry doc_ids through the shuffle). The join back is an
+    equi semi-shaped join on the same high-cardinality gram key (AQE
+    splits hot boilerplate grams), then one balanced doc_id aggregate.
+    Two shuffles total, both on high-cardinality keys.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    grams = d.select(
+        "doc_id", F.explode(_shingles(F.col("w"), n)).alias("g")
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = (
+        grams.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
+    )
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    a = F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("bigint")
+    b = F.col("n_ngrams").cast("bigint")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("int").alias("n_ngrams"),
+            a.cast("int").alias("n_dup_ngrams"),
+            F.expr(
+                "(2 * coalesce(n_dup_ngrams, 0) * 1000000 + n_ngrams)"
+                " div (2 * n_ngrams)"
+            ).alias("dup_per_million"),
+        )
+    )

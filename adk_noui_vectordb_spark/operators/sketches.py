@@ -76,3 +76,85 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q")[1], 2).alias("p95"),
         F.round(F.col("q")[2], 2).alias("p99"),
     )
+
+
+HH_CAPACITY = 4096  # Misra-Gries counters per partial summary
+HH_TOPK = 20
+
+
+def sketch_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = HH_CAPACITY,
+    k: int = HH_TOPK,
+) -> DataFrame:
+    """Mergeable heavy-hitters (frequent tokens) via Misra-Gries
+    summaries — the third mergeable-sketch primitive beside HLL
+    (distincts) and GK (quantiles): top-k corpus tokens with a
+    deterministic error bound, O(capacity) memory per partial regardless
+    of corpus size.
+
+    Kernel (Arrow, per input batch): exact token counts, then — only if
+    distinct tokens exceed ``capacity`` — the Misra-Gries compression
+    from the mergeable-summaries literature (Agarwal et al., PODS 2012):
+    subtract the (capacity+1)-th largest count from every counter and
+    drop the non-positive ones; the subtracted value accumulates into the
+    partial's error bound. Merging partials = summing counters (one
+    map-side-combined groupBy) and summing bounds; every reported count
+    is then within [true - err_bound, true].
+
+    Oracle-checked under the same exact-below-threshold contract as the
+    other sketches: the testdata vocabulary (31 distinct tokens) sits far
+    below ``capacity``, so NO compression fires, err_bound = 0, and the
+    result hash-matches exact GROUP BY counts. The drift guard in
+    tests/test_sketches.py fails first if testdata vocabulary ever
+    approaches the threshold; the MG bound itself is pinned by a unit
+    test on synthetic data that DOES overflow the capacity.
+
+    Scale shape: tokenization happens INSIDE the kernel (no explode —
+    the corpus-size token stream never hits a shuffle); the only shuffle
+    carries <= capacity rows per partial. Top-k is
+    TakeOrderedAndProject with the (count desc, token asc) tie-break.
+    """
+    from ..sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("text"))
+
+    def partials(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            counts: Counter = Counter()
+            for text in pdf["text"]:
+                counts.update(text.split(" "))
+            err = 0
+            if len(counts) > capacity:
+                ranked = counts.most_common()
+                t = ranked[capacity][1]  # (capacity+1)-th largest count
+                err = t
+                counts = Counter(
+                    {tok: c - t for tok, c in ranked if c - t > 0}
+                )
+            rows = list(counts.items())
+            yield pd.DataFrame(
+                {
+                    "token": [tok for tok, _ in rows] + [None],
+                    "cnt": [c for _, c in rows] + [0],
+                    "err": [0] * len(rows) + [err],
+                }
+            )
+
+    p = d.mapInPandas(partials, "token string, cnt bigint, err bigint")
+    merged = (
+        p.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+    bound = p.agg(F.sum("err").alias("err_bound"))
+    return (
+        merged.crossJoin(F.broadcast(bound))
+        .orderBy(F.desc("est_count"), F.asc("token"))
+        .limit(k)
+    )

@@ -199,3 +199,48 @@ def retention_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("retained_next_day"),
         )
     )
+
+
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 history from an event stream —
+    the CDC/warehousing primitive (Kimball SCD2): collapse each user's
+    consecutive same-``event_type`` runs into validity intervals
+    [valid_from, valid_to) with an ``is_current`` flag on the open
+    interval. This is how a 100 TB pipeline turns an append-only event
+    log into a point-in-time-joinable dimension (the as-of join's
+    natural build side).
+
+    Returns (user_id, run_id, event_type, valid_from_ns, valid_to_ns,
+    n_events, is_current); times are the loader's µs-truncated epoch-ns
+    bigints (cross-engine exact), ties on ts_ns break by event_id so run
+    segmentation is deterministic in both engines.
+
+    Scale shape: one window pass over user_id (lag + running sum — the
+    gaps-and-islands idiom) segments runs; the interval aggregate groups
+    on (user_id, run_id); the closing lead() reuses the user_id
+    partitioning. All keys are user-bounded — skew is bounded by the
+    busiest user, the same bound as every per-user window in this
+    module.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_ns", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = e.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    intervals = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_ns").alias("valid_from_ns"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id",
+        F.col("run_id").cast("int").alias("run_id"),
+        "event_type",
+        "valid_from_ns",
+        F.lead("valid_from_ns").over(w2).alias("valid_to_ns"),
+        F.col("n_events").cast("int").alias("n_events"),
+    ).withColumn("is_current", F.col("valid_to_ns").isNull())

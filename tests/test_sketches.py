@@ -89,3 +89,82 @@ def test_value_quantile_sketch_error_bound(spark, sf_dir):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= approx <= hi, (etype, q, approx, lo, hi)
+
+
+def test_heavy_hitters_exact_at_test_scale(spark, sf_dir):
+    """Below capacity no MG compression fires: counts equal exact GROUP BY
+    counts and err_bound is 0 (the oracle contract)."""
+    from adk_noui_vectordb_spark.operators.sketches import (
+        sketch_heavy_hitters,
+    )
+
+    got = sketch_heavy_hitters(spark, sf_dir).collect()
+    assert all(r["err_bound"] == 0 for r in got)
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["token"]: r["n"]
+        for r in d.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert exact[r["token"]] == r["est_count"], r
+
+
+def test_testdata_vocab_stays_below_hh_capacity(spark, sf_dir):
+    """Drift guard for the heavy-hitters exactness contract: if testdata
+    vocabulary approaches HH_CAPACITY, this names the problem before the
+    driver row flips red."""
+    from adk_noui_vectordb_spark.operators.sketches import HH_CAPACITY
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert vocab <= HH_CAPACITY / 4, (
+        f"{vocab} distinct tokens approaches MG capacity {HH_CAPACITY}"
+    )
+
+
+def test_misra_gries_bound_when_capacity_overflows(spark):
+    """On data that DOES overflow the capacity, every reported count must
+    obey the MG contract: true - err_bound <= est <= true, and every
+    token with true count > err_bound survives in the summary."""
+    import pandas as pd
+
+    from adk_noui_vectordb_spark.operators import sketches
+
+    # 60 tokens with distinct frequencies 1..60 across several batches
+    rows = []
+    for tok in range(60):
+        rows += [f"tok{tok:02d}"] * (tok + 1)
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": [" ".join(rows)]})
+    )
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        sketches, "load_table", lambda s, d, t: df
+    ):
+        got = {
+            r["token"]: (r["est_count"], r["err_bound"])
+            for r in sketches.sketch_heavy_hitters(
+                spark, "ignored", capacity=16, k=60
+            ).collect()
+        }
+    true = {f"tok{t:02d}": t + 1 for t in range(60)}
+    assert got, "summary empty"
+    for tok, (est, err) in got.items():
+        assert true[tok] - err <= est <= true[tok], (tok, est, err)
+    # the top tokens (true count > err) must be present
+    any_err = max(err for _, err in got.values())
+    for tok, cnt in true.items():
+        if cnt > any_err:
+            assert tok in got, (tok, cnt, any_err)
