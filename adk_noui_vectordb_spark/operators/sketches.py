@@ -121,28 +121,24 @@ def sketch_heavy_hitters(
     d = fan_out(load_table(spark, sf_dir, "documents").select("text"))
 
     def partials(batches):
-        from collections import Counter
-
         import pandas as pd
 
         for pdf in batches:
-            counts: Counter = Counter()
-            for text in pdf["text"]:
-                counts.update(text.split(" "))
+            # vectorized token counting: split+explode+value_counts run in
+            # pandas C paths, not a per-token Python loop
+            counts = (
+                pdf["text"].str.split(" ").explode().value_counts()
+            )
             err = 0
             if len(counts) > capacity:
-                ranked = counts.most_common()
-                t = ranked[capacity][1]  # (capacity+1)-th largest count
+                t = int(counts.iloc[capacity])  # (capacity+1)-th largest
                 err = t
-                counts = Counter(
-                    {tok: c - t for tok, c in ranked if c - t > 0}
-                )
-            rows = list(counts.items())
+                counts = (counts - t).loc[lambda s: s > 0]
             yield pd.DataFrame(
                 {
-                    "token": [tok for tok, _ in rows] + [None],
-                    "cnt": [c for _, c in rows] + [0],
-                    "err": [0] * len(rows) + [err],
+                    "token": list(counts.index) + [None],
+                    "cnt": [int(v) for v in counts.to_numpy()] + [0],
+                    "err": [0] * len(counts) + [err],
                 }
             )
 

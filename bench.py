@@ -69,6 +69,12 @@ BENCH_KEYS = [
     "ann_rp_lsh_topk",
     "ann_ivf_trained_topk",
     "tokenize_bpe_encode",
+    # r7 additions
+    "dedup_repeated_ngrams",
+    "sketch_heavy_hitters",
+    "bloom_filter_orders",
+    "zorder_events",
+    "scd2_user_state_history",
 ]
 
 
