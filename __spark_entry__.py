@@ -40,6 +40,7 @@ from adk_noui_vectordb_spark.operators import embed as _embed
 from adk_noui_vectordb_spark.operators import multimodal as _mm
 from adk_noui_vectordb_spark.operators import hybrid as _hyb
 from adk_noui_vectordb_spark.operators import indexing as _idx
+from adk_noui_vectordb_spark.operators import invindex as _inv
 from adk_noui_vectordb_spark.operators import knn as _knn
 from adk_noui_vectordb_spark.operators import quantize as _quant
 from adk_noui_vectordb_spark.operators import relational as _rel
@@ -584,6 +585,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
+        # r7: the LEXICAL build-once/serve-many lifecycle (the rp/ivf
+        # serving contract applied to text): postings persisted to parquet
+        # partitioned by md5 term bucket, probes statically prune to the
+        # query terms' buckets (tests/test_plans.py), ranking arithmetic
+        # byte-identical to bm25_topk so both share the _BM25_CTE oracle.
+        "inverted_postings_rows": _inv.inverted_postings_rows,
+        "bm25_topk_served": _inv.bm25_topk_served,
         "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
@@ -2207,6 +2215,26 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         "bm25_topk": f"""
 WITH {_BM25_CTE}
 SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+        # Served twin: the on-disk index changes WHERE the postings live,
+        # not what they say — the oracle recomputes the same ranking from
+        # the corpus directly.
+        "bm25_topk_served": f"""
+WITH {_BM25_CTE}
+SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+        # Index-content check (the rp_lsh_band_rows analog): the probed
+        # postings rows themselves — tf per (doc, query term) plus the
+        # denormalized doc length.
+        "inverted_postings_rows": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents)
+SELECT w.term, w.doc_id, count(*) AS tf, max(dl.dl) AS dl
+FROM words w JOIN dl USING (doc_id)
+WHERE w.term IN ('join', 'scan', 'window')
+GROUP BY 1, 2
 """,
         "hybrid_rrf_topk": f"""
 WITH {_BM25_CTE},

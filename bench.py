@@ -75,6 +75,7 @@ BENCH_KEYS = [
     "bloom_filter_orders",
     "zorder_events",
     "scd2_user_state_history",
+    "bm25_topk_served",
 ]
 
 

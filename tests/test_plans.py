@@ -324,6 +324,25 @@ def test_rp_lsh_multiprobe_expands_candidates(spark, sf_dir):
     assert len(multi) >= len(single)
 
 
+def test_text_index_probe_prunes_term_buckets(spark, sf_dir):
+    """bm25_topk_served reads the on-disk postings partitioned by
+    tbucket: the literal query-term buckets must be PartitionFilters on
+    every index scan (postings AND termstats) — a query touches only its
+    own terms' buckets however large the corpus (the lexical twin of the
+    rp/ivf serving contract)."""
+    from adk_noui_vectordb_spark.operators import invindex
+
+    df = invindex.bm25_topk_served(spark, sf_dir)
+    plan = explain_str(df)
+    seg = plan.split("PartitionFilters")
+    pruned = [s.split("\n")[0] for s in seg[1:] if "tbucket" in s.split("\n")[0]]
+    assert len(pruned) >= 2, plan  # postings scan + termstats scan
+    buckets = sorted(
+        {invindex.term_bucket_py(t) for t in invindex.QUERY_TERMS}
+    )
+    assert len(buckets) < invindex.N_TERM_BUCKETS  # probe is a strict subset
+
+
 def test_ivf_trained_probe_prunes_cell_partitions(spark, sf_dir):
     """ann_ivf_trained_topk serves from the assignment parquet partitioned
     by cluster: the nprobe literal cell ids must be PartitionFilters."""
