@@ -502,6 +502,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _text.pack_sequences,
         "redact_pii": _text.redact_pii,
         "lm_perplexity_score": _text.lm_perplexity_score,
+        # r7: second-order LM scoring — word-order signal the unigram
+        # key cannot see; capped broadcast bigram model, floor-micro-nats.
+        "lm_bigram_score": _text.lm_bigram_score,
         "mixture_sample": _text.mixture_sample,
         "bpe_pair_counts": _text.bpe_pair_counts,
         "tokenize_bpe_encode": _text.tokenize_bpe_encode,
@@ -1503,6 +1506,40 @@ FROM (
     CROSS JOIN tot t
     GROUP BY 1
 )
+""",
+        "lm_bigram_score": """
+WITH parts AS (
+    SELECT doc_id, string_split(text, ' ') AS p FROM documents
+),
+big AS (
+    SELECT d.doc_id, d.p[t.i] AS w1, d.p[t.i + 1] AS w2
+    FROM parts d,
+         LATERAL (SELECT unnest(generate_series(1, len(d.p) - 1)) AS i) t
+    WHERE len(d.p) >= 2
+),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+model AS (
+    SELECT w1, w2, c12 FROM counts ORDER BY c12 DESC, w1, w2 LIMIT 64
+),
+contexts AS (
+    SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(floor(ln(
+               (coalesce(m.c12, 0) + 0.5::DOUBLE)
+               / (coalesce(x.c1, 0) + 32.0::DOUBLE)
+           ) * 1000000.0::DOUBLE) AS BIGINT) AS lp,
+           (m.c12 IS NULL) AS oov
+    FROM big b
+    LEFT JOIN model m USING (w1, w2)
+    LEFT JOIN contexts x USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(lp) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll2_micro,
+       CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM scored GROUP BY 1
 """,
         "mixture_sample": """
 WITH d AS (

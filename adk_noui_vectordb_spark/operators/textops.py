@@ -757,6 +757,87 @@ def lm_perplexity_score(
     )
 
 
+def lm_bigram_score(
+    spark: SparkSession, sf_dir: str, model_size: int = 64, v_smooth: int = 64
+) -> DataFrame:
+    """Bigram-LM quality scoring — the second-order refinement of
+    ``lm_perplexity_score``: train bigram counts on the corpus itself,
+    score each document by mean negative conditional log probability
+    ``-avg ln P(w_i | w_{i-1})`` with add-1/2 smoothing. Word-order
+    scrambles that unigram perplexity cannot see (same words, broken
+    transitions) surface here — the CCNet/KenLM filtering signal one
+    order up.
+
+    Model boundedness (the 100 TB contract, same as the unigram key):
+    - the BIGRAM MODEL is cut to the top ``model_size`` bigrams by count
+      (count desc, w1 asc, w2 asc — TakeOrderedAndProject, never a
+      global sort), so model size is CAPPED regardless of corpus size;
+    - CONTEXT totals derive from the capped model itself
+      (``c1 = sum of kept c12 per w1``), guaranteeing ``c12 <= c1`` so
+      no smoothed probability exceeds 1 — and keeping the context table
+      a subset of the model's first words (bounded too);
+    - both tables re-enter as BROADCAST joins onto the exploded bigram
+      stream; an unseen bigram scores ``ln(0.5 / (c1 + 0.5*V))`` with
+      ``c1 = 0`` when the context is unseen too — the smoothing floor.
+
+    Scale shape: bigrams come from ONE zip of the token array with its
+    own 1-shift (arrays_zip over two slices — no self-join, no window)
+    and explode once; counting is one map-side-combined groupBy (the
+    corpus-sized shuffle the model inherently needs); per-doc reduction
+    shuffles once on doc_id. Per-bigram log-probs carry as FLOOR-scaled
+    integer micro-nats (the lm_perplexity_score tie discipline: floor of
+    identical doubles has no rounding-tie concept; integer sums and
+    ``div`` are exact on any engine). Docs with < 2 tokens have no
+    transitions and are excluded (n_bigrams would be 0).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    big = (
+        d.select("doc_id", zipped.alias("bg"))
+        .filter(F.size("bg") >= 1)
+        .select("doc_id", F.explode("bg").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    model = (
+        counts.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(model_size)
+    )
+    contexts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # ln((c12 + 0.5) / (c1 + 0.5*V)) floor-scaled to integer micro-nats;
+    # every fractional literal stays double-typed on both engines.
+    logp = F.floor(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + 0.5)
+            / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+               + 0.5 * v_smooth)
+        )
+        * 1e6
+    ).cast("bigint")
+    return (
+        big.join(F.broadcast(model), ["w1", "w2"], "left_outer")
+        .join(F.broadcast(contexts), ["w1"], "left_outer")
+        .select("doc_id", logp.alias("lp"), F.col("c12").isNull().alias("oov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("lp")).alias("_nll_sum"),
+            F.sum(F.col("oov").cast("bigint")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_nll_sum div n_bigrams").alias("nll2_micro"),
+            "n_oov",
+        )
+    )
+
+
 def mixture_sample(
     spark: SparkSession, sf_dir: str, token_budget: int = 5000
 ) -> DataFrame:

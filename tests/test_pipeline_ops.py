@@ -290,6 +290,58 @@ def test_lm_perplexity_model_is_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_lm_bigram_invariants(spark, sf_dir):
+    """Every doc with >= 2 tokens appears with n_bigrams = n_tokens - 1;
+    smoothed probabilities stay < 1 (nll positive) because capped-model
+    contexts are derived from the model itself (c12 <= c1 < c1 + V/2)."""
+    rows = tx.lm_bigram_score(spark, sf_dir).collect()
+    assert rows
+    assert all(r["nll2_micro"] > 0 for r in rows)
+    assert all(0 <= r["n_oov"] <= r["n_bigrams"] for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = {
+        d["doc_id"]: len(d["text"].split(" ")) - 1
+        for d in docs
+        if len(d["text"].split(" ")) >= 2
+    }
+    assert {r["doc_id"]: r["n_bigrams"] for r in rows} == want
+
+
+def test_lm_bigram_detects_scrambled_word_order(spark, sf_dir):
+    """The bigram score's reason to exist: reversing every document's
+    word order preserves the unigram distribution exactly but breaks
+    transitions — the corpus-mean bigram nll must rise."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    base = tx.lm_bigram_score(spark, sf_dir)
+    mean_orig = base.agg(F.avg("nll2_micro")).head()[0]
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scrambled = docs.withColumn(
+            "text",
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " "),
+        )
+        scrambled.write.parquet(os.path.join(tmp, "documents.parquet"))
+        mean_scr = (
+            tx.lm_bigram_score(spark, tmp).agg(F.avg("nll2_micro")).head()[0]
+        )
+    assert mean_scr > mean_orig
+
+
+def test_lm_bigram_model_is_broadcast(spark, sf_dir):
+    """Both capped tables (bigram model, derived contexts) re-enter as
+    broadcast joins; the model cut is a TakeOrderedAndProject."""
+    plan = explain_str(tx.lm_bigram_score(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 # ------------------------------------------------------------ mixture sample
 
 def test_mixture_sample_quota_bounds(spark, sf_dir):
