@@ -566,6 +566,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_pipeline": _idx.index_pipeline_q,
         # embedding stage (pandas_udf Arrow path, SURVEY.md §2.11)
         "embed_projection_rows": _embed.embed_projection_rows,
+        # r7: embedding-matrix diagnostics + axis-aligned dim reduction
+        "embed_dim_stats": _embed.embed_dim_stats,
+        "embed_topvar_project": _embed.embed_topvar_project,
         "knn_text_query": _embed.knn_text_query,
         "knn_file_summary_query": _embed.knn_file_summary_query,
         "file_context": _idx.file_context,
@@ -2473,6 +2476,41 @@ WITH tok AS (
 SELECT s.doc_id, s.bucket, round(s.v / n.norm, 4) AS weight
 FROM s JOIN n ON s.doc_id = n.doc_id
 WHERE s.v <> 0
+""",
+        "embed_dim_stats": """
+WITH x AS (
+    SELECT t.i - 1 AS pos, CAST(e.embedding[t.i] AS DOUBLE) AS val
+    FROM embeddings e,
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+)
+SELECT CAST(pos AS INTEGER) AS pos,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(avg(val) * 1000000.0::DOUBLE) AS BIGINT) AS mean_micro,
+       CAST(floor(var_pop(val) * 1000000.0::DOUBLE) AS BIGINT) AS var_micro
+FROM x GROUP BY 1
+""",
+        # Selection ranks by FLOORED micro-variance (deterministic); the
+        # projection is pure element extraction, so proj doubles are
+        # bit-identical to the stored embeddings on both engines.
+        "embed_topvar_project": """
+WITH x AS (
+    SELECT t.i - 1 AS pos, CAST(e.embedding[t.i] AS DOUBLE) AS val
+    FROM embeddings e,
+         LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t
+),
+stats AS (
+    SELECT pos,
+           CAST(floor(var_pop(val) * 1000000.0::DOUBLE) AS BIGINT) AS var_micro
+    FROM x GROUP BY 1
+),
+top AS (
+    SELECT pos, row_number() OVER (ORDER BY var_micro DESC, pos) AS rank
+    FROM stats ORDER BY var_micro DESC, pos LIMIT 8
+)
+SELECT e.vec_id,
+       list(CAST(e.embedding[top.pos + 1] AS DOUBLE) ORDER BY top.rank) AS proj
+FROM embeddings e CROSS JOIN top
+GROUP BY 1
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -196,3 +196,88 @@ def knn_file_summary_query(
         .orderBy(F.desc("sim"), F.asc("path"))
         .limit(k)
     )
+
+
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding matrix —
+    the diagnostics pass every embedding pipeline runs before choosing a
+    compression (dead dimensions, scale imbalance, variance mass).
+
+    Scale shape: posexplode fans each vector into (pos, val) rows, but
+    the groupBy(pos) PARTIAL aggregate collapses every partition to
+    EMBED_DIM rows before the exchange — the shuffle carries
+    O(dim x partitions) rows, never O(dim x vectors). At 100 TB that is
+    the same communication bound as a tree-reduced numpy kernel, with
+    Catalyst handling the combine.
+
+    Determinism: mean/var_pop are floor-scaled to integer micros (the
+    lm_perplexity_score discipline — floor of near-identical doubles has
+    no .xx5 tie concept; merge-order float noise is ~1e-15 relative,
+    9 orders below the 1e-6 grid).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        )
+    )
+    return e.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg("val") * 1e6).cast("bigint").alias("mean_micro"),
+        F.floor(F.var_pop("val") * 1e6).cast("bigint").alias("var_micro"),
+    )
+
+
+def embed_topvar_project(
+    spark: SparkSession, sf_dir: str, n_dims: int = 8
+) -> DataFrame:
+    """Axis-aligned dimensionality reduction: keep the ``n_dims``
+    highest-variance dimensions (variance-ranked feature selection, the
+    cheap cousin of PCA that needs no rotation matrix) and project every
+    vector onto them — the storage/scan shape for a coarse first-stage
+    filter in two-stage retrieval (the int8/PQ family's narrow twin).
+
+    The selection ranks by the FLOORED micro-variance with position
+    tie-break (deterministic cross-engine); the projection itself is
+    pure element extraction — no arithmetic touches the values, so the
+    output doubles are bit-identical to the stored embeddings.
+
+    Scale shape: the ranked dimension list is n_dims rows (broadcast
+    collect-free: it stays a TakeOrderedAndProject frame joined back by
+    crossJoin-broadcast as a struct array literal would be overkill);
+    the projection is one narrow map over the vectors.
+    """
+    from pyspark.sql.window import Window
+
+    stats = embed_dim_stats(spark, sf_dir)
+    top = (
+        stats.orderBy(F.desc("var_micro"), F.asc("pos"))
+        .limit(n_dims)
+        .select(
+            "pos",
+            F.row_number()
+            .over(Window.orderBy(F.desc("var_micro"), F.asc("pos")))
+            .alias("rank"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # element_at is 1-based; pos from posexplode is 0-based.
+    return (
+        e.crossJoin(F.broadcast(top))
+        .select(
+            "vec_id",
+            "rank",
+            F.element_at(F.col("emb"), F.col("pos") + 1).alias("component"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "component"))
+            ).alias("_rc")
+        )
+        .select(
+            "vec_id",
+            F.transform(F.col("_rc"), lambda s: s["component"]).alias("proj"),
+        )
+    )

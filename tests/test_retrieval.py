@@ -176,3 +176,60 @@ def test_bm25_plan_no_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# --------------------------------------------- embedding dim stats / top-var
+
+def test_embed_dim_stats_matches_numpy(spark):
+    """Floored micro-mean/variance per dimension equal a from-scratch
+    numpy computation (population variance) on the same matrix."""
+    import math
+
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators import embed as em
+
+    mat = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").orderBy("vec_id").collect()
+    ])
+    got = {r["pos"]: r for r in em.embed_dim_stats(spark, SF).collect()}
+    assert set(got) == set(range(mat.shape[1]))
+    for pos in range(mat.shape[1]):
+        col = mat[:, pos]
+        assert got[pos]["n"] == len(col)
+        assert got[pos]["mean_micro"] == math.floor(col.mean() * 1e6)
+        # var_pop merge order differs from numpy's sum; allow the one-ulp
+        # floor-boundary step only (never observed, asserted equal first)
+        assert got[pos]["var_micro"] == math.floor(col.var() * 1e6)
+
+
+def test_embed_topvar_project_selects_and_extracts(spark):
+    """proj holds the raw stored components of the 8 highest-variance
+    dimensions, ordered by variance rank — bit-identical extraction."""
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators import embed as em
+
+    rows = load_table(spark, SF, "embeddings").collect()
+    mat = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ])
+    var_micro = np.floor(mat.var(axis=0) * 1e6).astype(np.int64)
+    order = sorted(range(mat.shape[1]), key=lambda p: (-var_micro[p], p))[:8]
+    got = {r["vec_id"]: r["proj"] for r in em.embed_topvar_project(spark, SF).collect()}
+    ids = sorted(r["vec_id"] for r in rows)
+    assert set(got) == set(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid] == [mat[i, p] for p in order]
+
+
+def test_embed_dim_stats_partial_aggregates_before_shuffle(spark):
+    """The groupBy(pos) must partial-aggregate (two HashAggregates around
+    one exchange): the shuffle carries O(dim x partitions) rows, never
+    O(dim x vectors)."""
+    from adk_noui_vectordb_spark.operators import embed as em
+
+    plan = explain_str(em.embed_dim_stats(spark, SF), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
