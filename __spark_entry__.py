@@ -605,6 +605,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cardinalities, approximate with pinned error bounds at scale
         # (tests/test_sketches.py)
         "sketch_distinct_users": _sketch.sketch_distinct_users,
+        # r7: pairwise audience overlap from MERGED sketches
+        # (inclusion-exclusion over hll_union) — no fact-table re-scan
+        "sketch_user_overlap": _sketch.sketch_user_overlap,
         # multimodal plumbing (north star; mapInPandas over binary payloads)
         "multimodal_features": _mm.multimodal_features,
         "multimodal_resize": _mm.resize_images,
@@ -2948,6 +2951,37 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users
 FROM events GROUP BY event_type
 UNION ALL
 SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+""",
+        # Same coupon-mode exactness contract, pairwise: every estimate
+        # is the exact distinct count at test cardinalities, so
+        # inclusion-exclusion yields exact union/overlap/jaccard.
+        "sketch_user_overlap": """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM t a JOIN t b ON a.event_type < b.event_type
+),
+uni AS (
+    SELECT p.type_a, p.type_b,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS approx_union
+    FROM pairs p JOIN u ON u.event_type IN (p.type_a, p.type_b)
+    GROUP BY 1, 2
+),
+ov AS (
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS c
+    FROM u x JOIN u y
+      ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, uni.approx_union,
+       CAST(coalesce(ov.c, 0) AS BIGINT) AS approx_overlap,
+       CAST(coalesce(ov.c, 0) * 1000000 // uni.approx_union AS BIGINT)
+           AS jaccard_micro
+FROM pairs p
+JOIN uni USING (type_a, type_b)
+LEFT JOIN ov USING (type_a, type_b)
 """,
         # Morton interleave (operators/layout.py:z_interleave) replayed
         # as pure integer arithmetic; the time bucket derives from

@@ -78,6 +78,63 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from MERGED sketches: for every unordered
+    event-type pair, the union / intersection cardinality of their user
+    sets and the Jaccard similarity — computed entirely from the per-type
+    HLL sketches via inclusion-exclusion
+    (``|A ∩ B| = est(A) + est(B) - est(A ∪ B)``), never by re-scanning
+    or joining the fact table. This is why mergeable sketches matter at
+    100 TB: the events table is read ONCE into #types sketch blobs, and
+    every pairwise question afterwards is arithmetic over a few KB
+    (DataSketches set-operation practice; Dasgupta et al., "Theta
+    sketches" framing).
+
+    Scale shape: one scan + one map-side-combined groupBy builds the
+    per-type sketches; the pair frame is a #types² self-join over a
+    broadcast-sized table (5 rows here); hll_union merges blobs
+    JVM-side. Jaccard is emitted in exact integer micro-units
+    (overlap·10⁶ div union) — integer arithmetic over the estimates, no
+    float path.
+
+    Oracle-checked under the coupon-mode exactness contract
+    (sketch_distinct_users): at test cardinalities every estimate is the
+    exact distinct count, so union/overlap/jaccard hash-match the exact
+    SQL; past ~10⁴ distincts per pair the sketches go dense and the
+    estimates degrade to the published ~0.4% bound at fixed size (the
+    drift guard in tests/test_sketches.py fails first if testdata ever
+    approaches the threshold; inclusion-exclusion on dense estimates is
+    additionally bounded in tests on synthetic overflow data).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 21)").alias("sk")
+    )
+    a = per.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = per.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_a = F.expr("hll_sketch_estimate(sk_a)")
+    est_b = F.expr("hll_sketch_estimate(sk_b)")
+    est_u = F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            est_u.alias("approx_union"),
+            (est_a + est_b - est_u).alias("approx_overlap"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "approx_union",
+            "approx_overlap",
+            F.expr("approx_overlap * 1000000 div approx_union").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+
+
 HH_CAPACITY = 4096  # Misra-Gries counters per partial summary
 HH_TOPK = 20
 

@@ -168,3 +168,59 @@ def test_misra_gries_bound_when_capacity_overflows(spark):
     for tok, cnt in true.items():
         if cnt > any_err:
             assert tok in got, (tok, cnt, any_err)
+
+
+def test_user_overlap_matches_exact_sets(spark, sf_dir):
+    """Inclusion-exclusion over merged sketches equals exact set algebra
+    at test cardinalities (coupon-mode exactness), for every pair."""
+    from adk_noui_vectordb_spark.operators.sketches import sketch_user_overlap
+
+    e = load_table(spark, sf_dir, "events")
+    sets = {
+        r["event_type"]: set(
+            x["user_id"]
+            for x in e.filter(F.col("event_type") == r["event_type"])
+            .select("user_id")
+            .distinct()
+            .collect()
+        )
+        for r in e.select("event_type").distinct().collect()
+    }
+    rows = sketch_user_overlap(spark, sf_dir).collect()
+    types = sorted(sets)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["type_a"] < r["type_b"]
+        assert r["approx_union"] == len(a | b)
+        assert r["approx_overlap"] == len(a & b)
+        assert r["jaccard_micro"] == len(a & b) * 1_000_000 // len(a | b)
+
+
+def test_user_overlap_inclusion_exclusion_bound_past_coupon_mode(spark):
+    """Past coupon capacity the estimates go dense-HLL approximate;
+    inclusion-exclusion compounds the per-sketch error, so pin a 5%
+    relative bound on synthetic data big enough to overflow: a 40k-id
+    set and a 20k-id set fully contained in it (union 40k, overlap 20k;
+    lgConfigK 12 forces dense mode at this size)."""
+    df = spark.range(0, 60_000).select(
+        F.when(F.col("id") < 40_000, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        F.when(F.col("id") < 40_000, F.col("id"))
+        .otherwise(F.col("id") - 20_000)
+        .alias("uid"),
+    )
+    per = df.groupBy("g").agg(F.expr("hll_sketch_agg(uid, 12)").alias("sk"))
+    a = per.filter("g = 'a'").select(F.col("sk").alias("sk_a"))
+    b = per.filter("g = 'b'").select(F.col("sk").alias("sk_b"))
+    row = (
+        a.crossJoin(b)
+        .select(
+            F.expr("hll_sketch_estimate(sk_a)").alias("ea"),
+            F.expr("hll_sketch_estimate(sk_b)").alias("eb"),
+            F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").alias("eu"),
+        )
+        .head()
+    )
+    overlap = row["ea"] + row["eb"] - row["eu"]
+    assert abs(row["eu"] - 40_000) <= 0.05 * 40_000
+    assert abs(overlap - 20_000) <= 0.05 * 40_000  # error scales with union
