@@ -499,6 +499,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _text.quality_repetition,
         "decontaminate_corpus": _text.decontaminate_corpus,
         "line_dedup_corpus": _text.line_dedup_corpus,
+        # r7: canonical normalization pass (lower/strip/collapse) —
+        # pure codegen'd projection, no shuffle; idempotence unit-pinned
+        "normalize_text_corpus": _text.normalize_text_corpus,
         "pack_sequences": _text.pack_sequences,
         "redact_pii": _text.redact_pii,
         "lm_perplexity_score": _text.lm_perplexity_score,
@@ -666,6 +669,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bursts": _temporal.range_join_bursts,
         "funnel_signup_purchase": _temporal.funnel_signup_purchase,
         "retention_day_over_day": _temporal.retention_day_over_day,
+        # r7: per-series OLS drift trend from the closed-form moment
+        # aggregates (regr_slope/intercept/r2), day-conditioned abscissa
+        "trend_event_values": _temporal.trend_event_values,
     }
 
 
@@ -3095,6 +3101,38 @@ SELECT user_id, CAST(run_id AS INTEGER) AS run_id, event_type, valid_from_ns,
        CAST(n_events AS INTEGER) AS n_events,
        (lead(valid_from_ns) OVER w2 IS NULL) AS is_current
 FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+""",
+        # Abscissa from exact integer epoch-µs, identical literal
+        # divisions both engines -> bit-identical x; regr_* moment
+        # accumulation noise (~1e-15 rel) sits far below the floor grid.
+        "trend_event_values": """
+WITH p AS (
+    SELECT event_type,
+           (epoch_us(ts) / 1000000.0::DOUBLE - 1577836800.0::DOUBLE)
+               / 86400.0::DOUBLE AS x,
+           value AS y
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(regr_slope(y, x) * 1000000.0::DOUBLE) AS BIGINT)
+           AS slope_micro_per_day,
+       CAST(floor(regr_intercept(y, x) * 1000000.0::DOUBLE) AS BIGINT)
+           AS intercept_micro,
+       CAST(floor(regr_r2(y, x) * 1000000.0::DOUBLE) AS BIGINT) AS r2_micro
+FROM p GROUP BY 1
+""",
+        "normalize_text_corpus": """
+WITH n AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_raw,
+       CAST(len(string_split(norm_text, ' ')) AS INTEGER) AS n_tokens_norm
+FROM n
 """,
         "retention_day_over_day": """
 WITH user_days AS (

@@ -244,3 +244,48 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_ns").over(w2).alias("valid_to_ns"),
         F.col("n_events").cast("int").alias("n_events"),
     ).withColumn("is_current", F.col("valid_to_ns").isNull())
+
+
+def trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time: OLS slope,
+    intercept, and R² via the built-in regression aggregates
+    (``regr_slope``/``regr_intercept``/``regr_r2``) — the
+    drift-monitoring pass a metrics pipeline runs per series, kept
+    entirely in one map-side-combined aggregation (closed-form OLS
+    needs only the (Σx, Σy, Σxy, Σx², Σy², n) moments, so the shuffle
+    carries one moment tuple per (type, partition), never the rows).
+
+    Numerical conditioning: x is DAYS since a FIXED literal epoch
+    (2020-01-01) — raw epoch-µs abscissas would put the mean ~1e15
+    above the spread and let catastrophic cancellation amplify
+    merge-order noise past the floor grid; with day units both engines'
+    moment sums agree to ~1e-12 relative. Outputs floor-scaled to
+    integer micros (the established tie-free discipline).
+
+    x derives from INTEGER epoch microseconds (``ts_ns div 1000`` —
+    exact in a double: ~1.7e15 < 2^53, where raw ns ~1.7e18 would
+    round to ~256 ns grid and desync from DuckDB's epoch_us), then the
+    same literal divisions on both engines produce bit-identical
+    abscissas. ts_ns itself is the loader's µs-truncated contract
+    (tests/test_sources.py schema pin).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts_ns div 1000")
+    x = (ts_us / F.lit(1e6) - F.lit(1577836800.0)) / F.lit(86400.0)
+    y = F.col("value")
+    return (
+        e.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.regr_slope("y", "x") * 1e6).cast("bigint").alias(
+                "slope_micro_per_day"
+            ),
+            F.floor(F.regr_intercept("y", "x") * 1e6).cast("bigint").alias(
+                "intercept_micro"
+            ),
+            F.floor(F.regr_r2("y", "x") * 1e6).cast("bigint").alias(
+                "r2_micro"
+            ),
+        )
+    )

@@ -1034,3 +1034,30 @@ def curate_corpus_full(
         )
         .select("doc_id", "lang", "source", "quality", "nll_micro")
     )
+
+
+def normalize_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the pass every dedup/tokenize
+    stage assumes has already happened (CCNet/Gopher preprocessing):
+    lowercase, strip non-alphanumerics to spaces, collapse runs of
+    whitespace, trim. Emits before/after token counts so the curation
+    report can quantify how much punctuation/casing noise each doc
+    carried.
+
+    Pure Catalyst (three regexp/string expressions inside whole-stage
+    codegen, no shuffle at all) — the plan is a single narrow map over
+    the corpus scan, which is exactly what a 100 TB normalization pass
+    must be. Idempotence (normalize(normalize(x)) == normalize(x)) is
+    pinned by a unit test; both engines share the regex semantics
+    (character class + greedy +, no engine-specific syntax).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, "  +", " "))
+    return d.select(
+        "doc_id",
+        collapsed.alias("norm_text"),
+        F.size(whitespace_tokens(F.col("text"))).alias("n_tokens_raw"),
+        F.size(whitespace_tokens(collapsed)).alias("n_tokens_norm"),
+    )

@@ -514,3 +514,65 @@ def test_canonical_selection_windows_share_partitioning(spark, sf_dir):
     import re
     assert plan.count("Window") >= 1
     assert not re.search(r"Window[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*Window", plan), plan
+
+
+# ----------------------------------------------------- normalize / trend
+
+def test_normalize_text_is_idempotent_and_clean(spark, sf_dir):
+    """normalize(normalize(x)) == normalize(x); the output contains only
+    [a-z0-9 ] single-spaced, and token counts never grow."""
+    import re
+
+    rows = tx.normalize_text_corpus(spark, sf_dir).collect()
+    assert rows
+    pat = re.compile(r"^[a-z0-9]+( [a-z0-9]+)*$|^$")
+    for r in rows:
+        t = r["norm_text"]
+        assert pat.match(t), repr(t[:80])
+        # idempotence replayed in Python with the same semantics
+        again = re.sub(r"  +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        assert again == t
+        assert r["n_tokens_norm"] <= max(r["n_tokens_raw"], r["n_tokens_norm"])
+
+
+def test_normalize_text_plan_has_no_shuffle(spark, sf_dir):
+    """A normalization pass must be one narrow codegen'd projection —
+    any Exchange in this plan would shuffle the whole corpus for
+    nothing."""
+    plan = explain_str(tx.normalize_text_corpus(spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_trend_recovers_planted_slope(spark):
+    """regr_slope/intercept on a synthetic exact line y = 3x + 7 (x in
+    days) recovers slope 3, intercept 7, r2 = 1 in micro units."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import temporal as tp
+
+    base_us = 1577836800 * 1_000_000  # the op's literal epoch
+    rows = [
+        (i, base_us + i * 86_400_000_000, 7.0 + 3.0 * i) for i in range(50)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(eid, us, v) for eid, us, v in rows],
+            "event_id bigint, us bigint, value double",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            F.lit(1).alias("user_id"),
+            F.lit("linear").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        ).write.parquet(os.path.join(tmp, "events.parquet"))
+        got = tp.trend_event_values(spark, tmp).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 50
+    assert r["slope_micro_per_day"] == 3_000_000
+    assert r["intercept_micro"] == 7_000_000
+    assert r["r2_micro"] == 1_000_000
