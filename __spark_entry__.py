@@ -672,6 +672,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: per-series OLS drift trend from the closed-form moment
         # aggregates (regr_slope/intercept/r2), day-conditioned abscissa
         "trend_event_values": _temporal.trend_event_values,
+        # r7: distribution profiling + per-series outlier monitoring
+        "histogram_order_totals": _rel.histogram_order_totals,
+        "events_anomaly_zscore": _rel.events_anomaly_zscore,
     }
 
 
@@ -3133,6 +3136,31 @@ SELECT doc_id, norm_text,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_raw,
        CAST(len(string_split(norm_text, ' ')) AS INTEGER) AS n_tokens_norm
 FROM n
+""",
+        # Bucket index is ONE IEEE expression over identical stored
+        # doubles — bit-identical cross-engine; mass in exact cents.
+        "histogram_order_totals": """
+SELECT CAST(floor((o_totalprice - 0.0::DOUBLE) / 25000.0::DOUBLE) AS INTEGER)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY 1
+""",
+        "events_anomaly_zscore": """
+WITH s AS (
+    SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+    FROM events GROUP BY 1
+),
+z AS (
+    SELECT e.event_type, e.event_id, e.value,
+           CAST(floor((e.value - s.mu) / s.sigma * 1000000.0::DOUBLE)
+                AS BIGINT) AS z_micro
+    FROM events e JOIN s USING (event_type)
+    WHERE s.sigma > 0
+)
+SELECT event_type, event_id, value, z_micro
+FROM z WHERE z_micro >= 2000000 OR z_micro < -2000000
 """,
         "retention_day_over_day": """
 WITH user_days AS (

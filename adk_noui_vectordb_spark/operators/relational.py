@@ -1266,3 +1266,69 @@ def q21_waiting_suppliers(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+def histogram_order_totals(
+    spark: SparkSession, sf_dir: str, lo: float = 0.0, width: float = 25_000.0
+) -> DataFrame:
+    """Equi-width histogram of order totals: bucket index, row count,
+    and exact-cent value mass per bucket — the distribution-profiling
+    primitive behind every data-quality dashboard.
+
+    One map-side-combined groupBy on a derived integer — the minimal
+    shape (the corpus collapses to #buckets partial rows per partition
+    before the shuffle). Bucketing arithmetic ``floor((x - lo)/width)``
+    is a single IEEE expression over identical stored doubles, so both
+    engines produce identical indices bit-for-bit (single-op floats
+    only diverge under accumulation order, never per-row); the value
+    mass is summed in exact integer cents (prices are 2-dp decimals
+    stored as doubles — the repo's established money discipline).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)).cast(
+        "int"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+def events_anomaly_zscore(
+    spark: SparkSession, sf_dir: str, z_threshold_micro: int = 2_000_000
+) -> DataFrame:
+    """Per-series z-score outliers: events whose value sits more than
+    ``z_threshold_micro``/1e6 population standard deviations from their
+    event-type mean — the monitoring pass that feeds alerting at scale.
+
+    Two-pass shape (the only correct one for a global statistic): one
+    map-side-combined aggregate computes per-type (mean, stddev_pop) —
+    #types rows — which re-enter as a BROADCAST join onto the second
+    scan; the anomaly filter then cuts the output to the tail before
+    anything shuffles. z carries as floor-scaled integer micros and the
+    threshold compares integers, so the flag boundary has no
+    cross-engine float hazard (aggregate merge noise ~1e-15 relative
+    sits far below the 1e-6 grid).
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z_micro = F.floor(
+        (F.col("value") - F.col("mu")) / F.col("sigma") * 1e6
+    ).cast("bigint")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select("event_type", "event_id", "value", z_micro.alias("z_micro"))
+        .filter(
+            (F.col("z_micro") >= z_threshold_micro)
+            | (F.col("z_micro") < -z_threshold_micro)
+        )
+    )

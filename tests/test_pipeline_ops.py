@@ -576,3 +576,36 @@ def test_trend_recovers_planted_slope(spark):
     assert r["slope_micro_per_day"] == 3_000_000
     assert r["intercept_micro"] == 7_000_000
     assert r["r2_micro"] == 1_000_000
+
+
+# ------------------------------------------------- histogram / anomaly
+
+def test_histogram_conserves_orders_and_mass(spark, sf_dir):
+    """Bucket counts and cent mass must sum to the table totals exactly
+    (no order falls outside the bucketing, nothing double-counts)."""
+    got = rel.histogram_order_totals(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    tot = got.agg(
+        F.sum("n_orders").alias("n"), F.sum("total_cents").alias("c")
+    ).head()
+    want = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"),
+    ).head()
+    assert tot["n"] == want["n"]
+    assert tot["c"] == want["c"]
+    assert got.filter(F.col("bucket") < 0).count() == 0
+
+
+def test_anomaly_zscore_tail_and_broadcast(spark, sf_dir):
+    """|z| >= 2 flags a small tail (< 15% of events), every flagged row
+    really exceeds the threshold, and the stats side is broadcast."""
+    got = rel.events_anomaly_zscore(spark, sf_dir)
+    rows = got.collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert 0 < len(rows) < 0.15 * n_events
+    assert all(
+        r["z_micro"] >= 2_000_000 or r["z_micro"] < -2_000_000 for r in rows
+    )
+    plan = explain_str(got, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
