@@ -219,3 +219,97 @@ def bm25_topk_served(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def update_text_index(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> str:
+    """Incremental index maintenance: merge a batch of new documents
+    into the existing on-disk index by rewriting ONLY the term-bucket
+    partitions their terms touch — the reference's incremental-reindex
+    semantics (indexing_agent.py re-embeds only changed files) applied
+    to the lexical index.
+
+    Mechanics: the batch's postings are computed with the same kernel
+    as the full build; their distinct ``tbucket`` set names the
+    affected partitions; old + new postings for THOSE buckets are
+    unioned, tf summed per (doc, term) (re-submitting a doc replaces
+    nothing here — the caller dedups; the merge is additive), and
+    written back with dynamic partition overwrite, so untouched buckets
+    are never read or rewritten. termstats for the affected buckets are
+    recomputed from the merged postings; corpus stats are rebuilt from
+    per-doc lengths (one small aggregate over the index itself).
+
+    At 100 TB this is the difference between an index refresh costing
+    O(batch + affected buckets) and O(corpus): a daily 0.1% ingest
+    touches ~every bucket only if its vocabulary does — skewed
+    real-world batches (one language, one source) touch few.
+
+    Equality with a from-scratch rebuild over the combined corpus is
+    pinned in tests/test_invindex.py.
+
+    NOTE: after an update the index at this root represents
+    ``sf_dir ∪ batch``, no longer ``sf_dir`` alone — the driver-checked
+    serving keys never call this (their oracle recomputes from the raw
+    documents table); a pipeline that ingests must treat the index root
+    as the corpus of record, exactly as the reference treats its
+    ChromaDB collection.
+    """
+    root = build_text_index(spark, sf_dir)
+    post_p = os.path.join(root, "postings")
+    tokens = whitespace_tokens(F.col("text"))
+    batch = (
+        new_docs.select(
+            "doc_id",
+            F.size(tokens).alias("dl"),
+            F.explode(tokens).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .select(
+            term_bucket_expr(F.col("term")).alias("tbucket"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+        )
+    )
+    buckets = sorted(
+        r["tbucket"] for r in batch.select("tbucket").distinct().collect()
+    )
+    if not buckets:
+        return root
+    old = spark.read.parquet(post_p).filter(F.col("tbucket").isin(buckets))
+    merged = (
+        old.unionByName(batch)
+        .groupBy("tbucket", "term", "doc_id")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+        .select("tbucket", "term", "doc_id", "tf", "dl")
+    )
+    # Materialize before overwriting the directory we are reading from.
+    merged = merged.localCheckpoint(eager=True)
+    with_dynamic_overwrite = (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tbucket")
+    )
+    with_dynamic_overwrite.parquet(post_p)
+    tstats = (
+        merged.groupBy("tbucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    tstats.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("tbucket").parquet(os.path.join(root, "termstats"))
+    stats = (
+        spark.read.parquet(post_p)
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
+        .localCheckpoint(eager=True)
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "stats")
+    )
+    return root

@@ -83,3 +83,70 @@ def test_stats_cover_whole_corpus(spark, sf_dir):
     ).head()
     assert srow["n_docs"] == want["n"]
     assert srow["tot_dl"] == want["dl"]
+
+
+def test_incremental_update_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Splitting the corpus into base + batch, building on base and
+    incrementally merging the batch must yield byte-equal postings,
+    termstats, and stats to a from-scratch build over everything —
+    while rewriting only the buckets the batch's terms touch."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir, all_dir = str(tmp_path / "base"), str(tmp_path / "all")
+    os.makedirs(base_dir), os.makedirs(all_dir)
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(
+        os.path.join(base_dir, "documents.parquet")
+    )
+    docs.write.parquet(os.path.join(all_dir, "documents.parquet"))
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    root_inc = invindex.update_text_index(spark, base_dir, batch)
+    root_all = invindex.build_text_index(spark, all_dir)
+
+    def postings(root):
+        return {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"], r["tbucket"])
+            for r in spark.read.parquet(os.path.join(root, "postings")).collect()
+        }
+
+    def termstats(root):
+        return {
+            r["term"]: (r["df"], r["tbucket"])
+            for r in spark.read.parquet(os.path.join(root, "termstats")).collect()
+        }
+
+    assert postings(root_inc) == postings(root_all)
+    assert termstats(root_inc) == termstats(root_all)
+    s_inc = spark.read.parquet(os.path.join(root_inc, "stats")).head()
+    s_all = spark.read.parquet(os.path.join(root_all, "stats")).head()
+    assert (s_inc["n_docs"], s_inc["tot_dl"]) == (
+        s_all["n_docs"],
+        s_all["tot_dl"],
+    )
+
+
+def test_incremental_update_touches_only_affected_buckets(spark, sf_dir, tmp_path):
+    """A single-document batch must leave every unaffected postings
+    partition file untouched on disk (same inode mtimes)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "base2")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    root = invindex.build_text_index(spark, base_dir)
+    post_p = os.path.join(root, "postings")
+
+    one = spark.createDataFrame(
+        [(10_000_000, "zzz-unique-term")], "doc_id bigint, text string"
+    )
+    affected = {invindex.term_bucket_py("zzz-unique-term")}
+    before = {}
+    for d in os.listdir(post_p):
+        if d.startswith("tbucket="):
+            p = os.path.join(post_p, d)
+            before[d] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+    invindex.update_text_index(spark, base_dir, one)
+    for d, mt in before.items():
+        b = int(d.split("=")[1])
+        if b not in affected:
+            p = os.path.join(post_p, d)
+            now = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+            assert now == mt, f"bucket {b} rewritten by unrelated update"
