@@ -601,6 +601,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-identical to bm25_topk so both share the _BM25_CTE oracle.
         "inverted_postings_rows": _inv.inverted_postings_rows,
         "bm25_topk_served": _inv.bm25_topk_served,
+        # r7: BOTH retrieval arms from on-disk indexes (inverted index +
+        # RP-LSH band table) — zero corpus scans at query time.
+        "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
         "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
@@ -2274,6 +2277,48 @@ SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
         "bm25_topk_served": f"""
 WITH {_BM25_CTE}
 SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+        # Served hybrid: the scan-time fusion tail over the SERVED
+        # candidate sources — BM25 list (identical arithmetic) and the
+        # RP-LSH probe candidates (exact cosine rerank, LIMIT 100).
+        "hybrid_rrf_served_topk": f"""
+WITH {_BM25_CTE},
+{_RP_BANDS_CTE.lstrip()},
+srv_qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+srv_cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN srv_qb USING (band, band_key)
+    WHERE b.vec_id <> 0
+),
+srv_qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+),
+srv_vsims AS (
+    SELECT e.vec_id AS doc_id, {_COS.format(a="e.embedding", b="srv_qe.q_emb")} AS sim
+    FROM embeddings e JOIN srv_cand USING (vec_id) CROSS JOIN srv_qe
+),
+srv_vec_top AS (SELECT doc_id, sim FROM srv_vsims ORDER BY sim DESC, doc_id LIMIT 100),
+srv_vec_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+    FROM srv_vec_top
+),
+srv_lex_top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+srv_lex_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+    FROM srv_lex_top
+),
+srv_fused AS (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+    FROM srv_lex_ranked l FULL OUTER JOIN srv_vec_ranked v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+       CAST(vec_rank AS INTEGER) AS vec_rank,
+       coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
+       + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf
+FROM srv_fused ORDER BY rrf DESC, doc_id LIMIT 10
 """,
         # Index-content check (the rp_lsh_band_rows analog): the probed
         # postings rows themselves — tf per (doc, query term) plus the

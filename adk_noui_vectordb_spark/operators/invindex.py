@@ -254,6 +254,14 @@ def update_text_index(
     documents table); a pipeline that ingests must treat the index root
     as the corpus of record, exactly as the reference treats its
     ChromaDB collection.
+
+    Crash-safety caveat (unlike the swap-disciplined builds): the three
+    writes (postings, termstats, stats) are not atomic as a group — a
+    crash between them leaves stats one batch behind the postings. A
+    production deployment puts the update under a table format with
+    multi-file transactions (Delta/Iceberg) or re-runs the idempotent
+    merge; re-running here re-adds the batch's tf (the merge is
+    additive), so recovery is: rebuild, or replay against a fresh base.
     """
     root = build_text_index(spark, sf_dir)
     post_p = os.path.join(root, "postings")
@@ -313,3 +321,66 @@ def update_text_index(
         os.path.join(root, "stats")
     )
     return root
+
+
+def hybrid_rrf_served_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    query_vec_id: int = 0,
+    n_candidates: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Fully index-served hybrid retrieval — the complete query-service
+    story: the lexical arm ranks from the on-disk inverted index
+    (term-bucket pruned, ``bm25_topk_served``) and the vector arm from
+    the on-disk RP-LSH band table (partition-pruned probe + exact
+    rerank, ``ann_rp_lsh_topk``), fused with Reciprocal Rank Fusion.
+    ZERO corpus scans at query time: a query against 100 TB touches the
+    query terms' postings buckets, the query signature's band buckets,
+    and the candidate embeddings — nothing else.
+
+    Fusion arithmetic is identical to ``hybrid.hybrid_rrf_topk``
+    (1/(60+rank) exact-integer-input divisions, rank windows over the
+    N-capped lists, full-outer on doc_id); only the candidate sources
+    change, which is the point — serving swaps the scans, not the
+    semantics. The vector arm is LSH-approximate, so the fused list can
+    differ from the scan-time hybrid where the vector candidate set
+    does; the oracle mirrors the probe exactly, so the key is still
+    hash-checked.
+    """
+    from pyspark.sql.window import Window
+
+    from .ann import ann_rp_lsh_topk
+    from .hybrid import RRF_K
+
+    lex_top = bm25_topk_served(spark, sf_dir, terms, k=n_candidates)
+    lex_ranked = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    vec_top = ann_rp_lsh_topk(spark, sf_dir, query_vec_id, k=n_candidates)
+    vec_ranked = vec_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("vec_id")))
+        .alias("vec_rank"),
+    )
+    fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )

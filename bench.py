@@ -76,6 +76,14 @@ BENCH_KEYS = [
     "zorder_events",
     "scd2_user_state_history",
     "bm25_topk_served",
+    "lm_bigram_score",
+    "sketch_user_overlap",
+    "embed_topvar_project",
+    "normalize_text_corpus",
+    "trend_event_values",
+    "histogram_order_totals",
+    "events_anomaly_zscore",
+    "hybrid_rrf_served_topk",
 ]
 
 

@@ -150,3 +150,39 @@ def test_incremental_update_touches_only_affected_buckets(spark, sf_dir, tmp_pat
             p = os.path.join(post_p, d)
             now = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
             assert now == mt, f"bucket {b} rewritten by unrelated update"
+
+
+def test_served_hybrid_is_fully_index_served(spark, sf_dir):
+    """Both arms of hybrid_rrf_served_topk must read from on-disk
+    indexes with partition pruning (tbucket for the lexical arm,
+    band/band_key for the vector probe) — no documents-table scan in
+    the plan."""
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    df = invindex.hybrid_rrf_served_topk(spark, sf_dir)
+    plan = explain_str(df)
+    heads = [s.split("\n")[0] for s in plan.split("PartitionFilters")[1:]]
+    assert any("tbucket" in h for h in heads), plan
+    assert any("band" in h for h in heads), plan
+    assert "documents.parquet" not in plan, plan
+
+
+def test_served_hybrid_lexical_arm_matches_scan_hybrid(spark, sf_dir):
+    """The lexical ranks inside the served fusion equal the scan-time
+    hybrid's lexical ranks (identical BM25 arithmetic); only the vector
+    arm may differ (LSH-approximate by design)."""
+    from adk_noui_vectordb_spark.operators.hybrid import hybrid_rrf_topk
+
+    served = {
+        r["doc_id"]: r["lex_rank"]
+        for r in invindex.hybrid_rrf_served_topk(spark, sf_dir).collect()
+        if r["lex_rank"] is not None
+    }
+    scan = {
+        r["doc_id"]: r["lex_rank"]
+        for r in hybrid_rrf_topk(spark, sf_dir).collect()
+        if r["lex_rank"] is not None
+    }
+    for doc_id, rank in served.items():
+        if doc_id in scan:
+            assert scan[doc_id] == rank, (doc_id, rank, scan[doc_id])

@@ -54,6 +54,20 @@ KEYS = {
     "tokenize_bpe_encode": "documents",
     "ann_ivf_trained_topk": "embeddings",
     "dedup_simhash_pairs": "documents",
+    # r7b additions
+    "bm25_topk_served": "documents",
+    "lm_bigram_score": "documents",
+    "embed_topvar_project": "embeddings",
+    "sketch_user_overlap": "events",
+    "normalize_text_corpus": "documents",
+    "trend_event_values": "events",
+    "histogram_order_totals": "orders",
+    "events_anomaly_zscore": "events",
+    "dedup_repeated_ngrams": "documents",
+    "sketch_heavy_hitters": "documents",
+    "bloom_filter_orders": "orders",
+    "zorder_events": "events",
+    "scd2_user_state_history": "events",
 }
 
 
