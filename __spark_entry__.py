@@ -339,14 +339,9 @@ _CHECKED_R2 = frozenset({
     "setop_active_noncustomers", "json_props_rollup",
 })
 
-# r1-green keys whose OUTPUTS changed in round 2 (60-bit SimHash
-# signatures, ngram-Jaccard block split, index upsert key now includes
-# start_line) — their r1 driver row is stale, so they outrank the stable
-# r1 set for re-verification (ADVICE.md round-2, low).
-_STALE_R1 = frozenset({
-    "dedup_simhash_pairs", "simhash_signatures", "ngram_jaccard_pairs",
-    "index_pipeline",
-})
+# (The round-2 _STALE_R1 set is gone: the rank ordering below derives
+# staleness from _LATEST_GREEN + _REWRITTEN, and all four former members
+# have r4+ greens.)
 
 # Green (rows+schema+hash) in CORRECTNESS_r04.json — the freshest rows, so
 # they sort to the BACK of the 50-key driver window.

@@ -31,8 +31,12 @@ from typing import Any, Callable
 from pyspark.sql import SparkSession
 
 # Bounded insertion-ordered memo: entries from stopped sessions (stale
-# applicationIds) age out beyond the last MEMO_MAX entries.
-MEMO_MAX = 8
+# applicationIds) age out beyond the last MEMO_MAX entries. Sized for
+# the consolidated cache: ~6 consumer families x a handful of live
+# (dataset, fingerprint) combinations — the former per-family dicts held
+# 8 entries EACH, so a shared bound of 8 would thrash when a sf0.01
+# correctness pass interleaves with a sf0.1 bench pass (review r7).
+MEMO_MAX = 48
 _MEMO: "dict[tuple, Any]" = {}
 _MISS = object()
 

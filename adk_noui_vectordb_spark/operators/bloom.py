@@ -48,11 +48,16 @@ _BLOOM_B = [12345, 67891, 24680, 13579]
 def _bloom_positions(key: Column) -> list[Column]:
     """The BLOOM_HASHES bit positions for a bigint key:
     ((a_j * key + b_j) mod P) mod BLOOM_BITS — pure bigint arithmetic
-    (products < 2^62, ANSI-safe), whole-stage codegen end-to-end."""
-    k = key.cast("bigint") % F.lit(_BLOOM_P)
+    (products < 2^62, ANSI-safe), whole-stage codegen end-to-end.
+    ``pmod`` (not ``%``, which keeps the dividend's sign) so NEGATIVE
+    keys land in [0, BLOOM_BITS) too — with ``%`` a negative key would
+    set bits via Python wrap-around indexing at build time but probe a
+    DIFFERENT word (int truncation / element_at on a negative index),
+    silently breaking the no-false-negative guarantee (review r7)."""
+    k = F.pmod(key.cast("bigint"), F.lit(_BLOOM_P))
     return [
-        (
-            (F.lit(_BLOOM_A[j]) * k + F.lit(_BLOOM_B[j])) % F.lit(_BLOOM_P)
+        F.pmod(
+            F.lit(_BLOOM_A[j]) * k + F.lit(_BLOOM_B[j]), F.lit(_BLOOM_P)
         )
         % F.lit(BLOOM_BITS)
         for j in range(BLOOM_HASHES)

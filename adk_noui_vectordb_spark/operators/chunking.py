@@ -329,8 +329,8 @@ _JS_REGEX_PREV_WORDS = frozenset(
 # semantically identical for regex-free sources); a miss keeps the old
 # behavior.
 _JS_REGEX_HINT_RE = _re.compile(
-    r"(?:[=(\[{,;:!&|?+\-*%^~<>]|\b(?:return|case|typeof|instanceof|in|of|"
-    r"do|else|void|delete|new|throw|yield|await)\b)\s*/[^/*=]"
+    r"(?:^|[\r\n]|[=(\[{,;:!&|?+\-*%^~<>]|\b(?:return|case|typeof|instanceof|"
+    r"in|of|do|else|void|delete|new|throw|yield|await)\b)\s*/[^/*=]"
 )
 
 

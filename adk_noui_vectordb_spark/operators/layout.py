@@ -79,6 +79,6 @@ def write_zorder_layout(
         .sortWithinPartitions("zval")
         .write.mode("overwrite")
         .option("parquet.block.size", 64 * 1024)
-        .option("spark.sql.files.maxRecordsPerFile", str(rows_per_group))
+        .option("maxRecordsPerFile", str(rows_per_group))
         .parquet(path)
     )

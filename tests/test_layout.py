@@ -88,7 +88,7 @@ def test_zorder_layout_narrows_rowgroup_stats(spark, tmp_path):
         df.repartitionByRange(4, "y")
         .sortWithinPartitions("y")
         .write.mode("overwrite")
-        .option("spark.sql.files.maxRecordsPerFile", "256")
+        .option("maxRecordsPerFile", "256")
         .parquet(y_path)
     )
     z_path = str(tmp_path / "by_z")
@@ -97,7 +97,7 @@ def test_zorder_layout_narrows_rowgroup_stats(spark, tmp_path):
         .repartitionByRange(4, "zval")
         .sortWithinPartitions("zval")
         .write.mode("overwrite")
-        .option("spark.sql.files.maxRecordsPerFile", "256")
+        .option("maxRecordsPerFile", "256")
         .parquet(z_path)
     )
 
@@ -148,3 +148,27 @@ def test_bloom_filter_no_false_negatives_and_selective(spark, sf_dir):
     w_small = B.build_bloom_words(small, "c_custkey")
     n_kept = o.filter(B.bloom_might_contain(w_small, F.col("o_custkey"))).count()
     assert n_kept < o.count() * 0.25, n_kept
+
+
+def test_bloom_positions_handle_negative_keys(spark):
+    """pmod keeps every position in [0, BLOOM_BITS) for negative keys,
+    and the no-false-negative guarantee holds end-to-end on a key set
+    spanning both signs (regression: % kept the dividend's sign, so a
+    negative key set bits at build via Python wrap-around but probed a
+    different word)."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import bloom as B
+
+    keys = [-5, -1, -1103515245, 0, 3, 2**40, -(2**40)]
+    dim = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    pos = dim.select(
+        F.array(*B._bloom_positions(F.col("k"))).alias("ps")
+    ).collect()
+    for r in pos:
+        assert all(0 <= p < B.BLOOM_BITS for p in r["ps"]), r["ps"]
+    words = B.build_bloom_words(dim, "k")
+    probed = dim.select(
+        "k", B.bloom_might_contain(words, F.col("k")).alias("hit")
+    ).collect()
+    assert all(r["hit"] for r in probed), probed

@@ -520,7 +520,9 @@ def test_canonical_selection_windows_share_partitioning(spark, sf_dir):
 
 def test_normalize_text_is_idempotent_and_clean(spark, sf_dir):
     """normalize(normalize(x)) == normalize(x); the output contains only
-    [a-z0-9 ] single-spaced, and token counts never grow."""
+    [a-z0-9 ] single-spaced, and the reported token count matches the
+    normalized text. (Normalization CAN grow the token count — 'a.b'
+    becomes 'a b' — so no monotonicity is claimed.)"""
     import re
 
     rows = tx.normalize_text_corpus(spark, sf_dir).collect()
@@ -532,7 +534,7 @@ def test_normalize_text_is_idempotent_and_clean(spark, sf_dir):
         # idempotence replayed in Python with the same semantics
         again = re.sub(r"  +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
         assert again == t
-        assert r["n_tokens_norm"] <= max(r["n_tokens_raw"], r["n_tokens_norm"])
+        assert r["n_tokens_norm"] == len(t.split(" "))
 
 
 def test_normalize_text_plan_has_no_shuffle(spark, sf_dir):
