@@ -673,6 +673,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: distribution profiling + per-series outlier monitoring
         "histogram_order_totals": _rel.histogram_order_totals,
         "events_anomaly_zscore": _rel.events_anomaly_zscore,
+        # r7: skew detection (the measurement behind the salted_* ops)
+        # and the ordered-edge triangle kernel on the nation co-trade graph
+        "skew_key_profile": _rel.skew_key_profile,
+        "triangle_count_nations": _graph.triangle_count_nations,
     }
 
 
@@ -3176,6 +3180,40 @@ SELECT doc_id, norm_text,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_raw,
        CAST(len(string_split(norm_text, ' ')) AS INTEGER) AS n_tokens_norm
 FROM n
+""",
+        "skew_key_profile": """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_micro
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, user_id LIMIT 10
+""",
+        # Ordered-edge join-join: every triangle {a<b<c} found once.
+        "triangle_count_nations": """
+WITH pairs AS (
+    SELECT DISTINCT least(cn.n_name, sn.n_name) AS u,
+                    greatest(cn.n_name, sn.n_name) AS v
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+),
+tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+    WHERE EXISTS (SELECT 1 FROM pairs e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+),
+corners AS (
+    SELECT a AS n_name FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
 """,
         # Bucket index is ONE IEEE expression over identical stored
         # doubles — bit-identical cross-engine; mass in exact cents.

@@ -1332,3 +1332,33 @@ def events_anomaly_zscore(
             | (F.col("z_micro") < -z_threshold_micro)
         )
     )
+
+
+def skew_key_profile(
+    spark: SparkSession, sf_dir: str, top_n: int = 10
+) -> DataFrame:
+    """Join/groupBy-key skew diagnostics: the top-N heaviest user_id
+    keys in the events table with their exact share of all rows — the
+    measurement a pipeline runs BEFORE deciding to salt a key (the
+    engine's salted_event_totals / salted_skew_join are the mitigation;
+    this is the detection). A key above ~1/parallelism share means one
+    task carries that fraction of the shuffle — the signal to salt.
+
+    One map-side-combined groupBy (the corpus collapses to one row per
+    distinct key per partition), a 1-row total re-entering as a
+    broadcast, and a TakeOrderedAndProject cut — no global sort. Share
+    is exact integer micro-units (cnt·10⁶ div total).
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_micro"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(top_n)
+    )

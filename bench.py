@@ -84,6 +84,8 @@ BENCH_KEYS = [
     "histogram_order_totals",
     "events_anomaly_zscore",
     "hybrid_rrf_served_topk",
+    "skew_key_profile",
+    "triangle_count_nations",
 ]
 
 

@@ -611,3 +611,33 @@ def test_anomaly_zscore_tail_and_broadcast(spark, sf_dir):
     )
     plan = explain_str(got, mode="simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------------- triangles / skew profile
+
+def test_triangle_participation_invariants(spark, sf_dir):
+    """Sum of per-node participation is exactly 3x the triangle total
+    (each triangle has three corners), and no node can exceed C(24,2)
+    (25 nations, complete-graph bound)."""
+    from adk_noui_vectordb_spark.operators.graph import triangle_count_nations
+
+    rows = triangle_count_nations(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_triangles"] for r in rows)
+    assert total % 3 == 0
+    assert all(0 < r["n_triangles"] <= 24 * 23 // 2 for r in rows)
+
+
+def test_skew_profile_matches_exact_counts(spark, sf_dir):
+    """Top keys and shares equal an exact recomputation; counts are
+    returned heaviest-first with the id tie-break."""
+    got = rel.skew_key_profile(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").collect()
+    from collections import Counter
+
+    cnt = Counter(r["user_id"] for r in e)
+    total = sum(cnt.values())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["user_id"], r["cnt"]) for r in got] == want
+    for r in got:
+        assert r["share_micro"] == r["cnt"] * 1_000_000 // total
