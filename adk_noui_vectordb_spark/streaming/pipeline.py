@@ -350,3 +350,43 @@ def stream_sessionize_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_text_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming lexical-index freshness: document files landing in
+    ``docs_stream_dir`` merge into the on-disk inverted index via the
+    incremental bucket-rewrite path (``invindex.update_text_index``) —
+    the 6th streaming mode closes the loop between ingestion and
+    serving: a query through ``bm25_topk_served``'s index sees a
+    document one micro-batch after it lands, at the cost of rewriting
+    only the term buckets that batch touched.
+
+    The checkpoint guarantees each file enters exactly one micro-batch;
+    the additive merge therefore counts every document once. (The
+    non-atomicity caveat on update_text_index applies per batch — a
+    production deployment puts the index under Delta/Iceberg.)
+    """
+    from ..operators.invindex import update_text_index
+
+    raw = spark.readStream.schema("doc_id bigint, text string").parquet(
+        docs_stream_dir
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_text_index(
+            batch_df.sparkSession, sf_dir, batch_df.select("doc_id", "text")
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -216,3 +216,64 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_stream_text_index_ingest_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Streaming document files into the inverted index via the
+    incremental bucket-rewrite must converge to the same index a
+    from-scratch build produces over base + streamed docs — and a
+    second availableNow run ingests nothing new (checkpoint exactly-
+    once)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import invindex
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_text_index_ingest,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "base")
+    all_dir = str(tmp_path / "all")
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(base_dir), os.makedirs(all_dir), os.makedirs(stream_dir)
+    docs.filter(F.col("doc_id") % 4 != 0).write.parquet(
+        os.path.join(base_dir, "documents.parquet")
+    )
+    docs.write.parquet(os.path.join(all_dir, "documents.parquet"))
+    invindex.build_text_index(spark, base_dir)
+    # two "arriving" files -> two entries for the file stream
+    docs.filter(F.col("doc_id") % 8 == 0).select("doc_id", "text").write.parquet(
+        os.path.join(stream_dir, "b1")
+    )
+    docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 8 != 0)).select(
+        "doc_id", "text"
+    ).write.parquet(os.path.join(stream_dir, "b2"))
+
+    q = stream_text_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_ix")
+    )
+    q.awaitTermination(180)
+
+    root_inc = invindex.build_text_index(spark, base_dir)  # same root, updated
+    root_all = invindex.build_text_index(spark, all_dir)
+
+    def postings(root):
+        return {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in spark.read.parquet(os.path.join(root, "postings")).collect()
+        }
+
+    assert postings(root_inc) == postings(root_all)
+    s_inc = spark.read.parquet(os.path.join(root_inc, "stats")).head()
+    s_all = spark.read.parquet(os.path.join(root_all, "stats")).head()
+    assert (s_inc["n_docs"], s_inc["tot_dl"]) == (s_all["n_docs"], s_all["tot_dl"])
+
+    # replay: checkpoint already covers both files -> index unchanged
+    before = postings(root_inc)
+    q2 = stream_text_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_ix")
+    )
+    q2.awaitTermination(180)
+    assert postings(root_inc) == before
