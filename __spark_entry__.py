@@ -670,6 +670,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: per-series OLS drift trend from the closed-form moment
         # aggregates (regr_slope/intercept/r2), day-conditioned abscissa
         "trend_event_values": _temporal.trend_event_values,
+        # r7: per-user event caps (balancing/privacy) — the canonical
+        # top-N-per-group window, partitioned BY USER
+        "events_rate_limited_sample": _temporal.events_rate_limited_sample,
+        # r7: dedup reporting — duplicate-cluster size distribution
+        "dup_cluster_size_histogram": _dedup.dup_cluster_size_histogram,
         # r7: distribution profiling + per-series outlier monitoring
         "histogram_order_totals": _rel.histogram_order_totals,
         "events_anomaly_zscore": _rel.events_anomaly_zscore,
@@ -1814,6 +1819,34 @@ reach(src, dst) AS (
     FROM reach JOIN edges ON reach.dst = edges.src
 )
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+""",
+        "events_rate_limited_sample": """
+SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+    FROM events
+) WHERE rn <= 5
+""",
+        "dup_cluster_size_histogram": f"""
+WITH RECURSIVE {_MINHASH_BANDS_CTE},
+edges AS (
+    SELECT DISTINCT l.doc_id AS src, r.doc_id AS dst
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.band_hash = r.band_hash
+         AND l.doc_id <> r.doc_id
+),
+reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT reach.src, edges.dst
+    FROM reach JOIN edges ON reach.dst = edges.src
+),
+cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
 """,
         "dedup_canonical_selection": f"""
 WITH RECURSIVE {_MINHASH_BANDS_CTE},

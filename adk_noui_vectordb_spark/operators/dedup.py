@@ -902,3 +902,23 @@ def dedup_repeated_ngrams(
             ).alias("dup_per_million"),
         )
     )
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting: the distribution of near-duplicate cluster sizes
+    (how much of the corpus is singletons vs small clusters vs big
+    boilerplate families) — the summary every dedup run publishes
+    before anyone trusts its keep-list.
+
+    Two map-side-combined aggregations over the connected-components
+    output (cluster sizes, then size counts) — both shuffles carry one
+    row per distinct key per partition; the CC labels themselves come
+    from the established Pregel kernel (and its recursive-CTE oracle).
+    """
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

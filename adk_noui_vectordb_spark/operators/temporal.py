@@ -289,3 +289,23 @@ def trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_rate_limited_sample(
+    spark: SparkSession, sf_dir: str, cap: int = 5
+) -> DataFrame:
+    """Per-user event caps: keep each user's first ``cap`` events in
+    time order — the balancing/privacy primitive (bound any single
+    user's contribution to a training set) and the canonical
+    top-N-per-group shape: ONE window shuffle partitioned BY USER
+    (parallel across users at any scale — never a global sort), rank,
+    filter. Deterministic: (ts_ns, event_id) total order within a user.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        e.select("user_id", "event_id", "ts_ns")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("user_id", "event_id", F.col("rn").cast("int").alias("rn"))
+    )

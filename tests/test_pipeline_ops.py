@@ -641,3 +641,43 @@ def test_skew_profile_matches_exact_counts(spark, sf_dir):
     assert [(r["user_id"], r["cnt"]) for r in got] == want
     for r in got:
         assert r["share_micro"] == r["cnt"] * 1_000_000 // total
+
+
+# -------------------------------------------- rate limit / cluster histogram
+
+def test_rate_limited_sample_keeps_earliest_per_user(spark, sf_dir):
+    """Each user keeps at most cap rows, ranks are contiguous from 1,
+    and the kept event_ids are exactly the user's earliest by
+    (ts_ns, event_id)."""
+    from adk_noui_vectordb_spark.operators import temporal as tp
+
+    cap = 5
+    got: dict[int, list] = {}
+    for r in tp.events_rate_limited_sample(spark, sf_dir, cap=cap).collect():
+        got.setdefault(r["user_id"], []).append((r["rn"], r["event_id"]))
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_ns"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r["user_id"], []).append((r["ts_ns"], r["event_id"]))
+    for uid, kept in got.items():
+        kept.sort()
+        assert [k[0] for k in kept] == list(range(1, len(kept) + 1))
+        assert len(kept) <= cap
+        want = [ev for _, ev in sorted(by_user[uid])[:cap]]
+        assert [k[1] for k in kept] == want
+
+
+def test_cluster_size_histogram_conserves_docs(spark, sf_dir):
+    """sum(cluster_size * n_clusters) equals the corpus size — every
+    document lands in exactly one cluster."""
+    from adk_noui_vectordb_spark.operators.dedup import (
+        dup_cluster_size_histogram,
+    )
+
+    rows = dup_cluster_size_histogram(spark, sf_dir).collect()
+    total = sum(r["cluster_size"] * r["n_clusters"] for r in rows)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert total == n_docs
+    assert all(r["cluster_size"] >= 1 and r["n_clusters"] >= 1 for r in rows)
