@@ -398,6 +398,14 @@ def test_sanitize_js_regex_literals():
     src = "const a = /[{]/;\n// c\nconst b = `${/[}]/}`;\n"
     assert sanitize_js(src).count("\n") == src.count("\n")
 
+    # regex literal at START OF SOURCE and at start-of-line after a
+    # comment: the routing hint must still send these to the scanner
+    # (review r7 — the hint previously required a preceding trigger)
+    s = sanitize_js("/[{]/.test(s) && f();\nfunction g() { return 1; }")
+    assert s.count("{") == s.count("}") == 1
+    s = sanitize_js("// lead comment\n/[{]/.test(s);\nfunction g() { }")
+    assert s.count("{") == s.count("}") == 1
+
 
 def test_chunk_js_elements_with_regex_literals(spark):
     """End-to-end: a file whose methods use `/[{]/`-style regexes still
