@@ -682,6 +682,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the ordered-edge triangle kernel on the nation co-trade graph
         "skew_key_profile": _rel.skew_key_profile,
         "triangle_count_nations": _graph.triangle_count_nations,
+        # r7: reshape dual (UNPIVOT/melt) and the time-RANGE window frame
+        "unpivot_event_matrix": _rel.unpivot_event_matrix,
+        "window_trailing_value_sum": _rel.window_trailing_value_sum,
     }
 
 
@@ -3213,6 +3216,24 @@ SELECT doc_id, norm_text,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_raw,
        CAST(len(string_split(norm_text, ' ')) AS INTEGER) AS n_tokens_norm
 FROM n
+""",
+        # The melt round-trip lands back at the plain long-form counts.
+        "unpivot_event_matrix": """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+""",
+        # RANGE frame over integer epoch-µs; values floor-scaled to
+        # integer micros BEFORE the window sum (bounded-frame float
+        # aggregates associate differently across engines; integers
+        # are exact in any association order). RANGE includes all
+        # peers at equal ts, so ties need no order disambiguation.
+        "window_trailing_value_sum": """
+SELECT user_id, event_id,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS trailing_sum_micro
+FROM events
 """,
         "skew_key_profile": """
 WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

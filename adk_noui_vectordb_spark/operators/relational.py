@@ -1362,3 +1362,68 @@ def skew_key_profile(
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(top_n)
     )
+
+
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the dual of ``pivot_event_matrix``: the wide
+    user x event_type count matrix back to long (user_id, event_type,
+    n_events) rows, keeping only nonzero cells. Wide-to-long is the
+    other half of the reshape API a warehouse user expects; Spark's
+    ``DataFrame.unpivot`` compiles to a single Expand node — one narrow
+    pass, no shuffle beyond the pivot's own aggregation.
+
+    Round-trip contract: unpivot(pivot(events)) equals the plain
+    groupBy(user_id, event_type) counts — pinned by the oracle (which
+    computes the long form directly) and the conservation unit test.
+    """
+    wide = pivot_event_matrix(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=[f"n_{t}" for t in types],
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .select(
+            "user_id",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            "n_events",
+        )
+    )
+
+
+def window_trailing_value_sum(
+    spark: SparkSession, sf_dir: str, trailing_s: int = 60
+) -> DataFrame:
+    """Time-RANGE window frame: for every event, the sum of the same
+    user's values over the trailing ``trailing_s`` seconds (inclusive)
+    — the trailing-revenue/rate-limiter primitive that ROWS frames
+    cannot express (the frame is defined by TIME distance, not row
+    count). ``rangeBetween`` over integer epoch-µs keeps the frame
+    boundary exact.
+
+    Determinism: bounded-frame FLOAT aggregates associate differently
+    across engines (DuckDB's segment tree vs Spark's running frame —
+    the repo's documented window gotcha), so each value is floor-scaled
+    to integer micros FIRST and the window sums integers — exact in
+    any association order. One shuffle (window partitioned by user).
+    """
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 1e6).cast("bigint").alias("v_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-trailing_s * 1_000_000, 0)
+    )
+    return rows.select(
+        "user_id",
+        "event_id",
+        F.sum("v_micro").over(w).alias("trailing_sum_micro"),
+    )

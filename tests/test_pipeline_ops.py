@@ -681,3 +681,47 @@ def test_cluster_size_histogram_conserves_docs(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert total == n_docs
     assert all(r["cluster_size"] >= 1 and r["n_clusters"] >= 1 for r in rows)
+
+
+# ------------------------------------------------ unpivot / range window
+
+def test_unpivot_round_trip_conserves_events(spark, sf_dir):
+    """melt(pivot(events)) returns to the long form: total n_events
+    equals the event count and every (user, type) cell matches the
+    direct groupBy."""
+    got = {
+        (r["user_id"], r["event_type"]): r["n_events"]
+        for r in rel.unpivot_event_matrix(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) == e.count()
+
+
+def test_trailing_range_window_matches_python_replay(spark, sf_dir):
+    """The RANGE frame sum equals a brute-force replay over each user's
+    (ts_us, v_micro) series — inclusive 60 s window, peers included."""
+    import math
+
+    rows = rel.window_trailing_value_sum(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "value"
+    ).collect()
+    by_user: dict[int, list] = {}
+    series = {}
+    for r in e:
+        v = math.floor(r["value"] * 1e6)
+        by_user.setdefault(r["user_id"], []).append((r["ts_us"], v))
+        series[r["event_id"]] = (r["user_id"], r["ts_us"])
+    for r in rows[:500]:
+        uid, ts = series[r["event_id"]]
+        want = sum(
+            v for (t, v) in by_user[uid] if ts - 60_000_000 <= t <= ts
+        )
+        assert r["trailing_sum_micro"] == want, (r, want)
