@@ -503,6 +503,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: second-order LM scoring — word-order signal the unigram
         # key cannot see; capped broadcast bigram model, floor-micro-nats.
         "lm_bigram_score": _text.lm_bigram_score,
+        # r7: Shannon token-diversity quality signal, floor-micro-nats
+        "doc_token_entropy": _text.doc_token_entropy,
         "mixture_sample": _text.mixture_sample,
         "bpe_pair_counts": _text.bpe_pair_counts,
         "tokenize_bpe_encode": _text.tokenize_bpe_encode,
@@ -1531,6 +1533,24 @@ FROM (
     CROSS JOIN tot t
     GROUP BY 1
 )
+""",
+        "doc_token_entropy": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT doc_id, term, count(*) AS c FROM words GROUP BY 1, 2),
+totals AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM counts GROUP BY 1
+)
+SELECT c.doc_id, t.n_tokens, t.n_distinct,
+       CAST(sum(CAST(floor(
+           -(c.c / CAST(t.n_tokens AS DOUBLE))
+           * ln(c.c / CAST(t.n_tokens AS DOUBLE))
+           * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS entropy_micro
+FROM counts c JOIN totals t USING (doc_id)
+GROUP BY 1, 2, 3
 """,
         "lm_bigram_score": """
 WITH parts AS (

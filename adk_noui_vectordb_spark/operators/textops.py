@@ -1061,3 +1061,44 @@ def normalize_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(whitespace_tokens(F.col("text"))).alias("n_tokens_raw"),
         F.size(whitespace_tokens(collapsed)).alias("n_tokens_norm"),
     )
+
+
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    diversity quality signal (low entropy = repetitive/templated text,
+    high = diverse vocabulary) complementing quality_repetition's
+    max-frequency view with the full-distribution statistic.
+
+    Scale shape: one explode + ONE map-side-combined groupBy(doc, term)
+    for the within-doc counts, then a doc-level reduction sharing the
+    doc_id shuffle — no window, no self-join. Each term's contribution
+    ``-p*ln(p)`` (>= 0) is floor-scaled to integer micro-nats BEFORE
+    the sum (the lm_perplexity_score discipline: identical doubles
+    floor identically; integer sums are order-independent on any
+    engine), so ``entropy_micro`` is a deterministic floor
+    underestimate of H by < n_distinct micro-nats.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    )
+    counts = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    contrib = F.floor(-(p * F.log(p)) * 1e6).cast("bigint")
+    return (
+        counts.join(totals, "doc_id")
+        .select("doc_id", "n_tokens", "n_distinct", contrib.alias("tc"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.sum("tc").alias("entropy_micro"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "entropy_micro",
+        )
+    )

@@ -725,3 +725,31 @@ def test_trailing_range_window_matches_python_replay(spark, sf_dir):
             v for (t, v) in by_user[uid] if ts - 60_000_000 <= t <= ts
         )
         assert r["trailing_sum_micro"] == want, (r, want)
+
+
+def test_doc_token_entropy_bounds_and_extremes(spark, sf_dir):
+    """0 <= H <= ln(n_distinct) (uniform bound, micro units with floor
+    slack), single-token docs score 0, and a Python replay agrees."""
+    import math
+
+    rows = tx.doc_token_entropy(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows[:300]:
+        assert 0 <= r["entropy_micro"] <= math.ceil(
+            math.log(max(r["n_distinct"], 1)) * 1e6
+        )
+        toks = docs[r["doc_id"]].split(" ")
+        from collections import Counter
+
+        cnt = Counter(toks)
+        n = len(toks)
+        want = sum(
+            math.floor(-(c / n) * math.log(c / n) * 1e6)
+            for c in cnt.values()
+        )
+        assert r["entropy_micro"] == want
+        assert r["n_tokens"] == n and r["n_distinct"] == len(cnt)
