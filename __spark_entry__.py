@@ -588,6 +588,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table — recall 1.00 on the isotropic worst case (BASELINE.md)
         # at 30/96 partitions probed, no re-banding.
         "ann_rp_lsh_multiprobe_topk": _q_ann_rp_multiprobe,
+        # r7: batch k-NN JOIN — top-k neighbors for EVERY vector from
+        # the band table's equi self-join (never the O(n²) pair space)
+        "knn_join_topk": _ann.knn_join_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -2321,6 +2324,29 @@ qe AS (
 SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
 ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+        "knn_join_topk": f"""
+WITH {_RP_BANDS_CTE},
+cand AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+    FROM rp_bands a JOIN rp_bands b USING (band, band_key)
+    WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+    SELECT c.src, c.nbr,
+           {_COS.format(a="es.embedding", b="en.embedding")} AS sim
+    FROM cand c
+    JOIN embeddings es ON es.vec_id = c.src
+    JOIN embeddings en ON en.vec_id = c.nbr
+),
+ranked AS (
+    SELECT src, nbr, sim,
+           row_number() OVER (
+               PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+    FROM scored
+)
+SELECT src, nbr, sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
 """,
         "bm25_topk": f"""
 WITH {_BM25_CTE}

@@ -979,3 +979,74 @@ def knn_pq_rerank(
         .orderBy(F.asc("d2_micro"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def knn_join_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Batch k-NN JOIN: top-k approximate neighbors for EVERY corpus
+    vector in one job — the all-pairs similarity join behind SemDeDup /
+    near-dup mining / recommendation candidate generation, where the
+    single-query probe shape (ann_rp_lsh_topk) would mean n driver
+    round-trips.
+
+    Candidates come from the on-disk RP-LSH band table's EQUI SELF-JOIN
+    on (band, band_key) — the O(n²) pair space is never materialized;
+    only same-bucket pairs survive (the minhash banding shape applied
+    to embeddings). The exact cosine rerank touches candidates only,
+    and the per-source rank window shuffles once on src. Isotropic
+    test vectors make candidates ~1/3 of all pairs (the documented
+    worst case, BASELINE.md recall curve); clustered real embeddings
+    collapse that to near-linear — same contract as every LSH key.
+
+    Determinism: the established _COS discipline (4-dp round, neighbor
+    id tie-break); rank ties impossible after (sim, nbr) ordering.
+    """
+    from pyspark.sql.window import Window
+
+    bands = spark.read.parquet(build_rp_index(spark, sf_dir))
+    a = bands.select("band", "band_key", F.col("vec_id").alias("src"))
+    b = bands.select("band", "band_key", F.col("vec_id").alias("nbr"))
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("src") != F.col("nbr"))
+        .select("src", "nbr")
+        .distinct()
+    )
+    from ..functions.vector import dot_product
+
+    # Norms are projected ONCE per vector (n rows), not once per pair
+    # (the SCALE.md r6 HOF finding applied to the pair join: the naive
+    # cosine re-derives both norms for every candidate — 3x the HOF
+    # work). sqrt(dot(v,v)) here has the same bits as _COS's inline
+    # form, so the rounded value is unchanged.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select(
+        "vec_id", "e", F.sqrt(dot_product(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    es = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("se"),
+        F.col("nrm").alias("snrm"),
+    )
+    en = emb.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nnrm"),
+    )
+    sim = F.round(
+        dot_product(F.col("se"), F.col("ne"))
+        / (F.col("snrm") * F.col("nnrm")),
+        4,
+    )
+    scored = (
+        cand.join(es, "src")
+        .join(en, "nbr")
+        .select("src", "nbr", sim.alias("sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "nbr", "sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -86,6 +86,7 @@ BENCH_KEYS = [
     "hybrid_rrf_served_topk",
     "skew_key_profile",
     "triangle_count_nations",
+    "knn_join_topk",
 ]
 
 

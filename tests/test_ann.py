@@ -360,3 +360,19 @@ def test_kmeans_assignment_is_pure_projection(spark, sf_dir):
     plan = explain_str(cluster_kmeans(spark, sf_dir), mode="simple")
     for bad in ("Exchange", "Sort", "Window", "Join"):
         assert bad not in plan, f"{bad} in assignment plan:\n{plan}"
+
+
+def test_knn_join_ranks_are_contiguous_and_sorted(spark, sf_dir):
+    from adk_noui_vectordb_spark.operators.ann import knn_join_topk
+
+    rows = knn_join_topk(spark, sf_dir, k=3).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["rank"], r["sim"], r["nbr"]))
+    assert by_src
+    for src, lst in by_src.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        sims = [x[1] for x in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert all(x[2] != src for x in lst)
