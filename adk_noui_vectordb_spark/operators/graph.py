@@ -131,10 +131,11 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, ["a", "c"], "left_semi")
         .select("a", "b", "c")
     )
-    corners = (
-        tri.select(F.col("a").alias("n_name"))
-        .unionAll(tri.select(F.col("b").alias("n_name")))
-        .unionAll(tri.select(F.col("c").alias("n_name")))
+    # explode(array(...)), not a 3-way unionAll: the union triplicates
+    # the fact-fact join subtree in the plan (9 scans, recovered only by
+    # AQE's ReusedExchange); the explode computes tri ONCE (review r7).
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("n_name")
     )
     return corners.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_triangles")

@@ -51,7 +51,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import whitespace_tokens
 from ..sources.tables import load_table
 from .hybrid import B, K1, QUERY_TERMS
 
@@ -73,26 +72,18 @@ def term_bucket_py(term: str) -> int:
 
 
 def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(tbucket, term, doc_id, tf, dl) — the index kernel: one explode,
-    one map-side-combined groupBy (tf rows collapse per partition before
-    the shuffle); dl rides along as max() of a per-doc constant."""
+    """(tbucket, term, doc_id, tf, dl) — the index kernel: the SHARED
+    ``doc_term_counts`` aggregation (one explode, one map-side-combined
+    groupBy; dl denormalized) plus the bucket projection."""
+    from .textops import doc_term_counts
+
     docs = load_table(spark, sf_dir, "documents")
-    tokens = whitespace_tokens(F.col("text"))
-    words = docs.select(
+    return doc_term_counts(docs, with_dl=True).select(
+        term_bucket_expr(F.col("term")).alias("tbucket"),
+        "term",
         "doc_id",
-        F.size(tokens).alias("dl"),
-        F.explode(tokens).alias("term"),
-    )
-    return (
-        words.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .select(
-            term_bucket_expr(F.col("term")).alias("tbucket"),
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
-        )
+        "tf",
+        "dl",
     )
 
 
@@ -265,22 +256,14 @@ def update_text_index(
     """
     root = build_text_index(spark, sf_dir)
     post_p = os.path.join(root, "postings")
-    tokens = whitespace_tokens(F.col("text"))
-    batch = (
-        new_docs.select(
-            "doc_id",
-            F.size(tokens).alias("dl"),
-            F.explode(tokens).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .select(
-            term_bucket_expr(F.col("term")).alias("tbucket"),
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
-        )
+    from .textops import doc_term_counts
+
+    batch = doc_term_counts(new_docs, with_dl=True).select(
+        term_bucket_expr(F.col("term")).alias("tbucket"),
+        "term",
+        "doc_id",
+        "tf",
+        "dl",
     )
     buckets = sorted(
         r["tbucket"] for r in batch.select("tbucket").distinct().collect()

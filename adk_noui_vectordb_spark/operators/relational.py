@@ -379,6 +379,11 @@ def salted_event_totals(
     )
 
 
+# The enumerated pivot columns — shared by pivot_event_matrix and its
+# unpivot dual so the two can never drift (review r7).
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
 def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User x event_type count matrix via pivot (wide aggregation).
 
@@ -387,7 +392,7 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     them keeps it to ONE aggregation pass.
     """
     e = load_table(spark, sf_dir, "events")
-    types = ["click", "view", "purchase", "signup", "error"]
+    types = EVENT_TYPES
     return (
         e.groupBy("user_id")
         .pivot("event_type", types)
@@ -1377,7 +1382,7 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the long form directly) and the conservation unit test.
     """
     wide = pivot_event_matrix(spark, sf_dir)
-    types = ["click", "view", "purchase", "signup", "error"]
+    types = EVENT_TYPES
     return (
         wide.unpivot(
             ids=["user_id"],

@@ -281,6 +281,28 @@ def winnow_fingerprints(
     return winnowed.select("doc_id", F.col("fp").alias("fingerprint")).distinct()
 
 
+def doc_term_counts(docs: DataFrame, with_dl: bool = False) -> DataFrame:
+    """THE shared per-document term-frequency kernel — every term-count
+    consumer (tfidf, token entropy, the inverted-index build AND its
+    incremental update) derives from this one function so their
+    tokenization can never drift apart (review r7: four hand-rolled
+    copies had to stay identical for the shared oracle tokenization to
+    hold). One explode + one map-side-combined groupBy; ``with_dl``
+    rides the doc length along (max of a per-doc constant) for
+    posting-row denormalization."""
+    tokens = whitespace_tokens(F.col("text"))
+    cols = ["doc_id"]
+    if with_dl:
+        base = docs.select(
+            "doc_id", F.size(tokens).alias("dl"), F.explode(tokens).alias("term")
+        )
+        return base.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+        )
+    base = docs.select("doc_id", F.explode(tokens).alias("term"))
+    return base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFrame:
     """Top-N TF-IDF terms per document.
 
@@ -294,13 +316,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_n: int = 3) -> DataFra
     from pyspark.sql.window import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
-    )
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = words.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    tf = doc_term_counts(d)
+    # (doc, term) keys of the counts frame are distinct by construction,
+    # so df comes from the SAME aggregation — no second explode pass.
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # scalar; enters the plan as a literal
     scored = tf.join(df_, "term").select(
         "doc_id",
@@ -1079,12 +1098,7 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     underestimate of H by < n_distinct micro-nats.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
-    )
-    counts = words.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    counts = doc_term_counts(d).withColumnRenamed("tf", "c")
     totals = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
     )

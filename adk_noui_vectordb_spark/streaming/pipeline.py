@@ -366,23 +366,38 @@ def stream_text_index_ingest(
     document one micro-batch after it lands, at the cost of rewriting
     only the term buckets that batch touched.
 
-    The checkpoint guarantees each file enters exactly one micro-batch;
-    the additive merge therefore counts every document once. (The
-    non-atomicity caveat on update_text_index applies per batch — a
-    production deployment puts the index under Delta/Iceberg.)
+    foreachBatch is AT-LEAST-ONCE: a crash between a completed merge
+    and the checkpoint commit re-delivers the batch on restart, and the
+    merge is additive — so the ingest is made idempotent by a per-batch
+    marker under the index root keyed on (checkpoint, batch_id): a
+    re-delivered batch whose marker exists is skipped. A crash INSIDE
+    the merge-then-marker window can still double-apply (the
+    update_text_index non-atomicity caveat) — a production deployment
+    puts the index under Delta/Iceberg for transactional batch commits;
+    recovery here is rebuild-from-corpus.
     """
-    from ..operators.invindex import update_text_index
+    import hashlib
+    import os
+
+    from ..operators.invindex import build_text_index, update_text_index
 
     raw = spark.readStream.schema("doc_id bigint, text string").parquet(
         docs_stream_dir
     )
+    ckpt_tag = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        root = build_text_index(batch_df.sparkSession, sf_dir)
+        applied = os.path.join(root, "applied")
+        os.makedirs(applied, exist_ok=True)
+        marker = os.path.join(applied, f"{ckpt_tag}_{batch_id}")
+        if os.path.exists(marker):
+            return  # re-delivered batch: already merged
         update_text_index(
             batch_df.sparkSession, sf_dir, batch_df.select("doc_id", "text")
         )
+        with open(marker, "w") as f:
+            f.write("ok\n")
 
     return (
         raw.writeStream.foreachBatch(_ingest)

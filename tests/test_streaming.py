@@ -277,3 +277,17 @@ def test_stream_text_index_ingest_equals_fresh_build(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(180)
     assert postings(root_inc) == before
+
+    # at-least-once re-DELIVERY (not just re-run): wipe the checkpoint so
+    # Structured Streaming re-delivers every file as fresh micro-batches;
+    # the per-batch markers under the index root must skip the additive
+    # merge, leaving the index byte-identical (review r7: foreachBatch is
+    # at-least-once and the merge is additive).
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt_ix"))
+    q3 = stream_text_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_ix")
+    )
+    q3.awaitTermination(180)
+    assert postings(root_inc) == before
