@@ -68,6 +68,16 @@ KEYS = {
     "bloom_filter_orders": "orders",
     "zorder_events": "events",
     "scd2_user_state_history": "events",
+    # r7c additions
+    "knn_join_topk": "embeddings",
+    "doc_token_entropy": "documents",
+    "unpivot_event_matrix": "events",
+    "window_trailing_value_sum": "events",
+    "events_rate_limited_sample": "events",
+    "dup_cluster_size_histogram": "documents",
+    "skew_key_profile": "events",
+    "triangle_count_nations": "lineitem",
+    "hybrid_rrf_served_topk": "documents",
 }
 
 
