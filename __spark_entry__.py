@@ -690,6 +690,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: reshape dual (UNPIVOT/melt) and the time-RANGE window frame
         "unpivot_event_matrix": _rel.unpivot_event_matrix,
         "window_trailing_value_sum": _rel.window_trailing_value_sum,
+        # r7: market-basket brand lift + per-user ML feature vector
+        "basket_brand_lift": _rel.basket_brand_lift,
+        "user_activity_profile": _rel.user_activity_profile,
     }
 
 
@@ -3280,6 +3283,42 @@ SELECT user_id, event_id,
            RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS trailing_sum_micro
 FROM events
+""",
+        "basket_brand_lift": """
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+    SELECT a.brand AS u, b.brand AS v, CAST(count(*) AS BIGINT) AS n_ab
+    FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY 1, 2
+),
+singles AS (
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_one FROM ob GROUP BY 1
+),
+t AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob)
+SELECT p.u, p.v, p.n_ab,
+       CAST(p.n_ab * t.n_orders * 1000000 // (sa.n_one * sb.n_one) AS BIGINT)
+           AS lift_micro
+FROM pairs p
+JOIN singles sa ON p.u = sa.brand
+JOIN singles sb ON p.v = sb.brand
+CROSS JOIN t
+ORDER BY p.n_ab DESC, p.u, p.v LIMIT 20
+""",
+        "user_activity_profile": """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS active_days,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events GROUP BY 1
 """,
         "skew_key_profile": """
 WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

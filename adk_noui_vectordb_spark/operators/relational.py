@@ -1432,3 +1432,88 @@ def window_trailing_value_sum(
         "event_id",
         F.sum("v_micro").over(w).alias("trailing_sum_micro"),
     )
+
+
+def basket_brand_lift(
+    spark: SparkSession, sf_dir: str, top_n: int = 20
+) -> DataFrame:
+    """Market-basket association mining over order contents: for the
+    ``top_n`` most co-purchased brand pairs, their co-occurrence count
+    and LIFT (observed co-rate over the independence expectation) — the
+    Apriori first pass / recommendation-affinity kernel.
+
+    Scale shape: baskets collapse to DISTINCT (order, brand) FIRST (the
+    item-dedup that bounds everything downstream), pairs come from the
+    ordered equi self-join ON THE ORDER KEY (u < v kills mirror
+    duplicates; same-basket blocking means the intermediate is
+    sum-of-squares of basket sizes, never corpus²), singles and the
+    order total are two tiny aggregates re-entering as broadcasts.
+
+    Lift is exact integer micro-units:
+    ``lift = P(ab)/(P(a)P(b)) = (n_ab * n_orders) / (n_a * n_b)``
+    computed as ``n_ab * n_orders * 10⁶ div (n_a * n_b)`` — all-bigint
+    (bounded: n_ab·n_orders·10⁶ < 2⁶² while n_orders < ~2×10⁹·scale;
+    shard the constant at larger counts).
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(maybe_broadcast(p, parquet_size_bytes(sf_dir, "part"),
+                               BROADCAST_MAX_BYTES),
+               l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.select("okey", F.col("brand").alias("u"))
+    b = ob.select("okey", F.col("brand").alias("v"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    singles = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_one"))
+    n_orders = ob.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("brand").alias("u"),
+                                       F.col("n_one").alias("n_a"))), "u")
+        .join(
+            F.broadcast(singles.select(F.col("brand").alias("v"),
+                                       F.col("n_one").alias("n_b"))), "v")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "u", "v", "n_ab",
+            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("u"), F.asc("v"))
+        .limit(top_n)
+    )
+
+
+def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature vector from the event log — the feature-
+    engineering wide aggregation every ML pipeline materializes: event
+    counts per type (conditional aggregates sharing ONE shuffle),
+    distinct active days, first/last seen. One map-side-combined
+    groupBy over the fact table; no joins, no windows. All-integer /
+    formatted-date output (exact cross-engine).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_type = [
+        F.sum((F.col("event_type") == t).cast("bigint")).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *per_type,
+        F.count_distinct(F.date_format("ts", "yyyy-MM-dd")).alias(
+            "active_days"
+        ),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )

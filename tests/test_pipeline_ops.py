@@ -753,3 +753,56 @@ def test_doc_token_entropy_bounds_and_extremes(spark, sf_dir):
         )
         assert r["entropy_micro"] == want
         assert r["n_tokens"] == n and r["n_distinct"] == len(cnt)
+
+
+# ------------------------------------------------ basket lift / user profile
+
+def test_basket_lift_invariants(spark, sf_dir):
+    """Lift is symmetric in construction (u < v canonical), n_ab can
+    never exceed either single count, and lift = n_ab·N/(n_a·n_b) in
+    exact micros for every returned pair."""
+    rows = rel.basket_brand_lift(spark, sf_dir).collect()
+    assert rows
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("b"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for r in ob:
+        baskets[r["okey"]].add(r["b"])
+    n_orders = len(baskets)
+    singles = defaultdict(int)
+    pairs = defaultdict(int)
+    for bs in baskets.values():
+        for x in bs:
+            singles[x] += 1
+        for x in bs:
+            for y in bs:
+                if x < y:
+                    pairs[(x, y)] += 1
+    for r in rows:
+        assert r["u"] < r["v"]
+        assert r["n_ab"] == pairs[(r["u"], r["v"])]
+        assert r["n_ab"] <= min(singles[r["u"]], singles[r["v"]])
+        assert r["lift_micro"] == r["n_ab"] * n_orders * 1_000_000 // (
+            singles[r["u"]] * singles[r["v"]]
+        )
+
+
+def test_user_profile_conserves_events(spark, sf_dir):
+    """Per-type counts sum to n_events for every user, and the profile
+    covers every user exactly once."""
+    rows = rel.user_activity_profile(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    assert len(rows) == e.select("user_id").distinct().count()
+    type_cols = ["n_click", "n_view", "n_purchase", "n_signup", "n_error"]
+    for r in rows:
+        assert sum(r[c] for c in type_cols) == r["n_events"]
+        assert 1 <= r["active_days"]
+        assert r["first_seen"] <= r["last_seen"]
