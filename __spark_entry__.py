@@ -3299,7 +3299,8 @@ singles AS (
 ),
 t AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob)
 SELECT p.u, p.v, p.n_ab,
-       CAST(p.n_ab * t.n_orders * 1000000 // (sa.n_one * sb.n_one) AS BIGINT)
+       CAST(CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000
+            // (CAST(sa.n_one AS HUGEINT) * sb.n_one) AS BIGINT)
            AS lift_micro
 FROM pairs p
 JOIN singles sa ON p.u = sa.brand

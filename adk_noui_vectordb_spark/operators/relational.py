@@ -1442,18 +1442,24 @@ def basket_brand_lift(
     and LIFT (observed co-rate over the independence expectation) — the
     Apriori first pass / recommendation-affinity kernel.
 
-    Scale shape: baskets collapse to DISTINCT (order, brand) FIRST (the
-    item-dedup that bounds everything downstream), pairs come from the
-    ordered equi self-join ON THE ORDER KEY (u < v kills mirror
-    duplicates; same-basket blocking means the intermediate is
-    sum-of-squares of basket sizes, never corpus²), singles and the
-    order total are two tiny aggregates re-entering as broadcasts.
+    Scale shape: baskets collapse to DISTINCT (order, brand) ONCE and
+    the deduped frame is MATERIALIZED (localCheckpoint) before its
+    three consumers — pairs, singles, basket total — otherwise column
+    pruning forks the plan into three separate fact scans + distinct
+    shuffles (review r7; the dedup.py/invindex.py shared-subtree
+    pattern). Pairs come from the ordered equi self-join ON THE ORDER
+    KEY (u < v kills mirror duplicates; same-basket blocking bounds the
+    intermediate by sum of squared basket sizes, never corpus²);
+    singles and the total re-enter as broadcasts.
 
-    Lift is exact integer micro-units:
-    ``lift = P(ab)/(P(a)P(b)) = (n_ab * n_orders) / (n_a * n_b)``
-    computed as ``n_ab * n_orders * 10⁶ div (n_a * n_b)`` — all-bigint
-    (bounded: n_ab·n_orders·10⁶ < 2⁶² while n_orders < ~2×10⁹·scale;
-    shard the constant at larger counts).
+    Lift is exact integer micro-units
+    ``lift = P(ab)/(P(a)P(b)) = (n_ab · n_orders · 10⁶) div (n_a · n_b)``
+    with the product computed in DECIMAL(38,0) (HUGEINT in the oracle):
+    n_ab grows linearly with n_orders for popular pairs, so the bigint
+    bound would break near n_orders ~ 10⁶·(1/co-rate) — far below real
+    corpus sizes — and Spark 4's ANSI mode would throw mid-query
+    (review r7). The final quotient (a small lift ratio in micros)
+    casts back to bigint.
     """
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -1463,6 +1469,7 @@ def basket_brand_lift(
                l.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = ob.select("okey", F.col("brand").alias("u"))
     b = ob.select("okey", F.col("brand").alias("v"))
@@ -1486,9 +1493,10 @@ def basket_brand_lift(
         .crossJoin(F.broadcast(n_orders))
         .select(
             "u", "v", "n_ab",
-            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)").alias(
-                "lift_micro"
-            ),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_micro"),
         )
         .orderBy(F.desc("n_ab"), F.asc("u"), F.asc("v"))
         .limit(top_n)
@@ -1498,22 +1506,37 @@ def basket_brand_lift(
 def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user feature vector from the event log — the feature-
     engineering wide aggregation every ML pipeline materializes: event
-    counts per type (conditional aggregates sharing ONE shuffle),
-    distinct active days, first/last seen. One map-side-combined
-    groupBy over the fact table; no joins, no windows. All-integer /
-    formatted-date output (exact cross-engine).
+    counts per type, distinct active days, first/last seen.
+
+    TWO-STAGE aggregation, not count_distinct: a distinct aggregate
+    rewrites into an Expand that duplicates every input row and still
+    pays two exchanges (review r7 — the plan disproved the one-shuffle
+    claim). Instead stage 1 groups by (user, day) — map-side-combined,
+    the only corpus-sized exchange — and stage 2 reduces the user×day
+    rows (tiny) to the profile, where active_days is a plain count.
+    All-integer / formatted-date output (exact cross-engine).
     """
     e = load_table(spark, sf_dir, "events")
     per_type = [
         F.sum((F.col("event_type") == t).cast("bigint")).alias(f"n_{t}")
         for t in EVENT_TYPES
     ]
-    return e.groupBy("user_id").agg(
+    per_day = e.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         *per_type,
-        F.count_distinct(F.date_format("ts", "yyyy-MM-dd")).alias(
-            "active_days"
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    return per_day.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        *[F.sum(f"n_{t}").alias(f"n_{t}") for t in EVENT_TYPES],
+        F.count(F.lit(1)).alias("active_days"),
+        F.date_format(F.min("min_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_seen"
         ),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.date_format(F.max("max_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_seen"
+        ),
     )

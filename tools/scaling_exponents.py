@@ -78,6 +78,8 @@ KEYS = {
     "skew_key_profile": "events",
     "triangle_count_nations": "lineitem",
     "hybrid_rrf_served_topk": "documents",
+    "basket_brand_lift": "lineitem",
+    "user_activity_profile": "events",
 }
 
 
