@@ -186,3 +186,36 @@ def test_served_hybrid_lexical_arm_matches_scan_hybrid(spark, sf_dir):
     for doc_id, rank in served.items():
         if doc_id in scan:
             assert scan[doc_id] == rank, (doc_id, rank, scan[doc_id])
+
+
+def test_term_bucket_property_parity(spark):
+    """Hypothesis: the Spark md5 bucket expression equals the Python
+    helper for arbitrary printable-unicode terms — the derived-constant
+    parity that static pruning depends on, beyond the fixed examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    terms_strategy = st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(terms_strategy)
+    def check(terms):
+        df = spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        ).select("term", invindex.term_bucket_expr(F.col("term")).alias("b"))
+        got = {r["term"]: r["b"] for r in df.collect()}
+        for t in terms:
+            assert got[t] == invindex.term_bucket_py(t), repr(t)
+
+    check()

@@ -172,3 +172,46 @@ def test_bloom_positions_handle_negative_keys(spark):
         "k", B.bloom_might_contain(words, F.col("k")).alias("hit")
     ).collect()
     assert all(r["hit"] for r in probed), probed
+
+
+def test_z_interleave_property_roundtrip(spark):
+    """Hypothesis: for random 16-bit (x, y), the Spark Morton code equals
+    a bit-exact Python interleave, and deinterleaving recovers (x, y) —
+    the bijection that makes range-pruning on zval sound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators.layout import Z_BITS, z_interleave
+
+    def py_morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(Z_BITS):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2**Z_BITS - 1), st.integers(0, 2**Z_BITS - 1)
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x bigint, y bigint").select(
+            "x", "y", z_interleave(F.col("x"), F.col("y")).alias("z")
+        )
+        for r in df.collect():
+            z = r["z"]
+            assert z == py_morton(r["x"], r["y"])
+            # deinterleave recovers the inputs (bijection)
+            xr = sum(((z >> (2 * b)) & 1) << b for b in range(Z_BITS))
+            yr = sum(((z >> (2 * b + 1)) & 1) << b for b in range(Z_BITS))
+            assert (xr, yr) == (r["x"], r["y"])
+
+    check()
