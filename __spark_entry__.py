@@ -678,6 +678,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: per-user event caps (balancing/privacy) — the canonical
         # top-N-per-group window, partitioned BY USER
         "events_rate_limited_sample": _temporal.events_rate_limited_sample,
+        # r7: arrival-process profile — rank-selected integer-µs median
+        "events_gap_stats": _temporal.events_gap_stats,
         # r7: dedup reporting — duplicate-cluster size distribution
         "dup_cluster_size_histogram": _dedup.dup_cluster_size_histogram,
         # r7: distribution profiling + per-series outlier monitoring
@@ -1848,6 +1850,31 @@ reach(src, dst) AS (
     FROM reach JOIN edges ON reach.dst = edges.src
 )
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+""",
+        "events_gap_stats": """
+WITH ordered AS (
+    SELECT user_id, epoch_ns(ts) AS ns, event_id,
+           lag(epoch_ns(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
+    FROM events
+),
+gaps AS (
+    SELECT user_id, (ns - prev_ns) // 1000 AS gap_us
+    FROM ordered WHERE prev_ns IS NOT NULL
+),
+ranked AS (
+    SELECT user_id, gap_us,
+           row_number() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM gaps
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS median_gap_us
+FROM ranked GROUP BY 1
 """,
         "events_rate_limited_sample": """
 SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (

@@ -309,3 +309,46 @@ def events_rate_limited_sample(
         .filter(F.col("rn") <= cap)
         .select("user_id", "event_id", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics: count, min/max and MEDIAN
+    gap in integer microseconds — the arrival-process profile behind
+    rate anomaly detection and session-timeout tuning.
+
+    Gaps come from one lag window per user (deterministic
+    (ts_ns, event_id) order); the median is RANK-SELECTED (the
+    agg_percentiles discipline: the ceil(n/2)-th smallest stored gap —
+    a stored integer, never an interpolation that differs in the last
+    ulp across engines). Both windows and the final aggregate share the
+    user_id partitioning — one corpus-sized shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gaps = (
+        e.select("user_id", "ts_ns", "event_id")
+        .withColumn("prev_ns", F.lag("ts_ns").over(w))
+        .filter(F.col("prev_ns").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(ts_ns - prev_ns) div 1000").alias("gap_us"),
+        )
+    )
+    wg = Window.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap_us",
+        F.row_number()
+        .over(wg.orderBy("gap_us"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    at = F.ceil(F.col("n") / 2).cast("bigint")
+    return ranked.groupBy("user_id").agg(
+        F.max("n").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.max(F.when(F.col("rn") == at, F.col("gap_us"))).alias(
+            "median_gap_us"
+        ),
+    )

@@ -806,3 +806,32 @@ def test_user_profile_conserves_events(spark, sf_dir):
         assert sum(r[c] for c in type_cols) == r["n_events"]
         assert 1 <= r["active_days"]
         assert r["first_seen"] <= r["last_seen"]
+
+
+def test_gap_stats_match_python_replay(spark, sf_dir):
+    """Gap count/min/max/rank-selected median per user equal a
+    brute-force replay over the sorted event series."""
+    from adk_noui_vectordb_spark.operators import temporal as tp
+
+    got = {r["user_id"]: r for r in tp.events_gap_stats(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_ns", "event_id"
+    ).collect()
+    series: dict[int, list] = {}
+    for r in e:
+        series.setdefault(r["user_id"], []).append((r["ts_ns"], r["event_id"]))
+    import math
+
+    for uid, evs in series.items():
+        evs.sort()
+        gaps = sorted(
+            (b[0] - a[0]) // 1000 for a, b in zip(evs, evs[1:])
+        )
+        if not gaps:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert r["n_gaps"] == len(gaps)
+        assert r["min_gap_us"] == gaps[0]
+        assert r["max_gap_us"] == gaps[-1]
+        assert r["median_gap_us"] == gaps[math.ceil(len(gaps) / 2) - 1]
