@@ -405,6 +405,30 @@ _CHECKED_R6 = frozenset({
     "tokenize_bpe_encode", "winnow_fingerprints",
 })
 
+# Green (rows+schema+hash) in CORRECTNESS_r07.json — 49 of the 50 window
+# keys (embed_topvar_project was the one red: array<double> output crashed
+# the driver canonicalizer; rewritten to scalar rows in r8).
+_CHECKED_R7 = frozenset({
+    "agg_correlation", "agg_percentiles", "ann_ivf_trained_topk",
+    "ann_rp_lsh_multiprobe_topk", "ann_rp_lsh_topk", "basket_brand_lift",
+    "bloom_filter_orders", "bm25_topk_served", "chunk_js_elements",
+    "customers_with_high_value_orders", "customers_without_orders",
+    "dedup_repeated_ngrams", "doc_token_entropy",
+    "dup_cluster_size_histogram", "embed_dim_stats", "events_anomaly_zscore",
+    "events_gap_stats", "events_rate_limited_sample",
+    "histogram_order_totals", "hybrid_rrf_served_topk",
+    "inverted_postings_rows", "knn_join_topk", "lm_bigram_score",
+    "multimodal_features", "normalize_text_corpus", "orders_above_avg",
+    "q14_promo_revenue", "q16_supplier_part_counts", "q18_large_orders",
+    "q19_disjunctive_revenue", "q4_order_priority", "q6_revenue_forecast",
+    "q9_brand_profit", "rollup_segment_status", "scd2_user_state_history",
+    "sketch_heavy_hitters", "sketch_user_overlap", "skew_key_profile",
+    "stream_dedup_counts", "stream_tumbling_counts", "trend_event_values",
+    "triangle_count_nations", "unpivot_event_matrix",
+    "user_activity_profile", "window_moving_avg", "window_running_revenue",
+    "window_topn_orders", "window_trailing_value_sum", "zorder_events",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -415,6 +439,7 @@ for _rnd, _s in (
     (4, _CHECKED_R4),
     (5, _CHECKED_R5),
     (6, _CHECKED_R6),
+    (7, _CHECKED_R7),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -423,37 +448,26 @@ for _rnd, _s in (
 # (ADVICE r5, medium): a rewrite strips checked status so the next driver
 # window re-verifies the NEW code at sf0.01 before anything else.
 # Maintained per-round: when a rewritten key gets a fresh green row, move
-# it into that round's _CHECKED set and drop it here. r7 changes:
+# it into that round's _CHECKED set and drop it here. r8 changes:
 _REWRITTEN = frozenset({
-    # serving rewritten to the on-disk partition-pruned index (r7)
-    "ann_rp_lsh_topk", "ann_ivf_trained_topk",
-    # sanitizer gained regex-literal recognition (r7)
-    "chunk_js_elements",
-    # audio assets gained the RIFF pad byte (decoded features unchanged,
-    # but the payload bytes the kernel parses did change) (r7)
-    "multimodal_features",
+    # output reshaped array<double> -> scalar (vec_id, rank, component)
+    # rows: the r7 driver-red canonicalizer crash (VERDICT r7 next #1)
+    "embed_topvar_project",
 })
-
-# VERDICT r6 next #7: the streaming keys' green rows date to r4-r5 and
-# they read events through the dtype-pinned loader whose dependencies
-# changed since — wedge them into the r7 window ahead of the r4 cohort.
-_PRIORITY_R7 = frozenset({"stream_tumbling_counts", "stream_dedup_counts"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Keys ordered by how much a fresh driver row is worth (the driver
     records the first 50 entries): brand-new and rewritten-since-last-green
-    keys first, then ascending by latest-green round (the r2 cohort — the
-    oldest surviving greens — ahead of r4, r5, r6), with the explicitly
-    prioritized streaming keys wedged between r2 and r4. Ties keep
-    registry insertion order (sorted() is stable)."""
+    keys first, then ascending by latest-green round — so the r4 cohort
+    (the oldest surviving greens after r7: TPC-H completion set, retrieval
+    core, pagerank, …) dominates the r8 window, per VERDICT r7 next #3.
+    Ties keep registry insertion order (sorted() is stable)."""
     q = _all_queries()
 
     def rank(k: str) -> float:
         if k in _REWRITTEN or k not in _LATEST_GREEN:
             return 0.0  # new or rewritten: re-verify before anything else
-        if k in _PRIORITY_R7:
-            return 2.5
         return float(_LATEST_GREEN[k])
 
     return {k: q[k] for k in sorted(q, key=rank)}
@@ -2658,8 +2672,10 @@ SELECT CAST(pos AS INTEGER) AS pos,
 FROM x GROUP BY 1
 """,
         # Selection ranks by FLOORED micro-variance (deterministic); the
-        # projection is pure element extraction, so proj doubles are
-        # bit-identical to the stored embeddings on both engines.
+        # projection is pure element extraction, so component doubles are
+        # bit-identical to the stored embeddings on both engines.  Output
+        # is scalar (vec_id, rank, component) rows — the r2/r7 lesson:
+        # the driver canonicalizer cannot hash array cells.
         "embed_topvar_project": """
 WITH x AS (
     SELECT t.i - 1 AS pos, CAST(e.embedding[t.i] AS DOUBLE) AS val
@@ -2676,9 +2692,9 @@ top AS (
     FROM stats ORDER BY var_micro DESC, pos LIMIT 8
 )
 SELECT e.vec_id,
-       list(CAST(e.embedding[top.pos + 1] AS DOUBLE) ORDER BY top.rank) AS proj
+       CAST(top.rank AS INTEGER) AS rank,
+       CAST(e.embedding[top.pos + 1] AS DOUBLE) AS component
 FROM embeddings e CROSS JOIN top
-GROUP BY 1
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

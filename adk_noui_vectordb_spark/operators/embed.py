@@ -245,6 +245,15 @@ def embed_topvar_project(
     collect-free: it stays a TakeOrderedAndProject frame joined back by
     crossJoin-broadcast as a struct array literal would be overkill);
     the projection is one narrow map over the vectors.
+
+    Output shape: scalar rows ``(vec_id, rank, component)`` — NOT an
+    ``array<double>`` column.  The driver's pandas canonicalizer cannot
+    sort list cells (the catalogued r2 ``embed_quantize_int8`` crash,
+    repeated here in r7); every registry output schema is now pinned
+    flat by ``tests/test_oracle_parity.py::test_no_nested_output_types``.
+    Consumers wanting the packed vector regroup with
+    ``groupBy("vec_id").agg(array_sort(collect_list(struct(rank,
+    component))))`` — one extra shuffle they only pay when they need it.
     """
     from pyspark.sql.window import Window
 
@@ -263,21 +272,8 @@ def embed_topvar_project(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     # element_at is 1-based; pos from posexplode is 0-based.
-    return (
-        e.crossJoin(F.broadcast(top))
-        .select(
-            "vec_id",
-            "rank",
-            F.element_at(F.col("emb"), F.col("pos") + 1).alias("component"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("rank", "component"))
-            ).alias("_rc")
-        )
-        .select(
-            "vec_id",
-            F.transform(F.col("_rc"), lambda s: s["component"]).alias("proj"),
-        )
+    return e.crossJoin(F.broadcast(top)).select(
+        "vec_id",
+        "rank",
+        F.element_at(F.col("emb"), F.col("pos") + 1).alias("component"),
     )
