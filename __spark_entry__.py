@@ -453,6 +453,9 @@ _REWRITTEN = frozenset({
     # output reshaped array<double> -> scalar (vec_id, rank, component)
     # rows: the r7 driver-red canonicalizer crash (VERDICT r7 next #1)
     "embed_topvar_project",
+    # gained the per-bucket skew cap + zero-norm filter (VERDICT r7
+    # next #4, ADVICE r7) — same results on this corpus, new code path
+    "knn_join_topk",
 })
 
 
@@ -2369,11 +2372,23 @@ SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
 ORDER BY sim DESC, e.vec_id LIMIT 10
 """,
+        # Skew guard mirror (ann.py:cap_bucket_members): the neighbor
+        # side keeps only the md5-top-256 members per bucket; zero-norm
+        # embeddings are excluded from scoring (ADVICE r7).
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
+capped AS (
+    SELECT band, band_key, vec_id FROM (
+        SELECT band, band_key, vec_id,
+               row_number() OVER (
+                   PARTITION BY band, band_key
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS m
+        FROM rp_bands
+    ) WHERE m <= 256
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
-    FROM rp_bands a JOIN rp_bands b USING (band, band_key)
+    FROM rp_bands a JOIN capped b USING (band, band_key)
     WHERE a.vec_id <> b.vec_id
 ),
 scored AS (
@@ -2382,6 +2397,10 @@ scored AS (
     FROM cand c
     JOIN embeddings es ON es.vec_id = c.src
     JOIN embeddings en ON en.vec_id = c.nbr
+    WHERE list_inner_product(CAST(es.embedding AS DOUBLE[]),
+                             CAST(es.embedding AS DOUBLE[])) > 0
+      AND list_inner_product(CAST(en.embedding AS DOUBLE[]),
+                             CAST(en.embedding AS DOUBLE[])) > 0
 ),
 ranked AS (
     SELECT src, nbr, sim,

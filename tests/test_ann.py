@@ -376,3 +376,76 @@ def test_knn_join_ranks_are_contiguous_and_sorted(spark, sf_dir):
         sims = [x[1] for x in lst]
         assert sims == sorted(sims, reverse=True)
         assert all(x[2] != src for x in lst)
+
+
+def test_cap_bucket_members_bounds_skewed_self_join(spark):
+    """Skew guard (VERDICT r7 next #4): a hot (band, band_key) bucket of
+    m members must contribute at most m x cap candidate pairs to the
+    self-join, not m² — the difference between a slow bucket and a dead
+    executor at 100 TB."""
+    from adk_noui_vectordb_spark.operators.ann import cap_bucket_members
+
+    hot = [(0, 7, i) for i in range(1000)]  # one hot bucket, m=1000
+    cold = [(1, 3, i) for i in range(10)]
+    bands = spark.createDataFrame(
+        hot + cold, "band int, band_key int, vec_id int"
+    )
+    capped = cap_bucket_members(bands, cap=50)
+    sizes = {
+        (r["band"], r["band_key"]): r["n"]
+        for r in capped.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sizes == {(0, 7): 50, (1, 3): 10}
+
+    a = bands.select("band", "band_key", F.col("vec_id").alias("src"))
+    b = capped.select("band", "band_key", F.col("vec_id").alias("nbr"))
+    pairs = a.join(b, ["band", "band_key"]).filter(
+        F.col("src") != F.col("nbr")
+    )
+    n_pairs = pairs.count()
+    # hot: 1000 x 50 minus the 50 self-pairs; cold: 10 x 10 minus 10.
+    assert n_pairs == 1000 * 50 - 50 + 90
+    # vs the uncapped blow-up (would be 999_000 + 90)
+
+
+def test_cap_bucket_members_deterministic_and_order_free(spark):
+    """The md5-top-cap selection must not depend on input row order or
+    partitioning (corpus-order determinism, the house discipline)."""
+    from adk_noui_vectordb_spark.operators.ann import cap_bucket_members
+
+    rows = [(0, 1, i) for i in range(200)]
+    bands = spark.createDataFrame(rows, "band int, band_key int, vec_id int")
+    sel1 = {r["vec_id"] for r in cap_bucket_members(bands, cap=40).collect()}
+    shuffled = bands.orderBy(F.desc("vec_id")).repartition(7)
+    sel2 = {
+        r["vec_id"] for r in cap_bucket_members(shuffled, cap=40).collect()
+    }
+    assert sel1 == sel2 and len(sel1) == 40
+    # cap >= bucket size is the identity
+    assert cap_bucket_members(bands, cap=200).count() == 200
+
+
+def test_knn_join_default_cap_exceeds_benchmark_buckets(spark, sf_dir):
+    """Pin the 'cap=256 never binds on the benchmark corpus' claim: the
+    largest band bucket must stay below the default bucket_cap, so the
+    capped top-k is provably identical to uncapped at this SF."""
+    import inspect
+
+    from adk_noui_vectordb_spark.operators.ann import (
+        knn_join_topk,
+        rp_lsh_band_rows,
+    )
+
+    default_cap = inspect.signature(knn_join_topk).parameters[
+        "bucket_cap"
+    ].default
+    biggest = (
+        rp_lsh_band_rows(spark, sf_dir)
+        .groupBy("band", "band_key")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert biggest < default_cap
