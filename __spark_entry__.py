@@ -456,6 +456,8 @@ _REWRITTEN = frozenset({
     # gained the per-bucket skew cap + zero-norm filter (VERDICT r7
     # next #4, ADVICE r7) — same results on this corpus, new code path
     "knn_join_topk",
+    # vector arm switched to the multiprobe probe (VERDICT r7 next #5)
+    "hybrid_rrf_served_topk",
 })
 
 
@@ -2431,8 +2433,14 @@ WITH {_BM25_CTE},
 srv_qb AS (
     SELECT band, band_key FROM rp_bands WHERE vec_id = 0
 ),
+srv_qb_exp AS (
+    SELECT band, band_key FROM srv_qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM srv_qb q CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+),
 srv_cand AS (
-    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN srv_qb USING (band, band_key)
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN srv_qb_exp USING (band, band_key)
     WHERE b.vec_id <> 0
 ),
 srv_qe AS (
