@@ -179,12 +179,19 @@ def rp_lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle. ``build_rp_index`` materializes this frame to parquet
     partitioned by (band, band_key) — the build-once/serve-many layout
     the probe path scans with static partition pruning."""
-    import numpy as np
-    import pandas as pd
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    return rp_band_rows_for(e)
+
+
+def rp_band_rows_for(e: DataFrame) -> DataFrame:
+    """The banding kernel over ANY (vec_id, emb) frame — shared by the
+    full build and the incremental ``update_rp_index`` path, so batch
+    signatures are byte-identical to build-time signatures."""
+    import numpy as np
+    import pandas as pd
+
     signs_t = np.array(_rp_plane_signs(), dtype=np.int64).T  # dim x planes
 
     def batches(it):
@@ -672,6 +679,37 @@ def _assign_broadcast(e: DataFrame, rows, with_emb: bool) -> DataFrame:
     return src.mapInPandas(kernel, schema)
 
 
+def assign_to_centroids(e: DataFrame, rows, with_emb: bool = False) -> DataFrame:
+    """Shuffle-free nearest-centroid assignment of any (vec_id, emb)
+    frame against FROZEN centroid rows ({cluster, c} mappings) — the
+    Lloyd's-round kernel, exposed module-level so the incremental
+    ``update_ivf_index`` path assigns a batch under the SAME 6-dp d2 /
+    cluster-tie-break contract as the original training run (identical
+    arithmetic => a re-assigned old vector lands in its original cell).
+    Literal argmin below CENTROID_LITERAL_MAX_KDIM, Arrow broadcast
+    kernel above — see ``_lloyd``'s docstring for the measured gate.
+    """
+    from ..functions.vector import dot_product
+
+    if len(rows) * len(rows[0]["c"]) > CENTROID_LITERAL_MAX_KDIM:
+        return _assign_broadcast(e, rows, with_emb)
+    cent_lit = _centroid_literal(rows)
+    ee = dot_product(F.col("emb"), F.col("emb"))
+    dists = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.round(
+                ee - 2 * dot_product(F.col("emb"), s["c"]) + s["cc"], 6
+            ).alias("d2"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    cols = ["vec_id", F.array_min(dists)["cluster"].alias("cluster")]
+    if with_emb:
+        cols.append("emb")
+    return e.select(*cols)
+
+
 def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     """The deterministic Lloyd's kernel shared by ``cluster_kmeans`` and the
     product-quantization codebook trainer: ``e`` is any (vec_id, emb) frame;
@@ -706,8 +744,6 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     Each round materializes its centroids (collect), so round N+1's plan
     starts from literals — no quadratic lineage recompute across rounds.
     """
-    from ..functions.vector import dot_product
-
     rows = sorted(
         e.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cluster"), F.col("emb").alias("c"))
@@ -716,23 +752,7 @@ def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     )
 
     def assign(rows, with_emb: bool = False) -> DataFrame:
-        if len(rows) * len(rows[0]["c"]) > CENTROID_LITERAL_MAX_KDIM:
-            return _assign_broadcast(e, rows, with_emb)
-        cent_lit = _centroid_literal(rows)
-        ee = dot_product(F.col("emb"), F.col("emb"))
-        dists = F.transform(
-            cent_lit,
-            lambda s: F.struct(
-                F.round(
-                    ee - 2 * dot_product(F.col("emb"), s["c"]) + s["cc"], 6
-                ).alias("d2"),
-                s["cluster"].alias("cluster"),
-            ),
-        )
-        cols = ["vec_id", F.array_min(dists)["cluster"].alias("cluster")]
-        if with_emb:
-            cols.append("emb")
-        return e.select(*cols)
+        return assign_to_centroids(e, rows, with_emb)
 
     for _ in range(iters):
         partials = (
