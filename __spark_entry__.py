@@ -429,6 +429,30 @@ _CHECKED_R7 = frozenset({
     "window_topn_orders", "window_trailing_value_sum", "zorder_events",
 })
 
+# Green (rows+schema+hash) in CORRECTNESS_r08.json — all 50 window keys,
+# including the three r8 rewrites (embed_topvar_project reshape,
+# knn_join_topk skew cap, hybrid_rrf_served_topk multiprobe default).
+_CHECKED_R8 = frozenset({
+    "agg_docs_by_lang", "agg_job_totals", "agg_source_summary",
+    "bpe_pair_counts", "chunk_fixed_lines", "chunk_fixed_words",
+    "chunk_markdown_sections", "curate_corpus", "curate_corpus_full",
+    "dedup_canonical_selection", "doc_fingerprint", "embed_quantize_int8",
+    "embed_topvar_project", "filter_by_element_type", "filter_by_file",
+    "filter_by_lang", "filter_ext_dispatch", "hybrid_rrf_served_topk",
+    "knn_batch_topk", "knn_join_topk", "knn_topk", "knn_topk_filtered",
+    "line_dedup_corpus", "lm_perplexity_score", "mixture_sample",
+    "ngram_jaccard_pairs", "orc_roundtrip", "pack_sequences",
+    "pagerank_trade_graph", "point_lookup", "q10_returned_revenue",
+    "q11_important_stock", "q12_ship_delay_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customer_balance",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "quality_score", "redact_pii", "score_similarity_pairs",
+    "sketch_value_quantiles", "stream_running_totals", "text_stats",
+    "tfidf_top_terms", "token_count",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -440,6 +464,7 @@ for _rnd, _s in (
     (5, _CHECKED_R5),
     (6, _CHECKED_R6),
     (7, _CHECKED_R7),
+    (8, _CHECKED_R8),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -448,16 +473,13 @@ for _rnd, _s in (
 # (ADVICE r5, medium): a rewrite strips checked status so the next driver
 # window re-verifies the NEW code at sf0.01 before anything else.
 # Maintained per-round: when a rewritten key gets a fresh green row, move
-# it into that round's _CHECKED set and drop it here. r8 changes:
+# it into that round's _CHECKED set and drop it here. r9: all three r8
+# rewrites greened in CORRECTNESS_r08 and moved to _CHECKED_R8; the r9
+# rewrites below re-enter the window first.
 _REWRITTEN = frozenset({
-    # output reshaped array<double> -> scalar (vec_id, rank, component)
-    # rows: the r7 driver-red canonicalizer crash (VERDICT r7 next #1)
-    "embed_topvar_project",
-    # gained the per-bucket skew cap + zero-norm filter (VERDICT r7
-    # next #4, ADVICE r7) — same results on this corpus, new code path
+    # zero-norm vectors now excluded from the band table BEFORE the
+    # per-bucket cap (ADVICE r8: they wasted md5-top-cap slots)
     "knn_join_topk",
-    # vector arm switched to the multiprobe probe (VERDICT r7 next #5)
-    "hybrid_rrf_served_topk",
 })
 
 

@@ -221,30 +221,34 @@ def test_line_dedup_monotone_in_threshold(spark, min_docs):
 
 
 def test_driver_window_prioritizes_unverified_keys():
-    """The driver records only the FIRST 50 queries() entries per round;
-    every key without a trustworthy driver row — brand-new keys and keys
-    rewritten since their last green row (_REWRITTEN, ADVICE r5) — must
-    sit inside that window, with every registered key still present
-    exactly once."""
+    """The driver records only the FIRST 50 queries() entries per round.
+    The r8 ranking contract (__spark_entry__.queries): rank 0 for keys
+    without a trustworthy driver row — brand-new keys and keys rewritten
+    since their last green (_REWRITTEN) — then ascending latest-green
+    round, so the window is always {unverified} + the oldest green
+    cohorts. Every registered key must appear exactly once."""
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    for k in entrymod._all_queries():
-        if k not in entrymod._LATEST_GREEN or k in entrymod._REWRITTEN:
+    allq = entrymod._all_queries()
+
+    def rank(k):
+        if k in entrymod._REWRITTEN or k not in entrymod._LATEST_GREEN:
+            return 0.0
+        return float(entrymod._LATEST_GREEN[k])
+
+    # unverified/rewritten keys always make the window
+    for k in allq:
+        if rank(k) == 0.0:
             assert k in window, f"{k} fell out of the 50-key driver window"
-    # the explicitly prioritized keys and the OLDEST green cohort must be
-    # in the window too (the r7 freshness-rotation contract)
-    oldest = min(
-        r
-        for k, r in entrymod._LATEST_GREEN.items()
-        if k in entrymod._all_queries() and k not in entrymod._REWRITTEN
-    )
-    for k in entrymod._all_queries():
-        if k in entrymod._PRIORITY_R7 or (
-            entrymod._LATEST_GREEN.get(k) == oldest
-            and k not in entrymod._REWRITTEN
-        ):
-            assert k in window, f"{k} (oldest/priority) missed the window"
+    # the window is rank-downward-closed: nothing outside the window may
+    # outrank (be staler than) anything inside it
+    worst_in = max(rank(k) for k in keys[:50])
+    for k in keys[50:]:
+        assert rank(k) >= worst_in, (
+            f"{k} (rank {rank(k)}) missed the window but outranks "
+            f"worst in-window rank {worst_in}"
+        )
     assert len(keys) == len(set(keys))
-    assert set(keys) == set(entrymod._all_queries())
+    assert set(keys) == set(allq)

@@ -205,8 +205,9 @@ def test_embed_dim_stats_matches_numpy(spark):
 
 
 def test_embed_topvar_project_selects_and_extracts(spark):
-    """proj holds the raw stored components of the 8 highest-variance
-    dimensions, ordered by variance rank — bit-identical extraction."""
+    """The scalar (vec_id, rank, component) rows hold the raw stored
+    components of the 8 highest-variance dimensions, rank-ordered by
+    variance — bit-identical extraction (r8 reshape, embed.py)."""
     import numpy as np
 
     from adk_noui_vectordb_spark.operators import embed as em
@@ -218,11 +219,16 @@ def test_embed_topvar_project_selects_and_extracts(spark):
     ])
     var_micro = np.floor(mat.var(axis=0) * 1e6).astype(np.int64)
     order = sorted(range(mat.shape[1]), key=lambda p: (-var_micro[p], p))[:8]
-    got = {r["vec_id"]: r["proj"] for r in em.embed_topvar_project(spark, SF).collect()}
+    got: dict = {}
+    for r in em.embed_topvar_project(spark, SF).collect():
+        got.setdefault(r["vec_id"], {})[r["rank"]] = r["component"]
     ids = sorted(r["vec_id"] for r in rows)
     assert set(got) == set(ids)
     for i, vid in enumerate(ids):
-        assert got[vid] == [mat[i, p] for p in order]
+        # ranks are dense 1..8; component at rank j is the stored value
+        # of the j-th highest-variance dimension, untouched by arithmetic
+        assert sorted(got[vid]) == list(range(1, 9))
+        assert [got[vid][j] for j in range(1, 9)] == [mat[i, p] for p in order]
 
 
 def test_embed_dim_stats_partial_aggregates_before_shuffle(spark):
