@@ -2383,7 +2383,7 @@ qb_exp AS (
     SELECT band, band_key FROM qb
     UNION
     SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
-    FROM qb q CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
 ),
 cand AS (
     SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb_exp USING (band, band_key)
@@ -2396,23 +2396,32 @@ SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
 ORDER BY sim DESC, e.vec_id LIMIT 10
 """,
-        # Skew guard mirror (ann.py:cap_bucket_members): the neighbor
-        # side keeps only the md5-top-256 members per bucket; zero-norm
-        # embeddings are excluded from scoring (ADVICE r7).
+        # Skew guard mirror (ann.py:cap_bucket_members): zero-norm
+        # embeddings are dropped from the band table BEFORE the cap
+        # (ADVICE r8 — they must not waste md5-top-cap slots), then the
+        # neighbor side keeps only the md5-top-cap members per bucket.
+        # Cap and band-bit width interpolate the ann module constants so
+        # Spark and oracle share one source of truth (ADVICE r8).
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
+nz_bands AS (
+    SELECT b.band, b.band_key, b.vec_id
+    FROM rp_bands b JOIN embeddings e ON e.vec_id = b.vec_id
+    WHERE list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) > 0
+),
 capped AS (
     SELECT band, band_key, vec_id FROM (
         SELECT band, band_key, vec_id,
                row_number() OVER (
                    PARTITION BY band, band_key
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS m
-        FROM rp_bands
-    ) WHERE m <= 256
+        FROM nz_bands
+    ) WHERE m <= {_ann.KNN_JOIN_BUCKET_CAP}
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
-    FROM rp_bands a JOIN capped b USING (band, band_key)
+    FROM nz_bands a JOIN capped b USING (band, band_key)
     WHERE a.vec_id <> b.vec_id
 ),
 scored AS (
@@ -2421,10 +2430,6 @@ scored AS (
     FROM cand c
     JOIN embeddings es ON es.vec_id = c.src
     JOIN embeddings en ON en.vec_id = c.nbr
-    WHERE list_inner_product(CAST(es.embedding AS DOUBLE[]),
-                             CAST(es.embedding AS DOUBLE[])) > 0
-      AND list_inner_product(CAST(en.embedding AS DOUBLE[]),
-                             CAST(en.embedding AS DOUBLE[])) > 0
 ),
 ranked AS (
     SELECT src, nbr, sim,
@@ -2459,7 +2464,7 @@ srv_qb_exp AS (
     SELECT band, band_key FROM srv_qb
     UNION
     SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
-    FROM srv_qb q CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    FROM srv_qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
 ),
 srv_cand AS (
     SELECT DISTINCT b.vec_id FROM rp_bands b JOIN srv_qb_exp USING (band, band_key)

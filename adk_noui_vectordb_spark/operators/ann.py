@@ -61,6 +61,10 @@ RP_PLANES = 24
 RP_BANDS = 6
 RP_BAND_BITS = RP_PLANES // RP_BANDS
 RP_DIM = 64  # testdata embedding dimensionality (asserted in the kernel)
+# Default per-bucket neighbor cap for the batch k-NN join's skew guard —
+# interpolated into the oracle SQL (__spark_entry__) so Spark and DuckDB
+# share one source of truth (ADVICE r8).
+KNN_JOIN_BUCKET_CAP = 256
 RP_SCALE = 1_000_000
 
 
@@ -1041,7 +1045,10 @@ def cap_bucket_members(
 
 
 def knn_join_topk(
-    spark: SparkSession, sf_dir: str, k: int = 3, bucket_cap: int = 256
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    bucket_cap: int = KNN_JOIN_BUCKET_CAP,
 ) -> DataFrame:
     """Batch k-NN JOIN: top-k approximate neighbors for EVERY corpus
     vector in one job — the all-pairs similarity join behind SemDeDup /
@@ -1067,23 +1074,14 @@ def knn_join_topk(
 
     Determinism: the established _COS discipline (4-dp round, neighbor
     id tie-break); rank ties impossible after (sim, nbr) ordering.
-    Zero-norm embeddings are filtered before the rank window (0/0 sim
-    is NaN in Spark ANSI / NULL in DuckDB — neither belongs in a
-    top-k; ADVICE r7).
+    Zero-norm embeddings are excluded from the BAND TABLE before the
+    cap (ADVICE r8): a 0/0 sim is NaN in Spark ANSI / NULL in DuckDB so
+    such rows can never appear in a top-k, and filtering them only
+    after candidate generation let them waste md5-top-cap slots and
+    evict real neighbors from hot buckets.
     """
     from pyspark.sql.window import Window
 
-    bands = spark.read.parquet(build_rp_index(spark, sf_dir))
-    a = bands.select("band", "band_key", F.col("vec_id").alias("src"))
-    b = cap_bucket_members(bands, bucket_cap).select(
-        "band", "band_key", F.col("vec_id").alias("nbr")
-    )
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("src") != F.col("nbr"))
-        .select("src", "nbr")
-        .distinct()
-    )
     from ..functions.vector import dot_product
 
     # Norms are projected ONCE per vector (n rows), not once per pair
@@ -1096,6 +1094,23 @@ def knn_join_topk(
     )
     emb = emb.select(
         "vec_id", "e", F.sqrt(dot_product(F.col("e"), F.col("e"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+
+    # Drop zero-norm vectors from BOTH sides of the band self-join
+    # before the cap window — one leftsemi equi-join on vec_id,
+    # O(n x RP_BANDS) rows, the same bound as the cap window itself.
+    bands = spark.read.parquet(build_rp_index(spark, sf_dir)).join(
+        emb.select("vec_id"), "vec_id", "leftsemi"
+    )
+    a = bands.select("band", "band_key", F.col("vec_id").alias("src"))
+    b = cap_bucket_members(bands, bucket_cap).select(
+        "band", "band_key", F.col("vec_id").alias("nbr")
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("src") != F.col("nbr"))
+        .select("src", "nbr")
+        .distinct()
     )
     es = emb.select(
         F.col("vec_id").alias("src"),
@@ -1115,7 +1130,6 @@ def knn_join_topk(
     scored = (
         cand.join(es, "src")
         .join(en, "nbr")
-        .filter((F.col("snrm") > 0) & (F.col("nnrm") > 0))
         .select("src", "nbr", sim.alias("sim"))
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))

@@ -291,7 +291,6 @@ def doc_term_counts(docs: DataFrame, with_dl: bool = False) -> DataFrame:
     rides the doc length along (max of a per-doc constant) for
     posting-row denormalization."""
     tokens = whitespace_tokens(F.col("text"))
-    cols = ["doc_id"]
     if with_dl:
         base = docs.select(
             "doc_id", F.size(tokens).alias("dl"), F.explode(tokens).alias("term")
