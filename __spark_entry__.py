@@ -480,6 +480,12 @@ _REWRITTEN = frozenset({
     # zero-norm vectors now excluded from the band table BEFORE the
     # per-bucket cap (ADVICE r8: they wasted md5-top-cap slots)
     "knn_join_topk",
+    # the text index moved to versioned roots with atomic _CURRENT
+    # pointer commits + a docs/ reverse-map component (VERDICT r8
+    # next #4/#5) — same postings content, new on-disk lifecycle
+    "inverted_postings_rows",
+    "bm25_topk_served",
+    "hybrid_rrf_served_topk",
 })
 
 

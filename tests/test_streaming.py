@@ -280,9 +280,8 @@ def test_stream_text_index_ingest_equals_fresh_build(spark, sf_dir, tmp_path):
 
     # at-least-once re-DELIVERY (not just re-run): wipe the checkpoint so
     # Structured Streaming re-delivers every file as fresh micro-batches;
-    # the per-batch markers under the index root must skip the additive
-    # merge, leaving the index byte-identical (review r7: foreachBatch is
-    # at-least-once and the merge is additive).
+    # the CONTENT-keyed markers under the index root must skip the merge,
+    # leaving the index byte-identical (review r7 / ADVICE r8).
     import shutil
 
     shutil.rmtree(str(tmp_path / "ckpt_ix"))
@@ -291,3 +290,19 @@ def test_stream_text_index_ingest_equals_fresh_build(spark, sf_dir, tmp_path):
     )
     q3.awaitTermination(180)
     assert postings(root_inc) == before
+
+    # ADVICE r8 regression: after ANOTHER checkpoint reset, a genuinely
+    # NEW batch re-uses the old batch_ids (numbering restarts at 0) — an
+    # id-keyed marker would silently skip it; the content key must not.
+    shutil.rmtree(str(tmp_path / "ckpt_ix"))
+    spark.createDataFrame(
+        [(30_000_000, "freshly-streamed-term")], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(stream_dir, "b3"))
+    q4 = stream_text_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_ix")
+    )
+    q4.awaitTermination(180)
+    cur = invindex.build_text_index(spark, base_dir)  # resolve new version
+    p_now = postings(cur)
+    assert p_now[("freshly-streamed-term", 30_000_000)] == (1, 1)
+    assert {k: v for k, v in p_now.items() if k[1] != 30_000_000} == before
