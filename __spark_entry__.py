@@ -486,6 +486,12 @@ _REWRITTEN = frozenset({
     "inverted_postings_rows",
     "bm25_topk_served",
     "hybrid_rrf_served_topk",
+    # the RP/IVF indexes are now versioned and fully index-served: the
+    # probe rerank and point lookup read the index's vecs/ store, never
+    # the source table (VERDICT r8 next #3) — same results, new plans
+    "ann_rp_lsh_topk",
+    "ann_rp_lsh_multiprobe_topk",
+    "ann_ivf_trained_topk",
 })
 
 

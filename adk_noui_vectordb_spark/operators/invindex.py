@@ -108,93 +108,16 @@ def doc_bucket_expr(doc_id: F.Column) -> F.Column:
     ).cast("int")
 
 
-# --- versioned-root plumbing (VERDICT r8 next #4) -----------------------
-#
-# Single-writer discipline (the reference's indexing agent is one
-# process; concurrent writers need a lock service or a real table
-# format). Readers need no coordination: they resolve _CURRENT once and
-# every path under the resolved version is immutable.
-
-
-def _current_name(root: str) -> "str | None":
-    p = os.path.join(root, "_CURRENT")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        name = f.read().strip()
-    return name or None
-
-
-def _next_version_name(root: str) -> str:
-    cur = _current_name(root)
-    return "v_%06d" % (0 if cur is None else int(cur.split("_")[1]) + 1)
-
-
-def _point_current(root: str, name: str) -> None:
-    """THE commit point: one atomic rename of the pointer file."""
-    tmp = os.path.join(root, "_CURRENT.__tmp__")
-    with open(tmp, "w") as f:
-        f.write(name + "\n")
-    os.replace(tmp, os.path.join(root, "_CURRENT"))
-
-
-def _publish_version(root: str, tmp: str, name: str) -> None:
-    """Rename the fully-written tmp dir to its version name, then swing
-    ``_CURRENT``. Split from the writes so the crash-injection test can
-    fail between the two steps. A directory already holding the target
-    name is an ORPHAN from a crash in exactly that window (``_CURRENT``
-    never pointed at it — version names only move forward) — swept
-    here, which is what makes a failed commit recoverable by re-run."""
-    import shutil
-
-    target = os.path.join(root, name)
-    if os.path.exists(target):
-        shutil.rmtree(target)
-    os.rename(tmp, target)
-    _point_current(root, name)
-
-
-def _gc_versions(root: str, keep: int = 2) -> None:
-    """Delete versions older than the previous one. Stale tmp dirs from
-    crashed writers are swept too (they never held the _CURRENT name)."""
-    import shutil
-
-    cur = _current_name(root)
-    if cur is None:
-        return
-    versions = sorted(d for d in os.listdir(root) if d.startswith("v_"))
-    live = set(versions[versions.index(cur) + 1 - keep : versions.index(cur) + 1])
-    for d in os.listdir(root):
-        full = os.path.join(root, d)
-        if d.startswith("v_") and d not in live and d < cur:
-            shutil.rmtree(full, ignore_errors=True)
-        elif d.startswith(".__tmp_") and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-
-
-def _link_partitions(src: str, dst: str, skip: frozenset = frozenset()) -> None:
-    """Hardlink-copy a partitioned component's partition DIRECTORIES
-    from the previous version, skipping the partitions the new version
-    rewrites. Top-level plain files (_SUCCESS markers) are NOT linked —
-    Spark recreates them and a linked inode must never be written
-    through. Data files inside a partition are immutable (append jobs
-    write fresh uniquely-named part files), so sharing inodes is safe."""
-    os.makedirs(dst, exist_ok=True)
-    for name in os.listdir(src):
-        sp = os.path.join(src, name)
-        if name in skip or not os.path.isdir(sp):
-            continue
-        _link_tree(sp, os.path.join(dst, name))
-
-
-def _link_tree(src: str, dst: str) -> None:
-    os.makedirs(dst, exist_ok=True)
-    for name in os.listdir(src):
-        sp, dp = os.path.join(src, name), os.path.join(dst, name)
-        if os.path.isdir(sp):
-            _link_tree(sp, dp)
-        else:
-            os.link(sp, dp)
+# Versioned-root plumbing (VERDICT r8 next #4) is shared with the
+# RP-LSH / IVF vector indexes — see sources/versioning.py for the
+# commit protocol and crash-window analysis.
+from ..sources.versioning import (  # noqa: E402
+    current_name as _current_name,
+    gc_versions as _gc_versions,
+    link_partitions as _link_partitions,
+    next_version_name as _next_version_name,
+    publish_version as _publish_version,
+)
 
 
 def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

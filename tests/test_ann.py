@@ -452,3 +452,217 @@ def test_knn_join_default_cap_exceeds_benchmark_buckets(spark, sf_dir):
         .collect()[0]["mx"]
     )
     assert biggest <= default_cap
+
+
+# --- incremental index maintenance (VERDICT r8 next #3/#4) --------------
+
+
+def _split_embedding_dirs(spark, sf_dir, tmp_path, tag):
+    """base/ holds vec_id % 5 != 0, all/ holds everything — the invindex
+    incremental-test harness applied to the embeddings table."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir, all_dir = str(tmp_path / f"{tag}_base"), str(tmp_path / f"{tag}_all")
+    os.makedirs(base_dir), os.makedirs(all_dir)
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    emb.write.parquet(os.path.join(all_dir, "embeddings.parquet"))
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    return base_dir, all_dir, batch
+
+
+def _band_map(spark, bands_p):
+    return {
+        (r["band"], r["band_key"], r["vec_id"])
+        for r in spark.read.parquet(bands_p).collect()
+    }
+
+
+def test_update_rp_index_equals_fresh_rebuild(spark, sf_dir, tmp_path):
+    """Building on base and incrementally ingesting the rest must yield
+    the same band table AND vector store as a from-scratch build over
+    everything — the signatures come from the shared rp_band_rows_for
+    kernel, so equality is exact, not approximate."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    base_dir, all_dir, batch = _split_embedding_dirs(spark, sf_dir, tmp_path, "rp")
+    bands_inc = ann.update_rp_index(spark, base_dir, batch)
+    bands_all = ann.build_rp_index(spark, all_dir)
+    assert _band_map(spark, bands_inc) == _band_map(spark, bands_all)
+
+    def vec_map(p):
+        return {
+            r["vec_id"]: (r["vbucket"], tuple(r["emb"]))
+            for r in spark.read.parquet(
+                os.path.join(os.path.dirname(p), "vecs")
+            ).collect()
+        }
+
+    assert vec_map(bands_inc) == vec_map(bands_all)
+
+
+def test_update_rp_index_replaces_resubmitted_vector(spark, sf_dir, tmp_path):
+    """Vec-level replace: re-submitting vec 1 with a NEW embedding must
+    retract its old band rows (found via the vecs/ reverse map, not a
+    scan) and serve the new signature; re-submitting the same batch
+    again changes nothing (idempotent upsert)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "rp_rebase")
+    os.makedirs(base_dir)
+    emb.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    bands0 = ann.build_rp_index(spark, base_dir)
+    before = _band_map(spark, bands0)
+    old_rows = {t for t in before if t[2] == 1}
+    assert len(old_rows) == ann.RP_BANDS
+
+    flipped = emb.filter(F.col("vec_id") == 1).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("emb"),
+    )
+    bands1 = ann.update_rp_index(spark, base_dir, flipped)
+    after = _band_map(spark, bands1)
+    new_rows = {t for t in after if t[2] == 1}
+    assert len(new_rows) == ann.RP_BANDS
+    # sign-flip flips every plane vote -> every band key changes
+    assert new_rows.isdisjoint(old_rows)
+    assert after - new_rows == before - old_rows  # everyone else untouched
+
+    bands2 = ann.update_rp_index(spark, base_dir, flipped)
+    assert _band_map(spark, bands2) == after
+
+
+def test_rp_served_probe_converges_one_batch_after_ingest(
+    spark, sf_dir, tmp_path
+):
+    """The stream_text_index_ingest contract for the vector side: a
+    vector ingested via update_rp_index is served by the very next
+    ann_rp_lsh_topk probe (the rerank reads the index's vecs/ store,
+    never the source table)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "rp_serve")
+    os.makedirs(base_dir)
+    emb.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    ann.build_rp_index(spark, base_dir)
+
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(987654321).cast("bigint").alias("vec_id"), F.col("embedding")
+    )
+    ann.update_rp_index(spark, base_dir, clone)
+    top = ann.ann_rp_lsh_topk(spark, base_dir, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 987654321
+    assert top[0]["sim"] == 1.0
+
+
+def test_update_ivf_index_equals_frozen_reassignment(
+    spark, sf_dir, tmp_path
+):
+    """Under frozen centroids the updated assignment must equal a
+    re-assignment of the combined corpus through the SAME
+    assign_to_centroids kernel — and the ingested clone of vec 0 must
+    be served by the next probe (its cell is probed first)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "ivf_base")
+    os.makedirs(base_dir)
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    assign_p, cents_p = ann.build_ivf_index(spark, base_dir)
+    cent_rows = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(cents_p).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    assign_p2, cents_p2 = ann.update_ivf_index(spark, base_dir, batch)
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(assign_p2).collect()
+    }
+    combined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in ann.assign_to_centroids(combined, cent_rows).collect()
+    }
+    assert got == want
+    # centroids byte-identical (frozen)
+    c2 = sorted(
+        (r["cluster"], tuple(r["c"]))
+        for r in spark.read.parquet(cents_p2).collect()
+    )
+    assert c2 == sorted((r["cluster"], tuple(r["c"])) for r in
+                        (spark.read.parquet(cents_p).collect()))
+
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(987654322).cast("bigint").alias("vec_id"), F.col("embedding")
+    )
+    ann.update_ivf_index(spark, base_dir, clone)
+    top = ann.ann_ivf_trained_topk(spark, base_dir, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 987654322
+    assert top[0]["sim"] == 1.0
+
+
+def test_rp_update_crash_before_commit_preserves_served_results(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The versioning discipline holds for the vector indexes too: a
+    crash injected before the _CURRENT swing leaves the probe serving
+    the old consistent version; re-running the update succeeds."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+    from adk_noui_vectordb_spark.sources import versioning
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "rp_crash")
+    os.makedirs(base_dir)
+    emb.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    ann.build_rp_index(spark, base_dir)
+    served_before = [
+        tuple(r) for r in ann.ann_rp_lsh_topk(spark, base_dir).collect()
+    ]
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(987654323).cast("bigint").alias("vec_id"), F.col("embedding")
+    )
+
+    real = versioning.point_current
+
+    def boom(root, name):
+        raise RuntimeError("injected crash before commit point")
+
+    monkeypatch.setattr(versioning, "point_current", boom)
+    try:
+        ann.update_rp_index(spark, base_dir, clone)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(versioning, "point_current", real)
+
+    assert [
+        tuple(r) for r in ann.ann_rp_lsh_topk(spark, base_dir).collect()
+    ] == served_before
+    bands = ann.update_rp_index(spark, base_dir, clone)  # recovery = re-run
+    got = {t[2] for t in _band_map(spark, bands)}
+    assert 987654323 in got

@@ -307,18 +307,20 @@ def test_crash_before_current_swing_preserves_old_version(
         [(10_000_001, "hello world hello")], "doc_id bigint, text string"
     )
 
-    real = invindex._point_current
+    from adk_noui_vectordb_spark.sources import versioning
+
+    real = versioning.point_current
 
     def boom(root, name):
         raise RuntimeError("injected crash before commit point")
 
-    monkeypatch.setattr(invindex, "_point_current", boom)
+    monkeypatch.setattr(versioning, "point_current", boom)
     try:
         invindex.update_text_index(spark, base_dir, batch)
         raise AssertionError("injected crash did not fire")
     except RuntimeError:
         pass
-    monkeypatch.setattr(invindex, "_point_current", real)
+    monkeypatch.setattr(versioning, "point_current", real)
 
     # reader view: unchanged, consistent
     v_now = invindex.build_text_index(spark, base_dir)
