@@ -427,3 +427,77 @@ def stream_text_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_vector_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming VECTOR-index freshness — the 8th streaming mode and the
+    exact vector twin of ``stream_text_index_ingest``: embedding batches
+    landing in ``vecs_stream_dir`` upsert into the on-disk RP-LSH index
+    via ``ann.update_rp_index`` (same banding kernel as the build, vec-
+    level replace, atomic versioned commit), so an ``ann_rp_lsh_topk``
+    probe serves a vector one micro-batch after it lands. This is the
+    reference's core continuous-ingestion loop (indexing_agent.py:
+    332-361 upserts re-embedded files into ChromaDB as they change)
+    re-expressed as Structured Streaming over the Spark-native index.
+
+    foreachBatch is AT-LEAST-ONCE; update_rp_index's replace semantics
+    make re-application idempotent, and the content-digest marker (the
+    stream_text_index_ingest discipline — order-independent md5-word
+    sums, never batch_id-keyed) skips true re-deliveries even across a
+    checkpoint reset without ever skipping a genuinely new batch.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.ann import build_rp_index, rp_index_root, update_rp_index
+
+    raw = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(vecs_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_rp_index(batch_df.sparkSession, sf_dir)
+        applied = os.path.join(rp_index_root(sf_dir), "applied")
+        os.makedirs(applied, exist_ok=True)
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
+        h = F.md5(
+            F.concat_ws(
+                "\x01",
+                F.col("vec_id").cast("string"),
+                F.col("embedding").cast("string"),
+            )
+        )
+
+        def word(start: int) -> F.Column:
+            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
+
+        row = batch.select(
+            word(1).alias("h1"), word(9).alias("h2")
+        ).agg(
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        if row["n"] == 0:
+            return
+        marker = os.path.join(applied, f"c{row['s1']}_{row['s2']}_{row['n']}")
+        if os.path.exists(marker):
+            return  # same content already merged (true re-delivery)
+        update_rp_index(batch_df.sparkSession, sf_dir, batch)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

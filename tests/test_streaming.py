@@ -306,3 +306,64 @@ def test_stream_text_index_ingest_equals_fresh_build(spark, sf_dir, tmp_path):
     p_now = postings(cur)
     assert p_now[("freshly-streamed-term", 30_000_000)] == (1, 1)
     assert {k: v for k, v in p_now.items() if k[1] != 30_000_000} == before
+
+
+def test_stream_vector_index_ingest_serves_next_probe(spark, sf_dir, tmp_path):
+    """Embedding batches streamed into the RP-LSH index must converge to
+    the same band table a fresh build over base + streamed vectors
+    produces, be immediately servable (the stream_text_index_ingest
+    contract on the vector side), and replay as a no-op across both a
+    checkpoint re-run and a checkpoint reset."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import ann
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_vector_index_ingest,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "vbase")
+    all_dir = str(tmp_path / "vall")
+    stream_dir = str(tmp_path / "vincoming")
+    os.makedirs(base_dir), os.makedirs(all_dir), os.makedirs(stream_dir)
+    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    emb.write.parquet(os.path.join(all_dir, "embeddings.parquet"))
+    ann.build_rp_index(spark, base_dir)
+    emb.filter(F.col("vec_id") % 8 == 0).select("vec_id", "embedding").write.parquet(
+        os.path.join(stream_dir, "b1")
+    )
+    emb.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 != 0)).select(
+        "vec_id", "embedding"
+    ).write.parquet(os.path.join(stream_dir, "b2"))
+
+    q = stream_vector_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_vx")
+    )
+    q.awaitTermination(180)
+
+    def bands(p):
+        return {
+            (r["band"], r["band_key"], r["vec_id"])
+            for r in spark.read.parquet(p).collect()
+        }
+
+    got = bands(ann.build_rp_index(spark, base_dir))
+    want = bands(ann.build_rp_index(spark, all_dir))
+    assert got == want
+
+    # immediately servable: vec 0 (streamed in b1) answers a probe
+    top = ann.ann_rp_lsh_topk(spark, base_dir, query_vec_id=0, k=3).collect()
+    assert len(top) == 3
+
+    # checkpoint reset + re-delivery: content markers keep it a no-op
+    shutil.rmtree(str(tmp_path / "ckpt_vx"))
+    q2 = stream_vector_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_vx")
+    )
+    q2.awaitTermination(180)
+    assert bands(ann.build_rp_index(spark, base_dir)) == want
