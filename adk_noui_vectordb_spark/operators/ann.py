@@ -1478,3 +1478,40 @@ def knn_join_topk(
         .filter(F.col("rank") <= k)
         .select("src", "nbr", "sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def compact_rp_index(
+    spark: SparkSession, sf_dir: str, threshold: int = 4
+) -> str:
+    """Small-file compaction for the RP-LSH index — the invindex
+    ``compact_text_index`` chore applied to bands/vecs. Returns the
+    current version dir."""
+    from ..sources import versioning as vn
+
+    build_rp_index(spark, sf_dir)
+    return vn.compact_index(
+        spark,
+        rp_index_root(sf_dir),
+        [("bands", ["band", "band_key"]), ("vecs", ["vbucket"])],
+        threshold,
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    threshold: int = 4,
+) -> str:
+    """Small-file compaction for the trained-IVF index (assign/vecs;
+    frozen cents link through). Returns the current version dir."""
+    from ..sources import versioning as vn
+
+    build_ivf_index(spark, sf_dir, n_centroids, iters)
+    return vn.compact_index(
+        spark,
+        ivf_index_root(sf_dir, n_centroids, iters),
+        [("assign", ["cluster"]), ("vecs", ["vbucket"]), ("cents", [])],
+        threshold,
+    )

@@ -504,3 +504,28 @@ def hybrid_rrf_served_topk(
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def compact_text_index(
+    spark: SparkSession, sf_dir: str, threshold: int = 4
+) -> str:
+    """Small-file compaction for the lexical index (the chore
+    incremental upserts accumulate — SCALE.md): partitions with more
+    than ``threshold`` part files rewrite single-file in a new version,
+    everything else hardlinks, published by the atomic ``_CURRENT``
+    swing. Content-preserving by construction; pinned in
+    tests/test_invindex.py. Returns the current version dir."""
+    from ..sources import versioning as vn
+
+    cur = build_text_index(spark, sf_dir)
+    return vn.compact_index(
+        spark,
+        os.path.dirname(cur),
+        [
+            ("postings", ["tbucket"]),
+            ("termstats", ["tbucket"]),
+            ("docs", ["dbucket"]),
+            ("stats", []),
+        ],
+        threshold,
+    )

@@ -123,3 +123,105 @@ def _link_level(src: str, dst: str, rel: str, skip: frozenset) -> None:
             _link_level(sp, os.path.join(dst, name), sub, skip)
         else:
             os.link(sp, os.path.join(dst, name))
+
+
+def link_component(src: str, dst: str) -> None:
+    """Hardlink an ENTIRE unchanged component (including _SUCCESS
+    markers) into the new version — only safe when the new version
+    never writes into it (unlike ``link_partitions``, whose target
+    receives append jobs)."""
+    _link_level(src, dst, "", frozenset())
+
+
+def compact_index(
+    spark, root: str, components, threshold: int = 4
+) -> "str | None":
+    """Small-file compaction for a versioned index — the housekeeping
+    chore incremental upserts accumulate (every update appends one part
+    file per affected partition; after k updates a hot partition holds
+    k+1 small files and scan open-cost dominates). Under versioned
+    roots it is just another commit: partitions holding more than
+    ``threshold`` data files are rewritten single-file (a repartition
+    by the partition columns puts each partition's rows in exactly one
+    task, hence one file), everything else hardlinks, and the atomic
+    ``_CURRENT`` swing publishes — readers never see a half-compacted
+    index, and a crash loses nothing but the chore.
+
+    ``components`` is a list of (name, partition_cols) — empty
+    partition_cols marks an unpartitioned sidecar (stats/cents) that
+    links through unchanged. Returns the new current dir, or the
+    existing one when nothing exceeds the threshold (no empty commits).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cur = current_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"no _CURRENT under {root}")
+
+    def data_files(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.startswith("part-"))
+
+    def hot_partitions(cpath: str, depth: int) -> list:
+        out = []
+
+        def walk(d: str, rel: str, lvl: int) -> None:
+            if lvl == depth:
+                if data_files(d) > threshold:
+                    out.append(rel)
+                return
+            for name in os.listdir(d):
+                sub = os.path.join(d, name)
+                if os.path.isdir(sub) and "=" in name:
+                    walk(sub, f"{rel}/{name}" if rel else name, lvl + 1)
+
+        walk(cpath, "", 0)
+        return out
+
+    plan: dict = {}
+    for comp, cols in components:
+        cpath = os.path.join(cur, comp)
+        if cols and os.path.isdir(cpath):
+            hot = hot_partitions(cpath, len(cols))
+            if hot:
+                plan[comp] = hot
+    if not plan:
+        return cur
+
+    name = next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    for comp, cols in components:
+        src = os.path.join(cur, comp)
+        if not os.path.isdir(src):
+            continue
+        if not cols or comp not in plan:
+            link_component(src, os.path.join(tmp, comp))
+            continue
+        hot = plan[comp]
+        link_partitions(src, os.path.join(tmp, comp), frozenset(hot))
+        # predicate from the hot partitions' literal values — the read
+        # statically prunes to exactly the partitions being compacted
+        preds = []
+        for rel in hot:
+            kv = dict(p.split("=", 1) for p in rel.split("/"))
+            conj = None
+            for c in cols:
+                leg = F.col(c) == int(kv[c])
+                conj = leg if conj is None else (conj & leg)
+            preds.append(conj)
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred | p
+        (
+            spark.read.parquet(src)
+            .filter(pred)
+            .repartition(*[F.col(c) for c in cols])
+            .write.mode("append")
+            .partitionBy(*cols)
+            .parquet(os.path.join(tmp, comp))
+        )
+    publish_version(root, tmp, name)
+    gc_versions(root)
+    return os.path.join(root, name)

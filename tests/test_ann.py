@@ -666,3 +666,40 @@ def test_rp_update_crash_before_commit_preserves_served_results(
     bands = ann.update_rp_index(spark, base_dir, clone)  # recovery = re-run
     got = {t[2] for t in _band_map(spark, bands)}
     assert 987654323 in got
+
+
+def test_compact_rp_index_preserves_bands_and_serving(spark, sf_dir, tmp_path):
+    """RP compaction: content-identical bands/vecs, <=1 part file per
+    partition dir afterward, probe results unchanged."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "rp_comp")
+    os.makedirs(base_dir)
+    emb.filter(F.col("vec_id") % 3 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    ann.build_rp_index(spark, base_dir)
+    ann.update_rp_index(
+        spark, base_dir, emb.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    )
+    bands_p = ann.build_rp_index(spark, base_dir)
+    before = _band_map(spark, bands_p)
+    served_before = [
+        tuple(r) for r in ann.ann_rp_lsh_topk(spark, base_dir).collect()
+    ]
+    ver = ann.compact_rp_index(spark, base_dir, threshold=0)
+    assert _band_map(spark, os.path.join(ver, "bands")) == before
+    assert [
+        tuple(r) for r in ann.ann_rp_lsh_topk(spark, base_dir).collect()
+    ] == served_before
+    for band in os.listdir(os.path.join(ver, "bands")):
+        bp = os.path.join(ver, "bands", band)
+        if not os.path.isdir(bp):
+            continue
+        for bk in os.listdir(bp):
+            kp = os.path.join(bp, bk)
+            n = sum(1 for f in os.listdir(kp) if f.startswith("part-"))
+            assert n <= 1, (band, bk, n)

@@ -355,3 +355,43 @@ def test_version_gc_keeps_current_and_previous(spark, sf_dir, tmp_path):
     versions = sorted(d for d in os.listdir(root) if d.startswith("v_"))
     assert versions == ["v_000002", "v_000003"]
     assert not [d for d in os.listdir(root) if d.startswith(".__tmp_")]
+
+
+def test_compact_text_index_preserves_content(spark, sf_dir, tmp_path):
+    """Compaction (threshold=0 forces every partition) must preserve the
+    postings/termstats/docs/stats content EXACTLY, leave at most one
+    part file per partition dir, and publish as a normal versioned
+    commit (pointer bumped, old version retained for in-flight
+    readers)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "compbase")
+    os.makedirs(base_dir)
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(
+        os.path.join(base_dir, "documents.parquet")
+    )
+    invindex.build_text_index(spark, base_dir)
+    invindex.update_text_index(
+        spark, base_dir, docs.filter(F.col("doc_id") % 3 == 0)
+    )
+    v_before = invindex.build_text_index(spark, base_dir)
+    before = _postings_map(spark, v_before)
+    served_before = [
+        tuple(r) for r in invindex.bm25_topk_served(spark, base_dir).collect()
+    ]
+
+    v_after = invindex.compact_text_index(spark, base_dir, threshold=0)
+    assert v_after != v_before
+    assert _postings_map(spark, v_after) == before
+    assert [
+        tuple(r) for r in invindex.bm25_topk_served(spark, base_dir).collect()
+    ] == served_before
+    for comp in ("postings", "termstats", "docs"):
+        croot = os.path.join(v_after, comp)
+        for d in os.listdir(croot):
+            dp = os.path.join(croot, d)
+            if os.path.isdir(dp):
+                n = sum(1 for f in os.listdir(dp) if f.startswith("part-"))
+                assert n <= 1, (comp, d, n)
+
+    # below-threshold compaction is a no-op commit-wise
+    assert invindex.compact_text_index(spark, base_dir, threshold=64) == v_after
