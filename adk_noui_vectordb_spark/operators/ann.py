@@ -164,6 +164,12 @@ def vec_bucket_py(vec_id: int) -> int:
     )
 
 
+def _nonzero_pred() -> F.Column:
+    """True iff the ``emb`` array has any nonzero element (norm > 0
+    without the sqrt/dot HOF — ``exists`` short-circuits)."""
+    return F.exists(F.col("emb"), lambda x: x != F.lit(0.0))
+
+
 def rp_index_root(sf_dir: str) -> str:
     from ..memo import index_root
 
@@ -215,9 +221,15 @@ def build_rp_index(spark: SparkSession, sf_dir: str) -> str:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    rp_band_rows_for(e).write.mode("overwrite").partitionBy(
-        "band", "band_key"
-    ).parquet(os.path.join(tmp, "bands"))
+    # Zero-norm vectors are excluded from the BAND TABLE at build time
+    # (a zero vector has no direction — its cosine to anything is
+    # undefined, so band membership is meaningless; and in the batch
+    # k-NN join they would waste md5-top-cap slots, ADVICE r8). They
+    # stay in vecs/ (point-lookupable, replaceable); `exists`
+    # short-circuits at the first nonzero element — no dot-product HOF.
+    rp_band_rows_for(e.filter(_nonzero_pred())).write.mode(
+        "overwrite"
+    ).partitionBy("band", "band_key").parquet(os.path.join(tmp, "bands"))
     e.select(
         vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
     ).write.mode("overwrite").partitionBy("vbucket").parquet(
@@ -272,7 +284,11 @@ def update_rp_index(
         .dropDuplicates(["vec_id"])
         .localCheckpoint(eager=True)
     )
-    batch_bands = rp_band_rows_for(batch).localCheckpoint(eager=True)
+    # band rows only for directional (nonzero) vectors — the build-time
+    # exclusion contract; zero-norm batch vectors still land in vecs/.
+    batch_bands = rp_band_rows_for(batch.filter(_nonzero_pred())).localCheckpoint(
+        eager=True
+    )
     batch_ids = batch.select("vec_id")
     vbuckets = sorted(
         r["b"]
@@ -291,7 +307,7 @@ def update_rp_index(
     resubmitted = old_vecs_aff.join(batch_ids, "vec_id", "leftsemi").select(
         "vec_id", "emb"
     )
-    old_bands = rp_band_rows_for(resubmitted)
+    old_bands = rp_band_rows_for(resubmitted.filter(_nonzero_pred()))
     pairs = {
         (r["band"], r["band_key"])
         for r in batch_bands.unionByName(old_bands)
@@ -302,19 +318,23 @@ def update_rp_index(
     from functools import reduce
     from operator import or_
 
-    pair_pred = reduce(
-        or_,
-        [
-            (F.col("band") == b) & (F.col("band_key") == k)
-            for b, k in sorted(pairs)
-        ],
-    )
-    old_in_aff = spark.read.parquet(os.path.join(cur, "bands")).filter(pair_pred)
-    merged_bands = (
-        old_in_aff.join(batch_ids, "vec_id", "left_anti")
-        .unionByName(batch_bands.filter(pair_pred))
-        .select("band", "band_key", "vec_id")
-    )
+    merged_bands = None
+    if pairs:
+        pair_pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("band_key") == k)
+                for b, k in sorted(pairs)
+            ],
+        )
+        old_in_aff = spark.read.parquet(os.path.join(cur, "bands")).filter(
+            pair_pred
+        )
+        merged_bands = (
+            old_in_aff.join(batch_ids, "vec_id", "left_anti")
+            .unionByName(batch_bands.filter(pair_pred))
+            .select("band", "band_key", "vec_id")
+        )
     merged_vecs = (
         old_vecs_aff.join(batch_ids, "vec_id", "left_anti")
         .select("vbucket", "vec_id", "emb")
@@ -340,9 +360,10 @@ def update_rp_index(
         os.path.join(tmp, "vecs"),
         frozenset(f"vbucket={b}" for b in vbuckets),
     )
-    merged_bands.write.mode("append").partitionBy("band", "band_key").parquet(
-        os.path.join(tmp, "bands")
-    )
+    if merged_bands is not None:
+        merged_bands.write.mode("append").partitionBy(
+            "band", "band_key"
+        ).parquet(os.path.join(tmp, "bands"))
     merged_vecs.write.mode("append").partitionBy("vbucket").parquet(
         os.path.join(tmp, "vecs")
     )
@@ -1436,12 +1457,12 @@ def knn_join_topk(
         "vec_id", "e", F.sqrt(dot_product(F.col("e"), F.col("e"))).alias("nrm")
     ).filter(F.col("nrm") > 0)
 
-    # Drop zero-norm vectors from BOTH sides of the band self-join
-    # before the cap window — one leftsemi equi-join on vec_id,
-    # O(n x RP_BANDS) rows, the same bound as the cap window itself.
-    bands = spark.read.parquet(build_rp_index(spark, sf_dir)).join(
-        emb.select("vec_id"), "vec_id", "leftsemi"
-    )
+    # Zero-norm vectors never reach the cap window or the candidate set:
+    # since r9 they are excluded from the band table AT BUILD/UPDATE
+    # time (build_rp_index — a zero vector has no direction, so
+    # cosine-LSH membership is meaningless for it), which closes the
+    # ADVICE r8 cap-slot-waste finding with ZERO query-time cost.
+    bands = spark.read.parquet(build_rp_index(spark, sf_dir))
     a = bands.select("band", "band_key", F.col("vec_id").alias("src"))
     b = cap_bucket_members(bands, bucket_cap).select(
         "band", "band_key", F.col("vec_id").alias("nbr")

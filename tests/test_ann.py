@@ -703,3 +703,31 @@ def test_compact_rp_index_preserves_bands_and_serving(spark, sf_dir, tmp_path):
             kp = os.path.join(bp, bk)
             n = sum(1 for f in os.listdir(kp) if f.startswith("part-"))
             assert n <= 1, (band, bk, n)
+
+
+def test_knn_join_zero_norm_excluded_before_cap(spark, sf_dir, tmp_path):
+    """A zero-norm vector must neither appear in the batch k-NN output
+    nor occupy cap slots: results over corpus+zero-vec equal results
+    over the clean corpus exactly (the exclusion-path gate fires only
+    when a zero vector exists — the clean corpus skips the semi-join)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    clean_dir = str(tmp_path / "knnz_clean")
+    dirty_dir = str(tmp_path / "knnz_dirty")
+    os.makedirs(clean_dir), os.makedirs(dirty_dir)
+    emb.write.parquet(os.path.join(clean_dir, "embeddings.parquet"))
+    zero = emb.limit(1).select(
+        F.lit(876543210).cast("bigint").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 0.0).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    emb.unionByName(zero).write.parquet(
+        os.path.join(dirty_dir, "embeddings.parquet")
+    )
+    a = [tuple(r) for r in ann.knn_join_topk(spark, clean_dir).collect()]
+    b = [tuple(r) for r in ann.knn_join_topk(spark, dirty_dir).collect()]
+    assert sorted(a) == sorted(b)
+    assert all(r[0] != 876543210 and r[1] != 876543210 for r in b)
