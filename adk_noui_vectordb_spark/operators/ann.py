@@ -250,18 +250,30 @@ def update_rp_index(
     band-table path.
 
     A batch vector's band rows come from the SAME module-level kernel
-    as the build (``rp_band_rows_for`` — byte-identical signatures);
-    a RE-submitted vec_id's stale band rows are found by re-banding its
-    OLD vector from the index's ``vecs/`` store (the signature is a
-    pure function of the stored vector, so ``vecs/`` doubles as the
-    reverse map — no extra component, partition-pruned by the batch's
-    literal vbucket set). Everything is O(batch + affected buckets):
-    affected (band, band_key) partitions (≤ 96 exist; a b-vector batch
-    touches ≤ b*RP_BANDS*2 of them) are rebuilt as old-rows anti-join
-    batch ids ∪ batch rows; untouched partitions hardlink into the new
-    version; the commit is the atomic ``_CURRENT`` swing
-    (sources/versioning.py), so a crash mid-update leaves every reader
-    on the old consistent version.
+    as the build (``rp_band_rows_for`` — byte-identical signatures).
+
+    APPEND-MOSTLY discipline (the measured r9 finding,
+    tools/bench_incremental_updates.py): the band table has only
+    RP_BANDS * 2^RP_BAND_BITS = 96 partitions, so "rewrite affected
+    buckets" degenerates to rewriting the WHOLE table for any diverse
+    batch — the incremental path would cost O(corpus). Instead:
+
+    - brand-NEW vec_ids (the bulk-ingest common case) have no stale
+      rows to retract, so their band rows simply APPEND as new part
+      files into hardlinked partitions — ZERO reads of existing band
+      data, O(batch) total;
+    - RE-submitted vec_ids (replace) force rewrites of exactly the
+      partitions holding their stale rows — found by re-banding their
+      OLD vectors from the index's ``vecs/`` store (the signature is a
+      pure function of the stored vector, so ``vecs/`` doubles as the
+      reverse map, pruned by the batch's literal vbucket set) — a
+      per-partition anti-join bounded by resubmit_count * RP_BANDS
+      partitions, never the batch's own (random, dense) bucket set.
+
+    Appends accumulate small files; ``compact_rp_index`` folds them
+    back single-file inside a normal versioned commit. The commit is
+    the atomic ``_CURRENT`` swing (sources/versioning.py) either way,
+    so a crash mid-update leaves every reader on the old version.
 
     Equality with a fresh rebuild over the combined corpus and
     served-probe convergence one batch after ingest are pinned in
@@ -299,74 +311,88 @@ def update_rp_index(
     if not vbuckets:
         return os.path.join(cur, "bands")
 
-    # Stale band rows of re-submitted ids: re-band their OLD vectors
-    # (pruned read of the batch's vbucket partitions only).
+    # Re-submitted ids and their stale locations (pruned reverse-map
+    # read; empty for a pure-ADD batch, which then touches no old data).
     old_vecs_aff = spark.read.parquet(os.path.join(cur, "vecs")).filter(
         F.col("vbucket").isin(vbuckets)
     )
-    resubmitted = old_vecs_aff.join(batch_ids, "vec_id", "leftsemi").select(
-        "vec_id", "emb"
+    resub = (
+        old_vecs_aff.join(batch_ids, "vec_id", "leftsemi")
+        .select("vbucket", "vec_id", "emb")
+        .localCheckpoint(eager=True)
     )
-    old_bands = rp_band_rows_for(resubmitted.filter(_nonzero_pred()))
-    pairs = {
+    resub_ids = resub.select("vec_id")
+    rw_pairs = {
         (r["band"], r["band_key"])
-        for r in batch_bands.unionByName(old_bands)
+        for r in rp_band_rows_for(
+            resub.select("vec_id", "emb").filter(_nonzero_pred())
+        )
         .select("band", "band_key")
         .distinct()
         .collect()
     }
-    from functools import reduce
-    from operator import or_
-
-    merged_bands = None
-    if pairs:
-        pair_pred = reduce(
-            or_,
-            [
-                (F.col("band") == b) & (F.col("band_key") == k)
-                for b, k in sorted(pairs)
-            ],
-        )
-        old_in_aff = spark.read.parquet(os.path.join(cur, "bands")).filter(
-            pair_pred
-        )
-        merged_bands = (
-            old_in_aff.join(batch_ids, "vec_id", "left_anti")
-            .unionByName(batch_bands.filter(pair_pred))
-            .select("band", "band_key", "vec_id")
-        )
-    merged_vecs = (
-        old_vecs_aff.join(batch_ids, "vec_id", "left_anti")
-        .select("vbucket", "vec_id", "emb")
-        .unionByName(
-            batch.select(
-                vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
-                "vec_id",
-                "emb",
-            )
-        )
+    rw_vb = sorted(
+        r["vbucket"] for r in resub.select("vbucket").distinct().collect()
     )
 
     name = vn.next_version_name(root)
     tmp = os.path.join(root, f".__tmp_{name}__")
     shutil.rmtree(tmp, ignore_errors=True)
+
+    # bands: rewrite ONLY partitions holding stale rows; link the rest;
+    # append every batch band row (adds land beside linked files,
+    # replacements beside their rewritten partition's files).
     vn.link_partitions(
         os.path.join(cur, "bands"),
         os.path.join(tmp, "bands"),
-        frozenset(f"band={b}/band_key={k}" for b, k in pairs),
+        frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
     )
+    if rw_pairs:
+        from functools import reduce
+        from operator import or_
+
+        pair_pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("band_key") == k)
+                for b, k in sorted(rw_pairs)
+            ],
+        )
+        (
+            spark.read.parquet(os.path.join(cur, "bands"))
+            .filter(pair_pred)
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("band", "band_key", "vec_id")
+            .write.mode("append")
+            .partitionBy("band", "band_key")
+            .parquet(os.path.join(tmp, "bands"))
+        )
+    batch_bands.select("band", "band_key", "vec_id").write.mode(
+        "append"
+    ).partitionBy("band", "band_key").parquet(os.path.join(tmp, "bands"))
+
+    # vecs: same discipline on the vbucket axis.
     vn.link_partitions(
         os.path.join(cur, "vecs"),
         os.path.join(tmp, "vecs"),
-        frozenset(f"vbucket={b}" for b in vbuckets),
+        frozenset(f"vbucket={b}" for b in rw_vb),
     )
-    if merged_bands is not None:
-        merged_bands.write.mode("append").partitionBy(
-            "band", "band_key"
-        ).parquet(os.path.join(tmp, "bands"))
-    merged_vecs.write.mode("append").partitionBy("vbucket").parquet(
+    if rw_vb:
+        (
+            spark.read.parquet(os.path.join(cur, "vecs"))
+            .filter(F.col("vbucket").isin(rw_vb))
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("vbucket", "vec_id", "emb")
+            .write.mode("append")
+            .partitionBy("vbucket")
+            .parquet(os.path.join(tmp, "vecs"))
+        )
+    batch.select(
+        vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+    ).write.mode("append").partitionBy("vbucket").parquet(
         os.path.join(tmp, "vecs")
     )
+
     vn.publish_version(root, tmp, name)
     vn.gc_versions(root)
     return os.path.join(root, name, "bands")
@@ -653,11 +679,14 @@ def update_ivf_index(
     indexing_agent.py:332-361): the coarse quantizer is NOT retrained,
     the batch is assigned to existing cells by the SAME module-level
     kernel as training (``assign_to_centroids`` — identical 6-dp d2 /
-    cluster tie-break arithmetic), and only the affected cell
-    partitions rewrite. Re-submitted vec_ids are replaced: their OLD
-    cell is recovered by re-assigning their OLD vector from the index's
-    ``vecs/`` store (assignment is a pure function of the stored vector
-    under frozen centroids — ``vecs/`` doubles as the reverse map).
+    cluster tie-break arithmetic), and the write is APPEND-MOSTLY (the
+    update_rp_index discipline): brand-new ids append into hardlinked
+    cell partitions with zero reads of existing assignment data; only
+    re-submitted vec_ids rewrite their OLD cells — recovered by
+    re-assigning their OLD vectors from the index's ``vecs/`` store
+    (assignment is a pure function of the stored vector under frozen
+    centroids — ``vecs/`` doubles as the reverse map).
+    ``compact_ivf_index`` folds the accumulated append files back.
     Periodic full retrains (``build_ivf_index`` on a fresh root) remain
     the answer to centroid drift, exactly as in any production IVF.
 
@@ -702,43 +731,31 @@ def update_ivf_index(
     batch_assign = assign_to_centroids(batch, cent_rows).localCheckpoint(
         eager=True
     )
+    # Append-mostly (the update_rp_index discipline — with n_centroids
+    # cells, "rewrite affected cells" degenerates to the whole table
+    # for any diverse batch): adds APPEND into hardlinked cell
+    # partitions with zero reads of existing assignment data; only
+    # re-submitted ids rewrite their OLD cells (recovered by
+    # re-assigning their old vectors from vecs/ under the frozen
+    # centroids) with a per-cell anti-join.
     old_vecs_aff = spark.read.parquet(os.path.join(cur, "vecs")).filter(
         F.col("vbucket").isin(vbuckets)
     )
-    resubmitted = old_vecs_aff.join(batch_ids, "vec_id", "leftsemi").select(
-        "vec_id", "emb"
+    resub = (
+        old_vecs_aff.join(batch_ids, "vec_id", "leftsemi")
+        .select("vbucket", "vec_id", "emb")
+        .localCheckpoint(eager=True)
     )
-    old_cells = {
+    resub_ids = resub.select("vec_id")
+    rw_cells = sorted(
         r["cluster"]
-        for r in assign_to_centroids(resubmitted, cent_rows)
+        for r in assign_to_centroids(resub.select("vec_id", "emb"), cent_rows)
         .select("cluster")
         .distinct()
         .collect()
-    }
-    new_cells = {
-        r["cluster"]
-        for r in batch_assign.select("cluster").distinct().collect()
-    }
-    cells = sorted(old_cells | new_cells)
-
-    old_assign_aff = spark.read.parquet(os.path.join(cur, "assign")).filter(
-        F.col("cluster").isin(cells)
     )
-    merged_assign = (
-        old_assign_aff.join(batch_ids, "vec_id", "left_anti")
-        .select("vec_id", "cluster")
-        .unionByName(batch_assign.select("vec_id", "cluster"))
-    )
-    merged_vecs = (
-        old_vecs_aff.join(batch_ids, "vec_id", "left_anti")
-        .select("vbucket", "vec_id", "emb")
-        .unionByName(
-            batch.select(
-                vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
-                "vec_id",
-                "emb",
-            )
-        )
+    rw_vb = sorted(
+        r["vbucket"] for r in resub.select("vbucket").distinct().collect()
     )
 
     name = vn.next_version_name(root)
@@ -747,20 +764,43 @@ def update_ivf_index(
     vn.link_partitions(
         os.path.join(cur, "assign"),
         os.path.join(tmp, "assign"),
-        frozenset(f"cluster={c}" for c in cells),
+        frozenset(f"cluster={c}" for c in rw_cells),
     )
+    if rw_cells:
+        (
+            spark.read.parquet(os.path.join(cur, "assign"))
+            .filter(F.col("cluster").isin(rw_cells))
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("vec_id", "cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(os.path.join(tmp, "assign"))
+        )
+    batch_assign.select("vec_id", "cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(os.path.join(tmp, "assign"))
+
     vn.link_partitions(
         os.path.join(cur, "vecs"),
         os.path.join(tmp, "vecs"),
-        frozenset(f"vbucket={b}" for b in vbuckets),
+        frozenset(f"vbucket={b}" for b in rw_vb),
     )
-    vn._link_level(cents_p, os.path.join(tmp, "cents"), "cents", frozenset())
-    merged_assign.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(tmp, "assign")
-    )
-    merged_vecs.write.mode("append").partitionBy("vbucket").parquet(
+    if rw_vb:
+        (
+            spark.read.parquet(os.path.join(cur, "vecs"))
+            .filter(F.col("vbucket").isin(rw_vb))
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("vbucket", "vec_id", "emb")
+            .write.mode("append")
+            .partitionBy("vbucket")
+            .parquet(os.path.join(tmp, "vecs"))
+        )
+    batch.select(
+        vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+    ).write.mode("append").partitionBy("vbucket").parquet(
         os.path.join(tmp, "vecs")
     )
+    vn._link_level(cents_p, os.path.join(tmp, "cents"), "cents", frozenset())
     vn.publish_version(root, tmp, name)
     vn.gc_versions(root)
     cur = os.path.join(root, name)

@@ -308,23 +308,31 @@ def update_text_index(
     retracts the stale terms, including terms the new text no longer
     contains). Duplicate doc_ids within one batch are deduped first.
 
-    Mechanics, all O(batch + affected buckets), never O(corpus):
+    Mechanics — APPEND-MOSTLY, O(batch + stale partitions), never
+    O(corpus) (the measured r9 finding: with only N_TERM_BUCKETS
+    partitions, "rewrite every bucket the batch's terms touch" would
+    degenerate to rewriting the whole postings table for any diverse
+    batch — tools/bench_incremental_updates.py):
     1. batch postings via the shared ``doc_term_counts`` kernel;
-    2. the ``docs/`` reverse map names, for every re-submitted doc, the
+    2. the ``docs/`` reverse map names, for every RE-submitted doc, the
        term buckets its OLD postings occupy (partition-pruned by the
-       batch's literal dbucket set) — affected tbuckets = old ∪ new;
-    3. affected postings partitions are rebuilt as (old rows anti-join
-       batch doc_ids) ∪ batch rows; termstats for those buckets are
-       recomputed from the rebuilt postings; affected docs partitions
-       get the same anti-join ∪ new-rows treatment; corpus stats are
-       one aggregate over the (small) docs component;
+       batch's literal dbucket set); a pure-ADD batch has none;
+    3. postings partitions holding stale rows rewrite (old anti-join
+       re-submitted doc_ids); ALL batch posting rows simply APPEND as
+       new part files beside hardlinked (or rewritten) partition
+       contents — a bulk ingest of new docs reads zero old postings.
+       termstats partitions (small: distinct terms per bucket) rewrite
+       by delta merge (old − removed + added, both delta sides pruned
+       aggregates); corpus stats update by scalar delta; docs follows
+       the postings discipline on the dbucket axis.
+       ``compact_text_index`` folds the accumulated append files back;
     4. everything lands in a NEW version directory — untouched
        partitions hardlinked from the current version (metadata-only;
-       the Iceberg-manifest-reuse analog), rewritten partitions written
-       fresh — and becomes visible via the single atomic ``_CURRENT``
-       pointer swing (VERDICT r8 next #4). A crash at ANY point leaves
-       readers on the old, internally consistent version; the
-       half-written tmp dir is swept by the next committer.
+       the Iceberg-manifest-reuse analog) — and becomes visible via the
+       single atomic ``_CURRENT`` pointer swing (VERDICT r8 next #4).
+       A crash at ANY point leaves readers on the old, internally
+       consistent version; the half-written tmp dir is swept by the
+       next committer.
 
     NOTE: after an update the index at this root represents
     ``sf_dir ∪ batch``, no longer ``sf_dir`` alone — the driver-checked
@@ -360,68 +368,147 @@ def update_text_index(
         return cur
     batch_ids = batch_docs.select("doc_id")
 
-    # Old term buckets of re-submitted docs, via the pruned reverse map.
+    # Re-submitted docs and their stale term buckets, via the pruned
+    # reverse map — empty for a pure-ADD batch (bulk ingest), which
+    # then APPENDS postings/docs rows without reading any old postings
+    # (the update_rp_index append-mostly discipline: with only
+    # N_TERM_BUCKETS partitions, "rewrite affected buckets" would
+    # degenerate to rewriting the whole table for any diverse batch).
     old_docs_aff = spark.read.parquet(os.path.join(cur, "docs")).filter(
         F.col("dbucket").isin(dbuckets)
     )
-    old_tb = {
+    resub_docs = (
+        old_docs_aff.join(batch_ids, "doc_id", "leftsemi")
+        .select("dbucket", "doc_id", "dl", "tbuckets")
+        .localCheckpoint(eager=True)
+    )
+    resub_ids = resub_docs.select("doc_id")
+    rw_tb = sorted(
         r["b"]
-        for r in old_docs_aff.join(batch_ids, "doc_id", "leftsemi")
-        .select(F.explode("tbuckets").alias("b"))
+        for r in resub_docs.select(F.explode("tbuckets").alias("b"))
         .distinct()
         .collect()
-    }
-    new_tb = {
+    )
+    rw_db = sorted(
+        r["dbucket"] for r in resub_docs.select("dbucket").distinct().collect()
+    )
+    new_tb = sorted(
         r["tbucket"] for r in batch.select("tbucket").distinct().collect()
-    }
-    tbuckets = sorted(old_tb | new_tb)
+    )
 
-    old_post = spark.read.parquet(os.path.join(cur, "postings")).filter(
-        F.col("tbucket").isin(tbuckets)
+    # termstats delta merge: df changes in every bucket the batch's
+    # terms touch AND every bucket losing a re-submitted doc's terms.
+    # The component is small (distinct terms per bucket), so those
+    # partitions rewrite outright: old - removed + added, pruned reads.
+    removed = None
+    if rw_tb:
+        removed = (
+            spark.read.parquet(os.path.join(cur, "postings"))
+            .filter(F.col("tbucket").isin(rw_tb))
+            .join(resub_ids, "doc_id", "leftsemi")
+            .groupBy("tbucket", "term")
+            .agg(F.count(F.lit(1)).alias("rem"))
+        )
+    added = batch.groupBy("tbucket", "term").agg(
+        F.count(F.lit(1)).alias("add")
     )
-    merged = (
-        old_post.join(batch_ids, "doc_id", "left_anti")
-        .unionByName(batch)
-        .select("tbucket", "term", "doc_id", "tf", "dl")
+    ts_buckets = sorted(set(rw_tb) | set(new_tb))
+    old_ts = spark.read.parquet(os.path.join(cur, "termstats")).filter(
+        F.col("tbucket").isin(ts_buckets)
     )
-    tstats = merged.groupBy("tbucket", "term").agg(
-        F.count(F.lit(1)).alias("df")
+    delta = (
+        added.join(removed, ["tbucket", "term"], "full_outer")
+        if removed is not None
+        else added.withColumn("rem", F.lit(None).cast("bigint"))
     )
-    docs_aff = old_docs_aff.join(batch_ids, "doc_id", "left_anti").unionByName(
-        batch_docs
+    new_ts = (
+        old_ts.join(delta, ["tbucket", "term"], "full_outer")
+        .select(
+            "tbucket",
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.coalesce(F.col("rem"), F.lit(0))
+                + F.coalesce(F.col("add"), F.lit(0))
+            ).alias("df"),
+        )
+        .filter(F.col("df") > 0)
     )
-    # Corpus stats from the full (post-update) docs component — one
-    # aggregate over ~1 row per doc, never the postings.
-    all_docs = (
-        spark.read.parquet(os.path.join(cur, "docs"))
-        .join(batch_ids, "doc_id", "left_anti")
-        .select("dl")
-        .unionByName(batch_docs.select("dl"))
+
+    # corpus stats by scalar delta — never a postings or full-docs read.
+    old_stats = spark.read.parquet(os.path.join(cur, "stats"))
+    b_agg = batch_docs.agg(
+        F.count(F.lit(1)).alias("b_n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("b_dl"),
     )
-    stats = all_docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
+    r_agg = resub_docs.agg(
+        F.count(F.lit(1)).alias("r_n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("r_dl"),
+    )
+    stats = (
+        old_stats.crossJoin(b_agg)
+        .crossJoin(r_agg)
+        .select(
+            (F.col("n_docs") - F.col("r_n") + F.col("b_n")).alias("n_docs"),
+            (F.col("tot_dl") - F.col("r_dl") + F.col("b_dl")).alias("tot_dl"),
+        )
     )
 
     name = _next_version_name(root)
     tmp = os.path.join(root, f".__tmp_{name}__")
     shutil.rmtree(tmp, ignore_errors=True)
-    skip_t = frozenset(f"tbucket={b}" for b in tbuckets)
-    _link_partitions(os.path.join(cur, "postings"), os.path.join(tmp, "postings"), skip_t)
-    _link_partitions(os.path.join(cur, "termstats"), os.path.join(tmp, "termstats"), skip_t)
+
+    # postings: rewrite ONLY partitions holding stale rows; append every
+    # batch posting row (adds beside linked files, replacements beside
+    # their rewritten partition's files). compact_text_index folds the
+    # accumulated small files back.
+    _link_partitions(
+        os.path.join(cur, "postings"),
+        os.path.join(tmp, "postings"),
+        frozenset(f"tbucket={b}" for b in rw_tb),
+    )
+    if rw_tb:
+        (
+            spark.read.parquet(os.path.join(cur, "postings"))
+            .filter(F.col("tbucket").isin(rw_tb))
+            .join(resub_ids, "doc_id", "left_anti")
+            .select("tbucket", "term", "doc_id", "tf", "dl")
+            .write.mode("append")
+            .partitionBy("tbucket")
+            .parquet(os.path.join(tmp, "postings"))
+        )
+    batch.select("tbucket", "term", "doc_id", "tf", "dl").write.mode(
+        "append"
+    ).partitionBy("tbucket").parquet(os.path.join(tmp, "postings"))
+
+    _link_partitions(
+        os.path.join(cur, "termstats"),
+        os.path.join(tmp, "termstats"),
+        frozenset(f"tbucket={b}" for b in ts_buckets),
+    )
+    new_ts.write.mode("append").partitionBy("tbucket").parquet(
+        os.path.join(tmp, "termstats")
+    )
+
     _link_partitions(
         os.path.join(cur, "docs"),
         os.path.join(tmp, "docs"),
-        frozenset(f"dbucket={b}" for b in dbuckets),
+        frozenset(f"dbucket={b}" for b in rw_db),
     )
-    merged.write.mode("append").partitionBy("tbucket").parquet(
-        os.path.join(tmp, "postings")
-    )
-    tstats.write.mode("append").partitionBy("tbucket").parquet(
-        os.path.join(tmp, "termstats")
-    )
-    docs_aff.write.mode("append").partitionBy("dbucket").parquet(
-        os.path.join(tmp, "docs")
-    )
+    if rw_db:
+        (
+            spark.read.parquet(os.path.join(cur, "docs"))
+            .filter(F.col("dbucket").isin(rw_db))
+            .join(resub_ids, "doc_id", "left_anti")
+            .select("dbucket", "doc_id", "dl", "tbuckets")
+            .write.mode("append")
+            .partitionBy("dbucket")
+            .parquet(os.path.join(tmp, "docs"))
+        )
+    batch_docs.select("dbucket", "doc_id", "dl", "tbuckets").write.mode(
+        "append"
+    ).partitionBy("dbucket").parquet(os.path.join(tmp, "docs"))
+
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(tmp, "stats")
     )
