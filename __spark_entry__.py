@@ -653,6 +653,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query terms' buckets (tests/test_plans.py), ranking arithmetic
         # byte-identical to bm25_topk so both share the _BM25_CTE oracle.
         "inverted_postings_rows": _inv.inverted_postings_rows,
+        # r9: the versioned-index maintenance components as
+        # driver-checkable rows — the docs/ reverse map the text
+        # replace path depends on, and the RP index's vecs/ store the
+        # serving reranks and vector replace path read.
+        "text_index_doc_map": _inv.text_index_doc_map,
+        "rp_index_vec_rows": _ann.rp_index_vec_rows,
         "bm25_topk_served": _inv.bm25_topk_served,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
@@ -2523,6 +2529,27 @@ SELECT w.term, w.doc_id, count(*) AS tf, max(dl.dl) AS dl
 FROM words w JOIN dl USING (doc_id)
 WHERE w.term IN ('join', 'scan', 'window')
 GROUP BY 1, 2
+""",
+        # r9 maintenance components: the docs/ reverse map (one row per
+        # doc x term bucket its postings occupy) and the RP vecs/ store
+        # bucketing — both re-derived from the raw tables with the SAME
+        # md5 first-8-hex-digit arithmetic the Spark build uses.
+        "text_index_doc_map": f"""
+WITH toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+)
+SELECT DISTINCT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(('0x' || substr(md5(term), 1, 8))::BIGINT
+            % {_inv.N_TERM_BUCKETS} AS INTEGER) AS tbucket
+FROM toks
+""",
+        "rp_index_vec_rows": f"""
+SELECT vec_id,
+       CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+            % {_ann.N_VEC_BUCKETS} AS INTEGER) AS vbucket
+FROM embeddings
 """,
         "hybrid_rrf_topk": f"""
 WITH {_BM25_CTE},

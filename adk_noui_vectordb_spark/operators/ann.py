@@ -1576,3 +1576,15 @@ def compact_ivf_index(
         [("assign", ["cluster"]), ("vecs", ["vbucket"]), ("cents", [])],
         threshold,
     )
+
+
+def rp_index_vec_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RP index's ``vecs/`` store as driver-checkable rows
+    (vec_id, vbucket) — validates the r9 index-resident vector store
+    (the component serving reranks and replace-path reverse lookups
+    read) against a DuckDB oracle re-deriving the md5 vec bucket."""
+    ver = _rp_current_dir(spark, sf_dir)
+    vecs = spark.read.parquet(os.path.join(ver, "vecs"))
+    return vecs.select(
+        "vec_id", F.col("vbucket").cast("int").alias("vbucket")
+    )

@@ -616,3 +616,20 @@ def compact_text_index(
         ],
         threshold,
     )
+
+
+def text_index_doc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``docs/`` reverse map as scalar driver-checkable rows
+    (doc_id, dl, tbucket) — one row per (doc, term bucket the doc's
+    postings occupy). Validates the component the r9 replace path
+    depends on (stale-posting discovery) the way
+    ``inverted_postings_rows`` validates the postings: against a DuckDB
+    oracle that re-derives bucket membership from the raw documents
+    with the same md5 arithmetic."""
+    ver = build_text_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(ver, "docs"))
+    return docs.select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        F.explode("tbuckets").alias("tbucket"),
+    ).select("doc_id", "dl", F.col("tbucket").cast("int").alias("tbucket"))
