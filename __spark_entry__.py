@@ -492,6 +492,11 @@ _REWRITTEN = frozenset({
     "ann_rp_lsh_topk",
     "ann_rp_lsh_multiprobe_topk",
     "ann_ivf_trained_topk",
+    # the PQ index joined the versioned family (codes partitioned by
+    # vbucket, vecs store, query/rerank index-served)
+    "pq_encode_rows",
+    "knn_pq_topk",
+    "knn_pq_rerank",
 })
 
 

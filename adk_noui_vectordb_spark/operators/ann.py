@@ -1222,7 +1222,7 @@ def _pq_index_root(sf_dir: str, m: int, k: int, iters: int) -> str:
     regenerated data (ADVICE r6)."""
     from ..memo import index_root
 
-    return index_root("pq_index_v1", sf_dir, m, k, iters)
+    return index_root("pq_index_v2", sf_dir, m, k, iters, N_VEC_BUCKETS)
 
 
 def build_pq_index(
@@ -1237,29 +1237,218 @@ def build_pq_index(
     their paths. Serving queries (``knn_pq_topk`` / ``knn_pq_rerank``)
     read the stored codes instead of re-running Lloyd's per query — the
     production PQ lifecycle (train on a sample, encode once, serve from
-    codes; SCALE.md "Product quantization"). The build is idempotent and
-    crash-safe via the sinks module's directory-swap discipline
-    (build under ``.__tmp__``, atomic rename, heal half-swaps first).
+    codes; SCALE.md "Product quantization").
+
+    Since r9 the index is VERSIONED (sources/versioning.py, the
+    rp/ivf/text lifecycle): codes are partitioned by the md5 vec bucket
+    (the ADC scan reads every bucket — partitioning costs it nothing —
+    while ``update_pq_index`` prunes a re-submitted vec's stale codes
+    to one literal partition), and a ``vecs/`` store makes the index
+    self-contained for the exact-rerank stage and the query point
+    lookup.
     """
     import shutil
 
-    from ..sources.sinks import _recover_interrupted_swap, _swap_into_place
+    from ..sources import versioning as vn
 
     root = _pq_index_root(sf_dir, m, k, iters)
-    _recover_interrupted_swap(root)
-    codes_p = os.path.join(root, "codes")
-    cents_p = os.path.join(root, "cents")
-    if os.path.exists(os.path.join(root, "_BUILT")):
-        return codes_p, cents_p
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return os.path.join(cur, "codes"), os.path.join(cur, "cents")
+    os.makedirs(root, exist_ok=True)
     codes, cents = _pq_codebooks(spark, sf_dir, m, k, iters)
-    tmp = root + ".__tmp__"
+    tmp = os.path.join(root, ".__tmp_build__")
     shutil.rmtree(tmp, ignore_errors=True)
-    codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+    codes.select(
+        vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+        "vec_id",
+        "subspace",
+        "code",
+    ).write.mode("overwrite").partitionBy("vbucket").parquet(
+        os.path.join(tmp, "codes")
+    )
     cents.write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
-    with open(os.path.join(tmp, "_BUILT"), "w") as f:
-        f.write("ok\n")
-    _swap_into_place(tmp, root)
-    return codes_p, cents_p
+    load_table(spark, sf_dir, "embeddings").select(
+        vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).write.mode("overwrite").partitionBy("vbucket").parquet(
+        os.path.join(tmp, "vecs")
+    )
+    name = vn.next_version_name(root)
+    vn.publish_version(root, tmp, name)
+    cur = os.path.join(root, name)
+    return os.path.join(cur, "codes"), os.path.join(cur, "cents")
+
+
+def pq_encode_for(batch: DataFrame, cent_rows, m: int) -> DataFrame:
+    """Encode ANY (vec_id, emb) frame under FROZEN codebooks — the
+    incremental-path kernel (the ``rp_band_rows_for`` /
+    ``assign_to_centroids`` discipline): per subspace, the slice is
+    assigned to its nearest codebook entry by the SAME 6-dp d2 /
+    id tie-break arithmetic as training, so batch codes are
+    byte-identical to build-time codes. ``cent_rows`` is the collected
+    (subspace, code, c) codebook list."""
+    d = len(cent_rows[0]["c"])
+    out = None
+    for s in sorted({r["subspace"] for r in cent_rows}):
+        rows = sorted(
+            (
+                {"cluster": r["code"], "c": list(r["c"])}
+                for r in cent_rows
+                if r["subspace"] == s
+            ),
+            key=lambda r: r["cluster"],
+        )
+        sub = batch.select(
+            "vec_id", F.slice("emb", s * d + 1, d).alias("emb")
+        )
+        a = assign_to_centroids(sub, rows).select(
+            "vec_id",
+            F.lit(s).alias("subspace"),
+            F.col("cluster").alias("code"),
+        )
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+def update_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 2,
+) -> tuple[str, str]:
+    """Incremental PQ maintenance under FROZEN codebooks with vec-level
+    REPLACE semantics — FAISS ``add`` after ``train`` for the PQ tier,
+    completing the index family (text/RP/IVF/PQ all updatable). The
+    batch encodes through ``pq_encode_for`` (identical arithmetic to
+    the build); append-mostly like the others: brand-new ids append
+    code and vector rows into hardlinked vbucket partitions with zero
+    reads of existing data, and only re-submitted ids rewrite their own
+    vbucket partitions — found DIRECTLY (vbucket is a pure function of
+    vec_id, so stale codes/vecs prune to the batch's literal buckets —
+    no reverse derivation needed). Atomic ``_CURRENT`` commit;
+    ``compact_pq_index`` folds append files back. Codebook drift is
+    answered by periodic retrains, as everywhere in this family.
+    """
+    import shutil
+
+    from ..sources import versioning as vn
+
+    codes_p, cents_p = build_pq_index(spark, sf_dir, m, k, iters)
+    cur = os.path.dirname(codes_p)
+    root = os.path.dirname(cur)
+    cent_rows = [
+        {"subspace": r["subspace"], "code": r["code"], "c": list(r["c"])}
+        for r in spark.read.parquet(cents_p).collect()
+    ]
+
+    emb_col = "embedding" if "embedding" in new_vecs.columns else "emb"
+    batch = (
+        new_vecs.select(
+            "vec_id", F.col(emb_col).cast("array<double>").alias("emb")
+        )
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    batch_ids = batch.select("vec_id")
+    vbuckets = sorted(
+        r["b"]
+        for r in batch_ids.select(
+            vec_bucket_expr(F.col("vec_id")).alias("b")
+        ).distinct().collect()
+    )
+    if not vbuckets:
+        return codes_p, cents_p
+    batch_codes = pq_encode_for(batch, cent_rows, m).localCheckpoint(
+        eager=True
+    )
+    # resubmitted ids: direct pruned lookup — stale codes/vecs live in
+    # the batch's own literal vbuckets.
+    resub_ids = (
+        spark.read.parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(vbuckets))
+        .join(batch_ids, "vec_id", "leftsemi")
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    rw_vb = sorted(
+        r["b"]
+        for r in resub_ids.select(
+            vec_bucket_expr(F.col("vec_id")).alias("b")
+        ).distinct().collect()
+    )
+
+    name = vn.next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    for comp, frame, cols in (
+        (
+            "codes",
+            batch_codes.select(
+                vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+                "vec_id",
+                "subspace",
+                "code",
+            ),
+            ["vbucket", "vec_id", "subspace", "code"],
+        ),
+        (
+            "vecs",
+            batch.select(
+                vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+                "vec_id",
+                "emb",
+            ),
+            ["vbucket", "vec_id", "emb"],
+        ),
+    ):
+        vn.link_partitions(
+            os.path.join(cur, comp),
+            os.path.join(tmp, comp),
+            frozenset(f"vbucket={b}" for b in rw_vb),
+        )
+        if rw_vb:
+            (
+                spark.read.parquet(os.path.join(cur, comp))
+                .filter(F.col("vbucket").isin(rw_vb))
+                .join(resub_ids, "vec_id", "left_anti")
+                .select(*cols)
+                .write.mode("append")
+                .partitionBy("vbucket")
+                .parquet(os.path.join(tmp, comp))
+            )
+        frame.write.mode("append").partitionBy("vbucket").parquet(
+            os.path.join(tmp, comp)
+        )
+    vn.link_component(cents_p, os.path.join(tmp, "cents"))
+    vn.publish_version(root, tmp, name)
+    vn.gc_versions(root)
+    cur = os.path.join(root, name)
+    return os.path.join(cur, "codes"), os.path.join(cur, "cents")
+
+
+def compact_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 2,
+    threshold: int = 4,
+) -> str:
+    """Small-file compaction for the PQ index (codes/vecs; frozen cents
+    link through). Returns the current version dir."""
+    from ..sources import versioning as vn
+
+    build_pq_index(spark, sf_dir, m, k, iters)
+    return vn.compact_index(
+        spark,
+        _pq_index_root(sf_dir, m, k, iters),
+        [("codes", ["vbucket"]), ("vecs", ["vbucket"]), ("cents", [])],
+        threshold,
+    )
 
 
 def pq_encode_rows(
@@ -1280,7 +1469,11 @@ def pq_encode_rows(
     per row.
     """
     codes_p, _ = build_pq_index(spark, sf_dir, m, k, iters)
-    return spark.read.parquet(codes_p).orderBy("vec_id", "subspace")
+    return (
+        spark.read.parquet(codes_p)
+        .select("vec_id", "subspace", "code")
+        .orderBy("vec_id", "subspace")
+    )
 
 
 def knn_pq_topk(
@@ -1313,15 +1506,18 @@ def knn_pq_topk(
     codes_p, cents_p = build_pq_index(spark, sf_dir, m, codebook_k, iters)
     codes = spark.read.parquet(codes_p)
     cents = spark.read.parquet(cents_p)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    # index-served (r9): the query vector comes from the index's vecs/
+    # store via a vbucket-pruned point lookup — no source-table read.
+    vecs = spark.read.parquet(os.path.join(os.path.dirname(codes_p), "vecs"))
+    q_vec = vecs.filter(
+        (F.col("vbucket") == vec_bucket_py(query_vec_id))
+        & (F.col("vec_id") == query_vec_id)
     )
     d = PQ_DIM // m
     qsubs = None
     for s in range(m):
-        qs = (
-            e.filter(F.col("vec_id") == query_vec_id)
-            .select(F.lit(s).alias("subspace"), F.slice("emb", s * d + 1, d).alias("q"))
+        qs = q_vec.select(
+            F.lit(s).alias("subspace"), F.slice("emb", s * d + 1, d).alias("q")
         )
         qsubs = qs if qsubs is None else qsubs.unionByName(qs)
 
@@ -1383,9 +1579,14 @@ def knn_pq_rerank(
         codebook_k=codebook_k,
         iters=iters,
     ).select("vec_id")
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    # index-served (r9): rerank vectors and the query vector both come
+    # from the PQ index's own vecs/ store — the exact-rerank stage never
+    # reads the source table, so vectors ingested via update_pq_index
+    # serve one batch after ingest.
+    codes_p, _ = build_pq_index(spark, sf_dir, m, codebook_k, iters)
+    e = spark.read.parquet(
+        os.path.join(os.path.dirname(codes_p), "vecs")
+    ).select("vec_id", "emb")
     qrow = e.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("q_emb")
     )

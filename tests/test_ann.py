@@ -731,3 +731,73 @@ def test_knn_join_zero_norm_excluded_before_cap(spark, sf_dir, tmp_path):
     b = [tuple(r) for r in ann.knn_join_topk(spark, dirty_dir).collect()]
     assert sorted(a) == sorted(b)
     assert all(r[0] != 876543210 and r[1] != 876543210 for r in b)
+
+
+def test_update_pq_index_equals_frozen_encoding(spark, sf_dir, tmp_path):
+    """Under frozen codebooks the updated codes must equal a
+    re-encoding of the combined corpus through pq_encode_for; the
+    ingested clone of vec 0 must top the exact rerank (d2 = 0) one
+    batch after ingest; re-submitting the same batch is a no-op."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "pq_base")
+    os.makedirs(base_dir)
+    emb.filter(F.col("vec_id") % 5 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    codes_p, cents_p = ann.build_pq_index(spark, base_dir)
+    cent_rows = [
+        {"subspace": r["subspace"], "code": r["code"], "c": list(r["c"])}
+        for r in spark.read.parquet(cents_p).collect()
+    ]
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    codes_p2, cents_p2 = ann.update_pq_index(spark, base_dir, batch)
+
+    got = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in spark.read.parquet(codes_p2).collect()
+    }
+    combined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    want = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in ann.pq_encode_for(combined, cent_rows, ann.PQ_M).collect()
+    }
+    assert got == want
+    # codebooks frozen byte-for-byte
+    assert sorted(
+        (r["subspace"], r["code"], tuple(r["c"]))
+        for r in spark.read.parquet(cents_p2).collect()
+    ) == sorted(
+        (r["subspace"], r["code"], tuple(r["c"]))
+        for r in spark.read.parquet(cents_p).collect()
+    )
+
+    clone = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(987654324).cast("bigint").alias("vec_id"), F.col("embedding")
+    )
+    ann.update_pq_index(spark, base_dir, clone)
+    top = ann.knn_pq_rerank(spark, base_dir, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 987654324
+    assert top[0]["d2_micro"] == 0
+
+    before = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in spark.read.parquet(
+            os.path.join(
+                ann.build_pq_index(spark, base_dir)[0]
+            )
+        ).collect()
+    }
+    ann.update_pq_index(spark, base_dir, clone)  # same batch again
+    after = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in spark.read.parquet(
+            ann.build_pq_index(spark, base_dir)[0]
+        ).collect()
+    }
+    assert after == before
