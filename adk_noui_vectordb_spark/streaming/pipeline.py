@@ -501,3 +501,72 @@ def stream_vector_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ivf_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming IVF freshness — the trained-quantizer twin of
+    ``stream_vector_index_ingest``: embedding batches upsert into the
+    on-disk IVF index via ``ann.update_ivf_index`` (frozen centroids,
+    append-mostly, atomic versioned commit), so an
+    ``ann_ivf_trained_topk`` probe serves a vector one micro-batch
+    after it lands. Same at-least-once/content-digest-marker contract
+    as the text and RP ingest modes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.ann import (
+        build_ivf_index,
+        ivf_index_root,
+        update_ivf_index,
+    )
+
+    raw = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(vecs_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_ivf_index(batch_df.sparkSession, sf_dir)
+        applied = os.path.join(ivf_index_root(sf_dir, 8, 2), "applied")
+        os.makedirs(applied, exist_ok=True)
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
+        h = F.md5(
+            F.concat_ws(
+                "\x01",
+                F.col("vec_id").cast("string"),
+                F.col("embedding").cast("string"),
+            )
+        )
+
+        def word(start: int) -> F.Column:
+            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
+
+        row = batch.select(
+            word(1).alias("h1"), word(9).alias("h2")
+        ).agg(
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        if row["n"] == 0:
+            return
+        marker = os.path.join(applied, f"c{row['s1']}_{row['s2']}_{row['n']}")
+        if os.path.exists(marker):
+            return
+        update_ivf_index(batch_df.sparkSession, sf_dir, batch)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

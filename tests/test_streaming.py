@@ -367,3 +367,67 @@ def test_stream_vector_index_ingest_serves_next_probe(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(180)
     assert bands(ann.build_rp_index(spark, base_dir)) == want
+
+
+def test_stream_ivf_index_ingest_serves_next_probe(spark, sf_dir, tmp_path):
+    """Embedding batches streamed into the IVF index must match a
+    frozen-centroid re-assignment of base + streamed vectors, and a
+    streamed clone of vec 0 must be served by the next probe."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import ann
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_ivf_index_ingest,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "ivfsbase")
+    stream_dir = str(tmp_path / "ivfsin")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    assign_p, cents_p = ann.build_ivf_index(spark, base_dir)
+    cent_rows = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(cents_p).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+    emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding").write.parquet(
+        os.path.join(stream_dir, "b1")
+    )
+    spark.createDataFrame(
+        [(987654325, [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]])],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(os.path.join(stream_dir, "b2"))
+
+    q = stream_ivf_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_ivfx")
+    )
+    q.awaitTermination(180)
+
+    assign_p2, _ = ann.build_ivf_index(spark, base_dir)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(assign_p2).collect()
+    }
+    combined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.lit(987654325).cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+    )
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in ann.assign_to_centroids(combined, cent_rows).collect()
+    }
+    assert got == want
+    top = ann.ann_ivf_trained_topk(spark, base_dir, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 987654325
+    assert top[0]["sim"] == 1.0
