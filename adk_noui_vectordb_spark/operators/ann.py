@@ -1789,3 +1789,99 @@ def rp_index_vec_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select(
         "vec_id", F.col("vbucket").cast("int").alias("vbucket")
     )
+
+
+def delete_from_rp_index(
+    spark: SparkSession, sf_dir: str, vec_ids: DataFrame
+) -> str:
+    """Targeted vector DELETION from the RP-LSH index (the
+    right-to-be-forgotten path; the retraction half of the reference's
+    upsert, indexing_agent.py:332-361). O(deleted vecs + their
+    partitions): each victim's band rows are re-derived from its stored
+    vector in ``vecs/`` (pruned by the literal vbucket set) and exactly
+    those partitions rewrite with an anti-join; atomic versioned
+    commit. Deleting an absent vec_id is a no-op. Returns the current
+    band-table path."""
+    import shutil
+
+    from functools import reduce
+    from operator import or_
+
+    from ..sources import versioning as vn
+
+    cur = _rp_current_dir(spark, sf_dir)
+    root = os.path.dirname(cur)
+
+    ids = vec_ids.select("vec_id").dropDuplicates(["vec_id"])
+    vbuckets = sorted(
+        r["b"]
+        for r in ids.select(vec_bucket_expr(F.col("vec_id")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not vbuckets:
+        return os.path.join(cur, "bands")
+    victims = (
+        spark.read.parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(vbuckets))
+        .join(ids, "vec_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    victim_ids = victims.select("vec_id")
+    rw_vb = sorted(
+        r["vbucket"] for r in victims.select("vbucket").distinct().collect()
+    )
+    if not rw_vb:
+        return os.path.join(cur, "bands")
+    rw_pairs = {
+        (r["band"], r["band_key"])
+        for r in rp_band_rows_for(
+            victims.select("vec_id", "emb").filter(_nonzero_pred())
+        )
+        .select("band", "band_key")
+        .distinct()
+        .collect()
+    }
+
+    name = vn.next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    vn.link_partitions(
+        os.path.join(cur, "bands"),
+        os.path.join(tmp, "bands"),
+        frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
+    )
+    if rw_pairs:
+        pair_pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("band_key") == k)
+                for b, k in sorted(rw_pairs)
+            ],
+        )
+        (
+            spark.read.parquet(os.path.join(cur, "bands"))
+            .filter(pair_pred)
+            .join(victim_ids, "vec_id", "left_anti")
+            .select("band", "band_key", "vec_id")
+            .write.mode("append")
+            .partitionBy("band", "band_key")
+            .parquet(os.path.join(tmp, "bands"))
+        )
+    vn.link_partitions(
+        os.path.join(cur, "vecs"),
+        os.path.join(tmp, "vecs"),
+        frozenset(f"vbucket={b}" for b in rw_vb),
+    )
+    (
+        spark.read.parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(rw_vb))
+        .join(victim_ids, "vec_id", "left_anti")
+        .select("vbucket", "vec_id", "emb")
+        .write.mode("append")
+        .partitionBy("vbucket")
+        .parquet(os.path.join(tmp, "vecs"))
+    )
+    vn.publish_version(root, tmp, name)
+    vn.gc_versions(root)
+    return os.path.join(root, name, "bands")

@@ -633,3 +633,126 @@ def text_index_doc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dl").cast("bigint").alias("dl"),
         F.explode("tbuckets").alias("tbucket"),
     ).select("doc_id", "dl", F.col("tbucket").cast("int").alias("tbucket"))
+
+
+def delete_from_text_index(
+    spark: SparkSession, sf_dir: str, doc_ids: DataFrame
+) -> str:
+    """Targeted document DELETION — the right-to-be-forgotten path a
+    training-data pipeline must have (and the retraction half of the
+    reference's upsert semantics, indexing_agent.py:332-361: a removed
+    file's entries leave the collection). O(deleted docs + their
+    partitions), never O(corpus): the ``docs/`` reverse map names the
+    term buckets holding each deleted doc's postings (pruned by the
+    literal dbucket set); those postings partitions rewrite with an
+    anti-join, termstats update by delta subtraction, corpus stats by
+    scalar delta, and the atomic versioned commit publishes — a crash
+    leaves the old version fully served. Deleting an absent doc_id is a
+    no-op. Returns the current version dir."""
+    import shutil
+
+    cur = build_text_index(spark, sf_dir)
+    root = os.path.dirname(cur)
+
+    ids = doc_ids.select("doc_id").dropDuplicates(["doc_id"])
+    dbuckets = sorted(
+        r["b"]
+        for r in ids.select(doc_bucket_expr(F.col("doc_id")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not dbuckets:
+        return cur
+    victims = (
+        spark.read.parquet(os.path.join(cur, "docs"))
+        .filter(F.col("dbucket").isin(dbuckets))
+        .join(ids, "doc_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    victim_ids = victims.select("doc_id")
+    rw_tb = sorted(
+        r["b"]
+        for r in victims.select(F.explode("tbuckets").alias("b"))
+        .distinct()
+        .collect()
+    )
+    rw_db = sorted(
+        r["dbucket"] for r in victims.select("dbucket").distinct().collect()
+    )
+    if not rw_db:
+        return cur  # nothing to delete
+
+    removed = (
+        spark.read.parquet(os.path.join(cur, "postings"))
+        .filter(F.col("tbucket").isin(rw_tb))
+        .join(victim_ids, "doc_id", "leftsemi")
+        .groupBy("tbucket", "term")
+        .agg(F.count(F.lit(1)).alias("rem"))
+    )
+    old_ts = spark.read.parquet(os.path.join(cur, "termstats")).filter(
+        F.col("tbucket").isin(rw_tb)
+    )
+    new_ts = (
+        old_ts.join(removed, ["tbucket", "term"], "left_outer")
+        .select(
+            "tbucket",
+            "term",
+            (F.col("df") - F.coalesce(F.col("rem"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    old_stats = spark.read.parquet(os.path.join(cur, "stats"))
+    v_agg = victims.agg(
+        F.count(F.lit(1)).alias("v_n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("v_dl"),
+    )
+    stats = old_stats.crossJoin(v_agg).select(
+        (F.col("n_docs") - F.col("v_n")).alias("n_docs"),
+        (F.col("tot_dl") - F.col("v_dl")).alias("tot_dl"),
+    )
+
+    name = _next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    _link_partitions(
+        os.path.join(cur, "postings"),
+        os.path.join(tmp, "postings"),
+        frozenset(f"tbucket={b}" for b in rw_tb),
+    )
+    (
+        spark.read.parquet(os.path.join(cur, "postings"))
+        .filter(F.col("tbucket").isin(rw_tb))
+        .join(victim_ids, "doc_id", "left_anti")
+        .select("tbucket", "term", "doc_id", "tf", "dl")
+        .write.mode("append")
+        .partitionBy("tbucket")
+        .parquet(os.path.join(tmp, "postings"))
+    )
+    _link_partitions(
+        os.path.join(cur, "termstats"),
+        os.path.join(tmp, "termstats"),
+        frozenset(f"tbucket={b}" for b in rw_tb),
+    )
+    new_ts.write.mode("append").partitionBy("tbucket").parquet(
+        os.path.join(tmp, "termstats")
+    )
+    _link_partitions(
+        os.path.join(cur, "docs"),
+        os.path.join(tmp, "docs"),
+        frozenset(f"dbucket={b}" for b in rw_db),
+    )
+    (
+        spark.read.parquet(os.path.join(cur, "docs"))
+        .filter(F.col("dbucket").isin(rw_db))
+        .join(victim_ids, "doc_id", "left_anti")
+        .select("dbucket", "doc_id", "dl", "tbuckets")
+        .write.mode("append")
+        .partitionBy("dbucket")
+        .parquet(os.path.join(tmp, "docs"))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "stats")
+    )
+    _publish_version(root, tmp, name)
+    _gc_versions(root)
+    return os.path.join(root, name)

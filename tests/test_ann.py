@@ -801,3 +801,38 @@ def test_update_pq_index_equals_frozen_encoding(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_delete_from_rp_index_retracts_bands_and_vecs(spark, sf_dir, tmp_path):
+    """Deleting vectors must equal a fresh build over the corpus
+    WITHOUT them (bands and vecs), and the probe must stop serving
+    them; deleting an absent id is a no-op."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    full_dir = str(tmp_path / "rpdfull")
+    rest_dir = str(tmp_path / "rpdrest")
+    os.makedirs(full_dir), os.makedirs(rest_dir)
+    emb.write.parquet(os.path.join(full_dir, "embeddings.parquet"))
+    emb.filter(F.col("vec_id") % 7 != 0).write.parquet(
+        os.path.join(rest_dir, "embeddings.parquet")
+    )
+    ann.build_rp_index(spark, full_dir)
+    victims = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    bands_del = ann.delete_from_rp_index(spark, full_dir, victims)
+    bands_ref = ann.build_rp_index(spark, rest_dir)
+    assert _band_map(spark, bands_del) == _band_map(spark, bands_ref)
+    vecs_left = {
+        r["vec_id"]
+        for r in spark.read.parquet(
+            os.path.join(os.path.dirname(bands_del), "vecs")
+        ).collect()
+    }
+    assert not (vecs_left & {r["vec_id"] for r in victims.collect()})
+    top = ann.ann_rp_lsh_topk(spark, full_dir, query_vec_id=1, k=50).collect()
+    assert all(r["vec_id"] % 7 != 0 for r in top)
+
+    absent = spark.createDataFrame([(99_999_998,)], "vec_id bigint")
+    assert ann.delete_from_rp_index(spark, full_dir, absent) == bands_del

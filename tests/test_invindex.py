@@ -395,3 +395,37 @@ def test_compact_text_index_preserves_content(spark, sf_dir, tmp_path):
 
     # below-threshold compaction is a no-op commit-wise
     assert invindex.compact_text_index(spark, base_dir, threshold=64) == v_after
+
+
+def test_delete_from_text_index_retracts_everything(spark, sf_dir, tmp_path):
+    """Deleting docs must equal a fresh build over the corpus WITHOUT
+    them — postings, termstats and stats all retract; deleting an
+    absent id is a no-op (same version returned)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    full_dir = str(tmp_path / "delfull")
+    rest_dir = str(tmp_path / "delrest")
+    os.makedirs(full_dir), os.makedirs(rest_dir)
+    docs.write.parquet(os.path.join(full_dir, "documents.parquet"))
+    docs.filter(F.col("doc_id") % 7 != 0).write.parquet(
+        os.path.join(rest_dir, "documents.parquet")
+    )
+    invindex.build_text_index(spark, full_dir)
+    victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    v_del = invindex.delete_from_text_index(spark, full_dir, victims)
+    v_ref = invindex.build_text_index(spark, rest_dir)
+
+    assert _postings_map(spark, v_del) == _postings_map(spark, v_ref)
+    ts = lambda v: {
+        (r["term"], r["tbucket"]): r["df"]
+        for r in spark.read.parquet(os.path.join(v, "termstats")).collect()
+    }
+    assert ts(v_del) == ts(v_ref)
+    s_del = spark.read.parquet(os.path.join(v_del, "stats")).head()
+    s_ref = spark.read.parquet(os.path.join(v_ref, "stats")).head()
+    assert (s_del["n_docs"], s_del["tot_dl"]) == (
+        s_ref["n_docs"],
+        s_ref["tot_dl"],
+    )
+
+    absent = spark.createDataFrame([(99_999_999,)], "doc_id bigint")
+    assert invindex.delete_from_text_index(spark, full_dir, absent) == v_del
