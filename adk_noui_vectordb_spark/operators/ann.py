@@ -1885,3 +1885,174 @@ def delete_from_rp_index(
     vn.publish_version(root, tmp, name)
     vn.gc_versions(root)
     return os.path.join(root, name, "bands")
+
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_ids: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> "tuple[str, str]":
+    """Targeted vector deletion from the trained-IVF index — victims'
+    cells re-derived from their stored vectors under the frozen
+    centroids (the update_ivf_index reverse-map trick); only those cell
+    and vbucket partitions rewrite; atomic versioned commit. Returns
+    the current (assign, cents) paths."""
+    import shutil
+
+    from ..sources import versioning as vn
+
+    assign_p, cents_p = build_ivf_index(spark, sf_dir, n_centroids, iters)
+    cur = os.path.dirname(assign_p)
+    root = os.path.dirname(cur)
+    cent_rows = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(cents_p).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+
+    ids = vec_ids.select("vec_id").dropDuplicates(["vec_id"])
+    vbuckets = sorted(
+        r["b"]
+        for r in ids.select(vec_bucket_expr(F.col("vec_id")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not vbuckets:
+        return assign_p, cents_p
+    victims = (
+        spark.read.parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(vbuckets))
+        .join(ids, "vec_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    victim_ids = victims.select("vec_id")
+    rw_vb = sorted(
+        r["vbucket"] for r in victims.select("vbucket").distinct().collect()
+    )
+    if not rw_vb:
+        return assign_p, cents_p
+    rw_cells = sorted(
+        r["cluster"]
+        for r in assign_to_centroids(
+            victims.select("vec_id", "emb"), cent_rows
+        )
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+
+    name = vn.next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    vn.link_partitions(
+        os.path.join(cur, "assign"),
+        os.path.join(tmp, "assign"),
+        frozenset(f"cluster={c}" for c in rw_cells),
+    )
+    if rw_cells:
+        (
+            spark.read.parquet(os.path.join(cur, "assign"))
+            .filter(F.col("cluster").isin(rw_cells))
+            .join(victim_ids, "vec_id", "left_anti")
+            .select("vec_id", "cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(os.path.join(tmp, "assign"))
+        )
+    vn.link_partitions(
+        os.path.join(cur, "vecs"),
+        os.path.join(tmp, "vecs"),
+        frozenset(f"vbucket={b}" for b in rw_vb),
+    )
+    (
+        spark.read.parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(rw_vb))
+        .join(victim_ids, "vec_id", "left_anti")
+        .select("vbucket", "vec_id", "emb")
+        .write.mode("append")
+        .partitionBy("vbucket")
+        .parquet(os.path.join(tmp, "vecs"))
+    )
+    vn._link_level(cents_p, os.path.join(tmp, "cents"), "cents", frozenset())
+    vn.publish_version(root, tmp, name)
+    vn.gc_versions(root)
+    cur = os.path.join(root, name)
+    return os.path.join(cur, "assign"), os.path.join(cur, "cents")
+
+
+def delete_from_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_ids: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 2,
+) -> "tuple[str, str]":
+    """Targeted vector deletion from the PQ index — victims' stale
+    codes and vectors live in their own literal vbucket partitions
+    (vbucket is a pure function of vec_id), so exactly those rewrite;
+    frozen codebooks link through; atomic versioned commit. Returns the
+    current (codes, cents) paths."""
+    import shutil
+
+    from ..sources import versioning as vn
+
+    codes_p, cents_p = build_pq_index(spark, sf_dir, m, k, iters)
+    cur = os.path.dirname(codes_p)
+    root = os.path.dirname(cur)
+
+    ids = vec_ids.select("vec_id").dropDuplicates(["vec_id"])
+    vbuckets = sorted(
+        r["b"]
+        for r in ids.select(vec_bucket_expr(F.col("vec_id")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not vbuckets:
+        return codes_p, cents_p
+    victim_ids = (
+        spark.read.parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(vbuckets))
+        .join(ids, "vec_id", "leftsemi")
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    rw_vb = sorted(
+        r["b"]
+        for r in victim_ids.select(
+            vec_bucket_expr(F.col("vec_id")).alias("b")
+        ).distinct().collect()
+    )
+    if not rw_vb:
+        return codes_p, cents_p
+
+    name = vn.next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    for comp, cols in (
+        ("codes", ["vbucket", "vec_id", "subspace", "code"]),
+        ("vecs", ["vbucket", "vec_id", "emb"]),
+    ):
+        vn.link_partitions(
+            os.path.join(cur, comp),
+            os.path.join(tmp, comp),
+            frozenset(f"vbucket={b}" for b in rw_vb),
+        )
+        (
+            spark.read.parquet(os.path.join(cur, comp))
+            .filter(F.col("vbucket").isin(rw_vb))
+            .join(victim_ids, "vec_id", "left_anti")
+            .select(*cols)
+            .write.mode("append")
+            .partitionBy("vbucket")
+            .parquet(os.path.join(tmp, comp))
+        )
+    vn.link_component(cents_p, os.path.join(tmp, "cents"))
+    vn.publish_version(root, tmp, name)
+    vn.gc_versions(root)
+    cur = os.path.join(root, name)
+    return os.path.join(cur, "codes"), os.path.join(cur, "cents")

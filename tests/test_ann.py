@@ -836,3 +836,57 @@ def test_delete_from_rp_index_retracts_bands_and_vecs(spark, sf_dir, tmp_path):
 
     absent = spark.createDataFrame([(99_999_998,)], "vec_id bigint")
     assert ann.delete_from_rp_index(spark, full_dir, absent) == bands_del
+
+
+def test_delete_from_ivf_and_pq_indexes(spark, sf_dir, tmp_path):
+    """Deletion symmetry across the vector-index family: IVF and PQ
+    deletions must equal frozen-quantizer state over the corpus minus
+    the victims, and absent ids are no-ops."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "vdel")
+    os.makedirs(base_dir)
+    emb.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    victims = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    victim_set = {r["vec_id"] for r in victims.collect()}
+
+    # IVF
+    assign_p0, cents_p = ann.build_ivf_index(spark, base_dir)
+    before = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(assign_p0).collect()
+    }
+    assign_p1, _ = ann.delete_from_ivf_index(spark, base_dir, victims)
+    after = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(assign_p1).collect()
+    }
+    assert after == {k: v for k, v in before.items() if k not in victim_set}
+    vecs_left = {
+        r["vec_id"]
+        for r in spark.read.parquet(
+            os.path.join(os.path.dirname(assign_p1), "vecs")
+        ).collect()
+    }
+    assert not (vecs_left & victim_set)
+    absent = spark.createDataFrame([(77_777_777,)], "vec_id bigint")
+    assert ann.delete_from_ivf_index(spark, base_dir, absent)[0] == assign_p1
+
+    # PQ
+    codes_p0, _ = ann.build_pq_index(spark, base_dir)
+    cbefore = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in spark.read.parquet(codes_p0).collect()
+    }
+    codes_p1, _ = ann.delete_from_pq_index(spark, base_dir, victims)
+    cafter = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in spark.read.parquet(codes_p1).collect()
+    }
+    assert cafter == {
+        k: v for k, v in cbefore.items() if k[0] not in victim_set
+    }
+    assert ann.delete_from_pq_index(spark, base_dir, absent)[0] == codes_p1
