@@ -800,7 +800,7 @@ def update_ivf_index(
     ).write.mode("append").partitionBy("vbucket").parquet(
         os.path.join(tmp, "vecs")
     )
-    vn._link_level(cents_p, os.path.join(tmp, "cents"), "cents", frozenset())
+    vn.link_component(cents_p, os.path.join(tmp, "cents"))
     vn.publish_version(root, tmp, name)
     vn.gc_versions(root)
     cur = os.path.join(root, name)
@@ -1977,7 +1977,7 @@ def delete_from_ivf_index(
         .partitionBy("vbucket")
         .parquet(os.path.join(tmp, "vecs"))
     )
-    vn._link_level(cents_p, os.path.join(tmp, "cents"), "cents", frozenset())
+    vn.link_component(cents_p, os.path.join(tmp, "cents"))
     vn.publish_version(root, tmp, name)
     vn.gc_versions(root)
     cur = os.path.join(root, name)

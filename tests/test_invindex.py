@@ -429,3 +429,26 @@ def test_delete_from_text_index_retracts_everything(spark, sf_dir, tmp_path):
 
     absent = spark.createDataFrame([(99_999_999,)], "doc_id bigint")
     assert invindex.delete_from_text_index(spark, full_dir, absent) == v_del
+
+
+def test_reader_snapshot_survives_concurrent_commit(spark, sf_dir, tmp_path):
+    """Snapshot isolation for in-flight readers: a DataFrame resolved
+    against the current version keeps collecting correctly AFTER an
+    update commits a new version, because retention keeps the previous
+    version's files on disk (gc keep=2)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "snapbase")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    v0 = invindex.build_text_index(spark, base_dir)
+    reader = spark.read.parquet(os.path.join(v0, "postings"))
+    n_before = reader.count()
+
+    batch = spark.createDataFrame(
+        [(40_000_000, "snapshot isolation term")], "doc_id bigint, text string"
+    )
+    v1 = invindex.update_text_index(spark, base_dir, batch)
+    assert v1 != v0
+    # the old snapshot still reads its own consistent version in full
+    assert reader.count() == n_before
+    assert os.path.isdir(v0)
