@@ -355,3 +355,35 @@ def test_ivf_trained_probe_prunes_cell_partitions(spark, sf_dir):
     assert any(
         "cluster" in s.split("\n")[0] for s in seg[1:]
     ), plan
+
+
+def test_vecs_store_point_lookup_prunes_vbucket(spark, sf_dir):
+    """The r9 index-resident vector stores serve query point lookups
+    with STATIC vbucket partition pruning — the scan lists one of
+    N_VEC_BUCKETS partition dirs, the text-probe contract applied to
+    vectors. Pinned for both the RP and PQ paths."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    bands_p = ann.build_rp_index(spark, sf_dir)
+    vecs = spark.read.parquet(os.path.join(os.path.dirname(bands_p), "vecs"))
+    probe = vecs.filter(
+        (F.col("vbucket") == ann.vec_bucket_py(0)) & (F.col("vec_id") == 0)
+    )
+    plan = explain_str(probe)
+    seg = plan.split("PartitionFilters")
+    assert len(seg) > 1, plan
+    assert "vbucket" in seg[1].split("\n")[0], plan
+
+    codes_p, _ = ann.build_pq_index(spark, sf_dir)
+    pq_vecs = spark.read.parquet(
+        os.path.join(os.path.dirname(codes_p), "vecs")
+    )
+    probe2 = pq_vecs.filter(
+        (F.col("vbucket") == ann.vec_bucket_py(0)) & (F.col("vec_id") == 0)
+    )
+    plan2 = explain_str(probe2)
+    assert "vbucket" in plan2.split("PartitionFilters")[1].split("\n")[0], plan2

@@ -80,6 +80,9 @@ KEYS = {
     "hybrid_rrf_served_topk": "documents",
     "basket_brand_lift": "lineitem",
     "user_activity_profile": "events",
+    # r9 additions
+    "text_index_doc_map": "documents",
+    "rp_index_vec_rows": "embeddings",
 }
 
 
