@@ -544,6 +544,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _text.text_stats,
         "token_count": _text.token_count,
         "quality_score": _text.quality_score,
+        # r9: the named published curation batteries (Gopher Table A1
+        # rules in cross-multiplied integer arithmetic; the C4 §2.2
+        # line/page cleaning with a content hash of the cleaned doc)
+        "gopher_quality_flags": _text.gopher_quality_flags,
+        "c4_line_filter": _text.c4_line_filter,
         "lang_id_ngram": _text.lang_id_ngram,
         "doc_fingerprint": _text.doc_fingerprint,
         "curate_corpus": _text.curate_corpus,
@@ -1380,6 +1385,67 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS regex_tokens
 FROM documents
+""",
+        "gopher_quality_flags": """
+WITH base AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS words,
+           string_split(text, chr(10)) AS lines,
+           ' ' || lower(text) || ' ' AS low
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(words) AS wc,
+           list_sum(list_transform(words, w -> len(w))) AS chars,
+           len(list_filter(words, w -> w LIKE '#%' OR w LIKE '%...%')) AS sym,
+           len(lines) AS nlines,
+           len(list_filter(lines,
+               l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS bullets,
+           len(list_filter(lines, l -> l LIKE '%...')) AS ell,
+           (CASE WHEN low LIKE '% the %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% a %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% be %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% to %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% of %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% and %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% that %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% have %' THEN 1 ELSE 0 END
+            + CASE WHEN low LIKE '% with %' THEN 1 ELSE 0 END) AS stop_hits
+    FROM base
+)
+SELECT doc_id,
+       wc >= 50 AND wc <= 100000 AS wc_ok,
+       3 * wc <= chars AND chars <= 10 * wc AS mwl_ok,
+       10 * sym <= wc AS sym_ok,
+       10 * bullets <= 9 * nlines AS bullet_ok,
+       10 * ell <= 3 * nlines AS ellipsis_ok,
+       stop_hits >= 2 AS stop_ok,
+       (wc >= 50 AND wc <= 100000) AND (3 * wc <= chars AND chars <= 10 * wc)
+       AND (10 * sym <= wc) AND (10 * bullets <= 9 * nlines)
+       AND (10 * ell <= 3 * nlines) AND (stop_hits >= 2) AS keep
+FROM m
+""",
+        "c4_line_filter": f"""
+WITH {DERIVED_CORPUS_SQL},
+base AS (
+    SELECT path, content,
+           string_split(content, chr(10)) AS lines,
+           list_filter(string_split(content, chr(10)),
+               l -> regexp_matches(l, '[.!?"]$')
+                    AND len(string_split(trim(l), ' ')) >= 4) AS kept
+    FROM corpus
+)
+SELECT path,
+       NOT (lower(content) LIKE '%lorem ipsum%'
+            OR content LIKE '%{{%') AS page_kept,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(list_filter(lines,
+           l -> len(string_split(trim(l), ' ')) < 4)) AS BIGINT) AS n_short,
+       CAST(len(list_filter(lines,
+           l -> NOT regexp_matches(l, '[.!?"]$'))) AS BIGINT) AS n_nopunct,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM base
 """,
         "quality_score": f"""
 WITH base AS (

@@ -1115,3 +1115,115 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_micro",
         )
     )
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition/quality filter rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1) as one codegen'd projection — the named
+    heuristic battery production corpora are actually cleaned with,
+    complementing the generic ``quality_score``. Every rule is
+    evaluated in INTEGER arithmetic (cross-multiplied thresholds, no
+    float ratios), so the flags hash identically on any engine:
+
+    - ``wc_ok``: 50 <= word count <= 100000
+    - ``mwl_ok``: mean word length in [3, 10]  (3*wc <= chars <= 10*wc)
+    - ``sym_ok``: (# of '#' or ellipsis tokens) / wc <= 0.1
+    - ``bullet_ok``: lines starting with a bullet <= 90% of lines
+    - ``ellipsis_ok``: lines ending with '...' <= 30% of lines
+    - ``stop_ok``: contains >= 2 distinct common-stopword hits
+    - ``keep``: AND of all six (the Gopher page-level verdict)
+
+    Scale: one narrow projection over documents — no explode survives
+    the plan (HOF aggregates fold arrays in place), no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    wc = F.size(words)
+    chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sym = F.size(
+        F.filter(
+            words,
+            lambda w: w.startswith("#") | w.contains("..."),
+        )
+    )
+    lines = F.split(F.col("text"), "\n")
+    nlines = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("• "),
+        )
+    )
+    ell_lines = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    low = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    stop_hits = None
+    for w in ("the", "a", "be", "to", "of", "and", "that", "have", "with"):
+        hit = F.when(low.contains(f" {w} "), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return d.select(
+        "doc_id",
+        ((wc >= 50) & (wc <= 100000)).alias("wc_ok"),
+        ((3 * wc <= chars) & (chars <= 10 * wc)).alias("mwl_ok"),
+        (10 * sym <= wc).alias("sym_ok"),
+        (10 * bullets <= 9 * nlines).alias("bullet_ok"),
+        (10 * ell_lines <= 3 * nlines).alias("ellipsis_ok"),
+        (stop_hits >= 2).alias("stop_ok"),
+    ).withColumn(
+        "keep",
+        F.col("wc_ok")
+        & F.col("mwl_ok")
+        & F.col("sym_ok")
+        & F.col("bullet_ok")
+        & F.col("ellipsis_ok")
+        & F.col("stop_ok"),
+    )
+
+
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+    as a per-FILE relational summary over the multi-line derived corpus:
+    lines are kept iff they end in terminal punctuation AND contain
+    >= 4 words; the PAGE is dropped iff it mentions 'lorem ipsum' or
+    contains a curly brace (the published javascript/boilerplate
+    heuristics). Alongside the keep verdicts the per-line rejection
+    DIAGNOSTICS ship as counts (``n_short``, ``n_nopunct``) — the
+    observability a pipeline needs to tune the rules, and, on this
+    synthetic prose-free corpus (few lines carry terminal punctuation),
+    the columns where the real per-document variance lives.
+    ``clean_md5`` is the md5 of the kept lines joined by newline — a
+    cross-engine content hash of the CLEANED document, so the oracle
+    checks the transformation itself, not just the counts.
+
+    Scale: one projection (array HOFs fold in place), no shuffle.
+    """
+    from ..sources.corpus import derived_corpus
+
+    c = derived_corpus(spark, sf_dir)
+    lines = F.split(F.col("content"), "\n")
+    is_kept = lambda ln: ln.rlike('[.!?"]$') & (
+        F.size(F.split(F.trim(ln), " ")) >= 4
+    )
+    kept = F.filter(lines, is_kept)
+    low = F.lower(F.col("content"))
+    page_kept = (~low.contains("lorem ipsum")) & (~low.contains("{"))
+    return c.select(
+        "path",
+        page_kept.alias("page_kept"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.size(
+            F.filter(
+                lines, lambda ln: F.size(F.split(F.trim(ln), " ")) < 4
+            )
+        ).cast("bigint").alias("n_short"),
+        F.size(F.filter(lines, lambda ln: ~ln.rlike('[.!?"]$')))
+        .cast("bigint")
+        .alias("n_nopunct"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
+    )

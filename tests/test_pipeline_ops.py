@@ -835,3 +835,74 @@ def test_gap_stats_match_python_replay(spark, sf_dir):
         assert r["min_gap_us"] == gaps[0]
         assert r["max_gap_us"] == gaps[-1]
         assert r["median_gap_us"] == gaps[math.ceil(len(gaps) / 2) - 1]
+
+
+def test_gopher_rules_fire_on_constructed_docs(spark, tmp_path):
+    """Pin each Gopher rule's boundary on hand-built documents (the
+    integer cross-multiplied thresholds must match the published
+    ratios exactly)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators.textops import gopher_quality_flags
+
+    good = "the a " + " ".join(f"word{i}" for i in range(60))  # wc=62, stops
+    short = "the a tiny doc"  # wc < 50
+    symbolic = "the a " + " ".join("#tag" for _ in range(60))  # all-# words
+    bullety = "the a start\n" + "\n".join("- item line" for _ in range(30))
+    rows = [(1, good), (2, short), (3, symbolic), (4, bullety)]
+    base = str(tmp_path / "gopherdocs")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in gopher_quality_flags(spark, base).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["wc_ok"] is False and got[2]["keep"] is False
+    assert got[3]["sym_ok"] is False  # 60/62 '#' words >> 10% budget
+    assert got[4]["bullet_ok"] is False  # 30/31 bullet lines > 90%
+    for flags in got.values():  # every doc carries the two stopwords
+        assert flags["stop_ok"] is True
+
+
+def test_c4_line_filter_keeps_and_hashes_cleaned_lines(spark, tmp_path):
+    """Pin the C4 line/page rules: terminal punctuation + >= 4 words
+    keeps a line; lorem-ipsum / brace pages are dropped; clean_md5 is
+    the md5 of exactly the kept lines."""
+    import hashlib
+    import os
+
+    from adk_noui_vectordb_spark.operators.textops import c4_line_filter
+
+    # ' the ' becomes a newline in the derived corpus (the established
+    # line-derivation convention), so doc 3 splits into two lines.
+    text = "this line is kept properly. the short one."
+    doc = "keep me now please.\nno punct line\ntiny.\nlorem free line stays fine!"
+    rows = [
+        (1, doc, "en", "unit"),
+        (2, "page has lorem ipsum inside. with words here.", "en", "unit"),
+        (3, text, "en", "unit"),
+    ]
+    base = str(tmp_path / "c4docs")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    got = {r["path"]: r for r in c4_line_filter(spark, base).collect()}
+    r1 = got["corpus/unit/doc_1.py"]
+    # derived corpus prepends 'import os' (no punct, 2 words -> rejected);
+    # doc 1 then keeps exactly its 1st and 4th own lines
+    kept = ["keep me now please.", "lorem free line stays fine!"]
+    assert r1["n_kept"] == 2
+    assert r1["clean_md5"] == hashlib.md5("\n".join(kept).encode()).hexdigest()
+    assert r1["page_kept"] is True
+    r2 = got["corpus/unit/doc_2.py"]
+    assert r2["page_kept"] is False  # lorem ipsum page rule
+    # doc 3: 'this line is kept properly.' survives; 'short one.' (2
+    # words after the ' the ' split) does not
+    assert got["corpus/unit/doc_3.py"]["n_kept"] == 1
