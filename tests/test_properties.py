@@ -252,3 +252,100 @@ def test_driver_window_prioritizes_unverified_keys():
         )
     assert len(keys) == len(set(keys))
     assert set(keys) == set(allq)
+
+
+_IDX_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+_doc_text = st.lists(_word, min_size=1, max_size=6).map(" ".join)
+_op = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.dictionaries(
+            st.integers(min_value=0, max_value=7), _doc_text, min_size=1, max_size=3
+        ),
+    ),
+    st.tuples(
+        st.just("delete"),
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@given(
+    initial=st.dictionaries(
+        st.integers(min_value=0, max_value=7), _doc_text, min_size=1, max_size=4
+    ),
+    ops=st.lists(_op, min_size=1, max_size=4),
+)
+@_IDX_SETTINGS
+def test_text_index_lifecycle_matches_model(spark, tmp_path_factory, initial, ops):
+    """Stateful property: ANY sequence of upsert/delete/compact applied
+    to the versioned text index must leave postings, termstats and
+    corpus stats equal to a from-scratch computation over a plain dict
+    model of the corpus — the whole r9 maintenance lifecycle against
+    one source of truth."""
+    import os
+
+    from collections import Counter
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    base = str(tmp_path_factory.mktemp("idxprop"))
+    spark.createDataFrame(
+        [(i, t, "en", "prop", len(t)) for i, t in sorted(initial.items())],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    invindex.build_text_index(spark, base)
+    model = dict(initial)
+
+    for kind, arg in ops:
+        if kind == "upsert":
+            batch = spark.createDataFrame(
+                [(i, t) for i, t in sorted(arg.items())],
+                "doc_id bigint, text string",
+            )
+            invindex.update_text_index(spark, base, batch)
+            model.update(arg)
+        elif kind == "delete":
+            ids = spark.createDataFrame(
+                [(i,) for i in sorted(set(arg))], "doc_id bigint"
+            )
+            invindex.delete_from_text_index(spark, base, ids)
+            for i in set(arg):
+                model.pop(i, None)
+        else:
+            invindex.compact_text_index(spark, base, threshold=0)
+
+    ver = invindex.build_text_index(spark, base)
+    got_post = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in spark.read.parquet(os.path.join(ver, "postings")).collect()
+    }
+    want_post = {}
+    for i, t in model.items():
+        words = t.split(" ")
+        for term, tf in Counter(words).items():
+            want_post[(term, i)] = (tf, len(words))
+    assert got_post == want_post
+
+    got_ts = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(os.path.join(ver, "termstats")).collect()
+    }
+    want_ts = Counter(term for (term, _i) in want_post)
+    assert got_ts == dict(want_ts)
+
+    s = spark.read.parquet(os.path.join(ver, "stats")).head()
+    assert s["n_docs"] == len(model)
+    assert s["tot_dl"] == sum(len(t.split(" ")) for t in model.values())
