@@ -225,3 +225,45 @@ def compact_index(
     publish_version(root, tmp, name)
     gc_versions(root)
     return os.path.join(root, name)
+
+
+def describe_index(root: str) -> dict:
+    """Operational metadata for a versioned index (the DESCRIBE DETAIL
+    analog): the `_CURRENT` version, every retained version, and per-
+    component partition/file/byte counts of the current version — what
+    an operator consults before tuning compaction thresholds or
+    debugging a stuck commit. Pure driver-side filesystem walk (an
+    index's metadata is small by construction); no Spark job."""
+    cur = current_name(root)
+    versions = sorted(d for d in os.listdir(root) if d.startswith("v_"))
+    out = {
+        "root": root,
+        "current": cur,
+        "versions": versions,
+        "orphan_tmp_dirs": sorted(
+            d for d in os.listdir(root) if d.startswith(".__tmp_")
+        ),
+        "components": {},
+    }
+    if cur is None:
+        return out
+    cdir = os.path.join(root, cur)
+    for comp in sorted(os.listdir(cdir)):
+        cpath = os.path.join(cdir, comp)
+        if not os.path.isdir(cpath):
+            continue
+        n_parts = n_files = n_bytes = 0
+        for dirpath, dirnames, filenames in os.walk(cpath):
+            base = os.path.basename(dirpath)
+            if "=" in base:
+                n_parts += 1
+            for fn in filenames:
+                if fn.startswith("part-"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(dirpath, fn))
+        out["components"][comp] = {
+            "partitions": n_parts,
+            "data_files": n_files,
+            "bytes": n_bytes,
+        }
+    return out

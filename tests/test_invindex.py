@@ -452,3 +452,31 @@ def test_reader_snapshot_survives_concurrent_commit(spark, sf_dir, tmp_path):
     # the old snapshot still reads its own consistent version in full
     assert reader.count() == n_before
     assert os.path.isdir(v0)
+
+
+def test_describe_index_reports_lifecycle_state(spark, sf_dir, tmp_path):
+    """describe_index reports the current pointer, retained versions,
+    component partition/file/byte counts, and flags orphan tmp dirs."""
+    from adk_noui_vectordb_spark.sources.versioning import describe_index
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "descbase")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    v0 = invindex.build_text_index(spark, base_dir)
+    root = os.path.dirname(v0)
+    invindex.update_text_index(
+        spark,
+        base_dir,
+        spark.createDataFrame([(50_000_000, "desc probe text")],
+                              "doc_id bigint, text string"),
+    )
+    d = describe_index(root)
+    assert d["current"] == "v_000001"
+    assert d["versions"] == ["v_000000", "v_000001"]
+    assert d["orphan_tmp_dirs"] == []
+    for comp in ("postings", "termstats", "docs", "stats"):
+        assert comp in d["components"], d["components"]
+        assert d["components"][comp]["data_files"] >= 1
+        assert d["components"][comp]["bytes"] > 0
+    assert d["components"]["postings"]["partitions"] >= 1
