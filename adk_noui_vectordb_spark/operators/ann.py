@@ -143,6 +143,17 @@ def _rp_band_keys(mat, signs_t) -> "object":
 N_VEC_BUCKETS = 32
 
 
+# Explicit component schemas: partitioned index components can be EMPTY
+# (an all-zero-norm corpus bands nothing; deleting every vector empties
+# assign/codes), and schema inference fails on a file-less directory —
+# readers therefore always pass the schema (found by the r9 lifecycle
+# property test).
+RP_BANDS_SCHEMA = "vec_id bigint, band int, band_key int"
+VECS_SCHEMA = "vec_id bigint, emb array<double>, vbucket int"
+IVF_ASSIGN_SCHEMA = "vec_id bigint, cluster int"
+PQ_CODES_SCHEMA = "vec_id bigint, subspace int, code int, vbucket int"
+
+
 def vec_bucket_expr(vec_id: F.Column) -> F.Column:
     """md5-derived vector bucket for the index-resident ``vecs/`` store
     — the invindex ``doc_bucket_expr`` discipline, so a point lookup for
@@ -313,7 +324,7 @@ def update_rp_index(
 
     # Re-submitted ids and their stale locations (pruned reverse-map
     # read; empty for a pure-ADD batch, which then touches no old data).
-    old_vecs_aff = spark.read.parquet(os.path.join(cur, "vecs")).filter(
+    old_vecs_aff = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs")).filter(
         F.col("vbucket").isin(vbuckets)
     )
     resub = (
@@ -359,7 +370,7 @@ def update_rp_index(
             ],
         )
         (
-            spark.read.parquet(os.path.join(cur, "bands"))
+            spark.read.schema(RP_BANDS_SCHEMA).parquet(os.path.join(cur, "bands"))
             .filter(pair_pred)
             .join(resub_ids, "vec_id", "left_anti")
             .select("band", "band_key", "vec_id")
@@ -379,7 +390,7 @@ def update_rp_index(
     )
     if rw_vb:
         (
-            spark.read.parquet(os.path.join(cur, "vecs"))
+            spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
             .filter(F.col("vbucket").isin(rw_vb))
             .join(resub_ids, "vec_id", "left_anti")
             .select("vbucket", "vec_id", "emb")
@@ -489,7 +500,7 @@ def ann_rp_lsh_topk(
     import numpy as np
 
     ver = _rp_current_dir(spark, sf_dir)
-    vecs = spark.read.parquet(os.path.join(ver, "vecs"))
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
     qrow = vecs.filter(
         (F.col("vbucket") == vec_bucket_py(query_vec_id))
         & (F.col("vec_id") == query_vec_id)
@@ -506,7 +517,7 @@ def ann_rp_lsh_topk(
         if multiprobe_hamming >= 1:
             keys |= {int(qkeys[b]) ^ (1 << bit) for bit in range(RP_BAND_BITS)}
         pairs.extend((b, key) for key in sorted(keys))
-    bands = spark.read.parquet(os.path.join(ver, "bands"))
+    bands = spark.read.schema(RP_BANDS_SCHEMA).parquet(os.path.join(ver, "bands"))
     probe_pred = reduce(
         or_,
         [
@@ -738,7 +749,7 @@ def update_ivf_index(
     # re-submitted ids rewrite their OLD cells (recovered by
     # re-assigning their old vectors from vecs/ under the frozen
     # centroids) with a per-cell anti-join.
-    old_vecs_aff = spark.read.parquet(os.path.join(cur, "vecs")).filter(
+    old_vecs_aff = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs")).filter(
         F.col("vbucket").isin(vbuckets)
     )
     resub = (
@@ -768,7 +779,7 @@ def update_ivf_index(
     )
     if rw_cells:
         (
-            spark.read.parquet(os.path.join(cur, "assign"))
+            spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(os.path.join(cur, "assign"))
             .filter(F.col("cluster").isin(rw_cells))
             .join(resub_ids, "vec_id", "left_anti")
             .select("vec_id", "cluster")
@@ -787,7 +798,7 @@ def update_ivf_index(
     )
     if rw_vb:
         (
-            spark.read.parquet(os.path.join(cur, "vecs"))
+            spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
             .filter(F.col("vbucket").isin(rw_vb))
             .join(resub_ids, "vec_id", "left_anti")
             .select("vbucket", "vec_id", "emb")
@@ -867,7 +878,7 @@ def ann_ivf_trained_topk(
     # come from the index's own vecs/ store (vbucket-pruned point
     # lookup), so vectors ingested via update_ivf_index serve without
     # the source table ever being read at query time.
-    vecs = spark.read.parquet(
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(
         os.path.join(os.path.dirname(assign_p), "vecs")
     )
     qrow = vecs.filter(
@@ -897,7 +908,7 @@ def ann_ivf_trained_topk(
         key=lambda t: (-t[0], t[1]),
     )
     top = [int(cluster) for _, cluster in ranked[:nprobe]]
-    assignment = spark.read.parquet(assign_p).filter(F.col("cluster").isin(top))
+    assignment = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p).filter(F.col("cluster").isin(top))
     qlit = F.expr("array(" + ",".join(_double_sql(x) for x in q) + ")")
     sim = F.round(cosine_similarity(F.col("emb"), qlit), 4).alias("sim")
     return (
@@ -1368,7 +1379,7 @@ def update_pq_index(
     # resubmitted ids: direct pruned lookup — stale codes/vecs live in
     # the batch's own literal vbuckets.
     resub_ids = (
-        spark.read.parquet(os.path.join(cur, "vecs"))
+        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
         .filter(F.col("vbucket").isin(vbuckets))
         .join(batch_ids, "vec_id", "leftsemi")
         .select("vec_id")
@@ -1412,7 +1423,10 @@ def update_pq_index(
         )
         if rw_vb:
             (
-                spark.read.parquet(os.path.join(cur, comp))
+                spark.read.schema(
+                    PQ_CODES_SCHEMA if comp == "codes" else VECS_SCHEMA
+                )
+                .parquet(os.path.join(cur, comp))
                 .filter(F.col("vbucket").isin(rw_vb))
                 .join(resub_ids, "vec_id", "left_anti")
                 .select(*cols)
@@ -1470,7 +1484,7 @@ def pq_encode_rows(
     """
     codes_p, _ = build_pq_index(spark, sf_dir, m, k, iters)
     return (
-        spark.read.parquet(codes_p)
+        spark.read.schema(PQ_CODES_SCHEMA).parquet(codes_p)
         .select("vec_id", "subspace", "code")
         .orderBy("vec_id", "subspace")
     )
@@ -1504,11 +1518,13 @@ def knn_pq_topk(
     (the knn_int8_rerank pattern) when recall must be exact.
     """
     codes_p, cents_p = build_pq_index(spark, sf_dir, m, codebook_k, iters)
-    codes = spark.read.parquet(codes_p)
+    codes = spark.read.schema(PQ_CODES_SCHEMA).parquet(codes_p)
     cents = spark.read.parquet(cents_p)
     # index-served (r9): the query vector comes from the index's vecs/
     # store via a vbucket-pruned point lookup — no source-table read.
-    vecs = spark.read.parquet(os.path.join(os.path.dirname(codes_p), "vecs"))
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(
+        os.path.join(os.path.dirname(codes_p), "vecs")
+    )
     q_vec = vecs.filter(
         (F.col("vbucket") == vec_bucket_py(query_vec_id))
         & (F.col("vec_id") == query_vec_id)
@@ -1584,7 +1600,7 @@ def knn_pq_rerank(
     # reads the source table, so vectors ingested via update_pq_index
     # serve one batch after ingest.
     codes_p, _ = build_pq_index(spark, sf_dir, m, codebook_k, iters)
-    e = spark.read.parquet(
+    e = spark.read.schema(VECS_SCHEMA).parquet(
         os.path.join(os.path.dirname(codes_p), "vecs")
     ).select("vec_id", "emb")
     qrow = e.filter(F.col("vec_id") == query_vec_id).select(
@@ -1703,7 +1719,7 @@ def knn_join_topk(
     # time (build_rp_index — a zero vector has no direction, so
     # cosine-LSH membership is meaningless for it), which closes the
     # ADVICE r8 cap-slot-waste finding with ZERO query-time cost.
-    bands = spark.read.parquet(build_rp_index(spark, sf_dir))
+    bands = spark.read.schema(RP_BANDS_SCHEMA).parquet(build_rp_index(spark, sf_dir))
     a = bands.select("band", "band_key", F.col("vec_id").alias("src"))
     b = cap_bucket_members(bands, bucket_cap).select(
         "band", "band_key", F.col("vec_id").alias("nbr")
@@ -1785,7 +1801,7 @@ def rp_index_vec_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the component serving reranks and replace-path reverse lookups
     read) against a DuckDB oracle re-deriving the md5 vec bucket."""
     ver = _rp_current_dir(spark, sf_dir)
-    vecs = spark.read.parquet(os.path.join(ver, "vecs"))
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
     return vecs.select(
         "vec_id", F.col("vbucket").cast("int").alias("vbucket")
     )
@@ -1822,7 +1838,7 @@ def delete_from_rp_index(
     if not vbuckets:
         return os.path.join(cur, "bands")
     victims = (
-        spark.read.parquet(os.path.join(cur, "vecs"))
+        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
         .filter(F.col("vbucket").isin(vbuckets))
         .join(ids, "vec_id", "leftsemi")
         .localCheckpoint(eager=True)
@@ -1860,7 +1876,7 @@ def delete_from_rp_index(
             ],
         )
         (
-            spark.read.parquet(os.path.join(cur, "bands"))
+            spark.read.schema(RP_BANDS_SCHEMA).parquet(os.path.join(cur, "bands"))
             .filter(pair_pred)
             .join(victim_ids, "vec_id", "left_anti")
             .select("band", "band_key", "vec_id")
@@ -1874,7 +1890,7 @@ def delete_from_rp_index(
         frozenset(f"vbucket={b}" for b in rw_vb),
     )
     (
-        spark.read.parquet(os.path.join(cur, "vecs"))
+        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
         .filter(F.col("vbucket").isin(rw_vb))
         .join(victim_ids, "vec_id", "left_anti")
         .select("vbucket", "vec_id", "emb")
@@ -1924,7 +1940,7 @@ def delete_from_ivf_index(
     if not vbuckets:
         return assign_p, cents_p
     victims = (
-        spark.read.parquet(os.path.join(cur, "vecs"))
+        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
         .filter(F.col("vbucket").isin(vbuckets))
         .join(ids, "vec_id", "leftsemi")
         .localCheckpoint(eager=True)
@@ -1955,7 +1971,7 @@ def delete_from_ivf_index(
     )
     if rw_cells:
         (
-            spark.read.parquet(os.path.join(cur, "assign"))
+            spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(os.path.join(cur, "assign"))
             .filter(F.col("cluster").isin(rw_cells))
             .join(victim_ids, "vec_id", "left_anti")
             .select("vec_id", "cluster")
@@ -1969,7 +1985,7 @@ def delete_from_ivf_index(
         frozenset(f"vbucket={b}" for b in rw_vb),
     )
     (
-        spark.read.parquet(os.path.join(cur, "vecs"))
+        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
         .filter(F.col("vbucket").isin(rw_vb))
         .join(victim_ids, "vec_id", "left_anti")
         .select("vbucket", "vec_id", "emb")
@@ -2015,7 +2031,7 @@ def delete_from_pq_index(
     if not vbuckets:
         return codes_p, cents_p
     victim_ids = (
-        spark.read.parquet(os.path.join(cur, "vecs"))
+        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
         .filter(F.col("vbucket").isin(vbuckets))
         .join(ids, "vec_id", "leftsemi")
         .select("vec_id")
@@ -2043,7 +2059,10 @@ def delete_from_pq_index(
             frozenset(f"vbucket={b}" for b in rw_vb),
         )
         (
-            spark.read.parquet(os.path.join(cur, comp))
+            spark.read.schema(
+                PQ_CODES_SCHEMA if comp == "codes" else VECS_SCHEMA
+            )
+            .parquet(os.path.join(cur, comp))
             .filter(F.col("vbucket").isin(rw_vb))
             .join(victim_ids, "vec_id", "left_anti")
             .select(*cols)

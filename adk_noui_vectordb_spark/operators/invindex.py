@@ -120,6 +120,14 @@ from ..sources.versioning import (  # noqa: E402
 )
 
 
+# Explicit component schemas (the ann.py discipline): partitioned
+# components can be EMPTY (deleting every doc empties postings), and
+# schema inference fails on a file-less directory.
+POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl int, tbucket int"
+TERMSTATS_SCHEMA = "term string, df bigint, tbucket int"
+DOCS_SCHEMA = "doc_id bigint, dl int, tbuckets array<int>, dbucket int"
+
+
 def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(tbucket, term, doc_id, tf, dl) — the index kernel: the SHARED
     ``doc_term_counts`` aggregation (one explode, one map-side-combined
@@ -219,7 +227,7 @@ def inverted_postings_rows(
     """The probed postings themselves — validates the index CONTENT the
     way rp_lsh_band_rows validates the ANN band table."""
     root = build_text_index(spark, sf_dir)
-    post = spark.read.parquet(os.path.join(root, "postings"))
+    post = spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(root, "postings"))
     return post.filter(_probe_pred(terms)).select(
         "term", "doc_id", F.col("tf").cast("bigint").alias("tf"),
         F.col("dl").cast("bigint").alias("dl"),
@@ -236,8 +244,8 @@ def bm25_topk_served(
     ``hybrid.bm25_topk`` row-for-row (same arithmetic, same rounding,
     same tie-break) without ever scanning the corpus at query time."""
     root = build_text_index(spark, sf_dir)
-    post = spark.read.parquet(os.path.join(root, "postings"))
-    tstats = spark.read.parquet(os.path.join(root, "termstats"))
+    post = spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(root, "postings"))
+    tstats = spark.read.schema(TERMSTATS_SCHEMA).parquet(os.path.join(root, "termstats"))
     stats = spark.read.parquet(os.path.join(root, "stats"))
 
     # Per-term df pivoted into fixed columns on ONE row (broadcast);
@@ -374,7 +382,7 @@ def update_text_index(
     # (the update_rp_index append-mostly discipline: with only
     # N_TERM_BUCKETS partitions, "rewrite affected buckets" would
     # degenerate to rewriting the whole table for any diverse batch).
-    old_docs_aff = spark.read.parquet(os.path.join(cur, "docs")).filter(
+    old_docs_aff = spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(cur, "docs")).filter(
         F.col("dbucket").isin(dbuckets)
     )
     resub_docs = (
@@ -403,7 +411,7 @@ def update_text_index(
     removed = None
     if rw_tb:
         removed = (
-            spark.read.parquet(os.path.join(cur, "postings"))
+            spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(cur, "postings"))
             .filter(F.col("tbucket").isin(rw_tb))
             .join(resub_ids, "doc_id", "leftsemi")
             .groupBy("tbucket", "term")
@@ -413,7 +421,7 @@ def update_text_index(
         F.count(F.lit(1)).alias("add")
     )
     ts_buckets = sorted(set(rw_tb) | set(new_tb))
-    old_ts = spark.read.parquet(os.path.join(cur, "termstats")).filter(
+    old_ts = spark.read.schema(TERMSTATS_SCHEMA).parquet(os.path.join(cur, "termstats")).filter(
         F.col("tbucket").isin(ts_buckets)
     )
     delta = (
@@ -469,7 +477,7 @@ def update_text_index(
     )
     if rw_tb:
         (
-            spark.read.parquet(os.path.join(cur, "postings"))
+            spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(cur, "postings"))
             .filter(F.col("tbucket").isin(rw_tb))
             .join(resub_ids, "doc_id", "left_anti")
             .select("tbucket", "term", "doc_id", "tf", "dl")
@@ -497,7 +505,7 @@ def update_text_index(
     )
     if rw_db:
         (
-            spark.read.parquet(os.path.join(cur, "docs"))
+            spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(cur, "docs"))
             .filter(F.col("dbucket").isin(rw_db))
             .join(resub_ids, "doc_id", "left_anti")
             .select("dbucket", "doc_id", "dl", "tbuckets")
@@ -627,7 +635,7 @@ def text_index_doc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle that re-derives bucket membership from the raw documents
     with the same md5 arithmetic."""
     ver = build_text_index(spark, sf_dir)
-    docs = spark.read.parquet(os.path.join(ver, "docs"))
+    docs = spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(ver, "docs"))
     return docs.select(
         "doc_id",
         F.col("dl").cast("bigint").alias("dl"),
@@ -664,7 +672,7 @@ def delete_from_text_index(
     if not dbuckets:
         return cur
     victims = (
-        spark.read.parquet(os.path.join(cur, "docs"))
+        spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(cur, "docs"))
         .filter(F.col("dbucket").isin(dbuckets))
         .join(ids, "doc_id", "leftsemi")
         .localCheckpoint(eager=True)
@@ -683,13 +691,13 @@ def delete_from_text_index(
         return cur  # nothing to delete
 
     removed = (
-        spark.read.parquet(os.path.join(cur, "postings"))
+        spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(cur, "postings"))
         .filter(F.col("tbucket").isin(rw_tb))
         .join(victim_ids, "doc_id", "leftsemi")
         .groupBy("tbucket", "term")
         .agg(F.count(F.lit(1)).alias("rem"))
     )
-    old_ts = spark.read.parquet(os.path.join(cur, "termstats")).filter(
+    old_ts = spark.read.schema(TERMSTATS_SCHEMA).parquet(os.path.join(cur, "termstats")).filter(
         F.col("tbucket").isin(rw_tb)
     )
     new_ts = (
@@ -720,7 +728,7 @@ def delete_from_text_index(
         frozenset(f"tbucket={b}" for b in rw_tb),
     )
     (
-        spark.read.parquet(os.path.join(cur, "postings"))
+        spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(cur, "postings"))
         .filter(F.col("tbucket").isin(rw_tb))
         .join(victim_ids, "doc_id", "left_anti")
         .select("tbucket", "term", "doc_id", "tf", "dl")
@@ -742,7 +750,7 @@ def delete_from_text_index(
         frozenset(f"dbucket={b}" for b in rw_db),
     )
     (
-        spark.read.parquet(os.path.join(cur, "docs"))
+        spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(cur, "docs"))
         .filter(F.col("dbucket").isin(rw_db))
         .join(victim_ids, "doc_id", "left_anti")
         .select("dbucket", "doc_id", "dl", "tbuckets")

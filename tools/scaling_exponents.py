@@ -83,6 +83,8 @@ KEYS = {
     # r9 additions
     "text_index_doc_map": "documents",
     "rp_index_vec_rows": "embeddings",
+    "gopher_quality_flags": "documents",
+    "c4_line_filter": "documents",
 }
 
 
