@@ -604,6 +604,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature_rows": _dedup.minhash_signature_rows,
         "minhash_band_rows": _dedup.minhash_band_rows,
         "dedup_minhash_pairs": _dedup.dedup_minhash_pairs,
+        # r9: ingest-time near-dup gate served from the persisted
+        # MinHash signature index (band-table candidates statically
+        # pruned; verification from stored signatures — zero corpus
+        # re-signing)
+        "dedup_gate_against_index": _dedup.dedup_gate_against_index,
         "dedup_connected_components": _dedup.dedup_connected_components,
         "dedup_canonical_selection": _dedup.dedup_canonical_selection,
         "minhash_jaccard_estimate": _dedup.minhash_jaccard_estimate,
@@ -1964,6 +1969,38 @@ WITH {_MINHASH_BANDS_CTE}
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+""",
+        # Ingest gate mirror: clones (+1_000_000) of every doc_id%10==0
+        # signed alongside the corpus; candidates via shared (band,
+        # band_hash); verification = equal-minhash-position count
+        # (matches/16 is the Broder Jaccard estimate; k/16 is dyadic so
+        # the 4-dp round is tie-free).
+        "dedup_gate_against_index": f"""
+WITH docs_all AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+),
+{_MINHASH_BANDS_CTE.replace("FROM documents) d", "FROM docs_all) d")},
+gate_cand AS (
+    SELECT DISTINCT nb.doc_id AS new_doc_id, ob.doc_id AS dup_of
+    FROM bands nb JOIN bands ob
+      ON nb.band = ob.band AND nb.band_hash = ob.band_hash
+    WHERE nb.doc_id >= 1000000 AND ob.doc_id < 1000000
+),
+gate_m AS (
+    SELECT c.new_doc_id, c.dup_of,
+           CAST(sum(CASE WHEN sn.minhash = so.minhash THEN 1 ELSE 0 END)
+                AS BIGINT) AS matches
+    FROM gate_cand c
+    JOIN sigs sn ON sn.doc_id = c.new_doc_id
+    JOIN sigs so ON so.doc_id = c.dup_of AND so.hash_idx = sn.hash_idx
+    GROUP BY 1, 2
+)
+SELECT new_doc_id, dup_of, matches,
+       round(matches / {_dedup.NUM_HASHES}.0, 4) AS est_sim
+FROM gate_m WHERE matches >= {_dedup.GATE_MIN_MATCHES}
 """,
         "dedup_connected_components": f"""
 WITH RECURSIVE {_MINHASH_BANDS_CTE},

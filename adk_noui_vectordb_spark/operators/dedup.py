@@ -116,7 +116,24 @@ _WIDE_SCHEMA = "doc_id bigint, " + ", ".join(
 
 
 def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc with the 16 minhashes as columns m0..m15.
+    """One row per doc with the 16 minhashes as columns m0..m15 — the
+    corpus entry point of ``minhash_wide_for`` (same kernel; the split
+    exists so the incremental index update signs BATCHES with
+    byte-identical arithmetic)."""
+    from ..sources.tables import fan_out
+
+    # The documents file scans as ONE task below a row group — the kernel
+    # would serialize on a single core. fan_out round-robins the rows to
+    # defaultParallelism first: measured at sf0.1/local[32], the ~0.1 s
+    # exchange buys back ~2 s of single-threaded shingle+md5 time
+    # (2.67 s -> 0.65 s for the wide signatures; SCALE.md r6).
+    return minhash_wide_for(
+        fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+def minhash_wide_for(d: DataFrame) -> DataFrame:
+    """The wide-signature kernel over ANY (doc_id, text) frame.
 
     Computed in a single ``mapInPandas`` pass: shingle -> md5 -> all 16
     permutation minima per doc via one numpy broadcast — NO explode, NO
@@ -132,14 +149,6 @@ def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..sources.tables import fan_out
-
-    # The documents file scans as ONE task below a row group — the kernel
-    # would serialize on a single core. fan_out round-robins the rows to
-    # defaultParallelism first: measured at sf0.1/local[32], the ~0.1 s
-    # exchange buys back ~2 s of single-threaded shingle+md5 time
-    # (2.67 s -> 0.65 s for the wide signatures; SCALE.md r6).
-    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     a_col = np.array(MINHASH_A, dtype=np.int64)[:, None]
     b_col = np.array(MINHASH_B, dtype=np.int64)[:, None]
 
@@ -922,3 +931,344 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+# --- persisted MinHash signature index (r9) -----------------------------
+#
+# The dedup analog of the RP/IVF/PQ serving story: at 100 TB you sign the
+# corpus ONCE, keep the signatures + LSH band table on disk under the
+# shared versioned-commit lifecycle (sources/versioning.py), and every
+# ingest batch dedups AGAINST the index — never re-signing the corpus.
+
+N_BAND_KBUCKETS = 32
+# Gate verification floor: est Jaccard >= GATE_MIN_MATCHES/NUM_HASHES.
+# Interpolated into the oracle SQL (shared-source-of-truth, ADVICE r8).
+GATE_MIN_MATCHES = 8
+MINHASH_BANDS_SCHEMA = "doc_id bigint, band_hash string, band int, kbucket int"
+MINHASH_SIGS_SCHEMA = _WIDE_SCHEMA + ", sbucket int"
+
+
+def band_kbucket_expr(band_hash: Column) -> Column:
+    """Partition bucket for a band hash — the hash is ALREADY md5 hex,
+    so its first 8 hex digits are the house md5-derived bucket key
+    without a second hash."""
+    return (
+        F.conv(F.substring(band_hash, 1, 8), 16, 10).cast("bigint")
+        % N_BAND_KBUCKETS
+    ).cast("int")
+
+
+def _minhash_band_cols(wide: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash, kbucket) from a wide signature frame —
+    the banding projection shared by build, update, delete and the
+    ingest gate (byte-identical band keys everywhere)."""
+    hashed = wide.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(
+                            j * ROWS_PER_BAND, (j + 1) * ROWS_PER_BAND
+                        )
+                    ],
+                )
+            ).alias(f"bh{j}")
+            for j in range(NUM_BANDS)
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (band, band_hash)".format(
+        n=NUM_BANDS,
+        args=", ".join(f"{j}, bh{j}" for j in range(NUM_BANDS)),
+    )
+    rows = hashed.select("doc_id", F.expr(stack_expr))
+    return rows.select(
+        "doc_id",
+        "band_hash",
+        F.col("band").cast("int").alias("band"),
+        band_kbucket_expr(F.col("band_hash")).alias("kbucket"),
+    )
+
+
+def minhash_index_root(sf_dir: str) -> str:
+    from ..memo import index_root
+
+    return index_root(
+        "minhash_index_v1", sf_dir, NUM_HASHES, NUM_BANDS, N_BAND_KBUCKETS
+    )
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the MinHash signature index and return the current
+    version dir. Components: ``bands/band=*/kbucket=*/`` (doc_id,
+    band_hash — the LSH candidate table; the probe's (band, kbucket)
+    pairs are literal partition filters) and ``sigs/sbucket=*/`` (the
+    wide 16-minhash rows the verification stage and the replace path's
+    reverse derivation read). Atomic versioned commit, same lifecycle
+    as the text/RP/IVF/PQ indexes."""
+    import os
+    import shutil
+
+    from ..sources import versioning as vn
+
+    root = minhash_index_root(sf_dir)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, ".__tmp_build__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    wide = _minhash_wide_cached(spark, sf_dir)
+    from .invindex import doc_bucket_expr
+
+    wide.select(
+        "*", doc_bucket_expr(F.col("doc_id")).alias("sbucket")
+    ).write.mode("overwrite").partitionBy("sbucket").parquet(
+        os.path.join(tmp, "sigs")
+    )
+    _minhash_band_cols(wide).write.mode("overwrite").partitionBy(
+        "band", "kbucket"
+    ).parquet(os.path.join(tmp, "bands"))
+    name = vn.next_version_name(root)
+    vn.publish_version(root, tmp, name)
+    return os.path.join(root, name)
+
+
+def update_minhash_index(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> str:
+    """Incremental signature maintenance with doc-level REPLACE —
+    append-mostly (the r9 discipline): new doc_ids append their sig and
+    band rows beside hardlinked partitions with zero reads of existing
+    signature data; a re-submitted doc's stale band rows are re-derived
+    from its STORED signature (banding is a pure function of the
+    signature — ``sigs/`` doubles as the reverse map, pruned by the
+    batch's literal sbucket set) and only those partitions rewrite.
+    Atomic versioned commit; compaction via ``compact_minhash_index``.
+    """
+    import os
+    import shutil
+
+    from ..sources import versioning as vn
+    from ..sources.tables import fan_out
+    from .invindex import doc_bucket_expr
+
+    cur = build_minhash_index(spark, sf_dir)
+    root = os.path.dirname(cur)
+
+    batch_src = new_docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+    batch_wide = minhash_wide_for(fan_out(batch_src)).localCheckpoint(
+        eager=True
+    )
+    batch_ids = batch_wide.select("doc_id")
+    sbuckets = sorted(
+        r["b"]
+        for r in batch_ids.select(
+            doc_bucket_expr(F.col("doc_id")).alias("b")
+        ).distinct().collect()
+    )
+    if not sbuckets:
+        return cur
+    old_sigs_aff = spark.read.schema(MINHASH_SIGS_SCHEMA).parquet(
+        os.path.join(cur, "sigs")
+    ).filter(F.col("sbucket").isin(sbuckets))
+    resub = (
+        old_sigs_aff.join(batch_ids, "doc_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    resub_ids = resub.select("doc_id")
+    rw_pairs = {
+        (r["band"], r["kbucket"])
+        for r in _minhash_band_cols(resub.drop("sbucket"))
+        .select("band", "kbucket")
+        .distinct()
+        .collect()
+    }
+    rw_sb = sorted(
+        r["sbucket"] for r in resub.select("sbucket").distinct().collect()
+    )
+
+    name = vn.next_version_name(root)
+    tmp = os.path.join(root, f".__tmp_{name}__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    vn.link_partitions(
+        os.path.join(cur, "bands"),
+        os.path.join(tmp, "bands"),
+        frozenset(f"band={b}/kbucket={k}" for b, k in rw_pairs),
+    )
+    if rw_pairs:
+        from functools import reduce
+        from operator import or_
+
+        pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("kbucket") == k)
+                for b, k in sorted(rw_pairs)
+            ],
+        )
+        (
+            spark.read.schema(MINHASH_BANDS_SCHEMA)
+            .parquet(os.path.join(cur, "bands"))
+            .filter(pred)
+            .join(resub_ids, "doc_id", "left_anti")
+            .select("doc_id", "band_hash", "band", "kbucket")
+            .write.mode("append")
+            .partitionBy("band", "kbucket")
+            .parquet(os.path.join(tmp, "bands"))
+        )
+    _minhash_band_cols(batch_wide).write.mode("append").partitionBy(
+        "band", "kbucket"
+    ).parquet(os.path.join(tmp, "bands"))
+
+    vn.link_partitions(
+        os.path.join(cur, "sigs"),
+        os.path.join(tmp, "sigs"),
+        frozenset(f"sbucket={b}" for b in rw_sb),
+    )
+    if rw_sb:
+        (
+            spark.read.schema(MINHASH_SIGS_SCHEMA)
+            .parquet(os.path.join(cur, "sigs"))
+            .filter(F.col("sbucket").isin(rw_sb))
+            .join(resub_ids, "doc_id", "left_anti")
+            .write.mode("append")
+            .partitionBy("sbucket")
+            .parquet(os.path.join(tmp, "sigs"))
+        )
+    batch_wide.select(
+        "*", doc_bucket_expr(F.col("doc_id")).alias("sbucket")
+    ).write.mode("append").partitionBy("sbucket").parquet(
+        os.path.join(tmp, "sigs")
+    )
+    vn.publish_version(root, tmp, name)
+    vn.gc_versions(root)
+    return os.path.join(root, name)
+
+
+def compact_minhash_index(
+    spark: SparkSession, sf_dir: str, threshold: int = 4
+) -> str:
+    from ..sources import versioning as vn
+
+    build_minhash_index(spark, sf_dir)
+    return vn.compact_index(
+        spark,
+        minhash_index_root(sf_dir),
+        [("bands", ["band", "kbucket"]), ("sigs", ["sbucket"])],
+        threshold,
+    )
+
+
+def dedup_gate_for(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    est_threshold_num: int = GATE_MIN_MATCHES,
+) -> DataFrame:
+    """THE ingest-time near-dup gate: which documents of a NEW batch are
+    near-duplicates of anything already in the indexed corpus? The
+    production question every crawl/ingest pipeline asks before
+    admitting data — answered ENTIRELY from the persisted index:
+
+    1. the batch is signed by the shared kernel (never the corpus);
+    2. LSH candidates come from the band table, statically pruned to
+       the batch's literal (band, kbucket) pairs (≤ NUM_BANDS *
+       N_BAND_KBUCKETS = 128 partitions exist — the RP probe contract);
+    3. verification compares the 16 stored minhash positions of each
+       candidate pair — ``matches/16`` is the unbiased Jaccard estimate
+       (Broder 1997), computed wide-row to wide-row with NO corpus or
+       shingle reads; pairs with ``2*matches >= est_threshold_num*2``
+       — i.e. est >= est_threshold_num/16 — survive.
+
+    Returns (new_doc_id, dup_of, matches, est_sim) — est_sim is exact
+    dyadic (k/16) so the 4-dp round is tie-free cross-engine.
+    """
+    import os
+
+    from ..sources.tables import fan_out
+
+    cur = build_minhash_index(spark, sf_dir)
+    batch_wide = minhash_wide_for(
+        fan_out(new_docs.select("doc_id", "text").dropDuplicates(["doc_id"]))
+    ).localCheckpoint(eager=True)
+    batch_bands = _minhash_band_cols(batch_wide)
+    probe_pairs = sorted(
+        (r["band"], r["kbucket"])
+        for r in batch_bands.select("band", "kbucket").distinct().collect()
+    )
+    if not probe_pairs:
+        return spark.createDataFrame(
+            [], "new_doc_id bigint, dup_of bigint, matches bigint, est_sim double"
+        )
+    from functools import reduce
+    from operator import or_
+
+    pred = reduce(
+        or_,
+        [
+            (F.col("band") == b) & (F.col("kbucket") == k)
+            for b, k in probe_pairs
+        ],
+    )
+    idx_bands = (
+        spark.read.schema(MINHASH_BANDS_SCHEMA)
+        .parquet(os.path.join(cur, "bands"))
+        .filter(pred)
+    )
+    cand = (
+        batch_bands.select(
+            F.col("doc_id").alias("new_doc_id"), "band", "kbucket", "band_hash"
+        )
+        .join(idx_bands, ["band", "kbucket", "band_hash"])
+        .select("new_doc_id", F.col("doc_id").alias("dup_of"))
+        .distinct()
+    )
+    idx_sigs = spark.read.schema(MINHASH_SIGS_SCHEMA).parquet(
+        os.path.join(cur, "sigs")
+    )
+    l = batch_wide.select(
+        F.col("doc_id").alias("new_doc_id"),
+        *[F.col(f"m{i}").alias(f"l{i}") for i in range(NUM_HASHES)],
+    )
+    r = idx_sigs.select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"m{i}").alias(f"r{i}") for i in range(NUM_HASHES)],
+    )
+    matches = None
+    for i in range(NUM_HASHES):
+        eq = F.when(F.col(f"l{i}") == F.col(f"r{i}"), 1).otherwise(0)
+        matches = eq if matches is None else matches + eq
+    return (
+        cand.join(l, "new_doc_id")
+        .join(r, "dup_of")
+        .select(
+            "new_doc_id",
+            "dup_of",
+            matches.cast("bigint").alias("matches"),
+        )
+        .filter(F.col("matches") >= est_threshold_num)
+        .select(
+            "new_doc_id",
+            "dup_of",
+            "matches",
+            F.round(F.col("matches") / F.lit(float(NUM_HASHES)), 4).alias(
+                "est_sim"
+            ),
+        )
+    )
+
+
+def dedup_gate_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable gate run: a deterministic clone batch (every
+    doc_id % 10 == 0, re-keyed +1_000_000) gated against the corpus
+    index — each clone must surface its original (matches = 16) plus
+    any corpus near-dups sharing a band. Read-only (the index is never
+    mutated), so repeated driver runs are stable."""
+    d = load_table(spark, sf_dir, "documents")
+    clones = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return dedup_gate_for(spark, sf_dir, clones)

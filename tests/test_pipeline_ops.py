@@ -906,3 +906,92 @@ def test_c4_line_filter_keeps_and_hashes_cleaned_lines(spark, tmp_path):
     # doc 3: 'this line is kept properly.' survives; 'short one.' (2
     # words after the ' the ' split) does not
     assert got["corpus/unit/doc_3.py"]["n_kept"] == 1
+
+
+def test_minhash_index_update_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Incrementally signing a batch into the persisted MinHash index
+    must equal a fresh build over the combined corpus (bands AND sigs —
+    the shared kernel makes equality exact); a replaced doc's stale
+    band rows retract; the gate serves a vector of the ingested docs
+    one update later."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir, all_dir = str(tmp_path / "mhbase"), str(tmp_path / "mhall")
+    os.makedirs(base_dir), os.makedirs(all_dir)
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(
+        os.path.join(base_dir, "documents.parquet")
+    )
+    docs.write.parquet(os.path.join(all_dir, "documents.parquet"))
+
+    dedup.build_minhash_index(spark, base_dir)
+    v_inc = dedup.update_minhash_index(
+        spark, base_dir, docs.filter(F.col("doc_id") % 5 == 0)
+    )
+    v_all = dedup.build_minhash_index(spark, all_dir)
+
+    def bands(v):
+        return {
+            (r["doc_id"], r["band"], r["band_hash"])
+            for r in spark.read.schema(dedup.MINHASH_BANDS_SCHEMA)
+            .parquet(os.path.join(v, "bands"))
+            .collect()
+        }
+
+    def sigs(v):
+        return {
+            (r["doc_id"],) + tuple(r[f"m{i}"] for i in range(dedup.NUM_HASHES))
+            for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+            .parquet(os.path.join(v, "sigs"))
+            .collect()
+        }
+
+    assert bands(v_inc) == bands(v_all)
+    assert sigs(v_inc) == sigs(v_all)
+
+    # replace: re-submit doc 1 with fresh text -> stale bands retracted
+    before = bands(v_inc)
+    old_rows_1 = {t for t in before if t[0] == 1}
+    assert len(old_rows_1) == dedup.NUM_BANDS
+    new1 = spark.createDataFrame(
+        [(1, "entirely different replacement content words here")],
+        "doc_id bigint, text string",
+    )
+    v2 = dedup.update_minhash_index(spark, base_dir, new1)
+    after = bands(v2)
+    assert {t for t in after if t[0] == 1}.isdisjoint(old_rows_1)
+    assert {t for t in after if t[0] != 1} == {t for t in before if t[0] != 1}
+
+
+def test_dedup_gate_flags_only_true_duplicates(spark, sf_dir, tmp_path):
+    """The gate must flag an exact clone at matches=16 and pass a
+    disjoint-vocabulary document with zero candidates (no shared
+    shingles -> no shared band)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "gatebase")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    clone_text = docs.filter(F.col("doc_id") == 3).head()["text"]
+    batch = spark.createDataFrame(
+        [
+            (9_000_001, clone_text),
+            (9_000_002, "zzq xqv wqj pqk qqm nqr vqt bqw"),  # alien vocab
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["new_doc_id"], r["dup_of"]): r["matches"]
+        for r in dedup.dedup_gate_for(spark, base_dir, batch).collect()
+    }
+    assert got[(9_000_001, 3)] == dedup.NUM_HASHES
+    assert not any(nd == 9_000_002 for nd, _ in got)
