@@ -25,6 +25,7 @@ BENCH_KEYS = [
     "knn_topk",
     "knn_batch_topk",
     "dedup_minhash_pairs",
+    "dedup_gate_against_index",
     "dedup_connected_components",
     "ngram_jaccard_pairs",
     "simhash_signatures",
