@@ -1203,21 +1203,27 @@ def dedup_gate_for(
         return spark.createDataFrame(
             [], "new_doc_id bigint, dup_of bigint, matches bigint, est_sim double"
         )
-    from functools import reduce
-    from operator import or_
+    idx_bands = spark.read.schema(MINHASH_BANDS_SCHEMA).parquet(
+        os.path.join(cur, "bands")
+    )
+    # Static pruning pays only while the probe is NARROW: a small batch
+    # touches few of the NUM_BANDS x N_BAND_KBUCKETS = 128 partitions
+    # and the literal (band, kbucket) predicate skips the rest; a bulk
+    # diverse batch covers most partitions, where a 100-clause filter
+    # costs more than the full (narrow, n x NUM_BANDS-row) table scan
+    # it no longer avoids — the multiprobe-breadth trade, applied here.
+    if len(probe_pairs) <= (NUM_BANDS * N_BAND_KBUCKETS) // 2:
+        from functools import reduce
+        from operator import or_
 
-    pred = reduce(
-        or_,
-        [
-            (F.col("band") == b) & (F.col("kbucket") == k)
-            for b, k in probe_pairs
-        ],
-    )
-    idx_bands = (
-        spark.read.schema(MINHASH_BANDS_SCHEMA)
-        .parquet(os.path.join(cur, "bands"))
-        .filter(pred)
-    )
+        pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("kbucket") == k)
+                for b, k in probe_pairs
+            ],
+        )
+        idx_bands = idx_bands.filter(pred)
     cand = (
         batch_bands.select(
             F.col("doc_id").alias("new_doc_id"), "band", "kbucket", "band_hash"
