@@ -570,3 +570,97 @@ def stream_ivf_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_gated_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_stream_dir: str,
+    checkpoint_dir: str,
+    decisions_dir: str,
+):
+    """The COMPOSED ingestion pipeline — the r9 capabilities chained as
+    one streaming flow (the 10th streaming mode): document batches
+    landing in ``docs_stream_dir`` are (1) near-dup GATED against the
+    persisted MinHash index (``dedup_gate_against_index``'s serving
+    path — candidates from the band table, verification from stored
+    signatures, zero corpus re-signing), (2) REJECTED duplicates are
+    logged to ``decisions_dir`` (an append-only parquet audit trail:
+    new_doc_id, dup_of, matches), and (3) ADMITTED documents upsert
+    into BOTH the MinHash index (so the next batch dedups against them
+    too) and the lexical text index (so they serve BM25 one batch
+    later). Content-digest idempotence markers as in every ingest mode.
+
+    Within one batch, docs that duplicate EACH OTHER are both admitted
+    unless they duplicate the index (intra-batch dedup is
+    ``dedup_minhash_pairs``' job at compaction time); the gate's
+    contract is batch-vs-corpus.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        GATE_MIN_MATCHES,
+        build_minhash_index,
+        dedup_gate_for,
+        minhash_index_root,
+        update_minhash_index,
+    )
+    from ..operators.invindex import update_text_index
+
+    raw = spark.readStream.schema("doc_id bigint, text string").parquet(
+        docs_stream_dir
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        build_minhash_index(bspark, sf_dir)
+        applied = os.path.join(minhash_index_root(sf_dir), "applied")
+        os.makedirs(applied, exist_ok=True)
+        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        h = F.md5(
+            F.concat_ws("\x01", F.col("doc_id").cast("string"), F.col("text"))
+        )
+
+        def word(start: int) -> F.Column:
+            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
+
+        row = batch.select(
+            word(1).alias("h1"), word(9).alias("h2")
+        ).agg(
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        if row["n"] == 0:
+            return
+        marker = os.path.join(applied, f"g{row['s1']}_{row['s2']}_{row['n']}")
+        if os.path.exists(marker):
+            return  # true re-delivery: already gated and applied
+
+        dups = (
+            dedup_gate_for(bspark, sf_dir, batch)
+            .filter(F.col("matches") >= GATE_MIN_MATCHES)
+            .localCheckpoint(eager=True)
+        )
+        dups.select("new_doc_id", "dup_of", "matches").write.mode(
+            "append"
+        ).parquet(decisions_dir)
+        admitted = batch.join(
+            dups.select(F.col("new_doc_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if admitted.take(1):
+            update_minhash_index(bspark, sf_dir, admitted)
+            update_text_index(bspark, sf_dir, admitted)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -431,3 +431,88 @@ def test_stream_ivf_index_ingest_serves_next_probe(spark, sf_dir, tmp_path):
     top = ann.ann_ivf_trained_topk(spark, base_dir, query_vec_id=0, k=3).collect()
     assert top[0]["vec_id"] == 987654325
     assert top[0]["sim"] == 1.0
+
+
+def test_stream_gated_ingest_rejects_dups_and_admits_fresh(
+    spark, sf_dir, tmp_path
+):
+    """The composed pipeline: a streamed batch containing a clone of an
+    indexed doc plus fresh documents must log the clone to the decision
+    trail and admit ONLY the fresh docs into both indexes — after which
+    a SECOND batch cloning one of those fresh docs is rejected too
+    (the index the gate consults includes prior admissions)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup, invindex
+    from adk_noui_vectordb_spark.streaming.pipeline import stream_gated_ingest
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "gstream")
+    stream_dir = str(tmp_path / "gincoming")
+    dec_dir = str(tmp_path / "gdecisions")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    dedup.build_minhash_index(spark, base_dir)
+    invindex.build_text_index(spark, base_dir)
+
+    clone_text = docs.filter(F.col("doc_id") == 5).head()["text"]
+    fresh1 = "wholly original ingest sentence alpha bravo charlie delta"
+    spark.createDataFrame(
+        [(8_000_001, clone_text), (8_000_002, fresh1)],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+
+    q = stream_gated_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "gckpt"), dec_dir
+    )
+    q.awaitTermination(180)
+
+    decisions = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert (8_000_001, 5) in decisions
+    assert not any(nd == 8_000_002 for nd, _ in decisions)
+    # admitted doc is in BOTH indexes; the clone is in NEITHER
+    sigs = {
+        r["doc_id"]
+        for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+        .parquet(
+            os.path.join(dedup.build_minhash_index(spark, base_dir), "sigs")
+        )
+        .collect()
+    }
+    assert 8_000_002 in sigs and 8_000_001 not in sigs
+    ver = invindex.build_text_index(spark, base_dir)
+    docs_comp = {
+        r["doc_id"]
+        for r in spark.read.schema(invindex.DOCS_SCHEMA)
+        .parquet(os.path.join(ver, "docs"))
+        .collect()
+    }
+    assert 8_000_002 in docs_comp and 8_000_001 not in docs_comp
+
+    # second wave: cloning the PREVIOUSLY ADMITTED doc must be rejected
+    spark.createDataFrame(
+        [(8_000_003, fresh1)], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(stream_dir, "b2"))
+    q2 = stream_gated_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "gckpt"), dec_dir
+    )
+    q2.awaitTermination(180)
+    decisions2 = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert (8_000_003, 8_000_002) in decisions2
+    sigs2 = {
+        r["doc_id"]
+        for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+        .parquet(
+            os.path.join(dedup.build_minhash_index(spark, base_dir), "sigs")
+        )
+        .collect()
+    }
+    assert 8_000_003 not in sigs2
