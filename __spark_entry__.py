@@ -497,6 +497,15 @@ _REWRITTEN = frozenset({
     "pq_encode_rows",
     "knn_pq_topk",
     "knn_pq_rerank",
+    # the wide-signature kernel was factored to minhash_wide_for (the
+    # incremental index path signs batches through it) — byte-identical
+    # arithmetic, but a rewrite strips checked status (ADVICE r5)
+    "minhash_signature_rows",
+    "minhash_band_rows",
+    "dedup_minhash_pairs",
+    "minhash_jaccard_estimate",
+    "dedup_connected_components",
+    "dup_cluster_size_histogram",
 })
 
 
