@@ -152,8 +152,6 @@ def compact_index(
     links through unchanged. Returns the new current dir, or the
     existing one when nothing exceeds the threshold (no empty commits).
     """
-    import shutil
-
     from pyspark.sql import functions as F
 
     cur = current_dir(root)

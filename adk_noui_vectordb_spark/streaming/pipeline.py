@@ -601,7 +601,6 @@ def stream_gated_ingest(
     from pyspark.sql import functions as F
 
     from ..operators.dedup import (
-        GATE_MIN_MATCHES,
         build_minhash_index,
         dedup_gate_for,
         minhash_index_root,
@@ -639,10 +638,9 @@ def stream_gated_ingest(
         if os.path.exists(marker):
             return  # true re-delivery: already gated and applied
 
-        dups = (
-            dedup_gate_for(bspark, sf_dir, batch)
-            .filter(F.col("matches") >= GATE_MIN_MATCHES)
-            .localCheckpoint(eager=True)
+        # dedup_gate_for already applies the GATE_MIN_MATCHES floor
+        dups = dedup_gate_for(bspark, sf_dir, batch).localCheckpoint(
+            eager=True
         )
         dups.select("new_doc_id", "dup_of", "matches").write.mode(
             "append"

@@ -92,20 +92,24 @@ BENCH_KEYS = [
 ]
 
 
+def _bench_files_newest_first() -> "list[str]":
+    """BENCH_r*.json paths, newest round first — shared by the per-query
+    and calibration history readers."""
+    rounds: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    return [p for _, p in sorted(rounds, reverse=True)]
+
+
 def _previous_bench() -> dict[str, float]:
     """Per-query timings from the newest BENCH_r*.json that has any.
 
     Walks rounds newest-first so a crashed round (r4: rc=1, no stdout)
     falls back to the last round with real numbers.
     """
-    import glob
-
-    rounds: list[tuple[int, str]] = []
-    for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            rounds.append((int(m.group(1)), p))
-    for _, path in sorted(rounds, reverse=True):
+    for path in _bench_files_newest_first():
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -136,12 +140,7 @@ def _previous_calibration() -> "float | None":
     """The newest recorded calibration metric, for machine-drift
     normalization of cross-round totals (VERDICT r7/r8 next: r7 burned
     judge time proving a 1.24x 'slowdown' was environmental)."""
-    rounds: list[tuple[int, str]] = []
-    for p in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            rounds.append((int(m.group(1)), p))
-    for _, path in sorted(rounds, reverse=True):
+    for path in _bench_files_newest_first():
         try:
             with open(path) as f:
                 data = json.load(f)
