@@ -995,3 +995,60 @@ def test_dedup_gate_flags_only_true_duplicates(spark, sf_dir, tmp_path):
     }
     assert got[(9_000_001, 3)] == dedup.NUM_HASHES
     assert not any(nd == 9_000_002 for nd, _ in got)
+
+
+def test_minhash_update_crash_preserves_served_gate(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The versioning discipline holds for the MinHash index: a crash
+    injected before the _CURRENT swing leaves the gate serving the old
+    consistent version; re-running the update succeeds."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup
+    from adk_noui_vectordb_spark.sources import versioning
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "mhcrash")
+    os.makedirs(base_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    dedup.build_minhash_index(spark, base_dir)
+    clone = docs.filter(F.col("doc_id") == 7).select(
+        F.lit(7_000_007).cast("bigint").alias("doc_id"), "text"
+    )
+    gate_before = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in dedup.dedup_gate_for(spark, base_dir, clone).collect()
+    }
+    assert (7_000_007, 7) in gate_before
+
+    real = versioning.point_current
+
+    def boom(root, name):
+        raise RuntimeError("injected crash before commit point")
+
+    monkeypatch.setattr(versioning, "point_current", boom)
+    try:
+        dedup.update_minhash_index(spark, base_dir, clone)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(versioning, "point_current", real)
+
+    # served gate unchanged and consistent
+    assert {
+        (r["new_doc_id"], r["dup_of"])
+        for r in dedup.dedup_gate_for(spark, base_dir, clone).collect()
+    } == gate_before
+    # recovery = re-run; afterwards the clone is indexed, so gating it
+    # again ALSO surfaces itself-as-corpus (7_000_007 now indexed)
+    v = dedup.update_minhash_index(spark, base_dir, clone)
+    sigs = {
+        r["doc_id"]
+        for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+        .parquet(os.path.join(v, "sigs"))
+        .collect()
+    }
+    assert 7_000_007 in sigs
