@@ -453,6 +453,31 @@ _CHECKED_R8 = frozenset({
     "tfidf_top_terms", "token_count",
 })
 
+# Green (rows+schema+hash) in CORRECTNESS_r09.json — all 50 window keys:
+# the 16 r9 rewrites (versioned-index serving + minhash kernel), the 5
+# new keys (gopher/c4 filters, gate, doc map, vec rows), and the rotated
+# r5 cohort.
+_CHECKED_R9 = frozenset({
+    "agg_collection_count", "ann_ivf_trained_topk",
+    "ann_rp_lsh_multiprobe_topk", "ann_rp_lsh_topk",
+    "asof_join_purchase_click", "bm25_topk_served", "c4_line_filter",
+    "chunk_ast_python", "dedup_connected_components", "dedup_exact",
+    "dedup_embedding_cosine", "dedup_gate_against_index",
+    "dedup_minhash_pairs", "diag_generic", "diag_js_ts", "diag_python",
+    "diag_python_syntax", "dup_cluster_size_histogram", "events_by_dow",
+    "events_sessionize", "events_sliding_counts", "events_tumbling_counts",
+    "funnel_signup_purchase", "gopher_quality_flags",
+    "hybrid_rrf_served_topk", "inverted_postings_rows", "json_props_rollup",
+    "knn_join_topk", "knn_pq_rerank", "knn_pq_topk", "lang_id_ngram",
+    "minhash_band_rows", "minhash_jaccard_estimate",
+    "minhash_signature_rows", "pivot_event_matrix", "pq_encode_rows",
+    "range_join_bursts", "retention_day_over_day", "rp_index_vec_rows",
+    "salted_event_totals", "salted_skew_join", "setop_active_noncustomers",
+    "sketch_distinct_users", "split_assignment", "stratified_sample",
+    "stream_range_join", "stream_sessionize", "text_index_doc_map",
+    "upsert_latest_events", "winnow_fingerprints",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -465,6 +490,7 @@ for _rnd, _s in (
     (6, _CHECKED_R6),
     (7, _CHECKED_R7),
     (8, _CHECKED_R8),
+    (9, _CHECKED_R9),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -473,39 +499,15 @@ for _rnd, _s in (
 # (ADVICE r5, medium): a rewrite strips checked status so the next driver
 # window re-verifies the NEW code at sf0.01 before anything else.
 # Maintained per-round: when a rewritten key gets a fresh green row, move
-# it into that round's _CHECKED set and drop it here. r9: all three r8
-# rewrites greened in CORRECTNESS_r08 and moved to _CHECKED_R8; the r9
-# rewrites below re-enter the window first.
+# it into that round's _CHECKED set and drop it here. r10: all 16 r9
+# rewrites greened in CORRECTNESS_r09 and moved to _CHECKED_R9, so the
+# r10 window rotates the 35-key r6 cohort (VERDICT r9 next #2).
 _REWRITTEN = frozenset({
-    # zero-norm vectors now excluded from the band table BEFORE the
-    # per-bucket cap (ADVICE r8: they wasted md5-top-cap slots)
+    # the batch kNN join now scores from the RP index's vecs/ store, not
+    # the source embeddings table (ADVICE r9: after update_rp_index a
+    # replaced vector was scored against its stale source embedding and
+    # newly ingested vectors vanished in the inner join)
     "knn_join_topk",
-    # the text index moved to versioned roots with atomic _CURRENT
-    # pointer commits + a docs/ reverse-map component (VERDICT r8
-    # next #4/#5) — same postings content, new on-disk lifecycle
-    "inverted_postings_rows",
-    "bm25_topk_served",
-    "hybrid_rrf_served_topk",
-    # the RP/IVF indexes are now versioned and fully index-served: the
-    # probe rerank and point lookup read the index's vecs/ store, never
-    # the source table (VERDICT r8 next #3) — same results, new plans
-    "ann_rp_lsh_topk",
-    "ann_rp_lsh_multiprobe_topk",
-    "ann_ivf_trained_topk",
-    # the PQ index joined the versioned family (codes partitioned by
-    # vbucket, vecs store, query/rerank index-served)
-    "pq_encode_rows",
-    "knn_pq_topk",
-    "knn_pq_rerank",
-    # the wide-signature kernel was factored to minhash_wide_for (the
-    # incremental index path signs batches through it) — byte-identical
-    # arithmetic, but a rewrite strips checked status (ADVICE r5)
-    "minhash_signature_rows",
-    "minhash_band_rows",
-    "dedup_minhash_pairs",
-    "minhash_jaccard_estimate",
-    "dedup_connected_components",
-    "dup_cluster_size_histogram",
 })
 
 

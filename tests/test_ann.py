@@ -890,3 +890,51 @@ def test_delete_from_ivf_and_pq_indexes(spark, sf_dir, tmp_path):
         k: v for k, v in cbefore.items() if k[0] not in victim_set
     }
     assert ann.delete_from_pq_index(spark, base_dir, absent)[0] == codes_p1
+
+
+def test_rp_empty_index_state_serves_and_recovers(spark, tmp_path):
+    """The RP twin of the text-index empty-state pin (VERDICT r9 next
+    #1): deleting every vector leaves a legal, servable index — vec/band
+    stores answer 0 rows, compaction no-ops, a probe for a deleted id
+    raises the documented error, and an update re-populates serving."""
+    import os
+
+    import pytest
+
+    from adk_noui_vectordb_spark.operators import ann
+    from adk_noui_vectordb_spark.sources import versioning as vn
+
+    base = str(tmp_path / "rpempty")
+    os.makedirs(base)
+    v0 = [1.0] * 64
+    v1 = [2.0] * 64  # same direction as v0 -> identical band keys
+    spark.createDataFrame(
+        [(0, v0, 0), (1, v1, 0)],
+        "vec_id bigint, embedding array<double>, label int",
+    ).write.parquet(os.path.join(base, "embeddings.parquet"))
+    ann.build_rp_index(spark, base)
+    ann.delete_from_rp_index(
+        spark, base, spark.createDataFrame([(0,), (1,)], "vec_id bigint")
+    )
+
+    assert ann.rp_index_vec_rows(spark, base).count() == 0
+    bands_p = ann.build_rp_index(spark, base)
+    assert (
+        spark.read.schema(ann.RP_BANDS_SCHEMA).parquet(bands_p).count() == 0
+    )
+
+    cur = vn.current_dir(ann.rp_index_root(base))
+    assert ann.compact_rp_index(spark, base, threshold=0) == cur
+
+    with pytest.raises(ValueError, match="not found"):
+        ann.ann_rp_lsh_topk(spark, base, query_vec_id=0, k=3)
+
+    ann.update_rp_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(0, v0), (1, v1)], "vec_id bigint, embedding array<double>"
+        ),
+    )
+    got = ann.ann_rp_lsh_topk(spark, base, query_vec_id=0, k=3).collect()
+    assert [(r["vec_id"], r["sim"]) for r in got] == [(1, 1.0)]

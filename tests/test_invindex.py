@@ -480,3 +480,52 @@ def test_describe_index_reports_lifecycle_state(spark, sf_dir, tmp_path):
         assert d["components"][comp]["data_files"] >= 1
         assert d["components"][comp]["bytes"] > 0
     assert d["components"]["postings"]["partitions"] >= 1
+
+
+def test_empty_index_state_serves_and_recovers(spark, tmp_path):
+    """Delete-EVERYTHING is a legal index state (the r9 hypothesis
+    finding): serving against it returns 0 rows (no schema-inference
+    crash), compaction no-ops, and a subsequent update re-populates and
+    serves again — the product-level pins VERDICT r9 next #1 asked for."""
+    base = str(tmp_path / "emptybase")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "pin", 10),
+            (2, "beta gamma", "en", "pin", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    invindex.build_text_index(spark, base)
+    v_del = invindex.delete_from_text_index(
+        spark, base, spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    )
+
+    # every serving path answers the empty state with 0 rows
+    assert (
+        invindex.bm25_topk_served(spark, base, terms=("alpha", "beta")).count()
+        == 0
+    )
+    assert (
+        invindex.inverted_postings_rows(spark, base, terms=("alpha",)).count()
+        == 0
+    )
+    assert invindex.text_index_doc_map(spark, base).count() == 0
+    s = spark.read.parquet(os.path.join(v_del, "stats")).head()
+    assert (s["n_docs"], s["tot_dl"]) == (0, 0)
+
+    # compacting the empty state commits nothing (no empty versions)
+    assert invindex.compact_text_index(spark, base, threshold=0) == v_del
+
+    # a subsequent update re-populates and the index serves again
+    invindex.update_text_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(3, "alpha alpha")], "doc_id bigint, text string"
+        ),
+    )
+    served = invindex.bm25_topk_served(
+        spark, base, terms=("alpha", "beta")
+    ).collect()
+    assert [r["doc_id"] for r in served] == [3]

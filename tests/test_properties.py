@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -288,6 +288,9 @@ _op = st.one_of(
     ),
     ops=st.lists(_op, min_size=1, max_size=4),
 )
+# The r9 judge's counterexample, pinned forever (not left to seed luck):
+# deleting the index's only document leaves the legal EMPTY state.
+@example(initial={0: "alpha"}, ops=[("delete", [0])])
 @_IDX_SETTINGS
 def test_text_index_lifecycle_matches_model(spark, tmp_path_factory, initial, ops):
     """Stateful property: ANY sequence of upsert/delete/compact applied
@@ -328,9 +331,15 @@ def test_text_index_lifecycle_matches_model(spark, tmp_path_factory, initial, op
             invindex.compact_text_index(spark, base, threshold=0)
 
     ver = invindex.build_text_index(spark, base)
+    # Explicit component schemas (the product readers' discipline since
+    # 80c5777): the delete-everything state is LEGAL and leaves postings/
+    # termstats file-less, where schema inference throws — hypothesis
+    # found exactly that corner (initial={0:'alpha'}, ops=[delete [0]]).
     got_post = {
         (r["term"], r["doc_id"]): (r["tf"], r["dl"])
-        for r in spark.read.parquet(os.path.join(ver, "postings")).collect()
+        for r in spark.read.schema(invindex.POSTINGS_SCHEMA)
+        .parquet(os.path.join(ver, "postings"))
+        .collect()
     }
     want_post = {}
     for i, t in model.items():
@@ -341,12 +350,18 @@ def test_text_index_lifecycle_matches_model(spark, tmp_path_factory, initial, op
 
     got_ts = {
         r["term"]: r["df"]
-        for r in spark.read.parquet(os.path.join(ver, "termstats")).collect()
+        for r in spark.read.schema(invindex.TERMSTATS_SCHEMA)
+        .parquet(os.path.join(ver, "termstats"))
+        .collect()
     }
     want_ts = Counter(term for (term, _i) in want_post)
     assert got_ts == dict(want_ts)
 
-    s = spark.read.parquet(os.path.join(ver, "stats")).head()
+    s = (
+        spark.read.schema("n_docs bigint, tot_dl bigint")
+        .parquet(os.path.join(ver, "stats"))
+        .head()
+    )
     assert s["n_docs"] == len(model)
     assert s["tot_dl"] == sum(len(t.split(" ")) for t in model.values())
 
@@ -374,6 +389,10 @@ _rp_op = st.one_of(
         st.integers(min_value=0, max_value=5), _vec, min_size=2, max_size=3
     ),
     ops=st.lists(_rp_op, min_size=1, max_size=3),
+)
+# Same pinned corner as the text lifecycle: delete EVERY vector.
+@example(
+    initial={0: [1.0] * 64, 1: [2.0] * 64}, ops=[("delete", [0, 1])]
 )
 @settings(
     max_examples=3,
