@@ -1267,6 +1267,86 @@ def dedup_gate_for(
     )
 
 
+def intra_batch_dup_decisions(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    est_threshold_num: int = GATE_MIN_MATCHES,
+) -> DataFrame:
+    """WITHIN-batch near-dup decisions — the optional second arm of the
+    streaming ingest gate (VERDICT r9 next #8): among the documents of
+    ONE batch, every verified near-dup pair keeps ONE canonical copy and
+    rejects the other. Returns (new_doc_id, dup_of, matches, est_sim)
+    where new_doc_id is the REJECTED doc and dup_of its canonical twin —
+    the dedup_gate_for row shape, so the caller unions the two arms into
+    one audit trail.
+
+    Canonical order is (md5(doc_id), doc_id) — a total order, so a
+    clique of mutually-duplicate docs admits exactly its md5-min member.
+    A doc is rejected iff it has ANY smaller-keyed verified twin, so
+    chains (a~b, b~c, a!~c) reject both b and c — the coarse ingest-time
+    contract; compaction-time ``dedup_connected_components`` remains the
+    exact clustering. Fully deterministic, so at-least-once replays
+    decide identically (the stream_gated_ingest recovery requirement).
+
+    Same arithmetic as ``dedup_gate_for``: the shared signing kernel,
+    LSH candidates from a band-table self-join (never all-pairs), and
+    16-stored-position verification (Broder estimate, dyadic-exact).
+    """
+    from ..sources.tables import fan_out
+
+    batch_wide = minhash_wide_for(
+        fan_out(new_docs.select("doc_id", "text").dropDuplicates(["doc_id"]))
+    ).localCheckpoint(eager=True)
+    bands = _minhash_band_cols(batch_wide)
+    a = bands.select(
+        F.col("doc_id").alias("new_doc_id"), "band", "kbucket", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("dup_of"), "band", "kbucket", "band_hash"
+    )
+    amd = F.md5(F.col("new_doc_id").cast("string"))
+    bmd = F.md5(F.col("dup_of").cast("string"))
+    cand = (
+        a.join(b, ["band", "kbucket", "band_hash"])
+        .filter(
+            (amd > bmd)
+            | ((amd == bmd) & (F.col("new_doc_id") > F.col("dup_of")))
+        )
+        .select("new_doc_id", "dup_of")
+        .distinct()
+    )
+    l = batch_wide.select(
+        F.col("doc_id").alias("new_doc_id"),
+        *[F.col(f"m{i}").alias(f"l{i}") for i in range(NUM_HASHES)],
+    )
+    r = batch_wide.select(
+        F.col("doc_id").alias("dup_of"),
+        *[F.col(f"m{i}").alias(f"r{i}") for i in range(NUM_HASHES)],
+    )
+    matches = None
+    for i in range(NUM_HASHES):
+        eq = F.when(F.col(f"l{i}") == F.col(f"r{i}"), 1).otherwise(0)
+        matches = eq if matches is None else matches + eq
+    return (
+        cand.join(l, "new_doc_id")
+        .join(r, "dup_of")
+        .select(
+            "new_doc_id",
+            "dup_of",
+            matches.cast("bigint").alias("matches"),
+        )
+        .filter(F.col("matches") >= est_threshold_num)
+        .select(
+            "new_doc_id",
+            "dup_of",
+            "matches",
+            F.round(F.col("matches") / F.lit(float(NUM_HASHES)), 4).alias(
+                "est_sim"
+            ),
+        )
+    )
+
+
 def dedup_gate_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable gate run: a deterministic clone batch (every
     doc_id % 10 == 0, re-keyed +1_000_000) gated against the corpus

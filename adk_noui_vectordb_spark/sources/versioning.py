@@ -80,7 +80,13 @@ def publish_version(root: str, tmp: str, name: str) -> None:
 
 def gc_versions(root: str, keep: int = 2) -> None:
     """Delete versions older than the previous one, plus stale tmp dirs
-    from crashed writers (they never held the ``_CURRENT`` name)."""
+    from crashed writers (they never held the ``_CURRENT`` name), plus
+    expired streaming idempotence markers: markers under ``applied/``
+    are keyed ``<prefix>.<version>.<digest>`` on the version that
+    observed/wrote them and can only ever match again while that version
+    is still current — so any marker keyed to another version is dead
+    weight and is swept here, bounding ``applied/`` at O(batches since
+    the last commit) instead of growing forever (ADVICE r9)."""
     cur = current_name(root)
     if cur is None:
         return
@@ -92,6 +98,15 @@ def gc_versions(root: str, keep: int = 2) -> None:
             shutil.rmtree(full, ignore_errors=True)
         elif d.startswith(".__tmp_") and os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
+    applied = os.path.join(root, "applied")
+    if os.path.isdir(applied):
+        for f in os.listdir(applied):
+            parts = f.split(".")
+            if len(parts) == 3 and parts[1] != cur:
+                try:
+                    os.unlink(os.path.join(applied, f))
+                except OSError:
+                    pass
 
 
 def link_partitions(src: str, dst: str, skip: frozenset = frozenset()) -> None:

@@ -31,6 +31,56 @@ from ..sources.sinks import upsert_parquet
 from ..sources.tables import events_time_exprs
 
 
+def _batch_digest(batch: DataFrame, cols: "tuple[str, ...]"):
+    """Order-independent content digest of a micro-batch: per-row md5
+    split into two 32-bit words, summed, plus the row count (32-bit word
+    sums stay < 2^63 for any batch the planet can deliver — ANSI mode
+    makes overflow an ERROR, so the margin is kept 2^31 rows wide).
+    CONTENT-keyed, never batch_id-keyed: a checkpoint reset renumbers
+    batches from 0, and an id-keyed marker would silently skip a
+    genuinely new batch (ADVICE r8). Returns (s1, s2, n), or None for an
+    empty batch. One Spark aggregate — a scalar collect, never rows."""
+    h = F.md5(F.concat_ws("\x01", *[F.col(c).cast("string") for c in cols]))
+
+    def word(start: int) -> F.Column:
+        return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
+
+    row = (
+        batch.select(word(1).alias("h1"), word(9).alias("h2"))
+        .agg(
+            F.sum("h1").alias("s1"),
+            F.sum("h2").alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .head()
+    )
+    if row["n"] == 0:
+        return None
+    return (row["s1"], row["s2"], row["n"])
+
+
+def _marker_path(root: str, prefix: str, digest) -> str:
+    """Idempotence-marker path under ``root/applied/``, keyed on the
+    index's CURRENT version name (ADVICE r9, medium): replace semantics
+    make over-application harmless, but a content marker that outlives
+    the version that wrote it is a correctness bug — after a
+    ``delete_from_*`` retraction bumps the version, a legitimate
+    re-ingest of the same rows must NOT be skipped by the stale marker.
+    Version-scoped markers also expire naturally: ``gc_versions`` sweeps
+    every marker not keyed to the current version, which bounds the
+    ``applied/`` directory at O(batches since last commit) instead of
+    growing forever. The caller checks the marker BEFORE an update
+    (keyed on the pre-update version) and writes it AFTER (keyed on the
+    version the update produced) — re-resolving here each time."""
+    from ..sources import versioning as vn
+
+    applied = os.path.join(root, "applied")
+    os.makedirs(applied, exist_ok=True)
+    cur = vn.current_name(root) or "v_none"
+    s1, s2, n = digest
+    return os.path.join(applied, f"{prefix}.{cur}.{s1}_{s2}_{n}")
+
+
 def stream_events_tumbling(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str, queryName: str
 ):
@@ -380,45 +430,27 @@ def stream_text_index_ingest(
     re-deliveries). The digest is one Spark aggregate (a scalar
     collect), never a row collect.
     """
-    import os
-
-    from pyspark.sql import functions as F
-
-    from ..operators.invindex import build_text_index, update_text_index
+    from ..operators.invindex import (
+        build_text_index,
+        text_index_root,
+        update_text_index,
+    )
 
     raw = spark.readStream.schema("doc_id bigint, text string").parquet(
         docs_stream_dir
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        cur = build_text_index(batch_df.sparkSession, sf_dir)
-        applied = os.path.join(os.path.dirname(cur), "applied")
-        os.makedirs(applied, exist_ok=True)
+        build_text_index(batch_df.sparkSession, sf_dir)
+        root = text_index_root(sf_dir)
         batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
-        h = F.md5(
-            F.concat_ws("\x01", F.col("doc_id").cast("string"), F.col("text"))
-        )
-
-        def word(start: int) -> F.Column:
-            # 32-bit md5 word: summing stays < 2^63 for any batch the
-            # planet can deliver (ANSI mode makes overflow an ERROR,
-            # not a wrap — keep the margin 2^31 rows wide).
-            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
-
-        row = batch.select(
-            word(1).alias("h1"), word(9).alias("h2")
-        ).agg(
-            F.sum("h1").alias("s1"),
-            F.sum("h2").alias("s2"),
-            F.count(F.lit(1)).alias("n"),
-        ).head()
-        if row["n"] == 0:
+        digest = _batch_digest(batch, ("doc_id", "text"))
+        if digest is None:
             return
-        marker = os.path.join(applied, f"c{row['s1']}_{row['s2']}_{row['n']}")
-        if os.path.exists(marker):
-            return  # same content already merged (true re-delivery)
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return  # same content already merged into the current version
         update_text_index(batch_df.sparkSession, sf_dir, batch)
-        with open(marker, "w") as f:
+        with open(_marker_path(root, "c", digest), "w") as f:
             f.write("ok\n")
 
     return (
@@ -451,10 +483,6 @@ def stream_vector_index_ingest(
     sums, never batch_id-keyed) skips true re-deliveries even across a
     checkpoint reset without ever skipping a genuinely new batch.
     """
-    import os
-
-    from pyspark.sql import functions as F
-
     from ..operators.ann import build_rp_index, rp_index_root, update_rp_index
 
     raw = spark.readStream.schema(
@@ -463,36 +491,17 @@ def stream_vector_index_ingest(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         build_rp_index(batch_df.sparkSession, sf_dir)
-        applied = os.path.join(rp_index_root(sf_dir), "applied")
-        os.makedirs(applied, exist_ok=True)
+        root = rp_index_root(sf_dir)
         batch = batch_df.select("vec_id", "embedding").localCheckpoint(
             eager=True
         )
-        h = F.md5(
-            F.concat_ws(
-                "\x01",
-                F.col("vec_id").cast("string"),
-                F.col("embedding").cast("string"),
-            )
-        )
-
-        def word(start: int) -> F.Column:
-            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
-
-        row = batch.select(
-            word(1).alias("h1"), word(9).alias("h2")
-        ).agg(
-            F.sum("h1").alias("s1"),
-            F.sum("h2").alias("s2"),
-            F.count(F.lit(1)).alias("n"),
-        ).head()
-        if row["n"] == 0:
+        digest = _batch_digest(batch, ("vec_id", "embedding"))
+        if digest is None:
             return
-        marker = os.path.join(applied, f"c{row['s1']}_{row['s2']}_{row['n']}")
-        if os.path.exists(marker):
-            return  # same content already merged (true re-delivery)
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return  # same content already merged into the current version
         update_rp_index(batch_df.sparkSession, sf_dir, batch)
-        with open(marker, "w") as f:
+        with open(_marker_path(root, "c", digest), "w") as f:
             f.write("ok\n")
 
     return (
@@ -516,10 +525,6 @@ def stream_ivf_index_ingest(
     ``ann_ivf_trained_topk`` probe serves a vector one micro-batch
     after it lands. Same at-least-once/content-digest-marker contract
     as the text and RP ingest modes."""
-    import os
-
-    from pyspark.sql import functions as F
-
     from ..operators.ann import (
         build_ivf_index,
         ivf_index_root,
@@ -532,36 +537,17 @@ def stream_ivf_index_ingest(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         build_ivf_index(batch_df.sparkSession, sf_dir)
-        applied = os.path.join(ivf_index_root(sf_dir, 8, 2), "applied")
-        os.makedirs(applied, exist_ok=True)
+        root = ivf_index_root(sf_dir, 8, 2)
         batch = batch_df.select("vec_id", "embedding").localCheckpoint(
             eager=True
         )
-        h = F.md5(
-            F.concat_ws(
-                "\x01",
-                F.col("vec_id").cast("string"),
-                F.col("embedding").cast("string"),
-            )
-        )
-
-        def word(start: int) -> F.Column:
-            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
-
-        row = batch.select(
-            word(1).alias("h1"), word(9).alias("h2")
-        ).agg(
-            F.sum("h1").alias("s1"),
-            F.sum("h2").alias("s2"),
-            F.count(F.lit(1)).alias("n"),
-        ).head()
-        if row["n"] == 0:
+        digest = _batch_digest(batch, ("vec_id", "embedding"))
+        if digest is None:
             return
-        marker = os.path.join(applied, f"c{row['s1']}_{row['s2']}_{row['n']}")
-        if os.path.exists(marker):
+        if os.path.exists(_marker_path(root, "c", digest)):
             return
         update_ivf_index(batch_df.sparkSession, sf_dir, batch)
-        with open(marker, "w") as f:
+        with open(_marker_path(root, "c", digest), "w") as f:
             f.write("ok\n")
 
     return (
@@ -578,6 +564,7 @@ def stream_gated_ingest(
     docs_stream_dir: str,
     checkpoint_dir: str,
     decisions_dir: str,
+    intra_batch_gate: bool = False,
 ):
     """The COMPOSED ingestion pipeline — the r9 capabilities chained as
     one streaming flow (the 10th streaming mode): document batches
@@ -591,18 +578,30 @@ def stream_gated_ingest(
     too) and the lexical text index (so they serve BM25 one batch
     later). Content-digest idempotence markers as in every ingest mode.
 
-    Within one batch, docs that duplicate EACH OTHER are both admitted
-    unless they duplicate the index (intra-batch dedup is
-    ``dedup_minhash_pairs``' job at compaction time); the gate's
-    contract is batch-vs-corpus.
+    At-least-once replay safety (ADVICE r9, high): the gate's contract
+    is batch-vs-corpus-OUTSIDE-the-batch, so candidates whose ``dup_of``
+    is one of the batch's own doc_ids are EXCLUDED. Without that, a
+    crash between the two index updates made the replayed batch match
+    ITSELF in the already-updated MinHash index — every doc logged as a
+    bogus self-duplicate, dropped, and permanently missing from the text
+    index. With the exclusion the gate decision is a pure function of
+    (batch, pre-batch corpus), so a replay decides identically and the
+    idempotent replace-updates converge both indexes. The audit write
+    carries its own version-scoped marker, so a clean re-delivery never
+    duplicates decision rows (a crash BETWEEN the updates can — the
+    trail is at-least-once; consumers key on (new_doc_id, dup_of)).
+
+    ``intra_batch_gate=True`` additionally rejects near-dups WITHIN the
+    batch, keeping the md5-min doc_id of each duplicate pair as the one
+    admitted canonical copy (``dedup.intra_batch_dup_decisions``) — the
+    crawl-ingest shape where the same page arrives twice in one batch.
+    Default False preserves the original contract (intra-batch dedup
+    deferred to compaction-time ``dedup_minhash_pairs``).
     """
-    import os
-
-    from pyspark.sql import functions as F
-
     from ..operators.dedup import (
         build_minhash_index,
         dedup_gate_for,
+        intra_batch_dup_decisions,
         minhash_index_root,
         update_minhash_index,
     )
@@ -615,36 +614,34 @@ def stream_gated_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
         build_minhash_index(bspark, sf_dir)
-        applied = os.path.join(minhash_index_root(sf_dir), "applied")
-        os.makedirs(applied, exist_ok=True)
+        root = minhash_index_root(sf_dir)
         batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
-        h = F.md5(
-            F.concat_ws("\x01", F.col("doc_id").cast("string"), F.col("text"))
-        )
-
-        def word(start: int) -> F.Column:
-            return F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
-
-        row = batch.select(
-            word(1).alias("h1"), word(9).alias("h2")
-        ).agg(
-            F.sum("h1").alias("s1"),
-            F.sum("h2").alias("s2"),
-            F.count(F.lit(1)).alias("n"),
-        ).head()
-        if row["n"] == 0:
+        digest = _batch_digest(batch, ("doc_id", "text"))
+        if digest is None:
             return
-        marker = os.path.join(applied, f"g{row['s1']}_{row['s2']}_{row['n']}")
-        if os.path.exists(marker):
+        if os.path.exists(_marker_path(root, "g", digest)):
             return  # true re-delivery: already gated and applied
 
-        # dedup_gate_for already applies the GATE_MIN_MATCHES floor
-        dups = dedup_gate_for(bspark, sf_dir, batch).localCheckpoint(
-            eager=True
+        # dedup_gate_for already applies the GATE_MIN_MATCHES floor; the
+        # anti-join removes candidates naming the batch's own docs (the
+        # replay self-match exclusion documented above).
+        dups = dedup_gate_for(bspark, sf_dir, batch).join(
+            batch.select(F.col("doc_id").alias("dup_of")),
+            "dup_of",
+            "left_anti",
         )
-        dups.select("new_doc_id", "dup_of", "matches").write.mode(
-            "append"
-        ).parquet(decisions_dir)
+        if intra_batch_gate:
+            dups = dups.unionByName(
+                intra_batch_dup_decisions(bspark, batch)
+            )
+        dups = dups.localCheckpoint(eager=True)
+        dmark = _marker_path(root, "gd", digest)
+        if not os.path.exists(dmark):
+            dups.select("new_doc_id", "dup_of", "matches").write.mode(
+                "append"
+            ).parquet(decisions_dir)
+            with open(dmark, "w") as f:
+                f.write("ok\n")
         admitted = batch.join(
             dups.select(F.col("new_doc_id").alias("doc_id")).distinct(),
             "doc_id",
@@ -653,7 +650,7 @@ def stream_gated_ingest(
         if admitted.take(1):
             update_minhash_index(bspark, sf_dir, admitted)
             update_text_index(bspark, sf_dir, admitted)
-        with open(marker, "w") as f:
+        with open(_marker_path(root, "g", digest), "w") as f:
             f.write("ok\n")
 
     return (

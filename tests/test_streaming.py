@@ -279,9 +279,11 @@ def test_stream_text_index_ingest_equals_fresh_build(spark, sf_dir, tmp_path):
     assert postings(root_inc) == before
 
     # at-least-once re-DELIVERY (not just re-run): wipe the checkpoint so
-    # Structured Streaming re-delivers every file as fresh micro-batches;
-    # the CONTENT-keyed markers under the index root must skip the merge,
-    # leaving the index byte-identical (review r7 / ADVICE r8).
+    # Structured Streaming re-delivers every file as fresh micro-batches.
+    # Markers are VERSION-scoped since r10 (ADVICE r9: a marker must not
+    # outlive the version that wrote it, or a delete-then-reingest is
+    # silently skipped), so a reset AFTER the version moved re-applies —
+    # and the replace semantics must leave the index CONTENT-identical.
     import shutil
 
     shutil.rmtree(str(tmp_path / "ckpt_ix"))
@@ -289,7 +291,7 @@ def test_stream_text_index_ingest_equals_fresh_build(spark, sf_dir, tmp_path):
         spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_ix")
     )
     q3.awaitTermination(180)
-    assert postings(root_inc) == before
+    assert postings(invindex.build_text_index(spark, base_dir)) == before
 
     # ADVICE r8 regression: after ANOTHER checkpoint reset, a genuinely
     # NEW batch re-uses the old batch_ids (numbering restarts at 0) — an
@@ -516,3 +518,211 @@ def test_stream_gated_ingest_rejects_dups_and_admits_fresh(
         .collect()
     }
     assert 8_000_003 not in sigs2
+
+
+def test_stream_gated_ingest_replay_after_partial_apply(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r9 (high): a crash AFTER update_minhash_index but BEFORE
+    update_text_index must not poison the replay. Pre-fix, the
+    redelivered batch's docs were already in the MinHash index and
+    matched THEMSELVES (and intra-batch near-dups admitted by contract
+    cross-rejected): bogus self-dup audit rows, docs dropped, the two
+    indexes permanently divergent. The batch-exclusion gate makes the
+    replay decide identically to the first attempt and converge both."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import dedup, invindex
+    from adk_noui_vectordb_spark.streaming import pipeline as sp
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "gcrash")
+    stream_dir = str(tmp_path / "gcrashin")
+    dec_dir = str(tmp_path / "gcrashdec")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    dedup.build_minhash_index(spark, base_dir)
+    invindex.build_text_index(spark, base_dir)
+
+    twin_text = "crash recovery twin sentence kilo lima mike november oscar"
+    batch_ids = {9_000_001, 9_000_002, 9_000_003}
+    spark.createDataFrame(
+        [
+            (9_000_001, twin_text),   # intra-batch near-dups: admitted
+            (9_000_002, twin_text),   # by contract (no intra gate)
+            (9_000_003, "wholly distinct crash recovery paragraph papa"),
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+
+    real_update = invindex.update_text_index
+
+    def crashing(spark_, sf, batch):
+        raise RuntimeError("injected crash between the two index updates")
+
+    monkeypatch.setattr(invindex, "update_text_index", crashing)
+    q = sp.stream_gated_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "gcrashck"), dec_dir
+    )
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass
+    # crash window reached: MinHash updated, text index NOT, marker absent
+    sigs_mid = {
+        r["doc_id"]
+        for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+        .parquet(
+            os.path.join(dedup.build_minhash_index(spark, base_dir), "sigs")
+        )
+        .collect()
+    }
+    assert batch_ids <= sigs_mid
+
+    monkeypatch.setattr(invindex, "update_text_index", real_update)
+    q2 = sp.stream_gated_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "gcrashck"), dec_dir
+    )
+    q2.awaitTermination(180)
+
+    # converged: every batch doc serves from BOTH indexes
+    ver = invindex.build_text_index(spark, base_dir)
+    text_ids = {
+        r["doc_id"]
+        for r in spark.read.schema(invindex.DOCS_SCHEMA)
+        .parquet(os.path.join(ver, "docs"))
+        .collect()
+    }
+    assert batch_ids <= text_ids
+    # and the audit trail holds no self- or intra-batch-dup rows
+    decisions = spark.read.schema(
+        "new_doc_id bigint, dup_of bigint, matches bigint"
+    ).parquet(dec_dir).collect()
+    for r in decisions:
+        assert r["new_doc_id"] != r["dup_of"]
+        assert not (
+            r["new_doc_id"] in batch_ids and r["dup_of"] in batch_ids
+        )
+
+
+def test_stream_gated_ingest_intra_batch_gate(spark, sf_dir, tmp_path):
+    """VERDICT r9 next #8: with intra_batch_gate=True, two identical new
+    docs in ONE batch admit only the md5-min canonical copy; the other
+    lands in the audit trail naming its twin."""
+    import hashlib
+    import os
+
+    from adk_noui_vectordb_spark.operators import dedup, invindex
+    from adk_noui_vectordb_spark.streaming.pipeline import stream_gated_ingest
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "gintra")
+    stream_dir = str(tmp_path / "gintrain")
+    dec_dir = str(tmp_path / "gintradec")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    dedup.build_minhash_index(spark, base_dir)
+    invindex.build_text_index(spark, base_dir)
+
+    twin_text = "same crawl page fetched twice quebec romeo sierra tango"
+    a, b = 7_100_001, 7_100_002
+    keep, drop = sorted(
+        (a, b), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    spark.createDataFrame(
+        [(a, twin_text), (b, twin_text), (7_100_003, "unique uniform victor")],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+
+    q = stream_gated_ingest(
+        spark,
+        base_dir,
+        stream_dir + "/*",
+        str(tmp_path / "gintrack"),
+        dec_dir,
+        intra_batch_gate=True,
+    )
+    q.awaitTermination(180)
+
+    decisions = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in spark.read.schema(
+            "new_doc_id bigint, dup_of bigint, matches bigint"
+        ).parquet(dec_dir).collect()
+    }
+    assert (drop, keep) in decisions
+    sigs = {
+        r["doc_id"]
+        for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+        .parquet(
+            os.path.join(dedup.build_minhash_index(spark, base_dir), "sigs")
+        )
+        .collect()
+    }
+    assert keep in sigs and 7_100_003 in sigs
+    assert drop not in sigs
+
+
+def test_stream_ingest_reapplies_after_delete(spark, sf_dir, tmp_path):
+    """ADVICE r9 (medium): a content marker must not outlive the version
+    that wrote it. Ingest a batch, DELETE its doc from the index, then
+    redeliver the same content through a fresh checkpoint — the pre-r10
+    version-less digest markers silently skipped it, leaving the deleted
+    doc unrecoverable; version-scoped markers re-apply it. gc_versions
+    also sweeps markers keyed to non-current versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import invindex
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_text_index_ingest,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "resur")
+    stream_dir = str(tmp_path / "resurin")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    invindex.build_text_index(spark, base_dir)
+    spark.createDataFrame(
+        [(6_200_001, "resurrect this document whiskey xray yankee")],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+
+    q = stream_text_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "resurck1")
+    )
+    q.awaitTermination(180)
+
+    def doc_ids():
+        ver = invindex.build_text_index(spark, base_dir)
+        return {
+            r["doc_id"]
+            for r in spark.read.schema(invindex.DOCS_SCHEMA)
+            .parquet(os.path.join(ver, "docs"))
+            .collect()
+        }
+
+    assert 6_200_001 in doc_ids()
+    invindex.delete_from_text_index(
+        spark, base_dir, spark.createDataFrame([(6_200_001,)], "doc_id bigint")
+    )
+    assert 6_200_001 not in doc_ids()
+
+    # redelivery of the SAME content via a fresh checkpoint must apply
+    q2 = stream_text_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "resurck2")
+    )
+    q2.awaitTermination(180)
+    assert 6_200_001 in doc_ids()
+
+    # marker hygiene: everything under applied/ is keyed to the current
+    # version (stale markers were swept by gc_versions)
+    root = invindex.text_index_root(base_dir)
+    from adk_noui_vectordb_spark.sources.versioning import current_name
+
+    cur = current_name(root)
+    applied = os.path.join(root, "applied")
+    for f in os.listdir(applied):
+        assert f.split(".")[1] == cur, f
