@@ -1702,14 +1702,24 @@ def knn_join_topk(
 
     from ..functions.vector import dot_product
 
+    # FULLY index-served (ADVICE r9, medium): candidates AND scoring
+    # vectors come from the SAME resolved index version — bands/ for the
+    # bucket self-join, vecs/ for the exact rerank. Scoring from the
+    # source table contradicted the corpus-of-record contract every
+    # other serving path honors: after update_rp_index a replaced vector
+    # was scored against its stale source embedding, and newly ingested
+    # vectors produced candidates that silently vanished in the inner
+    # join. One version resolve keeps the two components consistent.
+    ver = _rp_current_dir(spark, sf_dir)
+
     # Norms are projected ONCE per vector (n rows), not once per pair
     # (the SCALE.md r6 HOF finding applied to the pair join: the naive
     # cosine re-derives both norms for every candidate — 3x the HOF
     # work). sqrt(dot(v,v)) here has the same bits as _COS's inline
     # form, so the rounded value is unchanged.
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    emb = spark.read.schema(VECS_SCHEMA).parquet(
+        os.path.join(ver, "vecs")
+    ).select("vec_id", F.col("emb").alias("e"))
     emb = emb.select(
         "vec_id", "e", F.sqrt(dot_product(F.col("e"), F.col("e"))).alias("nrm")
     ).filter(F.col("nrm") > 0)
@@ -1719,7 +1729,7 @@ def knn_join_topk(
     # time (build_rp_index — a zero vector has no direction, so
     # cosine-LSH membership is meaningless for it), which closes the
     # ADVICE r8 cap-slot-waste finding with ZERO query-time cost.
-    bands = spark.read.schema(RP_BANDS_SCHEMA).parquet(build_rp_index(spark, sf_dir))
+    bands = spark.read.schema(RP_BANDS_SCHEMA).parquet(os.path.join(ver, "bands"))
     a = bands.select("band", "band_key", F.col("vec_id").alias("src"))
     b = cap_bucket_members(bands, bucket_cap).select(
         "band", "band_key", F.col("vec_id").alias("nbr")

@@ -356,7 +356,11 @@ def update_text_index(
     cur = build_text_index(spark, sf_dir)
     root = os.path.dirname(cur)
 
-    batch_src = new_docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+    batch_src = (
+        new_docs.select("doc_id", "text")
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
     batch = (
         doc_term_counts(batch_src, with_dl=True)
         .select(
@@ -369,12 +373,23 @@ def update_text_index(
         .localCheckpoint(eager=True)
     )
     batch_docs = _docs_component(batch).localCheckpoint(eager=True)
+    # The batch DOC SET derives from batch_src, NOT from the batch
+    # postings (ADVICE r9, low): a re-submitted doc whose new text
+    # tokenizes to ZERO terms (NULL text — explode of a null token
+    # array yields no rows) produces no postings, yet must still
+    # RETRACT its old postings/docs/stats entries; derived from the
+    # postings it was absent from resub detection and silently kept.
+    # Such a doc ends up indexed nowhere — exactly what a fresh build
+    # over the combined corpus would do.
+    batch_ids = batch_src.select("doc_id")
     dbuckets = sorted(
-        r["dbucket"] for r in batch_docs.select("dbucket").distinct().collect()
+        r["b"]
+        for r in batch_ids.select(doc_bucket_expr(F.col("doc_id")).alias("b"))
+        .distinct()
+        .collect()
     )
     if not dbuckets:
         return cur
-    batch_ids = batch_docs.select("doc_id")
 
     # Re-submitted docs and their stale term buckets, via the pruned
     # reverse map — empty for a pure-ADD batch (bulk ingest), which

@@ -215,13 +215,18 @@ def compact_index(
         hot = plan[comp]
         link_partitions(src, os.path.join(tmp, comp), frozenset(hot))
         # predicate from the hot partitions' literal values — the read
-        # statically prunes to exactly the partitions being compacted
+        # statically prunes to exactly the partitions being compacted.
+        # Compared AS STRINGS (the directory-name representation): every
+        # current index uses integer buckets, but the helper is generic
+        # and an int() cast would throw on any future non-integer
+        # partition value (ADVICE r9); a cast on the partition column is
+        # still a partition-only predicate, so pruning is unaffected.
         preds = []
         for rel in hot:
             kv = dict(p.split("=", 1) for p in rel.split("/"))
             conj = None
             for c in cols:
-                leg = F.col(c) == int(kv[c])
+                leg = F.col(c).cast("string") == kv[c]
                 conj = leg if conj is None else (conj & leg)
             preds.append(conj)
         pred = preds[0]

@@ -529,3 +529,47 @@ def test_empty_index_state_serves_and_recovers(spark, tmp_path):
         spark, base, terms=("alpha", "beta")
     ).collect()
     assert [r["doc_id"] for r in served] == [3]
+
+
+def test_update_with_zero_term_text_retracts_doc(spark, tmp_path):
+    """ADVICE r9 (low): re-submitting a doc whose new text tokenizes to
+    ZERO terms (NULL text — explode of a null token array emits no rows)
+    must still retract its old postings, docs entry and stats
+    contribution, equaling a fresh build over the combined corpus (where
+    a null-text doc indexes nowhere). Pre-fix the batch doc set was
+    derived from the batch POSTINGS, so the doc was silently kept."""
+    base = str(tmp_path / "zerobase")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(1, "hello world", "en", "pin", 11), (2, "keep me", "en", "pin", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    invindex.build_text_index(spark, base)
+    v1 = invindex.update_text_index(
+        spark,
+        base,
+        spark.createDataFrame([(1, None)], "doc_id bigint, text string"),
+    )
+    post = {
+        (r["term"], r["doc_id"])
+        for r in spark.read.schema(invindex.POSTINGS_SCHEMA)
+        .parquet(os.path.join(v1, "postings"))
+        .collect()
+    }
+    assert post == {("keep", 2), ("me", 2)}
+    docs_ids = {
+        r["doc_id"]
+        for r in spark.read.schema(invindex.DOCS_SCHEMA)
+        .parquet(os.path.join(v1, "docs"))
+        .collect()
+    }
+    assert docs_ids == {2}
+    ts = {
+        r["term"]
+        for r in spark.read.schema(invindex.TERMSTATS_SCHEMA)
+        .parquet(os.path.join(v1, "termstats"))
+        .collect()
+    }
+    assert ts == {"keep", "me"}
+    s = spark.read.parquet(os.path.join(v1, "stats")).head()
+    assert (s["n_docs"], s["tot_dl"]) == (1, 2)
