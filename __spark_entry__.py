@@ -620,6 +620,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pruned; verification from stored signatures — zero corpus
         # re-signing)
         "dedup_gate_against_index": _dedup.dedup_gate_against_index,
+        # r10: WITHIN-batch gate arm (one canonical copy admitted per
+        # intra-batch near-dup clique — md5-canonical total order)
+        "dedup_gate_intra_batch": _dedup.dedup_gate_intra_batch,
         "dedup_connected_components": _dedup.dedup_connected_components,
         "dedup_canonical_selection": _dedup.dedup_canonical_selection,
         "minhash_jaccard_estimate": _dedup.minhash_jaccard_estimate,
@@ -2012,6 +2015,35 @@ gate_m AS (
 SELECT new_doc_id, dup_of, matches,
        round(matches / {_dedup.NUM_HASHES}.0, 4) AS est_sim
 FROM gate_m WHERE matches >= {_dedup.GATE_MIN_MATCHES}
+""",
+        "dedup_gate_intra_batch": f"""
+WITH docs_all AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+),
+{_MINHASH_BANDS_CTE.replace("FROM documents) d", "FROM docs_all) d")},
+ib_cand AS (
+    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS dup_of
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE md5(CAST(a.doc_id AS VARCHAR)) > md5(CAST(b.doc_id AS VARCHAR))
+       OR (md5(CAST(a.doc_id AS VARCHAR)) = md5(CAST(b.doc_id AS VARCHAR))
+           AND a.doc_id > b.doc_id)
+),
+ib_m AS (
+    SELECT c.new_doc_id, c.dup_of,
+           CAST(sum(CASE WHEN sn.minhash = so.minhash THEN 1 ELSE 0 END)
+                AS BIGINT) AS matches
+    FROM ib_cand c
+    JOIN sigs sn ON sn.doc_id = c.new_doc_id
+    JOIN sigs so ON so.doc_id = c.dup_of AND so.hash_idx = sn.hash_idx
+    GROUP BY 1, 2
+)
+SELECT new_doc_id, dup_of, matches,
+       round(matches / {_dedup.NUM_HASHES}.0, 4) AS est_sim
+FROM ib_m WHERE matches >= {_dedup.GATE_MIN_MATCHES}
 """,
         "dedup_connected_components": f"""
 WITH RECURSIVE {_MINHASH_BANDS_CTE},

@@ -28,6 +28,7 @@ that works regardless of cluster structure (measured recall@10 = 0.98).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,6 +154,12 @@ VECS_SCHEMA = "vec_id bigint, emb array<double>, vbucket int"
 IVF_ASSIGN_SCHEMA = "vec_id bigint, cluster int"
 PQ_CODES_SCHEMA = "vec_id bigint, subspace int, code int, vbucket int"
 
+# compact_index component specs — shared by explicit compaction and the
+# update/delete auto-compaction hook (VERDICT r9 next #7).
+RP_COMPONENTS = [("bands", ["band", "band_key"]), ("vecs", ["vbucket"])]
+IVF_COMPONENTS = [("assign", ["cluster"]), ("vecs", ["vbucket"]), ("cents", [])]
+PQ_COMPONENTS = [("codes", ["vbucket"]), ("vecs", ["vbucket"]), ("cents", [])]
+
 
 def vec_bucket_expr(vec_id: F.Column) -> F.Column:
     """md5-derived vector bucket for the index-resident ``vecs/`` store
@@ -218,8 +225,6 @@ def build_rp_index(spark: SparkSession, sf_dir: str) -> str:
     (memo.index_root), so regenerated testdata gets a fresh build
     instead of a stale index (ADVICE r6).
     """
-    import shutil
-
     from ..sources import versioning as vn
 
     root = rp_index_root(sf_dir)
@@ -247,12 +252,20 @@ def build_rp_index(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(tmp, "vecs")
     )
     name = vn.next_version_name(root)
-    vn.publish_version(root, tmp, name)
+    try:
+        vn.publish_version(root, tmp, name, expected=None)
+    except vn.ConcurrentWriterError:
+        # an interleaved builder won the race to the initial version —
+        # theirs is equivalent (same corpus fingerprint in the root tag)
+        return vn.current_dir(root)
     return os.path.join(root, name, "bands")
 
 
 def update_rp_index(
-    spark: SparkSession, sf_dir: str, new_vecs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    auto_compact_threshold: int = 16,
 ) -> str:
     """Incremental RP-LSH maintenance with vec-level REPLACE (upsert)
     semantics — the reference's core write path (indexing_agent.py:
@@ -292,8 +305,6 @@ def update_rp_index(
     ``sf_dir ∪ batch`` — the index, not the source table, is the
     corpus of record (the update_text_index contract).
     """
-    import shutil
-
     from ..sources import versioning as vn
 
     cur = _rp_current_dir(spark, sf_dir)
@@ -346,18 +357,10 @@ def update_rp_index(
         r["vbucket"] for r in resub.select("vbucket").distinct().collect()
     )
 
-    name = vn.next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
-
     # bands: rewrite ONLY partitions holding stale rows; link the rest;
     # append every batch band row (adds land beside linked files,
     # replacements beside their rewritten partition's files).
-    vn.link_partitions(
-        os.path.join(cur, "bands"),
-        os.path.join(tmp, "bands"),
-        frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
-    )
+    band_writes = []
     if rw_pairs:
         from functools import reduce
         from operator import or_
@@ -369,44 +372,51 @@ def update_rp_index(
                 for b, k in sorted(rw_pairs)
             ],
         )
-        (
-            spark.read.schema(RP_BANDS_SCHEMA).parquet(os.path.join(cur, "bands"))
+        band_writes.append(
+            spark.read.schema(RP_BANDS_SCHEMA)
+            .parquet(os.path.join(cur, "bands"))
             .filter(pair_pred)
             .join(resub_ids, "vec_id", "left_anti")
             .select("band", "band_key", "vec_id")
-            .write.mode("append")
-            .partitionBy("band", "band_key")
-            .parquet(os.path.join(tmp, "bands"))
         )
-    batch_bands.select("band", "band_key", "vec_id").write.mode(
-        "append"
-    ).partitionBy("band", "band_key").parquet(os.path.join(tmp, "bands"))
-
+    band_writes.append(batch_bands.select("band", "band_key", "vec_id"))
     # vecs: same discipline on the vbucket axis.
-    vn.link_partitions(
-        os.path.join(cur, "vecs"),
-        os.path.join(tmp, "vecs"),
-        frozenset(f"vbucket={b}" for b in rw_vb),
-    )
+    vec_writes = []
     if rw_vb:
-        (
-            spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+        vec_writes.append(
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(os.path.join(cur, "vecs"))
             .filter(F.col("vbucket").isin(rw_vb))
             .join(resub_ids, "vec_id", "left_anti")
             .select("vbucket", "vec_id", "emb")
-            .write.mode("append")
-            .partitionBy("vbucket")
-            .parquet(os.path.join(tmp, "vecs"))
         )
-    batch.select(
-        vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
-    ).write.mode("append").partitionBy("vbucket").parquet(
-        os.path.join(tmp, "vecs")
+    vec_writes.append(
+        batch.select(
+            vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+        )
     )
-
-    vn.publish_version(root, tmp, name)
-    vn.gc_versions(root)
-    return os.path.join(root, name, "bands")
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "bands",
+                ("band", "band_key"),
+                frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
+                tuple(band_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                tuple(vec_writes),
+            ),
+        ],
+        expected=os.path.basename(cur),
+        compact=RP_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+    return os.path.join(new_cur, "bands")
 
 
 def rp_lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,8 +657,6 @@ def build_ivf_index(
     index is the corpus of record. Fingerprint-tagged root as ever
     (ADVICE r6).
     """
-    import shutil
-
     from ..sources import versioning as vn
 
     root = ivf_index_root(sf_dir, n_centroids, iters)
@@ -672,7 +680,12 @@ def build_ivf_index(
         os.path.join(tmp, "vecs")
     )
     name = vn.next_version_name(root)
-    vn.publish_version(root, tmp, name)
+    try:
+        vn.publish_version(root, tmp, name, expected=None)
+    except vn.ConcurrentWriterError:
+        # an interleaved builder won the race to the initial version —
+        # theirs is equivalent (same corpus fingerprint in the root tag)
+        return vn.current_dir(root)
     cur = os.path.join(root, name)
     return os.path.join(cur, "assign"), os.path.join(cur, "cents")
 
@@ -683,6 +696,7 @@ def update_ivf_index(
     new_vecs: DataFrame,
     n_centroids: int = 8,
     iters: int = 2,
+    auto_compact_threshold: int = 16,
 ) -> "tuple[str, str]":
     """Incremental IVF maintenance under FROZEN centroids with
     vec-level REPLACE semantics — the classic IVF ingest path (FAISS
@@ -707,8 +721,6 @@ def update_ivf_index(
     corpus and served-query convergence one batch after ingest are
     pinned in tests/test_ann.py. Returns the new (assign, cents) paths.
     """
-    import shutil
-
     from ..sources import versioning as vn
 
     assign_p, cents_p = build_ivf_index(spark, sf_dir, n_centroids, iters)
@@ -769,53 +781,53 @@ def update_ivf_index(
         r["vbucket"] for r in resub.select("vbucket").distinct().collect()
     )
 
-    name = vn.next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
-    vn.link_partitions(
-        os.path.join(cur, "assign"),
-        os.path.join(tmp, "assign"),
-        frozenset(f"cluster={c}" for c in rw_cells),
-    )
+    assign_writes = []
     if rw_cells:
-        (
-            spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(os.path.join(cur, "assign"))
+        assign_writes.append(
+            spark.read.schema(IVF_ASSIGN_SCHEMA)
+            .parquet(os.path.join(cur, "assign"))
             .filter(F.col("cluster").isin(rw_cells))
             .join(resub_ids, "vec_id", "left_anti")
             .select("vec_id", "cluster")
-            .write.mode("append")
-            .partitionBy("cluster")
-            .parquet(os.path.join(tmp, "assign"))
         )
-    batch_assign.select("vec_id", "cluster").write.mode("append").partitionBy(
-        "cluster"
-    ).parquet(os.path.join(tmp, "assign"))
-
-    vn.link_partitions(
-        os.path.join(cur, "vecs"),
-        os.path.join(tmp, "vecs"),
-        frozenset(f"vbucket={b}" for b in rw_vb),
-    )
+    assign_writes.append(batch_assign.select("vec_id", "cluster"))
+    vec_writes = []
     if rw_vb:
-        (
-            spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+        vec_writes.append(
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(os.path.join(cur, "vecs"))
             .filter(F.col("vbucket").isin(rw_vb))
             .join(resub_ids, "vec_id", "left_anti")
             .select("vbucket", "vec_id", "emb")
-            .write.mode("append")
-            .partitionBy("vbucket")
-            .parquet(os.path.join(tmp, "vecs"))
         )
-    batch.select(
-        vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
-    ).write.mode("append").partitionBy("vbucket").parquet(
-        os.path.join(tmp, "vecs")
+    vec_writes.append(
+        batch.select(
+            vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+        )
     )
-    vn.link_component(cents_p, os.path.join(tmp, "cents"))
-    vn.publish_version(root, tmp, name)
-    vn.gc_versions(root)
-    cur = os.path.join(root, name)
-    return os.path.join(cur, "assign"), os.path.join(cur, "cents")
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "assign",
+                ("cluster",),
+                frozenset(f"cluster={c}" for c in rw_cells),
+                tuple(assign_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                tuple(vec_writes),
+            ),
+            vn.Component("cents", link_from=cents_p),
+        ],
+        expected=os.path.basename(cur),
+        compact=IVF_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+    return os.path.join(new_cur, "assign"), os.path.join(new_cur, "cents")
 
 
 def _ivf_centroid_rows(
@@ -1258,8 +1270,6 @@ def build_pq_index(
     self-contained for the exact-rerank stage and the query point
     lookup.
     """
-    import shutil
-
     from ..sources import versioning as vn
 
     root = _pq_index_root(sf_dir, m, k, iters)
@@ -1287,7 +1297,12 @@ def build_pq_index(
         os.path.join(tmp, "vecs")
     )
     name = vn.next_version_name(root)
-    vn.publish_version(root, tmp, name)
+    try:
+        vn.publish_version(root, tmp, name, expected=None)
+    except vn.ConcurrentWriterError:
+        # an interleaved builder won the race to the initial version —
+        # theirs is equivalent (same corpus fingerprint in the root tag)
+        return vn.current_dir(root)
     cur = os.path.join(root, name)
     return os.path.join(cur, "codes"), os.path.join(cur, "cents")
 
@@ -1330,6 +1345,7 @@ def update_pq_index(
     m: int = PQ_M,
     k: int = PQ_K,
     iters: int = 2,
+    auto_compact_threshold: int = 16,
 ) -> tuple[str, str]:
     """Incremental PQ maintenance under FROZEN codebooks with vec-level
     REPLACE semantics — FAISS ``add`` after ``train`` for the PQ tier,
@@ -1344,8 +1360,6 @@ def update_pq_index(
     ``compact_pq_index`` folds append files back. Codebook drift is
     answered by periodic retrains, as everywhere in this family.
     """
-    import shutil
-
     from ..sources import versioning as vn
 
     codes_p, cents_p = build_pq_index(spark, sf_dir, m, k, iters)
@@ -1392,9 +1406,7 @@ def update_pq_index(
         ).distinct().collect()
     )
 
-    name = vn.next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
+    plans = []
     for comp, frame, cols in (
         (
             "codes",
@@ -1416,13 +1428,9 @@ def update_pq_index(
             ["vbucket", "vec_id", "emb"],
         ),
     ):
-        vn.link_partitions(
-            os.path.join(cur, comp),
-            os.path.join(tmp, comp),
-            frozenset(f"vbucket={b}" for b in rw_vb),
-        )
+        writes = []
         if rw_vb:
-            (
+            writes.append(
                 spark.read.schema(
                     PQ_CODES_SCHEMA if comp == "codes" else VECS_SCHEMA
                 )
@@ -1430,18 +1438,26 @@ def update_pq_index(
                 .filter(F.col("vbucket").isin(rw_vb))
                 .join(resub_ids, "vec_id", "left_anti")
                 .select(*cols)
-                .write.mode("append")
-                .partitionBy("vbucket")
-                .parquet(os.path.join(tmp, comp))
             )
-        frame.write.mode("append").partitionBy("vbucket").parquet(
-            os.path.join(tmp, comp)
+        writes.append(frame)
+        plans.append(
+            vn.Component(
+                comp,
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                tuple(writes),
+            )
         )
-    vn.link_component(cents_p, os.path.join(tmp, "cents"))
-    vn.publish_version(root, tmp, name)
-    vn.gc_versions(root)
-    cur = os.path.join(root, name)
-    return os.path.join(cur, "codes"), os.path.join(cur, "cents")
+    plans.append(vn.Component("cents", link_from=cents_p))
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        plans,
+        expected=os.path.basename(cur),
+        compact=PQ_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+    return os.path.join(new_cur, "codes"), os.path.join(new_cur, "cents")
 
 
 def compact_pq_index(
@@ -1458,10 +1474,7 @@ def compact_pq_index(
 
     build_pq_index(spark, sf_dir, m, k, iters)
     return vn.compact_index(
-        spark,
-        _pq_index_root(sf_dir, m, k, iters),
-        [("codes", ["vbucket"]), ("vecs", ["vbucket"]), ("cents", [])],
-        threshold,
+        spark, _pq_index_root(sf_dir, m, k, iters), PQ_COMPONENTS, threshold
     )
 
 
@@ -1777,12 +1790,7 @@ def compact_rp_index(
     from ..sources import versioning as vn
 
     build_rp_index(spark, sf_dir)
-    return vn.compact_index(
-        spark,
-        rp_index_root(sf_dir),
-        [("bands", ["band", "band_key"]), ("vecs", ["vbucket"])],
-        threshold,
-    )
+    return vn.compact_index(spark, rp_index_root(sf_dir), RP_COMPONENTS, threshold)
 
 
 def compact_ivf_index(
@@ -1798,10 +1806,7 @@ def compact_ivf_index(
 
     build_ivf_index(spark, sf_dir, n_centroids, iters)
     return vn.compact_index(
-        spark,
-        ivf_index_root(sf_dir, n_centroids, iters),
-        [("assign", ["cluster"]), ("vecs", ["vbucket"]), ("cents", [])],
-        threshold,
+        spark, ivf_index_root(sf_dir, n_centroids, iters), IVF_COMPONENTS, threshold
     )
 
 
@@ -1818,7 +1823,10 @@ def rp_index_vec_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def delete_from_rp_index(
-    spark: SparkSession, sf_dir: str, vec_ids: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    vec_ids: DataFrame,
+    auto_compact_threshold: int = 16,
 ) -> str:
     """Targeted vector DELETION from the RP-LSH index (the
     right-to-be-forgotten path; the retraction half of the reference's
@@ -1828,8 +1836,6 @@ def delete_from_rp_index(
     those partitions rewrite with an anti-join; atomic versioned
     commit. Deleting an absent vec_id is a no-op. Returns the current
     band-table path."""
-    import shutil
-
     from functools import reduce
     from operator import or_
 
@@ -1869,14 +1875,7 @@ def delete_from_rp_index(
         .collect()
     }
 
-    name = vn.next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
-    vn.link_partitions(
-        os.path.join(cur, "bands"),
-        os.path.join(tmp, "bands"),
-        frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
-    )
+    band_writes = []
     if rw_pairs:
         pair_pred = reduce(
             or_,
@@ -1885,32 +1884,41 @@ def delete_from_rp_index(
                 for b, k in sorted(rw_pairs)
             ],
         )
-        (
-            spark.read.schema(RP_BANDS_SCHEMA).parquet(os.path.join(cur, "bands"))
+        band_writes.append(
+            spark.read.schema(RP_BANDS_SCHEMA)
+            .parquet(os.path.join(cur, "bands"))
             .filter(pair_pred)
             .join(victim_ids, "vec_id", "left_anti")
             .select("band", "band_key", "vec_id")
-            .write.mode("append")
-            .partitionBy("band", "band_key")
-            .parquet(os.path.join(tmp, "bands"))
         )
-    vn.link_partitions(
-        os.path.join(cur, "vecs"),
-        os.path.join(tmp, "vecs"),
-        frozenset(f"vbucket={b}" for b in rw_vb),
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "bands",
+                ("band", "band_key"),
+                frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
+                tuple(band_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                (
+                    spark.read.schema(VECS_SCHEMA)
+                    .parquet(os.path.join(cur, "vecs"))
+                    .filter(F.col("vbucket").isin(rw_vb))
+                    .join(victim_ids, "vec_id", "left_anti")
+                    .select("vbucket", "vec_id", "emb"),
+                ),
+            ),
+        ],
+        expected=os.path.basename(cur),
+        compact=RP_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
     )
-    (
-        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
-        .filter(F.col("vbucket").isin(rw_vb))
-        .join(victim_ids, "vec_id", "left_anti")
-        .select("vbucket", "vec_id", "emb")
-        .write.mode("append")
-        .partitionBy("vbucket")
-        .parquet(os.path.join(tmp, "vecs"))
-    )
-    vn.publish_version(root, tmp, name)
-    vn.gc_versions(root)
-    return os.path.join(root, name, "bands")
+    return os.path.join(new_cur, "bands")
 
 
 def delete_from_ivf_index(
@@ -1919,14 +1927,13 @@ def delete_from_ivf_index(
     vec_ids: DataFrame,
     n_centroids: int = 8,
     iters: int = 2,
+    auto_compact_threshold: int = 16,
 ) -> "tuple[str, str]":
     """Targeted vector deletion from the trained-IVF index — victims'
     cells re-derived from their stored vectors under the frozen
     centroids (the update_ivf_index reverse-map trick); only those cell
     and vbucket partitions rewrite; atomic versioned commit. Returns
     the current (assign, cents) paths."""
-    import shutil
-
     from ..sources import versioning as vn
 
     assign_p, cents_p = build_ivf_index(spark, sf_dir, n_centroids, iters)
@@ -1971,43 +1978,44 @@ def delete_from_ivf_index(
         .collect()
     )
 
-    name = vn.next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
-    vn.link_partitions(
-        os.path.join(cur, "assign"),
-        os.path.join(tmp, "assign"),
-        frozenset(f"cluster={c}" for c in rw_cells),
-    )
+    assign_writes = []
     if rw_cells:
-        (
-            spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(os.path.join(cur, "assign"))
+        assign_writes.append(
+            spark.read.schema(IVF_ASSIGN_SCHEMA)
+            .parquet(os.path.join(cur, "assign"))
             .filter(F.col("cluster").isin(rw_cells))
             .join(victim_ids, "vec_id", "left_anti")
             .select("vec_id", "cluster")
-            .write.mode("append")
-            .partitionBy("cluster")
-            .parquet(os.path.join(tmp, "assign"))
         )
-    vn.link_partitions(
-        os.path.join(cur, "vecs"),
-        os.path.join(tmp, "vecs"),
-        frozenset(f"vbucket={b}" for b in rw_vb),
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "assign",
+                ("cluster",),
+                frozenset(f"cluster={c}" for c in rw_cells),
+                tuple(assign_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                (
+                    spark.read.schema(VECS_SCHEMA)
+                    .parquet(os.path.join(cur, "vecs"))
+                    .filter(F.col("vbucket").isin(rw_vb))
+                    .join(victim_ids, "vec_id", "left_anti")
+                    .select("vbucket", "vec_id", "emb"),
+                ),
+            ),
+            vn.Component("cents", link_from=cents_p),
+        ],
+        expected=os.path.basename(cur),
+        compact=IVF_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
     )
-    (
-        spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
-        .filter(F.col("vbucket").isin(rw_vb))
-        .join(victim_ids, "vec_id", "left_anti")
-        .select("vbucket", "vec_id", "emb")
-        .write.mode("append")
-        .partitionBy("vbucket")
-        .parquet(os.path.join(tmp, "vecs"))
-    )
-    vn.link_component(cents_p, os.path.join(tmp, "cents"))
-    vn.publish_version(root, tmp, name)
-    vn.gc_versions(root)
-    cur = os.path.join(root, name)
-    return os.path.join(cur, "assign"), os.path.join(cur, "cents")
+    return os.path.join(new_cur, "assign"), os.path.join(new_cur, "cents")
 
 
 def delete_from_pq_index(
@@ -2017,14 +2025,13 @@ def delete_from_pq_index(
     m: int = PQ_M,
     k: int = PQ_K,
     iters: int = 2,
+    auto_compact_threshold: int = 16,
 ) -> "tuple[str, str]":
     """Targeted vector deletion from the PQ index — victims' stale
     codes and vectors live in their own literal vbucket partitions
     (vbucket is a pure function of vec_id), so exactly those rewrite;
     frozen codebooks link through; atomic versioned commit. Returns the
     current (codes, cents) paths."""
-    import shutil
-
     from ..sources import versioning as vn
 
     codes_p, cents_p = build_pq_index(spark, sf_dir, m, k, iters)
@@ -2056,32 +2063,33 @@ def delete_from_pq_index(
     if not rw_vb:
         return codes_p, cents_p
 
-    name = vn.next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
-    for comp, cols in (
-        ("codes", ["vbucket", "vec_id", "subspace", "code"]),
-        ("vecs", ["vbucket", "vec_id", "emb"]),
-    ):
-        vn.link_partitions(
-            os.path.join(cur, comp),
-            os.path.join(tmp, comp),
+    plans = [
+        vn.Component(
+            comp,
+            ("vbucket",),
             frozenset(f"vbucket={b}" for b in rw_vb),
+            (
+                spark.read.schema(
+                    PQ_CODES_SCHEMA if comp == "codes" else VECS_SCHEMA
+                )
+                .parquet(os.path.join(cur, comp))
+                .filter(F.col("vbucket").isin(rw_vb))
+                .join(victim_ids, "vec_id", "left_anti")
+                .select(*cols),
+            ),
         )
-        (
-            spark.read.schema(
-                PQ_CODES_SCHEMA if comp == "codes" else VECS_SCHEMA
-            )
-            .parquet(os.path.join(cur, comp))
-            .filter(F.col("vbucket").isin(rw_vb))
-            .join(victim_ids, "vec_id", "left_anti")
-            .select(*cols)
-            .write.mode("append")
-            .partitionBy("vbucket")
-            .parquet(os.path.join(tmp, comp))
+        for comp, cols in (
+            ("codes", ["vbucket", "vec_id", "subspace", "code"]),
+            ("vecs", ["vbucket", "vec_id", "emb"]),
         )
-    vn.link_component(cents_p, os.path.join(tmp, "cents"))
-    vn.publish_version(root, tmp, name)
-    vn.gc_versions(root)
-    cur = os.path.join(root, name)
-    return os.path.join(cur, "codes"), os.path.join(cur, "cents")
+    ]
+    plans.append(vn.Component("cents", link_from=cents_p))
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        plans,
+        expected=os.path.basename(cur),
+        compact=PQ_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+    return os.path.join(new_cur, "codes"), os.path.join(new_cur, "cents")

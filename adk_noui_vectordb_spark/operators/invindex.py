@@ -112,12 +112,22 @@ def doc_bucket_expr(doc_id: F.Column) -> F.Column:
 # RP-LSH / IVF vector indexes — see sources/versioning.py for the
 # commit protocol and crash-window analysis.
 from ..sources.versioning import (  # noqa: E402
+    Component as _Component,
+    ConcurrentWriterError as _ConcurrentWriterError,
+    commit_version as _commit_version,
     current_name as _current_name,
-    gc_versions as _gc_versions,
-    link_partitions as _link_partitions,
     next_version_name as _next_version_name,
     publish_version as _publish_version,
 )
+
+# compact_index component spec — shared by explicit compaction and the
+# update/delete auto-compaction hook (VERDICT r9 next #7).
+_TEXT_COMPONENTS = [
+    ("postings", ["tbucket"]),
+    ("termstats", ["tbucket"]),
+    ("docs", ["dbucket"]),
+    ("stats", []),
+]
 
 
 # Explicit component schemas (the ann.py discipline): partitioned
@@ -190,7 +200,12 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "stats"))
     name = _next_version_name(root)
-    _publish_version(root, tmp, name)
+    try:
+        _publish_version(root, tmp, name, expected=None)
+    except _ConcurrentWriterError:
+        # an interleaved builder won the race to the initial version —
+        # theirs is equivalent (same corpus fingerprint in the root tag)
+        return os.path.join(root, _current_name(root))
     return os.path.join(root, name)
 
 
@@ -302,7 +317,10 @@ def bm25_topk_served(
 
 
 def update_text_index(
-    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    auto_compact_threshold: int = 16,
 ) -> str:
     """Incremental index maintenance with doc-level REPLACE (upsert)
     semantics — the reference's core write path (indexing_agent.py:
@@ -349,8 +367,6 @@ def update_text_index(
     as the corpus of record, exactly as the reference treats its
     ChromaDB collection.
     """
-    import shutil
-
     from .textops import doc_term_counts
 
     cur = build_text_index(spark, sf_dir)
@@ -477,67 +493,58 @@ def update_text_index(
         )
     )
 
-    name = _next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
-
     # postings: rewrite ONLY partitions holding stale rows; append every
     # batch posting row (adds beside linked files, replacements beside
-    # their rewritten partition's files). compact_text_index folds the
-    # accumulated small files back.
-    _link_partitions(
-        os.path.join(cur, "postings"),
-        os.path.join(tmp, "postings"),
-        frozenset(f"tbucket={b}" for b in rw_tb),
-    )
+    # their rewritten partition's files). The auto-compaction hook folds
+    # accumulated small files back once a partition crosses threshold.
+    post_writes = []
     if rw_tb:
-        (
-            spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(cur, "postings"))
+        post_writes.append(
+            spark.read.schema(POSTINGS_SCHEMA)
+            .parquet(os.path.join(cur, "postings"))
             .filter(F.col("tbucket").isin(rw_tb))
             .join(resub_ids, "doc_id", "left_anti")
             .select("tbucket", "term", "doc_id", "tf", "dl")
-            .write.mode("append")
-            .partitionBy("tbucket")
-            .parquet(os.path.join(tmp, "postings"))
         )
-    batch.select("tbucket", "term", "doc_id", "tf", "dl").write.mode(
-        "append"
-    ).partitionBy("tbucket").parquet(os.path.join(tmp, "postings"))
-
-    _link_partitions(
-        os.path.join(cur, "termstats"),
-        os.path.join(tmp, "termstats"),
-        frozenset(f"tbucket={b}" for b in ts_buckets),
-    )
-    new_ts.write.mode("append").partitionBy("tbucket").parquet(
-        os.path.join(tmp, "termstats")
-    )
-
-    _link_partitions(
-        os.path.join(cur, "docs"),
-        os.path.join(tmp, "docs"),
-        frozenset(f"dbucket={b}" for b in rw_db),
-    )
+    post_writes.append(batch.select("tbucket", "term", "doc_id", "tf", "dl"))
+    docs_writes = []
     if rw_db:
-        (
-            spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(cur, "docs"))
+        docs_writes.append(
+            spark.read.schema(DOCS_SCHEMA)
+            .parquet(os.path.join(cur, "docs"))
             .filter(F.col("dbucket").isin(rw_db))
             .join(resub_ids, "doc_id", "left_anti")
             .select("dbucket", "doc_id", "dl", "tbuckets")
-            .write.mode("append")
-            .partitionBy("dbucket")
-            .parquet(os.path.join(tmp, "docs"))
         )
-    batch_docs.select("dbucket", "doc_id", "dl", "tbuckets").write.mode(
-        "append"
-    ).partitionBy("dbucket").parquet(os.path.join(tmp, "docs"))
-
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "stats")
+    docs_writes.append(batch_docs.select("dbucket", "doc_id", "dl", "tbuckets"))
+    return _commit_version(
+        spark,
+        root,
+        [
+            _Component(
+                "postings",
+                ("tbucket",),
+                frozenset(f"tbucket={b}" for b in rw_tb),
+                tuple(post_writes),
+            ),
+            _Component(
+                "termstats",
+                ("tbucket",),
+                frozenset(f"tbucket={b}" for b in ts_buckets),
+                (new_ts,),
+            ),
+            _Component(
+                "docs",
+                ("dbucket",),
+                frozenset(f"dbucket={b}" for b in rw_db),
+                tuple(docs_writes),
+            ),
+            _Component("stats", writes=(stats,)),
+        ],
+        expected=os.path.basename(cur),
+        compact=_TEXT_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
     )
-    _publish_version(root, tmp, name)
-    _gc_versions(root)
-    return os.path.join(root, name)
 
 
 def hybrid_rrf_served_topk(
@@ -629,15 +636,7 @@ def compact_text_index(
 
     cur = build_text_index(spark, sf_dir)
     return vn.compact_index(
-        spark,
-        os.path.dirname(cur),
-        [
-            ("postings", ["tbucket"]),
-            ("termstats", ["tbucket"]),
-            ("docs", ["dbucket"]),
-            ("stats", []),
-        ],
-        threshold,
+        spark, os.path.dirname(cur), _TEXT_COMPONENTS, threshold
     )
 
 
@@ -659,7 +658,10 @@ def text_index_doc_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def delete_from_text_index(
-    spark: SparkSession, sf_dir: str, doc_ids: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    doc_ids: DataFrame,
+    auto_compact_threshold: int = 16,
 ) -> str:
     """Targeted document DELETION — the right-to-be-forgotten path a
     training-data pipeline must have (and the retraction half of the
@@ -672,8 +674,6 @@ def delete_from_text_index(
     scalar delta, and the atomic versioned commit publishes — a crash
     leaves the old version fully served. Deleting an absent doc_id is a
     no-op. Returns the current version dir."""
-    import shutil
-
     cur = build_text_index(spark, sf_dir)
     root = os.path.dirname(cur)
 
@@ -734,48 +734,43 @@ def delete_from_text_index(
         (F.col("tot_dl") - F.col("v_dl")).alias("tot_dl"),
     )
 
-    name = _next_version_name(root)
-    tmp = os.path.join(root, f".__tmp_{name}__")
-    shutil.rmtree(tmp, ignore_errors=True)
-    _link_partitions(
-        os.path.join(cur, "postings"),
-        os.path.join(tmp, "postings"),
-        frozenset(f"tbucket={b}" for b in rw_tb),
+    return _commit_version(
+        spark,
+        root,
+        [
+            _Component(
+                "postings",
+                ("tbucket",),
+                frozenset(f"tbucket={b}" for b in rw_tb),
+                (
+                    spark.read.schema(POSTINGS_SCHEMA)
+                    .parquet(os.path.join(cur, "postings"))
+                    .filter(F.col("tbucket").isin(rw_tb))
+                    .join(victim_ids, "doc_id", "left_anti")
+                    .select("tbucket", "term", "doc_id", "tf", "dl"),
+                ),
+            ),
+            _Component(
+                "termstats",
+                ("tbucket",),
+                frozenset(f"tbucket={b}" for b in rw_tb),
+                (new_ts,),
+            ),
+            _Component(
+                "docs",
+                ("dbucket",),
+                frozenset(f"dbucket={b}" for b in rw_db),
+                (
+                    spark.read.schema(DOCS_SCHEMA)
+                    .parquet(os.path.join(cur, "docs"))
+                    .filter(F.col("dbucket").isin(rw_db))
+                    .join(victim_ids, "doc_id", "left_anti")
+                    .select("dbucket", "doc_id", "dl", "tbuckets"),
+                ),
+            ),
+            _Component("stats", writes=(stats,)),
+        ],
+        expected=os.path.basename(cur),
+        compact=_TEXT_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
     )
-    (
-        spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(cur, "postings"))
-        .filter(F.col("tbucket").isin(rw_tb))
-        .join(victim_ids, "doc_id", "left_anti")
-        .select("tbucket", "term", "doc_id", "tf", "dl")
-        .write.mode("append")
-        .partitionBy("tbucket")
-        .parquet(os.path.join(tmp, "postings"))
-    )
-    _link_partitions(
-        os.path.join(cur, "termstats"),
-        os.path.join(tmp, "termstats"),
-        frozenset(f"tbucket={b}" for b in rw_tb),
-    )
-    new_ts.write.mode("append").partitionBy("tbucket").parquet(
-        os.path.join(tmp, "termstats")
-    )
-    _link_partitions(
-        os.path.join(cur, "docs"),
-        os.path.join(tmp, "docs"),
-        frozenset(f"dbucket={b}" for b in rw_db),
-    )
-    (
-        spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(cur, "docs"))
-        .filter(F.col("dbucket").isin(rw_db))
-        .join(victim_ids, "doc_id", "left_anti")
-        .select("dbucket", "doc_id", "dl", "tbuckets")
-        .write.mode("append")
-        .partitionBy("dbucket")
-        .parquet(os.path.join(tmp, "docs"))
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "stats")
-    )
-    _publish_version(root, tmp, name)
-    _gc_versions(root)
-    return os.path.join(root, name)

@@ -1052,3 +1052,66 @@ def test_minhash_update_crash_preserves_served_gate(
         .collect()
     }
     assert 7_000_007 in sigs
+
+
+def test_delete_from_minhash_index_retracts_and_gate_forgets(
+    spark, sf_dir, tmp_path
+):
+    """Targeted deletion from the MinHash index (r10, completing the
+    delete family): the victim's band AND sig rows retract, a clone of
+    the deleted doc subsequently passes the gate clean, other docs'
+    rows are untouched, and deleting an absent id is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = str(tmp_path / "mhdel")
+    os.makedirs(base)
+    docs.write.parquet(os.path.join(base, "documents.parquet"))
+    v0 = dedup.build_minhash_index(spark, base)
+
+    def rows(v, comp, schema):
+        return {
+            tuple(r)
+            for r in spark.read.schema(schema)
+            .parquet(os.path.join(v, comp))
+            .collect()
+        }
+
+    bands0 = rows(v0, "bands", dedup.MINHASH_BANDS_SCHEMA)
+    sigs0 = rows(v0, "sigs", dedup.MINHASH_SIGS_SCHEMA)
+    victim_text = docs.filter(F.col("doc_id") == 7).head()["text"]
+
+    # clone of doc 7 is flagged before deletion
+    clone = spark.createDataFrame(
+        [(9_000_007, victim_text)], "doc_id bigint, text string"
+    )
+    assert any(
+        r["dup_of"] == 7
+        for r in dedup.dedup_gate_for(spark, base, clone).collect()
+    )
+
+    v1 = dedup.delete_from_minhash_index(
+        spark, base, spark.createDataFrame([(7,)], "doc_id bigint")
+    )
+    bands1 = rows(v1, "bands", dedup.MINHASH_BANDS_SCHEMA)
+    sigs1 = rows(v1, "sigs", dedup.MINHASH_SIGS_SCHEMA)
+    assert not any(t[0] == 7 for t in bands1)
+    assert not any(t[0] == 7 for t in sigs1)
+    assert bands1 == {t for t in bands0 if t[0] != 7}
+    assert sigs1 == {t for t in sigs0 if t[0] != 7}
+
+    # the gate no longer names the deleted doc
+    assert not any(
+        r["dup_of"] == 7
+        for r in dedup.dedup_gate_for(spark, base, clone).collect()
+    )
+
+    # absent-id deletion is a no-op commit-wise
+    v2 = dedup.delete_from_minhash_index(
+        spark, base, spark.createDataFrame([(123456789,)], "doc_id bigint")
+    )
+    assert v2 == v1

@@ -387,3 +387,29 @@ def test_vecs_store_point_lookup_prunes_vbucket(spark, sf_dir):
     )
     plan2 = explain_str(probe2)
     assert "vbucket" in plan2.split("PartitionFilters")[1].split("\n")[0], plan2
+
+
+def test_dedup_gate_verification_broadcasts_batch_side(spark, sf_dir):
+    """The ingest gate's verification join must BROADCAST the
+    (candidate x batch-signature) side so the corpus-scale ``sigs/``
+    store is streamed map-side, never shuffle-exchanged (VERDICT r9
+    next #6) — and the candidate join must broadcast the batch band
+    rows so the pruned band-table scan is likewise exchange-free."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup
+
+    batch = spark.createDataFrame(
+        [(900000001, "one two three four five six seven")],
+        "doc_id bigint, text string",
+    )
+    df = dedup.dedup_gate_for(spark, sf_dir, batch)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # EVERY join in the gate must be broadcast: a SortMergeJoin or
+    # ShuffledHashJoin anywhere means an index store (bands or sigs)
+    # got shuffle-exchanged. The only exchanges allowed are the ones
+    # under the batch-side distinct/broadcast, which never carry
+    # corpus-scale data.
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

@@ -1,0 +1,141 @@
+"""Single-writer enforcement and auto-compaction on versioned index
+roots (VERDICT r9 next #3/#7): interleaved committers serialize via the
+writer lock, a commit whose plan is stale CAS-fails without destroying
+the winner's data, the loser retries successfully, and incremental
+upserts self-compact hot partitions past the threshold."""
+
+import os
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators import invindex
+from adk_noui_vectordb_spark.sources import versioning as vn
+
+
+def _commit_kv(spark, root, rows, expected):
+    """One-component commit: append (k, v) rows partitioned by k."""
+    df = spark.createDataFrame(rows, "k int, v string")
+    return vn.commit_version(
+        spark,
+        root,
+        [vn.Component("data", ("k",), frozenset(), (df,))],
+        expected=expected,
+    )
+
+
+def _read_kv(spark, ver):
+    return {
+        (r["k"], r["v"])
+        for r in spark.read.schema("v string, k int")
+        .parquet(os.path.join(ver, "data"))
+        .collect()
+    }
+
+
+def test_interleaved_committers_one_wins_loser_retries(spark, tmp_path):
+    """The r9 verdict's concurrent-committer scenario: writers A and B
+    both derive their plan from v_000000; B commits first; A's commit
+    CAS-fails with ConcurrentWriterError, B's committed data is intact,
+    and A's retry from the new current version succeeds."""
+    root = str(tmp_path / "cas_root")
+    v0 = _commit_kv(spark, root, [(0, "base")], expected=None)
+    assert vn.current_name(root) == "v_000000"
+
+    # both writers snapshot the same predecessor
+    pred = vn.current_name(root)
+
+    # B wins the race
+    v1 = _commit_kv(spark, root, [(1, "from_b")], expected=pred)
+    assert vn.current_name(root) == "v_000001"
+
+    # A's stale commit must fail WITHOUT touching B's committed version
+    with pytest.raises(vn.ConcurrentWriterError):
+        _commit_kv(spark, root, [(2, "from_a")], expected=pred)
+    assert vn.current_name(root) == "v_000001"
+    assert _read_kv(spark, v1) == {(0, "base"), (1, "from_b")}
+
+    # the loser retries from the NEW current version and succeeds
+    v2 = _commit_kv(spark, root, [(2, "from_a")], expected="v_000001")
+    assert vn.current_name(root) == "v_000002"
+    assert _read_kv(spark, v2) == {(0, "base"), (1, "from_b"), (2, "from_a")}
+    # nothing orphaned for gc to choke on later
+    assert vn.describe_index(root)["orphan_tmp_dirs"] == []
+    _ = v0
+
+
+def test_writer_lock_live_holder_fails_fast(spark, tmp_path):
+    """A live concurrent writer (lockfile with a live pid) makes a
+    second committer raise immediately instead of interleaving."""
+    root = str(tmp_path / "lock_root")
+    _commit_kv(spark, root, [(0, "base")], expected=None)
+    with vn.writer_lock(root):
+        with pytest.raises(vn.ConcurrentWriterError):
+            _commit_kv(spark, root, [(1, "x")], expected="v_000000")
+    # lock released -> commit proceeds
+    _commit_kv(spark, root, [(1, "x")], expected="v_000000")
+    assert vn.current_name(root) == "v_000001"
+
+
+def test_stale_lock_from_dead_writer_is_stolen(spark, tmp_path):
+    """A lockfile whose owner process died (crashed writer) must not
+    wedge the root forever — the next committer steals it."""
+    root = str(tmp_path / "stale_root")
+    _commit_kv(spark, root, [(0, "base")], expected=None)
+    p = subprocess.Popen(["true"])
+    p.wait()  # a pid guaranteed dead once reaped
+    with open(os.path.join(root, "_LOCK"), "w") as f:
+        f.write(str(p.pid))
+    _commit_kv(spark, root, [(1, "x")], expected="v_000000")
+    assert vn.current_name(root) == "v_000001"
+    assert not os.path.exists(os.path.join(root, "_LOCK"))
+
+
+def test_publish_never_destroys_committed_current(spark, tmp_path):
+    """publish_version must refuse to rmtree a directory _CURRENT
+    names, even when a buggy caller targets the committed name."""
+    root = str(tmp_path / "guard_root")
+    v0 = _commit_kv(spark, root, [(0, "base")], expected=None)
+    tmp = os.path.join(root, ".__tmp_evil__")
+    os.makedirs(tmp)
+    with pytest.raises(vn.ConcurrentWriterError):
+        vn.publish_version(root, tmp, "v_000000")
+    assert os.path.isdir(os.path.join(v0, "data"))  # committed data intact
+    assert _read_kv(spark, v0) == {(0, "base")}
+
+
+def test_auto_compaction_bounds_files_per_partition(spark, tmp_path):
+    """k successive upserts leave <= threshold data files per partition
+    without any explicit compact call (VERDICT r9 next #7): every
+    update passes the index's component spec to the commit kernel,
+    which folds any partition that crossed the threshold."""
+    base = str(tmp_path / "acbase")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(8)], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    invindex.build_text_index(spark, base)
+
+    threshold = 2
+    for i in range(5):  # pure adds: each appends a part file per bucket
+        batch = spark.createDataFrame(
+            [(100 + 10 * i + j, f"common extra{i}") for j in range(3)],
+            "doc_id bigint, text string",
+        )
+        cur = invindex.update_text_index(
+            spark, base, batch, auto_compact_threshold=threshold
+        )
+
+    for comp in ("postings", "termstats", "docs"):
+        cdir = os.path.join(cur, comp)
+        for part in os.listdir(cdir):
+            pdir = os.path.join(cdir, part)
+            if not os.path.isdir(pdir):
+                continue
+            n = sum(1 for f in os.listdir(pdir) if f.startswith("part-"))
+            assert n <= threshold, f"{comp}/{part} has {n} files"
+
+    # content survives the self-compaction: all 8 + 15 docs indexed
+    s = spark.read.parquet(os.path.join(cur, "stats")).head()
+    assert s["n_docs"] == 8 + 15
