@@ -508,6 +508,10 @@ _REWRITTEN = frozenset({
     # replaced vector was scored against its stale source embedding and
     # newly ingested vectors vanished in the inner join)
     "knn_join_topk",
+    # r10: the gate's candidate and verification joins gained explicit
+    # broadcast hints (value-identical by construction, but the serving
+    # plan changed — re-verify before the stale cohort)
+    "dedup_gate_against_index",
 })
 
 

@@ -59,6 +59,26 @@ def _batch_digest(batch: DataFrame, cols: "tuple[str, ...]"):
     return (row["s1"], row["s2"], row["n"])
 
 
+def _retry_cas(fn, attempts: int = 3) -> None:
+    """Run a versioned-index update, retrying when an interleaved
+    committer wins the CAS race (sources/versioning.py single-writer
+    enforcement, r10): every ``update_*`` re-derives its whole plan from
+    the NEW current version on each call, so a plain re-invoke is
+    exactly the documented loser protocol. One stream per root never
+    hits this; it exists for deployments pointing several ingest
+    streams at one index root."""
+    from ..sources.versioning import ConcurrentWriterError
+
+    last = None
+    for _ in range(attempts):
+        try:
+            fn()
+            return
+        except ConcurrentWriterError as e:
+            last = e
+    raise last
+
+
 def _marker_path(root: str, prefix: str, digest) -> str:
     """Idempotence-marker path under ``root/applied/``, keyed on the
     index's CURRENT version name (ADVICE r9, medium): replace semantics
@@ -449,7 +469,9 @@ def stream_text_index_ingest(
             return
         if os.path.exists(_marker_path(root, "c", digest)):
             return  # same content already merged into the current version
-        update_text_index(batch_df.sparkSession, sf_dir, batch)
+        _retry_cas(
+            lambda: update_text_index(batch_df.sparkSession, sf_dir, batch)
+        )
         with open(_marker_path(root, "c", digest), "w") as f:
             f.write("ok\n")
 
@@ -500,7 +522,9 @@ def stream_vector_index_ingest(
             return
         if os.path.exists(_marker_path(root, "c", digest)):
             return  # same content already merged into the current version
-        update_rp_index(batch_df.sparkSession, sf_dir, batch)
+        _retry_cas(
+            lambda: update_rp_index(batch_df.sparkSession, sf_dir, batch)
+        )
         with open(_marker_path(root, "c", digest), "w") as f:
             f.write("ok\n")
 
@@ -546,7 +570,9 @@ def stream_ivf_index_ingest(
             return
         if os.path.exists(_marker_path(root, "c", digest)):
             return
-        update_ivf_index(batch_df.sparkSession, sf_dir, batch)
+        _retry_cas(
+            lambda: update_ivf_index(batch_df.sparkSession, sf_dir, batch)
+        )
         with open(_marker_path(root, "c", digest), "w") as f:
             f.write("ok\n")
 
@@ -648,8 +674,8 @@ def stream_gated_ingest(
             "left_anti",
         ).localCheckpoint(eager=True)
         if admitted.take(1):
-            update_minhash_index(bspark, sf_dir, admitted)
-            update_text_index(bspark, sf_dir, admitted)
+            _retry_cas(lambda: update_minhash_index(bspark, sf_dir, admitted))
+            _retry_cas(lambda: update_text_index(bspark, sf_dir, admitted))
         with open(_marker_path(root, "g", digest), "w") as f:
             f.write("ok\n")
 

@@ -938,3 +938,52 @@ def test_rp_empty_index_state_serves_and_recovers(spark, tmp_path):
     )
     got = ann.ann_rp_lsh_topk(spark, base, query_vec_id=0, k=3).collect()
     assert [(r["vec_id"], r["sim"]) for r in got] == [(1, 1.0)]
+
+
+def test_clustered_embeddings_bow_the_ivf_recall_curve(spark, tmp_path):
+    """The ANN design's central scale claim, measured (VERDICT r9 next
+    #4): on CLUSTERED embeddings (the real-data regime — a seeded
+    mixture of Gaussians) IVF recall at small nprobe is far ABOVE the
+    candidate rate, where isotropic testdata pins recall ~ candidate
+    rate (the documented worst case, BASELINE.md). Deterministic: the
+    fixture is seed-42 and every pipeline stage is md5/6-dp exact."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import ann
+    from tools.make_clustered_embeddings import make
+
+    base = str(tmp_path / "clustered")
+    make(base, n=400, k_centers=8, sigma=0.06)
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+
+    k = 10
+    recalls, rates = [], []
+    for qid in (0, 1, 2):
+        exact = {
+            r["vec_id"] for r in knn_topk(emb, make_query_from_vec(emb, qid), k=k).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in ann.ann_ivf_trained_topk(
+                spark, base, query_vec_id=qid, k=k, nprobe=1, n_centroids=8
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / k)
+        # candidate rate: fraction of the corpus in the probed cell(s) —
+        # read from the same trained index the query served from
+        assign_p, _ = ann.build_ivf_index(spark, base, 8, 2)
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in spark.read.schema(ann.IVF_ASSIGN_SCHEMA)
+            .parquet(assign_p)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rates.append(max(sizes.values()) / sum(sizes.values()))
+
+    avg_recall = sum(recalls) / len(recalls)
+    worst_rate = max(rates)
+    # isotropic data: recall ~ rate; clustered data must clear it by 2x
+    assert avg_recall >= 0.5, (recalls, rates)
+    assert avg_recall >= 2.0 * worst_rate, (recalls, rates)
