@@ -667,6 +667,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the recall harness in tests/test_ann.py.
         "ann_ivf_topk": _ann.ann_ivf_topk,
         "ann_ivf_trained_topk": _ann.ann_ivf_trained_topk,
+        # r10: composed IVF+PQ (FAISS IVFADC layout — per-cell posting
+        # lists of PQ codes; the clustered-recall measurement's
+        # conclusion made operational)
+        "ann_ivfpq_topk": _ann.ann_ivfpq_topk,
         "rp_lsh_band_rows": _ann.rp_lsh_band_rows,
         "ann_rp_lsh_topk": _ann.ann_rp_lsh_topk,
         # r7: multiprobe recall knob (Hamming-1 bucket expansion per band,
@@ -835,6 +839,7 @@ def _kmeans_ctes(
     iters: int = 2,
     tag: str = "",
     emb_sql: str = "CAST(embedding AS DOUBLE[])",
+    source: str = "embeddings",
 ) -> tuple[list[str], str]:
     """Unrolled Lloyd's iterations as chained CTEs, mirroring
     operators/ann.py _lloyd exactly: 6-dp-rounded squared-L2 argmin with
@@ -849,7 +854,7 @@ def _kmeans_ctes(
         f" + list_inner_product(c.c, c.c), 6)"
     )
     ctes = [
-        f"e{tag} AS (SELECT vec_id, {emb_sql} AS emb FROM embeddings)",
+        f"e{tag} AS (SELECT vec_id, {emb_sql} AS emb FROM {source})",
         f"c0{tag} AS (SELECT CAST(vec_id AS INTEGER) AS cluster, emb AS c"
         f" FROM e{tag} WHERE vec_id < {k})",
     ]
@@ -917,7 +922,13 @@ ORDER BY sim DESC, e.vec_id LIMIT {k}"""
     )
 
 
-def _pq_ctes(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> list[str]:
+def _pq_ctes(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    source: str = "embeddings",
+) -> list[str]:
     """Per-subspace Lloyd's chains for the PQ oracles (operators/ann.py
     _pq_codebooks): one tagged _kmeans_ctes chain per dim/m-wide slice,
     plus af_s{s} = that subspace's final code assignment."""
@@ -926,7 +937,11 @@ def _pq_ctes(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> list[str]
     for s in range(m):
         lo, hi = s * d + 1, (s + 1) * d
         sub, final = _kmeans_ctes(
-            k, iters, tag=f"_s{s}", emb_sql=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]"
+            k,
+            iters,
+            tag=f"_s{s}",
+            emb_sql=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]",
+            source=source,
         )
         ctes += sub
         ctes.append(f"af_s{s} AS (\n{final})")
@@ -988,6 +1003,95 @@ def _pq_rerank_sql(
     candidates, exact squared-L2 rerank in the same micro-unit integers."""
     ctes, select = _pq_adc_parts(qid, candidates, m, k, iters)
     ctes.append(f"cand AS (\n{select})")
+    ctes.append(
+        "ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+    )
+    ctes.append(f"qf AS (SELECT emb FROM ef WHERE vec_id = {qid})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT ef.vec_id,
+       CAST(floor((list_inner_product(ef.emb, ef.emb)
+                   - 2 * list_inner_product(ef.emb, qf.emb)
+                   + list_inner_product(qf.emb, qf.emb)) * 1000000.0 + 0.5)
+            AS BIGINT) AS d2_micro
+FROM ef JOIN cand USING (vec_id) CROSS JOIN qf
+ORDER BY d2_micro, vec_id LIMIT {topk}
+"""
+    )
+
+
+def _ivfpq_sql(
+    qid: int = 0,
+    topk: int = 10,
+    nprobe: int = 2,
+    candidates: int = 50,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 2,
+) -> str:
+    """Composed residual-IVFADC oracle (operators/ann.py
+    ann_ivfpq_topk): the trained-IVF chain ranks centroids and prunes
+    to nprobe cells; codebooks train on the RESIDUALS (vector − its
+    cell centroid — the resid CTE mirrors _residual_frame's exact
+    elementwise subtraction); per-(probed cell, subspace) ADC tables
+    score the query's residual against each cell's centroid; candidates
+    = residual-ADC top-C within the probed cells; exact micro-unit
+    rerank on the RAW vectors. Arithmetic identical to the Spark path
+    stage for stage."""
+    d = 64 // m
+    ctes, final = _kmeans_ctes(n_centroids, ivf_iters)
+    ctes = list(ctes)
+    ctes.append(f"af AS (\n{final})")
+    ctes.append(
+        f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM embeddings WHERE vec_id = {qid})"
+    )
+    ctes.append(f"""cs AS (
+  SELECT c.cluster,
+         round(list_inner_product(c.c, qe.q)
+               / (sqrt(list_inner_product(c.c, c.c))
+                  * sqrt(list_inner_product(qe.q, qe.q))), 4) AS csim
+  FROM c{ivf_iters} c CROSS JOIN qe)""")
+    ctes.append(
+        f"top_c AS (SELECT cluster FROM cs ORDER BY csim DESC, cluster"
+        f" LIMIT {nprobe})"
+    )
+    ctes.append(f"""resid AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, len(e.emb)),
+                        i -> e.emb[i] - cc.c[i]) AS embedding
+  FROM e JOIN af USING (vec_id)
+  JOIN c{ivf_iters} cc ON af.cluster = cc.cluster)""")
+    ctes += _pq_ctes(m, k, pq_iters, source="resid")
+    ctes.append(f"""q_res AS (
+  SELECT tc.cluster,
+         list_transform(generate_series(1, len(qe.q)),
+                        i -> qe.q[i] - cc.c[i]) AS qr
+  FROM top_c tc JOIN c{ivf_iters} cc USING (cluster) CROSS JOIN qe)""")
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        ctes.append(f"""dtab_s{s} AS (
+  SELECT q.cluster, cb.cluster AS code,
+         CAST(floor((list_inner_product(q.qs, q.qs)
+                     - 2 * list_inner_product(q.qs, cb.c)
+                     + list_inner_product(cb.c, cb.c)) * 1000000.0 + 0.5)
+              AS BIGINT) AS d2_micro
+  FROM (SELECT cluster, qr[{lo}:{hi}] AS qs FROM q_res) q
+  CROSS JOIN c{pq_iters}_s{s} cb)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT a.vec_id, d.d2_micro FROM af_s{s} a"
+        f" JOIN af USING (vec_id)"
+        f" JOIN dtab_s{s} d ON d.cluster = af.cluster AND d.code = a.cluster"
+        f" WHERE a.vec_id <> {qid}"
+        for s in range(m)
+    )
+    ctes.append(f"""cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, CAST(sum(d2_micro) AS BIGINT) AS adc FROM (
+{union}
+    ) GROUP BY vec_id ORDER BY adc, vec_id LIMIT {candidates}))""")
     ctes.append(
         "ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
     )
@@ -2525,6 +2629,7 @@ ORDER BY sim DESC, e.vec_id
 LIMIT 5
 """,
         "ann_ivf_trained_topk": _ivf_trained_sql(),
+        "ann_ivfpq_topk": _ivfpq_sql(),
         "rp_lsh_band_rows": f"""
 WITH {_RP_BANDS_CTE}
 SELECT vec_id, band, band_key FROM rp_bands

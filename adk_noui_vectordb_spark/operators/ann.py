@@ -1225,6 +1225,16 @@ def _pq_codebooks(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    return _pq_codebooks_for(e, m, k, iters)
+
+
+def _pq_codebooks_for(
+    e: DataFrame, m: int, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """The codebook-training kernel over ANY (vec_id, emb) frame —
+    split out (r10) so the residual-encoding IVFPQ index trains its
+    codebooks on ``vector - cell centroid`` residuals with the exact
+    same per-subspace Lloyd's arithmetic as the raw-vector PQ index."""
     d = PQ_DIM // m
     codes = None
     cents = None
@@ -2093,3 +2103,503 @@ def delete_from_pq_index(
         compact_threshold=auto_compact_threshold,
     )
     return os.path.join(new_cur, "codes"), os.path.join(new_cur, "cents")
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composed index (r10) — the FAISS IVFADC layout: per-cell posting
+# lists of PQ codes. The r10 clustered-recall measurement (BASELINE.md)
+# showed the split empirically: IVF cells capture BETWEEN-cluster
+# structure (recall 1.00 at nprobe=1 on clustered data) while PQ codes
+# alone saturate ranking WITHIN a cluster — composing them probes nprobe
+# cells and reads m small ints per member vector, the standard
+# billion-scale serving layout (Jégou et al. 2011 §IV; reference parity:
+# ChromaDB's HNSW fills the same serve-k-of-the-corpus role,
+# coding_agent/tools/vector_search_tool.py:33-79).
+# ---------------------------------------------------------------------------
+
+IVFPQ_PLIST_SCHEMA = "vec_id bigint, subspace int, code int, cluster int"
+
+# compact_index component spec — shared by explicit compaction and the
+# update/delete auto-compaction hook.
+IVFPQ_COMPONENTS = [
+    ("plist", ["cluster"]),
+    ("vecs", ["vbucket"]),
+    ("cents", []),
+    ("pqcents", []),
+]
+
+
+def ivfpq_index_root(
+    sf_dir: str, n_centroids: int, ivf_iters: int, m: int, k: int, pq_iters: int
+) -> str:
+    from ..memo import index_root
+
+    return index_root(
+        "ivfpq_index", sf_dir, n_centroids, ivf_iters, m, k, pq_iters,
+        N_VEC_BUCKETS,
+    )
+
+
+def _residual_frame(
+    vecs: DataFrame, assign: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """(vec_id, emb) residuals ``vector - its cell centroid`` — the
+    quantity residual PQ encodes (Jégou 2011 §IV.A: within-cell offsets
+    are small and isotropic-ish, so a fixed bit budget ranks them far
+    better than raw positions — the fix for the r10 measured PQ
+    saturation on clustered data, BASELINE.md). Exact elementwise
+    IEEE subtraction (zip_with), centroids enter as a k-row broadcast."""
+    return (
+        vecs.select("vec_id", "emb")
+        .join(assign, "vec_id")
+        .join(F.broadcast(cents.select("cluster", "c")), "cluster")
+        .select(
+            "vec_id",
+            F.zip_with("emb", "c", lambda a, b: a - b).alias("emb"),
+        )
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+) -> str:
+    """Materialize the composed index and return the current version dir.
+    Coarse centroids and the vector store come from ``build_ivf_index``
+    (train-once/serve-many); the codebooks are trained HERE on the
+    RESIDUALS (vector − cell centroid) — the canonical IVFADC — and the
+    new component is ``plist/cluster=*/`` = per-cell posting lists of
+    residual codes, which a probe scans with a literal cluster
+    partition filter. cents/vecs enter as hardlinks of the IVF index's
+    current version (immutable files, metadata-only)."""
+    from ..sources import versioning as vn
+
+    root = ivfpq_index_root(sf_dir, n_centroids, ivf_iters, m, k, pq_iters)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+    assign_p, ivf_cents_p = build_ivf_index(spark, sf_dir, n_centroids, ivf_iters)
+    ivf_dir = os.path.dirname(assign_p)
+    assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ivf_dir, "vecs"))
+    cents = spark.read.parquet(ivf_cents_p)
+    resid = _residual_frame(vecs, assign, cents).localCheckpoint(eager=True)
+    codes, pqcents = _pq_codebooks_for(resid, m, k, pq_iters)
+    plist = codes.join(assign, "vec_id").select(
+        "vec_id", "subspace", "code", "cluster"
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component("plist", ("cluster",), frozenset(), (plist,)),
+            vn.Component("pqcents", writes=(pqcents,)),
+            vn.Component("vecs", link_from=os.path.join(ivf_dir, "vecs")),
+            vn.Component("cents", link_from=ivf_cents_p),
+        ],
+        expected=None,
+    )
+
+
+def _ivfpq_trained_rows(spark: SparkSession, cur: str):
+    """(coarse centroid rows, pq codebook rows) collected from the
+    index's own frozen components — k and m*k tiny rows."""
+    cents = sorted(
+        ((r["cluster"], list(r["c"])) for r in
+         spark.read.parquet(os.path.join(cur, "cents")).collect()),
+        key=lambda t: t[0],
+    )
+    pqcents = [
+        {"subspace": r["subspace"], "code": r["code"], "c": list(r["c"])}
+        for r in spark.read.parquet(os.path.join(cur, "pqcents")).collect()
+    ]
+    return cents, pqcents
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    nprobe: int = 2,
+    candidates: int = 50,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    codebook_k: int = PQ_K,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVFADC serving: rank the k coarse centroids DRIVER-side (4-dp
+    ROUND_HALF_UP cosine, cluster tie-break — the ann_ivf_trained_topk
+    contract), statically prune the posting list to the nprobe literal
+    cells, rank members by PER-CELL residual ADC tables (the query's
+    residual against each probed cell's centroid — nprobe x m x k tiny
+    rows, driver-computed, one broadcast), then exact-rerank the top
+    ``candidates`` from the index's vecs/ store. 100 TB shape: the scan
+    reads nprobe/k of the corpus at m small ints per vector; full
+    vectors are touched only for ``candidates`` rows; every distance
+    travels as floor-scaled BIGINT micro-units (integer-exact
+    cross-engine)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..functions.vector import dot_product
+    from ..memo import session_memo
+
+    cur = build_ivfpq_index(
+        spark, sf_dir, n_centroids, ivf_iters, m, codebook_k, pq_iters
+    )
+    cent_rows, pqcent_rows = session_memo(
+        spark, sf_dir, "ivfpq_trained_rows",
+        lambda: _ivfpq_trained_rows(spark, cur),
+        n_centroids, ivf_iters, m, codebook_k, pq_iters,
+    )
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    qrow = vecs.filter(
+        (F.col("vbucket") == vec_bucket_py(query_vec_id))
+        & (F.col("vec_id") == query_vec_id)
+    ).select(F.col("emb").alias("q")).head()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = [float(x) for x in qrow["q"]]
+
+    import math
+
+    def cos(c: list) -> float:
+        num = dd = 0.0
+        for a, b in zip(c, q):
+            num += a * b
+            dd += a * a
+        return num / (math.sqrt(dd) * math.sqrt(sum(b * b for b in q)))
+
+    four = Decimal("0.0001")
+    ranked = sorted(
+        (
+            (Decimal(repr(cos(c))).quantize(four, rounding=ROUND_HALF_UP), cl)
+            for cl, c in cent_rows
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cells = [int(cl) for _, cl in ranked[:nprobe]]
+
+    # Per-cell residual ADC tables: for each probed cell, the query's
+    # RESIDUAL against that cell's centroid, sliced per subspace against
+    # the frozen residual codebooks — nprobe x m x k rows, all
+    # driver-known, one broadcast. Keyed by (cluster, subspace, code),
+    # so a member vector's distance uses its OWN cell's table.
+    d = PQ_DIM // m
+    cent_by_id = dict(cent_rows)
+    dtab_rows = []
+    for cell in cells:
+        cc = cent_by_id[cell]
+        qr = [a - b for a, b in zip(q, cc)]
+        qsub = {s: qr[s * d : (s + 1) * d] for s in range(m)}
+        for row in pqcent_rows:
+            s, code, c = row["subspace"], row["code"], row["c"]
+            qs = qsub[s]
+            d2 = (
+                sum(a * a for a in qs)
+                - 2 * sum(a * b for a, b in zip(qs, c))
+                + sum(b * b for b in c)
+            )
+            dtab_rows.append(
+                (cell, s, code, int(math.floor(d2 * 1000000.0 + 0.5)))
+            )
+    dtab = spark.createDataFrame(
+        dtab_rows, "cluster int, subspace int, code int, d2_micro bigint"
+    )
+
+    plist = spark.read.schema(IVFPQ_PLIST_SCHEMA).parquet(
+        os.path.join(cur, "plist")
+    )
+    cand = (
+        plist.filter(
+            F.col("cluster").isin(cells) & (F.col("vec_id") != query_vec_id)
+        )
+        .join(F.broadcast(dtab), ["cluster", "subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2_micro").alias("adc_d2_micro"))
+        .orderBy(F.asc("adc_d2_micro"), F.asc("vec_id"))
+        .limit(candidates)
+        .select("vec_id")
+    )
+    qlit = F.expr("array(" + ",".join(_double_sql(x) for x in q) + ")")
+    d2x = (
+        dot_product(F.col("emb"), F.col("emb"))
+        - 2 * dot_product(F.col("emb"), qlit)
+        + F.lit(sum(x * x for x in q))
+    )
+    return (
+        vecs.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.floor(d2x * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("d2_micro"),
+        )
+        .orderBy(F.asc("d2_micro"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
+def update_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+    auto_compact_threshold: int = 16,
+) -> str:
+    """Incremental IVFPQ maintenance under FROZEN coarse centroids and
+    codebooks (FAISS ``add`` after ``train``), vec-level REPLACE:
+    the batch assigns through ``assign_to_centroids`` and encodes
+    through ``pq_encode_for`` (identical arithmetic to the build);
+    append-mostly — new ids append plist/vecs rows into hardlinked
+    partitions with zero reads of existing index data; re-submitted
+    ids rewrite exactly their OLD cells (re-derived from the stored
+    vectors under the frozen centroids) and vbuckets. Shared-kernel
+    CAS commit; drift is answered by periodic retrains as everywhere
+    in this family. Returns the new current version dir."""
+    from ..sources import versioning as vn
+
+    cur = build_ivfpq_index(
+        spark, sf_dir, n_centroids, ivf_iters, m, k, pq_iters
+    )
+    root = os.path.dirname(cur)
+    cent_rows, pqcent_rows = _ivfpq_trained_rows(spark, cur)
+    cents_dicts = [{"cluster": cl, "c": c} for cl, c in cent_rows]
+
+    emb_col = "embedding" if "embedding" in new_vecs.columns else "emb"
+    batch = (
+        new_vecs.select(
+            "vec_id", F.col(emb_col).cast("array<double>").alias("emb")
+        )
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    batch_ids = batch.select("vec_id")
+    vbuckets = sorted(
+        r["b"]
+        for r in batch_ids.select(
+            vec_bucket_expr(F.col("vec_id")).alias("b")
+        ).distinct().collect()
+    )
+    if not vbuckets:
+        return cur
+    # residual encoding under the frozen centroids + codebooks — the
+    # same _residual_frame/pq_encode_for kernels as the build, so batch
+    # codes are byte-identical to build-time codes.
+    cents_df = spark.createDataFrame(
+        [(int(cl), [float(x) for x in c]) for cl, c in cent_rows],
+        "cluster int, c array<double>",
+    )
+    batch_assign = (
+        assign_to_centroids(batch, cents_dicts)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    batch_resid = _residual_frame(batch, batch_assign, cents_df)
+    batch_plist = (
+        pq_encode_for(batch_resid, pqcent_rows, m)
+        .join(batch_assign, "vec_id")
+        .select("vec_id", "subspace", "code", "cluster")
+        .localCheckpoint(eager=True)
+    )
+
+    old_vecs_aff = spark.read.schema(VECS_SCHEMA).parquet(
+        os.path.join(cur, "vecs")
+    ).filter(F.col("vbucket").isin(vbuckets))
+    resub = (
+        old_vecs_aff.join(batch_ids, "vec_id", "leftsemi")
+        .select("vbucket", "vec_id", "emb")
+        .localCheckpoint(eager=True)
+    )
+    resub_ids = resub.select("vec_id")
+    rw_cells = sorted(
+        r["cluster"]
+        for r in assign_to_centroids(
+            resub.select("vec_id", "emb"), cents_dicts
+        )
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    rw_vb = sorted(
+        r["vbucket"] for r in resub.select("vbucket").distinct().collect()
+    )
+
+    plist_writes = []
+    if rw_cells:
+        plist_writes.append(
+            spark.read.schema(IVFPQ_PLIST_SCHEMA)
+            .parquet(os.path.join(cur, "plist"))
+            .filter(F.col("cluster").isin(rw_cells))
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("vec_id", "subspace", "code", "cluster")
+        )
+    plist_writes.append(
+        batch_plist.select("vec_id", "subspace", "code", "cluster")
+    )
+    vec_writes = []
+    if rw_vb:
+        vec_writes.append(
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(os.path.join(cur, "vecs"))
+            .filter(F.col("vbucket").isin(rw_vb))
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("vbucket", "vec_id", "emb")
+        )
+    vec_writes.append(
+        batch.select(
+            vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+        )
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "plist",
+                ("cluster",),
+                frozenset(f"cluster={c}" for c in rw_cells),
+                tuple(plist_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                tuple(vec_writes),
+            ),
+            vn.Component("cents", link_from=os.path.join(cur, "cents")),
+            vn.Component("pqcents", link_from=os.path.join(cur, "pqcents")),
+        ],
+        expected=os.path.basename(cur),
+        compact=IVFPQ_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_ids: DataFrame,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+    auto_compact_threshold: int = 16,
+) -> str:
+    """Targeted vector deletion from the composed index — victims'
+    cells re-derived from their stored vectors under the frozen coarse
+    centroids; only those cell and vbucket partitions rewrite; frozen
+    cents/pqcents link through; CAS commit. Returns the current dir."""
+    from ..sources import versioning as vn
+
+    cur = build_ivfpq_index(
+        spark, sf_dir, n_centroids, ivf_iters, m, k, pq_iters
+    )
+    root = os.path.dirname(cur)
+    cent_rows, _ = _ivfpq_trained_rows(spark, cur)
+    cents_dicts = [{"cluster": cl, "c": c} for cl, c in cent_rows]
+
+    ids = vec_ids.select("vec_id").dropDuplicates(["vec_id"])
+    vbuckets = sorted(
+        r["b"]
+        for r in ids.select(vec_bucket_expr(F.col("vec_id")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not vbuckets:
+        return cur
+    victims = (
+        spark.read.schema(VECS_SCHEMA)
+        .parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(vbuckets))
+        .join(ids, "vec_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    victim_ids = victims.select("vec_id")
+    rw_vb = sorted(
+        r["vbucket"] for r in victims.select("vbucket").distinct().collect()
+    )
+    if not rw_vb:
+        return cur
+    rw_cells = sorted(
+        r["cluster"]
+        for r in assign_to_centroids(
+            victims.select("vec_id", "emb"), cents_dicts
+        )
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+
+    plist_writes = []
+    if rw_cells:
+        plist_writes.append(
+            spark.read.schema(IVFPQ_PLIST_SCHEMA)
+            .parquet(os.path.join(cur, "plist"))
+            .filter(F.col("cluster").isin(rw_cells))
+            .join(victim_ids, "vec_id", "left_anti")
+            .select("vec_id", "subspace", "code", "cluster")
+        )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "plist",
+                ("cluster",),
+                frozenset(f"cluster={c}" for c in rw_cells),
+                tuple(plist_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                (
+                    spark.read.schema(VECS_SCHEMA)
+                    .parquet(os.path.join(cur, "vecs"))
+                    .filter(F.col("vbucket").isin(rw_vb))
+                    .join(victim_ids, "vec_id", "left_anti")
+                    .select("vbucket", "vec_id", "emb"),
+                ),
+            ),
+            vn.Component("cents", link_from=os.path.join(cur, "cents")),
+            vn.Component("pqcents", link_from=os.path.join(cur, "pqcents")),
+        ],
+        expected=os.path.basename(cur),
+        compact=IVFPQ_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+
+
+def compact_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+    threshold: int = 4,
+) -> str:
+    """Small-file compaction for the composed index (plist/vecs; frozen
+    cents/pqcents link through). Returns the current version dir."""
+    from ..sources import versioning as vn
+
+    build_ivfpq_index(spark, sf_dir, n_centroids, ivf_iters, m, k, pq_iters)
+    return vn.compact_index(
+        spark,
+        ivfpq_index_root(sf_dir, n_centroids, ivf_iters, m, k, pq_iters),
+        IVFPQ_COMPONENTS,
+        threshold,
+    )

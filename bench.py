@@ -26,6 +26,7 @@ BENCH_KEYS = [
     "knn_batch_topk",
     "dedup_minhash_pairs",
     "dedup_gate_against_index",
+    "dedup_gate_intra_batch",
     "dedup_connected_components",
     "ngram_jaccard_pairs",
     "simhash_signatures",
@@ -70,6 +71,7 @@ BENCH_KEYS = [
     "knn_pq_rerank",
     "ann_rp_lsh_topk",
     "ann_ivf_trained_topk",
+    "ann_ivfpq_topk",
     "tokenize_bpe_encode",
     # r7 additions
     "dedup_repeated_ngrams",
