@@ -584,6 +584,54 @@ def stream_ivf_index_ingest(
     )
 
 
+def stream_ivfpq_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming freshness for the composed residual-IVFPQ index (r10):
+    embedding batches residual-encode under the frozen coarse centroids
+    and codebooks and upsert via ``ann.update_ivfpq_index``
+    (append-mostly, shared-kernel CAS commit), so an ``ann_ivfpq_topk``
+    probe serves a vector one micro-batch after it lands. Same
+    at-least-once/content-digest-marker contract as the other vector
+    ingest modes."""
+    from ..operators.ann import (
+        build_ivfpq_index,
+        ivfpq_index_root,
+        update_ivfpq_index,
+    )
+
+    raw = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(vecs_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_ivfpq_index(batch_df.sparkSession, sf_dir)
+        root = ivfpq_index_root(sf_dir, 8, 2, 4, 8, 2)
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
+        digest = _batch_digest(batch, ("vec_id", "embedding"))
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return
+        _retry_cas(
+            lambda: update_ivfpq_index(batch_df.sparkSession, sf_dir, batch)
+        )
+        with open(_marker_path(root, "c", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_gated_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -726,3 +726,88 @@ def test_stream_ingest_reapplies_after_delete(spark, sf_dir, tmp_path):
     applied = os.path.join(root, "applied")
     for f in os.listdir(applied):
         assert f.split(".")[1] == cur, f
+
+
+def test_stream_ivfpq_index_ingest_serves_next_probe(spark, sf_dir, tmp_path):
+    """Embedding batches streamed into the residual-IVFPQ index (r10):
+    the plist must equal a frozen-centroid/frozen-codebook residual
+    re-encode of base + streamed vectors, and a streamed exact clone of
+    vec 0 must appear in the next probe's top-k (its residual is
+    identical, so it ranks beside the original)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import ann
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_ivfpq_index_ingest,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "pqsbase")
+    stream_dir = str(tmp_path / "pqsin")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    emb.filter(F.col("vec_id") % 4 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    v0 = ann.build_ivfpq_index(spark, base_dir)
+    cent_rows, pqcent_rows = ann._ivfpq_trained_rows(spark, v0)
+    cents_dicts = [{"cluster": cl, "c": c} for cl, c in cent_rows]
+
+    emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding").write.parquet(
+        os.path.join(stream_dir, "b1")
+    )
+    clone_emb = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    spark.createDataFrame(
+        [(987654325, clone_emb)], "vec_id bigint, embedding array<double>"
+    ).write.parquet(os.path.join(stream_dir, "b2"))
+
+    q = stream_ivfpq_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_ivfpqx")
+    )
+    q.awaitTermination(180)
+
+    v1 = ann.build_ivfpq_index(spark, base_dir)
+    got = {
+        tuple(r)
+        for r in spark.read.schema(ann.IVFPQ_PLIST_SCHEMA)
+        .parquet(os.path.join(v1, "plist"))
+        .collect()
+    }
+    combined = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.lit(987654325).cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+    )
+    all_assign = ann.assign_to_centroids(combined, cents_dicts).select(
+        "vec_id", "cluster"
+    )
+    cents_df = spark.createDataFrame(
+        [(int(cl), [float(x) for x in c]) for cl, c in cent_rows],
+        "cluster int, c array<double>",
+    )
+    want = {
+        tuple(r)
+        for r in ann.pq_encode_for(
+            ann._residual_frame(combined, all_assign, cents_df),
+            pqcent_rows,
+            ann.PQ_M,
+        )
+        .join(all_assign, "vec_id")
+        .select("vec_id", "subspace", "code", "cluster")
+        .collect()
+    }
+    assert got == want
+
+    # the streamed clone serves: identical residual -> adc ties with
+    # vec 0, exact rerank puts it at distance 0 from a vec-0 query
+    top = {
+        r["vec_id"]
+        for r in ann.ann_ivfpq_topk(
+            spark, base_dir, query_vec_id=0, topk=10, nprobe=2, candidates=50
+        ).collect()
+    }
+    assert 987654325 in top
