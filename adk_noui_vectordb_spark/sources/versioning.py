@@ -54,20 +54,26 @@ class ConcurrentWriterError(RuntimeError):
 
 
 @contextmanager
-def writer_lock(root: str):
+def writer_lock(root: str, wait_s: float = 60.0, poll_s: float = 0.2):
     """Serialize committers on one index root via an ``O_EXCL``
     lockfile holding the owner pid. A lock whose owner process is dead
-    (crashed writer) is stolen; a live owner raises
-    ``ConcurrentWriterError`` immediately — fail fast, the caller
-    retries after the winner's commit. NOT reentrant: one root, one
-    in-flight commit per process."""
+    (crashed writer) is stolen immediately; a LIVE owner is WAITED on —
+    a commit holds the lock for whole Spark jobs, so an instant retry
+    would always lose — polling up to ``wait_s`` seconds before
+    raising ``ConcurrentWriterError`` (``wait_s=0`` restores
+    fail-fast). The waiter's plan is usually stale by the time it gets
+    the lock; the CAS check in ``publish_version``/``commit_version``
+    catches that and the caller re-derives. NOT reentrant: one root,
+    one in-flight commit per process."""
+    import time as _time
+
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, "_LOCK")
     fd = None
-    for _ in range(2):  # second pass only after stealing a stale lock
+    deadline = _time.monotonic() + wait_s
+    while fd is None:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
         except FileExistsError:
             try:
                 with open(path) as f:
@@ -83,16 +89,18 @@ def writer_lock(root: str):
                     alive = False
                 except PermissionError:
                     alive = True  # exists, owned by someone else
-            if alive:
+            if not alive:
+                try:  # stale lock from a crashed writer — steal it
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            if _time.monotonic() >= deadline:
                 raise ConcurrentWriterError(
-                    f"writer lock on {root} held by live pid {pid}"
+                    f"writer lock on {root} held by live pid {pid} "
+                    f"after waiting {wait_s}s"
                 )
-            try:  # stale lock from a crashed writer — steal it
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
-    if fd is None:
-        raise ConcurrentWriterError(f"could not acquire writer lock on {root}")
+            _time.sleep(poll_s)
     try:
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
@@ -265,6 +273,7 @@ def commit_version(
     expected: "str | None",
     compact=None,
     compact_threshold: int = 16,
+    lock_wait_s: float = 60.0,
 ) -> str:
     """THE shared upsert/delete commit kernel: materialize every
     component plan into a tmp dir (unchanged partitions hardlinked from
@@ -285,7 +294,7 @@ def commit_version(
     files is folded single-file in a follow-up commit — incremental
     upserts self-maintain instead of relying on a manual chore. Returns
     the new current version dir."""
-    with writer_lock(root):
+    with writer_lock(root, wait_s=lock_wait_s):
         cur_name = current_name(root)
         if cur_name != expected:
             raise ConcurrentWriterError(

@@ -65,16 +65,37 @@ def test_interleaved_committers_one_wins_loser_retries(spark, tmp_path):
     _ = v0
 
 
-def test_writer_lock_live_holder_fails_fast(spark, tmp_path):
-    """A live concurrent writer (lockfile with a live pid) makes a
-    second committer raise immediately instead of interleaving."""
+def test_writer_lock_waits_for_live_holder(spark, tmp_path):
+    """A live concurrent writer makes a second committer WAIT (a commit
+    holds the lock for whole Spark jobs — instant retries would always
+    lose); ``wait_s=0`` restores fail-fast; once the holder releases,
+    the waiter's commit proceeds."""
+    import threading
+    import time
+
     root = str(tmp_path / "lock_root")
     _commit_kv(spark, root, [(0, "base")], expected=None)
-    with vn.writer_lock(root):
-        with pytest.raises(vn.ConcurrentWriterError):
-            _commit_kv(spark, root, [(1, "x")], expected="v_000000")
-    # lock released -> commit proceeds
+
+    release = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with vn.writer_lock(root):
+            held.set()
+            release.wait(20)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(5)
+    # fail-fast path: zero wait raises while the holder is live
+    with pytest.raises(vn.ConcurrentWriterError):
+        with vn.writer_lock(root, wait_s=0):
+            pass
+    # waiting path: the holder releases shortly; the commit blocks on
+    # the lock, then proceeds
+    threading.Timer(0.8, release.set).start()
     _commit_kv(spark, root, [(1, "x")], expected="v_000000")
+    t.join(10)
     assert vn.current_name(root) == "v_000001"
 
 

@@ -111,6 +111,44 @@ def main():
             recs.append(recall(ids, exact[q]))
         print(f"| {nprobe} | {sum(recs)/len(recs):.2f} | {lat:.2f} |", flush=True)
 
+    print("\n### Residual IVFPQ: nprobe x candidates (10 cells, m=4, k=8)")
+    print("| nprobe | candidates | recall@10 (exact-L2 baseline) | latency s |")
+    print("|---|---|---|---|")
+    from pyspark.sql import functions as FF
+    from adk_noui_vectordb_spark.functions.vector import dot_product
+
+    def exact_l2(qid):
+        from adk_noui_vectordb_spark.sources.tables import load_table
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", FF.col("embedding").cast("array<double>").alias("emb"))
+        qv = e.filter(FF.col("vec_id") == qid).select(FF.col("emb").alias("qe"))
+        d2 = (dot_product(FF.col("emb"), FF.col("emb"))
+              - 2 * dot_product(FF.col("emb"), FF.col("qe"))
+              + dot_product(FF.col("qe"), FF.col("qe")))
+        return [r["vec_id"] for r in e.crossJoin(FF.broadcast(qv))
+                .filter(FF.col("vec_id") != qid)
+                .select("vec_id", d2.alias("d2"))
+                .orderBy("d2", "vec_id").limit(k).collect()]
+
+    exact_l2_ids = {q: exact_l2(q) for q in qids}
+    for nprobe in (1, 2, 4):
+        for cand in (50, 100):
+            recs, lat = [], None
+            for q in qids:
+                ids, lat = timed(
+                    lambda q=q: _ids(
+                        ann.ann_ivfpq_topk(
+                            spark, sf_dir, query_vec_id=q, topk=k,
+                            nprobe=nprobe, candidates=cand, n_centroids=10,
+                        )
+                    )
+                )
+                recs.append(recall(ids, exact_l2_ids[q]))
+            print(
+                f"| {nprobe} | {cand} | {sum(recs)/len(recs):.2f} | {lat:.2f} |",
+                flush=True,
+            )
+
     print("\n### LSH: recall (8 tables, seed 42)")
     print("| tables | recall@10 | latency s |")
     print("|---|---|---|")
