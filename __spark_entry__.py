@@ -681,6 +681,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: batch k-NN JOIN — top-k neighbors for EVERY vector from
         # the band table's equi self-join (never the O(n²) pair space)
         "knn_join_topk": _ann.knn_join_topk,
+        # r10: cell-blocked batch kNN join — the clustered-data fast
+        # path (same-cell pairs only; n^2/c candidate volume)
+        "knn_join_ivf_topk": _ann.knn_join_ivf_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -1105,6 +1108,42 @@ SELECT ef.vec_id,
             AS BIGINT) AS d2_micro
 FROM ef JOIN cand USING (vec_id) CROSS JOIN qf
 ORDER BY d2_micro, vec_id LIMIT {topk}
+"""
+    )
+
+
+def _knn_join_ivf_sql(k: int = 3, n_centroids: int = 8, iters: int = 2) -> str:
+    """Cell-blocked batch kNN join oracle (operators/ann.py
+    knn_join_ivf_topk): the trained-IVF Lloyd's chain assigns cells,
+    candidates are same-cell nonzero-norm pairs, exact 4-dp cosine with
+    the (sim desc, nbr) tie-break, rank <= k per source."""
+    ctes, final = _kmeans_ctes(n_centroids, iters)
+    ctes = list(ctes)
+    ctes.append(f"af AS (\n{final})")
+    ctes.append(
+        "nz AS (SELECT vec_id FROM embeddings"
+        " WHERE list_inner_product(CAST(embedding AS DOUBLE[]),"
+        " CAST(embedding AS DOUBLE[])) > 0)"
+    )
+    ctes.append("""jcand AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr
+  FROM af a JOIN af b USING (cluster)
+  JOIN nz na ON na.vec_id = a.vec_id
+  JOIN nz nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id <> b.vec_id)""")
+    cos = _COS.format(a="es.embedding", b="en.embedding")
+    ctes.append(f"""jscored AS (
+  SELECT c.src, c.nbr, {cos} AS sim
+  FROM jcand c
+  JOIN embeddings es ON es.vec_id = c.src
+  JOIN embeddings en ON en.vec_id = c.nbr)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT src, nbr, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT src, nbr, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+  FROM jscored
+) WHERE rank <= {k}
 """
     )
 
@@ -2680,6 +2719,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         # neighbor side keeps only the md5-top-cap members per bucket.
         # Cap and band-bit width interpolate the ann module constants so
         # Spark and oracle share one source of truth (ADVICE r8).
+        "knn_join_ivf_topk": _knn_join_ivf_sql(),
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
 nz_bands AS (

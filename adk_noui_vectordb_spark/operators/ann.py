@@ -2603,3 +2603,85 @@ def compact_ivfpq_index(
         IVFPQ_COMPONENTS,
         threshold,
     )
+
+
+def knn_join_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Batch k-NN JOIN blocked by TRAINED IVF CELLS — the clustered-data
+    fast path ``knn_join_topk``'s contract promises (BASELINE.md: the
+    band self-join's candidate volume is the documented isotropic worst
+    case; "clustered real embeddings collapse it"). Candidates are
+    SAME-CELL pairs only: with c balanced cells the pair space is n²/c
+    instead of the isotropic band join's ~n²/3, and on genuinely
+    clustered data (the r10 fixture) a cell IS the neighborhood, so
+    recall concentrates exactly where the candidates do. The trade is
+    explicit and data-dependent: cross-cell neighbors are unreachable
+    (SemDeDup makes the same within-cluster-only trade by design), so
+    isotropic data prefers the band join and clustered data this one.
+
+    Index-served: cell membership from the trained IVF ``assign/``
+    store, scoring vectors from the SAME version's ``vecs/`` store —
+    the corpus-of-record contract. One shuffle for the cell self-join
+    (co-partitioned on cluster), one rank window on src. Zero-norm
+    vectors are excluded from both sides (cosine is undefined for
+    them — the knn_join_topk discipline); determinism via the _COS
+    4-dp round and (sim desc, nbr) tie-break."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import dot_product
+
+    assign_p, _ = build_ivf_index(spark, sf_dir, n_centroids, iters)
+    ver = os.path.dirname(assign_p)
+    assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p)
+    emb = (
+        spark.read.schema(VECS_SCHEMA)
+        .parquet(os.path.join(ver, "vecs"))
+        .select("vec_id", F.col("emb").alias("e"))
+    )
+    emb = emb.select(
+        "vec_id", "e", F.sqrt(dot_product(F.col("e"), F.col("e"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    nz = emb.select("vec_id")
+
+    l = assign.join(nz, "vec_id").select(
+        F.col("vec_id").alias("src"), "cluster"
+    )
+    r = assign.join(nz, "vec_id").select(
+        F.col("vec_id").alias("nbr"), "cluster"
+    )
+    cand = (
+        l.join(r, "cluster")
+        .filter(F.col("src") != F.col("nbr"))
+        .select("src", "nbr")
+    )
+    es = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("se"),
+        F.col("nrm").alias("snrm"),
+    )
+    en = emb.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nnrm"),
+    )
+    sim = F.round(
+        dot_product(F.col("se"), F.col("ne"))
+        / (F.col("snrm") * F.col("nnrm")),
+        4,
+    )
+    scored = (
+        cand.join(es, "src")
+        .join(en, "nbr")
+        .select("src", "nbr", sim.alias("sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "nbr", "sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -72,6 +72,7 @@ BENCH_KEYS = [
     "ann_rp_lsh_topk",
     "ann_ivf_trained_topk",
     "ann_ivfpq_topk",
+    "knn_join_ivf_topk",
     "tokenize_bpe_encode",
     # r7 additions
     "dedup_repeated_ngrams",
