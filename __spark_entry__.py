@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from adk_noui_vectordb_spark.operators import ann as _ann
 from adk_noui_vectordb_spark.operators import bloom as _bloom
+from adk_noui_vectordb_spark.operators import cagg as _cagg
 from adk_noui_vectordb_spark.operators import graph as _graph
 from adk_noui_vectordb_spark.operators import layout as _layout
 from adk_noui_vectordb_spark.operators import dedup as _dedup
@@ -771,6 +772,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bursts": _temporal.range_join_bursts,
         "funnel_signup_purchase": _temporal.funnel_signup_purchase,
         "retention_day_over_day": _temporal.retention_day_over_day,
+        # r10: incrementally-maintained events rollup (the continuous-
+        # aggregate primitive) served from its versioned store
+        "events_rollup_daily": _cagg.events_rollup_daily,
         # r7: per-series OLS drift trend from the closed-form moment
         # aggregates (regr_slope/intercept/r2), day-conditioned abscissa
         "trend_event_values": _temporal.trend_event_values,
@@ -3815,6 +3819,15 @@ z AS (
 )
 SELECT event_type, event_id, value, z_micro
 FROM z WHERE z_micro >= 2000000 OR z_micro < -2000000
+""",
+        "events_rollup_daily": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM events GROUP BY 1
 """,
         "retention_day_over_day": """
 WITH user_days AS (

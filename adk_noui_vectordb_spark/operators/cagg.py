@@ -1,0 +1,165 @@
+"""Continuous aggregate: an incrementally-maintained events rollup.
+
+The TimescaleDB continuous-aggregate / materialized-rollup primitive,
+Spark-first (reference parity: the reference keeps no aggregates at
+all — its ChromaDB collection is rebuilt per-file on upsert,
+indexing_agent.py:332-361; at 100 TB a dashboard query cannot re-scan
+the event log, so the engine needs the maintained-rollup shape the
+same way it needs maintained indexes).
+
+Layout (one versioned root, the sources/versioning.py lifecycle):
+
+    v_NNNNNN/agg/day=<yyyy-MM-dd>/   (event_type, user_id, n_events,
+                                      sum_value_micro)
+
+The stored grain is (day, event_type, user_id) — fine enough that
+every coarser rollup (daily totals, per-type counts, distinct users)
+is an EXACT aggregation of the stored rows, never a re-scan of the
+event log. ``sum_value_micro`` is the house exact-integer discipline:
+``floor(value * 1e6 + 0.5)`` per event, summed as BIGINT — associative
+under any partitioning and bit-equal cross-engine (SCALE.md float-sum
+tie class).
+
+Incremental maintenance is O(batch + affected day partitions), never
+O(history): a batch's delta rollup merges (sum-of-sums) into exactly
+the day partitions it touches — events arrive time-ordered-ish, so
+that is typically today's partition while years of history hardlink —
+through the shared CAS commit kernel (writer lock, auto-compaction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+ROLLUP_SCHEMA = (
+    "event_type string, user_id bigint, n_events bigint,"
+    " sum_value_micro bigint, day string"
+)
+ROLLUP_COMPONENTS = [("agg", ["day"])]
+
+
+def events_rollup_root(sf_dir: str) -> str:
+    from ..memo import index_root
+
+    return index_root("events_rollup", sf_dir)
+
+
+def rollup_frame_for(e: DataFrame) -> DataFrame:
+    """The rollup kernel over ANY events-shaped frame (ts, user_id,
+    event_type, value) — shared by the build and the incremental
+    update so batch deltas are bit-identical to build-time rows."""
+    return (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("vmic"),
+        )
+        .groupBy("day", "event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vmic").alias("sum_value_micro"),
+        )
+    )
+
+
+def build_events_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the rollup and return the current version dir.
+    Idempotent (fingerprint-tagged root, the index-build contract)."""
+    from ..sources import versioning as vn
+
+    root = events_rollup_root(sf_dir)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+    e = load_table(spark, sf_dir, "events")
+    return vn.commit_version(
+        spark,
+        root,
+        [vn.Component("agg", ("day",), frozenset(), (rollup_frame_for(e),))],
+        expected=None,
+    )
+
+
+def update_events_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    new_events: DataFrame,
+    auto_compact_threshold: int = 16,
+) -> str:
+    """Incremental rollup maintenance: the batch's delta rollup merges
+    (sum-of-sums — count and micro-sum are both associative) into
+    exactly the day partitions the batch touches; untouched history
+    hardlinks. Late/out-of-order events are handled by construction —
+    a late event simply merges into its (old) day's partition. Returns
+    the new current version dir."""
+    from ..sources import versioning as vn
+
+    cur = build_events_rollup(spark, sf_dir)
+    root = os.path.dirname(cur)
+
+    delta = rollup_frame_for(
+        new_events.select("ts", "user_id", "event_type", "value")
+    ).localCheckpoint(eager=True)
+    days = sorted(r["day"] for r in delta.select("day").distinct().collect())
+    if not days:
+        return cur
+
+    old_aff = (
+        spark.read.schema(ROLLUP_SCHEMA)
+        .parquet(os.path.join(cur, "agg"))
+        .filter(F.col("day").isin(days))
+    )
+    merged = (
+        old_aff.select(
+            "day", "event_type", "user_id", "n_events", "sum_value_micro"
+        )
+        .unionByName(
+            delta.select(
+                "day", "event_type", "user_id", "n_events", "sum_value_micro"
+            )
+        )
+        .groupBy("day", "event_type", "user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+        )
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "agg",
+                ("day",),
+                frozenset(f"day={d}" for d in days),
+                (merged,),
+            )
+        ],
+        expected=os.path.basename(cur),
+        compact=ROLLUP_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+
+
+def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily dashboard aggregate SERVED from the stored rollup — event
+    counts, distinct users, distinct types, exact micro-unit value sum
+    per day, all exact aggregations of the (day, type, user) grain;
+    the event log is never scanned at query time (the driver oracle
+    recomputes the same numbers from the raw events)."""
+    cur = build_events_rollup(spark, sf_dir)
+    agg = spark.read.schema(ROLLUP_SCHEMA).parquet(os.path.join(cur, "agg"))
+    return agg.groupBy("day").agg(
+        F.sum("n_events").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.sum("sum_value_micro").alias("sum_value_micro"),
+    )

@@ -632,6 +632,58 @@ def stream_ivfpq_index_ingest(
     )
 
 
+def stream_events_rollup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    events_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming maintenance of the continuous aggregate (12th mode):
+    event micro-batches merge into the versioned rollup via
+    ``cagg.update_events_rollup`` (sum-of-sums into the touched day
+    partitions, shared-kernel CAS commit). Content-digest idempotence
+    markers close the crash-before-checkpoint replay window — CRITICAL
+    here, not just hygiene: rollup counts are ADDITIVE (unlike the
+    replace-semantics indexes, re-applying a batch double-counts), so
+    this mode's contract is one stream per rollup root; the markers
+    are version-scoped and a sequential stream replays an uncommitted
+    batch before any other batch can bump the version."""
+    from ..operators.cagg import (
+        build_events_rollup,
+        events_rollup_root,
+        update_events_rollup,
+    )
+
+    raw = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double"
+    ).parquet(events_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_events_rollup(batch_df.sparkSession, sf_dir)
+        root = events_rollup_root(sf_dir)
+        batch = batch_df.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).localCheckpoint(eager=True)
+        digest = _batch_digest(batch, ("event_id", "event_type"))
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return  # replayed batch: already merged — would double-count
+        _retry_cas(
+            lambda: update_events_rollup(batch_df.sparkSession, sf_dir, batch)
+        )
+        with open(_marker_path(root, "c", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_gated_ingest(
     spark: SparkSession,
     sf_dir: str,

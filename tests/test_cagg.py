@@ -1,0 +1,136 @@
+"""Continuous aggregate (incrementally-maintained events rollup, r10):
+incremental merge equals a fresh build over the combined events, late
+events land in their own (old) day partition, and the streaming mode
+converges with replay protection."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators import cagg
+
+
+def _agg_rows(spark, ver):
+    return {
+        tuple(r)
+        for r in spark.read.schema(cagg.ROLLUP_SCHEMA)
+        .parquet(os.path.join(ver, "agg"))
+        .collect()
+    }
+
+
+def test_rollup_update_equals_fresh_build(spark, sf_dir, tmp_path):
+    """Merging a batch into the rollup must equal rebuilding over the
+    combined event log — sum-of-sums associativity made concrete."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base, alldir = str(tmp_path / "cabase"), str(tmp_path / "caall")
+    os.makedirs(base), os.makedirs(alldir)
+    ev.filter(F.col("event_id") % 3 != 0).write.parquet(
+        os.path.join(base, "events.parquet")
+    )
+    ev.write.parquet(os.path.join(alldir, "events.parquet"))
+
+    cagg.build_events_rollup(spark, base)
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    batch = load_table(spark, alldir, "events").filter(
+        F.col("event_id") % 3 == 0
+    )
+    v_inc = cagg.update_events_rollup(spark, base, batch)
+    v_all = cagg.build_events_rollup(spark, alldir)
+    assert _agg_rows(spark, v_inc) == _agg_rows(spark, v_all)
+
+    # served daily aggregate from the merged store equals the direct
+    # aggregation over ALL events
+    served = {
+        tuple(r) for r in cagg.events_rollup_daily(spark, base).collect()
+    }
+    direct = {
+        tuple(r) for r in cagg.events_rollup_daily(spark, alldir).collect()
+    }
+    assert served == direct
+
+
+def test_rollup_late_event_merges_into_old_day(spark, sf_dir, tmp_path):
+    """A late event for a historical day merges into exactly that day's
+    partition; other day partitions are untouched (hardlinked)."""
+    base = str(tmp_path / "latebase")
+    os.makedirs(base)
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.parquet(
+        os.path.join(base, "events.parquet")
+    )
+    v0 = cagg.build_events_rollup(spark, base)
+    rows0 = _agg_rows(spark, v0)
+    some_day = sorted({t[4] for t in rows0})[0]  # oldest day, surely old
+
+    late = spark.createDataFrame(
+        [(999_999_001, f"{some_day} 12:00:00", 42, "click", 1.5)],
+        "event_id bigint, ts_s string, user_id bigint, event_type string, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    v1 = cagg.update_events_rollup(spark, base, late)
+    rows1 = _agg_rows(spark, v1)
+    changed = rows1 ^ rows0
+    assert changed  # something moved
+    assert all(t[4] == some_day for t in changed)  # only that day
+    # the late event's contribution: one (day, click, 42) row gained
+    # n_events+1 and sum_value_micro+1_500_000
+    gained = {t for t in rows1 - rows0 if t[0] == "click" and t[1] == 42}
+    lost = {t for t in rows0 - rows1 if t[0] == "click" and t[1] == 42}
+    dn = sum(t[2] for t in gained) - sum(t[2] for t in lost)
+    dv = sum(t[3] for t in gained) - sum(t[3] for t in lost)
+    assert (dn, dv) == (1, 1_500_000)
+
+
+def test_stream_rollup_ingest_converges_and_skips_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streamed event batches merge into the rollup; re-running the
+    stream over the same input (fresh checkpoint — the replay shape)
+    must NOT double-count thanks to the content-digest markers."""
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_events_rollup_ingest,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = str(tmp_path / "casbase")
+    stream_dir = str(tmp_path / "casin")
+    os.makedirs(base), os.makedirs(stream_dir)
+    ev.filter(F.col("event_id") % 5 != 0).write.parquet(
+        os.path.join(base, "events.parquet")
+    )
+    cagg.build_events_rollup(spark, base)
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 5 == 0
+    ).select("event_id", "ts", "user_id", "event_type", "value").write.parquet(
+        os.path.join(stream_dir, "b1")
+    )
+
+    q = stream_events_rollup_ingest(
+        spark, base, stream_dir + "/*", str(tmp_path / "ckpt_ca1")
+    )
+    q.awaitTermination(180)
+    v1 = cagg.build_events_rollup(spark, base)
+    after_first = _agg_rows(spark, v1)
+
+    # replay: same input, FRESH checkpoint (the redelivery shape)
+    q2 = stream_events_rollup_ingest(
+        spark, base, stream_dir + "/*", str(tmp_path / "ckpt_ca2")
+    )
+    q2.awaitTermination(180)
+    v2 = cagg.build_events_rollup(spark, base)
+    assert _agg_rows(spark, v2) == after_first  # no double count
+
+    # and the converged store equals a fresh build over everything
+    alldir = str(tmp_path / "caall2")
+    os.makedirs(alldir)
+    ev.write.parquet(os.path.join(alldir, "events.parquet"))
+    v_all = cagg.build_events_rollup(spark, alldir)
+    assert after_first == _agg_rows(spark, v_all)
