@@ -775,6 +775,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: incrementally-maintained events rollup (the continuous-
         # aggregate primitive) served from its versioned store
         "events_rollup_daily": _cagg.events_rollup_daily,
+        "events_rollup_type_daily": _cagg.events_rollup_type_daily,
         # r7: per-series OLS drift trend from the closed-form moment
         # aggregates (regr_slope/intercept/r2), day-conditioned abscissa
         "trend_event_values": _temporal.trend_event_values,
@@ -3828,6 +3829,14 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
            AS sum_value_micro
 FROM events GROUP BY 1
+""",
+        "events_rollup_type_daily": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM events GROUP BY 1, 2
 """,
         "retention_day_over_day": """
 WITH user_days AS (

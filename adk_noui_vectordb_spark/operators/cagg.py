@@ -163,3 +163,68 @@ def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_type").alias("n_types"),
         F.sum("sum_value_micro").alias("sum_value_micro"),
     )
+
+
+def events_rollup_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, event_type) serving aggregate from the stored rollup —
+    the second dashboard grain, again an exact aggregation of the
+    (day, type, user) store with zero event-log scans."""
+    cur = build_events_rollup(spark, sf_dir)
+    agg = spark.read.schema(ROLLUP_SCHEMA).parquet(os.path.join(cur, "agg"))
+    return agg.groupBy("day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("sum_value_micro").alias("sum_value_micro"),
+    )
+
+
+def delete_user_from_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    user_ids: DataFrame,
+    auto_compact_threshold: int = 16,
+) -> str:
+    """Right-to-be-forgotten on the AGGREGATE: retract every rollup row
+    of the given users (the event log's own deletion is the storage
+    layer's job; a served rollup must forget too, or the deletion
+    leaks through dashboards). O(rollup + affected day partitions) —
+    the rollup is user-grain, orders of magnitude smaller than the
+    event log; a user active on every day rewrites every day partition,
+    which is inherent to the request. Absent users are a no-op. Shared
+    CAS kernel commit."""
+    from ..sources import versioning as vn
+
+    cur = build_events_rollup(spark, sf_dir)
+    root = os.path.dirname(cur)
+
+    ids = user_ids.select("user_id").dropDuplicates(["user_id"])
+    agg = spark.read.schema(ROLLUP_SCHEMA).parquet(os.path.join(cur, "agg"))
+    days = sorted(
+        r["day"]
+        for r in agg.join(ids, "user_id", "leftsemi")
+        .select("day")
+        .distinct()
+        .collect()
+    )
+    if not days:
+        return cur
+    survivors = (
+        agg.filter(F.col("day").isin(days))
+        .join(ids, "user_id", "left_anti")
+        .select("day", "event_type", "user_id", "n_events", "sum_value_micro")
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "agg",
+                ("day",),
+                frozenset(f"day={d}" for d in days),
+                (survivors,),
+            )
+        ],
+        expected=os.path.basename(cur),
+        compact=ROLLUP_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )

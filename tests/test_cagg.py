@@ -134,3 +134,29 @@ def test_stream_rollup_ingest_converges_and_skips_replay(
     ev.write.parquet(os.path.join(alldir, "events.parquet"))
     v_all = cagg.build_events_rollup(spark, alldir)
     assert after_first == _agg_rows(spark, v_all)
+
+
+def test_delete_user_from_rollup_forgets_everywhere(spark, sf_dir, tmp_path):
+    """User retraction removes every rollup row of the victim across all
+    days, leaves everyone else bit-identical, and absent users no-op."""
+    base = str(tmp_path / "rtbf")
+    os.makedirs(base)
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.parquet(
+        os.path.join(base, "events.parquet")
+    )
+    v0 = cagg.build_events_rollup(spark, base)
+    rows0 = _agg_rows(spark, v0)
+    victim = sorted({t[1] for t in rows0})[0]
+    assert any(t[1] == victim for t in rows0)
+
+    v1 = cagg.delete_user_from_rollup(
+        spark, base, spark.createDataFrame([(victim,)], "user_id bigint")
+    )
+    rows1 = _agg_rows(spark, v1)
+    assert not any(t[1] == victim for t in rows1)
+    assert rows1 == {t for t in rows0 if t[1] != victim}
+
+    v2 = cagg.delete_user_from_rollup(
+        spark, base, spark.createDataFrame([(987654321,)], "user_id bigint")
+    )
+    assert v2 == v1
