@@ -1510,3 +1510,56 @@ def dedup_gate_intra_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ten.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
     return intra_batch_dup_decisions(spark, batch)
+
+
+def fsck_minhash_index(spark: SparkSession, sf_dir: str) -> list:
+    """Semantic integrity check for the MinHash signature index: the
+    generic versioned-root checks plus the band/signature consistency
+    the gate's candidate and verification stages rely on. Returns
+    (check, ok, detail) tuples; never raises."""
+    import os
+
+    from ..sources import versioning as vn
+
+    cur = build_minhash_index(spark, sf_dir)
+    root = os.path.dirname(cur)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("bands", ["band", "kbucket"], MINHASH_BANDS_SCHEMA),
+            ("sigs", ["sbucket"], MINHASH_SIGS_SCHEMA),
+        ],
+    )
+    try:
+        bands = spark.read.schema(MINHASH_BANDS_SCHEMA).parquet(
+            os.path.join(cur, "bands")
+        )
+        sigs = spark.read.schema(MINHASH_SIGS_SCHEMA).parquet(
+            os.path.join(cur, "sigs")
+        )
+        only_b = bands.select("doc_id").distinct().join(
+            sigs.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+        only_s = sigs.select("doc_id").join(
+            bands.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).count()
+        out.append(
+            (
+                "doc_sets_consistent",
+                only_b == 0 and only_s == 0,
+                f"bands_only={only_b} sigs_only={only_s}",
+            )
+        )
+        bad_n = (
+            bands.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") != NUM_BANDS)
+            .count()
+        )
+        out.append(
+            ("bands_per_doc_exact", bad_n == 0, f"docs_with_wrong_count={bad_n}")
+        )
+    except Exception as ex:  # noqa: BLE001
+        out.append(("semantic_checks", False, type(ex).__name__))
+    return out

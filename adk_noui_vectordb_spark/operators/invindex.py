@@ -774,3 +774,70 @@ def delete_from_text_index(
         compact=_TEXT_COMPONENTS,
         compact_threshold=auto_compact_threshold,
     )
+
+
+def fsck_text_index(spark: SparkSession, sf_dir: str) -> list:
+    """Semantic integrity check for the lexical index (ops tool — run
+    after crashes/restores): the generic versioned-root checks plus the
+    cross-component invariants the serving and replace paths rely on.
+    Returns (check, ok, detail) tuples; never raises."""
+    from ..sources import versioning as vn
+
+    cur = build_text_index(spark, sf_dir)
+    root = os.path.dirname(cur)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("postings", ["tbucket"], POSTINGS_SCHEMA),
+            ("termstats", ["tbucket"], TERMSTATS_SCHEMA),
+            ("docs", ["dbucket"], DOCS_SCHEMA),
+            ("stats", [], "n_docs bigint, tot_dl bigint"),
+        ],
+    )
+    try:
+        post = spark.read.schema(POSTINGS_SCHEMA).parquet(
+            os.path.join(cur, "postings")
+        )
+        docs = spark.read.schema(DOCS_SCHEMA).parquet(os.path.join(cur, "docs"))
+        ts = spark.read.schema(TERMSTATS_SCHEMA).parquet(
+            os.path.join(cur, "termstats")
+        )
+        stats = spark.read.parquet(os.path.join(cur, "stats")).head()
+        n_docs = docs.count()
+        tot_dl = docs.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).head()["s"]
+        out.append(
+            (
+                "stats_match_docs",
+                stats["n_docs"] == n_docs and stats["tot_dl"] == tot_dl,
+                f"stats=({stats['n_docs']},{stats['tot_dl']})"
+                f" docs=({n_docs},{tot_dl})",
+            )
+        )
+        only_p = post.select("doc_id").distinct().join(
+            docs.select("doc_id"), "doc_id", "left_anti"
+        ).count()
+        only_d = docs.select("doc_id").join(
+            post.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).count()
+        out.append(
+            (
+                "doc_sets_consistent",
+                only_p == 0 and only_d == 0,
+                f"postings_only={only_p} docs_only={only_d}",
+            )
+        )
+        bad_df = (
+            post.groupBy("tbucket", "term")
+            .agg(F.count(F.lit(1)).alias("df2"))
+            .join(ts, ["tbucket", "term"], "full_outer")
+            .filter(
+                F.coalesce(F.col("df"), F.lit(-1))
+                != F.coalesce(F.col("df2"), F.lit(-1))
+            )
+            .count()
+        )
+        out.append(("termstats_df_exact", bad_df == 0, f"mismatches={bad_df}"))
+    except Exception as ex:  # noqa: BLE001 — diagnose, don't die
+        out.append(("semantic_checks", False, type(ex).__name__))
+    return out

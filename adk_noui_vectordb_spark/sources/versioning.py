@@ -472,3 +472,48 @@ def describe_index(root: str) -> dict:
             "bytes": n_bytes,
         }
     return out
+
+
+def fsck_index(spark, root: str, components) -> list:
+    """Structural integrity check for a versioned index root — the
+    ops-tool complement of ``describe_index`` (run it after a crash,
+    before trusting a restored backup, or on a schedule): verifies the
+    commit invariants the lifecycle relies on. Generic checks only;
+    per-index semantic invariants (doc-set consistency, stats
+    equalities) live with their index modules and build on this.
+
+    ``components`` is a list of (name, partition_cols, schema_ddl).
+    Returns a list of (check, ok, detail) tuples — empty ``detail`` on
+    pass; never raises (a broken index must still be diagnosable)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out = []
+    cur_name = current_name(root)
+    out.append(("current_pointer", cur_name is not None, cur_name or "missing"))
+    if cur_name is None:
+        return out
+    cur = os.path.join(root, cur_name)
+    out.append(("current_dir_exists", os.path.isdir(cur), cur))
+    orphans = [d for d in os.listdir(root) if d.startswith(".__tmp_")]
+    out.append(("no_orphan_tmp_dirs", not orphans, ",".join(orphans)))
+    stale_lock = False
+    lock = os.path.join(root, "_LOCK")
+    if os.path.exists(lock):
+        try:
+            with open(lock) as f:
+                pid = int(f.read().strip() or "0")
+            os.kill(pid, 0)
+        except (OSError, ValueError):
+            stale_lock = True
+    out.append(("no_stale_lock", not stale_lock, lock if stale_lock else ""))
+    for name, cols, schema in components:
+        cpath = os.path.join(cur, name)
+        if not os.path.isdir(cpath):
+            out.append((f"component_{name}", False, "missing directory"))
+            continue
+        try:
+            n = spark.read.schema(schema).parquet(cpath).count()
+            out.append((f"component_{name}", True, f"rows={n}"))
+        except Exception as ex:  # noqa: BLE001 — diagnose, don't die
+            out.append((f"component_{name}", False, type(ex).__name__))
+    return out

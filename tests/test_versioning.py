@@ -160,3 +160,46 @@ def test_auto_compaction_bounds_files_per_partition(spark, tmp_path):
     # content survives the self-compaction: all 8 + 15 docs indexed
     s = spark.read.parquet(os.path.join(cur, "stats")).head()
     assert s["n_docs"] == 8 + 15
+
+
+def test_fsck_passes_on_healthy_indexes_and_flags_damage(
+    spark, sf_dir, tmp_path
+):
+    """fsck: every check green on freshly built + updated text and
+    minhash indexes; a surgically corrupted component is flagged
+    without raising."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup, invindex
+
+    base = str(tmp_path / "fsck")
+    os.makedirs(base)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.write.parquet(os.path.join(base, "documents.parquet"))
+
+    invindex.build_text_index(spark, base)
+    invindex.update_text_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(900001, "integrity checker coverage words")],
+            "doc_id bigint, text string",
+        ),
+    )
+    checks = invindex.fsck_text_index(spark, base)
+    assert checks and all(ok for _, ok, _ in checks), checks
+
+    dedup.build_minhash_index(spark, base)
+    checks2 = dedup.fsck_minhash_index(spark, base)
+    assert checks2 and all(ok for _, ok, _ in checks2), checks2
+
+    # damage: delete the stats component -> flagged, not raised
+    cur = invindex.build_text_index(spark, base)
+    shutil.rmtree(os.path.join(cur, "stats"))
+    damaged = dict(
+        (c, ok) for c, ok, _ in invindex.fsck_text_index(spark, base)
+    )
+    assert damaged.get("component_stats") is False
+    _ = F
