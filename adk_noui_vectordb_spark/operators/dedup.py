@@ -1563,3 +1563,57 @@ def fsck_minhash_index(spark: SparkSession, sf_dir: str) -> list:
     except Exception as ex:  # noqa: BLE001
         out.append(("semantic_checks", False, type(ex).__name__))
     return out
+
+
+def fsck_gated_pair(spark: SparkSession, sf_dir: str) -> list:
+    """Cross-index consistency check for the gated-ingest pair: the
+    MinHash signature index and the lexical text index are maintained
+    in lockstep by ``stream_gated_ingest`` (every admitted doc upserts
+    into BOTH), so their doc sets must agree — the r9-ADVICE divergence
+    scenario (a crash between the two updates replaying into
+    self-rejection) made permanent drift a real failure mode; this is
+    its detector. Returns (check, ok, detail); never raises."""
+    import os
+
+    from .invindex import DOCS_SCHEMA, build_text_index
+
+    cur_mh = build_minhash_index(spark, sf_dir)
+    cur_tx = build_text_index(spark, sf_dir)
+    out = []
+    try:
+        sig_docs = (
+            spark.read.schema(MINHASH_SIGS_SCHEMA)
+            .parquet(os.path.join(cur_mh, "sigs"))
+            .select("doc_id")
+        )
+        txt_docs = (
+            spark.read.schema(DOCS_SCHEMA)
+            .parquet(os.path.join(cur_tx, "docs"))
+            .select("doc_id")
+        )
+        only_t = txt_docs.join(sig_docs, "doc_id", "left_anti").count()
+        # a doc signed but not text-indexed is BENIGN only when its text
+        # tokenizes to zero terms (such docs legitimately index nowhere
+        # in the lexical index while still carrying a signature) —
+        # classified against the corpus; everything else is drift.
+        from .textops import doc_term_counts
+
+        docs_src = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        termed = doc_term_counts(docs_src).select("doc_id").distinct()
+        zero_term = docs_src.select("doc_id").join(termed, "doc_id", "left_anti")
+        mh_only = sig_docs.join(txt_docs, "doc_id", "left_anti")
+        benign = mh_only.join(zero_term, "doc_id", "leftsemi").count()
+        drift_m = mh_only.count() - benign
+        out.append(
+            (
+                "doc_sets_in_lockstep",
+                only_t == 0 and drift_m == 0,
+                f"minhash_only_drift={drift_m} (zero_term_benign={benign})"
+                f" text_only={only_t}",
+            )
+        )
+    except Exception as ex:  # noqa: BLE001
+        out.append(("cross_index_check", False, type(ex).__name__))
+    return out

@@ -203,3 +203,27 @@ def test_fsck_passes_on_healthy_indexes_and_flags_damage(
     )
     assert damaged.get("component_stats") is False
     _ = F
+
+
+def test_fsck_gated_pair_detects_lockstep_and_drift(spark, sf_dir, tmp_path):
+    """The gated-ingest pair checker: green when both indexes hold the
+    same corpus; flags drift after a doc is deleted from only ONE of
+    the two indexes."""
+    from adk_noui_vectordb_spark.operators import dedup, invindex
+
+    base = str(tmp_path / "pairbase")
+    os.makedirs(base)
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    invindex.build_text_index(spark, base)
+    dedup.build_minhash_index(spark, base)
+    checks = dict((c, ok) for c, ok, _ in dedup.fsck_gated_pair(spark, base))
+    assert checks.get("doc_sets_in_lockstep") is True
+
+    # drift: delete doc 3 from the TEXT index only
+    invindex.delete_from_text_index(
+        spark, base, spark.createDataFrame([(3,)], "doc_id bigint")
+    )
+    checks2 = dict((c, ok) for c, ok, _ in dedup.fsck_gated_pair(spark, base))
+    assert checks2.get("doc_sets_in_lockstep") is False

@@ -85,6 +85,13 @@ KEYS = {
     "rp_index_vec_rows": "embeddings",
     "gopher_quality_flags": "documents",
     "c4_line_filter": "documents",
+    # r10 additions
+    "dedup_gate_against_index": "documents",
+    "dedup_gate_intra_batch": "documents",
+    "ann_ivfpq_topk": "embeddings",
+    "knn_join_ivf_topk": "embeddings",
+    "events_rollup_daily": "events",
+    "events_rollup_type_daily": "events",
 }
 
 
