@@ -2193,17 +2193,22 @@ def build_ivfpq_index(
     plist = codes.join(assign, "vec_id").select(
         "vec_id", "subspace", "code", "cluster"
     )
-    return vn.commit_version(
-        spark,
-        root,
-        [
-            vn.Component("plist", ("cluster",), frozenset(), (plist,)),
-            vn.Component("pqcents", writes=(pqcents,)),
-            vn.Component("vecs", link_from=os.path.join(ivf_dir, "vecs")),
-            vn.Component("cents", link_from=ivf_cents_p),
-        ],
-        expected=None,
-    )
+    try:
+        return vn.commit_version(
+            spark,
+            root,
+            [
+                vn.Component("plist", ("cluster",), frozenset(), (plist,)),
+                vn.Component("pqcents", writes=(pqcents,)),
+                vn.Component("vecs", link_from=os.path.join(ivf_dir, "vecs")),
+                vn.Component("cents", link_from=ivf_cents_p),
+            ],
+            expected=None,
+        )
+    except vn.ConcurrentWriterError:
+        # an interleaved builder won the race to the initial version —
+        # theirs is equivalent (same corpus fingerprint in the root tag)
+        return vn.current_dir(root)
 
 
 def _ivfpq_trained_rows(spark: SparkSession, cur: str):

@@ -80,12 +80,21 @@ def build_events_rollup(spark: SparkSession, sf_dir: str) -> str:
     if cur is not None:
         return cur
     e = load_table(spark, sf_dir, "events")
-    return vn.commit_version(
-        spark,
-        root,
-        [vn.Component("agg", ("day",), frozenset(), (rollup_frame_for(e),))],
-        expected=None,
-    )
+    try:
+        return vn.commit_version(
+            spark,
+            root,
+            [
+                vn.Component(
+                    "agg", ("day",), frozenset(), (rollup_frame_for(e),)
+                )
+            ],
+            expected=None,
+        )
+    except vn.ConcurrentWriterError:
+        # an interleaved builder won the race to the initial version —
+        # theirs is equivalent (same dataset fingerprint in the root tag)
+        return vn.current_dir(root)
 
 
 def update_events_rollup(

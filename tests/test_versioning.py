@@ -227,3 +227,61 @@ def test_fsck_gated_pair_detects_lockstep_and_drift(spark, sf_dir, tmp_path):
     )
     checks2 = dict((c, ok) for c, ok, _ in dedup.fsck_gated_pair(spark, base))
     assert checks2.get("doc_sets_in_lockstep") is False
+
+
+def test_two_concurrent_text_index_writers_both_land(spark, sf_dir, tmp_path):
+    """END-TO-END concurrency: two threads upsert DIFFERENT batches into
+    the same text index root simultaneously. The writer lock serializes
+    them, the loser's stale plan CAS-fails and the retry protocol
+    (re-invoke — each call re-derives from the new current version)
+    lands it, and the final index equals a fresh build over base + both
+    batches."""
+    import threading
+
+    from adk_noui_vectordb_spark.streaming.pipeline import _retry_cas
+
+    base, alldir = str(tmp_path / "ccbase"), str(tmp_path / "ccall")
+    os.makedirs(base), os.makedirs(alldir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.write.parquet(os.path.join(base, "documents.parquet"))
+    b1 = spark.createDataFrame(
+        [(910001, "thread one words alpha"), (910002, "thread one beta")],
+        "doc_id bigint, text string",
+    ).localCheckpoint(eager=True)
+    b2 = spark.createDataFrame(
+        [(920001, "thread two words gamma"), (920002, "thread two delta")],
+        "doc_id bigint, text string",
+    ).localCheckpoint(eager=True)
+    invindex.build_text_index(spark, base)
+
+    errs = []
+
+    def writer(batch):
+        try:
+            _retry_cas(lambda: invindex.update_text_index(spark, base, batch))
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    t1 = threading.Thread(target=writer, args=(b1,))
+    t2 = threading.Thread(target=writer, args=(b2,))
+    t1.start(), t2.start()
+    t1.join(300), t2.join(300)
+    assert not errs, errs
+
+    docs.select("doc_id", "text").unionByName(
+        b1.select("doc_id", "text")
+    ).unionByName(b2.select("doc_id", "text")).write.parquet(
+        os.path.join(alldir, "documents.parquet")
+    )
+    v_got = invindex.build_text_index(spark, base)
+    v_want = invindex.build_text_index(spark, alldir)
+
+    def postings(v):
+        return {
+            tuple(r)
+            for r in spark.read.schema(invindex.POSTINGS_SCHEMA)
+            .parquet(os.path.join(v, "postings"))
+            .collect()
+        }
+
+    assert postings(v_got) == postings(v_want)
