@@ -701,6 +701,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_doc_map": _inv.text_index_doc_map,
         "rp_index_vec_rows": _ann.rp_index_vec_rows,
         "bm25_topk_served": _inv.bm25_topk_served,
+        # r10: boolean query layer (AND / OR / NOT) over the same
+        # on-disk postings — exact-integer tf ranking, one pruned probe
+        # (NOT terms ride it: a posting row disqualifies, no rescans).
+        "boolean_and_topk": lambda spark, sf: _inv.boolean_topk_served(
+            spark, sf, must_all=("join", "scan", "window")
+        ),
+        "boolean_or_not_topk": lambda spark, sf: _inv.boolean_topk_served(
+            spark, sf, must_any=("join", "scan"), must_not=("window",)
+        ),
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2773,6 +2782,47 @@ SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
         "bm25_topk_served": f"""
 WITH {_BM25_CTE}
 SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+        # Boolean retrieval: tf pivot per doc over the probed terms,
+        # AND/OR/NOT as integer predicates, exact-BIGINT tf_total rank
+        # (no float anywhere — zero cross-engine rounding hazards).
+        "boolean_and_topk": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE term IN ('join', 'scan', 'window') GROUP BY 1, 2
+),
+piv AS (
+    SELECT doc_id,
+           coalesce(sum(CASE WHEN term = 'join' THEN tf END), 0) AS _tf0,
+           coalesce(sum(CASE WHEN term = 'scan' THEN tf END), 0) AS _tf1,
+           coalesce(sum(CASE WHEN term = 'window' THEN tf END), 0) AS _tf2
+    FROM tf GROUP BY 1
+)
+SELECT doc_id, CAST(_tf0 + _tf1 + _tf2 AS BIGINT) AS tf_total
+FROM piv WHERE _tf0 > 0 AND _tf1 > 0 AND _tf2 > 0
+ORDER BY tf_total DESC, doc_id LIMIT 10
+""",
+        "boolean_or_not_topk": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE term IN ('join', 'scan', 'window') GROUP BY 1, 2
+),
+piv AS (
+    SELECT doc_id,
+           coalesce(sum(CASE WHEN term = 'join' THEN tf END), 0) AS _tf0,
+           coalesce(sum(CASE WHEN term = 'scan' THEN tf END), 0) AS _tf1,
+           coalesce(sum(CASE WHEN term = 'window' THEN tf END), 0) AS _tf2
+    FROM tf GROUP BY 1
+)
+SELECT doc_id, CAST(_tf0 + _tf1 AS BIGINT) AS tf_total
+FROM piv WHERE (_tf0 > 0 OR _tf1 > 0) AND _tf2 = 0
+ORDER BY tf_total DESC, doc_id LIMIT 10
 """,
         # Served hybrid: the scan-time fusion tail over the SERVED
         # candidate sources — BM25 list (identical arithmetic) and the

@@ -316,6 +316,75 @@ def bm25_topk_served(
     )
 
 
+def boolean_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    must_all: tuple[str, ...] = (),
+    must_any: tuple[str, ...] = (),
+    must_not: tuple[str, ...] = (),
+    k: int = 10,
+) -> DataFrame:
+    """Boolean retrieval (AND / OR / NOT) served from the on-disk
+    inverted index — the classic query-language layer the reference's
+    vector-only surface lacks (its ChromaDB ``where_document`` filter,
+    coding_agent/tools/vector_search_tool.py:33-79, supports only a
+    single $contains predicate).
+
+    Semantics: a doc qualifies iff it contains EVERY ``must_all`` term,
+    AT LEAST ONE ``must_any`` term (when given), and NONE of the
+    ``must_not`` terms; qualifying docs rank by total tf over the
+    positive (must_all + must_any) terms — an exact BIGINT, so the
+    ranking has zero cross-engine float hazards — with doc_id as
+    tie-break.
+
+    Index-only plan: ONE probe of the postings store statically pruned
+    to the union of all three term lists' buckets (``must_not`` terms
+    ride the same probe: a doc holding one has a posting row, so its
+    pivoted tf > 0 disqualifies it — NOT never rescans the corpus);
+    candidates (docs with >= 1 probed term) are the only rows that
+    shuffle (one pivot groupBy); ranking is TakeOrderedAndProject. At
+    100 TB a query still touches only its own terms' buckets.
+    """
+    pos = tuple(must_all) + tuple(must_any)
+    terms = pos + tuple(must_not)
+    assert pos, "need at least one positive term"
+    root = build_text_index(spark, sf_dir)
+    post = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(root, "postings")
+    )
+    cand = (
+        post.filter(_probe_pred(terms))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+                ).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    cond = F.lit(True)
+    for i, _ in enumerate(must_all):
+        cond = cond & (F.col(f"_tf{i}") > 0)
+    if must_any:
+        any_c = F.lit(False)
+        for j in range(len(must_all), len(pos)):
+            any_c = any_c | (F.col(f"_tf{j}") > 0)
+        cond = cond & any_c
+    for j in range(len(pos), len(terms)):
+        cond = cond & (F.col(f"_tf{j}") == 0)
+    tf_total = F.lit(0).cast("bigint")
+    for i in range(len(pos)):
+        tf_total = tf_total + F.col(f"_tf{i}").cast("bigint")
+    return (
+        cand.filter(cond)
+        .select("doc_id", tf_total.alias("tf_total"))
+        .orderBy(F.desc("tf_total"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def update_text_index(
     spark: SparkSession,
     sf_dir: str,

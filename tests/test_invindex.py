@@ -573,3 +573,49 @@ def test_update_with_zero_term_text_retracts_doc(spark, tmp_path):
     assert ts == {"keep", "me"}
     s = spark.read.parquet(os.path.join(v1, "stats")).head()
     assert (s["n_docs"], s["tot_dl"]) == (1, 2)
+
+
+def test_boolean_semantics_against_corpus(spark, sf_dir):
+    """AND / OR / NOT agree with per-document token membership computed
+    straight from the corpus (the brute-force definition)."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import invindex
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    member = {
+        r["doc_id"]: (
+            r["j"] > 0, r["s"] > 0, r["w"] > 0
+        )
+        for r in toks.select(
+            "doc_id",
+            F.size(F.filter("t", lambda x: x == F.lit("join"))).alias("j"),
+            F.size(F.filter("t", lambda x: x == F.lit("scan"))).alias("s"),
+            F.size(F.filter("t", lambda x: x == F.lit("window"))).alias("w"),
+        ).collect()
+    }
+    n_and = sum(1 for j, s, w in member.values() if j and s and w)
+    n_ornot = sum(1 for j, s, w in member.values() if (j or s) and not w)
+
+    got_and = invindex.boolean_topk_served(
+        spark, sf_dir, must_all=("join", "scan", "window"), k=10**6
+    ).collect()
+    assert len(got_and) == n_and
+    assert all(member[r["doc_id"]] == (True, True, True) for r in got_and)
+
+    got_ornot = invindex.boolean_topk_served(
+        spark, sf_dir, must_any=("join", "scan"), must_not=("window",),
+        k=10**6,
+    ).collect()
+    assert len(got_ornot) == n_ornot
+    for r in got_ornot:
+        j, s, w = member[r["doc_id"]]
+        assert (j or s) and not w
+
+    # ranking is exact-integer: tf_total descends, doc_id breaks ties
+    tot = [(r["tf_total"], -r["doc_id"]) for r in got_and]
+    assert tot == sorted(tot, reverse=True)

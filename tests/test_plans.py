@@ -413,3 +413,22 @@ def test_dedup_gate_verification_broadcasts_batch_side(spark, sf_dir):
     # corpus-scale data.
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_boolean_probe_prunes_term_buckets_and_never_scans_corpus(
+    spark, sf_dir
+):
+    """boolean_topk_served is index-only: the postings scan carries the
+    probed terms' tbuckets as PartitionFilters (NOT terms ride the same
+    probe — a posting row disqualifies, so negation never rescans the
+    corpus), and documents.parquet appears nowhere in the plan."""
+    from adk_noui_vectordb_spark.operators import invindex
+
+    df = invindex.boolean_topk_served(
+        spark, sf_dir, must_any=("join", "scan"), must_not=("window",)
+    )
+    plan = explain_str(df)
+    assert "documents.parquet" not in plan, plan
+    seg = plan.split("PartitionFilters")
+    assert any("tbucket" in s.split("\n")[0] for s in seg[1:]), plan
+    assert "TakeOrderedAndProject" in plan, plan
