@@ -716,6 +716,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
+        # r10: Matryoshka-style truncated-dim coarse pass + exact
+        # full-dim rerank (the no-index ANN baseline: prefix-dim bytes
+        # per scanned row, full vectors only for the C survivors).
+        "knn_truncated_rerank": _knn.knn_truncated_rerank,
         # mergeable sketches — exact (and oracle-checked) at test-SF
         # cardinalities, approximate with pinned error bounds at scale
         # (tests/test_sketches.py)
@@ -2955,6 +2959,26 @@ coarse AS (
     SELECT d.vec_id, {_COS.format(a="d.deq", b="qq.q_deq")} AS sim8
     FROM deq d CROSS JOIN qq WHERE d.vec_id <> qq.q_id
     ORDER BY sim8 DESC, d.vec_id LIMIT 50
+),
+qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN coarse USING (vec_id) CROSS JOIN qe
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+        # Truncated-dim (MRL) rerank: coarse cosine over the 16-dim
+        # prefix slice, exact full-dim cosine on the 50 survivors.
+        "knn_truncated_rerank": f"""
+WITH qt AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[])[1:16] AS q_emb_t
+    FROM embeddings WHERE vec_id = 0
+),
+et AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[])[1:16] AS emb_t FROM embeddings
+),
+coarse AS (
+    SELECT et.vec_id, {_COS.format(a="et.emb_t", b="qt.q_emb_t")} AS sim_t
+    FROM et CROSS JOIN qt WHERE et.vec_id <> qt.q_id
+    ORDER BY sim_t DESC, et.vec_id LIMIT 50
 ),
 qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim

@@ -89,3 +89,56 @@ def make_query_from_vec(embeddings: DataFrame, vec_id: int) -> DataFrame:
     return embeddings.filter(F.col("vec_id") == vec_id).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+
+
+def knn_truncated_rerank(
+    spark,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    trunc_dims: int = 16,
+    n_coarse: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval: coarse top-C by cosine over
+    the first ``trunc_dims`` dimensions, exact full-dim cosine on the C
+    survivors only (Kusupati et al., NeurIPS 2022 — MRL embeddings are
+    trained so every prefix is itself a valid embedding; dimension
+    truncation is the cheapest ANN there is: no index, no training, a
+    d/24 fraction of the bytes per scanned row).
+
+    100 TB shape: the coarse pass reads a ``trunc_dims``-wide slice —
+    in an MRL deployment, a separate narrow column whose scan is ~d/24
+    of the full column's bytes — and plans as TakeOrderedAndProject
+    (per-partition C-heap, no shuffle); the full-width column is read
+    for C rows, not the corpus (same contract as
+    quantize.knn_int8_rerank, which trades bytes for quantization error
+    instead of dimension error).
+    """
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = make_query_from_vec(emb, query_vec_id)
+    q_t = q.select(
+        "q_id", F.slice(F.col("q_emb"), 1, trunc_dims).alias("q_emb_t")
+    )
+    sim_t = F.round(
+        cosine_similarity(
+            F.slice(F.col("embedding"), 1, trunc_dims), F.col("q_emb_t")
+        ),
+        4,
+    )
+    coarse = (
+        emb.crossJoin(F.broadcast(q_t))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", sim_t.alias("sim_t"))
+        .orderBy(F.desc("sim_t"), F.asc("vec_id"))
+        .limit(n_coarse)
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        emb.join(F.broadcast(coarse), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -239,3 +239,44 @@ def test_embed_dim_stats_partial_aggregates_before_shuffle(spark):
 
     plan = explain_str(em.embed_dim_stats(spark, SF), mode="simple")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+# ------------------------------------------------- truncated-dim rerank
+
+
+def test_truncated_rerank_full_width_equals_exact_knn(spark):
+    """With trunc_dims = d the coarse ranking IS the exact ranking, so
+    the two-stage result must equal exact kNN row-for-row — pins that
+    the rerank stage neither reorders nor loses candidates."""
+    from adk_noui_vectordb_spark.operators.knn import knn_truncated_rerank
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = knn_topk(emb, make_query_from_vec(emb, 0), k=10).collect()
+    two_stage = knn_truncated_rerank(
+        spark, SF, trunc_dims=64, n_coarse=50, k=10
+    ).collect()
+    assert [tuple(r) for r in two_stage] == [tuple(r) for r in exact]
+
+
+def test_truncated_rerank_recall_and_plan(spark):
+    """16-of-64-dim coarse pass at C=50: measure recall@10 vs exact (the
+    isotropic-data floor BASELINE.md records) and pin the serving plan —
+    coarse must be TakeOrderedAndProject, rerank joins must broadcast."""
+    from adk_noui_vectordb_spark.operators.knn import knn_truncated_rerank
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        r["vec_id"]
+        for r in knn_topk(emb, make_query_from_vec(emb, 0), k=10).collect()
+    }
+    df = knn_truncated_rerank(spark, SF, trunc_dims=16, n_coarse=50, k=10)
+    got = {r["vec_id"] for r in df.collect()}
+    assert len(got) == 10
+    # the rerank stage is exact on its candidates, so every returned id
+    # the exact top-10 contains is in the right order; recall floor on
+    # 64-dim isotropic data with a 25%-dim coarse pass at C=50 stays
+    # comfortably above chance (50/1999)
+    assert len(got & exact) >= 3
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
