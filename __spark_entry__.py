@@ -513,6 +513,13 @@ _REWRITTEN = frozenset({
     # broadcast hints (value-identical by construction, but the serving
     # plan changed — re-verify before the stale cohort)
     "dedup_gate_against_index",
+    # r10: the text index gained the positions component and its root
+    # tag bumped to v3 — every key served from that root rebuilds on
+    # changed build code, so re-verify them before the stale cohort
+    "bm25_topk_served",
+    "inverted_postings_rows",
+    "text_index_doc_map",
+    "hybrid_rrf_served_topk",
 })
 
 
@@ -710,6 +717,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or_not_topk": lambda spark, sf: _inv.boolean_topk_served(
             spark, sf, must_any=("join", "scan"), must_not=("window",)
         ),
+        # r10: token-exact phrase search from the positional postings
+        # component (positions/tbucket=*) — adjacency via base = pos -
+        # offset, one groupBy over probe-sized data, BIGINT tf ranking.
+        "phrase_topk_served": _inv.phrase_topk_served,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2808,6 +2819,26 @@ piv AS (
 SELECT doc_id, CAST(_tf0 + _tf1 + _tf2 AS BIGINT) AS tf_total
 FROM piv WHERE _tf0 > 0 AND _tf1 > 0 AND _tf2 > 0
 ORDER BY tf_total DESC, doc_id LIMIT 10
+""",
+        # Phrase search: per-token positions via positional unnest, each
+        # occurrence votes for start base = pos - offset, a start with
+        # all distinct offsets present is one phrase occurrence.
+        "phrase_topk_served": """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+ph(term, off) AS (VALUES ('window', 0), ('join', 1)),
+starts AS (
+    SELECT t.doc_id, t.pos - p.off AS base
+    FROM toks t JOIN ph p USING (term)
+    GROUP BY t.doc_id, t.pos - p.off
+    HAVING count(DISTINCT p.off) = 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+FROM starts GROUP BY 1
+ORDER BY phrase_tf DESC, doc_id LIMIT 10
 """,
         "boolean_or_not_topk": """
 WITH words AS (

@@ -21,6 +21,9 @@ version directory is a complete, self-consistent index — see the
                             norm-in-posting trick) so scoring never joins
                             a corpus-sized doc-stats table;
     v_NNNNNN/termstats/tbucket=<b>/  (term, df)     document frequency;
+    v_NNNNNN/positions/tbucket=<b>/  (term, doc_id, pos)  one row per token
+                            OCCURRENCE (1-based position) — the positional
+                            postings phrase queries adjacency-join;
     v_NNNNNN/docs/dbucket=<b>/  (doc_id, dl, tbuckets)  one row per doc:
                             its length and the SET of term buckets its
                             postings live in — the reverse map that makes
@@ -125,6 +128,7 @@ from ..sources.versioning import (  # noqa: E402
 _TEXT_COMPONENTS = [
     ("postings", ["tbucket"]),
     ("termstats", ["tbucket"]),
+    ("positions", ["tbucket"]),
     ("docs", ["dbucket"]),
     ("stats", []),
 ]
@@ -135,6 +139,7 @@ _TEXT_COMPONENTS = [
 # schema inference fails on a file-less directory.
 POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl int, tbucket int"
 TERMSTATS_SCHEMA = "term string, df bigint, tbucket int"
+POSITIONS_SCHEMA = "term string, doc_id bigint, pos int, tbucket int"
 DOCS_SCHEMA = "doc_id bigint, dl int, tbuckets array<int>, dbucket int"
 
 
@@ -154,12 +159,32 @@ def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_positions(docs: DataFrame) -> DataFrame:
+    """(tbucket, term, doc_id, pos) — ONE row per token occurrence
+    (1-based position), same token universe as ``doc_term_counts``
+    (the shared tokenizer: a positions row exists iff it contributes
+    to some posting's tf, the invariant ``fsck_text_index`` checks)."""
+    from ..functions.text import whitespace_tokens
+
+    toks = whitespace_tokens(F.col("text"))
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "term")
+    ).select(
+        term_bucket_expr(F.col("term")).alias("tbucket"),
+        "term",
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+    )
+
+
 def text_index_root(sf_dir: str) -> str:
     """The fingerprint-tagged VERSIONED root (holds version dirs, the
-    ``_CURRENT`` pointer and the streaming ``applied/`` markers)."""
+    ``_CURRENT`` pointer and the streaming ``applied/`` markers).
+    v3: the positions component joined the layout — the tag bump keeps
+    any pre-positions root from serving phrase queries."""
     from ..memo import index_root
 
-    return index_root("text_index_v2", sf_dir, N_TERM_BUCKETS, N_DOC_BUCKETS)
+    return index_root("text_index_v3", sf_dir, N_TERM_BUCKETS, N_DOC_BUCKETS)
 
 
 def build_text_index(spark: SparkSession, sf_dir: str) -> str:
@@ -183,6 +208,9 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
     post.write.mode("overwrite").partitionBy("tbucket").parquet(
         os.path.join(tmp, "postings")
     )
+    doc_positions(load_table(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).partitionBy("tbucket").parquet(os.path.join(tmp, "positions"))
     # df / docs / corpus stats from the WRITTEN postings: the version is
     # then self-consistent even if the corpus changes between build and
     # read.
@@ -385,6 +413,52 @@ def boolean_topk_served(
     )
 
 
+def phrase_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: tuple[str, ...] = ("window", "join"),
+    k: int = 10,
+) -> DataFrame:
+    """Exact phrase search served from the positional postings — the
+    other classic IR capability the reference's vector-only surface has
+    no answer for (ChromaDB's ``$contains`` is substring containment,
+    not token-exact phrase match, vector_search_tool.py:39-46).
+
+    Plan (the Lucene phrase-query shape, Spark-first): probe positions
+    for the phrase's terms (tbucket partition pruning — a phrase query
+    touches only its own terms' buckets at any corpus size); map each
+    occurrence to its candidate START ``base = pos - offset`` via a
+    broadcast (term, offset) frame (a JOIN, not a CASE, so a REPEATED
+    phrase term contributes every one of its offsets); a phrase starts
+    at ``base`` iff all len(phrase) distinct offsets are present —
+    one groupBy(doc, base) over probe-sized data. Occurrences per doc
+    (exact BIGINT — no float hazards) rank the result.
+    """
+    n = len(phrase)
+    assert n >= 2, "a phrase needs >= 2 terms"
+    root = build_text_index(spark, sf_dir)
+    pos = spark.read.schema(POSITIONS_SCHEMA).parquet(
+        os.path.join(root, "positions")
+    )
+    ph = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "term string, off int"
+    )
+    hits = (
+        pos.filter(_probe_pred(tuple(sorted(set(phrase)))))
+        .join(F.broadcast(ph), "term")
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("base"), "off")
+        .groupBy("doc_id", "base")
+        .agg(F.countDistinct("off").alias("nmatch"))
+        .filter(F.col("nmatch") == n)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def update_text_index(
     spark: SparkSession,
     sf_dir: str,
@@ -576,6 +650,21 @@ def update_text_index(
             .select("tbucket", "term", "doc_id", "tf", "dl")
         )
     post_writes.append(batch.select("tbucket", "term", "doc_id", "tf", "dl"))
+    # positions mirror the postings discipline exactly: same stale
+    # partitions (a resub doc's old positions live in its old postings'
+    # tbuckets — same term universe), same anti-join, same appends.
+    pos_writes = []
+    if rw_tb:
+        pos_writes.append(
+            spark.read.schema(POSITIONS_SCHEMA)
+            .parquet(os.path.join(cur, "positions"))
+            .filter(F.col("tbucket").isin(rw_tb))
+            .join(resub_ids, "doc_id", "left_anti")
+            .select("tbucket", "term", "doc_id", "pos")
+        )
+    pos_writes.append(
+        doc_positions(batch_src).select("tbucket", "term", "doc_id", "pos")
+    )
     docs_writes = []
     if rw_db:
         docs_writes.append(
@@ -601,6 +690,12 @@ def update_text_index(
                 ("tbucket",),
                 frozenset(f"tbucket={b}" for b in ts_buckets),
                 (new_ts,),
+            ),
+            _Component(
+                "positions",
+                ("tbucket",),
+                frozenset(f"tbucket={b}" for b in rw_tb),
+                tuple(pos_writes),
             ),
             _Component(
                 "docs",
@@ -826,6 +921,18 @@ def delete_from_text_index(
                 (new_ts,),
             ),
             _Component(
+                "positions",
+                ("tbucket",),
+                frozenset(f"tbucket={b}" for b in rw_tb),
+                (
+                    spark.read.schema(POSITIONS_SCHEMA)
+                    .parquet(os.path.join(cur, "positions"))
+                    .filter(F.col("tbucket").isin(rw_tb))
+                    .join(victim_ids, "doc_id", "left_anti")
+                    .select("tbucket", "term", "doc_id", "pos"),
+                ),
+            ),
+            _Component(
                 "docs",
                 ("dbucket",),
                 frozenset(f"dbucket={b}" for b in rw_db),
@@ -860,6 +967,7 @@ def fsck_text_index(spark: SparkSession, sf_dir: str) -> list:
         [
             ("postings", ["tbucket"], POSTINGS_SCHEMA),
             ("termstats", ["tbucket"], TERMSTATS_SCHEMA),
+            ("positions", ["tbucket"], POSITIONS_SCHEMA),
             ("docs", ["dbucket"], DOCS_SCHEMA),
             ("stats", [], "n_docs bigint, tot_dl bigint"),
         ],
@@ -907,6 +1015,26 @@ def fsck_text_index(spark: SparkSession, sf_dir: str) -> list:
             .count()
         )
         out.append(("termstats_df_exact", bad_df == 0, f"mismatches={bad_df}"))
+        pos = spark.read.schema(POSITIONS_SCHEMA).parquet(
+            os.path.join(cur, "positions")
+        )
+        bad_pos = (
+            pos.groupBy("tbucket", "term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf2"))
+            .join(
+                post.select("tbucket", "term", "doc_id", "tf"),
+                ["tbucket", "term", "doc_id"],
+                "full_outer",
+            )
+            .filter(
+                F.coalesce(F.col("tf"), F.lit(-1))
+                != F.coalesce(F.col("tf2"), F.lit(-1))
+            )
+            .count()
+        )
+        out.append(
+            ("positions_match_tf", bad_pos == 0, f"mismatches={bad_pos}")
+        )
     except Exception as ex:  # noqa: BLE001 — diagnose, don't die
         out.append(("semantic_checks", False, type(ex).__name__))
     return out

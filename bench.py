@@ -82,6 +82,10 @@ BENCH_KEYS = [
     "zorder_events",
     "scd2_user_state_history",
     "bm25_topk_served",
+    # r10: boolean / phrase / truncated-dim serving layer
+    "boolean_and_topk",
+    "phrase_topk_served",
+    "knn_truncated_rerank",
     "lm_bigram_score",
     "sketch_user_overlap",
     "embed_topvar_project",

@@ -619,3 +619,96 @@ def test_boolean_semantics_against_corpus(spark, sf_dir):
     # ranking is exact-integer: tf_total descends, doc_id breaks ties
     tot = [(r["tf_total"], -r["doc_id"]) for r in got_and]
     assert tot == sorted(tot, reverse=True)
+
+
+def test_phrase_repeated_term_and_adjacency_semantics(spark, tmp_path):
+    """Hand-built corpus pins phrase-match edge cases: repeated phrase
+    terms (every offset of 'a' must vote), overlapping occurrences, and
+    non-adjacent term pairs NOT matching."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    base = str(tmp_path / "phrasesrc")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [
+            (0, "a b a b a", "en", "t", 9),   # 'a b' at 1,3 -> tf 2
+            (1, "a x b a b", "en", "t", 9),   # 'a b' at 4 only
+            (2, "b a x x x", "en", "t", 9),   # reversed — no match
+            (3, "a a a x x", "en", "t", 9),   # 'a a' twice, no 'a b'
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    ab = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in invindex.phrase_topk_served(
+            spark, base, phrase=("a", "b")
+        ).collect()
+    }
+    assert ab == {0: 2, 1: 1}
+
+    # repeated-term phrase: 'a a' occurs at 1 and 2 in doc 3 (overlap ok)
+    aa = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in invindex.phrase_topk_served(
+            spark, base, phrase=("a", "a")
+        ).collect()
+    }
+    assert aa == {0: 0, 3: 2} or aa == {3: 2}, aa
+
+    # trigram across the repeated pattern
+    aba = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in invindex.phrase_topk_served(
+            spark, base, phrase=("a", "b", "a")
+        ).collect()
+    }
+    assert aba == {0: 2}, aba
+
+
+def test_phrase_survives_update_and_delete(spark, tmp_path):
+    """Lifecycle: an upserted doc's phrase occurrences serve; a doc
+    REPLACE retracts its old positions; deletion removes it entirely."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    base = str(tmp_path / "phraselc")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(0, "window join window join", "en", "t", 23)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    invindex.build_text_index(spark, base)
+
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in invindex.phrase_topk_served(spark, base).collect()
+    }
+    assert got == {0: 2}
+
+    # new doc with one occurrence + replace doc 0 with a phrase-free text
+    invindex.update_text_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(0, "join window x"), (1, "y window join")],
+            "doc_id bigint, text string",
+        ),
+    )
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in invindex.phrase_topk_served(spark, base).collect()
+    }
+    assert got == {1: 1}, got
+
+    invindex.delete_from_text_index(
+        spark, base, spark.createDataFrame([(1,)], "doc_id bigint")
+    )
+    assert invindex.phrase_topk_served(spark, base).collect() == []
+
+    # fsck stays green through the whole lifecycle, incl. positions<->tf
+    checks = invindex.fsck_text_index(spark, base)
+    assert all(ok for _c, ok, _d in checks), checks

@@ -432,3 +432,17 @@ def test_boolean_probe_prunes_term_buckets_and_never_scans_corpus(
     seg = plan.split("PartitionFilters")
     assert any("tbucket" in s.split("\n")[0] for s in seg[1:]), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_phrase_probe_prunes_term_buckets_and_never_scans_corpus(
+    spark, sf_dir
+):
+    """phrase_topk_served reads only the positions store, pruned to the
+    phrase terms' tbuckets; the corpus never enters the plan."""
+    from adk_noui_vectordb_spark.operators import invindex
+
+    df = invindex.phrase_topk_served(spark, sf_dir)
+    plan = explain_str(df)
+    assert "documents.parquet" not in plan, plan
+    seg = plan.split("PartitionFilters")
+    assert any("tbucket" in s.split("\n")[0] for s in seg[1:]), plan

@@ -357,6 +357,22 @@ def test_text_index_lifecycle_matches_model(spark, tmp_path_factory, initial, op
     want_ts = Counter(term for (term, _i) in want_post)
     assert got_ts == dict(want_ts)
 
+    # positions (r10): one row per token occurrence, 1-based — the
+    # phrase-serving component follows the same upsert/delete/compact
+    # lifecycle as the postings it must stay consistent with.
+    got_pos = {
+        (r["term"], r["doc_id"], r["pos"])
+        for r in spark.read.schema(invindex.POSITIONS_SCHEMA)
+        .parquet(os.path.join(ver, "positions"))
+        .collect()
+    }
+    want_pos = {
+        (w, i, p + 1)
+        for i, t in model.items()
+        for p, w in enumerate(t.split(" "))
+    }
+    assert got_pos == want_pos
+
     s = (
         spark.read.schema("n_docs bigint, tot_dl bigint")
         .parquet(os.path.join(ver, "stats"))
