@@ -721,6 +721,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # component (positions/tbucket=*) — adjacency via base = pos -
         # offset, one groupBy over probe-sized data, BIGINT tf ranking.
         "phrase_topk_served": _inv.phrase_topk_served,
+        # r10: wildcard prefix retrieval — dictionary-scan expansion
+        # (df DESC cap, the Lucene top_terms rewrite) to literal terms,
+        # then the standard pruned postings probe.
+        "prefix_topk_served": _inv.prefix_topk_served,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2839,6 +2843,22 @@ starts AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
 FROM starts GROUP BY 1
 ORDER BY phrase_tf DESC, doc_id LIMIT 10
+""",
+        # Prefix expansion: terms LIKE 's%' capped at the 4 highest-df
+        # (df DESC, term ASC), docs ranked by exact-BIGINT summed tf.
+        "prefix_topk_served": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE term LIKE 's%' GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+expd AS (SELECT term FROM tdf ORDER BY df DESC, term LIMIT 4)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+FROM tf JOIN expd USING (term) GROUP BY 1
+ORDER BY tf_total DESC, doc_id LIMIT 10
 """,
         "boolean_or_not_topk": """
 WITH words AS (

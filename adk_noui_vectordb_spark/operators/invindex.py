@@ -459,6 +459,62 @@ def phrase_topk_served(
     )
 
 
+def prefix_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str = "s",
+    max_expansions: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Prefix (wildcard) retrieval: ``prefix*`` expands against the
+    TERM DICTIONARY and rewrites to a bounded disjunction — Lucene's
+    MultiTermQuery rewrite, Spark-first.
+
+    Two-phase plan with the right component in each phase:
+    1. expansion scans ``termstats`` — the VOCABULARY component, ~one
+       row per distinct corpus term, millions of rows at 100 TB where
+       the corpus is trillions; a full dictionary scan is the term-
+       dictionary lookup every wildcard engine does — and keeps the
+       ``max_expansions`` highest-df matches (df DESC, term ASC — the
+       deterministic twin of Lucene's top_terms rewrite; the cap
+       bounds probe fan-out for pathological prefixes like ``a*``);
+    2. the expanded LITERAL terms probe postings exactly like every
+       other serving path — tbucket partition pruning, one pivot-free
+       groupBy(doc_id) summing tf (exact BIGINT), TakeOrderedAndProject.
+
+    The expansion list itself is the only driver-side materialization —
+    ≤ ``max_expansions`` rows by construction.
+    """
+    root = build_text_index(spark, sf_dir)
+    ts = spark.read.schema(TERMSTATS_SCHEMA).parquet(
+        os.path.join(root, "termstats")
+    )
+    expanded = tuple(
+        r["term"]
+        for r in ts.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    post = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(root, "postings")
+    )
+    if not expanded:
+        return (
+            post.select("doc_id", F.col("tf").cast("bigint").alias("tf_total"))
+            .limit(0)
+        )
+    return (
+        post.filter(_probe_pred(expanded))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf_total"))
+        .orderBy(F.desc("tf_total"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def update_text_index(
     spark: SparkSession,
     sf_dir: str,

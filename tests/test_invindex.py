@@ -712,3 +712,52 @@ def test_phrase_survives_update_and_delete(spark, tmp_path):
     # fsck stays green through the whole lifecycle, incl. positions<->tf
     checks = invindex.fsck_text_index(spark, base)
     assert all(ok for _c, ok, _d in checks), checks
+
+
+def test_prefix_expansion_cap_and_empty_prefix(spark, tmp_path):
+    """Expansion picks the max_expansions highest-df terms (df DESC,
+    term ASC — deterministic), a no-match prefix returns an empty
+    frame, and expansion survives an update that shifts df order."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    base = str(tmp_path / "prefixsrc")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [
+            (0, "sa sa sb sc x", "en", "t", 13),
+            (1, "sa sb sb x x", "en", "t", 12),
+            (2, "sc x x x x", "en", "t", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    # df: sa=2 sb=2 sc=2 -> cap 2 keeps (sa, sb) by term tiebreak
+    got = {
+        r["doc_id"]: r["tf_total"]
+        for r in invindex.prefix_topk_served(
+            spark, base, prefix="s", max_expansions=2
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3}, got  # doc0: sa*2+sb, doc1: sa+sb*2; sc excluded
+
+    assert (
+        invindex.prefix_topk_served(spark, base, prefix="zz").collect() == []
+    )
+
+    # an upsert raising sc's df into the cap changes the expansion
+    invindex.update_text_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(3, "sc sc sc"), (4, "sc y")], "doc_id bigint, text string"
+        ),
+    )
+    got = {
+        r["doc_id"]: r["tf_total"]
+        for r in invindex.prefix_topk_served(
+            spark, base, prefix="sc", max_expansions=2
+        ).collect()
+    }
+    assert got == {3: 3, 0: 1, 2: 1, 4: 1}, got
