@@ -725,6 +725,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (df DESC cap, the Lucene top_terms rewrite) to literal terms,
         # then the standard pruned postings probe.
         "prefix_topk_served": _inv.prefix_topk_served,
+        # r10: proximity (SpanNear, unordered) from the positions store
+        # — min token distance as the exact-integer relevance metric.
+        "proximity_topk_served": _inv.proximity_topk_served,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2843,6 +2846,23 @@ starts AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
 FROM starts GROUP BY 1
 ORDER BY phrase_tf DESC, doc_id LIMIT 10
+""",
+        # Proximity: min |pos_a - pos_b| per doc over positional unnest,
+        # kept if within the 5-token window — exact-integer metric.
+        "proximity_topk_served": """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+pa AS (SELECT doc_id, pos AS pos_a FROM toks WHERE term = 'window'),
+pb AS (SELECT doc_id, pos AS pos_b FROM toks WHERE term = 'scan'),
+md AS (
+    SELECT doc_id, CAST(min(abs(pos_a - pos_b)) AS BIGINT) AS min_dist
+    FROM pa JOIN pb USING (doc_id) GROUP BY 1
+)
+SELECT doc_id, min_dist FROM md WHERE min_dist <= 5
+ORDER BY min_dist, doc_id LIMIT 10
 """,
         # Prefix expansion: terms LIKE 's%' capped at the 4 highest-df
         # (df DESC, term ASC), docs ranked by exact-BIGINT summed tf.

@@ -459,6 +459,49 @@ def phrase_topk_served(
     )
 
 
+def proximity_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    term_a: str = "window",
+    term_b: str = "scan",
+    window: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Proximity retrieval: documents where ``term_a`` and ``term_b``
+    co-occur within ``window`` tokens (either order), ranked by the
+    MINIMUM token distance (exact integer, ascending — tighter is more
+    relevant; Lucene's SpanNearQuery with in_order=false).
+
+    Same serving shape as the phrase query: one tbucket-pruned probe of
+    the positions store, per-doc position join (tf_a x tf_b candidate
+    pairs per doc — occurrence-count-bounded, never corpus-bounded),
+    one groupBy(doc_id) min, TakeOrderedAndProject."""
+    assert term_a != term_b, "proximity needs two distinct terms"
+    root = build_text_index(spark, sf_dir)
+    pos = spark.read.schema(POSITIONS_SCHEMA).parquet(
+        os.path.join(root, "positions")
+    )
+    probed = pos.filter(_probe_pred(tuple(sorted((term_a, term_b)))))
+    a = probed.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = probed.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b")))
+            .cast("bigint")
+            .alias("min_dist")
+        )
+        .filter(F.col("min_dist") <= window)
+        .orderBy(F.asc("min_dist"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def prefix_topk_served(
     spark: SparkSession,
     sf_dir: str,

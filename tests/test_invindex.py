@@ -761,3 +761,32 @@ def test_prefix_expansion_cap_and_empty_prefix(spark, tmp_path):
         ).collect()
     }
     assert got == {3: 3, 0: 1, 2: 1, 4: 1}, got
+
+
+def test_proximity_window_semantics(spark, tmp_path):
+    """Min-distance metric on a hand corpus: either order counts, the
+    window excludes far pairs, absent-term docs never appear."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    base = str(tmp_path / "proxsrc")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [
+            (0, "u v x x x x x x x x", "en", "t", 1),   # dist 1
+            (1, "v x x u x x x x x x", "en", "t", 1),   # dist 3 (reversed)
+            (2, "u x x x x x x x x v", "en", "t", 1),   # dist 9 — outside
+            (3, "u u x v x x x x x x", "en", "t", 1),   # min over pairs = 2
+            (4, "u x x x x x x x x x", "en", "t", 1),   # v absent
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in invindex.proximity_topk_served(
+            spark, base, term_a="u", term_b="v", window=5
+        ).collect()
+    }
+    assert got == {0: 1, 1: 3, 3: 2}, got
