@@ -681,6 +681,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _ann.ann_ivfpq_topk,
         "rp_lsh_band_rows": _ann.rp_lsh_band_rows,
         "ann_rp_lsh_topk": _ann.ann_rp_lsh_topk,
+        # r10: the reference's where-filtered vector query
+        # (collection.query(where={...})) — index probe for candidates,
+        # narrow metadata projection for the predicate, vecs-store rerank.
+        "ann_rp_lsh_filtered_topk": _ann.ann_rp_lsh_filtered_topk,
         # r7: multiprobe recall knob (Hamming-1 bucket expansion per band,
         # Lv et al. VLDB 2007) over the SAME on-disk partitioned band
         # table — recall 1.00 on the isotropic worst case (BASELINE.md)
@@ -2747,6 +2751,34 @@ qe AS (
 )
 SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+        # Filtered ANN: the multiprobe candidate set intersected with
+        # the metadata predicate (label = 1) before the exact rerank.
+        "ann_rp_lsh_filtered_topk": f"""
+WITH {_RP_BANDS_CTE},
+qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+qb_exp AS (
+    SELECT band, band_key FROM qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb_exp USING (band, band_key)
+    WHERE b.vec_id <> 0
+),
+fcand AS (
+    SELECT c.vec_id FROM cand c JOIN embeddings e USING (vec_id)
+    WHERE e.label = 1
+),
+qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN fcand USING (vec_id) CROSS JOIN qe
 ORDER BY sim DESC, e.vec_id LIMIT 10
 """,
         # Skew guard mirror (ann.py:cap_bucket_members): zero-norm

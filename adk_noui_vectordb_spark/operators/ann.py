@@ -504,6 +504,28 @@ def ann_rp_lsh_topk(
     ~= corpus * (1 - (1 - 2^-RP_BAND_BITS)^RP_BANDS) for isotropic
     data, far less for genuinely clustered neighbors.
     """
+    vecs, cand, qlit = _rp_probe(spark, sf_dir, query_vec_id, multiprobe_hamming)
+    sim = F.round(
+        cosine_similarity(F.col("emb"), qlit), 4
+    ).alias("sim")
+    return (
+        vecs.join(cand, "vec_id")
+        .select("vec_id", sim)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _rp_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int,
+    multiprobe_hamming: int = 0,
+):
+    """The shared RP-LSH probe: (index vecs store, distinct candidate
+    ids from the statically pruned band-table probe, query-vector
+    literal) — exactly the ``ann_rp_lsh_topk`` front half, factored so
+    the filtered variant cannot drift from it."""
     from functools import reduce
     from operator import or_
 
@@ -544,11 +566,43 @@ def ann_rp_lsh_topk(
     qlit = F.expr(
         "array(" + ",".join(_double_sql(x) for x in qrow["q_emb"]) + ")"
     )
-    sim = F.round(
-        cosine_similarity(F.col("emb"), qlit), 4
-    ).alias("sim")
+    return vecs, cand, qlit
+
+
+def ann_rp_lsh_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    label: int = 1,
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Metadata-filtered ANN — the reference's ``where``-filtered vector
+    query (``collection.query(where={...})``, coding_agent/tools/
+    vector_search_tool.py:39-46), index-served: candidates come from the
+    on-disk band-table probe (static partition pruning, never the
+    corpus); the metadata PREDICATE comes from a NARROW (vec_id, label)
+    projection of the metadata table — filter AND column pruning pushed
+    into that scan, so at 100 TB the filter reads two thin columns, not
+    the vector payload (metadata lives beside the index, not inside it
+    — the Lucene docvalues split); the exact rerank reads the index's
+    own vecs store for the surviving candidates only.
+
+    Post-filtering (probe, then filter) is the right order here: LSH
+    buckets are metadata-blind, so pre-filtering would still scan the
+    same band partitions. The multiprobe default widens the candidate
+    pool because filtering thins it — the standard filtered-ANN recall
+    compensation.
+    """
+    vecs, cand, qlit = _rp_probe(spark, sf_dir, query_vec_id, multiprobe_hamming)
+    meta = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label") == label)
+        .select("vec_id")
+    )
+    sim = F.round(cosine_similarity(F.col("emb"), qlit), 4).alias("sim")
     return (
-        vecs.join(cand, "vec_id")
+        vecs.join(cand.join(meta, "vec_id"), "vec_id")
         .select("vec_id", sim)
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)

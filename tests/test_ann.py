@@ -1135,3 +1135,34 @@ def test_residual_ivfpq_recall_on_clustered_fixture(spark, tmp_path):
         recalls.append(len(exact & got) / 10)
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.7, recalls
+
+
+def test_filtered_ann_respects_predicate_and_probe(spark, sf_dir):
+    """ann_rp_lsh_filtered_topk: every hit carries the filtered label,
+    and the result equals the unfiltered multiprobe candidate set
+    intersected with the label set then exactly reranked (post-filter
+    semantics, the reference's where= contract)."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import ann
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    got = ann.ann_rp_lsh_filtered_topk(spark, sf_dir, label=1, k=10).collect()
+    assert len(got) > 0
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert all(labels[r["vec_id"]] == 1 for r in got)
+
+    # post-filter semantics: unfiltered multiprobe top-BIG, keep label=1,
+    # take 10 — must equal the operator's output exactly
+    big = ann.ann_rp_lsh_topk(
+        spark, sf_dir, k=10**6, multiprobe_hamming=1
+    ).collect()
+    want = [
+        (r["vec_id"], r["sim"]) for r in big if labels[r["vec_id"]] == 1
+    ][:10]
+    assert [(r["vec_id"], r["sim"]) for r in got] == want
