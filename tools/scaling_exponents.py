@@ -92,6 +92,14 @@ KEYS = {
     "knn_join_ivf_topk": "embeddings",
     "events_rollup_daily": "events",
     "events_rollup_type_daily": "events",
+    # r10b additions (query-language + filtered-ANN serving layer)
+    "boolean_and_topk": "documents",
+    "boolean_or_not_topk": "documents",
+    "phrase_topk_served": "documents",
+    "prefix_topk_served": "documents",
+    "proximity_topk_served": "documents",
+    "knn_truncated_rerank": "embeddings",
+    "ann_rp_lsh_filtered_topk": "embeddings",
 }
 
 
