@@ -732,6 +732,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: proximity (SpanNear, unordered) from the positions store
         # — min token distance as the exact-integer relevance metric.
         "proximity_topk_served": _inv.proximity_topk_served,
+        # r10: snippet selection — best width-8 window per matching doc
+        # (most query-term occurrences, earliest on ties), positions-only.
+        "search_highlight_served": _inv.search_highlight_served,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2878,6 +2881,32 @@ starts AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
 FROM starts GROUP BY 1
 ORDER BY phrase_tf DESC, doc_id LIMIT 10
+""",
+        # Highlight: windows start at hits; count hits in [s, s+8),
+        # per-doc argmax by (count DESC, start ASC), all-integer rank.
+        "search_highlight_served": """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, pos FROM toks WHERE term IN ('join', 'scan', 'window')
+),
+wins AS (
+    SELECT a.doc_id, a.pos AS s, count(*) AS nh
+    FROM hits a JOIN hits b
+      ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 8
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT doc_id, s, nh,
+           row_number() OVER (PARTITION BY doc_id ORDER BY nh DESC, s) AS rn
+    FROM wins
+)
+SELECT doc_id, CAST(s AS BIGINT) AS win_start, CAST(nh AS BIGINT) AS n_hits
+FROM best WHERE rn = 1
+ORDER BY n_hits DESC, doc_id LIMIT 10
 """,
         # Proximity: min |pos_a - pos_b| per doc over positional unnest,
         # kept if within the 5-token window — exact-integer metric.

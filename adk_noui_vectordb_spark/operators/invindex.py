@@ -459,6 +459,61 @@ def phrase_topk_served(
     )
 
 
+def search_highlight_served(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    width: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Snippet selection (highlighting): for every matching document,
+    the best ``width``-token window — the one covering the most query-
+    term occurrences, earliest window on ties — as (doc_id, win_start,
+    n_hits). The search-result snippet every engine renders under a
+    hit, computed from the positions store alone (the corpus text is
+    never read at query time; a UI slices the stored text by
+    [win_start, win_start+width) afterwards).
+
+    Plan: one pruned positions probe; a window that maximizes coverage
+    always STARTS at a hit, so candidate windows are the hits
+    themselves — a per-doc (hit x hit-in-range) join bounded by tf²
+    per doc (occurrence-scale, never corpus-scale), one groupBy, one
+    per-doc argmax window. All-integer ranking (n_hits DESC, doc_id)."""
+    root = build_text_index(spark, sf_dir)
+    pos = spark.read.schema(POSITIONS_SCHEMA).parquet(
+        os.path.join(root, "positions")
+    )
+    from pyspark.sql.window import Window
+
+    hits = pos.filter(_probe_pred(tuple(sorted(set(terms))))).select(
+        "doc_id", "pos"
+    )
+    a = hits.select("doc_id", F.col("pos").alias("s"))
+    b = hits.select(F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("p"))
+    wins = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("p") >= F.col("s"))
+            & (F.col("p") < F.col("s") + width),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("nh"), F.asc("s"))
+    return (
+        wins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("s").cast("bigint").alias("win_start"),
+            F.col("nh").cast("bigint").alias("n_hits"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def proximity_topk_served(
     spark: SparkSession,
     sf_dir: str,

@@ -790,3 +790,34 @@ def test_proximity_window_semantics(spark, tmp_path):
         ).collect()
     }
     assert got == {0: 1, 1: 3, 3: 2}, got
+
+
+def test_highlight_picks_densest_window(spark, tmp_path):
+    """Hand corpus: the chosen window maximizes covered hits; earliest
+    window wins ties; the snippet start is a real hit position."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    base = str(tmp_path / "hlsrc")
+    os.makedirs(base)
+    # terms u,v; width 4
+    spark.createDataFrame(
+        [
+            # hits at 1, 5, 6, 7 -> window [5,8] covers 3
+            (0, "u x x x u v u x x x", "en", "t", 1),
+            # hits at 1, 4: windows [1,4]={1,4}, [4,7]={4} -> start 1
+            (1, "u x x v x x x x x x", "en", "t", 1),
+            # single hit
+            (2, "x x v x x x x x x x", "en", "t", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["win_start"], r["n_hits"])
+        for r in invindex.search_highlight_served(
+            spark, base, terms=("u", "v"), width=4
+        ).collect()
+    }
+    assert got == {0: (5, 3), 1: (1, 2), 2: (3, 1)}, got
