@@ -735,6 +735,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: snippet selection — best width-8 window per matching doc
         # (most query-term occurrences, earliest on ties), positions-only.
         "search_highlight_served": _inv.search_highlight_served,
+        # r10: M queries, ONE probe of the union terms + one scoring
+        # pass — the batched twin of knn_batch_topk for the lexical arm.
+        "bm25_batch_topk_served": _inv.bm25_batch_topk_served,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2881,6 +2884,70 @@ starts AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
 FROM starts GROUP BY 1
 ORDER BY phrase_tf DESC, doc_id LIMIT 10
+""",
+        # Batch BM25: one probe of the union terms, per-query tf/df
+        # pivots on FIXED idx slots (literal-order float combination),
+        # rank by the ROUNDED score (the Spark window's sort key).
+        "bm25_batch_topk_served": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+qmap(query_id, term, idx) AS (VALUES
+    (0, 'join', 0), (0, 'scan', 1),
+    (1, 'window', 0), (1, 'merge', 1), (1, 'sort', 2),
+    (2, 'vector', 0)),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE term IN ('join', 'scan', 'window', 'merge', 'sort', 'vector')
+    GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qdf AS (
+    SELECT q.query_id,
+           coalesce(max(CASE WHEN q.idx = 0 THEN tdf.df END), 0) AS _df0,
+           coalesce(max(CASE WHEN q.idx = 1 THEN tdf.df END), 0) AS _df1,
+           coalesce(max(CASE WHEN q.idx = 2 THEN tdf.df END), 0) AS _df2
+    FROM qmap q JOIN tdf USING (term) GROUP BY 1
+),
+cand AS (
+    SELECT q.query_id, t.doc_id, max(dl.dl) AS dl,
+           coalesce(max(CASE WHEN q.idx = 0 THEN t.tf END), 0) AS _tf0,
+           coalesce(max(CASE WHEN q.idx = 1 THEN t.tf END), 0) AS _tf1,
+           coalesce(max(CASE WHEN q.idx = 2 THEN t.tf END), 0) AS _tf2
+    FROM tf t JOIN qmap q USING (term) JOIN dl ON dl.doc_id = t.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT c.query_id, c.doc_id, round(
+        (CASE WHEN _tf0 > 0 THEN
+            ln((stats.n_docs - _df0 + 0.5::DOUBLE) / (_df0 + 0.5::DOUBLE) + 1.0::DOUBLE)
+            * (_tf0 * 2.2::DOUBLE)
+            / (_tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+               * (c.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs))))
+         ELSE 0.0::DOUBLE END)
+      + (CASE WHEN _tf1 > 0 THEN
+            ln((stats.n_docs - _df1 + 0.5::DOUBLE) / (_df1 + 0.5::DOUBLE) + 1.0::DOUBLE)
+            * (_tf1 * 2.2::DOUBLE)
+            / (_tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+               * (c.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs))))
+         ELSE 0.0::DOUBLE END)
+      + (CASE WHEN _tf2 > 0 THEN
+            ln((stats.n_docs - _df2 + 0.5::DOUBLE) / (_df2 + 0.5::DOUBLE) + 1.0::DOUBLE)
+            * (_tf2 * 2.2::DOUBLE)
+            / (_tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+               * (c.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs))))
+         ELSE 0.0::DOUBLE END), 4) AS bm25
+    FROM cand c JOIN qdf USING (query_id) CROSS JOIN stats
+)
+SELECT query_id, doc_id, bm25, rank FROM (
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+           ) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 5
 """,
         # Highlight: windows start at hits; count hits in [s, s+8),
         # per-doc argmax by (count DESC, start ASC), all-integer rank.

@@ -459,6 +459,122 @@ def phrase_topk_served(
     )
 
 
+BATCH_QUERIES: tuple[tuple[str, ...], ...] = (
+    ("join", "scan"),
+    ("window", "merge", "sort"),
+    ("vector",),
+)
+
+
+def bm25_batch_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: tuple[tuple[str, ...], ...] = BATCH_QUERIES,
+    k: int = 5,
+) -> DataFrame:
+    """BM25 for a BATCH of queries in ONE job — the reference serves a
+    batch as a Python loop of one-collection.query-at-a-time calls
+    (vector_search_tool.py:33-79); here M queries share a single probe
+    of the union of their terms and one scoring pass, the batched twin
+    of ``knn_topk_batch``.
+
+    Plan: postings probed ONCE with the union term list (tbucket
+    pruning over the union — still only the queries' own buckets);
+    a broadcast (query_id, term, idx) map fans probe rows out to the
+    queries that contain them (a term shared by two queries scores in
+    both); per-(query, doc) tf pivots onto FIXED idx slots so per-term
+    float contributions combine in literal order (the bm25_scores
+    determinism discipline — never an engine-ordered float sum);
+    per-query df pivots ride one broadcast row per query; ranking is
+    one row_number window partitioned by query_id.
+
+    Output: (query_id, doc_id, bm25, rank) — top-k per query.
+    """
+    max_terms = max(len(q) for q in queries)
+    qmap = spark.createDataFrame(
+        [
+            (qi, t, i)
+            for qi, q in enumerate(queries)
+            for i, t in enumerate(q)
+        ],
+        "query_id int, term string, idx int",
+    )
+    all_terms = tuple(sorted({t for q in queries for t in q}))
+    root = build_text_index(spark, sf_dir)
+    post = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(root, "postings")
+    )
+    tstats = spark.read.schema(TERMSTATS_SCHEMA).parquet(
+        os.path.join(root, "termstats")
+    )
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+
+    # per-query df row: (query_id, _df0.._dfN) — M broadcast rows
+    dfs = (
+        tstats.filter(_probe_pred(all_terms))
+        .join(F.broadcast(qmap), "term")
+        .groupBy("query_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("idx") == i, F.col("df"))), F.lit(0)
+                ).alias(f"_df{i}")
+                for i in range(max_terms)
+            ]
+        )
+    )
+    # per-(query, doc) tf pivot onto fixed idx slots
+    cand = (
+        post.filter(_probe_pred(all_terms))
+        .join(F.broadcast(qmap), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.max("dl").alias("dl"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("idx") == i, F.col("tf"))), F.lit(0)
+                ).alias(f"_tf{i}")
+                for i in range(max_terms)
+            ],
+        )
+    )
+    scored = cand.join(F.broadcast(dfs), "query_id").crossJoin(
+        F.broadcast(stats)
+    )
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+
+    def part(i: int) -> F.Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+            + 1.0
+        )
+        contrib = (
+            idf
+            * (tf * (K1 + 1.0))
+            / (tf + K1 * ((1.0 - B) + B * (F.col("dl") / avgdl)))
+        )
+        return F.when(F.col(f"_tf{i}") > 0, contrib).otherwise(F.lit(0.0))
+
+    total = part(0)
+    for i in range(1, max_terms):
+        total = total + part(i)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id", "doc_id", F.round(total, 4).alias("bm25")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def search_highlight_served(
     spark: SparkSession,
     sf_dir: str,

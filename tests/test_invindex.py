@@ -821,3 +821,24 @@ def test_highlight_picks_densest_window(spark, tmp_path):
         ).collect()
     }
     assert got == {0: (5, 3), 1: (1, 2), 2: (3, 1)}, got
+
+
+def test_batch_bm25_matches_single_query_serving(spark, sf_dir):
+    """Each query's slice of the batched result equals the single-query
+    served ranking — batching changes the plan, never the contract."""
+    from adk_noui_vectordb_spark.operators import invindex
+
+    batch = invindex.bm25_batch_topk_served(spark, sf_dir, k=5).collect()
+    for qi, terms in enumerate(invindex.BATCH_QUERIES):
+        single = invindex.bm25_topk_served(
+            spark, sf_dir, terms=terms, k=5
+        ).collect()
+        got = [
+            (r["doc_id"], r["bm25"])
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qi),
+                key=lambda r: r["rank"],
+            )
+        ]
+        want = [(r["doc_id"], r["bm25"]) for r in single]
+        assert got == want, (qi, terms, got, want)
