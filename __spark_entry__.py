@@ -738,6 +738,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: M queries, ONE probe of the union terms + one scoring
         # pass — the batched twin of knn_batch_topk for the lexical arm.
         "bm25_batch_topk_served": _inv.bm25_batch_topk_served,
+        # r10: Lucene-style explain — the per-term contribution rows of
+        # the top-3 served docs, the exact arms the ranking sums.
+        "bm25_explain_served": _inv.bm25_explain_served,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2884,6 +2887,18 @@ starts AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
 FROM starts GROUP BY 1
 ORDER BY phrase_tf DESC, doc_id LIMIT 10
+""",
+        # Explain: bm_scored already holds the per-(doc, term) arm; keep
+        # the top-3 docs' rows with their tf/df inputs.
+        "bm25_explain_served": f"""
+WITH {_BM25_CTE},
+topd AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 3)
+SELECT s.doc_id, s.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(tdf.df AS BIGINT) AS df, round(s.part, 4) AS contrib
+FROM bm_scored s
+JOIN topd USING (doc_id)
+JOIN tf ON tf.doc_id = s.doc_id AND tf.term = s.term
+JOIN tdf ON tdf.term = s.term
 """,
         # Batch BM25: one probe of the union terms, per-query tf/df
         # pivots on FIXED idx slots (literal-order float combination),

@@ -286,6 +286,24 @@ def bm25_topk_served(
     """Top-k BM25 served from the on-disk index — equals
     ``hybrid.bm25_topk`` row-for-row (same arithmetic, same rounding,
     same tie-break) without ever scanning the corpus at query time."""
+    scored = _bm25_scored(spark, sf_dir, terms)
+    total = _bm25_part(0)
+    for i in range(1, len(terms)):
+        total = total + _bm25_part(i)
+    return (
+        scored.select("doc_id", F.round(total, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """The served-BM25 front half: probe postings/termstats (pruned),
+    pivot per-doc tf and per-term df onto fixed slots, broadcast the
+    corpus stats — one candidate frame carrying every column
+    ``_bm25_part`` scores over. Shared by topk and explain serving."""
     root = build_text_index(spark, sf_dir)
     post = spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(root, "postings"))
     tstats = spark.read.schema(TERMSTATS_SCHEMA).parquet(os.path.join(root, "termstats"))
@@ -317,31 +335,65 @@ def bm25_topk_served(
         )
     )
 
-    scored = cand.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
-    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    return cand.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
 
-    def part(i: int) -> F.Column:
-        tf = F.col(f"_tf{i}").cast("double")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
-            / (F.col(f"_df{i}") + 0.5)
-            + 1.0
-        )
-        contrib = (
-            idf
-            * (tf * (K1 + 1.0))
-            / (tf + K1 * ((1.0 - B) + B * (F.col("dl") / avgdl)))
-        )
-        return F.when(F.col(f"_tf{i}") > 0, contrib).otherwise(F.lit(0.0))
 
-    total = part(0)
+def bm25_explain_served(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    k: int = 3,
+) -> DataFrame:
+    """Lucene-style ``explain``: the per-term score breakdown for the
+    top-k served documents — (doc_id, term, tf, df, contrib) with
+    contrib the EXACT arm of the total (``_bm25_part``, the expression
+    the ranking itself sums), so a row's contribs rounded and added
+    reproduce its ``bm25_topk_served`` score. The relevance-debugging
+    surface every search engine ships and vector-only stores lack."""
+    scored = _bm25_scored(spark, sf_dir, terms)
+    total = _bm25_part(0)
     for i in range(1, len(terms)):
-        total = total + part(i)
-    return (
-        scored.select("doc_id", F.round(total, 4).alias("bm25"))
+        total = total + _bm25_part(i)
+    top = (
+        scored.select("*", F.round(total, 4).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+    slices = [
+        top.filter(F.col(f"_tf{i}") > 0).select(
+            "doc_id",
+            F.lit(t).alias("term"),
+            F.col(f"_tf{i}").cast("bigint").alias("tf"),
+            F.col(f"_df{i}").cast("bigint").alias("df"),
+            F.round(_bm25_part(i), 4).alias("contrib"),
+        )
+        for i, t in enumerate(terms)
+    ]
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def _bm25_part(i: int) -> F.Column:
+    """Slot ``i``'s BM25 contribution over the pivoted columns
+    ``_tf{i}``/``_df{i}``/``dl``/``n_docs``/``tot_dl`` — THE scoring
+    expression every served BM25 variant (single, batch, explain)
+    shares, so their arithmetic cannot drift from ``hybrid.bm25_scores``
+    (same formula, same fixed-literal-order combination discipline)."""
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    tf = F.col(f"_tf{i}").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+        / (F.col(f"_df{i}") + 0.5)
+        + 1.0
+    )
+    contrib = (
+        idf
+        * (tf * (K1 + 1.0))
+        / (tf + K1 * ((1.0 - B) + B * (F.col("dl") / avgdl)))
+    )
+    return F.when(F.col(f"_tf{i}") > 0, contrib).otherwise(F.lit(0.0))
 
 
 def boolean_topk_served(
@@ -541,25 +593,9 @@ def bm25_batch_topk_served(
     scored = cand.join(F.broadcast(dfs), "query_id").crossJoin(
         F.broadcast(stats)
     )
-    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
-
-    def part(i: int) -> F.Column:
-        tf = F.col(f"_tf{i}").cast("double")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
-            / (F.col(f"_df{i}") + 0.5)
-            + 1.0
-        )
-        contrib = (
-            idf
-            * (tf * (K1 + 1.0))
-            / (tf + K1 * ((1.0 - B) + B * (F.col("dl") / avgdl)))
-        )
-        return F.when(F.col(f"_tf{i}") > 0, contrib).otherwise(F.lit(0.0))
-
-    total = part(0)
+    total = _bm25_part(0)
     for i in range(1, max_terms):
-        total = total + part(i)
+        total = total + _bm25_part(i)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(

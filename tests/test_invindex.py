@@ -842,3 +842,26 @@ def test_batch_bm25_matches_single_query_serving(spark, sf_dir):
         ]
         want = [(r["doc_id"], r["bm25"]) for r in single]
         assert got == want, (qi, terms, got, want)
+
+
+def test_explain_contribs_sum_to_served_score(spark, sf_dir):
+    """Every top doc's rounded contribs sum (within rounding slack of
+    the 4-dp arms) to its bm25_topk_served score, and (tf, df) match
+    the postings/termstats the ranking consumed."""
+    from collections import defaultdict
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    served = {
+        r["doc_id"]: r["bm25"]
+        for r in invindex.bm25_topk_served(spark, sf_dir, k=3).collect()
+    }
+    rows = invindex.bm25_explain_served(spark, sf_dir, k=3).collect()
+    assert {r["doc_id"] for r in rows} == set(served)
+    sums = defaultdict(float)
+    for r in rows:
+        assert r["tf"] > 0 and r["df"] > 0
+        sums[r["doc_id"]] += r["contrib"]
+    for doc, s in sums.items():
+        # three 4-dp-rounded arms vs the 4-dp-rounded exact sum
+        assert abs(s - served[doc]) <= 2e-4, (doc, s, served[doc])
