@@ -685,6 +685,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (collection.query(where={...})) — index probe for candidates,
         # narrow metadata projection for the predicate, vecs-store rerank.
         "ann_rp_lsh_filtered_topk": _ann.ann_rp_lsh_filtered_topk,
+        # r10: batched ANN — M queries, one tagged band-table probe,
+        # one vecs-store rerank pass (the knn_topk_batch of the index).
+        "ann_rp_lsh_batch_topk": _ann.ann_rp_lsh_batch_topk,
         # r7: multiprobe recall knob (Hamming-1 bucket expansion per band,
         # Lv et al. VLDB 2007) over the SAME on-disk partitioned band
         # table — recall 1.00 on the isotropic worst case (BASELINE.md)
@@ -2761,6 +2764,37 @@ qe AS (
 SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
 FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
 ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+        # Batched ANN: per-query band pairs tagged by query id, one
+        # candidate dedup, one rerank, one per-query rank window.
+        "ann_rp_lsh_batch_topk": f"""
+WITH {_RP_BANDS_CTE},
+qids(query_id) AS (VALUES (CAST(0 AS BIGINT)), (3), (9)),
+qb AS (
+    SELECT q.query_id, b.band, b.band_key
+    FROM rp_bands b JOIN qids q ON b.vec_id = q.query_id
+),
+cand AS (
+    SELECT DISTINCT q.query_id, b.vec_id
+    FROM rp_bands b JOIN qb q USING (band, band_key)
+    WHERE b.vec_id <> q.query_id
+),
+qe AS (
+    SELECT q.query_id, e.embedding AS q_emb
+    FROM embeddings e JOIN qids q ON e.vec_id = q.query_id
+),
+sims AS (
+    SELECT c.query_id, c.vec_id,
+           {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+    FROM cand c JOIN embeddings e USING (vec_id) JOIN qe USING (query_id)
+)
+SELECT query_id, vec_id, sim, rank FROM (
+    SELECT query_id, vec_id, sim,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, vec_id
+           ) AS INTEGER) AS rank
+    FROM sims
+) WHERE rank <= 5
 """,
         # Filtered ANN: the multiprobe candidate set intersected with
         # the metadata predicate (label = 1) before the exact rerank.

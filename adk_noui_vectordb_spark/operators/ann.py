@@ -569,6 +569,99 @@ def _rp_probe(
     return vecs, cand, qlit
 
 
+def ann_rp_lsh_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_ids: tuple[int, ...] = (0, 3, 9),
+    k: int = 5,
+) -> DataFrame:
+    """Batched ANN: M queries against the RP index in ONE probe + ONE
+    rerank pass — the index-served twin of ``knn_topk_batch`` (and the
+    lexical ``bm25_batch_topk_served``): the reference loops
+    ``collection.query`` per query; here the band table is probed once
+    with every query's (band, band_key) pairs tagged by query id.
+
+    Plan: query signatures come client-side from one vbucket-pruned
+    point lookup per query (M tiny lookups, no corpus job); the tagged
+    probe-pair frame broadcasts against the band table (the scan still
+    prunes to the UNION of probed partitions); candidates dedup per
+    (query, vec_id); the rerank joins the vecs store once and ranks
+    with a single row_number window partitioned by query_id.
+
+    Output: (query_id, vec_id, sim, rank) — top-k per query.
+    """
+    import numpy as np
+
+    ver = _rp_current_dir(spark, sf_dir)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
+    signs_t = np.array(_rp_plane_signs(), dtype=np.int64).T
+    probe_rows = []
+    q_embs = {}
+    for qid in query_vec_ids:
+        qrow = vecs.filter(
+            (F.col("vbucket") == vec_bucket_py(qid))
+            & (F.col("vec_id") == qid)
+        ).select(F.col("emb").alias("q_emb")).head()
+        if qrow is None:
+            raise ValueError(f"query vec_id {qid} not found")
+        q_embs[qid] = qrow["q_emb"]
+        qkeys = _rp_band_keys(
+            np.asarray(qrow["q_emb"], dtype=np.float64)[None, :], signs_t
+        )[0]
+        probe_rows.extend(
+            (qid, b, int(qkeys[b])) for b in range(RP_BANDS)
+        )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, band int, band_key int"
+    )
+    bands = spark.read.schema(RP_BANDS_SCHEMA).parquet(
+        os.path.join(ver, "bands")
+    )
+    # partition pruning over the union of probed (band, band_key) pairs
+    from functools import reduce
+    from operator import or_
+
+    union_pred = reduce(
+        or_,
+        [
+            (F.col("band") == b) & (F.col("band_key") == key)
+            for b, key in sorted({(b, key) for _q, b, key in probe_rows})
+        ],
+    )
+    cand = (
+        bands.filter(union_pred)
+        .join(F.broadcast(probes), ["band", "band_key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    # one rerank pass: per-query literal embedding via a CASE chain
+    # (M tiny literal arrays — the batched form of the qlit broadcast)
+    qcase = None
+    for qid in query_vec_ids:
+        arr = F.expr(
+            "array(" + ",".join(_double_sql(x) for x in q_embs[qid]) + ")"
+        )
+        qcase = (
+            F.when(F.col("query_id") == qid, arr)
+            if qcase is None
+            else qcase.when(F.col("query_id") == qid, arr)
+        )
+    sim = F.round(cosine_similarity(F.col("emb"), qcase), 4)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        cand.join(vecs, "vec_id")
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def ann_rp_lsh_filtered_topk(
     spark: SparkSession,
     sf_dir: str,

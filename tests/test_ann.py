@@ -1166,3 +1166,25 @@ def test_filtered_ann_respects_predicate_and_probe(spark, sf_dir):
         (r["vec_id"], r["sim"]) for r in big if labels[r["vec_id"]] == 1
     ][:10]
     assert [(r["vec_id"], r["sim"]) for r in got] == want
+
+
+def test_batch_ann_matches_single_query_serving(spark, sf_dir):
+    """Each query's slice of the batched probe equals the single-query
+    index serving — the batching is a plan change, not a contract
+    change (the bm25_batch_topk_served discipline on the vector arm)."""
+    from adk_noui_vectordb_spark.operators import ann
+
+    batch = ann.ann_rp_lsh_batch_topk(
+        spark, sf_dir, query_vec_ids=(0, 3, 9), k=5
+    ).collect()
+    for qid in (0, 3, 9):
+        single = ann.ann_rp_lsh_topk(spark, sf_dir, query_vec_id=qid, k=5).collect()
+        got = [
+            (r["vec_id"], r["sim"])
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        want = [(r["vec_id"], r["sim"]) for r in single]
+        assert got == want, (qid, got, want)
