@@ -744,6 +744,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: Lucene-style explain — the per-term contribution rows of
         # the top-3 served docs, the exact arms the ranking sums.
         "bm25_explain_served": _inv.bm25_explain_served,
+        # r10: facet counts over the top-100 search result (per-lang /
+        # per-source panels) from a narrow metadata projection.
+        "search_facet_counts": _inv.search_facet_counts,
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
@@ -2921,6 +2924,17 @@ starts AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
 FROM starts GROUP BY 1
 ORDER BY phrase_tf DESC, doc_id LIMIT 10
+""",
+        # Facets: counts per metadata value over the top-100 ranked docs.
+        "search_facet_counts": f"""
+WITH {_BM25_CTE},
+topd AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+j AS (SELECT d.lang, d.source FROM documents d JOIN topd USING (doc_id))
+SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 2
+UNION ALL
+SELECT 'source' AS facet, source AS value, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 2
 """,
         # Explain: bm_scored already holds the per-(doc, term) arm; keep
         # the top-3 docs' rows with their tf/df inputs.

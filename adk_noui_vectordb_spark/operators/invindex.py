@@ -338,6 +338,36 @@ def _bm25_scored(
     return cand.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
 
 
+def search_facet_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    n_results: int = 100,
+) -> DataFrame:
+    """Facet counts over a search result — the aggregations panel every
+    search UI renders beside the hits (result counts per language, per
+    source): rank the top ``n_results`` docs from the index, then count
+    facet values from a NARROW metadata projection (doc_id, lang,
+    source — column pruning pushed to that scan; metadata lives beside
+    the index, the filtered-ANN split). The result list broadcasts
+    (n_results rows by construction), so facet counting adds zero
+    corpus-sized shuffles at any scale.
+
+    Output: (facet, value, n) for both facets in one frame."""
+    top = bm25_topk_served(spark, sf_dir, terms, k=n_results).select("doc_id")
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    joined = meta.join(F.broadcast(top), "doc_id")
+    lang_c = joined.groupBy(F.col("lang").alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("lang").alias("facet"), "value", "n")
+    src_c = joined.groupBy(F.col("source").alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(F.lit("source").alias("facet"), "value", "n")
+    return lang_c.unionAll(src_c)
+
+
 def bm25_explain_served(
     spark: SparkSession,
     sf_dir: str,

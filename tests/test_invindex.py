@@ -865,3 +865,31 @@ def test_explain_contribs_sum_to_served_score(spark, sf_dir):
     for doc, s in sums.items():
         # three 4-dp-rounded arms vs the 4-dp-rounded exact sum
         assert abs(s - served[doc]) <= 2e-4, (doc, s, served[doc])
+
+
+def test_facet_counts_cover_result_set(spark, sf_dir):
+    """Each facet's counts sum to the ranked-result size, and every
+    (value, n) matches a direct count over the same doc set."""
+    from collections import Counter
+
+    from adk_noui_vectordb_spark.operators import invindex
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    top = {
+        r["doc_id"]
+        for r in invindex.bm25_topk_served(spark, sf_dir, k=100).collect()
+    }
+    meta = {
+        r["doc_id"]: (r["lang"], r["source"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .collect()
+    }
+    want_lang = Counter(meta[d][0] for d in top)
+    want_src = Counter(meta[d][1] for d in top)
+    rows = invindex.search_facet_counts(spark, sf_dir).collect()
+    got_lang = {r["value"]: r["n"] for r in rows if r["facet"] == "lang"}
+    got_src = {r["value"]: r["n"] for r in rows if r["facet"] == "source"}
+    assert got_lang == dict(want_lang)
+    assert got_src == dict(want_src)
+    assert sum(got_lang.values()) == len(top) == sum(got_src.values())
