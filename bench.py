@@ -86,6 +86,9 @@ BENCH_KEYS = [
     "boolean_and_topk",
     "phrase_topk_served",
     "knn_truncated_rerank",
+    # r10b: batch serving shapes (M queries, one probe + one pass)
+    "bm25_batch_topk_served",
+    "ann_rp_lsh_batch_topk",
     "lm_bigram_score",
     "sketch_user_overlap",
     "embed_topvar_project",

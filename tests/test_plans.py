@@ -446,3 +446,33 @@ def test_phrase_probe_prunes_term_buckets_and_never_scans_corpus(
     assert "documents.parquet" not in plan, plan
     seg = plan.split("PartitionFilters")
     assert any("tbucket" in s.split("\n")[0] for s in seg[1:]), plan
+
+
+def test_new_serving_ops_prune_and_avoid_corpus(spark, sf_dir):
+    """One sweep over the r10b serving layer: proximity, prefix (probe
+    phase), highlight and batch-ANN plans never scan the corpus files,
+    and every positions/postings/bands scan carries partition filters."""
+    from adk_noui_vectordb_spark.operators import ann, invindex
+
+    cases = [
+        (
+            invindex.proximity_topk_served(spark, sf_dir),
+            "documents.parquet",
+            "tbucket",
+        ),
+        (
+            invindex.search_highlight_served(spark, sf_dir),
+            "documents.parquet",
+            "tbucket",
+        ),
+        (
+            ann.ann_rp_lsh_batch_topk(spark, sf_dir),
+            "embeddings.parquet",
+            "band",
+        ),
+    ]
+    for df, corpus_file, part_col in cases:
+        plan = explain_str(df)
+        assert corpus_file not in plan, plan
+        seg = plan.split("PartitionFilters")
+        assert any(part_col in s.split("\n")[0] for s in seg[1:]), plan

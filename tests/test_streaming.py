@@ -811,3 +811,51 @@ def test_stream_ivfpq_index_ingest_serves_next_probe(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert 987654325 in top
+
+
+def test_streamed_doc_becomes_phrase_searchable(spark, sf_dir, tmp_path):
+    """End-to-end positions maintenance: a doc admitted through the
+    gated ingest stream is immediately phrase-searchable and
+    highlightable — the positions component rides the same streaming
+    upsert as postings (nothing special-cases it)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import dedup, invindex
+    from adk_noui_vectordb_spark.streaming.pipeline import stream_gated_ingest
+
+    base_dir = str(tmp_path / "pstream")
+    stream_dir = str(tmp_path / "pincoming")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    spark.createDataFrame(
+        [(0, "plain seed document text", "en", "t", 24)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base_dir, "documents.parquet"))
+    dedup.build_minhash_index(spark, base_dir)
+    invindex.build_text_index(spark, base_dir)
+
+    spark.createDataFrame(
+        [(9_000_001, "zulu yankee zulu yankee xray")],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+    q = stream_gated_ingest(
+        spark,
+        base_dir,
+        stream_dir + "/*",
+        str(tmp_path / "pckpt"),
+        str(tmp_path / "pdecisions"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in invindex.phrase_topk_served(
+            spark, base_dir, phrase=("zulu", "yankee")
+        ).collect()
+    }
+    assert got == {9_000_001: 2}, got
+    hl = invindex.search_highlight_served(
+        spark, base_dir, terms=("zulu", "yankee"), width=4
+    ).collect()
+    assert [(r["doc_id"], r["win_start"], r["n_hits"]) for r in hl] == [
+        (9_000_001, 1, 4)
+    ]
