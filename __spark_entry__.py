@@ -62,6 +62,7 @@ from adk_noui_vectordb_spark.sources.corpus import (
     derived_js_sql,
     derived_python_corpus,
 )
+from adk_noui_vectordb_spark.functions import where_dsl as _wdsl
 from adk_noui_vectordb_spark.sources import formats as _fmt
 from adk_noui_vectordb_spark.sources.tables import load_table
 
@@ -550,6 +551,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scans / filters / lookups (SURVEY.md §2.2)
         "filter_by_lang": _roll.filter_by_lang,
         "point_lookup": _roll.point_lookup,
+        # r10c: ChromaDB get(where=..., where_document=...) — the full
+        # public filter DSL compiled to pushed-down Catalyst predicates
+        "docs_where_dsl_filter": _roll.docs_where_dsl_filter,
         # rollups (SURVEY.md §2.4)
         "agg_source_summary": _roll.agg_source_summary,
         "agg_docs_by_lang": _roll.agg_docs_by_lang,
@@ -685,6 +689,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (collection.query(where={...})) — index probe for candidates,
         # narrow metadata projection for the predicate, vecs-store rerank.
         "ann_rp_lsh_filtered_topk": _ann.ann_rp_lsh_filtered_topk,
+        # r10c: the FULL ChromaDB where grammar over the same filtered-
+        # ANN plan — DSL tree compiled by functions/where_dsl.py and
+        # shared with the oracle via where_to_sql
+        "knn_where_dsl_topk": _ann.ann_rp_lsh_where_topk,
         # r10: batched ANN — M queries, one tagged band-table probe,
         # one vecs-store rerank pass (the knn_topk_batch of the index).
         "ann_rp_lsh_batch_topk": _ann.ann_rp_lsh_batch_topk,
@@ -1560,6 +1568,15 @@ WHERE lang = 'es' ORDER BY doc_id LIMIT 10
 """,
         "point_lookup": """
 SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
+""",
+        # The DSL trees render through where_to_sql/where_document_to_sql
+        # — the SAME objects the Spark key compiles (one filter
+        # definition, two engines; the r9 shared-constants discipline).
+        "docs_where_dsl_filter": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_wdsl.where_to_sql(_roll.WHERE_DSL_DEMO)}
+  AND {_wdsl.where_document_to_sql(_roll.WHERE_DOC_DEMO, "text")}
+ORDER BY doc_id LIMIT 50
 """,
         "agg_source_summary": """
 SELECT source, count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -2819,6 +2836,35 @@ cand AS (
 fcand AS (
     SELECT c.vec_id FROM cand c JOIN embeddings e USING (vec_id)
     WHERE e.label = 1
+),
+qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN fcand USING (vec_id) CROSS JOIN qe
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+        # Full where-DSL twin of the filtered-ANN oracle: the predicate
+        # renders from the SAME tree the Spark key compiles
+        # (ann.ANN_WHERE_DEMO through where_to_sql).
+        "knn_where_dsl_topk": f"""
+WITH {_RP_BANDS_CTE},
+qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+qb_exp AS (
+    SELECT band, band_key FROM qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb_exp USING (band, band_key)
+    WHERE b.vec_id <> 0
+),
+fcand AS (
+    SELECT c.vec_id FROM cand c JOIN embeddings e USING (vec_id)
+    WHERE {_wdsl.where_to_sql(_ann.ANN_WHERE_DEMO)}
 ),
 qe AS (
     SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0

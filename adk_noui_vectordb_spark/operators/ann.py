@@ -702,6 +702,42 @@ def ann_rp_lsh_filtered_topk(
     )
 
 
+ANN_WHERE_DEMO = {"$or": [{"label": {"$in": [1, 2, 3]}}, {"label": {"$gte": 8}}]}
+
+
+def ann_rp_lsh_where_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    where: "dict | None" = None,
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """``collection.query(where={...})`` with ChromaDB's FULL filter
+    grammar ($and/$or/$in/$gte/..., functions/where_dsl.py) instead of
+    the single-field equality of ``ann_rp_lsh_filtered_topk`` — the
+    rest of the reference's filtered vector query, same serving plan:
+    band-table probe for candidates (static partition pruning), the
+    compiled predicate pushed into a NARROW metadata projection, exact
+    rerank from the index's own vecs store. The DSL tree is shared with
+    the DuckDB oracle via where_to_sql (one filter, two engines)."""
+    from ..functions.where_dsl import compile_where
+
+    vecs, cand, qlit = _rp_probe(spark, sf_dir, query_vec_id, multiprobe_hamming)
+    meta = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(compile_where(where or ANN_WHERE_DEMO))
+        .select("vec_id")
+    )
+    sim = F.round(cosine_similarity(F.col("emb"), qlit), 4).alias("sim")
+    return (
+        vecs.join(cand.join(meta, "vec_id"), "vec_id")
+        .select("vec_id", sim)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid in exploded (label, pos, c) form: elementwise mean.
 

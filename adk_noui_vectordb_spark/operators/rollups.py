@@ -79,6 +79,42 @@ def filter_by_lang(spark: SparkSession, sf_dir: str, lang: str = "es") -> DataFr
     )
 
 
+WHERE_DSL_DEMO = {
+    "$or": [
+        {"lang": {"$in": ["en", "de"]}, "n_chars": {"$gt": 400}},
+        {"source": {"$eq": "src7"}},
+    ],
+}
+WHERE_DOC_DEMO = {"$and": [{"$contains": "the"}, {"$not_contains": "zzzz"}]}
+
+
+def docs_where_dsl_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    where: "dict | None" = None,
+    where_document: "dict | None" = None,
+) -> DataFrame:
+    """ChromaDB ``get(where=..., where_document=...)`` over the corpus —
+    the FULL public filter grammar, not just the equality shorthand the
+    reference exercises (vector_search_tool.py:39-46,166,219). The DSL
+    compiles to ordinary Catalyst predicates (functions/where_dsl.py),
+    so metadata comparisons push into the parquet scan and the substring
+    test runs JVM-side; the oracle twin renders the SAME trees through
+    where_to_sql, one filter definition for both engines."""
+    from ..functions.where_dsl import compile_where, compile_where_document
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = compile_where(where or WHERE_DSL_DEMO) & compile_where_document(
+        where_document or WHERE_DOC_DEMO, "text"
+    )
+    return (
+        d.filter(pred)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
 def point_lookup(spark: SparkSession, sf_dir: str, doc_id: int = 42) -> DataFrame:
     """Primary-key point lookup (point_lookup_id, vector_search_tool.py:232).
     Pushes an id predicate into the scan (row-group skipping via min/max)."""
