@@ -1,0 +1,688 @@
+"""ChromaDB-compatible ``Collection`` over the versioned index family.
+
+The reference's entire storage surface is a ChromaDB collection:
+``collection.upsert(ids, documents, embeddings, metadatas)`` on the
+write path (coding_agent/tools/indexing_agent.py:332-361),
+``collection.query(query_embeddings, n_results, where={...})`` /
+``collection.get(where={...})`` / ``collection.count()`` on the read
+path (coding_agent/tools/vector_search_tool.py:33-46,149-232). This
+module IS that surface, Spark-first: a ``Collection`` is one versioned
+index root (sources/versioning.py — atomic ``_CURRENT`` commits, CAS
+single-writer enforcement, hardlinked unchanged partitions,
+auto-compaction) holding three components:
+
+    vecs/  vbucket=*          (vec_id, emb)            — vector store
+    bands/ band=*/band_key=*  (vec_id, band, band_key) — RP-LSH table
+    meta/  mbucket=*          (vec_id, id, document, <metadata cols>)
+
+ChromaDB ids are STRINGS; every distributed structure keys on a 60-bit
+md5 surrogate (``sid``) so joins stay BIGINT and point lookups prune to
+one md5 bucket directory. A surrogate collision (two distinct ids, one
+sid) is detected at write time and rejected — at 2^60 the birthday
+bound passes ~10^8 ids per collection comfortably; beyond that, shard
+into multiple collections (documented contract, enforced, never
+silent).
+
+Metadata is SCHEMA-ON-FIRST-WRITE: the first batch's non-reserved
+columns become typed parquet columns (not a string map), so a
+``where`` DSL filter (functions/where_dsl.py) compiles to ordinary
+Catalyst predicates with full pushdown into the meta scan. The schema
+and embedding dim persist in a root-level ``collection.json`` sidecar
+and later batches must match.
+
+Scale shape (the same contracts as the sf_dir-bound index family):
+- ``add``/``upsert`` are APPEND-MOSTLY: brand-new ids write O(batch)
+  and read ZERO existing rows; replaced ids rewrite exactly the
+  partitions holding their stale rows (reverse-mapped by re-banding
+  the OLD vectors from the collection's own vecs store).
+- ``query`` computes band keys CLIENT-side (24 integer dots — no job),
+  probes the band table with literal partition predicates (static
+  pruning), reranks candidates from vecs, and applies ``where`` /
+  ``where_document`` on the meta sidecar — never a corpus scan.
+- ``delete`` rewrites only victim partitions inside one atomic commit.
+- Readers never see a partial write: every mutation is one ``_CURRENT``
+  swing; concurrent writers serialize on the root's writer lock and a
+  stale plan raises ``ConcurrentWriterError`` instead of clobbering.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from ..functions.where_dsl import compile_where, compile_where_document
+from ..operators.ann import (
+    RP_BAND_BITS,
+    RP_BANDS,
+    RP_PLANES,
+    _double_sql,
+    _nonzero_pred,
+    _rp_band_keys,
+    _rp_plane_signs,
+    vec_bucket_expr,
+)
+from ..sources import versioning as vn
+
+N_META_BUCKETS = 32
+BANDS_SCHEMA = "vec_id bigint, band int, band_key int"
+VECS_SCHEMA = "vec_id bigint, emb array<double>, vbucket int"
+_RESERVED = ("id", "document", "embedding", "emb", "vec_id", "mbucket", "vbucket")
+
+_COMPONENTS = [
+    ("bands", ["band", "band_key"]),
+    ("vecs", ["vbucket"]),
+    ("meta", ["mbucket"]),
+]
+
+
+class DuplicateIDError(ValueError):
+    """``add`` of an id that already exists (ChromaDB's add contract —
+    use ``upsert`` for replace semantics)."""
+
+
+class SurrogateCollisionError(RuntimeError):
+    """Two distinct string ids hashed to one 60-bit surrogate."""
+
+
+def _sid_expr(id_col) -> F.Column:
+    """60-bit md5 surrogate — the string-id analog of vec_bucket_expr's
+    md5 discipline; fits a BIGINT with headroom (no sign bit)."""
+    return F.conv(F.substring(F.md5(id_col), 1, 15), 16, 10).cast("bigint")
+
+
+def _sid_py(doc_id: str) -> int:
+    return int(hashlib.md5(doc_id.encode()).hexdigest()[:15], 16)
+
+
+def _mbucket_expr(sid_col) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(sid_col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % N_META_BUCKETS
+    ).cast("int")
+
+
+def _mbucket_py(sid: int) -> int:
+    return int(hashlib.md5(str(sid).encode()).hexdigest()[:8], 16) % N_META_BUCKETS
+
+
+def _mbucket_specs(id_frame: DataFrame) -> frozenset:
+    """Distinct mbucket partition specs of a (vec_id) frame — the
+    distinct runs DISTRIBUTED (<= N_META_BUCKETS rows collect), never a
+    driver-side pass over the victim set."""
+    return frozenset(
+        f"mbucket={r['m']}"
+        for r in id_frame.select(_mbucket_expr(F.col("vec_id")).alias("m"))
+        .distinct()
+        .collect()
+    )
+
+
+class Collection:
+    """One ChromaDB-style collection rooted at ``root`` (a directory
+    this class owns). All reads resolve the current committed version;
+    all writes are atomic versioned commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def _sidecar_path(self) -> str:
+        return os.path.join(self.root, "collection.json")
+
+    def _load_sidecar(self) -> "dict | None":
+        p = self._sidecar_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_sidecar(self, info: dict) -> dict:
+        """Exclusive-create; a racing creator must agree on the config
+        (same first-batch schema) or the loser errors out loudly."""
+        p = self._sidecar_path()
+        try:
+            fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            existing = self._load_sidecar()
+            if existing != info:
+                raise ValueError(
+                    f"collection {self.root}: config mismatch with a "
+                    f"concurrent creator: {existing} != {info}"
+                )
+            return existing
+        with os.fdopen(fd, "w") as f:
+            json.dump(info, f)
+        return info
+
+    def _cur(self) -> "str | None":
+        return vn.current_dir(self.root)
+
+    def _require(self) -> tuple[str, dict]:
+        cur = self._cur()
+        info = self._load_sidecar()
+        if cur is None or info is None:
+            raise ValueError(f"collection {self.root} is empty — add() first")
+        return cur, info
+
+    def _meta(self, cur: str, info: dict) -> DataFrame:
+        return self.spark.read.schema(info["meta_schema"]).parquet(
+            os.path.join(cur, "meta")
+        )
+
+    def _vecs(self, cur: str) -> DataFrame:
+        return self.spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+
+    def _bands(self, cur: str) -> DataFrame:
+        return self.spark.read.schema(BANDS_SCHEMA).parquet(
+            os.path.join(cur, "bands")
+        )
+
+    def _band_rows_for(self, e: DataFrame, dim: int) -> DataFrame:
+        """The RP banding kernel at this collection's dim (the module
+        kernel rp_band_rows_for is fixed at the engine table's RP_DIM;
+        signatures here come from the SAME md5-seeded planes generator,
+        so a 64-dim collection bands byte-identically to the engine)."""
+        import numpy as np
+        import pandas as pd
+
+        signs_t = np.array(_rp_plane_signs(RP_PLANES, dim), dtype=np.int64).T
+
+        def batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+                )
+                if mat.shape[1] != dim:
+                    raise ValueError(
+                        f"collection dim={dim}, got {mat.shape[1]}"
+                    )
+                keys = _rp_band_keys(mat, signs_t)
+                ids = pdf["vec_id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, RP_BANDS),
+                        "band": np.tile(
+                            np.arange(RP_BANDS, dtype=np.int32), len(ids)
+                        ),
+                        "band_key": keys.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return e.mapInPandas(batches, BANDS_SCHEMA)
+
+    # ----------------------------------------------------------- writes
+
+    @staticmethod
+    def _normalize(batch: DataFrame) -> tuple[DataFrame, list[str]]:
+        cols = batch.columns
+        if "id" not in cols or "embedding" not in cols:
+            raise ValueError("batch needs 'id' and 'embedding' columns")
+        meta_cols = [c for c in cols if c not in _RESERVED]
+        atomic = ("string", "bigint", "int", "smallint", "tinyint",
+                  "double", "float", "boolean", "date", "timestamp",
+                  "decimal")
+        for f in batch.schema.fields:
+            if f.name in meta_cols and not f.dataType.simpleString().startswith(atomic):
+                raise ValueError(
+                    f"metadata column {f.name!r} must be a scalar "
+                    f"(ChromaDB metadata values are str/int/float/bool), "
+                    f"got {f.dataType.simpleString()}"
+                )
+        doc = (
+            F.col("document").cast("string")
+            if "document" in cols
+            else F.lit(None).cast("string")
+        )
+        out = batch.select(
+            F.col("id").cast("string").alias("id"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+            doc.alias("document"),
+            *[F.col(c) for c in meta_cols],
+        )
+        return out, meta_cols
+
+    def add(self, batch: DataFrame) -> str:
+        """Insert-only (ChromaDB ``add``): any id already present
+        raises ``DuplicateIDError``."""
+        return self._write(batch, replace=False)
+
+    def upsert(self, batch: DataFrame) -> str:
+        """Insert-or-replace (the reference's write path,
+        indexing_agent.py:332-361): a resubmitted id's vector, document
+        and metadata are replaced atomically across all components."""
+        return self._write(batch, replace=True)
+
+    def _write(self, batch: DataFrame, replace: bool) -> str:
+        b, meta_cols = self._normalize(batch)
+        n = b.count()
+        if n == 0:
+            cur = self._cur()
+            return cur if cur is not None else ""
+        if b.select("id").distinct().count() != n:
+            raise ValueError("duplicate ids within one batch")
+        b = b.withColumn("vec_id", _sid_expr(F.col("id"))).localCheckpoint(
+            eager=True
+        )
+
+        dim = b.select(F.size("emb").alias("d")).agg(
+            F.min("d").alias("lo"), F.max("d").alias("hi")
+        ).head()
+        if dim["lo"] != dim["hi"]:
+            raise ValueError(f"mixed embedding dims {dim['lo']}..{dim['hi']}")
+        meta_schema = ", ".join(
+            ["vec_id bigint", "id string", "document string"]
+            + [
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in b.schema.fields
+                if f.name in meta_cols
+            ]
+            + ["mbucket int"]
+        )
+        info = self._save_sidecar({"dim": dim["lo"], "meta_schema": meta_schema})
+        if info["meta_schema"] != meta_schema:
+            raise ValueError(
+                f"metadata schema mismatch: collection has "
+                f"{info['meta_schema']!r}, batch brings {meta_schema!r}"
+            )
+        if info["dim"] != dim["lo"]:
+            raise ValueError(f"dim mismatch: {info['dim']} != {dim['lo']}")
+
+        batch_ids = b.select("vec_id", "id")
+        batch_bands = self._band_rows_for(
+            b.select("vec_id", "emb").filter(_nonzero_pred()), info["dim"]
+        ).localCheckpoint(eager=True)
+
+        cur = self._cur()
+        if cur is None:
+            # initial build: plain component writes, expected=None
+            try:
+                new = vn.commit_version(
+                    self.spark,
+                    self.root,
+                    self._plan(b, batch_bands, meta_cols, frozenset(), frozenset(), frozenset(), None),
+                    expected=None,
+                )
+            except vn.ConcurrentWriterError:
+                # a racing creator won the initial commit; replay this
+                # batch as an upsert on top of theirs
+                return self._write(batch, replace=True)
+            return new
+
+        # resubmitted ids: pruned reverse-map read from the collection's
+        # own meta store (the vecs store's analog of update_rp_index)
+        mbuckets = sorted(
+            r["m"]
+            for r in b.select(_mbucket_expr(F.col("vec_id")).alias("m"))
+            .distinct()
+            .collect()
+        )
+        old_meta_aff = self._meta(cur, info).filter(F.col("mbucket").isin(mbuckets))
+        clash = (
+            old_meta_aff.join(batch_ids.withColumnRenamed("id", "new_id"), "vec_id")
+            .select("vec_id", "id", "new_id")
+            .localCheckpoint(eager=True)
+        )
+        coll = clash.filter(F.col("id") != F.col("new_id")).head(1)
+        if coll:
+            r = coll[0]
+            raise SurrogateCollisionError(
+                f"ids {r['id']!r} and {r['new_id']!r} share surrogate "
+                f"{r['vec_id']} — shard into another collection"
+            )
+        resub_ids = clash.select("vec_id").localCheckpoint(eager=True)
+        if not replace and resub_ids.head(1):
+            some = [r["vec_id"] for r in resub_ids.head(3)]
+            raise DuplicateIDError(
+                f"add(): ids already present (surrogates {some}) — use upsert()"
+            )
+
+        rw_mb = _mbucket_specs(resub_ids)
+        # victim vectors' stale band/vec partitions, reverse-mapped from
+        # the current vecs store (pruned by the victims' vbuckets)
+        rw_vb, rw_pairs = self._stale_partitions(cur, resub_ids, info["dim"])
+        new = vn.commit_version(
+            self.spark,
+            self.root,
+            self._plan(b, batch_bands, meta_cols, rw_pairs, rw_vb, rw_mb, (cur, info, resub_ids)),
+            expected=os.path.basename(cur),
+            compact=_COMPONENTS,
+        )
+        return new
+
+    def _stale_partitions(self, cur, victim_ids, dim):
+        vbuckets = sorted(
+            r["b"]
+            for r in victim_ids.select(
+                vec_bucket_expr(F.col("vec_id")).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not vbuckets:
+            return frozenset(), frozenset()
+        old = (
+            self._vecs(cur)
+            .filter(F.col("vbucket").isin(vbuckets))
+            .join(victim_ids, "vec_id", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        rw_vb = frozenset(
+            f"vbucket={r['vbucket']}"
+            for r in old.select("vbucket").distinct().collect()
+        )
+        rw_pairs = frozenset(
+            f"band={r['band']}/band_key={r['band_key']}"
+            for r in self._band_rows_for(
+                old.select("vec_id", "emb").filter(_nonzero_pred()), dim
+            )
+            .select("band", "band_key")
+            .distinct()
+            .collect()
+        )
+        return rw_vb, rw_pairs
+
+    def _plan(self, b, batch_bands, meta_cols, rw_pairs, rw_vb, rw_mb, prev):
+        """Component plans: survivors (anti-joined old rows of rewritten
+        partitions) + batch appends — the shared-kernel discipline."""
+        def survivors(read, part_col_set, victim_ids, keep_cols):
+            preds = []
+            for spec in sorted(part_col_set):
+                kv = dict(p.split("=") for p in spec.split("/"))
+                leg = None
+                for c, v in kv.items():
+                    e = F.col(c).cast("string") == v
+                    leg = e if leg is None else (leg & e)
+                preds.append(leg)
+            return (
+                read.filter(reduce(or_, preds))
+                .join(victim_ids, "vec_id", "left_anti")
+                .select(*keep_cols)
+            )
+
+        band_writes, vec_writes, meta_writes = [], [], []
+        if prev is not None:
+            cur, info, resub_ids = prev
+            if rw_pairs:
+                band_writes.append(
+                    survivors(
+                        self._bands(cur), rw_pairs, resub_ids,
+                        ["band", "band_key", "vec_id"],
+                    )
+                )
+            if rw_vb:
+                vec_writes.append(
+                    survivors(
+                        self._vecs(cur), rw_vb, resub_ids,
+                        ["vbucket", "vec_id", "emb"],
+                    )
+                )
+            if rw_mb:
+                meta_writes.append(
+                    survivors(
+                        self._meta(cur, info), rw_mb, resub_ids,
+                        ["mbucket", "vec_id", "id", "document", *meta_cols],
+                    )
+                )
+        band_writes.append(batch_bands.select("band", "band_key", "vec_id"))
+        vec_writes.append(
+            b.select(
+                vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+                "vec_id",
+                "emb",
+            )
+        )
+        meta_writes.append(
+            b.select(
+                _mbucket_expr(F.col("vec_id")).alias("mbucket"),
+                "vec_id",
+                "id",
+                "document",
+                *meta_cols,
+            )
+        )
+        return [
+            vn.Component("bands", ("band", "band_key"), frozenset(rw_pairs), tuple(band_writes)),
+            vn.Component("vecs", ("vbucket",), frozenset(rw_vb), tuple(vec_writes)),
+            vn.Component("meta", ("mbucket",), frozenset(rw_mb), tuple(meta_writes)),
+        ]
+
+    def delete(
+        self,
+        ids: "list[str] | None" = None,
+        where: "dict | None" = None,
+        where_document: "dict | None" = None,
+    ) -> str:
+        """Targeted deletion (ChromaDB ``delete(ids=..., where=...)``):
+        victims resolve from literal ids (mbucket-pruned point reads)
+        and/or compiled DSL predicates on the meta store; only victim
+        partitions rewrite, inside one atomic commit."""
+        if ids is None and where is None and where_document is None:
+            raise ValueError("delete(): pass ids and/or where/where_document")
+        cur, info = self._require()
+        meta = self._meta(cur, info)
+        pred = None
+        if ids is not None:
+            sids = sorted({_sid_py(i) for i in ids})
+            mb = sorted({_mbucket_py(s) for s in sids})
+            pred = F.col("mbucket").isin(mb) & F.col("vec_id").isin(sids)
+        if where is not None:
+            w = compile_where(where)
+            pred = w if pred is None else (pred & w)
+        if where_document is not None:
+            wd = compile_where_document(where_document, "document")
+            pred = wd if pred is None else (pred & wd)
+        victims = meta.filter(pred).select("vec_id").localCheckpoint(eager=True)
+        if not victims.head(1):
+            return cur
+        rw_mb = _mbucket_specs(victims)
+        rw_vb, rw_pairs = self._stale_partitions(cur, victims, info["dim"])
+
+        def survivors(read, specs, keep):
+            preds = []
+            for spec in sorted(specs):
+                kv = dict(p.split("=") for p in spec.split("/"))
+                leg = None
+                for c, v in kv.items():
+                    e = F.col(c).cast("string") == v
+                    leg = e if leg is None else (leg & e)
+                preds.append(leg)
+            return (
+                read.filter(reduce(or_, preds))
+                .join(victims, "vec_id", "left_anti")
+                .select(*keep)
+            )
+
+        comps = [
+            vn.Component(
+                "bands",
+                ("band", "band_key"),
+                rw_pairs,
+                (survivors(self._bands(cur), rw_pairs, ["band", "band_key", "vec_id"]),)
+                if rw_pairs
+                else (),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                rw_vb,
+                (survivors(self._vecs(cur), rw_vb, ["vbucket", "vec_id", "emb"]),)
+                if rw_vb
+                else (),
+            ),
+            vn.Component(
+                "meta",
+                ("mbucket",),
+                rw_mb,
+                (
+                    survivors(
+                        self._meta(cur, info),
+                        rw_mb,
+                        ["mbucket", "vec_id", "id", "document"]
+                        + self._meta_cols(info),
+                    ),
+                )
+                if rw_mb
+                else (),
+            ),
+        ]
+        return vn.commit_version(
+            self.spark,
+            self.root,
+            comps,
+            expected=os.path.basename(cur),
+            compact=_COMPONENTS,
+        )
+
+    @staticmethod
+    def _meta_cols(info: dict) -> list[str]:
+        names = [p.strip().split()[0] for p in info["meta_schema"].split(",")]
+        return [
+            n for n in names if n not in ("vec_id", "id", "document", "mbucket")
+        ]
+
+    # ------------------------------------------------------------ reads
+
+    def count(self) -> int:
+        cur = self._cur()
+        info = self._load_sidecar()
+        if cur is None or info is None:
+            return 0
+        return self._meta(cur, info).count()
+
+    def peek(self, n: int = 10) -> DataFrame:
+        cur, info = self._require()
+        return self._meta(cur, info).drop("mbucket", "vec_id").orderBy("id").limit(n)
+
+    def get(
+        self,
+        ids: "list[str] | None" = None,
+        where: "dict | None" = None,
+        where_document: "dict | None" = None,
+        limit: "int | None" = None,
+    ) -> DataFrame:
+        """ChromaDB ``get``: literal ids prune to their mbucket
+        directories; DSL filters compile to pushed-down predicates.
+        Deterministic: ordered by id."""
+        cur, info = self._require()
+        d = self._meta(cur, info)
+        if ids is not None:
+            sids = sorted({_sid_py(i) for i in ids})
+            mb = sorted({_mbucket_py(s) for s in sids})
+            d = d.filter(F.col("mbucket").isin(mb) & F.col("vec_id").isin(sids))
+        if where is not None:
+            d = d.filter(compile_where(where))
+        if where_document is not None:
+            d = d.filter(compile_where_document(where_document, "document"))
+        d = d.drop("mbucket", "vec_id").orderBy("id")
+        return d.limit(limit) if limit is not None else d
+
+    def query(
+        self,
+        query_embeddings,
+        n_results: int = 10,
+        where: "dict | None" = None,
+        where_document: "dict | None" = None,
+        multiprobe_hamming: int = 1,
+    ) -> DataFrame:
+        """ChromaDB ``query``: RP-LSH probe (client-side band keys →
+        literal partition predicates), vecs-store cosine rerank, DSL
+        post-filter on the meta sidecar, top n_results per query.
+
+        Returns (query_idx, id, distance, document, <metadata>), with
+        ``distance = 1 - round(cos, 4)`` (cosine space). Post-filtering
+        is the right order for LSH (buckets are metadata-blind); the
+        multiprobe default widens candidates because filters thin them.
+        """
+        import numpy as np
+
+        cur, info = self._require()
+        dim = info["dim"]
+        qs = query_embeddings
+        if qs and isinstance(qs[0], (int, float)):
+            qs = [qs]
+        mat = np.asarray(qs, dtype=np.float64)
+        if mat.ndim != 2 or mat.shape[1] != dim:
+            raise ValueError(f"query_embeddings must be n x {dim}")
+        signs_t = np.array(_rp_plane_signs(RP_PLANES, dim), dtype=np.int64).T
+        keys = _rp_band_keys(mat, signs_t)  # n x bands
+
+        probe_rows, pairs = [], set()
+        for qi in range(mat.shape[0]):
+            for b in range(RP_BANDS):
+                ks = {int(keys[qi][b])}
+                if multiprobe_hamming >= 1:
+                    ks |= {
+                        int(keys[qi][b]) ^ (1 << bit)
+                        for bit in range(RP_BAND_BITS)
+                    }
+                for key in sorted(ks):
+                    probe_rows.append((qi, b, key))
+                    pairs.add((b, key))
+
+        probe = self.spark.createDataFrame(
+            probe_rows, "query_idx int, band int, band_key int"
+        )
+        probe_pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("band_key") == k)
+                for b, k in sorted(pairs)
+            ],
+        )
+        cand = (
+            self._bands(cur)
+            .filter(probe_pred)
+            .join(F.broadcast(probe), ["band", "band_key"])
+            .select("query_idx", "vec_id")
+            .distinct()
+        )
+        qlits = F.array(
+            *[
+                F.expr("array(" + ",".join(_double_sql(x) for x in row) + ")")
+                for row in mat
+            ]
+        )
+        scored = (
+            self._vecs(cur)
+            .join(cand, "vec_id")
+            .withColumn("q_emb", F.element_at(qlits, F.col("query_idx") + 1))
+            .select(
+                "query_idx",
+                "vec_id",
+                (
+                    F.lit(1.0)
+                    - F.round(cosine_similarity(F.col("emb"), F.col("q_emb")), 4)
+                ).alias("distance"),
+            )
+        )
+        meta = self._meta(cur, info)
+        if where is not None:
+            meta = meta.filter(compile_where(where))
+        if where_document is not None:
+            meta = meta.filter(compile_where_document(where_document, "document"))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_idx").orderBy(
+            F.asc("distance"), F.asc("id")
+        )
+        return (
+            scored.join(meta.drop("mbucket"), "vec_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_results)
+            .drop("vec_id", "rank")
+            .orderBy("query_idx", "distance", "id")
+        )
