@@ -62,6 +62,7 @@ from adk_noui_vectordb_spark.sources.corpus import (
     derived_js_sql,
     derived_python_corpus,
 )
+from adk_noui_vectordb_spark.api import collection as _coll
 from adk_noui_vectordb_spark.functions import where_dsl as _wdsl
 from adk_noui_vectordb_spark.sources import formats as _fmt
 from adk_noui_vectordb_spark.sources.tables import load_table
@@ -693,6 +694,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN plan — DSL tree compiled by functions/where_dsl.py and
         # shared with the oracle via where_to_sql
         "knn_where_dsl_topk": _ann.ann_rp_lsh_where_topk,
+        # r10c: the ChromaDB-compatible Collection facade end-to-end —
+        # the reference's collection.query / collection.get surface
+        # (vector_search_tool.py:33-46,149-232) over the versioned
+        # vecs+bands+meta components (api/collection.py)
+        "collection_query_topk": _coll.collection_query_topk,
+        "collection_get_where": _coll.collection_get_where,
         # r10: batched ANN — M queries, one tagged band-table probe,
         # one vecs-store rerank pass (the knn_topk_batch of the index).
         "ann_rp_lsh_batch_topk": _ann.ann_rp_lsh_batch_topk,
@@ -2843,6 +2850,48 @@ qe AS (
 SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
 FROM embeddings e JOIN fcand USING (vec_id) CROSS JOIN qe
 ORDER BY sim DESC, e.vec_id LIMIT 10
+""",
+        # Collection facade twins: the collection holds documents INNER
+        # JOIN embeddings (id = 'doc-' || doc_id); its band table is the
+        # same RP kernel over the same vectors, so the candidate set is
+        # the multiprobe CTE's; distance = 1 - rounded cosine; ChromaDB
+        # keeps self-matches. Filter trees render from the api module's
+        # shared constants.
+        "collection_query_topk": f"""
+WITH {_RP_BANDS_CTE},
+qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+qb_exp AS (
+    SELECT band, band_key FROM qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb_exp USING (band, band_key)
+),
+qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+)
+SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS id,
+       1 - {_COS.format(a="e.embedding", b="qe.q_emb")} AS distance,
+       d.lang, d.n_chars
+FROM embeddings e
+JOIN cand USING (vec_id)
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN qe
+WHERE {_wdsl.where_to_sql(_coll.COLLECTION_WHERE_DEMO)}
+ORDER BY distance ASC, id ASC
+LIMIT 10
+""",
+        "collection_get_where": f"""
+SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS id, d.lang, d.source, d.n_chars
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE {_wdsl.where_to_sql(_coll.COLLECTION_GET_WHERE_DEMO)}
+  AND {_wdsl.where_document_to_sql(_coll.COLLECTION_GET_WDOC_DEMO, "d.text")}
+ORDER BY id ASC
+LIMIT 20
 """,
         # Full where-DSL twin of the filtered-ANN oracle: the predicate
         # renders from the SAME tree the Spark key compiles

@@ -82,6 +82,15 @@ _COMPONENTS = [
 ]
 
 
+# Demo filter trees for the driver-checked serving keys — shared with
+# the DuckDB oracles via where_to_sql (one filter, two engines).
+COLLECTION_WHERE_DEMO = {"lang": {"$in": ["en", "de", "fr"]}}
+COLLECTION_GET_WHERE_DEMO = {
+    "$or": [{"lang": "es"}, {"n_chars": {"$gt": 900}}],
+}
+COLLECTION_GET_WDOC_DEMO = {"$contains": "the"}
+
+
 class DuplicateIDError(ValueError):
     """``add`` of an id that already exists (ChromaDB's add contract —
     use ``upsert`` for replace semantics)."""
@@ -686,3 +695,68 @@ class Collection:
             .drop("vec_id", "rank")
             .orderBy("query_idx", "distance", "id")
         )
+
+
+# --------------------------------------------------------------- serving
+# Driver-checked keys: a build-once/serve-many demo collection over the
+# sf_dir corpus (documents INNER JOIN embeddings on doc_id = vec_id —
+# the collection holds exactly the embedded documents), memoized like
+# every other index root.
+
+
+def demo_collection(spark: SparkSession, sf_dir: str) -> Collection:
+    from ..memo import index_root
+    from ..sources.tables import load_table
+
+    root = index_root(
+        "collection_v1", sf_dir, RP_PLANES, RP_BANDS, N_META_BUCKETS
+    )
+    coll = Collection(spark, root)
+    if coll._cur() is None:
+        d = load_table(spark, sf_dir, "documents")
+        e = load_table(spark, sf_dir, "embeddings")
+        batch = e.join(d, e["vec_id"] == d["doc_id"]).select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("text").alias("document"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        coll.add(batch)
+    return coll
+
+
+def collection_query_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """The reference's ``collection.query(query_embeddings, n_results,
+    where={...})`` (vector_search_tool.py:33-46) end-to-end on the
+    facade: client-side band keys -> pruned band probe -> vecs rerank ->
+    DSL post-filter -> top-k. Includes the query's own document
+    (ChromaDB does not exclude self-matches)."""
+    from ..sources.tables import load_table
+
+    coll = demo_collection(spark, sf_dir)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .head()
+    )
+    return coll.query(
+        [float(x) for x in q["e"]],
+        n_results=k,
+        where=COLLECTION_WHERE_DEMO,
+    ).select("id", "distance", "lang", "n_chars")
+
+
+def collection_get_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collection.get(where=..., where_document=...)`` on the facade
+    (vector_search_tool.py:149-232's element/file lookups, full DSL)."""
+    coll = demo_collection(spark, sf_dir)
+    return coll.get(
+        where=COLLECTION_GET_WHERE_DEMO,
+        where_document=COLLECTION_GET_WDOC_DEMO,
+        limit=20,
+    ).select("id", "lang", "source", "n_chars")
