@@ -100,6 +100,9 @@ BENCH_KEYS = [
     "skew_key_profile",
     "triangle_count_nations",
     "knn_join_topk",
+    # r10c: ChromaDB-compatible Collection facade + full where DSL
+    "collection_query_topk",
+    "knn_where_dsl_topk",
 ]
 
 
