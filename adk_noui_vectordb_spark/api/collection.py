@@ -683,14 +683,22 @@ class Collection:
             meta = meta.filter(compile_where(where))
         if where_document is not None:
             meta = meta.filter(compile_where_document(where_document, "document"))
+        joined = scored.join(meta.drop("mbucket"), "vec_id")
+        if mat.shape[0] == 1:
+            # single query: a global top-k collapses to
+            # TakeOrderedAndProject — no rank-window shuffle
+            return (
+                joined.drop("vec_id")
+                .orderBy(F.asc("distance"), F.asc("id"))
+                .limit(n_results)
+            )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("query_idx").orderBy(
             F.asc("distance"), F.asc("id")
         )
         return (
-            scored.join(meta.drop("mbucket"), "vec_id")
-            .withColumn("rank", F.row_number().over(w))
+            joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n_results)
             .drop("vec_id", "rank")
             .orderBy("query_idx", "distance", "id")
