@@ -563,6 +563,17 @@ class Collection:
             n for n in names if n not in ("vec_id", "id", "document", "mbucket")
         ]
 
+    def versions(self) -> "list[dict]":
+        """Time-travel catalog (versioning.list_versions)."""
+        return vn.list_versions(self.root)
+
+    def rollback(self, to: "str | None" = None) -> str:
+        """Undo the last mutation (or roll back to a named on-disk
+        version): one pointer swing under the writer lock — the next
+        read serves the restored state, the abandoned version becomes
+        an orphan the next commit sweeps (versioning.rollback_index)."""
+        return vn.rollback_index(self.root, to)
+
     # ------------------------------------------------------------ reads
 
     def count(self) -> int:

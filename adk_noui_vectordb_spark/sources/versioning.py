@@ -176,6 +176,61 @@ def publish_version(root: str, tmp: str, name: str, expected=_ANY) -> None:
     point_current(root, name)
 
 
+def list_versions(root: str) -> "list[dict]":
+    """On-disk versions of a root, oldest first, with the current flag —
+    the time-travel catalog (a reader may open any listed dir directly;
+    snapshot isolation holds because committed version dirs are
+    immutable)."""
+    cur = current_name(root)
+    out = []
+    for d in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if d.startswith("v_") and os.path.isdir(os.path.join(root, d)):
+            out.append({"name": d, "current": d == cur})
+    return out
+
+
+def rollback_index(root: str, to: "str | None" = None) -> str:
+    """Point ``_CURRENT`` back at an earlier on-disk version — the
+    bad-batch undo (gc keeps the predecessor by default, so the
+    previous version is always available until the NEXT commit).
+
+    The abandoned newer version becomes an orphan: readers already on
+    it finish their scans (its files are untouched), and the next
+    commit's ``publish_version`` sweeps it when the version counter
+    re-reaches its name. Streaming idempotence markers are purged —
+    a replayed batch whose effect was rolled back must RE-apply, and
+    over-application is harmless under the indexes' replace semantics
+    (the marker-key contract, streaming/pipeline.py). Runs under the
+    writer lock: a rollback is a commit like any other, serialized
+    against live writers."""
+    with writer_lock(root):
+        cur = current_name(root)
+        if cur is None:
+            raise ValueError(f"{root}: nothing committed, nothing to roll back")
+        if to is None:
+            older = [
+                v["name"] for v in list_versions(root) if v["name"] < cur
+            ]
+            if not older:
+                raise ValueError(f"{root}: {cur} has no predecessor on disk")
+            to = older[-1]
+        if to == cur:
+            return os.path.join(root, cur)
+        if to > cur:
+            raise ValueError(f"{root}: cannot roll FORWARD {cur} -> {to}")
+        if not os.path.isdir(os.path.join(root, to)):
+            raise ValueError(f"{root}: version {to} is not on disk (gc'd?)")
+        point_current(root, to)
+        applied = os.path.join(root, "applied")
+        if os.path.isdir(applied):
+            for f in os.listdir(applied):
+                try:
+                    os.unlink(os.path.join(applied, f))
+                except OSError:
+                    pass
+    return os.path.join(root, to)
+
+
 def gc_versions(root: str, keep: int = 2) -> None:
     """Delete versions older than the previous one, plus stale tmp dirs
     from crashed writers (they never held the ``_CURRENT`` name), plus

@@ -262,3 +262,20 @@ def test_query_probe_prunes_band_partitions(spark, coll):
     assert "band" in plan  # sanity
     # the probe predicate appears as a data/partition filter on the scan
     assert "band_key" in plan
+
+def test_rollback_undoes_a_bad_batch(spark, coll):
+    mat = _vecs(20, 4)
+    coll.add(_batch(spark, ["a", "b", "c", "d"], mat))
+    assert [v["current"] for v in coll.versions()] == [True]
+    coll.upsert(_batch(spark, ["b"], _vecs(21, 1), langs=["XX"], docs=["corrupted"]))
+    assert coll.get(ids=["b"]).head()["lang"] == "XX"
+    coll.rollback()
+    # the pre-upsert state serves again, end to end
+    assert coll.count() == 4
+    row = coll.get(ids=["b"]).head()
+    assert row["lang"] == "en" and row["document"] == "text of b"
+    top = coll.query([float(x) for x in mat[1]], n_results=1).head()
+    assert top["id"] == "b" and top["distance"] == 0.0
+    # and the collection stays writable after the rollback
+    coll.upsert(_batch(spark, ["e"], _vecs(22, 1)))
+    assert coll.count() == 5

@@ -285,3 +285,62 @@ def test_two_concurrent_text_index_writers_both_land(spark, sf_dir, tmp_path):
         }
 
     assert postings(v_got) == postings(v_want)
+
+
+def test_rollback_restores_previous_version(spark, tmp_path):
+    """The bad-batch undo: rollback re-points _CURRENT at the on-disk
+    predecessor; the next commit overwrites the abandoned orphan."""
+    root = str(tmp_path / "rb")
+    v1 = _commit_kv(spark, root, [(1, "a")], expected=None)
+    v2 = _commit_kv(spark, root, [(2, "bad")], expected=os.path.basename(v1))
+    assert _read_kv(spark, v2) == {(1, "a"), (2, "bad")}
+
+    back = vn.rollback_index(root)
+    assert os.path.basename(back) == os.path.basename(v1)
+    assert vn.current_name(root) == os.path.basename(v1)
+    assert _read_kv(spark, vn.current_dir(root)) == {(1, "a")}
+    # the orphan's files are untouched (readers on it finish)
+    assert os.path.isdir(v2)
+
+    # versions catalog shows both, current flagged
+    names = {v["name"]: v["current"] for v in vn.list_versions(root)}
+    assert names == {os.path.basename(v1): True, os.path.basename(v2): False}
+
+    # next commit reuses the orphan's name and replaces it cleanly
+    v2b = _commit_kv(spark, root, [(3, "good")], expected=os.path.basename(v1))
+    assert os.path.basename(v2b) == os.path.basename(v2)
+    assert _read_kv(spark, vn.current_dir(root)) == {(1, "a"), (3, "good")}
+
+
+def test_rollback_validation(spark, tmp_path):
+    root = str(tmp_path / "rbv")
+    os.makedirs(root)
+    with pytest.raises(ValueError, match="nothing to roll back"):
+        vn.rollback_index(root)
+    v1 = _commit_kv(spark, root, [(1, "a")], expected=None)
+    with pytest.raises(ValueError, match="no predecessor"):
+        vn.rollback_index(root)
+    v2 = _commit_kv(spark, root, [(2, "b")], expected=os.path.basename(v1))
+    with pytest.raises(ValueError, match="FORWARD"):
+        vn.rollback_index(root, to="v_999999")
+    # a third commit gc's v_000000 — rolling back to it must fail loudly
+    _commit_kv(spark, root, [(3, "c")], expected=os.path.basename(v2))
+    assert not os.path.isdir(os.path.join(root, "v_000000"))
+    with pytest.raises(ValueError, match="not on disk"):
+        vn.rollback_index(root, to="v_000000")
+    vn.rollback_index(root, to=os.path.basename(v2))
+    assert vn.current_name(root) == os.path.basename(v2)
+    # no-op rollback to the current name
+    same = vn.rollback_index(root, to=os.path.basename(v2))
+    assert os.path.basename(same) == os.path.basename(v2)
+
+
+def test_rollback_purges_idempotence_markers(spark, tmp_path):
+    root = str(tmp_path / "rbm")
+    v1 = _commit_kv(spark, root, [(1, "a")], expected=None)
+    _commit_kv(spark, root, [(2, "b")], expected=os.path.basename(v1))
+    applied = os.path.join(root, "applied")
+    os.makedirs(applied, exist_ok=True)
+    open(os.path.join(applied, "ingest.v_000000.abc123"), "w").close()
+    vn.rollback_index(root)
+    assert os.listdir(applied) == []
