@@ -747,6 +747,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (df DESC cap, the Lucene top_terms rewrite) to literal terms,
         # then the standard pruned postings probe.
         "prefix_topk_served": _inv.prefix_topk_served,
+        # r10c: fuzzy retrieval — dictionary expansion within Levenshtein
+        # max_edit (length-band prefiltered), capped top_terms rewrite,
+        # literal-term postings probe
+        "fuzzy_topk_served": _inv.fuzzy_topk_served,
         # r10: proximity (SpanNear, unordered) from the positions store
         # — min token distance as the exact-integer relevance metric.
         "proximity_topk_served": _inv.proximity_topk_served,
@@ -3159,6 +3163,24 @@ WITH words AS (
 tf AS (
     SELECT doc_id, term, count(*) AS tf FROM words
     WHERE term LIKE 's%' GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+expd AS (SELECT term FROM tdf ORDER BY df DESC, term LIMIT 4)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total
+FROM tf JOIN expd USING (term) GROUP BY 1
+ORDER BY tf_total DESC, doc_id LIMIT 10
+""",
+        # Fuzzy twin: the dictionary is recomputed from the corpus, the
+        # distance test is DuckDB's levenshtein (same plain edit
+        # distance as Spark's), same df-ranked capped expansion.
+        "fuzzy_topk_served": """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE abs(length(term) - 3) <= 1 AND levenshtein(term, 'sow') <= 1
+    GROUP BY 1, 2
 ),
 tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 expd AS (SELECT term FROM tdf ORDER BY df DESC, term LIMIT 4)

@@ -795,6 +795,65 @@ def prefix_topk_served(
     )
 
 
+def fuzzy_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    term: str = "sow",
+    max_edit: int = 1,
+    max_expansions: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Fuzzy retrieval (Lucene FuzzyQuery, Spark-first): the query term
+    expands against the TERM DICTIONARY to every vocabulary term within
+    ``max_edit`` Levenshtein distance, capped at the ``max_expansions``
+    highest-df matches (df DESC, term ASC — the deterministic
+    top_terms rewrite shared with ``prefix_topk_served``), then the
+    expanded LITERALS probe postings with normal tbucket pruning and
+    exact-BIGINT summed-tf ranking.
+
+    Scale shape: the distance test runs over ``termstats`` — the
+    vocabulary component (~millions of rows where the corpus is
+    trillions), the same cost class as the prefix expansion; a cheap
+    length-band prefilter (``abs(len(t) - len(q)) <= max_edit``)
+    discards most of the dictionary before the DP kernel runs (Lucene
+    gets the same effect from its Levenshtein automaton; the band
+    filter is the declarative equivalent Catalyst can evaluate
+    codegen'd). The only driver-side materialization is the
+    <= max_expansions expansion list.
+    """
+    root = build_text_index(spark, sf_dir)
+    ts = spark.read.schema(TERMSTATS_SCHEMA).parquet(
+        os.path.join(root, "termstats")
+    )
+    qlen = len(term)
+    expanded = tuple(
+        r["term"]
+        for r in ts.filter(
+            (F.abs(F.length("term") - F.lit(qlen)) <= max_edit)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edit)
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    post = spark.read.schema(POSTINGS_SCHEMA).parquet(
+        os.path.join(root, "postings")
+    )
+    if not expanded:
+        return post.select(
+            "doc_id", F.col("tf").cast("bigint").alias("tf_total")
+        ).limit(0)
+    return (
+        post.filter(_probe_pred(expanded))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf_total"))
+        .orderBy(F.desc("tf_total"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def update_text_index(
     spark: SparkSession,
     sf_dir: str,

@@ -893,3 +893,57 @@ def test_facet_counts_cover_result_set(spark, sf_dir):
     assert got_lang == dict(want_lang)
     assert got_src == dict(want_src)
     assert sum(got_lang.values()) == len(top) == sum(got_src.values())
+
+
+def test_fuzzy_expansion_distance_cap_and_lifecycle(spark, tmp_path):
+    """Fuzzy expansion keeps only terms within max_edit (length-band
+    prefiltered), ranks the cap by df, returns empty when nothing is
+    near, and sees terms ingested after an upsert."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import invindex
+
+    base = str(tmp_path / "fuzzysrc")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [
+            (0, "cat cart card x", "en", "t", 15),
+            (1, "cat cat dog x x", "en", "t", 15),
+            (2, "carp x x x x", "en", "t", 12),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    # distance-1 neighborhood of 'cart': cart, card, carp, cat(2? c-a-r-t
+    # -> c-a-t is one deletion = 1). df: cat=2, cart=1, card=1, carp=1;
+    # cap=2 keeps (cat, card? no — df DESC then term ASC: cat(2), then
+    # card/carp/cart tie at 1 -> card first).
+    got = {
+        r["doc_id"]: r["tf_total"]
+        for r in invindex.fuzzy_topk_served(
+            spark, base, term="cart", max_edit=1, max_expansions=2
+        ).collect()
+    }
+    assert got == {1: 2, 0: 2}, got  # doc0: cat+card, doc1: cat*2
+
+    # nothing within distance 1 of a far token
+    assert (
+        invindex.fuzzy_topk_served(spark, base, term="zzzzzz").collect() == []
+    )
+
+    # an upsert adds an exact-match term that dominates by df
+    invindex.update_text_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(3, "cart cart cart"), (4, "cart y")],
+            "doc_id bigint, text string",
+        ),
+    )
+    got = {
+        r["doc_id"]: r["tf_total"]
+        for r in invindex.fuzzy_topk_served(
+            spark, base, term="cart", max_edit=0, max_expansions=2
+        ).collect()
+    }
+    assert got == {3: 3, 0: 1, 4: 1}, got  # exact-only at max_edit=0
