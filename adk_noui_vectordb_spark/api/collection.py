@@ -563,6 +563,133 @@ class Collection:
             n for n in names if n not in ("vec_id", "id", "document", "mbucket")
         ]
 
+    def merge_from(self, other: "Collection", on_conflict: str = "error") -> str:
+        """Merge another collection's contents into this one — the
+        distributed-build pattern: shard the corpus, build per-shard
+        collections IN PARALLEL (each an independent root with its own
+        writer lock), then fold them together. Because every partition
+        value is content-derived by SHARED kernels (band keys from the
+        md5-seeded planes, vbucket/mbucket from md5 of the sid), the
+        source's component rows are valid in the destination AS-IS:
+        a disjoint merge is pure file appends into hardlinked
+        partitions — ZERO re-banding, ZERO re-hashing, zero reads of
+        destination data.
+
+        ``on_conflict`` for ids present in both (detected by one
+        thin-projection join — a merge is corpus-scale by nature):
+        'error' (default), 'keep_self' (destination wins; the add
+        analog), 'replace' (source wins; the upsert analog — victim
+        partitions rewrite exactly as in ``upsert``). Cross-collection
+        surrogate collisions (same sid, different id) always raise."""
+        if on_conflict not in ("error", "keep_self", "replace"):
+            raise ValueError(f"on_conflict: unknown mode {on_conflict!r}")
+        ocur, oinfo = other._require()
+        src_meta = other._meta(ocur, oinfo)
+        src_vecs = other._vecs(ocur)
+        src_bands = other._bands(ocur)
+        meta_cols = self._meta_cols(oinfo)
+
+        cur = self._cur()
+        info = self._load_sidecar()
+        if cur is None:
+            info = self._save_sidecar(dict(oinfo))
+            comps = [
+                vn.Component(
+                    "bands", ("band", "band_key"), frozenset(),
+                    (src_bands.select("band", "band_key", "vec_id"),),
+                ),
+                vn.Component(
+                    "vecs", ("vbucket",), frozenset(),
+                    (src_vecs.select("vbucket", "vec_id", "emb"),),
+                ),
+                vn.Component(
+                    "meta", ("mbucket",), frozenset(),
+                    (src_meta.select("mbucket", "vec_id", "id", "document", *meta_cols),),
+                ),
+            ]
+            return vn.commit_version(
+                self.spark, self.root, comps, expected=None
+            )
+
+        if info != oinfo:
+            raise ValueError(
+                f"merge_from: config mismatch {info} != {oinfo} "
+                f"(same dim and metadata schema required)"
+            )
+        clash = (
+            src_meta.select("vec_id", F.col("id").alias("src_id"))
+            .join(self._meta(cur, info).select("vec_id", "id"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        coll = clash.filter(F.col("id") != F.col("src_id")).head(1)
+        if coll:
+            r = coll[0]
+            raise SurrogateCollisionError(
+                f"ids {r['id']!r} and {r['src_id']!r} share surrogate "
+                f"{r['vec_id']}"
+            )
+        overlap = clash.select("vec_id").localCheckpoint(eager=True)
+        has_overlap = bool(overlap.head(1))
+        if has_overlap and on_conflict == "error":
+            some = [r["vec_id"] for r in overlap.head(3)]
+            raise DuplicateIDError(
+                f"merge_from: ids present in both collections "
+                f"(surrogates {some}) — pass on_conflict="
+                f"'keep_self' or 'replace'"
+            )
+
+        if has_overlap and on_conflict == "keep_self":
+            src_bands = src_bands.join(overlap, "vec_id", "left_anti")
+            src_vecs = src_vecs.join(overlap, "vec_id", "left_anti")
+            src_meta = src_meta.join(overlap, "vec_id", "left_anti")
+
+        rw_vb, rw_pairs, rw_mb = frozenset(), frozenset(), frozenset()
+        if has_overlap and on_conflict == "replace":
+            rw_mb = _mbucket_specs(overlap)
+            rw_vb, rw_pairs = self._stale_partitions(cur, overlap, info["dim"])
+
+        def survivors(read, specs, keep):
+            preds = []
+            for spec in sorted(specs):
+                kv = dict(p.split("=") for p in spec.split("/"))
+                leg = None
+                for c, v in kv.items():
+                    e = F.col(c).cast("string") == v
+                    leg = e if leg is None else (leg & e)
+                preds.append(leg)
+            return (
+                read.filter(reduce(or_, preds))
+                .join(overlap, "vec_id", "left_anti")
+                .select(*keep)
+            )
+
+        band_writes = (
+            [survivors(self._bands(cur), rw_pairs, ["band", "band_key", "vec_id"])]
+            if rw_pairs
+            else []
+        ) + [src_bands.select("band", "band_key", "vec_id")]
+        vec_writes = (
+            [survivors(self._vecs(cur), rw_vb, ["vbucket", "vec_id", "emb"])]
+            if rw_vb
+            else []
+        ) + [src_vecs.select("vbucket", "vec_id", "emb")]
+        meta_keep = ["mbucket", "vec_id", "id", "document", *meta_cols]
+        meta_writes = (
+            [survivors(self._meta(cur, info), rw_mb, meta_keep)] if rw_mb else []
+        ) + [src_meta.select(*meta_keep)]
+        comps = [
+            vn.Component("bands", ("band", "band_key"), rw_pairs, tuple(band_writes)),
+            vn.Component("vecs", ("vbucket",), rw_vb, tuple(vec_writes)),
+            vn.Component("meta", ("mbucket",), rw_mb, tuple(meta_writes)),
+        ]
+        return vn.commit_version(
+            self.spark,
+            self.root,
+            comps,
+            expected=os.path.basename(cur),
+            compact=_COMPONENTS,
+        )
+
     def versions(self) -> "list[dict]":
         """Time-travel catalog (versioning.list_versions)."""
         return vn.list_versions(self.root)

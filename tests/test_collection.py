@@ -279,3 +279,66 @@ def test_rollback_undoes_a_bad_batch(spark, coll):
     # and the collection stays writable after the rollback
     coll.upsert(_batch(spark, ["e"], _vecs(22, 1)))
     assert coll.count() == 5
+
+
+def test_merge_disjoint_shards(spark, tmp_path):
+    """The distributed-build pattern: two shards built independently,
+    folded into one serving collection with zero recompute."""
+    a = Collection(spark, str(tmp_path / "shard_a"))
+    b = Collection(spark, str(tmp_path / "shard_b"))
+    dst = Collection(spark, str(tmp_path / "merged"))
+    ma, mb = _vecs(30, 5), _vecs(31, 5)
+    a.add(_batch(spark, [f"a{i}" for i in range(5)], ma))
+    b.add(_batch(spark, [f"b{i}" for i in range(5)], mb))
+    dst.merge_from(a)  # into empty: adopts config
+    dst.merge_from(b)
+    assert dst.count() == 10
+    # vectors from BOTH shards serve from the merged root
+    for mat, pre in ((ma, "a"), (mb, "b")):
+        top = dst.query([float(x) for x in mat[2]], n_results=1).head()
+        assert top["id"] == f"{pre}2" and top["distance"] == 0.0
+    # component invariants survive the merge
+    cur, info = dst._require()
+    assert dst._vecs(cur).count() == 10
+    assert dst._bands(cur).count() == 10 * RP_BANDS
+
+
+def test_merge_conflict_modes(spark, tmp_path):
+    a = Collection(spark, str(tmp_path / "ca"))
+    b = Collection(spark, str(tmp_path / "cb"))
+    ma, mb = _vecs(32, 3), _vecs(33, 3)
+    a.add(_batch(spark, ["x", "y", "z"], ma, stars=[1, 1, 1]))
+    b.add(_batch(spark, ["y", "w", "v"], mb, stars=[2, 2, 2]))
+    with pytest.raises(DuplicateIDError):
+        a.merge_from(b)
+    # keep_self: destination's y wins
+    a2 = Collection(spark, str(tmp_path / "ca2"))
+    a2.merge_from(a)
+    a2.merge_from(b, on_conflict="keep_self")
+    assert a2.count() == 5
+    assert a2.get(ids=["y"]).head()["stars"] == 1
+    # replace: source's y wins, and its NEW vector serves
+    a3 = Collection(spark, str(tmp_path / "ca3"))
+    a3.merge_from(a)
+    a3.merge_from(b, on_conflict="replace")
+    assert a3.count() == 5
+    assert a3.get(ids=["y"]).head()["stars"] == 2
+    top = a3.query([float(x) for x in mb[0]], n_results=1).head()
+    assert top["id"] == "y" and top["distance"] == 0.0
+    cur, info = a3._require()
+    assert a3._vecs(cur).count() == 5 and a3._meta(cur, info).count() == 5
+
+
+def test_merge_config_mismatch_raises(spark, tmp_path):
+    a = Collection(spark, str(tmp_path / "ma"))
+    a.add(_batch(spark, ["a"], _vecs(34, 1)))
+    b = Collection(spark, str(tmp_path / "mb"))
+    rows = [("b", [0.0] * (DIM + 4), "doc", "en", 1)]
+    b.add(
+        spark.createDataFrame(
+            rows,
+            "id string, embedding array<double>, document string, lang string, stars int",
+        )
+    )
+    with pytest.raises(ValueError, match="config mismatch"):
+        a.merge_from(b)
