@@ -684,6 +684,71 @@ def stream_events_rollup_ingest(
     )
 
 
+def stream_collection_ingest(
+    spark: SparkSession,
+    coll_root: str,
+    batch_stream_dir: str,
+    checkpoint_dir: str,
+    schema: str = "id string, embedding array<double>, document string, lang string",
+):
+    """Streaming writes into the ChromaDB-compatible ``Collection``
+    facade (api/collection.py) — the 13th streaming mode and the full
+    reference loop as one flow: the reference's indexing agent watches
+    for changed files and ``collection.upsert``s them continuously
+    (indexing_agent.py:332-361); here, batches of (id, embedding,
+    document, metadata) rows landing in ``batch_stream_dir`` upsert
+    into the collection root, so ``Collection.query``/``get`` serve a
+    row one micro-batch after it lands.
+
+    ``schema`` is the stream's row shape (Structured Streaming needs a
+    static schema); its metadata columns must match the collection's
+    schema-on-first-write contract — a drifting producer fails loudly
+    at the upsert, never corrupts.
+
+    foreachBatch is AT-LEAST-ONCE; ``Collection.upsert`` is an
+    id-level REPLACE under an atomic CAS commit, so re-application is
+    idempotent, and the version-scoped content-digest marker (the
+    stream_text_index_ingest discipline) skips true re-deliveries
+    without ever skipping a new batch after a checkpoint reset.
+    An EMPTY collection root is fine — the first batch is the initial
+    build (the facade's bootstrap path).
+
+    ``maxFilesPerTrigger=1`` pins one producer file per micro-batch:
+    after a checkpoint reset the file source re-delivers history in
+    its original (mod-time, path) order as SEPARATE upserts, so a
+    replay converges to the same final state even when one id was
+    written at two points in time — coalescing them into one batch
+    would instead trip the facade's duplicate-ids-within-batch check
+    (found by the redelivery test)."""
+    from ..api.collection import Collection
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_stream_dir)
+    )
+    digest_cols = tuple(f.split()[0].strip() for f in schema.split(","))
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        digest = _batch_digest(batch, digest_cols)
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(coll_root, "c", digest)):
+            return  # same content already committed to the current version
+        coll = Collection(batch_df.sparkSession, coll_root)
+        _retry_cas(lambda: coll.upsert(batch))
+        with open(_marker_path(coll_root, "c", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_gated_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -859,3 +859,72 @@ def test_streamed_doc_becomes_phrase_searchable(spark, sf_dir, tmp_path):
     assert [(r["doc_id"], r["win_start"], r["n_hits"]) for r in hl] == [
         (9_000_001, 1, 4)
     ]
+
+
+def test_stream_collection_ingest_serves_next_query(spark, tmp_path):
+    """Batches streamed into the Collection facade serve one micro-batch
+    later; a resubmitted id is replaced; redelivery after a checkpoint
+    reset is a content-digest no-op."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from adk_noui_vectordb_spark.api.collection import Collection
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_collection_ingest,
+    )
+
+    rng = np.random.default_rng(77)
+    root = str(tmp_path / "ccoll")
+    stream_dir = str(tmp_path / "cincoming")
+    os.makedirs(stream_dir)
+
+    def rows(ids, mat, lang="en"):
+        return spark.createDataFrame(
+            [
+                (i, [float(x) for x in mat[j]], f"doc {i}", lang)
+                for j, i in enumerate(ids)
+            ],
+            "id string, embedding array<double>, document string, lang string",
+        )
+
+    m1 = rng.normal(size=(3, 8)).round(3)
+    rows(["s1", "s2", "s3"], m1).write.parquet(os.path.join(stream_dir, "b1"))
+
+    q = stream_collection_ingest(
+        spark, root, stream_dir + "/*", str(tmp_path / "ckpt_c1"),
+        schema="id string, embedding array<double>, document string, lang string",
+    )
+    q.awaitTermination(180)
+
+    coll = Collection(spark, root)
+    assert coll.count() == 3
+    top = coll.query([float(x) for x in m1[1]], n_results=1).head()
+    assert top["id"] == "s2" and top["distance"] == 0.0
+
+    # second batch replaces s2 and adds s4
+    m2 = rng.normal(size=(2, 8)).round(3)
+    rows(["s2", "s4"], m2, lang="fr").write.parquet(
+        os.path.join(stream_dir, "b2")
+    )
+    q = stream_collection_ingest(
+        spark, root, stream_dir + "/*", str(tmp_path / "ckpt_c1"),
+        schema="id string, embedding array<double>, document string, lang string",
+    )
+    q.awaitTermination(180)
+    assert coll.count() == 4
+    assert coll.get(ids=["s2"]).head()["lang"] == "fr"
+    top = coll.query([float(x) for x in m2[0]], n_results=1).head()
+    assert top["id"] == "s2" and top["distance"] == 0.0
+
+    # checkpoint reset: full redelivery must be a no-op
+    ver_before = coll.versions()
+    shutil.rmtree(str(tmp_path / "ckpt_c1"))
+    q = stream_collection_ingest(
+        spark, root, stream_dir + "/*", str(tmp_path / "ckpt_c2"),
+        schema="id string, embedding array<double>, document string, lang string",
+    )
+    q.awaitTermination(180)
+    assert coll.count() == 4
+    assert coll.get(ids=["s2"]).head()["lang"] == "fr"
