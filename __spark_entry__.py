@@ -619,6 +619,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: Z-order (Morton) clustering kernel — the multi-dimensional
         # layout key behind ZORDER BY; exact integer bit interleave
         "zorder_events": _layout.zorder_events,
+        # r10c: training-shard export manifest — salted-md5 balanced
+        # shard assignment, one map-side-combined aggregate
+        "shard_manifest_counts": _layout.shard_manifest_counts,
         "pagerank_trade_graph": _graph.pagerank_customer_supplier,
         "stratified_sample": _text.stratified_sample,
         "split_assignment": _text.split_assignment,
@@ -4014,6 +4017,17 @@ SELECT p.type_a, p.type_b, uni.approx_union,
 FROM pairs p
 JOIN uni USING (type_a, type_b)
 LEFT JOIN ov USING (type_a, type_b)
+""",
+        # Salted-md5 shard assignment replayed in DuckDB hex arithmetic
+        # (n_shards interpolated from the layout module constant).
+        "shard_manifest_counts": f"""
+SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT)
+            % {_layout.N_TRAINING_SHARDS} AS INTEGER) AS shard,
+       count(*) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY shard
 """,
         # Morton interleave (operators/layout.py:z_interleave) replayed
         # as pure integer arithmetic; the time bucket derives from

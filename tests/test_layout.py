@@ -215,3 +215,47 @@ def test_z_interleave_property_roundtrip(spark):
             assert (xr, yr) == (r["x"], r["y"])
 
     check()
+
+
+def test_export_training_shards_roundtrip_and_manifest(spark, sf_dir, tmp_path):
+    """The exported shards hold exactly the corpus (no loss, no dup),
+    every doc lands in its md5-assigned shard, the manifest's realized
+    counts match the data, and maxRecordsPerFile bounds file sizes."""
+    import json
+    import os
+
+    from adk_noui_vectordb_spark.operators import layout
+
+    out = str(tmp_path / "shards")
+    manifest = layout.export_training_shards(
+        spark, sf_dir, out, n_shards=4, max_records_per_file=100
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    assert manifest["n_shards"] == 4
+    assert manifest["total_rows"] == n
+    assert sum(s["rows"] for s in manifest["shards"]) == n
+    # on-disk data equals the corpus and respects the assignment
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert back.count() == n
+    from pyspark.sql import functions as F
+
+    mis = back.filter(
+        F.col("shard") != layout.shard_expr(F.col("doc_id"), 4)
+    ).count()
+    assert mis == 0
+    assert back.select("doc_id").distinct().count() == n
+    # manifest counts match a direct groupBy, and files are bounded
+    direct = {
+        r["shard"]: r["doc_count"]
+        for r in layout.shard_manifest_counts(spark, sf_dir, 4).collect()
+    }
+    for s in manifest["shards"]:
+        assert s["rows"] == direct.get(s["shard"], 0)
+        if s["rows"]:
+            assert s["files"] >= (s["rows"] + 99) // 100
+    # manifest.json is on disk as the completion marker
+    assert json.load(open(os.path.join(out, "manifest.json")))["total_rows"] == n
+    # balance: md5-uniform — no shard more than 2x the mean at n=500
+    rows = [s["rows"] for s in manifest["shards"]]
+    assert max(rows) <= 2 * (n / 4)
