@@ -739,15 +739,25 @@ class Collection:
 
     def query(
         self,
-        query_embeddings,
+        query_embeddings=None,
         n_results: int = 10,
         where: "dict | None" = None,
         where_document: "dict | None" = None,
         multiprobe_hamming: int = 1,
+        query_texts=None,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
         literal partition predicates), vecs-store cosine rerank, DSL
         post-filter on the meta sidecar, top n_results per query.
+
+        ``query_texts`` is the reference's primary entry
+        (``semantic_search(query: str)``, vector_search_tool.py:33-46):
+        the text embeds DRIVER-side through the engine's embedder
+        singleton (operators/embed.py — env-gated SentenceTransformer,
+        deterministic hash-projection fallback), one row, no job — the
+        reference does exactly this before its collection.query. The
+        embedder's dim must match the collection's (a collection built
+        with a different encoder fails loudly, never serves garbage).
 
         Returns (query_idx, id, distance, document, <metadata>), with
         ``distance = 1 - round(cos, 4)`` (cosine space). Post-filtering
@@ -758,6 +768,24 @@ class Collection:
 
         cur, info = self._require()
         dim = info["dim"]
+        if (query_embeddings is None) == (query_texts is None):
+            raise ValueError(
+                "pass exactly one of query_embeddings / query_texts"
+            )
+        if query_texts is not None:
+            from ..operators.embed import _get_model
+
+            model = _get_model()
+            texts = (
+                [query_texts] if isinstance(query_texts, str) else list(query_texts)
+            )
+            query_embeddings = model.encode(texts)
+            if len(query_embeddings[0]) != dim:
+                raise ValueError(
+                    f"embedder dim {len(query_embeddings[0])} != "
+                    f"collection dim {dim} — this collection was not "
+                    f"built with the active embedder"
+                )
         qs = query_embeddings
         if qs and isinstance(qs[0], (int, float)):
             qs = [qs]

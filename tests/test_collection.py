@@ -342,3 +342,41 @@ def test_merge_config_mismatch_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="config mismatch"):
         a.merge_from(b)
+
+
+def test_query_texts_end_to_end(spark, tmp_path):
+    """The reference's semantic_search(query: str) on the facade: docs
+    embedded by the engine's embedder, a text query embeds driver-side
+    and retrieves its own document at distance 0."""
+    from adk_noui_vectordb_spark.operators.embed import _get_model
+
+    model = _get_model()
+    texts = [
+        "spark query filter join",
+        "window sort merge batch",
+        "vector table scan row",
+        "hash group agg key",
+    ]
+    vecs = model.encode(texts)
+    c = Collection(spark, str(tmp_path / "textcoll"))
+    c.add(
+        spark.createDataFrame(
+            [
+                (f"t{i}", vecs[i], texts[i], "en")
+                for i in range(len(texts))
+            ],
+            "id string, embedding array<double>, document string, lang string",
+        )
+    )
+    top = c.query(query_texts=texts[2], n_results=2).collect()
+    assert top[0]["id"] == "t2" and top[0]["distance"] == 0.0
+    # exactly one of embeddings/texts
+    with pytest.raises(ValueError, match="exactly one"):
+        c.query()
+    with pytest.raises(ValueError, match="exactly one"):
+        c.query(query_embeddings=[vecs[0]], query_texts="x")
+    # dim guard: an 8-dim collection rejects the 64-dim embedder
+    c8 = Collection(spark, str(tmp_path / "dim8"))
+    c8.add(_batch(spark, ["a"], _vecs(40, 1)))
+    with pytest.raises(ValueError, match="embedder dim"):
+        c8.query(query_texts="hello")
