@@ -476,3 +476,28 @@ def test_new_serving_ops_prune_and_avoid_corpus(spark, sf_dir):
         assert corpus_file not in plan, plan
         seg = plan.split("PartitionFilters")
         assert any(part_col in s.split("\n")[0] for s in seg[1:]), plan
+
+
+def test_collection_serving_plans_are_index_only(spark, sf_dir):
+    """The facade's serving plans: the query's band scan carries the
+    literal probe pairs as PartitionFilters (static pruning), the meta
+    DSL filter reaches its scan's PushedFilters, and neither plan ever
+    scans the source documents/embeddings parquet — the collection
+    root is the corpus of record."""
+    from adk_noui_vectordb_spark.api import collection as capi
+
+    coll = capi.demo_collection(spark, sf_dir)
+    q = capi.collection_query_topk(spark, sf_dir)
+    plan = explain_str(q)
+    segs = plan.split("PartitionFilters")
+    assert any(
+        "band" in s.split("\n")[0] for s in segs[1:]
+    ), plan  # probed (band, band_key) literals prune the bands scan
+    assert "documents.parquet" not in plan, plan
+    assert "embeddings.parquet" not in plan, plan
+
+    g = coll.get(where={"lang": {"$in": ["en", "de"]}}, limit=5)
+    gplan = explain_str(g)
+    pushed = [ln for ln in gplan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("lang" in ln for ln in pushed), gplan
+    assert "documents.parquet" not in gplan, gplan
