@@ -690,6 +690,50 @@ class Collection:
             compact=_COMPONENTS,
         )
 
+    def fsck(self) -> list:
+        """Integrity check: the generic versioned-root invariants
+        (pointer, orphans, locks, component readability —
+        versioning.fsck_index) plus the facade's semantic invariants:
+        vecs↔meta surrogate sets agree, every band row's vector exists,
+        nonzero vectors band exactly RP_BANDS times, no surrogate maps
+        to two ids. Returns (check, ok, detail) tuples, never raises."""
+        cur = self._cur()
+        info = self._load_sidecar()
+        comps = [
+            ("bands", ["band", "band_key"], BANDS_SCHEMA),
+            ("vecs", ["vbucket"], VECS_SCHEMA),
+        ] + ([("meta", ["mbucket"], info["meta_schema"])] if info else [])
+        out = vn.fsck_index(self.spark, self.root, comps)
+        if cur is None or info is None:
+            return out
+        meta = self._meta(cur, info)
+        vecs = self._vecs(cur)
+        bands = self._bands(cur)
+        a = vecs.join(meta, "vec_id", "left_anti").count()
+        b = meta.join(vecs, "vec_id", "left_anti").count()
+        out.append(
+            ("vecs_meta_same_ids", a == 0 and b == 0, f"vecs_only={a} meta_only={b}")
+        )
+        c = bands.join(vecs, "vec_id", "left_anti").count()
+        out.append(("bands_subset_of_vecs", c == 0, f"dangling={c}"))
+        nz = vecs.filter(_nonzero_pred()).count()
+        nb = bands.count()
+        out.append(
+            (
+                "nonzero_band_fanout",
+                nb == nz * RP_BANDS,
+                f"bands={nb} expect={nz}*{RP_BANDS}",
+            )
+        )
+        dup = (
+            meta.groupBy("vec_id")
+            .agg(F.countDistinct("id").alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        out.append(("surrogates_unique", dup == 0, f"collisions={dup}"))
+        return out
+
     def versions(self) -> "list[dict]":
         """Time-travel catalog (versioning.list_versions)."""
         return vn.list_versions(self.root)
@@ -720,10 +764,15 @@ class Collection:
         where: "dict | None" = None,
         where_document: "dict | None" = None,
         limit: "int | None" = None,
+        include_embeddings: bool = False,
     ) -> DataFrame:
         """ChromaDB ``get``: literal ids prune to their mbucket
         directories; DSL filters compile to pushed-down predicates.
-        Deterministic: ordered by id."""
+        Deterministic: ordered by id. ``include_embeddings`` (the
+        ChromaDB ``include=['embeddings']`` switch) joins the vector
+        payload back from vecs — kept OUT of the default path so a
+        metadata read never pays the fat column (the docvalues split);
+        an ids-bounded get joins a vbucket-pruned slice."""
         cur, info = self._require()
         d = self._meta(cur, info)
         if ids is not None:
@@ -734,6 +783,19 @@ class Collection:
             d = d.filter(compile_where(where))
         if where_document is not None:
             d = d.filter(compile_where_document(where_document, "document"))
+        if include_embeddings:
+            from ..operators.ann import vec_bucket_py
+
+            v = self._vecs(cur)
+            if ids is not None:
+                v = v.filter(
+                    F.col("vbucket").isin(sorted({vec_bucket_py(s) for s in sids}))
+                )
+            d = d.join(
+                v.select("vec_id", F.col("emb").alias("embedding")),
+                "vec_id",
+                "left",
+            )
         d = d.drop("mbucket", "vec_id").orderBy("id")
         return d.limit(limit) if limit is not None else d
 

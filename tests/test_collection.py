@@ -380,3 +380,16 @@ def test_query_texts_end_to_end(spark, tmp_path):
     c8.add(_batch(spark, ["a"], _vecs(40, 1)))
     with pytest.raises(ValueError, match="embedder dim"):
         c8.query(query_texts="hello")
+
+
+def test_fsck_and_include_embeddings(spark, coll):
+    mat = _vecs(50, 6)
+    coll.add(_batch(spark, [f"f{i}" for i in range(6)], mat))
+    coll.upsert(_batch(spark, ["f1"], _vecs(51, 1)))
+    coll.delete(ids=["f4"])
+    checks = coll.fsck()
+    assert all(ok for _c, ok, _d in checks), checks
+    got = coll.get(ids=["f2"], include_embeddings=True).head()
+    assert got["embedding"] == pytest.approx([float(x) for x in mat[2]])
+    # default path carries no vector payload
+    assert "embedding" not in coll.get(ids=["f2"]).columns
