@@ -933,6 +933,65 @@ class Collection:
         )
 
 
+class Client:
+    """``chromadb.PersistentClient`` analog — the last piece of the
+    reference's storage bootstrap (indexing_agent.py:55-70 creates or
+    opens 'code_elements' and 'file_summaries' by name;
+    vector_search_tool.py:22-27 reopens them): NAMED collections under
+    one base directory, each an independent versioned root with its own
+    writer lock (so two collections ingest concurrently without
+    contention — the reference's two-collection layout maps 1:1)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _root(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid collection name {name!r}")
+        return os.path.join(self.path, name)
+
+    def create_collection(self, name: str) -> Collection:
+        """Create a NEW named collection — raises if it exists (the
+        ChromaDB contract; the mkdir is the atomic claim, so racing
+        creators get exactly one winner)."""
+        root = self._root(name)
+        try:
+            os.makedirs(root)
+        except FileExistsError:
+            raise ValueError(f"collection {name!r} already exists") from None
+        return Collection(self.spark, root)
+
+    def get_collection(self, name: str) -> Collection:
+        root = self._root(name)
+        if not os.path.isdir(root):
+            raise ValueError(f"collection {name!r} does not exist")
+        return Collection(self.spark, root)
+
+    def get_or_create_collection(self, name: str) -> Collection:
+        """The reference's actual bootstrap idiom (indexing_agent.py:
+        58-70 is a get/except/create) as the one-call ChromaDB API."""
+        root = self._root(name)
+        os.makedirs(root, exist_ok=True)
+        return Collection(self.spark, root)
+
+    def list_collections(self) -> "list[str]":
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if os.path.isdir(os.path.join(self.path, d)) and not d.startswith(".")
+        )
+
+    def delete_collection(self, name: str) -> None:
+        import shutil
+
+        root = self._root(name)
+        if not os.path.isdir(root):
+            raise ValueError(f"collection {name!r} does not exist")
+        shutil.rmtree(root)
+
+
 # --------------------------------------------------------------- serving
 # Driver-checked keys: a build-once/serve-many demo collection over the
 # sf_dir corpus (documents INNER JOIN embeddings on doc_id = vec_id —

@@ -393,3 +393,31 @@ def test_fsck_and_include_embeddings(spark, coll):
     assert got["embedding"] == pytest.approx([float(x) for x in mat[2]])
     # default path carries no vector payload
     assert "embedding" not in coll.get(ids=["f2"]).columns
+
+
+def test_client_named_collections(spark, tmp_path):
+    """PersistentClient parity: the reference's two-collection layout
+    (code_elements + file_summaries) under one base dir."""
+    from adk_noui_vectordb_spark.api.collection import Client
+
+    cl = Client(spark, str(tmp_path / "chroma"))
+    code = cl.create_collection("code_elements")
+    files = cl.get_or_create_collection("file_summaries")
+    assert cl.list_collections() == ["code_elements", "file_summaries"]
+    with pytest.raises(ValueError, match="already exists"):
+        cl.create_collection("code_elements")
+    with pytest.raises(ValueError, match="does not exist"):
+        cl.get_collection("nope")
+    with pytest.raises(ValueError, match="invalid"):
+        cl.get_collection("../escape")
+
+    code.add(_batch(spark, ["e1", "e2"], _vecs(60, 2)))
+    files.add(_batch(spark, ["f1"], _vecs(61, 1)))
+    # reopen by name — same on-disk state (the vector_search_tool side)
+    assert cl.get_collection("code_elements").count() == 2
+    assert cl.get_collection("file_summaries").count() == 1
+
+    cl.delete_collection("file_summaries")
+    assert cl.list_collections() == ["code_elements"]
+    with pytest.raises(ValueError):
+        cl.delete_collection("file_summaries")

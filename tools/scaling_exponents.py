@@ -100,6 +100,13 @@ KEYS = {
     "proximity_topk_served": "documents",
     "knn_truncated_rerank": "embeddings",
     "ann_rp_lsh_filtered_topk": "embeddings",
+    # r10c additions (where DSL, collection facade, fuzzy, shards)
+    "docs_where_dsl_filter": "documents",
+    "knn_where_dsl_topk": "embeddings",
+    "collection_query_topk": "embeddings",
+    "collection_get_where": "documents",
+    "fuzzy_topk_served": "documents",
+    "shard_manifest_counts": "documents",
 }
 
 
