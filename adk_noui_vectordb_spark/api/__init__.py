@@ -1,3 +1,3 @@
-from .collection import Collection
+from .collection import Client, Collection
 
-__all__ = ["Collection"]
+__all__ = ["Client", "Collection"]
