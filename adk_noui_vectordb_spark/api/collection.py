@@ -580,7 +580,14 @@ class Collection:
         'error' (default), 'keep_self' (destination wins; the add
         analog), 'replace' (source wins; the upsert analog — victim
         partitions rewrite exactly as in ``upsert``). Cross-collection
-        surrogate collisions (same sid, different id) always raise."""
+        surrogate collisions (same sid, different id) always raise.
+
+        DISJOINT merges (and merges into an empty root) take the
+        METADATA-ONLY fast path: the source's parquet files HARDLINK
+        into the new version's partition dirs (Component.
+        merge_from_paths) — O(number of files) directory ops, zero row
+        data read or written; only conflicted merges fall back to
+        rewriting the affected partitions."""
         if on_conflict not in ("error", "keep_self", "replace"):
             raise ValueError(f"on_conflict: unknown mode {on_conflict!r}")
         ocur, oinfo = other._require()
@@ -589,26 +596,28 @@ class Collection:
         src_bands = other._bands(ocur)
         meta_cols = self._meta_cols(oinfo)
 
+        def _link_comps():
+            return [
+                vn.Component(
+                    "bands", ("band", "band_key"),
+                    merge_from_paths=(os.path.join(ocur, "bands"),),
+                ),
+                vn.Component(
+                    "vecs", ("vbucket",),
+                    merge_from_paths=(os.path.join(ocur, "vecs"),),
+                ),
+                vn.Component(
+                    "meta", ("mbucket",),
+                    merge_from_paths=(os.path.join(ocur, "meta"),),
+                ),
+            ]
+
         cur = self._cur()
         info = self._load_sidecar()
         if cur is None:
             info = self._save_sidecar(dict(oinfo))
-            comps = [
-                vn.Component(
-                    "bands", ("band", "band_key"), frozenset(),
-                    (src_bands.select("band", "band_key", "vec_id"),),
-                ),
-                vn.Component(
-                    "vecs", ("vbucket",), frozenset(),
-                    (src_vecs.select("vbucket", "vec_id", "emb"),),
-                ),
-                vn.Component(
-                    "meta", ("mbucket",), frozenset(),
-                    (src_meta.select("mbucket", "vec_id", "id", "document", *meta_cols),),
-                ),
-            ]
             return vn.commit_version(
-                self.spark, self.root, comps, expected=None
+                self.spark, self.root, _link_comps(), expected=None
             )
 
         if info != oinfo:
@@ -636,6 +645,15 @@ class Collection:
                 f"merge_from: ids present in both collections "
                 f"(surrogates {some}) — pass on_conflict="
                 f"'keep_self' or 'replace'"
+            )
+        if not has_overlap:
+            # disjoint: the metadata-only fast path (zero row IO)
+            return vn.commit_version(
+                self.spark,
+                self.root,
+                _link_comps(),
+                expected=os.path.basename(cur),
+                compact=_COMPONENTS,
             )
 
         if has_overlap and on_conflict == "keep_self":
@@ -737,6 +755,19 @@ class Collection:
     def versions(self) -> "list[dict]":
         """Time-travel catalog (versioning.list_versions)."""
         return vn.list_versions(self.root)
+
+    def describe(self) -> dict:
+        """Operational metadata (versioning.describe_index) plus the
+        collection config — the ops dashboard row."""
+        d = vn.describe_index(self.root)
+        d["config"] = self._load_sidecar()
+        return d
+
+    def compact(self, threshold: int = 1) -> "str | None":
+        """Fold accumulated append files (mutations auto-compact past
+        the kernel threshold; this is the explicit maintenance call for
+        a tighter bound before a read-heavy phase)."""
+        return vn.compact_index(self.spark, self.root, _COMPONENTS, threshold)
 
     def rollback(self, to: "str | None" = None) -> str:
         """Undo the last mutation (or roll back to a named on-disk
@@ -849,6 +880,8 @@ class Collection:
                     f"built with the active embedder"
                 )
         qs = query_embeddings
+        if hasattr(qs, "tolist"):
+            qs = qs.tolist()  # accept numpy input without ambiguous-truth traps
         if qs and isinstance(qs[0], (int, float)):
             qs = [qs]
         mat = np.asarray(qs, dtype=np.float64)

@@ -293,6 +293,28 @@ def _link_level(src: str, dst: str, rel: str, skip: frozenset) -> None:
             os.link(sp, os.path.join(dst, name))
 
 
+def _merge_link_files(src_comp: str, dst_comp: str, prefix: str) -> None:
+    """Hardlink every data file of ``src_comp`` into the matching
+    partition dir of ``dst_comp`` (created if absent), filename-prefixed
+    so two sources never collide — the METADATA-ONLY merge primitive:
+    O(number of files) directory operations, zero row reads or writes.
+    The linked inodes stay alive even after the source root gc's or
+    compacts away its directory entries (the same hardlink guarantee
+    the version-linking path relies on)."""
+    for dirpath, _dirs, files in os.walk(src_comp):
+        rel = os.path.relpath(dirpath, src_comp)
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / checksums — dst writes its own
+            d = dst_comp if rel == "." else os.path.join(dst_comp, rel)
+            os.makedirs(d, exist_ok=True)
+            sp, dp = os.path.join(dirpath, f), os.path.join(d, f"{prefix}_{f}")
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy2(sp, dp)  # cross-filesystem merge: EXDEV
+
+
 def link_component(src: str, dst: str) -> None:
     """Hardlink an ENTIRE unchanged component (including _SUCCESS
     markers) into the new version — only safe when the new version
@@ -318,6 +340,12 @@ class Component:
     rewrite: frozenset = frozenset()
     writes: tuple = field(default_factory=tuple)
     link_from: "str | None" = None
+    # absolute component paths of OTHER roots whose data files hardlink
+    # into this component's partition dirs (the metadata-only merge:
+    # zero reads, zero writes of row data — Collection.merge_from's
+    # disjoint fast path). Filenames get a per-source prefix; sources
+    # must share the partition layout and schema (caller-enforced).
+    merge_from_paths: tuple = ()
 
 
 def commit_version(
@@ -372,6 +400,8 @@ def commit_version(
                     df.write.mode("append").partitionBy(
                         *c.partition_cols
                     ).parquet(dst)
+                for j, mp in enumerate(c.merge_from_paths):
+                    _merge_link_files(mp, dst, f"m{j}")
             else:
                 for df in c.writes:
                     df.coalesce(1).write.mode("overwrite").parquet(dst)

@@ -103,6 +103,7 @@ BENCH_KEYS = [
     # r10c: ChromaDB-compatible Collection facade + full where DSL
     "collection_query_topk",
     "knn_where_dsl_topk",
+    "fuzzy_topk_served",
 ]
 
 

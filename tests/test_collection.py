@@ -421,3 +421,34 @@ def test_client_named_collections(spark, tmp_path):
     assert cl.list_collections() == ["code_elements"]
     with pytest.raises(ValueError):
         cl.delete_collection("file_summaries")
+
+
+def test_disjoint_merge_is_metadata_only(spark, tmp_path):
+    """The fast path never reads or writes row data: every data file of
+    the merged version is a HARDLINK (same inode) of a source file."""
+    import os
+
+    a = Collection(spark, str(tmp_path / "ha"))
+    b = Collection(spark, str(tmp_path / "hb"))
+    a.add(_batch(spark, ["a1", "a2"], _vecs(70, 2)))
+    b.add(_batch(spark, ["b1", "b2"], _vecs(71, 2)))
+    dst = Collection(spark, str(tmp_path / "hm"))
+    dst.merge_from(a)
+    dst.merge_from(b)
+
+    def inodes(root_dir):
+        out = set()
+        for dp, _dn, fs in os.walk(root_dir):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out.add(os.stat(os.path.join(dp, f)).st_ino)
+        return out
+
+    cur, info = dst._require()
+    src_inodes = inodes(str(tmp_path / "ha")) | inodes(str(tmp_path / "hb"))
+    for comp in ("bands", "vecs", "meta"):
+        got = inodes(os.path.join(cur, comp))
+        assert got and got <= src_inodes, comp  # every file linked, none rewritten
+    # and it still SERVES correctly
+    assert dst.count() == 4
+    assert all(ok for _c, ok, _d in dst.fsck()), dst.fsck()
