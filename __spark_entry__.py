@@ -672,6 +672,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dim_stats": _embed.embed_dim_stats,
         "embed_topvar_project": _embed.embed_topvar_project,
         "knn_text_query": _embed.knn_text_query,
+        # r10c: multi-vector retrieval — chunk-granular embeddings,
+        # per-doc max-sim fold (the parent-document pattern over the
+        # reference's chunked collection)
+        "chunked_maxsim_topk": _embed.chunked_maxsim_topk,
         "knn_file_summary_query": _embed.knn_file_summary_query,
         "file_context": _idx.file_context,
         # approximate ANN (SURVEY.md §4). r6: the engine-owned
@@ -3399,6 +3403,62 @@ WITH qtok AS (
 SELECT n.doc_id, round(coalesce(dots.draw, 0) / (n.norm * qn.qnorm), 4) AS sim
 FROM n LEFT JOIN dots ON n.doc_id = dots.doc_id CROSS JOIN qn
 ORDER BY sim DESC, n.doc_id
+LIMIT 5
+""",
+        # Multi-vector twin: per-(doc, chunk) signed bucket sums computed
+        # straight from the tokens (embedding == f(tokens), so the chunk
+        # text never needs reassembly); chunk_id = floor((pos-1)/8)
+        # mirrors the chunker's 0-based floor(pos/8). Zero-norm chunks
+        # (sign-cancelled buckets) score 0 exactly as the Python
+        # encoder's norm>0 guard does.
+        "chunked_maxsim_topk": """
+WITH qtok AS (
+    SELECT unnest(['spark', 'query', 'filter', 'join']) AS w
+), qh AS (
+    SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM qtok
+), qb AS (
+    SELECT CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM qh
+), qs AS (
+    SELECT bucket, CAST(sum(sign) AS DOUBLE) AS v FROM qb GROUP BY 1
+), qn AS (
+    SELECT sqrt(sum(v * v)) AS qnorm FROM qs
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), ctok AS (
+    SELECT doc_id, CAST(floor((pos - 1) / 8) AS INTEGER) AS chunk_id, w
+    FROM tok
+), h AS (
+    SELECT doc_id, chunk_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM ctok
+), b AS (
+    SELECT doc_id, chunk_id, CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM h
+), s AS (
+    SELECT doc_id, chunk_id, bucket, CAST(sum(sign) AS DOUBLE) AS v
+    FROM b GROUP BY 1, 2, 3
+), n AS (
+    SELECT doc_id, chunk_id, sqrt(sum(v * v)) AS norm FROM s GROUP BY 1, 2
+), dots AS (
+    SELECT s.doc_id, s.chunk_id, sum(s.v * qs.v) AS draw
+    FROM s JOIN qs USING (bucket) GROUP BY 1, 2
+), csim AS (
+    SELECT n.doc_id,
+           CASE WHEN n.norm = 0 THEN 0.0
+                ELSE round(coalesce(d.draw, 0) / (n.norm * qn.qnorm), 4)
+           END AS sim
+    FROM n
+    LEFT JOIN dots d ON n.doc_id = d.doc_id AND n.chunk_id = d.chunk_id
+    CROSS JOIN qn
+)
+SELECT doc_id, max(sim) AS max_sim, count(*) AS n_chunks
+FROM csim GROUP BY 1
+ORDER BY max_sim DESC, doc_id
 LIMIT 5
 """,
         "multimodal_features": """

@@ -151,6 +151,55 @@ def knn_text_query(
     )
 
 
+def chunked_maxsim_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = DEFAULT_QUERY_TEXT,
+    chunk_size: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Multi-vector (parent-document) retrieval: chunk-granular
+    embeddings, document-granular results — each doc is represented by
+    ALL its chunk vectors and scores as the MAX chunk similarity (the
+    late-interaction max-sim reduction, one vector per chunk instead of
+    ColBERT's one per token). This is what a reference user actually
+    runs: the reference chunks files before embedding
+    (indexing_agent.py:290-312), so a file-level answer needs exactly
+    this chunk→max→doc fold on top of its chunk-level collection.
+
+    Plan shape: the shared fixed-word chunker → ONE Arrow embed pass
+    over chunks → broadcast query literal dot → per-doc max, which is a
+    map-side-combinable aggregate (max commutes), then
+    TakeOrderedAndProject. At 100 TB the chunk vectors live in the RP
+    index and the candidate set comes from a probe; the fold here is
+    the same groupBy-max over candidates only.
+    """
+    from .chunking import chunk_fixed_words
+
+    qvec = _get_model().encode([query_text])[0]
+    chunks = chunk_fixed_words(spark, sf_dir, chunk_size)
+    embed = make_embed_udf()
+    emb = chunks.select(
+        "doc_id", embed(F.col("chunk_text")).alias("embedding")
+    )
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select("doc_id", F.round(dot, 4).alias("sim"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("sim").alias("max_sim"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .orderBy(F.desc("max_sim"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def embed_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-comparable exploded view of the embedding output:
     (doc_id, bucket, weight) for nonzero buckets. Proves the pandas_udf
