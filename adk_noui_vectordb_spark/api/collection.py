@@ -56,7 +56,7 @@ from operator import or_
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, dot_product, l2_distance
 from ..functions.where_dsl import compile_where, compile_where_document
 from ..operators.ann import (
     RP_BAND_BITS,
@@ -140,9 +140,21 @@ class Collection:
     this class owns). All reads resolve the current committed version;
     all writes are atomic versioned commits."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, space: str = "cosine"):
+        """``space`` is ChromaDB's ``hnsw:space`` — 'cosine' (default),
+        'l2', or 'ip' — fixed at creation (persisted in the sidecar; a
+        later open with a different value raises rather than silently
+        reranking in the wrong metric — the r10 recall-measurement
+        lesson: distance must be measured in the index's own metric).
+        Candidates always come from the angular RP-LSH probe; for the
+        normalized embeddings the reference stores, all three spaces
+        rank identically, and for unnormalized data l2/ip still rerank
+        EXACTLY in their own metric over the probed candidates."""
+        if space not in ("cosine", "l2", "ip"):
+            raise ValueError(f"unknown space {space!r}")
         self.spark = spark
         self.root = root
+        self.space = space
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -155,7 +167,15 @@ class Collection:
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)
+            info = json.load(f)
+        stored = info.get("space", "cosine")
+        if stored != self.space:
+            raise ValueError(
+                f"collection {self.root} was created with space="
+                f"{stored!r}; reopen with that space (metric mismatch "
+                f"silently corrupts rankings)"
+            )
+        return info
 
     def _save_sidecar(self, info: dict) -> dict:
         """Exclusive-create; a racing creator must agree on the config
@@ -301,7 +321,9 @@ class Collection:
             ]
             + ["mbucket int"]
         )
-        info = self._save_sidecar({"dim": dim["lo"], "meta_schema": meta_schema})
+        info = self._save_sidecar(
+            {"dim": dim["lo"], "meta_schema": meta_schema, "space": self.space}
+        )
         if info["meta_schema"] != meta_schema:
             raise ValueError(
                 f"metadata schema mismatch: collection has "
@@ -591,6 +613,11 @@ class Collection:
         if on_conflict not in ("error", "keep_self", "replace"):
             raise ValueError(f"on_conflict: unknown mode {on_conflict!r}")
         ocur, oinfo = other._require()
+        if oinfo.get("space", "cosine") != self.space:
+            raise ValueError(
+                f"merge_from: source space {oinfo.get('space', 'cosine')!r} "
+                f"!= destination space {self.space!r}"
+            )
         src_meta = other._meta(ocur, oinfo)
         src_vecs = other._vecs(ocur)
         src_bands = other._bands(ocur)
@@ -926,18 +953,18 @@ class Collection:
                 for row in mat
             ]
         )
+        e, qe = F.col("emb"), F.col("q_emb")
+        if self.space == "l2":
+            dist = F.round(l2_distance(e, qe), 4)
+        elif self.space == "ip":
+            dist = F.round(-dot_product(e, qe), 4)  # Chroma ip: 1 - <a,b>, shift-free rank twin
+        else:
+            dist = F.lit(1.0) - F.round(cosine_similarity(e, qe), 4)
         scored = (
             self._vecs(cur)
             .join(cand, "vec_id")
             .withColumn("q_emb", F.element_at(qlits, F.col("query_idx") + 1))
-            .select(
-                "query_idx",
-                "vec_id",
-                (
-                    F.lit(1.0)
-                    - F.round(cosine_similarity(F.col("emb"), F.col("q_emb")), 4)
-                ).alias("distance"),
-            )
+            .select("query_idx", "vec_id", dist.alias("distance"))
         )
         meta = self._meta(cur, info)
         if where is not None:

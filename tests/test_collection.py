@@ -452,3 +452,30 @@ def test_disjoint_merge_is_metadata_only(spark, tmp_path):
     # and it still SERVES correctly
     assert dst.count() == 4
     assert all(ok for _c, ok, _d in dst.fsck()), dst.fsck()
+
+
+def test_distance_spaces(spark, tmp_path):
+    """l2 and ip spaces rerank in their OWN metric; a reopen with the
+    wrong space fails loudly (the metric-mismatch guard)."""
+    import numpy as np
+
+    mat = _vecs(80, 10)
+    q = _vecs(81, 1)[0]
+    l2 = Collection(spark, str(tmp_path / "l2c"), space="l2")
+    l2.add(_batch(spark, [f"v{i}" for i in range(10)], mat))
+    got = [(r["id"], r["distance"]) for r in l2.query([float(x) for x in q], n_results=3).collect()]
+    want = sorted(
+        (round(float(np.linalg.norm(mat[i] - q)), 4), f"v{i}") for i in range(10)
+    )[:3]
+    assert got == [(i, pytest.approx(d)) for d, i in want]
+
+    ip = Collection(spark, str(tmp_path / "ipc"), space="ip")
+    ip.add(_batch(spark, [f"v{i}" for i in range(10)], mat))
+    got_ip = [r["id"] for r in ip.query([float(x) for x in q], n_results=3).collect()]
+    want_ip = [f"v{i}" for i, _ in sorted(enumerate(-(mat @ q)), key=lambda t: (round(float(t[1]), 4), f"v{t[0]}"))[:3]]
+    assert got_ip == want_ip
+
+    with pytest.raises(ValueError, match="space"):
+        Collection(spark, str(tmp_path / "l2c")).count()
+    with pytest.raises(ValueError, match="unknown space"):
+        Collection(spark, str(tmp_path / "x"), space="hamming")
