@@ -701,6 +701,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN plan — DSL tree compiled by functions/where_dsl.py and
         # shared with the oracle via where_to_sql
         "knn_where_dsl_topk": _ann.ann_rp_lsh_where_topk,
+        # r10c: per-group top-k from one probe (multi-tenant serving)
+        "ann_grouped_topk": _ann.ann_grouped_topk,
         # r10c: the ChromaDB-compatible Collection facade end-to-end —
         # the reference's collection.query / collection.get surface
         # (vector_search_tool.py:33-46,149-232) over the versioned
@@ -2903,6 +2905,40 @@ WHERE {_wdsl.where_to_sql(_coll.COLLECTION_GET_WHERE_DEMO)}
   AND {_wdsl.where_document_to_sql(_coll.COLLECTION_GET_WDOC_DEMO, "d.text")}
 ORDER BY id ASC
 LIMIT 20
+""",
+        # Grouped twin: same multiprobe candidates, one rank window per
+        # label over the rounded-cosine rerank.
+        "ann_grouped_topk": f"""
+WITH {_RP_BANDS_CTE},
+qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+qb_exp AS (
+    SELECT band, band_key FROM qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb_exp USING (band, band_key)
+    WHERE b.vec_id <> 0
+),
+qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+    SELECT e.label, e.vec_id,
+           {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe
+)
+SELECT label, vec_id, sim, rank FROM (
+    SELECT label, vec_id, sim,
+           CAST(row_number() OVER (
+               PARTITION BY label ORDER BY sim DESC, vec_id
+           ) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 3
+ORDER BY label, rank
 """,
         # Full where-DSL twin of the filtered-ANN oracle: the predicate
         # renders from the SAME tree the Spark key compiles

@@ -738,6 +738,36 @@ def ann_rp_lsh_where_topk(
     )
 
 
+def ann_grouped_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 3,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Per-GROUP top-k from ONE probe — the multi-tenant serving shape
+    (top-k within every label/tenant/source in a single query instead
+    of one filtered query per group): shared RP multiprobe for
+    candidates, vecs-store rerank, narrow (vec_id, label) metadata
+    join, one rank window partitioned by group. At 100 TB the window
+    shuffles only candidate rows (probe-sized), never the corpus, and
+    replaces G sequential filtered queries with one plan."""
+    from pyspark.sql.window import Window
+
+    vecs, cand, qlit = _rp_probe(spark, sf_dir, query_vec_id, multiprobe_hamming)
+    meta = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    sim = F.round(cosine_similarity(F.col("emb"), qlit), 4).alias("sim")
+    w = Window.partitionBy("label").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        vecs.join(cand, "vec_id")
+        .join(meta, "vec_id")
+        .select("label", "vec_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("label", "rank")
+    )
+
+
 def ivf_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid in exploded (label, pos, c) form: elementwise mean.
 

@@ -113,6 +113,11 @@ KEYS = {
 def main() -> None:
     from adk_noui_vectordb_spark.session import get_spark
 
+    # optional argv key filter: `python tools/scaling_exponents.py key1 key2`
+    global KEYS
+    if len(sys.argv) > 1:
+        KEYS = {k: KEYS[k] for k in sys.argv[1:]}
+
     spark = get_spark(app_name="scaling-exponents")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entrymod
