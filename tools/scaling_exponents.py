@@ -107,6 +107,8 @@ KEYS = {
     "collection_get_where": "documents",
     "fuzzy_topk_served": "documents",
     "shard_manifest_counts": "documents",
+    "chunked_maxsim_topk": "documents",
+    "ann_grouped_topk": "embeddings",
 }
 
 
