@@ -739,6 +739,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_index_doc_map": _inv.text_index_doc_map,
         "rp_index_vec_rows": _ann.rp_index_vec_rows,
         "bm25_topk_served": _inv.bm25_topk_served,
+        # r10c: keyset pagination (search_after) — page 2 by cursor
+        "bm25_page2_served": _inv.bm25_search_after,
         # r10: boolean query layer (AND / OR / NOT) over the same
         # on-disk postings — exact-integer tf ranking, one pruned probe
         # (NOT terms ride it: a posting row disqualifies, no rescans).
@@ -3024,6 +3026,16 @@ SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
         "bm25_topk_served": f"""
 WITH {_BM25_CTE}
 SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+        # search_after twin: cursor = last row of page 1 in rank order;
+        # page 2 = rows strictly after the (bm25, doc_id) cursor.
+        "bm25_page2_served": f"""
+WITH {_BM25_CTE},
+p1 AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+cur AS (SELECT bm25 AS s, doc_id AS d FROM p1 ORDER BY bm25 ASC, doc_id DESC LIMIT 1)
+SELECT b.doc_id, b.bm25 FROM bm b, cur
+WHERE b.bm25 < cur.s OR (b.bm25 = cur.s AND b.doc_id > cur.d)
+ORDER BY b.bm25 DESC, b.doc_id LIMIT 10
 """,
         # Boolean retrieval: tf pivot per doc over the probed terms,
         # AND/OR/NOT as integer predicates, exact-BIGINT tf_total rank

@@ -297,6 +297,44 @@ def bm25_topk_served(
     )
 
 
+def bm25_search_after(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    k: int = 10,
+) -> DataFrame:
+    """Keyset pagination (Lucene's ``search_after``): page 2 of the
+    served BM25 ranking, selected by a CURSOR predicate on the last
+    row of page 1 — ``(bm25, doc_id)`` strictly after the cursor in
+    rank order — never OFFSET. Deterministic under concurrent reads
+    (the cursor names a position, not a row count) and at scale the
+    filter keeps the top-k heap at k instead of from+size; a deep
+    OFFSET page re-sorts and discards everything above it. Comparing
+    the 4-dp-rounded score for equality is exact — both engines carry
+    identical rounded doubles (the bm25 hash-match contract)."""
+    scored = _bm25_scored(spark, sf_dir, terms)
+    total = _bm25_part(0)
+    for i in range(1, len(terms)):
+        total = total + _bm25_part(i)
+    ranked = scored.select("doc_id", F.round(total, 4).alias("bm25"))
+    cur = (
+        ranked.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+        .orderBy(F.asc("bm25"), F.desc("doc_id"))
+        .head()
+    )
+    if cur is None:
+        return ranked.limit(0)
+    after = (F.col("bm25") < cur["bm25"]) | (
+        (F.col("bm25") == cur["bm25"]) & (F.col("doc_id") > cur["doc_id"])
+    )
+    return (
+        ranked.filter(after)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _bm25_scored(
     spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
 ) -> DataFrame:

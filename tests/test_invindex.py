@@ -947,3 +947,16 @@ def test_fuzzy_expansion_distance_cap_and_lifecycle(spark, tmp_path):
         ).collect()
     }
     assert got == {3: 3, 0: 1, 4: 1}, got  # exact-only at max_edit=0
+
+
+def test_search_after_is_disjoint_continuation(spark, sf_dir):
+    """Page 2 starts exactly after page 1: disjoint doc sets, every
+    page-2 row ranks strictly after every page-1 row, and page1+page2
+    equals the top-20 of a single query."""
+    p1 = [tuple(r) for r in invindex.bm25_topk_served(spark, sf_dir, k=10).collect()]
+    p2 = [tuple(r) for r in invindex.bm25_search_after(spark, sf_dir, k=10).collect()]
+    top20 = [
+        tuple(r) for r in invindex.bm25_topk_served(spark, sf_dir, k=20).collect()
+    ]
+    assert p1 + p2 == top20
+    assert {d for d, _ in p1}.isdisjoint({d for d, _ in p2})
