@@ -481,6 +481,31 @@ _CHECKED_R9 = frozenset({
     "upsert_latest_events", "winnow_fingerprints",
 })
 
+# Green (rows+schema+hash) in CORRECTNESS_r10.json — all 50 window keys:
+# the 20 new r10 keys (facade, query language, IVFPQ, rollup, shards), the
+# 6 r10 rewrites (gate broadcasts + text-index v3 cohort), and the rotated
+# r6 cohort (indexing projections/aggregations, roundtrips, diagnostics).
+_CHECKED_R10 = frozenset({
+    "agg_diag_counts", "agg_elements_by_type", "agg_file_summary",
+    "agg_group_structure", "ann_grouped_topk", "ann_ivfpq_topk",
+    "ann_rp_lsh_batch_topk", "ann_rp_lsh_filtered_topk",
+    "bm25_batch_topk_served", "bm25_explain_served", "bm25_page2_served",
+    "bm25_topk_served", "boolean_and_topk", "boolean_or_not_topk",
+    "chunked_maxsim_topk", "cluster_kmeans", "collection_get_where",
+    "collection_query_topk", "corpus_diagnostics", "csv_roundtrip",
+    "decontaminate_corpus", "dedup_gate_against_index",
+    "dedup_gate_intra_batch", "dedup_simhash_pairs", "diag_python_flakes",
+    "docs_where_dsl_filter", "events_rollup_daily",
+    "events_rollup_type_daily", "fuzzy_topk_served",
+    "hybrid_rrf_served_topk", "inverted_postings_rows", "jsonl_roundtrip",
+    "knn_join_ivf_topk", "knn_join_topk", "knn_truncated_rerank",
+    "knn_where_dsl_topk", "phrase_topk_served", "prefix_topk_served",
+    "project_element_ids", "project_searchable_text", "project_truncate",
+    "proximity_topk_served", "quality_repetition", "search_facet_counts",
+    "search_highlight_served", "semdedup_prune", "shard_manifest_counts",
+    "simhash_signatures", "text_index_doc_map", "tokenize_bpe_encode",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -494,6 +519,7 @@ for _rnd, _s in (
     (7, _CHECKED_R7),
     (8, _CHECKED_R8),
     (9, _CHECKED_R9),
+    (10, _CHECKED_R10),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -502,26 +528,25 @@ for _rnd, _s in (
 # (ADVICE r5, medium): a rewrite strips checked status so the next driver
 # window re-verifies the NEW code at sf0.01 before anything else.
 # Maintained per-round: when a rewritten key gets a fresh green row, move
-# it into that round's _CHECKED set and drop it here. r10: all 16 r9
-# rewrites greened in CORRECTNESS_r09 and moved to _CHECKED_R9, so the
-# r10 window rotates the 35-key r6 cohort (VERDICT r9 next #2).
+# it into that round's _CHECKED set and drop it here. r11: all 6 r10
+# rewrites greened in CORRECTNESS_r10 and moved to _CHECKED_R10, so the
+# r11 window rotates the remaining r6-green keys, then the r7 cohort
+# (VERDICT r10 next #2). r11 rewrites are added below as they land.
 _REWRITTEN = frozenset({
-    # the batch kNN join now scores from the RP index's vecs/ store, not
-    # the source embeddings table (ADVICE r9: after update_rp_index a
-    # replaced vector was scored against its stale source embedding and
-    # newly ingested vectors vanished in the inner join)
-    "knn_join_topk",
-    # r10: the gate's candidate and verification joins gained explicit
-    # broadcast hints (value-identical by construction, but the serving
-    # plan changed — re-verify before the stale cohort)
+    # r11: knn_join_ivf_topk gained derived n_centroids (c ∝ n /
+    # target_cell_size) and a per-cell member cap (VERDICT r10 next #1) —
+    # the candidate generation changed, re-verify before the stale cohort
+    "knn_join_ivf_topk",
+    # r11: the ingest gate's serving path was fused into fewer jobs
+    # (VERDICT r10 next #8) — same decisions, new plan shape
     "dedup_gate_against_index",
-    # r10: the text index gained the positions component and its root
-    # tag bumped to v3 — every key served from that root rebuilds on
-    # changed build code, so re-verify them before the stale cohort
-    "bm25_topk_served",
-    "inverted_postings_rows",
-    "text_index_doc_map",
-    "hybrid_rrf_served_topk",
+    # r11: where-DSL $ne now matches rows with NULL metadata (ADVICE r11:
+    # ChromaDB negation ops match missing values; $nin already did)
+    "docs_where_dsl_filter",
+    "knn_where_dsl_topk",
+    "collection_get_where",
+    # r11: facade ip distance now returns 1 - dot (Chroma value contract)
+    "collection_query_topk",
 })
 
 

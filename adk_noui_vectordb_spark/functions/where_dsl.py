@@ -41,7 +41,10 @@ from pyspark.sql import functions as F
 
 _CMP = {
     "$eq": lambda c, v: c == v,
-    "$ne": lambda c, v: c != v,
+    # ChromaDB's negation operators match rows where the field is MISSING
+    # (NULL here): $ne mirrors the $nin treatment below, closing the
+    # three-valued-NULL hole a plain c != v leaves open.
+    "$ne": lambda c, v: (c != v) | c.isNull(),
     "$gt": lambda c, v: c > v,
     "$gte": lambda c, v: c >= v,
     "$lt": lambda c, v: c < v,
@@ -163,6 +166,9 @@ def _field_sql(field: str, spec) -> str:
     if not isinstance(spec, dict):
         return f"{field} = {_sql_lit(_check_scalar('$eq', spec))}"
     (op, v), = spec.items()
+    if op == "$ne":
+        # twin of _CMP["$ne"]: negation matches NULL (missing) values
+        return f"({field} <> {_sql_lit(_check_scalar(op, v))} OR {field} IS NULL)"
     if op in _CMP_SQL:
         return f"{field} {_CMP_SQL[op]} {_sql_lit(_check_scalar(op, v))}"
     if op == "$in":

@@ -479,3 +479,162 @@ def test_distance_spaces(spark, tmp_path):
         Collection(spark, str(tmp_path / "l2c")).count()
     with pytest.raises(ValueError, match="unknown space"):
         Collection(spark, str(tmp_path / "x"), space="hamming")
+
+
+# ------------------------------------------------------- r11 facade verbs
+
+
+def test_update_is_update_only(spark, coll):
+    """ChromaDB update(): replaces existing rows, raises on absent ids,
+    and raises on an empty collection — distinct from upsert."""
+    mat = _vecs(90, 4)
+    with pytest.raises(KeyError, match="empty"):
+        coll.update(_batch(spark, ["u0"], mat[:1]))
+    coll.add(_batch(spark, ["u0", "u1", "u2"], mat[:3]))
+    coll.update(_batch(spark, ["u1"], mat[3:4], docs=["rewritten"], stars=[99]))
+    got = {r["id"]: (r["document"], r["stars"]) for r in coll.get().collect()}
+    assert got["u1"] == ("rewritten", 99)
+    assert got["u0"] == ("text of u0", 0)
+    # one absent id poisons the whole batch; nothing commits
+    before = coll.count()
+    with pytest.raises(KeyError, match="not present"):
+        coll.update(_batch(spark, ["u2", "nope"], mat[2:4]))
+    assert coll.count() == before
+    assert coll.get(ids=["u2"]).collect()[0]["document"] == "text of u2"
+
+
+def test_get_offset_and_after_id_paginate(spark, coll):
+    mat = _vecs(91, 8)
+    ids = [f"p{i}" for i in range(8)]
+    coll.add(_batch(spark, ids, mat))
+    all_ids = [r["id"] for r in coll.get().collect()]
+    assert all_ids == sorted(ids)
+    page1 = [r["id"] for r in coll.get(limit=3).collect()]
+    page2_off = [r["id"] for r in coll.get(limit=3, offset=3).collect()]
+    page2_key = [r["id"] for r in coll.get(limit=3, after_id=page1[-1]).collect()]
+    assert page1 + page2_off == all_ids[:6]
+    assert page2_key == page2_off  # keyset page == positional page
+    with pytest.raises(ValueError, match="offset OR after_id"):
+        coll.get(offset=1, after_id="p0")
+
+
+def test_get_include_switches(spark, coll):
+    mat = _vecs(92, 3)
+    coll.add(_batch(spark, ["i0", "i1", "i2"], mat))
+    docs_only = coll.get(include=["documents"])
+    assert set(docs_only.columns) == {"id", "document"}
+    meta_only = coll.get(include=["metadatas"])
+    assert set(meta_only.columns) == {"id", "lang", "stars"}
+    with_emb = coll.get(include=["documents", "embeddings"])
+    assert "embedding" in with_emb.columns and "lang" not in with_emb.columns
+    row = with_emb.filter(F.col("id") == "i1").collect()[0]
+    assert row["embedding"] == pytest.approx(list(mat[1]))
+    with pytest.raises(ValueError, match="unknown items"):
+        coll.get(include=["vectors"])
+
+
+def test_client_threads_space_through(spark, tmp_path):
+    """An l2 collection round-trips through the Client facade: the
+    metric is persisted in the sidecar and read back on open, never
+    guessed (VERDICT r10 next #3)."""
+    from adk_noui_vectordb_spark.api.collection import Client
+
+    cli = Client(spark, str(tmp_path / "cli"))
+    c = cli.create_collection("l2coll", space="l2")
+    mat = _vecs(93, 6)
+    c.add(_batch(spark, [f"v{i}" for i in range(6)], mat))
+    reopened = cli.get_collection("l2coll")
+    assert reopened.space == "l2"
+    q = _vecs(94, 1)[0]
+    got = [r["id"] for r in reopened.query([float(x) for x in q], n_results=2).collect()]
+    want = sorted(
+        (round(float(np.linalg.norm(mat[i] - q)), 4), f"v{i}") for i in range(6)
+    )[:2]
+    assert got == [i for _d, i in want]
+    # get_or_create on an existing collection keeps the stored space
+    again = cli.get_or_create_collection("l2coll")
+    assert again.space == "l2"
+    # a never-written creation still honors the requested space
+    fresh = cli.get_or_create_collection("ipcoll", space="ip")
+    assert fresh.space == "ip"
+
+
+def test_modify_rename_and_metadata(spark, tmp_path):
+    from adk_noui_vectordb_spark.api.collection import Client
+
+    cli = Client(spark, str(tmp_path / "cli2"))
+    c = cli.create_collection("old_name")
+    c.add(_batch(spark, ["m0", "m1"], _vecs(95, 2)))
+    c.modify(metadata={"owner": "team-a"})
+    assert c.metadata == {"owner": "team-a"}
+    c.modify(name="new_name")
+    assert c.name == "new_name"
+    assert cli.list_collections() == ["new_name"]
+    re2 = cli.get_collection("new_name")
+    assert re2.count() == 2 and re2.metadata == {"owner": "team-a"}
+    with pytest.raises(ValueError, match="does not exist"):
+        cli.get_collection("old_name")
+    with pytest.raises(ValueError, match="invalid"):
+        c.modify(name="../evil")
+
+
+def test_intra_batch_surrogate_collision_rejected(spark, tmp_path, monkeypatch):
+    """Two DISTINCT ids colliding on one surrogate within a single batch
+    must be rejected at write time (ADVICE r11) — pinned by weakening
+    the surrogate to make a collision constructible."""
+    from adk_noui_vectordb_spark.api import collection as cmod
+
+    monkeypatch.setattr(
+        cmod, "_sid_expr", lambda c: F.length(c).cast("bigint")
+    )
+    coll = Collection(spark, str(tmp_path / "collide"))
+    with pytest.raises(cmod.SurrogateCollisionError, match="in one batch"):
+        coll.add(_batch(spark, ["aa", "bb"], _vecs(96, 2)))
+    assert coll._cur() is None  # nothing committed
+
+
+def test_losing_add_keeps_insert_only_contract(spark, tmp_path, monkeypatch):
+    """VERDICT r10 next #4: when a racing creator wins the initial
+    commit, a losing add() replays with ADD semantics — overlapping ids
+    raise DuplicateIDError instead of silently replacing the winner's
+    rows; disjoint losers land."""
+    from adk_noui_vectordb_spark.api import collection as cmod
+
+    mat = _vecs(97, 6)
+    real = cmod.vn.commit_version
+
+    def make_racer(coll_root, winner_batch, state):
+        def racing(spark_, root, plan, **kw):
+            if not state["fired"]:
+                state["fired"] = True
+                # the racing creator's initial commit lands FIRST
+                Collection(spark, coll_root).add(winner_batch)
+                raise cmod.vn.ConcurrentWriterError("simulated race")
+            return real(spark_, root, plan, **kw)
+
+        return racing
+
+    # overlapping ids: the loser must raise, winner's rows intact
+    root1 = str(tmp_path / "race1")
+    state = {"fired": False}
+    monkeypatch.setattr(
+        cmod.vn, "commit_version",
+        make_racer(root1, _batch(spark, ["a", "b"], mat[:2]), state),
+    )
+    loser = Collection(spark, root1)
+    with pytest.raises(DuplicateIDError):
+        loser.add(_batch(spark, ["b", "c"], mat[2:4]))
+    assert state["fired"]
+    assert {r["id"] for r in loser.get().collect()} == {"a", "b"}
+    assert loser.get(ids=["b"]).collect()[0]["document"] == "text of b"
+
+    # disjoint ids: both creators' rows land
+    root2 = str(tmp_path / "race2")
+    state2 = {"fired": False}
+    monkeypatch.setattr(
+        cmod.vn, "commit_version",
+        make_racer(root2, _batch(spark, ["a", "b"], mat[:2]), state2),
+    )
+    loser2 = Collection(spark, root2)
+    loser2.add(_batch(spark, ["x", "y"], mat[4:6]))
+    assert {r["id"] for r in loser2.get().collect()} == {"a", "b", "x", "y"}

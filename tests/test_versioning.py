@@ -113,6 +113,86 @@ def test_stale_lock_from_dead_writer_is_stolen(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "_LOCK"))
 
 
+def test_lockfile_is_born_with_its_pid(tmp_path):
+    """The link-claim means the lockfile is NEVER observably empty —
+    the old O_EXCL-create-then-write window made a fresh live lock look
+    dead (pid=0) to a concurrent waiter, inviting a wrongful steal."""
+    root = str(tmp_path / "born_root")
+    with vn.writer_lock(root):
+        with open(os.path.join(root, "_LOCK")) as f:
+            assert int(f.read().strip()) == os.getpid()
+    assert not os.path.exists(os.path.join(root, "_LOCK"))
+
+
+def test_steal_reverifies_and_restores_a_live_owners_lock(tmp_path):
+    """The TOCTOU interleaving from ADVICE r11, pinned deterministically:
+    waiter W observes a dead owner, but between W's liveness check and
+    its removal the lock is stolen by someone else and re-claimed by a
+    LIVE owner. The rename-and-reverify steal must put the live owner's
+    lockfile back instead of destroying it (the old blind unlink let two
+    writers run concurrently)."""
+    root = str(tmp_path / "toctou_root")
+    os.makedirs(root)
+    path = os.path.join(root, "_LOCK")
+    # the lock W is ABOUT to unlink now belongs to a live owner (us)
+    with open(path, "w") as f:
+        f.write(str(os.getpid()))
+    vn._steal_stale_lock(path, os.path.join(root, "_LOCK.steal.test"))
+    assert os.path.exists(path), "live owner's lock was destroyed"
+    with open(path) as f:
+        assert int(f.read().strip()) == os.getpid()
+    assert not os.path.exists(os.path.join(root, "_LOCK.steal.test"))
+
+
+def test_steal_removes_a_dead_owners_lock(tmp_path):
+    root = str(tmp_path / "dead_root")
+    os.makedirs(root)
+    path = os.path.join(root, "_LOCK")
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(path, "w") as f:
+        f.write(str(p.pid))
+    vn._steal_stale_lock(path, os.path.join(root, "_LOCK.steal.test"))
+    assert not os.path.exists(path)
+    assert not os.path.exists(os.path.join(root, "_LOCK.steal.test"))
+
+
+def test_concurrent_waiters_stealing_one_stale_lock_yield_one_holder(tmp_path):
+    """Three threads race to steal one dead-owner lock and acquire; the
+    rename-steal guarantees at most one holder at any instant."""
+    import threading
+
+    root = str(tmp_path / "race_root")
+    os.makedirs(root)
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(os.path.join(root, "_LOCK"), "w") as f:
+        f.write(str(p.pid))
+
+    holders = []
+    overlap = []
+    lk = threading.Lock()
+
+    def worker():
+        with vn.writer_lock(root, wait_s=10.0, poll_s=0.01):
+            with lk:
+                holders.append(1)
+                overlap.append(len(holders))
+            import time
+
+            time.sleep(0.05)
+            with lk:
+                holders.pop()
+
+    ts = [threading.Thread(target=worker) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(30)
+    assert max(overlap) == 1  # never two concurrent holders
+    assert len(overlap) == 3  # all three eventually acquired
+
+
 def test_publish_never_destroys_committed_current(spark, tmp_path):
     """publish_version must refuse to rmtree a directory _CURRENT
     names, even when a buggy caller targets the committed name."""

@@ -83,6 +83,20 @@ def test_nin_keeps_null_metadata(spark):
     assert kept == [2, 3]  # NULL is "not in" the list, ChromaDB-style
 
 
+def test_ne_keeps_null_metadata(spark):
+    # ChromaDB's negation ops match missing values; $ne must agree with
+    # $nin (ADVICE r11) — and its SQL twin must render the same semantics.
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "de")], "id bigint, lang string"
+    )
+    kept = sorted(
+        r["id"] for r in df.filter(compile_where({"lang": {"$ne": "en"}})).collect()
+    )
+    assert kept == [2, 3]
+    sql = where_to_sql({"lang": {"$ne": "en"}})
+    assert "IS NULL" in sql and "<>" in sql
+
+
 def test_or_union(docs):
     a = set(_ids(docs, compile_where({"lang": "en"})))
     b = set(_ids(docs, compile_where({"n_chars": {"$lt": 100}})))
