@@ -40,7 +40,15 @@ ROLLUP_SCHEMA = (
     "event_type string, user_id bigint, n_events bigint,"
     " sum_value_micro bigint, day string"
 )
-ROLLUP_COMPONENTS = [("agg", ["day"])]
+# applied-batch digests ride IN the version (ADVICE r11): rollup counts
+# are ADDITIVE, so idempotence markers must commit atomically WITH the
+# data they guard — a sidecar marker file leaves a crash window where a
+# replayed batch double-counts, and version-scoped markers get swept by
+# gc so a multi-batch checkpoint reset re-applies older batches. One
+# tiny row per ever-applied batch, carried forward by every commit
+# (O(n_batches) rows in one small file — negligible against the agg).
+APPLIED_SCHEMA = "s1 bigint, s2 bigint, n bigint"
+ROLLUP_COMPONENTS = [("agg", ["day"]), ("applied", [])]
 
 
 def events_rollup_root(sf_dir: str) -> str:
@@ -97,22 +105,49 @@ def build_events_rollup(spark: SparkSession, sf_dir: str) -> str:
         return vn.current_dir(root)
 
 
+def _applied_digests(spark: SparkSession, cur: str) -> "DataFrame | None":
+    p = os.path.join(cur, "applied")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.schema(APPLIED_SCHEMA).parquet(p)
+
+
 def update_events_rollup(
     spark: SparkSession,
     sf_dir: str,
     new_events: DataFrame,
     auto_compact_threshold: int = 16,
+    applied_digest: "tuple[int, int, int] | None" = None,
 ) -> str:
     """Incremental rollup maintenance: the batch's delta rollup merges
     (sum-of-sums — count and micro-sum are both associative) into
     exactly the day partitions the batch touches; untouched history
     hardlinks. Late/out-of-order events are handled by construction —
     a late event simply merges into its (old) day's partition. Returns
-    the new current version dir."""
+    the new current version dir.
+
+    ``applied_digest`` (a ``(s1, s2, n)`` content digest from the
+    streaming layer) makes the ADDITIVE merge exactly-once under
+    at-least-once delivery: the digest is checked against the full
+    applied set carried in the CURRENT version (so a replay of ANY
+    previously merged batch — not just the most recent — is a no-op)
+    and, on a real apply, committed atomically WITH the merged data in
+    the same version (so there is no crash window between data and
+    marker). Callers without a delivery-replay problem (ad-hoc merges)
+    omit it and pay nothing."""
     from ..sources import versioning as vn
 
     cur = build_events_rollup(spark, sf_dir)
     root = os.path.dirname(cur)
+
+    old_digests = _applied_digests(spark, cur)
+    if applied_digest is not None and old_digests is not None:
+        s1, s2, n = applied_digest
+        hit = old_digests.filter(
+            (F.col("s1") == s1) & (F.col("s2") == s2) & (F.col("n") == n)
+        ).head(1)
+        if hit:
+            return cur  # replayed batch: already merged — would double-count
 
     delta = rollup_frame_for(
         new_events.select("ts", "user_id", "event_type", "value")
@@ -141,17 +176,29 @@ def update_events_rollup(
             F.sum("sum_value_micro").alias("sum_value_micro"),
         )
     )
+    components = [
+        vn.Component(
+            "agg",
+            ("day",),
+            frozenset(f"day={d}" for d in days),
+            (merged,),
+        )
+    ]
+    if applied_digest is not None:
+        s1, s2, n = applied_digest
+        newd = spark.createDataFrame([(s1, s2, n)], APPLIED_SCHEMA)
+        alldig = newd if old_digests is None else old_digests.unionByName(newd)
+        components.append(vn.Component("applied", (), frozenset(), (alldig,)))
+    elif old_digests is not None:
+        # a digest-less merge must still CARRY the applied set forward,
+        # or it would amnesia the stream's exactly-once history
+        components.append(
+            vn.Component("applied", link_from=os.path.join(cur, "applied"))
+        )
     return vn.commit_version(
         spark,
         root,
-        [
-            vn.Component(
-                "agg",
-                ("day",),
-                frozenset(f"day={d}" for d in days),
-                (merged,),
-            )
-        ],
+        components,
         expected=os.path.basename(cur),
         compact=ROLLUP_COMPONENTS,
         compact_threshold=auto_compact_threshold,
@@ -222,17 +269,23 @@ def delete_user_from_rollup(
         .join(ids, "user_id", "left_anti")
         .select("day", "event_type", "user_id", "n_events", "sum_value_micro")
     )
+    components = [
+        vn.Component(
+            "agg",
+            ("day",),
+            frozenset(f"day={d}" for d in days),
+            (survivors,),
+        )
+    ]
+    if os.path.isdir(os.path.join(cur, "applied")):
+        # retraction must not amnesia the stream's applied-digest set
+        components.append(
+            vn.Component("applied", link_from=os.path.join(cur, "applied"))
+        )
     return vn.commit_version(
         spark,
         root,
-        [
-            vn.Component(
-                "agg",
-                ("day",),
-                frozenset(f"day={d}" for d in days),
-                (survivors,),
-            )
-        ],
+        components,
         expected=os.path.basename(cur),
         compact=ROLLUP_COMPONENTS,
         compact_threshold=auto_compact_threshold,

@@ -641,18 +641,18 @@ def stream_events_rollup_ingest(
     """Streaming maintenance of the continuous aggregate (12th mode):
     event micro-batches merge into the versioned rollup via
     ``cagg.update_events_rollup`` (sum-of-sums into the touched day
-    partitions, shared-kernel CAS commit). Content-digest idempotence
-    markers close the crash-before-checkpoint replay window — CRITICAL
+    partitions, shared-kernel CAS commit). Idempotence is CRITICAL
     here, not just hygiene: rollup counts are ADDITIVE (unlike the
     replace-semantics indexes, re-applying a batch double-counts), so
-    this mode's contract is one stream per rollup root; the markers
-    are version-scoped and a sequential stream replays an uncommitted
-    batch before any other batch can bump the version."""
-    from ..operators.cagg import (
-        build_events_rollup,
-        events_rollup_root,
-        update_events_rollup,
-    )
+    the content digest does NOT use this module's sidecar marker files
+    (ADVICE r11: a crash between the data commit and the marker write
+    re-applies on restart, and gc sweeps non-current-version markers so
+    a multi-batch checkpoint reset re-applies every older batch).
+    Instead the digest rides INSIDE the rollup version as the tiny
+    ``applied`` component — committed atomically with the merged data
+    and checked against the FULL ever-applied set — making the additive
+    merge exactly-once under any at-least-once replay shape."""
+    from ..operators.cagg import build_events_rollup, update_events_rollup
 
     raw = spark.readStream.schema(
         "event_id bigint, ts timestamp, user_id bigint,"
@@ -661,20 +661,17 @@ def stream_events_rollup_ingest(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         build_events_rollup(batch_df.sparkSession, sf_dir)
-        root = events_rollup_root(sf_dir)
         batch = batch_df.select(
             "event_id", "ts", "user_id", "event_type", "value"
         ).localCheckpoint(eager=True)
         digest = _batch_digest(batch, ("event_id", "event_type"))
         if digest is None:
             return
-        if os.path.exists(_marker_path(root, "c", digest)):
-            return  # replayed batch: already merged — would double-count
         _retry_cas(
-            lambda: update_events_rollup(batch_df.sparkSession, sf_dir, batch)
+            lambda: update_events_rollup(
+                batch_df.sparkSession, sf_dir, batch, applied_digest=digest
+            )
         )
-        with open(_marker_path(root, "c", digest), "w") as f:
-            f.write("ok\n")
 
     return (
         raw.writeStream.foreachBatch(_ingest)

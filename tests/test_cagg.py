@@ -160,3 +160,52 @@ def test_delete_user_from_rollup_forgets_everywhere(spark, sf_dir, tmp_path):
         spark, base, spark.createDataFrame([(987654321,)], "user_id bigint")
     )
     assert v2 == v1
+
+
+def test_applied_digest_makes_additive_merge_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r11 (medium), both double-count windows pinned:
+    (a) a replay AFTER the data committed but with no sidecar marker —
+    impossible to distinguish now, since the digest commits atomically
+    WITH the data; (b) a multi-batch checkpoint reset replaying a batch
+    whose digest belongs to an OLDER version — still skipped, because
+    the applied set carries forward in every version."""
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    base = str(tmp_path / "exobase")
+    os.makedirs(base)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.filter(F.col("event_id") % 4 == 1).write.parquet(
+        os.path.join(base, "events.parquet")
+    )
+    cagg.build_events_rollup(spark, base)
+    loaded = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b1 = loaded.filter(F.col("event_id") % 4 == 2).localCheckpoint(eager=True)
+    b2 = loaded.filter(F.col("event_id") % 4 == 3).localCheckpoint(eager=True)
+    d1, d2 = (101, 201, b1.count()), (102, 202, b2.count())
+
+    v1 = cagg.update_events_rollup(spark, base, b1, applied_digest=d1)
+    rows1 = _agg_rows(spark, v1)
+    # (a) immediate replay of the same batch+digest: no-op, no new version
+    vr = cagg.update_events_rollup(spark, base, b1, applied_digest=d1)
+    assert vr == v1 and _agg_rows(spark, vr) == rows1
+
+    v2 = cagg.update_events_rollup(spark, base, b2, applied_digest=d2)
+    rows2 = _agg_rows(spark, v2)
+    assert rows2 != rows1
+    # (b) checkpoint reset replays BOTH batches: d1 is two versions old
+    # (the window the swept sidecar markers used to double-count)
+    va = cagg.update_events_rollup(spark, base, b1, applied_digest=d1)
+    vb = cagg.update_events_rollup(spark, base, b2, applied_digest=d2)
+    assert va == v2 and vb == v2
+    assert _agg_rows(spark, vb) == rows2
+
+    # and the applied set survives a retraction commit
+    users = b1.select("user_id").distinct().limit(2)
+    v3 = cagg.delete_user_from_rollup(spark, base, users)
+    assert v3 != v2
+    vc = cagg.update_events_rollup(spark, base, b2, applied_digest=d2)
+    assert vc == v3, "applied set lost across delete_user_from_rollup"
