@@ -1222,12 +1222,24 @@ ORDER BY d2_micro, vec_id LIMIT {topk}
     )
 
 
-def _knn_join_ivf_sql(k: int = 3, n_centroids: int = 8, iters: int = 2) -> str:
+def _knn_join_ivf_sql(k: int = 3, iters: int = 2) -> str:
     """Cell-blocked batch kNN join oracle (operators/ann.py
     knn_join_ivf_topk): the trained-IVF Lloyd's chain assigns cells,
     candidates are same-cell nonzero-norm pairs, exact 4-dp cosine with
-    the (sim desc, nbr) tie-break, rank <= k per source."""
-    ctes, final = _kmeans_ctes(n_centroids, iters)
+    the (sim desc, nbr) tie-break, rank <= k per source.
+
+    Scale-sizing mirror (VERDICT r10 next #1): the cell count is the
+    SAME derived value as the Spark side — max(MIN, ceil(n / TARGET))
+    computed from the table's own count as a scalar subquery — and the
+    neighbor side keeps only the md5-top-CELL_CAP members per cell
+    (cap_bucket_members on ("cluster",)); all three constants
+    interpolate from the ann module, one source of truth."""
+    derived_c = (
+        f"(SELECT GREATEST({_ann.IVF_JOIN_MIN_CENTROIDS}, "
+        f"CAST(ceil(count(*) * 1.0 / {_ann.IVF_JOIN_TARGET_CELL}) AS BIGINT)) "
+        f"FROM embeddings)"
+    )
+    ctes, final = _kmeans_ctes(derived_c, iters)
     ctes = list(ctes)
     ctes.append(f"af AS (\n{final})")
     ctes.append(
@@ -1235,11 +1247,18 @@ def _knn_join_ivf_sql(k: int = 3, n_centroids: int = 8, iters: int = 2) -> str:
         " WHERE list_inner_product(CAST(embedding AS DOUBLE[]),"
         " CAST(embedding AS DOUBLE[])) > 0)"
     )
+    ctes.append(
+        "afnz AS (SELECT a.vec_id, a.cluster FROM af a JOIN nz USING (vec_id))"
+    )
+    ctes.append(f"""rcap AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS m
+    FROM afnz) WHERE m <= {_ann.IVF_JOIN_CELL_CAP})""")
     ctes.append("""jcand AS (
   SELECT a.vec_id AS src, b.vec_id AS nbr
-  FROM af a JOIN af b USING (cluster)
-  JOIN nz na ON na.vec_id = a.vec_id
-  JOIN nz nb ON nb.vec_id = b.vec_id
+  FROM afnz a JOIN rcap b USING (cluster)
   WHERE a.vec_id <> b.vec_id)""")
     cos = _COS.format(a="es.embedding", b="en.embedding")
     ctes.append(f"""jscored AS (

@@ -66,6 +66,23 @@ RP_DIM = 64  # testdata embedding dimensionality (asserted in the kernel)
 # interpolated into the oracle SQL (__spark_entry__) so Spark and DuckDB
 # share one source of truth (ADVICE r8).
 KNN_JOIN_BUCKET_CAP = 256
+# Cell-join sizing (VERDICT r10 next #1 — the one super-linear key).
+# With the cell count FIXED, same-cell candidates are n²/c: quadratic.
+# Deriving c = max(MIN, ceil(n / TARGET_CELL)) keeps the expected cell
+# population at TARGET_CELL regardless of corpus size, so candidate
+# volume is ~n × TARGET_CELL — linear in n. TARGET_CELL is the
+# per-vector candidate budget (the cell IS the candidate list): 128
+# same-cluster candidates for a top-k≤10 join is the same budget class
+# as the band join's per-bucket cap, and on the clustered data this
+# operator is FOR, the local neighborhood concentrates well inside it.
+# CELL_CAP additionally bounds Zipfian hot cells (real cluster sizes
+# are skewed even when the MEAN is TARGET_CELL): the neighbor side of
+# the self-join keeps at most CELL_CAP md5-selected members per cell,
+# so one hot cluster contributes m × CELL_CAP pairs, never m². All
+# three interpolate into the oracle SQL (one source of truth).
+IVF_JOIN_TARGET_CELL = 128
+IVF_JOIN_CELL_CAP = 256
+IVF_JOIN_MIN_CENTROIDS = 8
 RP_SCALE = 1_000_000
 
 
@@ -1860,7 +1877,10 @@ def knn_pq_rerank(
 
 
 def cap_bucket_members(
-    bands: DataFrame, cap: int, member_col: str = "vec_id"
+    bands: DataFrame,
+    cap: int,
+    member_col: str = "vec_id",
+    bucket_cols: "tuple[str, ...]" = ("band", "band_key"),
 ) -> DataFrame:
     """Skew guard for bucketed self-joins (VERDICT r7 next #4): keep at
     most ``cap`` members per (band, band_key) bucket, selected by md5 of
@@ -1885,10 +1905,14 @@ def cap_bucket_members(
 
     One extra shuffle (the row_number window over the band table), but
     it is O(n x RP_BANDS) rows and replaces an unbounded blow-up.
+
+    ``bucket_cols`` generalizes the bucket identity: the RP band table
+    caps on (band, band_key); the IVF cell join caps on ("cluster",) —
+    same md5 discipline, same skew bound (VERDICT r10 next #1).
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("band", "band_key").orderBy(
+    w = Window.partitionBy(*bucket_cols).orderBy(
         F.md5(F.col(member_col).cast("string")), F.asc(member_col)
     )
     return (
@@ -2823,36 +2847,67 @@ def compact_ivfpq_index(
     )
 
 
+def derived_cell_count(
+    n: int,
+    target_cell_size: int = IVF_JOIN_TARGET_CELL,
+    min_centroids: int = IVF_JOIN_MIN_CENTROIDS,
+) -> int:
+    """c = max(min, ceil(n / target)) — the c ∝ n sizing that keeps the
+    cell join's candidate volume linear in corpus size (shared by the
+    Spark path and, as the same arithmetic in SQL, the DuckDB oracle)."""
+    return max(min_centroids, -(-n // target_cell_size))
+
+
 def knn_join_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = 3,
-    n_centroids: int = 8,
+    n_centroids: "int | None" = None,
     iters: int = 2,
+    target_cell_size: int = IVF_JOIN_TARGET_CELL,
+    cell_cap: int = IVF_JOIN_CELL_CAP,
 ) -> DataFrame:
     """Batch k-NN JOIN blocked by TRAINED IVF CELLS — the clustered-data
     fast path ``knn_join_topk``'s contract promises (BASELINE.md: the
     band self-join's candidate volume is the documented isotropic worst
     case; "clustered real embeddings collapse it"). Candidates are
-    SAME-CELL pairs only: with c balanced cells the pair space is n²/c
-    instead of the isotropic band join's ~n²/3, and on genuinely
-    clustered data (the r10 fixture) a cell IS the neighborhood, so
-    recall concentrates exactly where the candidates do. The trade is
-    explicit and data-dependent: cross-cell neighbors are unreachable
-    (SemDeDup makes the same within-cluster-only trade by design), so
-    isotropic data prefers the band join and clustered data this one.
+    SAME-CELL pairs only: on genuinely clustered data (the r10 fixture)
+    a cell IS the neighborhood, so recall concentrates exactly where
+    the candidates do. The trade is explicit and data-dependent:
+    cross-cell neighbors are unreachable (SemDeDup makes the same
+    within-cluster-only trade by design), so isotropic data prefers the
+    band join and clustered data this one.
+
+    Scale shape (VERDICT r10 next #1 — this was the repo's one
+    super-linear key): ``n_centroids`` defaults to DERIVED, c =
+    max(8, ceil(n / target_cell_size)) from a cheap corpus count, so
+    expected cell population stays ~target_cell_size and total
+    candidates ~n × target_cell_size — linear in n, where the old fixed
+    c=8 made them n²/8. Zipfian hot cells (real cluster-size skew) are
+    additionally bounded by ``cell_cap``: the NEIGHBOR side keeps at
+    most cell_cap md5-selected members per cell (the exact
+    ``cap_bucket_members`` discipline of the band join), so a hot
+    cluster contributes m × cell_cap pairs, never m². Every vector
+    still appears as a SOURCE in its own cell, so the output covers the
+    whole corpus; only its candidate list is capped.
 
     Index-served: cell membership from the trained IVF ``assign/``
     store, scoring vectors from the SAME version's ``vecs/`` store —
     the corpus-of-record contract. One shuffle for the cell self-join
     (co-partitioned on cluster), one rank window on src. Zero-norm
-    vectors are excluded from both sides (cosine is undefined for
-    them — the knn_join_topk discipline); determinism via the _COS
-    4-dp round and (sim desc, nbr) tie-break."""
+    vectors are excluded from both sides BEFORE the cap (cosine is
+    undefined for them and they must not waste cap slots — the
+    knn_join_topk discipline); determinism via the _COS 4-dp round and
+    (sim desc, nbr) tie-break."""
     from pyspark.sql.window import Window
 
     from ..functions.vector import dot_product
+    from ..sources.tables import load_table
 
+    if n_centroids is None:
+        # cheap corpus count (parquet footer metadata — no data scan)
+        n = load_table(spark, sf_dir, "embeddings").count()
+        n_centroids = derived_cell_count(n, target_cell_size)
     assign_p, _ = build_ivf_index(spark, sf_dir, n_centroids, iters)
     ver = os.path.dirname(assign_p)
     assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p)
@@ -2866,10 +2921,9 @@ def knn_join_ivf_topk(
     ).filter(F.col("nrm") > 0)
     nz = emb.select("vec_id")
 
-    l = assign.join(nz, "vec_id").select(
-        F.col("vec_id").alias("src"), "cluster"
-    )
-    r = assign.join(nz, "vec_id").select(
+    nz_assign = assign.join(nz, "vec_id")
+    l = nz_assign.select(F.col("vec_id").alias("src"), "cluster")
+    r = cap_bucket_members(nz_assign, cell_cap, bucket_cols=("cluster",)).select(
         F.col("vec_id").alias("nbr"), "cluster"
     )
     cand = (
