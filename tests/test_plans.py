@@ -415,6 +415,37 @@ def test_dedup_gate_verification_broadcasts_batch_side(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan, plan
 
 
+def test_dedup_gate_serving_path_job_budget(spark, sf_dir):
+    """VERDICT r10 next #8: the gate's probe-breadth decision, static-
+    pruning pair set, and emptiness check are ONE auxiliary job (a
+    <=128-group aggregate on the checkpointed batch bands) — the r10
+    shape paid a count job plus a distinct-pairs job and totalled 14
+    jobs end-to-end; the fused path fits in 12 (localCheckpoint +
+    pair-count aggregate + the serving query's AQE stage jobs). Pinned
+    via job-group accounting so a regression that sneaks extra driver
+    round-trips into the serving path fails here, not in a bench."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import dedup
+
+    # warm the memoized index so build jobs don't count against the gate
+    dedup.build_minhash_index(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("gate-job-budget", "dedup gate serving path")
+    try:
+        rows = dedup.dedup_gate_for(spark, sf_dir, batch).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert rows  # the clone batch always surfaces its originals
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("gate-job-budget"))
+    assert n_jobs <= 12, f"gate serving path ran {n_jobs} jobs (budget 12)"
+
+
 def test_boolean_probe_prunes_term_buckets_and_never_scans_corpus(
     spark, sf_dir
 ):
