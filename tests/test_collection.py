@@ -638,3 +638,70 @@ def test_losing_add_keeps_insert_only_contract(spark, tmp_path, monkeypatch):
     loser2 = Collection(spark, root2)
     loser2.add(_batch(spark, ["x", "y"], mat[4:6]))
     assert {r["id"] for r in loser2.get().collect()} == {"a", "b", "x", "y"}
+
+
+def test_facade_filtered_recall_on_clustered_fixture(spark, tmp_path):
+    """VERDICT r10 next #7: the facade's multiprobe-then-post-filter
+    path measured end-to-end on clusterable data — a selective `where`
+    thins LSH candidates by construction, and the default
+    multiprobe_hamming=1 is what keeps recall high anyway (the full
+    curve lives in BASELINE.md r11; this pins its floor)."""
+    import numpy as np
+
+    from tools.make_clustered_embeddings import DIM, make
+
+    n, k_centers, sigma, k = 800, 16, 0.25, 10
+    base = str(tmp_path / "frc")
+    make(base, n, k_centers, sigma)
+    emb = np.array(
+        spark.read.parquet(base + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    grp = np.arange(n) % 10
+    coll = Collection(spark, str(tmp_path / "frc_coll"))
+    coll.add(
+        spark.createDataFrame(
+            [
+                (f"v{i:05d}", [float(x) for x in emb[i]], f"d{i}", int(grp[i]))
+                for i in range(n)
+            ],
+            "id string, embedding array<double>, document string, grp int",
+        )
+    )
+    rng = np.random.RandomState(7)
+    centers = np.random.RandomState(42).randn(k_centers, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    queries = centers + sigma * rng.randn(k_centers, DIM)
+    nrm = np.linalg.norm(emb, axis=1)
+    where = {"grp": {"$in": [0, 1]}}  # selectivity 0.2
+    mask = grp < 2
+
+    def recall(probe):
+        hits = 0
+        for qi in range(k_centers):
+            q = queries[qi]
+            cos_r = np.round((emb @ q) / (nrm * np.linalg.norm(q)), 4)
+            order = sorted(
+                np.arange(n)[mask], key=lambda i: (-cos_r[i], f"v{i:05d}")
+            )
+            truth = {f"v{i:05d}" for i in order[:k]}
+            got = {
+                r["id"]
+                for r in coll.query(
+                    [float(x) for x in q],
+                    n_results=k,
+                    where=where,
+                    multiprobe_hamming=probe,
+                ).collect()
+            }
+            hits += len(got & truth)
+        return hits / (k_centers * k)
+
+    r1 = recall(1)
+    r0 = recall(0)
+    assert r1 >= 0.9, f"default-multiprobe filtered recall fell to {r1}"
+    assert r0 <= r1, (r0, r1)  # single-probe is why 1 is the default
