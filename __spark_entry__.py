@@ -712,6 +712,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the recall harness in tests/test_ann.py.
         "ann_ivf_topk": _ann.ann_ivf_topk,
         "ann_ivf_trained_topk": _ann.ann_ivf_trained_topk,
+        # r11: the 100 TB training path — Lloyd's on the md5-top-s
+        # sample (cost independent of corpus size), one frozen-centroid
+        # full-corpus assignment pass, same serving discipline
+        "ann_ivf_sampled_topk": _ann.ann_ivf_sampled_topk,
         # r10: composed IVF+PQ (FAISS IVFADC layout — per-cell posting
         # lists of PQ codes; the clustered-recall measurement's
         # conclusion made operational)
@@ -1028,6 +1032,72 @@ def _ivf_trained_sql(
 SELECT e.vec_id, af.cluster, {_COS.format(a="e.embedding", b="qe.q")} AS sim
 FROM embeddings e
 JOIN af ON af.vec_id = e.vec_id
+JOIN top_c USING (cluster)
+CROSS JOIN qe
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id LIMIT {k}"""
+    )
+
+
+def _ivf_sampled_sql(
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_per_cell: int = 32,
+) -> str:
+    """Sample-trained IVF twin (operators/ann.py ann_ivf_sampled_topk,
+    r11 — the 100 TB training path): the md5-top-s sample is re-keyed by
+    sample rank, Lloyd's runs over the SAMPLE only (the c0 seeds are the
+    md5-top-k sample rows by construction of the rank key), the FULL
+    corpus is assigned against the final centroids with the same 6-dp
+    d2 / cluster-tie-break argmin, and the serving tail matches
+    _ivf_trained_sql."""
+    s = n_centroids * train_per_cell
+    ctes = [
+        "eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        " FROM embeddings)",
+        f"samp AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS m"
+        f" FROM eall ORDER BY m, vec_id LIMIT {s})",
+        "train AS (SELECT CAST(row_number() OVER (ORDER BY m, vec_id) - 1"
+        " AS BIGINT) AS vec_id, emb FROM samp)",
+    ]
+    kctes, _final = _kmeans_ctes(
+        n_centroids, iters, tag="s", emb_sql="emb", source="train"
+    )
+    ctes.extend(kctes)
+    dist = (
+        "round(list_inner_product(eall.emb, eall.emb)"
+        " - 2 * list_inner_product(eall.emb, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
+    ctes.append(f"""afs AS (
+  SELECT vec_id, cluster FROM (
+    SELECT eall.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY eall.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM eall CROSS JOIN c{iters}s c) WHERE rn = 1)""")
+    ctes.append(
+        "qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        " FROM embeddings WHERE vec_id = 0)"
+    )
+    ctes.append(f"""cs AS (
+  SELECT c.cluster,
+         round(list_inner_product(c.c, qe.q)
+               / (sqrt(list_inner_product(c.c, c.c))
+                  * sqrt(list_inner_product(qe.q, qe.q))), 4) AS csim
+  FROM c{iters}s c CROSS JOIN qe)""")
+    ctes.append(
+        f"top_c AS (SELECT cluster FROM cs ORDER BY csim DESC, cluster"
+        f" LIMIT {nprobe})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id, afs.cluster, {_COS.format(a="e.embedding", b="qe.q")} AS sim
+FROM embeddings e
+JOIN afs ON afs.vec_id = e.vec_id
 JOIN top_c USING (cluster)
 CROSS JOIN qe
 WHERE e.vec_id <> 0
@@ -2806,6 +2876,7 @@ ORDER BY sim DESC, e.vec_id
 LIMIT 5
 """,
         "ann_ivf_trained_topk": _ivf_trained_sql(),
+        "ann_ivf_sampled_topk": _ivf_sampled_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
         "rp_lsh_band_rows": f"""
 WITH {_RP_BANDS_CTE}

@@ -274,7 +274,7 @@ def build_rp_index(spark: SparkSession, sf_dir: str) -> str:
     except vn.ConcurrentWriterError:
         # an interleaved builder won the race to the initial version —
         # theirs is equivalent (same corpus fingerprint in the root tag)
-        return vn.current_dir(root)
+        return os.path.join(vn.current_dir(root), "bands")
     return os.path.join(root, name, "bands")
 
 
@@ -915,7 +915,98 @@ def build_ivf_index(
     except vn.ConcurrentWriterError:
         # an interleaved builder won the race to the initial version —
         # theirs is equivalent (same corpus fingerprint in the root tag)
-        return vn.current_dir(root)
+        cur = vn.current_dir(root)
+        return os.path.join(cur, "assign"), os.path.join(cur, "cents")
+    cur = os.path.join(root, name)
+    return os.path.join(cur, "assign"), os.path.join(cur, "cents")
+
+
+def ivf_sampled_root(
+    sf_dir: str, n_centroids: int, iters: int, train_per_cell: int
+) -> str:
+    from ..memo import index_root
+
+    return index_root(
+        "ivf_index_sampled", sf_dir, n_centroids, iters, train_per_cell,
+        N_VEC_BUCKETS,
+    )
+
+
+def build_ivf_index_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_per_cell: int = 64,
+) -> "tuple[str, str]":
+    """IVF training on a SAMPLE — the 100 TB training path
+    (SCALE.md r11: with c ∝ n cells, full-corpus Lloyd's is O(n²/T)
+    distance evaluations; the FAISS practice is to train the coarse
+    quantizer on ~tens-to-hundreds of vectors per centroid and assign
+    the full corpus in ONE frozen-centroid pass, making training cost
+    O(s·c·iters) with s = c × train_per_cell — independent of n).
+
+    Determinism and oracle-mirrorability: the training sample is the
+    md5-top-s vectors (the house md5-selection discipline — corpus-
+    order-independent, and an ORDER BY md5(vec_id) LIMIT s in the
+    DuckDB twin), re-keyed by sample rank so ``_lloyd``'s vec_id < k
+    seeding picks the md5-top-k sample rows; the full corpus is then
+    assigned by ``assign_to_centroids`` — the SAME 6-dp d2 /
+    cluster-tie-break kernel as training and incremental ingest, so
+    the whole chain replays exactly cross-engine. Same versioned
+    on-disk layout as ``build_ivf_index`` (assign/cluster=*,
+    cents, vecs/vbucket=*)."""
+    from pyspark.sql.window import Window
+
+    from ..sources import versioning as vn
+
+    root = ivf_sampled_root(sf_dir, n_centroids, iters, train_per_cell)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return os.path.join(cur, "assign"), os.path.join(cur, "cents")
+    os.makedirs(root, exist_ok=True)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    s = n_centroids * train_per_cell
+    md = F.md5(F.col("vec_id").cast("string"))
+    # TakeOrdered (orderBy+limit) — distributed, never a global sort;
+    # the checkpoint bounds the window below to the s sampled rows
+    sample = (
+        e.select("vec_id", "emb", md.alias("_md"))
+        .orderBy("_md", "vec_id")
+        .limit(s)
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("_md", "vec_id")
+    ranked = sample.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("vec_id"), "emb"
+    )
+    _, cents = _lloyd(ranked, k=n_centroids, iters=iters)
+    cent_rows = sorted(
+        ({"cluster": r["cluster"], "c": list(r["c"])} for r in cents.collect()),
+        key=lambda r: r["cluster"],
+    )
+    assignment = assign_to_centroids(e.select("vec_id", "emb"), cent_rows)
+    tmp = os.path.join(root, ".__tmp_build__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    assignment.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(tmp, "assign")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(tmp, "cents"))
+    e.select(
+        vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+    ).write.mode("overwrite").partitionBy("vbucket").parquet(
+        os.path.join(tmp, "vecs")
+    )
+    name = vn.next_version_name(root)
+    try:
+        vn.publish_version(root, tmp, name, expected=None)
+    except vn.ConcurrentWriterError:
+        return (
+            os.path.join(vn.current_dir(root), "assign"),
+            os.path.join(vn.current_dir(root), "cents"),
+        )
     cur = os.path.join(root, name)
     return os.path.join(cur, "assign"), os.path.join(cur, "cents")
 
@@ -1113,9 +1204,24 @@ def ann_ivf_trained_topk(
     rounds via Decimal HALF_UP (not Python's half-even ``round``) to
     match F.round/DuckDB semantics on dyadic midpoints (ADVICE r6).
     """
+    assign_p, cent_rows = _ivf_centroid_rows(spark, sf_dir, n_centroids, iters)
+    return _ivf_serve_topk(spark, assign_p, cent_rows, query_vec_id, k, nprobe)
+
+
+def _ivf_serve_topk(
+    spark: SparkSession,
+    assign_p: str,
+    cent_rows: list,
+    query_vec_id: int,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The shared trained-IVF probe tail: driver-side centroid cosine
+    ranking (Decimal HALF_UP — F.round/DuckDB midpoint semantics,
+    ADVICE r6), nprobe LITERAL cell pruning on the stored assignment,
+    exact vbucket-pruned rerank from the index's own vecs/ store."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    assign_p, cent_rows = _ivf_centroid_rows(spark, sf_dir, n_centroids, iters)
     # Fully index-served (r9): the query vector and the rerank vectors
     # come from the index's own vecs/ store (vbucket-pruned point
     # lookup), so vectors ingested via update_ivf_index serve without
@@ -1159,6 +1265,64 @@ def ann_ivf_trained_topk(
         .select("vec_id", "cluster", sim)
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def ann_ivf_sampled_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_per_cell: int = 32,
+) -> DataFrame:
+    """Trained-IVF serving over the SAMPLE-TRAINED index
+    (``build_ivf_index_sampled``) — identical probe discipline to
+    ``ann_ivf_trained_topk`` (driver-ranked centroids, literal nprobe
+    cell pruning, vecs-store rerank); the difference is the 100 TB
+    training cost: Lloyd's ran on the md5-top-(c × train_per_cell)
+    sample instead of the whole corpus, and the full corpus got ONE
+    frozen-centroid assignment pass. The DuckDB twin replays the
+    sample selection (ORDER BY md5 LIMIT s), the rank re-keying, the
+    Lloyd's chain over the sample, and the full-corpus assignment —
+    hash-equal end-to-end."""
+    cent_rows_d = _ivf_sampled_centroid_rows(
+        spark, sf_dir, n_centroids, iters, train_per_cell
+    )
+    assign_p, _ = build_ivf_index_sampled(
+        spark, sf_dir, n_centroids, iters, train_per_cell
+    )
+    cent_rows = [(r["cluster"], r["c"]) for r in cent_rows_d]
+    return _ivf_serve_topk(spark, assign_p, cent_rows, query_vec_id, k, nprobe)
+
+
+def _ivf_sampled_centroid_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int,
+    iters: int,
+    train_per_cell: int,
+) -> list:
+    from ..memo import session_memo
+
+    _, cents_p = build_ivf_index_sampled(
+        spark, sf_dir, n_centroids, iters, train_per_cell
+    )
+
+    def _collect() -> list:
+        return sorted(
+            (
+                {"cluster": r["cluster"], "c": list(r["c"])}
+                for r in spark.read.parquet(cents_p).collect()
+            ),
+            key=lambda r: r["cluster"],
+        )
+
+    return session_memo(
+        spark, sf_dir, "ivf_sampled_cent_rows", _collect,
+        n_centroids, iters, train_per_cell,
     )
 
 
@@ -1542,7 +1706,8 @@ def build_pq_index(
     except vn.ConcurrentWriterError:
         # an interleaved builder won the race to the initial version —
         # theirs is equivalent (same corpus fingerprint in the root tag)
-        return vn.current_dir(root)
+        cur = vn.current_dir(root)
+        return os.path.join(cur, "codes"), os.path.join(cur, "cents")
     cur = os.path.join(root, name)
     return os.path.join(cur, "codes"), os.path.join(cur, "cents")
 

@@ -1250,3 +1250,47 @@ def test_knn_join_ivf_cell_cap_bounds_hot_cells(spark, sf_dir):
     for key in want:
         assert got[key][0] == want[key][0], key
         assert abs(got[key][1] - want[key][1]) < 1e-9, key
+
+
+def test_sampled_ivf_training_matches_full_on_tight_clusters(spark, tmp_path):
+    """r11: the 100 TB training path — Lloyd's on the md5-top-s sample +
+    one frozen-centroid full-corpus pass — must not cost recall in the
+    regime the index is FOR (tight clusters): recall@10 at nprobe=1
+    equals the full-corpus-trained index's 1.00 (BASELINE.md r11)."""
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators import ann
+    from tools.make_clustered_embeddings import make
+
+    base = str(tmp_path / "sampled_tight")
+    make(base, 1000, 10, 0.06)
+    emb = np.array(
+        spark.read.parquet(base + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    n = len(emb)
+    assign_p, cents_p = ann.build_ivf_index_sampled(spark, base, 10, 2, 32)
+    cent_rows = sorted(
+        (r["cluster"], list(r["c"]))
+        for r in spark.read.parquet(cents_p).collect()
+    )
+    hits = tot = 0
+    for qid in range(5):
+        got = {
+            r["vec_id"]
+            for r in ann._ivf_serve_topk(
+                spark, assign_p, cent_rows, qid, 10, 1
+            ).collect()
+        }
+        q = emb[qid]
+        cos = (emb @ q) / (np.linalg.norm(emb, axis=1) * np.linalg.norm(q))
+        order = sorted(
+            (i for i in range(n) if i != qid), key=lambda i: (-round(cos[i], 4), i)
+        )
+        hits += len(got & set(order[:10]))
+        tot += 10
+    assert hits / tot >= 0.95, f"sampled-trained recall {hits / tot}"
