@@ -738,6 +738,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vecs+bands+meta components (api/collection.py)
         "collection_query_topk": _coll.collection_query_topk,
         "collection_get_where": _coll.collection_get_where,
+        # r11: keyset pagination through the facade (after_id cursor —
+        # the BM25 search_after discipline on the metadata store)
+        "collection_get_page2": _coll.collection_get_page2,
         # r10: batched ANN — M queries, one tagged band-table probe,
         # one vecs-store rerank pass (the knn_topk_batch of the index).
         "ann_rp_lsh_batch_topk": _ann.ann_rp_lsh_batch_topk,
@@ -3022,6 +3025,22 @@ WHERE {_wdsl.where_to_sql(_coll.COLLECTION_GET_WHERE_DEMO)}
   AND {_wdsl.where_document_to_sql(_coll.COLLECTION_GET_WDOC_DEMO, "d.text")}
 ORDER BY id ASC
 LIMIT 20
+""",
+        # Keyset page 2: the cursor is page 1's last id, recomputed in
+        # SQL as a scalar subquery over the same filtered ordering.
+        "collection_get_page2": f"""
+WITH flt AS (
+  SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS id, d.lang, d.source, d.n_chars
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE {_wdsl.where_to_sql(_coll.COLLECTION_GET_WHERE_DEMO)}
+),
+cursor AS (
+  SELECT max(id) AS last_id FROM (SELECT id FROM flt ORDER BY id ASC LIMIT 10)
+)
+SELECT id, lang, source, n_chars FROM flt CROSS JOIN cursor
+WHERE id > cursor.last_id
+ORDER BY id ASC
+LIMIT 10
 """,
         # Grouped twin: same multiprobe candidates, one rank window per
         # label over the rounded-cosine rerank.

@@ -973,10 +973,18 @@ class Collection:
         where_document: "dict | None" = None,
         multiprobe_hamming: int = 1,
         query_texts=None,
+        include: "list[str] | None" = None,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
         literal partition predicates), vecs-store cosine rerank, DSL
         post-filter on the meta sidecar, top n_results per query.
+
+        ``include`` (r11, the ChromaDB projection switch): any subset of
+        {'documents', 'metadatas', 'embeddings', 'distances'} — default
+        documents + metadatas + distances (the Chroma default);
+        embeddings opt-in, joined from the vecs store only when asked
+        (the get() docvalues discipline). ``id`` and ``query_idx``
+        always ride along (they key the result).
 
         ``query_texts`` is the reference's primary entry
         (``semantic_search(query: str)``, vector_search_tool.py:33-46):
@@ -996,6 +1004,14 @@ class Collection:
 
         cur, info = self._require()
         dim = info["dim"]
+        inc = (
+            {"documents", "metadatas", "distances"}
+            if include is None
+            else set(include)
+        )
+        unknown = inc - {"documents", "metadatas", "embeddings", "distances"}
+        if unknown:
+            raise ValueError(f"include: unknown items {sorted(unknown)}")
         if (query_embeddings is None) == (query_texts is None):
             raise ValueError(
                 "pass exactly one of query_embeddings / query_texts"
@@ -1082,25 +1098,37 @@ class Collection:
         if where_document is not None:
             meta = meta.filter(compile_where_document(where_document, "document"))
         joined = scored.join(meta.drop("mbucket"), "vec_id")
+        if "embeddings" in inc:
+            joined = joined.join(
+                self._vecs(cur).select("vec_id", F.col("emb").alias("embedding")),
+                "vec_id",
+            )
+        drop = ["vec_id"]
+        if "documents" not in inc:
+            drop.append("document")
+        if "metadatas" not in inc:
+            drop.extend(self._meta_cols(info))
         if mat.shape[0] == 1:
             # single query: a global top-k collapses to
             # TakeOrderedAndProject — no rank-window shuffle
-            return (
-                joined.drop("vec_id")
-                .orderBy(F.asc("distance"), F.asc("id"))
+            out = (
+                joined.orderBy(F.asc("distance"), F.asc("id"))
                 .limit(n_results)
+                .drop(*drop)
             )
+            return out.drop("distance") if "distances" not in inc else out
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("query_idx").orderBy(
             F.asc("distance"), F.asc("id")
         )
-        return (
+        out = (
             joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n_results)
-            .drop("vec_id", "rank")
+            .drop("rank", *drop)
             .orderBy("query_idx", "distance", "id")
         )
+        return out.drop("distance") if "distances" not in inc else out
 
 
 def _stored_space(root: str, default: str = "cosine") -> str:
@@ -1171,6 +1199,21 @@ class Client:
             for d in os.listdir(self.path)
             if os.path.isdir(os.path.join(self.path, d)) and not d.startswith(".")
         )
+
+    def count_collections(self) -> int:
+        return len(self.list_collections())
+
+    def modify_collection(
+        self,
+        name: str,
+        new_name: "str | None" = None,
+        metadata: "dict | None" = None,
+    ) -> Collection:
+        """Client-side spelling of ``Collection.modify`` (rename and/or
+        collection-level metadata); returns the (re-opened) collection."""
+        coll = self.get_collection(name)
+        coll.modify(name=new_name, metadata=metadata)
+        return coll
 
     def delete_collection(self, name: str) -> None:
         import shutil
@@ -1243,4 +1286,25 @@ def collection_get_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         where=COLLECTION_GET_WHERE_DEMO,
         where_document=COLLECTION_GET_WDOC_DEMO,
         limit=20,
+    ).select("id", "lang", "source", "n_chars")
+
+
+def collection_get_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination through the facade (r11): page 2 of the
+    filtered ``get`` via ``after_id`` — the cursor is the last id of
+    page 1, so the page-2 read is a pushed-down ``id > cursor``
+    predicate (O(page) at any depth; the positional ``offset``
+    alternative sorts-and-discards the prefix). Cursor derived
+    DRIVER-side from page 1 (one k-row job), the search_after
+    discipline of the BM25 serving layer."""
+    coll = demo_collection(spark, sf_dir)
+    page1 = coll.get(where=COLLECTION_GET_WHERE_DEMO, limit=10).select("id")
+    rows = page1.collect()
+    if not rows:
+        return coll.get(where=COLLECTION_GET_WHERE_DEMO, limit=10).select(
+            "id", "lang", "source", "n_chars"
+        )
+    cursor = rows[-1]["id"]
+    return coll.get(
+        where=COLLECTION_GET_WHERE_DEMO, limit=10, after_id=cursor
     ).select("id", "lang", "source", "n_chars")

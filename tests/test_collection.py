@@ -705,3 +705,24 @@ def test_facade_filtered_recall_on_clustered_fixture(spark, tmp_path):
     r0 = recall(0)
     assert r1 >= 0.9, f"default-multiprobe filtered recall fell to {r1}"
     assert r0 <= r1, (r0, r1)  # single-probe is why 1 is the default
+
+
+def test_query_include_switches(spark, coll):
+    mat = _vecs(98, 5)
+    coll.add(_batch(spark, [f"q{i}" for i in range(5)], mat))
+    q = [float(x) for x in _vecs(99, 1)[0]]
+    full = coll.query(q, n_results=3)
+    assert {"query_idx", "id", "distance", "document", "lang", "stars"} <= set(
+        full.columns
+    )
+    slim = coll.query(q, n_results=3, include=["distances"])
+    assert set(slim.columns) == {"query_idx", "id", "distance"}
+    docs = coll.query(q, n_results=3, include=["documents"])
+    assert set(docs.columns) == {"query_idx", "id", "document"}
+    with_emb = coll.query(q, n_results=3, include=["distances", "embeddings"])
+    rows = with_emb.collect()
+    assert len(rows) == 3 and "embedding" in with_emb.columns
+    # same ranking regardless of projection
+    assert [r["id"] for r in rows] == [r["id"] for r in full.collect()[:3]]
+    with pytest.raises(ValueError, match="unknown items"):
+        coll.query(q, n_results=3, include=["scores"])
