@@ -819,6 +819,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-dim rerank (the no-index ANN baseline: prefix-dim bytes
         # per scanned row, full vectors only for the C survivors).
         "knn_truncated_rerank": _knn.knn_truncated_rerank,
+        # r11: MMR diversified retrieval — greedy relevance/novelty
+        # trade over the exact top-pool, unrolled-CTE oracle twin
+        "knn_mmr_topk": _knn.knn_mmr_topk,
         # mergeable sketches — exact (and oracle-checked) at test-SF
         # cardinalities, approximate with pinned error bounds at scale
         # (tests/test_sketches.py)
@@ -1105,6 +1108,51 @@ JOIN top_c USING (cluster)
 CROSS JOIN qe
 WHERE e.vec_id <> 0
 ORDER BY sim DESC, e.vec_id LIMIT {k}"""
+    )
+
+
+def _knn_mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.5) -> str:
+    """MMR diversified top-k twin (operators/knn.py knn_mmr_topk): the
+    greedy argmax loop unrolled as k chained CTEs (the Lloyd's-unroll
+    discipline) — step i picks argmax(lam*sim - (1-lam)*max pairwise
+    4-dp cosine to the i-1 already-selected) with a vec_id tie-break,
+    over the exact 4-dp-cosine top-``pool``. lam is dyadic (0.5) so the
+    mmr arithmetic is the identical double expression both engines run."""
+    cos_q = _COS.format(a="e.embedding", b="qe.q_emb")
+    cos_p = _COS.format(a="a.emb", b="b.emb")
+    ctes = [
+        "qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings"
+        " WHERE vec_id = 0)",
+        f"""pool AS (
+  SELECT e.vec_id, {cos_q} AS sim, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM embeddings e CROSS JOIN qe
+  WHERE e.vec_id <> 0
+  ORDER BY sim DESC, e.vec_id LIMIT {pool})""",
+        f"""pp AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {cos_p} AS psim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)""",
+        f"""s1 AS (
+  SELECT vec_id, sim, {lam} * sim - {1.0 - lam} * 0.0 AS mmr
+  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1)""",
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        ctes.append(f"sel{i} AS ({prev})")
+        ctes.append(f"""s{i} AS (
+  SELECT p.vec_id, p.sim,
+         {lam} * p.sim - {1.0 - lam} * max(pp.psim) AS mmr
+  FROM pool p
+  JOIN pp ON pp.va = p.vec_id AND pp.vb IN (SELECT vec_id FROM sel{i})
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i})
+  GROUP BY p.vec_id, p.sim
+  ORDER BY mmr DESC, p.vec_id LIMIT 1)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, sim, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(rank AS INTEGER) AS rank, vec_id, sim, mmr FROM ({union})\nORDER BY rank"
     )
 
 
@@ -3535,6 +3583,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
 """,
         # Truncated-dim (MRL) rerank: coarse cosine over the 16-dim
         # prefix slice, exact full-dim cosine on the 50 survivors.
+        "knn_mmr_topk": _knn_mmr_sql(),
         "knn_truncated_rerank": f"""
 WITH qt AS (
     SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[])[1:16] AS q_emb_t

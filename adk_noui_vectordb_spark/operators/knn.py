@@ -142,3 +142,90 @@ def knn_truncated_rerank(
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def knn_mmr_topk(
+    spark,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the retrieval shape RAG and training-data
+    selection actually want when the plain top-k is k near-copies of
+    one passage: greedily pick argmax of
+
+        mmr = lam * sim(query, cand) - (1 - lam) * max_{s in selected}
+              sim(cand, s)
+
+    over an exact top-``pool`` candidate set.
+
+    Spark shape: the DISTRIBUTED work is the exact 4-dp cosine
+    top-pool (TakeOrderedAndProject — the knn_topk kernel, per-
+    partition pool-heaps, no shuffle); the greedy loop then runs
+    DRIVER-side over the collected pool (pool x dim doubles, a BOUNDED
+    k-row-class frame — the ann_ivf_trained_topk centroid-ranking
+    precedent), with ZERO Spark jobs inside the loop. At 100 TB the
+    pool collect is ~pool*8*dim bytes regardless of corpus size.
+
+    Determinism / oracle-mirrorability: query sims come from the SAME
+    F.round(_COS, 4) plan as knn_topk; pairwise pool sims use the
+    identical left-to-right double fold and Decimal HALF_UP 4-dp round
+    (F.round/DuckDB midpoint semantics); lam defaults to the dyadic
+    0.5 so ``lam*a - (1-lam)*b`` is the same double arithmetic both
+    engines run; argmax ties break on vec_id. The DuckDB twin unrolls
+    the k greedy steps as chained CTEs (the Lloyd's-unroll discipline).
+    Returns (rank int, vec_id, sim, mmr)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = make_query_from_vec(emb, query_vec_id)
+    sim4 = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4)
+    rows = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", sim4.alias("sim"), "embedding")
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(pool)
+        .collect()
+    )
+    cands = [
+        (int(r["vec_id"]), float(r["sim"]), [float(x) for x in r["embedding"]])
+        for r in rows
+    ]
+    four = Decimal("0.0001")
+
+    def pair_sim(a: list, b: list) -> float:
+        num = aa = bb = 0.0
+        for x, y in zip(a, b):  # left-to-right: list_inner_product's fold
+            num += x * y
+            aa += x * x
+            bb += y * y
+        c = num / (math.sqrt(aa) * math.sqrt(bb))
+        return float(Decimal(repr(c)).quantize(four, rounding=ROUND_HALF_UP))
+
+    selected: list = []
+    remaining = list(cands)
+    while remaining and len(selected) < k:
+        best = None
+        for vid, sim, e in remaining:
+            mp = max(
+                (pair_sim(e, se) for _v, _s, se, _m in selected), default=0.0
+            )
+            mmr = lam * sim - (1.0 - lam) * mp
+            if best is None or (mmr, -vid) > (best[3], -best[0]):
+                best = (vid, sim, e, mmr)
+        selected.append(best)
+        remaining = [c for c in remaining if c[0] != best[0]]
+    out = [
+        (i + 1, vid, sim, mmr)
+        for i, (vid, sim, _e, mmr) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, vec_id bigint, sim double, mmr double"
+    )

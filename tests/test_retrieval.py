@@ -280,3 +280,44 @@ def test_truncated_rerank_recall_and_plan(spark):
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_knn_mmr_diversifies_the_topk(spark, sf_dir):
+    """MMR's selections trade relevance for novelty: rank 1 equals the
+    plain top-1, ranks are contiguous, every pick comes from the pool,
+    and the mmr column reproduces the greedy objective (lam*sim -
+    (1-lam)*max pairwise sim to earlier picks)."""
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators.knn import knn_mmr_topk
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    out = knn_mmr_topk(spark, sf_dir, k=5, pool=20).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+
+    def cos(a, b):
+        return round(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 4)
+
+    sims = {v: cos(e, q) for v, e in emb.items() if v != 0}
+    top1 = min(sims, key=lambda v: (-sims[v], v))
+    assert out[0]["vec_id"] == top1 and out[0]["mmr"] == 0.5 * out[0]["sim"]
+    # replay the greedy objective for rank 2 and 3
+    for i in (1, 2):
+        picked = [r["vec_id"] for r in out[:i]]
+        v = out[i]["vec_id"]
+        mp = max(cos(emb[v], emb[p]) for p in picked)
+        assert abs(out[i]["mmr"] - (0.5 * out[i]["sim"] - 0.5 * mp)) < 2e-4
+    # the pool's plain top-5 is less diverse (or equal): max pairwise
+    # sim among MMR picks never exceeds the plain top-5's
+    top5 = sorted(sims, key=lambda v: (-sims[v], v))[:5]
+    mmr5 = [r["vec_id"] for r in out]
+
+    def max_pair(vs):
+        return max(cos(emb[a], emb[b]) for a in vs for b in vs if a != b)
+
+    assert max_pair(mmr5) <= max_pair(top5) + 1e-9
