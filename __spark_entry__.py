@@ -741,6 +741,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: keyset pagination through the facade (after_id cursor —
         # the BM25 search_after discipline on the metadata store)
         "collection_get_page2": _coll.collection_get_page2,
+        # r11: the ip-space facade path with the 1 - dot value contract
+        "collection_query_ip_topk": _coll.collection_query_ip_topk,
         # r10: batched ANN — M queries, one tagged band-table probe,
         # one vecs-store rerank pass (the knn_topk_batch of the index).
         "ann_rp_lsh_batch_topk": _ann.ann_rp_lsh_batch_topk,
@@ -3057,6 +3059,36 @@ qe AS (
 )
 SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS id,
        1 - {_COS.format(a="e.embedding", b="qe.q_emb")} AS distance,
+       d.lang, d.n_chars
+FROM embeddings e
+JOIN cand USING (vec_id)
+JOIN documents d ON d.doc_id = e.vec_id
+CROSS JOIN qe
+WHERE {_wdsl.where_to_sql(_coll.COLLECTION_WHERE_DEMO)}
+ORDER BY distance ASC, id ASC
+LIMIT 10
+""",
+        # ip-space twin: distance = 1 - round(<a,b>, 4) — the Chroma
+        # VALUE contract (a rank-only check would miss a constant shift)
+        "collection_query_ip_topk": f"""
+WITH {_RP_BANDS_CTE},
+qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+qb_exp AS (
+    SELECT band, band_key FROM qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
+),
+cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN qb_exp USING (band, band_key)
+),
+qe AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0
+)
+SELECT 'doc-' || CAST(e.vec_id AS VARCHAR) AS id,
+       1.0 - round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qe.q_emb), 4) AS distance,
        d.lang, d.n_chars
 FROM embeddings e
 JOIN cand USING (vec_id)

@@ -1254,6 +1254,55 @@ def demo_collection(spark: SparkSession, sf_dir: str) -> Collection:
     return coll
 
 
+def demo_collection_ip(spark: SparkSession, sf_dir: str) -> Collection:
+    """Inner-product-space twin of ``demo_collection`` (own memoized
+    root — the space is fixed at creation and persisted)."""
+    from ..memo import index_root
+    from ..sources.tables import load_table
+
+    root = index_root(
+        "collection_ip_v1", sf_dir, RP_PLANES, RP_BANDS, N_META_BUCKETS
+    )
+    coll = Collection(spark, root, space="ip")
+    if coll._cur() is None:
+        d = load_table(spark, sf_dir, "documents")
+        e = load_table(spark, sf_dir, "embeddings")
+        batch = e.join(d, e["vec_id"] == d["doc_id"]).select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("text").alias("document"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        coll.add(batch)
+    return coll
+
+
+def collection_query_ip_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """The facade's inner-product space end-to-end (r11): same probe and
+    post-filter as collection_query_topk, but the collection was CREATED
+    with space='ip' and distances follow ChromaDB's value contract
+    ``1 - <a,b>`` (the ADVICE r11 fix, oracle-locked here — rankings
+    alone would not catch a constant shift)."""
+    from ..sources.tables import load_table
+
+    coll = demo_collection_ip(spark, sf_dir)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .head()
+    )
+    return coll.query(
+        [float(x) for x in q["e"]],
+        n_results=k,
+        where=COLLECTION_WHERE_DEMO,
+    ).select("id", "distance", "lang", "n_chars")
+
+
 def collection_query_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:

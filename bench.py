@@ -104,6 +104,10 @@ BENCH_KEYS = [
     "collection_query_topk",
     "knn_where_dsl_topk",
     "fuzzy_topk_served",
+    # r11: sample-trained IVF serving, MMR diversification, keyset page
+    "ann_ivf_sampled_topk",
+    "knn_mmr_topk",
+    "collection_get_page2",
 ]
 
 
