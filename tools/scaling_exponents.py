@@ -109,6 +109,11 @@ KEYS = {
     "shard_manifest_counts": "documents",
     "chunked_maxsim_topk": "documents",
     "ann_grouped_topk": "embeddings",
+    # r11 additions
+    "knn_mmr_topk": "embeddings",
+    "ann_ivf_sampled_topk": "embeddings",
+    "collection_get_page2": "documents",
+    "collection_query_ip_topk": "embeddings",
 }
 
 
