@@ -532,3 +532,16 @@ def test_collection_serving_plans_are_index_only(spark, sf_dir):
     pushed = [ln for ln in gplan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("lang" in ln for ln in pushed), gplan
     assert "documents.parquet" not in gplan, gplan
+
+
+def test_collection_keyset_page_pushes_cursor_to_scan(spark, sf_dir):
+    """get(after_id=...) must reach the meta parquet scan as a pushed
+    filter (the keyset-pagination contract: page depth costs nothing) —
+    and the default get() projection must NOT read the vecs store."""
+    from adk_noui_vectordb_spark.api.collection import demo_collection
+
+    coll = demo_collection(spark, sf_dir)
+    df = coll.get(limit=5, after_id="doc-1")
+    plan = explain_str(df)
+    assert "PushedFilters" in plan and "doc-1" in plan, plan
+    assert "/vecs" not in plan, plan  # docvalues split: no fat column
