@@ -746,6 +746,112 @@ def stream_collection_ingest(
     )
 
 
+def stream_gated_collection_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    coll_root: str,
+    batch_stream_dir: str,
+    checkpoint_dir: str,
+    decisions_dir: str,
+    schema: str = "id string, embedding array<double>, document string, lang string",
+):
+    """Near-dup-GATED ingest into the ChromaDB ``Collection`` facade —
+    the 14th streaming mode and the full curated-vector-DB loop: the
+    reference's indexing agent continuously upserts changed files into
+    its collection (indexing_agent.py:332-361) with NO curation; at
+    crawl scale the same loop must reject near-duplicate documents
+    BEFORE they enter the serving index, or retrieval returns k copies
+    of one page. Batches of (id, embedding, document, metadata) rows
+    landing in ``batch_stream_dir`` are (1) gated against the persisted
+    MinHash index (``dedup_gate_for``'s serving path — the gate doc_id
+    is the collection's own 60-bit surrogate, so the two systems share
+    one identity), (2) rejections logged to ``decisions_dir``
+    (new_doc_id, dup_of, matches — the audit trail), (3) admissions
+    upsert into BOTH the MinHash index (the next batch dedups against
+    them) and the collection (they serve via ``Collection.query`` one
+    batch later).
+
+    Replay safety: the stream_gated_ingest discipline verbatim — the
+    gate decision is a pure function of (batch, pre-batch corpus)
+    because candidates naming the batch's own surrogates are excluded,
+    both updates are id-level REPLACEs under CAS commits, and the
+    content-digest markers skip true re-deliveries. maxFilesPerTrigger=1
+    keeps a checkpoint-reset replay in original producer order (the
+    collection's duplicate-ids-within-batch check rejects coalesced
+    replays — the stream_collection_ingest finding)."""
+    from ..api.collection import Collection, _sid_expr
+    from ..operators.dedup import (
+        build_minhash_index,
+        dedup_gate_for,
+        minhash_index_root,
+        update_minhash_index,
+    )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_stream_dir)
+    )
+    digest_cols = tuple(f.split()[0].strip() for f in schema.split(","))
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        build_minhash_index(bspark, sf_dir)
+        root = minhash_index_root(sf_dir)
+        batch = batch_df.localCheckpoint(eager=True)
+        digest = _batch_digest(batch, digest_cols)
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "gc", digest)):
+            return  # true re-delivery: already gated and applied
+        gdocs = batch.select(
+            _sid_expr(F.col("id")).alias("doc_id"),
+            F.col("document").alias("text"),
+        ).localCheckpoint(eager=True)
+        # replay self-match exclusion: a crash between the index update
+        # and the marker write must not make the batch reject itself
+        dups = (
+            dedup_gate_for(bspark, sf_dir, gdocs)
+            .join(
+                gdocs.select(F.col("doc_id").alias("dup_of")),
+                "dup_of",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        dmark = _marker_path(root, "gcd", digest)
+        if not os.path.exists(dmark):
+            dups.select("new_doc_id", "dup_of", "matches").write.mode(
+                "append"
+            ).parquet(decisions_dir)
+            with open(dmark, "w") as f:
+                f.write("ok\n")
+        admitted = batch.join(
+            dups.select(F.col("new_doc_id").alias("_sid")).distinct(),
+            _sid_expr(F.col("id")) == F.col("_sid"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if admitted.take(1):
+            admitted_docs = admitted.select(
+                _sid_expr(F.col("id")).alias("doc_id"),
+                F.col("document").alias("text"),
+            )
+            _retry_cas(
+                lambda: update_minhash_index(bspark, sf_dir, admitted_docs)
+            )
+            coll = Collection(bspark, coll_root)
+            _retry_cas(lambda: coll.upsert(admitted))
+        with open(_marker_path(root, "gc", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_gated_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -928,3 +928,98 @@ def test_stream_collection_ingest_serves_next_query(spark, tmp_path):
     q.awaitTermination(180)
     assert coll.count() == 4
     assert coll.get(ids=["s2"]).head()["lang"] == "fr"
+
+
+def test_stream_gated_collection_ingest_curates_the_facade(
+    spark, sf_dir, tmp_path
+):
+    """14th mode: a streamed batch carrying a near-clone of an indexed
+    corpus doc plus a fresh doc admits ONLY the fresh row into the
+    Collection facade (and the MinHash gate index), logs the rejection,
+    and a fresh-checkpoint replay converges to the same state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.api.collection import Collection, _sid_py
+    from adk_noui_vectordb_spark.operators import dedup
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_gated_collection_ingest,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base_dir = str(tmp_path / "gcbase")
+    stream_dir = str(tmp_path / "gcin")
+    dec_dir = str(tmp_path / "gcdec")
+    coll_root = str(tmp_path / "gccoll")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    docs.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    dedup.build_minhash_index(spark, base_dir)
+
+    clone_text = docs.filter(F.col("doc_id") == 5).head()["text"]
+    fresh = "wholly original facade sentence echo foxtrot golf hotel india"
+    emb = [float(x) / 10.0 for x in range(8)]
+    spark.createDataFrame(
+        [("dup-a", emb, clone_text, "en"), ("new-b", emb, fresh, "en")],
+        "id string, embedding array<double>, document string, lang string",
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+
+    q = stream_gated_collection_ingest(
+        spark, base_dir, coll_root, stream_dir + "/*",
+        str(tmp_path / "gcckpt1"), dec_dir,
+    )
+    q.awaitTermination(180)
+
+    coll = Collection(spark, coll_root)
+    got = {r["id"] for r in coll.get().collect()}
+    assert got == {"new-b"}, got  # the clone never entered the facade
+    decisions = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert (_sid_py("dup-a"), 5) in decisions
+    assert not any(nd == _sid_py("new-b") for nd, _ in decisions)
+    # the admission entered the gate index under the surrogate identity
+    sigs = {
+        r["doc_id"]
+        for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+        .parquet(
+            os.path.join(dedup.build_minhash_index(spark, base_dir), "sigs")
+        )
+        .collect()
+    }
+    assert _sid_py("new-b") in sigs and _sid_py("dup-a") not in sigs
+
+    # a second wave cloning the ADMITTED doc is rejected against it
+    spark.createDataFrame(
+        [("dup-of-b", emb, fresh, "en")],
+        "id string, embedding array<double>, document string, lang string",
+    ).write.parquet(os.path.join(stream_dir, "b2"))
+    q2 = stream_gated_collection_ingest(
+        spark, base_dir, coll_root, stream_dir + "/*",
+        str(tmp_path / "gcckpt1"), dec_dir,
+    )
+    q2.awaitTermination(180)
+    assert {r["id"] for r in coll.get().collect()} == {"new-b"}
+    decisions2 = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert (_sid_py("dup-of-b"), _sid_py("new-b")) in decisions2
+
+    # fresh-checkpoint replay of EVERYTHING converges (the gate decides
+    # identically; replaces are idempotent; markers skip re-deliveries)
+    q3 = stream_gated_collection_ingest(
+        spark, base_dir, coll_root, stream_dir + "/*",
+        str(tmp_path / "gcckpt2"), dec_dir,
+    )
+    q3.awaitTermination(180)
+    assert {r["id"] for r in coll.get().collect()} == {"new-b"}
+    assert {
+        r["doc_id"]
+        for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)
+        .parquet(
+            os.path.join(dedup.build_minhash_index(spark, base_dir), "sigs")
+        )
+        .collect()
+    } == sigs
