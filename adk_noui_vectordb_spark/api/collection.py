@@ -298,10 +298,101 @@ class Collection:
     def update(self, batch: DataFrame) -> str:
         """Update-only (ChromaDB ``update`` — distinct from ``upsert``):
         every id in the batch must already exist; an absent id raises
-        ``KeyError`` and nothing commits. Full-row semantics: the batch
-        carries the same (id, embedding, document, metadata) schema as
-        add/upsert and replaces all components for those ids atomically."""
-        return self._write(batch, replace=True, require_present=True)
+        ``KeyError`` and nothing commits.
+
+        Partial batches (r11, the Chroma ``update(ids, metadatas=...)``
+        shape): the batch may OMIT ``embedding``, ``document``, and/or
+        any metadata column — omitted fields keep their stored values,
+        filled by a bucket-pruned join against the current version
+        BEFORE the atomic replace (Chroma replaces the whole metadata
+        dict; with schema-on-first-write typed columns, the column
+        subset is the equivalent contract). Provided columns replace.
+        A full-schema batch takes the direct path with zero old reads
+        beyond the resubmission check."""
+        cols = set(batch.columns)
+        if "id" not in cols:
+            raise ValueError("batch needs an 'id' column")
+        cur = self._cur()
+        info = self._load_sidecar()
+        if cur is None or info is None:
+            some = [r["id"] for r in batch.select("id").limit(3).collect()]
+            raise KeyError(
+                f"update(): collection is empty — ids {some} absent; "
+                f"use add() or upsert()"
+            )
+        meta_cols = self._meta_cols(info)
+        full = {"embedding", "document", *meta_cols}
+        provided = cols - {"id"}
+        unknown = provided - full
+        if unknown:
+            raise ValueError(
+                f"update(): unknown columns {sorted(unknown)} — collection "
+                f"schema is {sorted(full)}"
+            )
+        if provided >= full:
+            return self._write(batch, replace=True, require_present=True)
+
+        b = (
+            batch.dropDuplicates(["id"])
+            .withColumn("vec_id", _sid_expr(F.col("id").cast("string")))
+            .localCheckpoint(eager=True)
+        )
+        n = b.count()
+        if n == 0:
+            return cur
+        mb = sorted(
+            r["m"]
+            for r in b.select(_mbucket_expr(F.col("vec_id")).alias("m"))
+            .distinct()
+            .collect()
+        )
+        old = (
+            self._meta(cur, info)
+            .filter(F.col("mbucket").isin(mb))
+            .join(b.select("vec_id"), "vec_id", "leftsemi")
+            .select(
+                "vec_id",
+                F.col("document").alias("_old_document"),
+                *[F.col(c).alias(f"_old_{c}") for c in meta_cols],
+            )
+        )
+        assembled = b.join(old, "vec_id")
+        if "embedding" not in provided:
+            vb = sorted(
+                r["b"]
+                for r in b.select(vec_bucket_expr(F.col("vec_id")).alias("b"))
+                .distinct()
+                .collect()
+            )
+            oldv = (
+                self._vecs(cur)
+                .filter(F.col("vbucket").isin(vb))
+                .join(b.select("vec_id"), "vec_id", "leftsemi")
+                .select("vec_id", F.col("emb").alias("_old_embedding"))
+            )
+            assembled = assembled.join(oldv, "vec_id")
+        sel = [F.col("id")]
+        for c in sorted(full):
+            sel.append(
+                F.col(c) if c in provided else F.col(f"_old_{c}").alias(c)
+            )
+        assembled = assembled.select(*sel).localCheckpoint(eager=True)
+        if assembled.count() != n:
+            absent = [
+                r["id"]
+                for r in b.join(
+                    assembled.select(_sid_expr(F.col("id")).alias("vec_id")),
+                    "vec_id",
+                    "left_anti",
+                )
+                .select("id")
+                .head(3)
+            ]
+            raise KeyError(
+                f"update(): ids not present: {absent} — use upsert() to "
+                f"insert-or-replace"
+            )
+        return self._write(assembled, replace=True, require_present=True)
 
     def _write(self, batch: DataFrame, replace: bool, require_present: bool = False) -> str:
         b, meta_cols = self._normalize(batch)

@@ -726,3 +726,48 @@ def test_query_include_switches(spark, coll):
     assert [r["id"] for r in rows] == [r["id"] for r in full.collect()[:3]]
     with pytest.raises(ValueError, match="unknown items"):
         coll.query(q, n_results=3, include=["scores"])
+
+
+def test_partial_update_keeps_omitted_fields(spark, coll):
+    """Chroma's update(ids, metadatas=...) shape: a batch omitting
+    embedding/document keeps those stored values, and a metadata-only
+    batch still reranks identically (vectors untouched)."""
+    mat = _vecs(100, 4)
+    coll.add(_batch(spark, ["w0", "w1", "w2", "w3"], mat))
+    before_q = [
+        r["id"]
+        for r in coll.query([float(x) for x in _vecs(101, 1)[0]], n_results=4).collect()
+    ]
+    # metadata-only update
+    coll.update(
+        spark.createDataFrame([("w1", 77)], "id string, stars int")
+    )
+    got = {r["id"]: (r["document"], r["lang"], r["stars"]) for r in coll.get().collect()}
+    assert got["w1"] == ("text of w1", "en", 77)  # doc+lang kept, stars new
+    assert got["w0"][2] == 0
+    after_q = [
+        r["id"]
+        for r in coll.query([float(x) for x in _vecs(101, 1)[0]], n_results=4).collect()
+    ]
+    assert after_q == before_q  # embeddings untouched by the meta update
+    # document-only update
+    coll.update(
+        spark.createDataFrame([("w2", "rewritten body")], "id string, document string")
+    )
+    got2 = coll.get(ids=["w2"]).collect()[0]
+    assert got2["document"] == "rewritten body" and got2["stars"] == 2
+    # embedding-only update actually moves the vector
+    coll.update(
+        spark.createDataFrame(
+            [("w3", [float(x) for x in _vecs(102, 1)[0]])],
+            "id string, embedding array<double>",
+        )
+    )
+    emb = coll.get(ids=["w3"], include=["embeddings"]).collect()[0]["embedding"]
+    assert emb == pytest.approx(list(_vecs(102, 1)[0]))
+    # absent id in a partial batch: nothing commits
+    with pytest.raises(KeyError, match="not present"):
+        coll.update(spark.createDataFrame([("nope", 1)], "id string, stars int"))
+    # unknown column: loud
+    with pytest.raises(ValueError, match="unknown columns"):
+        coll.update(spark.createDataFrame([("w0", 1)], "id string, bogus int"))
