@@ -605,6 +605,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram": _text.lang_id_ngram,
         "doc_fingerprint": _text.doc_fingerprint,
         "curate_corpus": _text.curate_corpus,
+        # r11: per-source frequency cap (the Gopher domain-cap step)
+        "cap_docs_per_source": _text.cap_docs_per_source,
         "winnow_fingerprints": _text.winnow_fingerprints,
         "tfidf_top_terms": _text.tfidf_top_terms,
         "quality_repetition": _text.quality_repetition,
@@ -1895,6 +1897,15 @@ SELECT doc_id,
        round(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.4 ELSE 0.0 END
              + sraw * 0.3 + draw * 0.3, 4) AS quality
 FROM m
+""",
+        "cap_docs_per_source": """
+SELECT doc_id, source, CAST(keep_rank AS INTEGER) AS keep_rank FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS keep_rank
+    FROM documents
+) WHERE keep_rank <= 30
 """,
         "curate_corpus": f"""
 WITH base AS (

@@ -1227,3 +1227,34 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_nopunct"),
         F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
     )
+
+
+def cap_docs_per_source(
+    spark: SparkSession, sf_dir: str, cap: int = 30
+) -> DataFrame:
+    """Per-source frequency cap — the domain-cap step of web-corpus
+    curation (Gopher §A.2 caps documents per domain so one crawl-happy
+    site cannot dominate the training mixture; the reference has no
+    curation at all): keep at most ``cap`` documents per ``source``,
+    selected by md5 of the doc id (deterministic, corpus-order-
+    independent — the house md5-selection discipline, so the kept set
+    is a stable uniform sample per source, not "whatever sorted
+    first"). Returns (doc_id, source, keep_rank) for the survivors.
+
+    Scale shape: ONE row_number window partitioned by source — a
+    single shuffle keyed on the cap dimension; skew-safe because the
+    window's per-partition state is O(1) (rank counter), not O(group).
+    """
+    from pyspark.sql.window import Window
+
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("keep_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("keep_rank") <= cap)
+        .select("doc_id", "source", "keep_rank")
+    )
