@@ -480,3 +480,100 @@ def test_rp_index_lifecycle_matches_model(spark, tmp_path_factory, initial, ops)
         .collect()
     }
     assert vecs == {i: tuple(v) for i, v in model.items()}
+
+
+_cemb = st.lists(
+    st.integers(min_value=-3, max_value=3).map(float), min_size=8, max_size=8
+).filter(lambda v: any(x != 0.0 for x in v))
+_cids = st.sampled_from([f"c{i}" for i in range(6)])
+_crow = st.tuples(_cemb, st.text("ab ", min_size=1, max_size=8), st.integers(0, 9))
+_coll_op = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.dictionaries(_cids, _crow, min_size=1, max_size=3),
+    ),
+    st.tuples(
+        st.just("update_meta"),  # partial: stars only, existing ids only
+        st.dictionaries(_cids, st.integers(10, 99), min_size=1, max_size=3),
+    ),
+    st.tuples(
+        st.just("delete"),
+        st.lists(_cids, min_size=1, max_size=3),
+    ),
+)
+
+
+@given(
+    initial=st.dictionaries(_cids, _crow, min_size=1, max_size=4),
+    ops=st.lists(_coll_op, min_size=1, max_size=3),
+)
+@example(
+    initial={"c0": ([1.0] * 8, "a", 0)},
+    ops=[("delete", ["c0"])],  # the delete-everything corner, pinned
+)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_collection_lifecycle_matches_model(
+    spark, tmp_path_factory, initial, ops
+):
+    """Stateful property for the ChromaDB facade (r11): ANY sequence of
+    upsert / partial-update / delete leaves get(include=everything)
+    equal to a plain dict model — ids, documents, metadata, embeddings,
+    and count all agree; fsck stays green after every sequence."""
+    import os
+
+    from adk_noui_vectordb_spark.api.collection import Collection
+
+    base = str(tmp_path_factory.mktemp("collprop"))
+    coll = Collection(spark, os.path.join(base, "c"))
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(i, list(e), doc, int(s)) for i, (e, doc, s) in sorted(d.items())],
+            "id string, embedding array<double>, document string, stars int",
+        )
+
+    coll.add(frame(initial))
+    model = dict(initial)
+
+    for kind, arg in ops:
+        if kind == "upsert":
+            coll.upsert(frame(arg))
+            model.update(arg)
+        elif kind == "update_meta":
+            present = {i: s for i, s in arg.items() if i in model}
+            if present:
+                coll.update(
+                    spark.createDataFrame(
+                        sorted(present.items()), "id string, stars int"
+                    )
+                )
+                for i, s in present.items():
+                    e, doc, _old = model[i]
+                    model[i] = (e, doc, s)
+        else:  # delete
+            victims = sorted(set(arg) & set(model))
+            if victims:
+                coll.delete(ids=victims)
+                for i in victims:
+                    model.pop(i)
+
+    if not model:
+        assert coll.count() == 0
+        return
+    got = {
+        r["id"]: (tuple(r["embedding"]), r["document"], r["stars"])
+        for r in coll.get(
+            include=["documents", "metadatas", "embeddings"]
+        ).collect()
+    }
+    want = {i: (tuple(e), doc, s) for i, (e, doc, s) in model.items()}
+    assert got == want
+    assert coll.count() == len(model)
+    assert all(ok for _c, ok, _d in coll.fsck()), coll.fsck()
