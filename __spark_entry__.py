@@ -547,6 +547,12 @@ _REWRITTEN = frozenset({
     "collection_get_where",
     # r11: facade ip distance now returns 1 - dot (Chroma value contract)
     "collection_query_topk",
+    # r11: serving tail factored into _ivf_serve_topk (shared with the
+    # sampled variant) — value-identical, but the executed code changed
+    "ann_ivf_trained_topk",
+    # r11: cap_bucket_members gained the bucket_cols parameter (defaults
+    # identical) — the band join executes through the new signature
+    "knn_join_topk",
 })
 
 

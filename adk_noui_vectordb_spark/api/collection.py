@@ -332,14 +332,14 @@ class Collection:
         if provided >= full:
             return self._write(batch, replace=True, require_present=True)
 
-        b = (
-            batch.dropDuplicates(["id"])
-            .withColumn("vec_id", _sid_expr(F.col("id").cast("string")))
-            .localCheckpoint(eager=True)
-        )
+        b = batch.withColumn(
+            "vec_id", _sid_expr(F.col("id").cast("string"))
+        ).localCheckpoint(eager=True)
         n = b.count()
         if n == 0:
             return cur
+        if b.select("id").distinct().count() != n:
+            raise ValueError("duplicate ids within one batch")
         mb = sorted(
             r["m"]
             for r in b.select(_mbucket_expr(F.col("vec_id")).alias("m"))
