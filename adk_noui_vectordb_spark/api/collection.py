@@ -196,7 +196,27 @@ class Collection:
         return info
 
     def _cur(self) -> "str | None":
+        if getattr(self, "_pin", None) is not None:
+            return os.path.join(self.root, self._pin)
         return vn.current_dir(self.root)
+
+    def at(self, version: str) -> "Collection":
+        """Read-only snapshot view pinned to ``version`` (a name from
+        ``versions()``) — time-travel READS without moving ``_CURRENT``
+        (``rollback`` is the write-side tool; this one lets a reader
+        keep serving yesterday's index while writers continue).
+        Committed version dirs are immutable, so the view is a true
+        snapshot; note gc retains only the trailing versions (keep=2),
+        so pin only versions ``versions()`` still lists. Writes through
+        a pinned view raise."""
+        names = {v["name"] for v in self.versions()}
+        if version not in names:
+            raise ValueError(
+                f"unknown version {version!r}; on disk: {sorted(names)}"
+            )
+        snap = Collection(self.spark, self.root, space=self.space)
+        snap._pin = version
+        return snap
 
     def _require(self) -> tuple[str, dict]:
         cur = self._cur()
@@ -394,7 +414,15 @@ class Collection:
             )
         return self._write(assembled, replace=True, require_present=True)
 
+    def _assert_writable(self) -> None:
+        if getattr(self, "_pin", None) is not None:
+            raise ValueError(
+                f"collection view pinned to {self._pin} is read-only — "
+                f"write through the unpinned Collection"
+            )
+
     def _write(self, batch: DataFrame, replace: bool, require_present: bool = False) -> str:
+        self._assert_writable()
         b, meta_cols = self._normalize(batch)
         n = b.count()
         if n == 0:
@@ -633,6 +661,7 @@ class Collection:
         victims resolve from literal ids (mbucket-pruned point reads)
         and/or compiled DSL predicates on the meta store; only victim
         partitions rewrite, inside one atomic commit."""
+        self._assert_writable()
         if ids is None and where is None and where_document is None:
             raise ValueError("delete(): pass ids and/or where/where_document")
         cur, info = self._require()
@@ -742,6 +771,7 @@ class Collection:
         merge_from_paths) — O(number of files) directory ops, zero row
         data read or written; only conflicted merges fall back to
         rewriting the affected partitions."""
+        self._assert_writable()
         if on_conflict not in ("error", "keep_self", "replace"):
             raise ValueError(f"on_conflict: unknown mode {on_conflict!r}")
         ocur, oinfo = other._require()
@@ -926,6 +956,7 @@ class Collection:
         """Fold accumulated append files (mutations auto-compact past
         the kernel threshold; this is the explicit maintenance call for
         a tighter bound before a read-heavy phase)."""
+        self._assert_writable()
         return vn.compact_index(self.spark, self.root, _COMPONENTS, threshold)
 
     def rollback(self, to: "str | None" = None) -> str:
@@ -933,6 +964,7 @@ class Collection:
         version): one pointer swing under the writer lock — the next
         read serves the restored state, the abandoned version becomes
         an orphan the next commit sweeps (versioning.rollback_index)."""
+        self._assert_writable()
         return vn.rollback_index(self.root, to)
 
     # ------------------------------------------------------------ reads
@@ -945,6 +977,7 @@ class Collection:
         config sidecar's racing-creator equality check is untouched;
         rename is one atomic ``os.rename`` of the root directory (same
         filesystem by construction — the new name is a sibling)."""
+        self._assert_writable()
         if metadata is not None:
             if not isinstance(metadata, dict):
                 raise ValueError("metadata: expected a dict")

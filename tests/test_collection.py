@@ -771,3 +771,30 @@ def test_partial_update_keeps_omitted_fields(spark, coll):
     # unknown column: loud
     with pytest.raises(ValueError, match="unknown columns"):
         coll.update(spark.createDataFrame([("w0", 1)], "id string, bogus int"))
+
+
+def test_snapshot_view_serves_old_version_read_only(spark, coll):
+    """Collection.at(version): time-travel READS without moving
+    _CURRENT — a pinned view keeps serving the old rows while the live
+    collection moves on; every mutating verb on the view raises."""
+    mat = _vecs(110, 4)
+    coll.add(_batch(spark, ["s0", "s1"], mat[:2]))
+    v1 = coll.versions()[-1]["name"]
+    coll.upsert(_batch(spark, ["s2", "s3"], mat[2:]))
+    snap = coll.at(v1)
+    assert {r["id"] for r in snap.get().collect()} == {"s0", "s1"}
+    assert {r["id"] for r in coll.get().collect()} == {"s0", "s1", "s2", "s3"}
+    assert snap.count() == 2 and coll.count() == 4
+    q = [float(x) for x in _vecs(111, 1)[0]]
+    assert {r["id"] for r in snap.query(q, n_results=10).collect()} <= {"s0", "s1"}
+    for verb in (
+        lambda: snap.upsert(_batch(spark, ["x"], mat[:1])),
+        lambda: snap.delete(ids=["s0"]),
+        lambda: snap.rollback(),
+        lambda: snap.compact(),
+        lambda: snap.modify(metadata={}),
+    ):
+        with pytest.raises(ValueError, match="read-only"):
+            verb()
+    with pytest.raises(ValueError, match="unknown version"):
+        coll.at("v_999999")
