@@ -1007,6 +1007,23 @@ class Collection:
     def name(self) -> str:
         return os.path.basename(self.root)
 
+    def fork(self, dst_root: str) -> "Collection":
+        """Copy-on-write clone (ChromaDB ``collection.fork``): hardlink
+        the current version into a fresh independent root — O(files)
+        directory ops, zero row data copied; both sides then mutate
+        freely (every write creates new files in new version dirs, so
+        shared inodes never diverge in place). Config + user-metadata
+        sidecars are copied (not linked — they are replaced in place by
+        ``modify``)."""
+        import shutil as _sh
+
+        vn.fork_index(self.root, dst_root)
+        for f in ("collection.json", "user_meta.json"):
+            p = os.path.join(self.root, f)
+            if os.path.exists(p):
+                _sh.copyfile(p, os.path.join(dst_root, f))
+        return Collection(self.spark, dst_root, space=self.space)
+
     def count(self) -> int:
         cur = self._cur()
         info = self._load_sidecar()
@@ -1326,6 +1343,13 @@ class Client:
 
     def count_collections(self) -> int:
         return len(self.list_collections())
+
+    def fork_collection(self, name: str, new_name: str) -> Collection:
+        """ChromaDB ``fork``: clone an existing named collection into a
+        new name under this client (hardlink copy-on-write — see
+        ``Collection.fork``)."""
+        src = self.get_collection(name)
+        return src.fork(self._root(new_name))
 
     def modify_collection(
         self,

@@ -798,3 +798,44 @@ def test_snapshot_view_serves_old_version_read_only(spark, coll):
             verb()
     with pytest.raises(ValueError, match="unknown version"):
         coll.at("v_999999")
+
+
+def test_fork_is_hardlinked_and_divergent(spark, tmp_path):
+    """fork(): the clone shares every data-file inode with the source
+    (zero row data copied), serves identically, and the two roots then
+    diverge independently — a write on either side never shows on the
+    other."""
+    import os
+
+    from adk_noui_vectordb_spark.api.collection import Client
+
+    cli = Client(spark, str(tmp_path / "fcli"))
+    src = cli.create_collection("src")
+    mat = _vecs(120, 4)
+    src.add(_batch(spark, ["f0", "f1"], mat[:2]))
+    fork = cli.fork_collection("src", "fork")
+
+    def inodes(root):
+        out = {}
+        for dp, _dn, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dp, f)
+                    out[os.path.relpath(p, root)] = os.stat(p).st_ino
+        return out
+
+    # identical content served from SHARED inodes
+    assert {r["id"] for r in fork.get().collect()} == {"f0", "f1"}
+    si = inodes(src._cur())
+    fi = inodes(fork._cur())
+    assert fi and set(fi.values()) <= set(si.values())
+    # divergence: each side mutates without touching the other
+    fork.upsert(_batch(spark, ["f2"], mat[2:3]))
+    src.delete(ids=["f0"])
+    assert {r["id"] for r in fork.get().collect()} == {"f0", "f1", "f2"}
+    assert {r["id"] for r in src.get().collect()} == {"f1"}
+    assert all(ok for _c, ok, _d in fork.fsck()), fork.fsck()
+    assert all(ok for _c, ok, _d in src.fsck()), src.fsck()
+    # a second fork over an existing target refuses
+    with pytest.raises(FileExistsError):
+        cli.fork_collection("src", "fork")
