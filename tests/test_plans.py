@@ -545,3 +545,16 @@ def test_collection_keyset_page_pushes_cursor_to_scan(spark, sf_dir):
     plan = explain_str(df)
     assert "PushedFilters" in plan and "doc-1" in plan, plan
     assert "/vecs" not in plan, plan  # docvalues split: no fat column
+
+
+def test_sampled_ivf_probe_prunes_cells_and_takeordered(spark, sf_dir):
+    """The sample-trained index serves with the same probe discipline as
+    the full-trained one: literal nprobe cell PartitionFilters on the
+    assignment scan, TakeOrderedAndProject for the exact rerank."""
+    from adk_noui_vectordb_spark.operators import ann
+
+    df = ann.ann_ivf_sampled_topk(spark, sf_dir)
+    plan = explain_str(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "cluster" in l]
+    assert pf, plan
+    assert "TakeOrderedAndProject" in plan, plan
