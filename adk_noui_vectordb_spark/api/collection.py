@@ -1344,6 +1344,20 @@ class Client:
     def count_collections(self) -> int:
         return len(self.list_collections())
 
+    def heartbeat(self) -> int:
+        """ChromaDB liveness probe: current time in nanoseconds."""
+        import time
+
+        return time.time_ns()
+
+    def reset(self) -> bool:
+        """ChromaDB ``reset``: delete EVERY collection under this client
+        (the destructive test-teardown verb — deliberately not wired to
+        any query path)."""
+        for name in self.list_collections():
+            self.delete_collection(name)
+        return True
+
     def fork_collection(self, name: str, new_name: str) -> Collection:
         """ChromaDB ``fork``: clone an existing named collection into a
         new name under this client (hardlink copy-on-write — see

@@ -839,3 +839,15 @@ def test_fork_is_hardlinked_and_divergent(spark, tmp_path):
     # a second fork over an existing target refuses
     with pytest.raises(FileExistsError):
         cli.fork_collection("src", "fork")
+
+
+def test_client_reset_and_heartbeat(spark, tmp_path):
+    from adk_noui_vectordb_spark.api.collection import Client
+
+    cli = Client(spark, str(tmp_path / "rcli"))
+    cli.create_collection("a")
+    cli.create_collection("b")
+    assert cli.count_collections() == 2
+    assert cli.heartbeat() > 0
+    assert cli.reset() is True
+    assert cli.list_collections() == []
