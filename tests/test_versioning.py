@@ -424,3 +424,27 @@ def test_rollback_purges_idempotence_markers(spark, tmp_path):
     open(os.path.join(applied, "ingest.v_000000.abc123"), "w").close()
     vn.rollback_index(root)
     assert os.listdir(applied) == []
+
+
+def test_fork_index_is_generic_and_independent(spark, tmp_path):
+    """fork_index works on ANY versioned root (not just collections):
+    the fork serves the same rows from shared inodes; mutations on
+    either side stay invisible to the other; gc on the source (forced
+    by two further commits) cannot disturb the fork's data."""
+    src = str(tmp_path / "fsrc")
+    dst = str(tmp_path / "fdst")
+    _commit_kv(spark, src, [(0, "a"), (1, "b")], expected=None)
+    fork_cur = vn.fork_index(src, dst)
+    assert _read_kv(spark, fork_cur) == {(0, "a"), (1, "b")}
+    # source moves on twice (gc window passes over the forked version)
+    _commit_kv(spark, src, [(2, "c")], expected="v_000000")
+    _commit_kv(spark, src, [(3, "d")], expected="v_000001")
+    assert _read_kv(spark, vn.current_dir(dst)) == {(0, "a"), (1, "b")}
+    # fork moves on without touching the source
+    _commit_kv(spark, dst, [(9, "z")], expected="v_000000")
+    assert (0, "a") in _read_kv(spark, vn.current_dir(dst))
+    assert (9, "z") in _read_kv(spark, vn.current_dir(dst))
+    assert (9, "z") not in _read_kv(spark, vn.current_dir(src))
+    # refuse to fork onto a root that already has versions
+    with pytest.raises(FileExistsError):
+        vn.fork_index(src, dst)
