@@ -728,6 +728,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lists of PQ codes; the clustered-recall measurement's
         # conclusion made operational)
         "ann_ivfpq_topk": _ann.ann_ivfpq_topk,
+        # r11: the composed index with BOTH trainers on the sample —
+        # training cost independent of corpus size (FAISS train/add)
+        "ann_ivfpq_sampled_topk": _ann.ann_ivfpq_sampled_topk,
         "rp_lsh_band_rows": _ann.rp_lsh_band_rows,
         "ann_rp_lsh_topk": _ann.ann_rp_lsh_topk,
         # r10: the reference's where-filtered vector query
@@ -1330,6 +1333,138 @@ def _ivfpq_sql(
         f" JOIN dtab_s{s} d ON d.cluster = af.cluster AND d.code = a.cluster"
         f" WHERE a.vec_id <> {qid}"
         for s in range(m)
+    )
+    ctes.append(f"""cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, CAST(sum(d2_micro) AS BIGINT) AS adc FROM (
+{union}
+    ) GROUP BY vec_id ORDER BY adc, vec_id LIMIT {candidates}))""")
+    ctes.append(
+        "ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+    )
+    ctes.append(f"qf AS (SELECT emb FROM ef WHERE vec_id = {qid})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT ef.vec_id,
+       CAST(floor((list_inner_product(ef.emb, ef.emb)
+                   - 2 * list_inner_product(ef.emb, qf.emb)
+                   + list_inner_product(qf.emb, qf.emb)) * 1000000.0 + 0.5)
+            AS BIGINT) AS d2_micro
+FROM ef JOIN cand USING (vec_id) CROSS JOIN qf
+ORDER BY d2_micro, vec_id LIMIT {topk}
+"""
+    )
+
+
+def _ivfpq_sampled_sql(
+    qid: int = 0,
+    topk: int = 10,
+    nprobe: int = 2,
+    candidates: int = 50,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 2,
+    train_per_cell: int = 32,
+) -> str:
+    """Fully sample-trained IVFADC twin (operators/ann.py
+    ann_ivfpq_sampled_topk): coarse Lloyd's over the rank-keyed md5-top-s
+    sample + one full-corpus frozen-centroid assignment (afs — the
+    ann_ivf_sampled_topk chain), residual codebooks trained on the SAME
+    sample's residuals rank-keyed again, full-corpus codes from a
+    frozen-codebook per-subspace argmin (code_s*), then the proven ADC +
+    exact-micro-rerank tail with every reference swapped to the sampled
+    chain's CTEs. Stage-for-stage identical arithmetic to the Spark
+    path."""
+    d = 64 // m
+    s = n_centroids * train_per_cell
+    ctes = [
+        "eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        " FROM embeddings)",
+        f"samp AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS md"
+        f" FROM eall ORDER BY md, vec_id LIMIT {s})",
+        "samp_rk AS (SELECT vec_id, CAST(row_number() OVER"
+        " (ORDER BY md, vec_id) - 1 AS BIGINT) AS rk FROM samp)",
+        "train AS (SELECT r.rk AS vec_id, sa.emb FROM samp sa"
+        " JOIN samp_rk r USING (vec_id))",
+    ]
+    kc, _final = _kmeans_ctes(
+        n_centroids, ivf_iters, tag="s", emb_sql="emb", source="train"
+    )
+    ctes += kc
+    dist_full = (
+        "round(list_inner_product(eall.emb, eall.emb)"
+        " - 2 * list_inner_product(eall.emb, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
+    ctes.append(f"""afs AS (
+  SELECT vec_id, cluster FROM (
+    SELECT eall.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY eall.vec_id
+                              ORDER BY {dist_full}, c.cluster) AS rn
+    FROM eall CROSS JOIN c{ivf_iters}s c) WHERE rn = 1)""")
+    ctes.append(
+        f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM embeddings WHERE vec_id = {qid})"
+    )
+    ctes.append(f"""cs AS (
+  SELECT c.cluster,
+         round(list_inner_product(c.c, qe.q)
+               / (sqrt(list_inner_product(c.c, c.c))
+                  * sqrt(list_inner_product(qe.q, qe.q))), 4) AS csim
+  FROM c{ivf_iters}s c CROSS JOIN qe)""")
+    ctes.append(
+        f"top_c AS (SELECT cluster FROM cs ORDER BY csim DESC, cluster"
+        f" LIMIT {nprobe})"
+    )
+    ctes.append(f"""resid AS (
+  SELECT e2.vec_id,
+         list_transform(generate_series(1, len(e2.emb)),
+                        i -> e2.emb[i] - cc.c[i]) AS embedding
+  FROM eall e2 JOIN afs ON afs.vec_id = e2.vec_id
+  JOIN c{ivf_iters}s cc ON afs.cluster = cc.cluster)""")
+    ctes.append(
+        "samp_resid AS (SELECT r.rk AS vec_id, d.embedding"
+        " FROM resid d JOIN samp_rk r USING (vec_id))"
+    )
+    ctes += _pq_ctes(m, k, pq_iters, source="samp_resid")
+    for sp in range(m):
+        lo, hi = sp * d + 1, (sp + 1) * d
+        dist_cb = (
+            "round(list_inner_product(r.rs, r.rs)"
+            " - 2 * list_inner_product(r.rs, cb.c)"
+            " + list_inner_product(cb.c, cb.c), 6)"
+        )
+        ctes.append(f"""code_s{sp} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT r.vec_id, cb.cluster,
+           row_number() OVER (PARTITION BY r.vec_id
+                              ORDER BY {dist_cb}, cb.cluster) AS rn
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS rs
+          FROM resid) r
+    CROSS JOIN c{pq_iters}_s{sp} cb) WHERE rn = 1)""")
+    ctes.append(f"""q_res AS (
+  SELECT tc.cluster,
+         list_transform(generate_series(1, len(qe.q)),
+                        i -> qe.q[i] - cc.c[i]) AS qr
+  FROM top_c tc JOIN c{ivf_iters}s cc USING (cluster) CROSS JOIN qe)""")
+    for sp in range(m):
+        lo, hi = sp * d + 1, (sp + 1) * d
+        ctes.append(f"""dtab_s{sp} AS (
+  SELECT q.cluster, cb.cluster AS code,
+         CAST(floor((list_inner_product(q.qs, q.qs)
+                     - 2 * list_inner_product(q.qs, cb.c)
+                     + list_inner_product(cb.c, cb.c)) * 1000000.0 + 0.5)
+              AS BIGINT) AS d2_micro
+  FROM (SELECT cluster, qr[{lo}:{hi}] AS qs FROM q_res) q
+  CROSS JOIN c{pq_iters}_s{sp} cb)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT c.vec_id, d.d2_micro FROM code_s{sp} c"
+        f" JOIN afs ON afs.vec_id = c.vec_id"
+        f" JOIN dtab_s{sp} d ON d.cluster = afs.cluster AND d.code = c.code"
+        f" WHERE c.vec_id <> {qid}"
+        for sp in range(m)
     )
     ctes.append(f"""cand AS (
   SELECT vec_id FROM (
@@ -2948,6 +3083,7 @@ LIMIT 5
         "ann_ivf_trained_topk": _ivf_trained_sql(),
         "ann_ivf_sampled_topk": _ivf_sampled_sql(),
         "ann_ivfpq_topk": _ivfpq_sql(),
+        "ann_ivfpq_sampled_topk": _ivfpq_sampled_sql(),
         "rp_lsh_band_rows": f"""
 WITH {_RP_BANDS_CTE}
 SELECT vec_id, band, band_key FROM rp_bands

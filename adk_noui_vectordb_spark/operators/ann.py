@@ -2652,9 +2652,6 @@ def ann_ivfpq_topk(
     vectors are touched only for ``candidates`` rows; every distance
     travels as floor-scaled BIGINT micro-units (integer-exact
     cross-engine)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    from ..functions.vector import dot_product
     from ..memo import session_memo
 
     cur = build_ivfpq_index(
@@ -2665,6 +2662,31 @@ def ann_ivfpq_topk(
         lambda: _ivfpq_trained_rows(spark, cur),
         n_centroids, ivf_iters, m, codebook_k, pq_iters,
     )
+    return _ivfpq_serve(
+        spark, cur, cent_rows, pqcent_rows, query_vec_id, topk, nprobe,
+        candidates, m,
+    )
+
+
+def _ivfpq_serve(
+    spark: SparkSession,
+    cur: str,
+    cent_rows: list,
+    pqcent_rows: list,
+    query_vec_id: int,
+    topk: int,
+    nprobe: int,
+    candidates: int,
+    m: int,
+) -> DataFrame:
+    """The shared IVFADC serve tail (full-trained and sample-trained
+    indexes share one layout, so they share one probe): driver-ranked
+    coarse centroids, literal nprobe cell pruning on the plist, per-cell
+    residual ADC tables, exact micro-unit rerank from vecs/."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..functions.vector import dot_product
+
     vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
     qrow = vecs.filter(
         (F.col("vbucket") == vec_bucket_py(query_vec_id))
@@ -2750,6 +2772,147 @@ def ann_ivfpq_topk(
         )
         .orderBy(F.asc("d2_micro"), F.asc("vec_id"))
         .limit(topk)
+    )
+
+
+def ivfpq_sampled_root(
+    sf_dir: str, n_centroids: int, ivf_iters: int, m: int, k: int,
+    pq_iters: int, train_per_cell: int,
+) -> str:
+    from ..memo import index_root
+
+    return index_root(
+        "ivfpq_index_sampled", sf_dir, n_centroids, ivf_iters, m, k,
+        pq_iters, train_per_cell, N_VEC_BUCKETS,
+    )
+
+
+def build_ivfpq_index_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+    train_per_cell: int = 32,
+) -> str:
+    """IVFADC with BOTH trainers on the sample — the complete FAISS
+    train/add split for the composed index (SCALE.md r11: full-corpus
+    Lloyd's with c ∝ n is quadratic; production trains coarse centroids
+    AND residual codebooks on one ~O(100)·c sample, then encodes the
+    corpus in one frozen pass). Coarse stage reuses
+    ``build_ivf_index_sampled`` (md5-top-s sample, rank re-keying, one
+    full-corpus ``assign_to_centroids`` pass); the residual codebooks
+    train on the SAME sample's residuals (vector − its assigned cell
+    centroid from the FULL assignment), rank-keyed again so the
+    per-subspace ``_lloyd`` seeding is deterministic and
+    SQL-mirrorable; the full corpus then encodes through
+    ``pq_encode_for`` under the frozen codebooks. Training cost:
+    O(s·c·ivf_iters + s·m·k·pq_iters) — independent of corpus size;
+    the corpus pays exactly one assignment pass and one encode pass.
+    Same component layout as ``build_ivfpq_index`` (plist/pqcents +
+    hardlinked vecs/cents), so serving is byte-for-byte the shared
+    ``_ivfpq_serve`` probe."""
+    from pyspark.sql.window import Window
+
+    from ..sources import versioning as vn
+
+    root = ivfpq_sampled_root(
+        sf_dir, n_centroids, ivf_iters, m, k, pq_iters, train_per_cell
+    )
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+    assign_p, ivf_cents_p = build_ivf_index_sampled(
+        spark, sf_dir, n_centroids, ivf_iters, train_per_cell
+    )
+    ivf_dir = os.path.dirname(assign_p)
+    assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ivf_dir, "vecs"))
+    cents = spark.read.parquet(ivf_cents_p)
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    s = n_centroids * train_per_cell
+    md = F.md5(F.col("vec_id").cast("string"))
+    sample = (
+        e.select("vec_id", "emb", md.alias("_md"))
+        .orderBy("_md", "vec_id")
+        .limit(s)
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("_md", "vec_id")
+    ranks = sample.select(
+        "vec_id", (F.row_number().over(w) - 1).cast("bigint").alias("rk")
+    )
+    samp_resid = _residual_frame(
+        sample.select("vec_id", "emb"), assign, cents
+    )
+    ranked_resid = samp_resid.join(ranks, "vec_id").select(
+        F.col("rk").alias("vec_id"), "emb"
+    )
+    _, pqcents = _pq_codebooks_for(ranked_resid, m, k, pq_iters)
+    pqcents = pqcents.localCheckpoint(eager=True)
+    pqcent_rows = [
+        {"subspace": r["subspace"], "code": r["code"], "c": list(r["c"])}
+        for r in pqcents.collect()
+    ]
+    resid_full = _residual_frame(vecs, assign, cents)
+    codes = pq_encode_for(resid_full, pqcent_rows, m)
+    plist = codes.join(assign, "vec_id").select(
+        "vec_id", "subspace", "code", "cluster"
+    )
+    try:
+        return vn.commit_version(
+            spark,
+            root,
+            [
+                vn.Component("plist", ("cluster",), frozenset(), (plist,)),
+                vn.Component("pqcents", writes=(pqcents,)),
+                vn.Component("vecs", link_from=os.path.join(ivf_dir, "vecs")),
+                vn.Component("cents", link_from=ivf_cents_p),
+            ],
+            expected=None,
+        )
+    except vn.ConcurrentWriterError:
+        return vn.current_dir(root)
+
+
+def ann_ivfpq_sampled_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    nprobe: int = 2,
+    candidates: int = 50,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    codebook_k: int = PQ_K,
+    pq_iters: int = 2,
+    train_per_cell: int = 32,
+) -> DataFrame:
+    """IVFADC serving over the fully SAMPLE-TRAINED composed index
+    (``build_ivfpq_index_sampled``) — the identical ``_ivfpq_serve``
+    probe as ``ann_ivfpq_topk``; the DuckDB twin replays the sampled
+    coarse chain, the sampled residual codebooks, the frozen-codebook
+    full-corpus encode, and the ADC + exact rerank, hash-equal."""
+    from ..memo import session_memo
+
+    cur = build_ivfpq_index_sampled(
+        spark, sf_dir, n_centroids, ivf_iters, m, codebook_k, pq_iters,
+        train_per_cell,
+    )
+    cent_rows, pqcent_rows = session_memo(
+        spark, sf_dir, "ivfpq_sampled_rows",
+        lambda: _ivfpq_trained_rows(spark, cur),
+        n_centroids, ivf_iters, m, codebook_k, pq_iters, train_per_cell,
+    )
+    return _ivfpq_serve(
+        spark, cur, cent_rows, pqcent_rows, query_vec_id, topk, nprobe,
+        candidates, m,
     )
 
 
