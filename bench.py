@@ -106,6 +106,7 @@ BENCH_KEYS = [
     "fuzzy_topk_served",
     # r11: sample-trained IVF serving, MMR diversification, keyset page
     "ann_ivf_sampled_topk",
+    "ann_ivfpq_sampled_topk",
     "knn_mmr_topk",
     "collection_get_page2",
 ]

@@ -114,6 +114,7 @@ KEYS = {
     "ann_ivf_sampled_topk": "embeddings",
     "collection_get_page2": "documents",
     "collection_query_ip_topk": "embeddings",
+    "ann_ivfpq_sampled_topk": "embeddings",
 }
 
 
