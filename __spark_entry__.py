@@ -1498,16 +1498,49 @@ def _knn_join_ivf_sql(k: int = 3, iters: int = 2) -> str:
     SAME derived value as the Spark side — max(MIN, ceil(n / TARGET))
     computed from the table's own count as a scalar subquery — and the
     neighbor side keeps only the md5-top-CELL_CAP members per cell
-    (cap_bucket_members on ("cluster",)); all three constants
-    interpolate from the ann module, one source of truth."""
+    (cap_bucket_members on ("cluster",)); all constants interpolate
+    from the ann module, one source of truth.
+
+    Sampled training mirror (r11): with c ∝ n, full-corpus Lloyd's is
+    quadratic, so the Spark side trains on the md5-top-(c ×
+    TRAIN_PER_CELL) rank-keyed sample and assigns the corpus in one
+    frozen pass — this twin replays exactly that (sample LIMIT is the
+    same scalar arithmetic; seeds are vec_id < derived_c over ranks)."""
     derived_c = (
         f"(SELECT GREATEST({_ann.IVF_JOIN_MIN_CENTROIDS}, "
         f"CAST(ceil(count(*) * 1.0 / {_ann.IVF_JOIN_TARGET_CELL}) AS BIGINT)) "
         f"FROM embeddings)"
     )
-    ctes, final = _kmeans_ctes(derived_c, iters)
-    ctes = list(ctes)
-    ctes.append(f"af AS (\n{final})")
+    derived_s = (
+        f"(SELECT GREATEST({_ann.IVF_JOIN_MIN_CENTROIDS}, "
+        f"CAST(ceil(count(*) * 1.0 / {_ann.IVF_JOIN_TARGET_CELL}) AS BIGINT))"
+        f" * {_ann.IVF_JOIN_TRAIN_PER_CELL} FROM embeddings)"
+    )
+    ctes = [
+        "eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        " FROM embeddings)",
+        f"samp AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS md"
+        f" FROM eall ORDER BY md, vec_id LIMIT {derived_s})",
+        "samp_rk AS (SELECT vec_id, CAST(row_number() OVER"
+        " (ORDER BY md, vec_id) - 1 AS BIGINT) AS rk FROM samp)",
+        "train AS (SELECT r.rk AS vec_id, sa.emb FROM samp sa"
+        " JOIN samp_rk r USING (vec_id))",
+    ]
+    kc, _final = _kmeans_ctes(
+        derived_c, iters, tag="s", emb_sql="emb", source="train"
+    )
+    ctes += kc
+    dist_full = (
+        "round(list_inner_product(eall.emb, eall.emb)"
+        " - 2 * list_inner_product(eall.emb, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
+    ctes.append(f"""af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT eall.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY eall.vec_id
+                              ORDER BY {dist_full}, c.cluster) AS rn
+    FROM eall CROSS JOIN c{iters}s c) WHERE rn = 1)""")
     ctes.append(
         "nz AS (SELECT vec_id FROM embeddings"
         " WHERE list_inner_product(CAST(embedding AS DOUBLE[]),"

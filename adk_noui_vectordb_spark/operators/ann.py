@@ -83,6 +83,11 @@ KNN_JOIN_BUCKET_CAP = 256
 IVF_JOIN_TARGET_CELL = 128
 IVF_JOIN_CELL_CAP = 256
 IVF_JOIN_MIN_CENTROIDS = 8
+# The join's coarse quantizer trains on a SAMPLE (r11): with c ∝ n,
+# full-corpus Lloyd's is O(n²/target) distance evaluations — the
+# sampled trainer keeps training O(c² · train_per_cell), so the whole
+# join (train + assign + block + rerank) stays linear in n.
+IVF_JOIN_TRAIN_PER_CELL = 32
 RP_SCALE = 1_000_000
 
 
@@ -3236,7 +3241,11 @@ def knn_join_ivf_topk(
         # cheap corpus count (parquet footer metadata — no data scan)
         n = load_table(spark, sf_dir, "embeddings").count()
         n_centroids = derived_cell_count(n, target_cell_size)
-    assign_p, _ = build_ivf_index(spark, sf_dir, n_centroids, iters)
+    # sample-trained coarse quantizer: with the derived c ∝ n, training
+    # must NOT scan the corpus per centroid (see IVF_JOIN_TRAIN_PER_CELL)
+    assign_p, _ = build_ivf_index_sampled(
+        spark, sf_dir, n_centroids, iters, IVF_JOIN_TRAIN_PER_CELL
+    )
     ver = os.path.dirname(assign_p)
     assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p)
     emb = (

@@ -1207,10 +1207,13 @@ def test_knn_join_ivf_cell_cap_bounds_hot_cells(spark, sf_dir):
         (r["src"], r["rank"]): (r["nbr"], r["sim"])
         for r in ann.knn_join_ivf_topk(spark, sf_dir, k=3, cell_cap=cap).collect()
     }
-    # model: read the SAME derived-c index the operator served from
+    # model: read the SAME derived-c sample-trained index the operator
+    # served from (r11: the join's coarse quantizer trains on a sample)
     n = load_table(spark, sf_dir, "embeddings").count()
     c = ann.derived_cell_count(n)
-    assign_p, _ = ann.build_ivf_index(spark, sf_dir, c, 2)
+    assign_p, _ = ann.build_ivf_index_sampled(
+        spark, sf_dir, c, 2, ann.IVF_JOIN_TRAIN_PER_CELL
+    )
     ver = os.path.dirname(assign_p)
     asg = {
         r["vec_id"]: r["cluster"]
