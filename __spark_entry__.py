@@ -550,6 +550,8 @@ _REWRITTEN = frozenset({
     # r11: serving tail factored into _ivf_serve_topk (shared with the
     # sampled variant) — value-identical, but the executed code changed
     "ann_ivf_trained_topk",
+    # r11: same factoring for the IVFADC serve tail (_ivfpq_serve)
+    "ann_ivfpq_topk",
     # r11: cap_bucket_members gained the bucket_cols parameter (defaults
     # identical) — the band join executes through the new signature
     "knn_join_topk",
