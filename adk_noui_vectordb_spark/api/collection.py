@@ -391,8 +391,12 @@ class Collection:
                 .select("vec_id", F.col("emb").alias("_old_embedding"))
             )
             assembled = assembled.join(oldv, "vec_id")
+        # assemble in the COLLECTION's column order, not sorted order:
+        # _write derives the meta schema from batch column order, so a
+        # collection whose metadata columns are not alphabetical must
+        # still round-trip (regression-pinned)
         sel = [F.col("id")]
-        for c in sorted(full):
+        for c in ["embedding", "document"] + meta_cols:
             sel.append(
                 F.col(c) if c in provided else F.col(f"_old_{c}").alias(c)
             )

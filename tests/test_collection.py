@@ -851,3 +851,23 @@ def test_client_reset_and_heartbeat(spark, tmp_path):
     assert cli.heartbeat() > 0
     assert cli.reset() is True
     assert cli.list_collections() == []
+
+
+def test_partial_update_preserves_nonalphabetical_meta_order(spark, tmp_path):
+    """The assembled partial-update batch must follow the COLLECTION's
+    column order (the schema string is order-sensitive), not a sorted
+    order — pinned with metadata columns in reverse-alphabetical order."""
+    coll = Collection(spark, str(tmp_path / "ord"))
+    mat = _vecs(130, 2)
+    coll.add(
+        spark.createDataFrame(
+            [
+                ("o0", [float(x) for x in mat[0]], "d0", 5, "x"),
+                ("o1", [float(x) for x in mat[1]], "d1", 6, "y"),
+            ],
+            "id string, embedding array<double>, document string, zeta int, alpha string",
+        )
+    )
+    coll.update(spark.createDataFrame([("o1", 99)], "id string, zeta int"))
+    got = coll.get(ids=["o1"]).collect()[0]
+    assert got["zeta"] == 99 and got["alpha"] == "y" and got["document"] == "d1"
