@@ -788,6 +788,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_served": _inv.bm25_topk_served,
         # r10c: keyset pagination (search_after) — page 2 by cursor
         "bm25_page2_served": _inv.bm25_search_after,
+        # r11: Lucene minimum_should_match — >= m of the query's terms,
+        # counted from the same pivoted candidate frame as the score
+        "msm_topk_served": _inv.msm_topk_served,
         # r10: boolean query layer (AND / OR / NOT) over the same
         # on-disk postings — exact-integer tf ranking, one pruned probe
         # (NOT terms ride it: a posting row disqualifies, no rescans).
@@ -3438,6 +3441,21 @@ cur AS (SELECT bm25 AS s, doc_id AS d FROM p1 ORDER BY bm25 ASC, doc_id DESC LIM
 SELECT b.doc_id, b.bm25 FROM bm b, cur
 WHERE b.bm25 < cur.s OR (b.bm25 = cur.s AND b.doc_id > cur.d)
 ORDER BY b.bm25 DESC, b.doc_id LIMIT 10
+""",
+        # minimum_should_match twin: matched-term count = non-null slot
+        # count in the same per-term aggregate the score sums.
+        "msm_topk_served": f"""
+WITH {_BM25_CTE}
+SELECT doc_id, n_matched, bm25 FROM (
+  SELECT doc_id,
+         CAST((CASE WHEN _s0 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN _s1 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN _s2 IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_matched,
+         round(coalesce(_s0, 0.0::DOUBLE) + coalesce(_s1, 0.0::DOUBLE)
+               + coalesce(_s2, 0.0::DOUBLE), 4) AS bm25
+  FROM bm_agg
+) WHERE n_matched >= 2
+ORDER BY bm25 DESC, doc_id LIMIT 10
 """,
         # Boolean retrieval: tf pivot per doc over the probed terms,
         # AND/OR/NOT as integer predicates, exact-BIGINT tf_total rank

@@ -335,6 +335,44 @@ def bm25_search_after(
     )
 
 
+def msm_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    min_should_match: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene's ``minimum_should_match`` (r11): rank BM25 over documents
+    matching at least ``min_should_match`` of the query's terms — the
+    middle ground between pure OR (noisy for long queries) and pure AND
+    (brittle), which is what search UIs actually ship. Served entirely
+    from the index: the SAME ``_bm25_scored`` candidate frame powers the
+    score and the per-doc matched-term count (a term's pivoted tf slot
+    is > 0 iff the doc matched it), so no extra probe, no corpus scan —
+    the msm filter is one integer predicate over probe-sized data.
+    Returns (doc_id, n_matched, bm25)."""
+    if not 1 <= min_should_match <= len(terms):
+        raise ValueError(
+            f"min_should_match must be in 1..{len(terms)}, got {min_should_match}"
+        )
+    scored = _bm25_scored(spark, sf_dir, terms)
+    total = _bm25_part(0)
+    matched = F.when(F.col("_tf0") > 0, 1).otherwise(0)
+    for i in range(1, len(terms)):
+        total = total + _bm25_part(i)
+        matched = matched + F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)
+    return (
+        scored.select(
+            "doc_id",
+            matched.cast("int").alias("n_matched"),
+            F.round(total, 4).alias("bm25"),
+        )
+        .filter(F.col("n_matched") >= min_should_match)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _bm25_scored(
     spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
 ) -> DataFrame:

@@ -960,3 +960,35 @@ def test_search_after_is_disjoint_continuation(spark, sf_dir):
     ]
     assert p1 + p2 == top20
     assert {d for d, _ in p1}.isdisjoint({d for d, _ in p2})
+
+
+def test_msm_interpolates_between_or_and_and(spark, sf_dir):
+    """minimum_should_match nests monotonically: msm=1 ⊇ msm=2 ⊇ msm=3
+    (at generous k), msm=len(terms) equals the AND result set, and every
+    returned doc really matches >= msm of the terms."""
+    from adk_noui_vectordb_spark.operators import invindex as inv
+
+    terms = inv.QUERY_TERMS
+    big = 10_000
+    sets = {
+        m: {
+            r["doc_id"]: r["n_matched"]
+            for r in inv.msm_topk_served(
+                spark, sf_dir, terms, min_should_match=m, k=big
+            ).collect()
+        }
+        for m in (1, 2, 3)
+    }
+    assert set(sets[3]) <= set(sets[2]) <= set(sets[1])
+    assert all(n >= 2 for n in sets[2].values())
+    and_docs = {
+        r["doc_id"]
+        for r in inv.boolean_topk_served(
+            spark, sf_dir, must_all=terms, k=big
+        ).collect()
+    }
+    assert set(sets[3]) == and_docs
+    import pytest
+
+    with pytest.raises(ValueError, match="min_should_match"):
+        inv.msm_topk_served(spark, sf_dir, terms, min_should_match=0)
