@@ -1011,6 +1011,63 @@ class Collection:
     def name(self) -> str:
         return os.path.basename(self.root)
 
+    def add_metadata_column(
+        self, name: str, sql_type: str, default=None
+    ) -> str:
+        """Schema evolution for the typed metadata store (r11): ChromaDB
+        metadata is schemaless per row, so a migrant WILL eventually add
+        a field — under schema-on-first-write that needs an explicit
+        ALTER. Adds ``name sql_type`` to the metadata schema, filled
+        with ``default`` (NULL when omitted) on every existing row.
+
+        Cost shape: rewrites the META component only — the narrow
+        sidecar table, never the vector store or band table (those
+        components hardlink through unchanged); one atomic commit.
+        The config sidecar swaps AFTER the data commit, so a crash
+        between the two leaves a fully working old-schema view (extra
+        parquet columns are invisible to an explicit-schema read).
+        Subsequent batches must carry the new column (the
+        schema-on-write contract, now including it)."""
+        self._assert_writable()
+        cur, info = self._require()
+        atomic = ("string", "bigint", "int", "smallint", "tinyint",
+                  "double", "float", "boolean", "date", "timestamp")
+        if sql_type not in atomic:
+            raise ValueError(f"unsupported metadata type {sql_type!r}")
+        taken = set(self._meta_cols(info)) | set(_RESERVED)
+        if name in taken:
+            raise ValueError(f"column {name!r} already exists or is reserved")
+        old_schema = info["meta_schema"]
+        assert old_schema.endswith(", mbucket int")
+        new_schema = old_schema.replace(
+            ", mbucket int", f", {name} {sql_type}, mbucket int"
+        )
+        meta = self._meta(cur, info)
+        widened = meta.select(
+            *[c for c in meta.columns if c != "mbucket"],
+            F.lit(default).cast(sql_type).alias(name),
+            "mbucket",
+        )
+        all_mb = frozenset(f"mbucket={i}" for i in range(N_META_BUCKETS))
+        new = vn.commit_version(
+            self.spark,
+            self.root,
+            [
+                vn.Component("meta", ("mbucket",), all_mb, (widened,)),
+                vn.Component("bands", link_from=os.path.join(cur, "bands")),
+                vn.Component("vecs", link_from=os.path.join(cur, "vecs")),
+            ],
+            expected=os.path.basename(cur),
+            compact=_COMPONENTS,
+        )
+        new_info = dict(info)
+        new_info["meta_schema"] = new_schema
+        tmp = self._sidecar_path() + ".__tmp__"
+        with open(tmp, "w") as f:
+            json.dump(new_info, f)
+        os.replace(tmp, self._sidecar_path())
+        return new
+
     def fork(self, dst_root: str) -> "Collection":
         """Copy-on-write clone (ChromaDB ``collection.fork``): hardlink
         the current version into a fresh independent root — O(files)

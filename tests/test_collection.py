@@ -871,3 +871,53 @@ def test_partial_update_preserves_nonalphabetical_meta_order(spark, tmp_path):
     coll.update(spark.createDataFrame([("o1", 99)], "id string, zeta int"))
     got = coll.get(ids=["o1"]).collect()[0]
     assert got["zeta"] == 99 and got["alpha"] == "y" and got["document"] == "d1"
+
+
+def test_add_metadata_column_evolves_the_schema(spark, coll):
+    """ALTER for the typed metadata store: existing rows get the
+    default, the DSL filters on the new column, partial update writes
+    it, bands/vecs hardlink through untouched, and new full batches
+    must carry it (schema-on-write now includes it)."""
+    import os
+
+    mat = _vecs(140, 3)
+    coll.add(_batch(spark, ["e0", "e1", "e2"], mat))
+    cur_before = coll._cur()
+    vec_inodes_before = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _dn, fs in os.walk(os.path.join(cur_before, "vecs"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    coll.add_metadata_column("tier", "string", default="bronze")
+    got = {r["id"]: r["tier"] for r in coll.get().collect()}
+    assert got == {"e0": "bronze", "e1": "bronze", "e2": "bronze"}
+    # vecs hardlinked through (no vector rewrite for a metadata ALTER)
+    cur_after = coll._cur()
+    vec_inodes_after = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _dn, fs in os.walk(os.path.join(cur_after, "vecs"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert vec_inodes_after == vec_inodes_before
+    # DSL filter + partial update on the new column
+    coll.update(spark.createDataFrame([("e1", "gold")], "id string, tier string"))
+    assert {
+        r["id"] for r in coll.get(where={"tier": "gold"}).collect()
+    } == {"e1"}
+    # a new full batch must carry the evolved schema
+    with pytest.raises(ValueError, match="mismatch"):
+        coll.upsert(_batch(spark, ["e9"], _vecs(141, 1)))
+    wide = spark.createDataFrame(
+        [("e9", [float(x) for x in _vecs(141, 1)[0]], "d", "en", 1, "silver")],
+        "id string, embedding array<double>, document string, lang string, stars int, tier string",
+    )
+    coll.upsert(wide)
+    assert coll.count() == 4
+    assert all(ok for _c, ok, _d in coll.fsck()), coll.fsck()
+    # duplicate / reserved names rejected
+    with pytest.raises(ValueError, match="already exists"):
+        coll.add_metadata_column("tier", "string")
+    with pytest.raises(ValueError, match="unsupported"):
+        coll.add_metadata_column("blob", "array<double>")
