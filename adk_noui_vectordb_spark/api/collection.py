@@ -1176,6 +1176,8 @@ class Collection:
         multiprobe_hamming: int = 1,
         query_texts=None,
         include: "list[str] | None" = None,
+        filter_strategy: str = "auto",
+        prefilter_threshold: int = 10_000,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
         literal partition predicates), vecs-store cosine rerank, DSL
@@ -1187,6 +1189,20 @@ class Collection:
         embeddings opt-in, joined from the vecs store only when asked
         (the get() docvalues discipline). ``id`` and ``query_idx``
         always ride along (they key the result).
+
+        ``filter_strategy`` (r11, the adaptive pre-filter plan every
+        production vector DB ships): 'probe' = LSH candidates then
+        post-filter (the default shape — right when filters keep most
+        of the corpus; multiprobe holds recall@10 >= 0.98 down to 10%
+        selectivity, BASELINE.md r11). 'exact' = skip the probe and
+        rerank EXACTLY over the filter's survivors — right when the
+        filter is ultra-selective (at 0.1% selectivity the survivors of
+        ANY probe thin below k by construction; exact-over-survivors is
+        both cheaper and recall-1.0 because the survivor set is smaller
+        than a probe's candidate set). 'auto' = one cheap COUNT on the
+        narrow meta sidecar picks: exact iff survivors <=
+        ``prefilter_threshold`` (at 100 TB that is a metadata-column
+        count against pushed-down predicates, never a vector read).
 
         ``query_texts`` is the reference's primary entry
         (``semantic_search(query: str)``, vector_search_tool.py:33-46):
@@ -1240,39 +1256,71 @@ class Collection:
         mat = np.asarray(qs, dtype=np.float64)
         if mat.ndim != 2 or mat.shape[1] != dim:
             raise ValueError(f"query_embeddings must be n x {dim}")
-        signs_t = np.array(_rp_plane_signs(RP_PLANES, dim), dtype=np.int64).T
-        keys = _rp_band_keys(mat, signs_t)  # n x bands
+        if filter_strategy not in ("auto", "probe", "exact"):
+            raise ValueError(
+                f"filter_strategy: 'auto'|'probe'|'exact', got {filter_strategy!r}"
+            )
+        meta = self._meta(cur, info)
+        if where is not None:
+            meta = meta.filter(compile_where(where))
+        if where_document is not None:
+            meta = meta.filter(compile_where_document(where_document, "document"))
+        has_filter = where is not None or where_document is not None
+        strategy = filter_strategy
+        if strategy == "auto":
+            strategy = (
+                "exact"
+                if has_filter and meta.count() <= prefilter_threshold
+                else "probe"
+            )
+        elif strategy == "exact" and not has_filter:
+            raise ValueError(
+                "filter_strategy='exact' needs a where/where_document filter"
+            )
 
-        probe_rows, pairs = [], set()
-        for qi in range(mat.shape[0]):
-            for b in range(RP_BANDS):
-                ks = {int(keys[qi][b])}
-                if multiprobe_hamming >= 1:
-                    ks |= {
-                        int(keys[qi][b]) ^ (1 << bit)
-                        for bit in range(RP_BAND_BITS)
-                    }
-                for key in sorted(ks):
-                    probe_rows.append((qi, b, key))
-                    pairs.add((b, key))
+        if strategy == "exact":
+            # ultra-selective filter: the survivor set is SMALLER than
+            # any probe's candidate set — score all of it exactly
+            qidx = self.spark.createDataFrame(
+                [(i,) for i in range(mat.shape[0])], "query_idx int"
+            )
+            cand = meta.select("vec_id").crossJoin(F.broadcast(qidx))
+        else:
+            signs_t = np.array(
+                _rp_plane_signs(RP_PLANES, dim), dtype=np.int64
+            ).T
+            keys = _rp_band_keys(mat, signs_t)  # n x bands
 
-        probe = self.spark.createDataFrame(
-            probe_rows, "query_idx int, band int, band_key int"
-        )
-        probe_pred = reduce(
-            or_,
-            [
-                (F.col("band") == b) & (F.col("band_key") == k)
-                for b, k in sorted(pairs)
-            ],
-        )
-        cand = (
-            self._bands(cur)
-            .filter(probe_pred)
-            .join(F.broadcast(probe), ["band", "band_key"])
-            .select("query_idx", "vec_id")
-            .distinct()
-        )
+            probe_rows, pairs = [], set()
+            for qi in range(mat.shape[0]):
+                for b in range(RP_BANDS):
+                    ks = {int(keys[qi][b])}
+                    if multiprobe_hamming >= 1:
+                        ks |= {
+                            int(keys[qi][b]) ^ (1 << bit)
+                            for bit in range(RP_BAND_BITS)
+                        }
+                    for key in sorted(ks):
+                        probe_rows.append((qi, b, key))
+                        pairs.add((b, key))
+
+            probe = self.spark.createDataFrame(
+                probe_rows, "query_idx int, band int, band_key int"
+            )
+            probe_pred = reduce(
+                or_,
+                [
+                    (F.col("band") == b) & (F.col("band_key") == k)
+                    for b, k in sorted(pairs)
+                ],
+            )
+            cand = (
+                self._bands(cur)
+                .filter(probe_pred)
+                .join(F.broadcast(probe), ["band", "band_key"])
+                .select("query_idx", "vec_id")
+                .distinct()
+            )
         qlits = F.array(
             *[
                 F.expr("array(" + ",".join(_double_sql(x) for x in row) + ")")
@@ -1294,11 +1342,6 @@ class Collection:
             .withColumn("q_emb", F.element_at(qlits, F.col("query_idx") + 1))
             .select("query_idx", "vec_id", dist.alias("distance"))
         )
-        meta = self._meta(cur, info)
-        if where is not None:
-            meta = meta.filter(compile_where(where))
-        if where_document is not None:
-            meta = meta.filter(compile_where_document(where_document, "document"))
         joined = scored.join(meta.drop("mbucket"), "vec_id")
         if "embeddings" in inc:
             joined = joined.join(

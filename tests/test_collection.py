@@ -921,3 +921,63 @@ def test_add_metadata_column_evolves_the_schema(spark, coll):
         coll.add_metadata_column("tier", "string")
     with pytest.raises(ValueError, match="unsupported"):
         coll.add_metadata_column("blob", "array<double>")
+
+
+def test_adaptive_prefilter_strategy(spark, tmp_path):
+    """r11 adaptive query planning: an ultra-selective where filter
+    switches query() to exact-over-survivors (recall 1.0 where the
+    probe path thins below k by construction); the explicit strategies
+    agree with each other on non-selective filters; 'exact' without a
+    filter is rejected."""
+    import numpy as np
+
+    n = 300
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(n, DIM)).round(3)
+    grp = [i % 100 for i in range(n)]  # grp==0 keeps 3 of 300 rows (1%)
+    coll = Collection(spark, str(tmp_path / "adapt"))
+    coll.add(
+        spark.createDataFrame(
+            [
+                (f"a{i:04d}", [float(x) for x in mat[i]], f"d{i}", grp[i])
+                for i in range(n)
+            ],
+            "id string, embedding array<double>, document string, grp int",
+        )
+    )
+    q = [float(x) for x in rng.normal(size=DIM).round(3)]
+    where = {"grp": 0}
+    # ground truth among survivors
+    nrm = np.linalg.norm(mat, axis=1)
+    qv = np.array(q)
+    cos = np.round((mat @ qv) / (nrm * np.linalg.norm(qv)), 4)
+    survivors = [i for i in range(n) if grp[i] == 0]
+    truth = [
+        f"a{i:04d}"
+        for i in sorted(survivors, key=lambda i: (-cos[i], f"a{i:04d}"))
+    ]
+    auto = [r["id"] for r in coll.query(q, n_results=3, where=where).collect()]
+    exact = [
+        r["id"]
+        for r in coll.query(
+            q, n_results=3, where=where, filter_strategy="exact"
+        ).collect()
+    ]
+    assert auto == exact == truth  # auto picked the exact path: recall 1.0
+    # probe path still works and returns a subset of survivors
+    probed = [
+        r["id"]
+        for r in coll.query(
+            q, n_results=3, where=where, filter_strategy="probe"
+        ).collect()
+    ]
+    assert set(probed) <= {f"a{i:04d}" for i in survivors}
+    # a broad filter on auto takes the probe path and stays correct
+    broad = coll.query(
+        q, n_results=3, where={"grp": {"$gte": 0}}, prefilter_threshold=10
+    )
+    assert len(broad.collect()) == 3
+    with pytest.raises(ValueError, match="needs a where"):
+        coll.query(q, n_results=3, filter_strategy="exact")
+    with pytest.raises(ValueError, match="filter_strategy"):
+        coll.query(q, n_results=3, filter_strategy="brute")
