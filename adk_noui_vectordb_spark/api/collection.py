@@ -1176,7 +1176,7 @@ class Collection:
         multiprobe_hamming: int = 1,
         query_texts=None,
         include: "list[str] | None" = None,
-        filter_strategy: str = "auto",
+        filter_strategy: str = "probe",
         prefilter_threshold: int = 10_000,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
@@ -1191,18 +1191,22 @@ class Collection:
         always ride along (they key the result).
 
         ``filter_strategy`` (r11, the adaptive pre-filter plan every
-        production vector DB ships): 'probe' = LSH candidates then
-        post-filter (the default shape — right when filters keep most
-        of the corpus; multiprobe holds recall@10 >= 0.98 down to 10%
-        selectivity, BASELINE.md r11). 'exact' = skip the probe and
-        rerank EXACTLY over the filter's survivors — right when the
-        filter is ultra-selective (at 0.1% selectivity the survivors of
-        ANY probe thin below k by construction; exact-over-survivors is
-        both cheaper and recall-1.0 because the survivor set is smaller
-        than a probe's candidate set). 'auto' = one cheap COUNT on the
-        narrow meta sidecar picks: exact iff survivors <=
-        ``prefilter_threshold`` (at 100 TB that is a metadata-column
-        count against pushed-down predicates, never a vector read).
+        production vector DB ships): 'probe' (default) = LSH candidates
+        then post-filter — the documented, oracle-pinned shape; right
+        when filters keep most of the corpus (multiprobe holds
+        recall@10 >= 0.98 down to 10% selectivity, BASELINE.md r11).
+        'exact' = skip the probe and rerank EXACTLY over the filter's
+        survivors — right when the filter is ultra-selective (at 0.1%
+        selectivity the survivors of ANY probe thin below k by
+        construction; exact-over-survivors is both cheaper and
+        recall-1.0 because the survivor set is smaller than a probe's
+        candidate set). 'auto' = one cheap COUNT on the narrow meta
+        sidecar picks: exact iff survivors <= ``prefilter_threshold``
+        (at 100 TB that is a metadata-column count against pushed-down
+        predicates, never a vector read). 'auto' is OPT-IN rather than
+        the default so the default plan stays deterministic and
+        probe-pinned — a plan that silently depends on a cardinality
+        count is the wrong default for a reproducibility-first engine.
 
         ``query_texts`` is the reference's primary entry
         (``semantic_search(query: str)``, vector_search_tool.py:33-46):

@@ -956,7 +956,12 @@ def test_adaptive_prefilter_strategy(spark, tmp_path):
         f"a{i:04d}"
         for i in sorted(survivors, key=lambda i: (-cos[i], f"a{i:04d}"))
     ]
-    auto = [r["id"] for r in coll.query(q, n_results=3, where=where).collect()]
+    auto = [
+        r["id"]
+        for r in coll.query(
+            q, n_results=3, where=where, filter_strategy="auto"
+        ).collect()
+    ]
     exact = [
         r["id"]
         for r in coll.query(
@@ -974,7 +979,8 @@ def test_adaptive_prefilter_strategy(spark, tmp_path):
     assert set(probed) <= {f"a{i:04d}" for i in survivors}
     # a broad filter on auto takes the probe path and stays correct
     broad = coll.query(
-        q, n_results=3, where={"grp": {"$gte": 0}}, prefilter_threshold=10
+        q, n_results=3, where={"grp": {"$gte": 0}},
+        filter_strategy="auto", prefilter_threshold=10,
     )
     assert len(broad.collect()) == 3
     with pytest.raises(ValueError, match="needs a where"):
