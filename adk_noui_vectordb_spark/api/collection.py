@@ -200,6 +200,38 @@ class Collection:
             return os.path.join(self.root, self._pin)
         return vn.current_dir(self.root)
 
+    def _version_info(self, cur: "str | None") -> "dict | None":
+        """Config persisted INSIDE the version dir (ADVICE r11): commits
+        carry ``collection.json`` with the data it describes, so a
+        reader/writer that resolved ``cur`` always sees a schema
+        consistent with the rows it reads — no window where a schema
+        evolution has committed data but not yet swapped the root
+        sidecar (and an ``at()`` snapshot reads with ITS version's
+        schema, not today's). None for pre-r12 versions (root sidecar
+        remains the fallback)."""
+        if cur is None:
+            return None
+        p = os.path.join(cur, "collection.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            info = json.load(f)
+        stored = info.get("space", "cosine")
+        if stored != self.space:
+            raise ValueError(
+                f"collection {self.root} was created with space="
+                f"{stored!r}; reopen with that space (metric mismatch "
+                f"silently corrupts rankings)"
+            )
+        return info
+
+    def _info(self, cur: "str | None") -> "dict | None":
+        """Authoritative config for the resolved version: the version-
+        scoped copy when present, else the root sidecar (legacy
+        versions / empty collection)."""
+        vinfo = self._version_info(cur)
+        return vinfo if vinfo is not None else self._load_sidecar()
+
     def at(self, version: str) -> "Collection":
         """Read-only snapshot view pinned to ``version`` (a name from
         ``versions()``) — time-travel READS without moving ``_CURRENT``
@@ -220,7 +252,7 @@ class Collection:
 
     def _require(self) -> tuple[str, dict]:
         cur = self._cur()
-        info = self._load_sidecar()
+        info = self._info(cur)
         if cur is None or info is None:
             raise ValueError(f"collection {self.root} is empty — add() first")
         return cur, info
@@ -328,12 +360,20 @@ class Collection:
         dict; with schema-on-first-write typed columns, the column
         subset is the equivalent contract). Provided columns replace.
         A full-schema batch takes the direct path with zero old reads
-        beyond the resubmission check."""
+        beyond the resubmission check.
+
+        Lost-update fence (ADVICE r11): the carried-forward old values
+        are a snapshot; the commit CASes on exactly that snapshot's
+        version, so a concurrent commit landing mid-assembly raises
+        ``ConcurrentWriterError`` instead of silently reverting the
+        interleaved writer's changes to omitted columns — this method
+        then re-derives the assembly from the new current version and
+        retries (bounded)."""
         cols = set(batch.columns)
         if "id" not in cols:
             raise ValueError("batch needs an 'id' column")
         cur = self._cur()
-        info = self._load_sidecar()
+        info = self._info(cur)
         if cur is None or info is None:
             some = [r["id"] for r in batch.select("id").limit(3).collect()]
             raise KeyError(
@@ -360,6 +400,24 @@ class Collection:
             return cur
         if b.select("id").distinct().count() != n:
             raise ValueError("duplicate ids within one batch")
+        last = None
+        for _ in range(3):
+            try:
+                return self._update_partial(b, n, provided, cur, info, meta_cols)
+            except vn.ConcurrentWriterError as ex:
+                last = ex
+                cur = self._cur()
+                info = self._info(cur)
+                if cur is None or info is None:
+                    raise
+                meta_cols = self._meta_cols(info)
+        raise last
+
+    def _update_partial(self, b, n, provided, cur, info, meta_cols) -> str:
+        """One partial-update attempt against the ``cur`` snapshot: fill
+        omitted columns from ``cur``'s stores, then commit with the CAS
+        expected pinned to ``cur`` (via ``_write(expected_version=...)``)
+        so a stale assembly loses loudly, never silently."""
         mb = sorted(
             r["m"]
             for r in b.select(_mbucket_expr(F.col("vec_id")).alias("m"))
@@ -416,7 +474,12 @@ class Collection:
                 f"update(): ids not present: {absent} — use upsert() to "
                 f"insert-or-replace"
             )
-        return self._write(assembled, replace=True, require_present=True)
+        return self._write(
+            assembled,
+            replace=True,
+            require_present=True,
+            expected_version=os.path.basename(cur),
+        )
 
     def _assert_writable(self) -> None:
         if getattr(self, "_pin", None) is not None:
@@ -425,7 +488,20 @@ class Collection:
                 f"write through the unpinned Collection"
             )
 
-    def _write(self, batch: DataFrame, replace: bool, require_present: bool = False) -> str:
+    def _write(
+        self,
+        batch: DataFrame,
+        replace: bool,
+        require_present: bool = False,
+        expected_version: "str | None" = None,
+    ) -> str:
+        """``expected_version`` (ADVICE r11): the version name the
+        caller's batch was ASSEMBLED against (partial update's
+        carried-forward old values). When set, the resolved current
+        version must still be it — and the commit CASes on it under the
+        lock — so a concurrent commit between assembly and here raises
+        ``ConcurrentWriterError`` instead of silently reverting the
+        interleaved writer's columns."""
         self._assert_writable()
         b, meta_cols = self._normalize(batch)
         n = b.count()
@@ -468,9 +544,25 @@ class Collection:
             ]
             + ["mbucket int"]
         )
-        info = self._save_sidecar(
-            {"dim": dim["lo"], "meta_schema": meta_schema, "space": self.space}
-        )
+        cur = self._cur()
+        if expected_version is not None and (
+            cur is None or os.path.basename(cur) != expected_version
+        ):
+            raise vn.ConcurrentWriterError(
+                f"{self.root}: batch assembled against {expected_version} "
+                f"but _CURRENT is "
+                f"{None if cur is None else os.path.basename(cur)!r} — "
+                f"re-derive"
+            )
+        # validate against the VERSION-scoped config when the resolved
+        # version carries one (schema consistent with the data by
+        # construction — ADVICE r11); root sidecar covers first-write
+        # and legacy versions.
+        info = self._version_info(cur) if cur is not None else None
+        if info is None:
+            info = self._save_sidecar(
+                {"dim": dim["lo"], "meta_schema": meta_schema, "space": self.space}
+            )
         if info["meta_schema"] != meta_schema:
             raise ValueError(
                 f"metadata schema mismatch: collection has "
@@ -478,13 +570,13 @@ class Collection:
             )
         if info["dim"] != dim["lo"]:
             raise ValueError(f"dim mismatch: {info['dim']} != {dim['lo']}")
+        extra = {"collection.json": json.dumps(info)}
 
         batch_ids = b.select("vec_id", "id")
         batch_bands = self._band_rows_for(
             b.select("vec_id", "emb").filter(_nonzero_pred()), info["dim"]
         ).localCheckpoint(eager=True)
 
-        cur = self._cur()
         if cur is None:
             if require_present:
                 some = [r["id"] for r in b.select("id").head(3)]
@@ -499,6 +591,7 @@ class Collection:
                     self.root,
                     self._plan(b, batch_bands, meta_cols, frozenset(), frozenset(), frozenset(), None),
                     expected=None,
+                    extra_files=extra,
                 )
             except vn.ConcurrentWriterError:
                 # a racing creator won the initial commit; replay this
@@ -555,6 +648,7 @@ class Collection:
             self._plan(b, batch_bands, meta_cols, rw_pairs, rw_vb, rw_mb, (cur, info, resub_ids)),
             expected=os.path.basename(cur),
             compact=_COMPONENTS,
+            extra_files=extra,
         )
         return new
 
@@ -806,11 +900,12 @@ class Collection:
             ]
 
         cur = self._cur()
-        info = self._load_sidecar()
+        info = self._info(cur)
         if cur is None:
             info = self._save_sidecar(dict(oinfo))
             return vn.commit_version(
-                self.spark, self.root, _link_comps(), expected=None
+                self.spark, self.root, _link_comps(), expected=None,
+                extra_files={"collection.json": json.dumps(info)},
             )
 
         if info != oinfo:
@@ -909,7 +1004,7 @@ class Collection:
         nonzero vectors band exactly RP_BANDS times, no surrogate maps
         to two ids. Returns (check, ok, detail) tuples, never raises."""
         cur = self._cur()
-        info = self._load_sidecar()
+        info = self._info(cur)
         comps = [
             ("bands", ["band", "band_key"], BANDS_SCHEMA),
             ("vecs", ["vbucket"], VECS_SCHEMA),
@@ -1023,11 +1118,16 @@ class Collection:
         Cost shape: rewrites the META component only — the narrow
         sidecar table, never the vector store or band table (those
         components hardlink through unchanged); one atomic commit.
-        The config sidecar swaps AFTER the data commit, so a crash
-        between the two leaves a fully working old-schema view (extra
-        parquet columns are invisible to an explicit-schema read).
-        Subsequent batches must carry the new column (the
-        schema-on-write contract, now including it)."""
+        The new schema commits ATOMICALLY with the data — persisted
+        inside the version dir (ADVICE r11: the old post-commit root
+        sidecar swap left a window where a concurrent upsert normalized
+        against the OLD schema and rewrote victim partitions without
+        the new column; writers now validate against the version-scoped
+        schema and CAS on the version, so that upsert loses loudly and
+        re-derives). The root sidecar refreshes after as a convenience
+        cache; a crash between the two is harmless — the version copy
+        is authoritative. Subsequent batches must carry the new column
+        (the schema-on-write contract, now including it)."""
         self._assert_writable()
         cur, info = self._require()
         atomic = ("string", "bigint", "int", "smallint", "tinyint",
@@ -1049,6 +1149,8 @@ class Collection:
             "mbucket",
         )
         all_mb = frozenset(f"mbucket={i}" for i in range(N_META_BUCKETS))
+        new_info = dict(info)
+        new_info["meta_schema"] = new_schema
         new = vn.commit_version(
             self.spark,
             self.root,
@@ -1059,9 +1161,8 @@ class Collection:
             ],
             expected=os.path.basename(cur),
             compact=_COMPONENTS,
+            extra_files={"collection.json": json.dumps(new_info)},
         )
-        new_info = dict(info)
-        new_info["meta_schema"] = new_schema
         tmp = self._sidecar_path() + ".__tmp__"
         with open(tmp, "w") as f:
             json.dump(new_info, f)
@@ -1075,19 +1176,35 @@ class Collection:
         freely (every write creates new files in new version dirs, so
         shared inodes never diverge in place). Config + user-metadata
         sidecars are copied (not linked — they are replaced in place by
-        ``modify``)."""
+        ``modify``).
+
+        Forking an ``at()``-pinned snapshot view clones THE PINNED
+        version (ADVICE r11 — the old path silently cloned the latest,
+        contradicting the snapshot abstraction), and the fork's root
+        sidecar comes from the pinned version's own config (schema as
+        of that version, not today's)."""
         import shutil as _sh
 
-        vn.fork_index(self.root, dst_root)
-        for f in ("collection.json", "user_meta.json"):
-            p = os.path.join(self.root, f)
-            if os.path.exists(p):
-                _sh.copyfile(p, os.path.join(dst_root, f))
+        pin = getattr(self, "_pin", None)
+        vn.fork_index(self.root, dst_root, version=pin)
+        vinfo = self._version_info(self._cur())
+        if vinfo is not None:
+            tmp = os.path.join(dst_root, "collection.json.__tmp__")
+            with open(tmp, "w") as f:
+                json.dump(vinfo, f)
+            os.replace(tmp, os.path.join(dst_root, "collection.json"))
+        elif os.path.exists(self._sidecar_path()):
+            _sh.copyfile(
+                self._sidecar_path(), os.path.join(dst_root, "collection.json")
+            )
+        p = os.path.join(self.root, "user_meta.json")
+        if os.path.exists(p):
+            _sh.copyfile(p, os.path.join(dst_root, "user_meta.json"))
         return Collection(self.spark, dst_root, space=self.space)
 
     def count(self) -> int:
         cur = self._cur()
-        info = self._load_sidecar()
+        info = self._info(cur)
         if cur is None or info is None:
             return 0
         return self._meta(cur, info).count()

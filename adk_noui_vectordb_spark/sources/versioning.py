@@ -79,33 +79,64 @@ def _read_lock_pid(path: str) -> "int | None":
         return 0
 
 
-def _steal_stale_lock(path: str, slot: str) -> None:
-    """Remove ``path`` ONLY if its owner is (still) dead — the
-    TOCTOU-safe steal (ADVICE r11 / VERDICT r10 next #5). A blind
-    ``os.unlink`` after observing a dead pid can race: another waiter
-    steals first AND a new LIVE owner re-claims, and the unlink then
-    destroys the live owner's lockfile, breaking mutual exclusion.
-    Instead: atomically rename the lockfile into a private ``slot``
-    (exactly one stealer wins the rename; losers get FileNotFoundError
-    and re-poll), THEN re-verify the renamed file's owner. Dead →
-    discard the slot, the path is free. Alive (we renamed a fresh live
-    lock that won the race) → hard-link it straight back unless an
-    even newer claim already landed; either way the live pid keeps a
-    lockfile and the caller goes back to waiting."""
+def _steal_stale_lock(path: str, slot: str, claim: str) -> None:
+    """Remove ``path`` ONLY if its owner is VERIFIED dead at removal
+    time (ADVICE r11 / VERDICT r10 next #5, hardened r12). The r11
+    rename-and-reverify-AFTER design could still rename a LIVE lock on
+    a stale dead-pid read; the restore then raced fresh claims (two
+    concurrent holders), and worse — the live owner could RELEASE while
+    its lock sat in the stealer's slot, so the restore resurrected a
+    released lock nobody would ever unlink (an orphan that deadlocks
+    every later waiter; caught by the 3-thread race test in r12).
+
+    The r12 protocol makes the dead-read authoritative INSTEAD of
+    compensating after the fact: stealers serialize on a
+    ``_LOCK.stealing`` marker (a hardlink of the stealer's claim file,
+    so it is born with its pid; a crashed stealer's marker is swept by
+    the next waiter), and the pid is re-read UNDER the marker,
+    immediately before the rename. Between that read and the rename
+    nothing can swap the lockfile: claimants only ``os.link`` onto a
+    FREE path (this one is occupied), releases only happen from live
+    owners (this one is dead), and other stealers are excluded by the
+    marker — so the renamed file is exactly the dead lock that was
+    verified, and a live owner's lock is never touched. The post-rename
+    re-verify stays as a defensive invariant check."""
+    marker = os.path.join(os.path.dirname(path), "_LOCK.stealing")
     try:
-        os.rename(path, slot)
-    except FileNotFoundError:
-        return  # released or stolen by another waiter first
-    spid = _read_lock_pid(slot)
-    if spid and _pid_alive(spid):
+        os.link(claim, marker)
+    except FileExistsError:
+        mpid = _read_lock_pid(marker)
+        if mpid is not None and not _pid_alive(mpid):
+            try:
+                os.unlink(marker)  # crashed stealer's marker
+            except FileNotFoundError:
+                pass
+        return  # another steal in flight — re-poll
+    try:
+        pid = _read_lock_pid(path)
+        if pid is None or _pid_alive(pid):
+            return  # released meanwhile, or the dead read was stale
         try:
-            os.link(slot, path)  # restore the live owner's lock
-        except FileExistsError:
-            pass  # a newer claim holds the path; nothing to restore
-    try:
-        os.unlink(slot)
-    except FileNotFoundError:
-        pass
+            os.rename(path, slot)
+        except FileNotFoundError:
+            return  # released between re-read and rename
+        spid = _read_lock_pid(slot)
+        if spid and _pid_alive(spid):
+            # unreachable by the protocol argument above; restore
+            # defensively rather than silently dropping a live lock
+            try:
+                os.link(slot, path)
+            except FileExistsError:
+                pass
+        try:
+            os.unlink(slot)
+        except FileNotFoundError:
+            pass
+    finally:
+        try:
+            os.unlink(marker)
+        except FileNotFoundError:
+            pass
 
 
 @contextmanager
@@ -148,7 +179,7 @@ def writer_lock(root: str, wait_s: float = 60.0, poll_s: float = 0.2):
                     continue  # released between claim attempt and read
                 if not _pid_alive(pid):
                     _steal_stale_lock(
-                        path, os.path.join(root, f"_LOCK.steal.{tag}")
+                        path, os.path.join(root, f"_LOCK.steal.{tag}"), claim
                     )
                     continue
                 if _time.monotonic() >= deadline:
@@ -160,8 +191,17 @@ def writer_lock(root: str, wait_s: float = 60.0, poll_s: float = 0.2):
         yield
     finally:
         if acquired:
+            # Ownership-verified release (ADVICE r11): the lockfile is a
+            # hardlink of this holder's claim file, so ownership is
+            # provable by inode. If the lock was renamed away by a
+            # stealer and could not be restored (a newer claimant
+            # already re-linked the path), a blind unlink here would
+            # destroy the NEW claimant's lockfile and let a third
+            # waiter acquire concurrently — the one-step-removed
+            # mutual-exclusion break. Unlink only our own inode.
             try:
-                os.unlink(path)
+                if os.stat(path).st_ino == os.stat(claim).st_ino:
+                    os.unlink(path)
             except FileNotFoundError:
                 pass
         try:
@@ -381,8 +421,40 @@ def link_component(src: str, dst: str) -> None:
     _link_level(src, dst, "", frozenset())
 
 
-def fork_index(src_root: str, dst_root: str) -> str:
-    """Hardlink-clone the CURRENT version of ``src_root`` into a fresh
+def _carry_version_files(src_dir: str, tmp: str) -> None:
+    """Hardlink the predecessor version's plain top-level files (the
+    version-scoped config sidecars — ADVICE r11: schema must ride WITH
+    the data it describes) into the new version's tmp dir. Skips
+    ``_``/``.``-prefixed names and anything the new version already
+    wrote. Linked inodes are immutable by the version contract; a
+    commit that CHANGES a sidecar passes it via ``extra_files``, which
+    unlinks before writing (never writes through a shared inode)."""
+    if not os.path.isdir(src_dir):
+        return
+    os.makedirs(tmp, exist_ok=True)
+    for fname in os.listdir(src_dir):
+        sp = os.path.join(src_dir, fname)
+        dp = os.path.join(tmp, fname)
+        if (
+            os.path.isfile(sp)
+            and not fname.startswith(("_", "."))
+            and not os.path.exists(dp)
+        ):
+            os.link(sp, dp)
+
+
+def _write_extra_files(tmp: str, extra_files: "dict | None") -> None:
+    os.makedirs(tmp, exist_ok=True)
+    for fname, content in (extra_files or {}).items():
+        dp = os.path.join(tmp, fname)
+        if os.path.exists(dp):
+            os.unlink(dp)  # may be a carried hardlink — never write through
+        with open(dp, "w") as f:
+            f.write(content)
+
+
+def fork_index(src_root: str, dst_root: str, version: "str | None" = None) -> str:
+    """Hardlink-clone a version of ``src_root`` into a fresh
     independent root — the copy-on-write fork (ChromaDB's
     ``collection.fork``; the dev-snapshot / A-B-experiment ops tool):
     O(number of files) directory ops, ZERO row data copied. Safe by the
@@ -392,14 +464,26 @@ def fork_index(src_root: str, dst_root: str) -> str:
     gc in either root only unlinks NAMES, which cannot disturb the
     other root's links. The source's writer lock is held during the
     walk so a racing double-commit cannot gc the version mid-fork.
-    Raises if ``dst_root`` already holds a version or ``src_root``
-    holds none. Returns the fork's current version dir."""
+
+    ``version`` (ADVICE r11): clone that NAMED on-disk version instead
+    of the current one — the at()-pinned-snapshot fork; it must still
+    be on disk (gc retains the trailing two). Plain top-level files
+    (version-scoped config sidecars) clone along with the components.
+    Raises if ``dst_root`` already holds a version or the source
+    version is absent. Returns the fork's current version dir."""
     if current_name(dst_root) is not None:
         raise FileExistsError(f"fork target {dst_root} already has versions")
     with writer_lock(src_root):
-        cur = current_dir(src_root)
-        if cur is None:
-            raise FileNotFoundError(f"{src_root} has no committed version")
+        if version is None:
+            cur = current_dir(src_root)
+            if cur is None:
+                raise FileNotFoundError(f"{src_root} has no committed version")
+        else:
+            cur = os.path.join(src_root, version)
+            if not os.path.isdir(cur):
+                raise FileNotFoundError(
+                    f"{src_root}: version {version!r} is not on disk (gc'd?)"
+                )
         os.makedirs(dst_root, exist_ok=True)
         name = "v_000000"
         tmp = os.path.join(dst_root, f".__tmp_{name}__")
@@ -408,6 +492,7 @@ def fork_index(src_root: str, dst_root: str) -> str:
             sp = os.path.join(cur, comp)
             if os.path.isdir(sp):
                 link_component(sp, os.path.join(tmp, comp))
+        _carry_version_files(cur, tmp)
         publish_version(dst_root, tmp, name, expected=None)
     return os.path.join(dst_root, name)
 
@@ -446,6 +531,7 @@ def commit_version(
     compact=None,
     compact_threshold: int = 16,
     lock_wait_s: float = 60.0,
+    extra_files: "dict | None" = None,
 ) -> str:
     """THE shared upsert/delete commit kernel: materialize every
     component plan into a tmp dir (unchanged partitions hardlinked from
@@ -494,6 +580,13 @@ def commit_version(
             else:
                 for df in c.writes:
                     df.coalesce(1).write.mode("overwrite").parquet(dst)
+        # version-scoped sidecar files (ADVICE r11): config that must
+        # stay consistent with the data rides INSIDE the version dir —
+        # carried forward from the predecessor, replaced atomically
+        # with the data when the commit changes it (extra_files).
+        if cur is not None:
+            _carry_version_files(cur, tmp)
+        _write_extra_files(tmp, extra_files)
         publish_version(root, tmp, name, expected=cur_name)
         gc_versions(root)
     out = os.path.join(root, name)
@@ -601,6 +694,7 @@ def _compact_locked(spark, root, components, threshold, F) -> "str | None":
             .partitionBy(*cols)
             .parquet(os.path.join(tmp, comp))
         )
+    _carry_version_files(cur, tmp)
     publish_version(root, tmp, name, expected=os.path.basename(cur))
     gc_versions(root)
     return os.path.join(root, name)

@@ -59,6 +59,18 @@ def _batch_digest(batch: DataFrame, cols: "tuple[str, ...]"):
     return (row["s1"], row["s2"], row["n"])
 
 
+def _decisions_part(decisions_dir: str, digest) -> str:
+    """Content-keyed partition dir for one batch's audit rows — the
+    exactly-once decisions trail (ADVICE r11): a replayed batch
+    OVERWRITES its own ``digest=<...>`` dir instead of appending, so
+    crash-replay cannot duplicate decision rows and a partial write is
+    cleared by the overwrite. Identical-content batches share a dir by
+    design (the content-marker discipline already treats them as one
+    re-delivery)."""
+    s1, s2, n = digest
+    return os.path.join(decisions_dir, f"digest={s1}_{s2}_{n}")
+
+
 def _retry_cas(fn, attempts: int = 3) -> None:
     """Run a versioned-index update, retrying when an interleaved
     committer wins the CAS race (sources/versioning.py single-writer
@@ -819,13 +831,19 @@ def stream_gated_collection_ingest(
             )
             .localCheckpoint(eager=True)
         )
-        dmark = _marker_path(root, "gcd", digest)
-        if not os.path.exists(dmark):
+        # idempotent audit write (ADVICE r11): each batch's decisions
+        # OVERWRITE their own digest=<...> partition dir instead of
+        # appending under a separate marker — a crash between the old
+        # append and its marker re-appended the same rows on replay
+        # (and a mid-append crash left partial files). Overwrite of a
+        # content-keyed dir makes the replay rewrite the SAME rows and
+        # clears any partial files; readers scan decisions_dir as a
+        # digest-partitioned table.
+        os.makedirs(decisions_dir, exist_ok=True)  # all-clean runs still read
+        if dups.take(1):
             dups.select("new_doc_id", "dup_of", "matches").write.mode(
-                "append"
-            ).parquet(decisions_dir)
-            with open(dmark, "w") as f:
-                f.write("ok\n")
+                "overwrite"
+            ).parquet(_decisions_part(decisions_dir, digest))
         admitted = batch.join(
             dups.select(F.col("new_doc_id").alias("_sid")).distinct(),
             _sid_expr(F.col("id")) == F.col("_sid"),
@@ -881,9 +899,9 @@ def stream_gated_ingest(
     index. With the exclusion the gate decision is a pure function of
     (batch, pre-batch corpus), so a replay decides identically and the
     idempotent replace-updates converge both indexes. The audit write
-    carries its own version-scoped marker, so a clean re-delivery never
-    duplicates decision rows (a crash BETWEEN the updates can — the
-    trail is at-least-once; consumers key on (new_doc_id, dup_of)).
+    is EXACTLY-once: each batch's decisions overwrite a content-keyed
+    ``digest=<...>`` partition dir, so a crash anywhere in the ingest
+    makes the replay rewrite the same rows, never append duplicates.
 
     ``intra_batch_gate=True`` additionally rejects near-dups WITHIN the
     batch, keeping the md5-min doc_id of each duplicate pair as the one
@@ -929,13 +947,12 @@ def stream_gated_ingest(
                 intra_batch_dup_decisions(bspark, batch)
             )
         dups = dups.localCheckpoint(eager=True)
-        dmark = _marker_path(root, "gd", digest)
-        if not os.path.exists(dmark):
+        # idempotent audit write — see stream_gated_collection_ingest
+        os.makedirs(decisions_dir, exist_ok=True)
+        if dups.take(1):
             dups.select("new_doc_id", "dup_of", "matches").write.mode(
-                "append"
-            ).parquet(decisions_dir)
-            with open(dmark, "w") as f:
-                f.write("ok\n")
+                "overwrite"
+            ).parquet(_decisions_part(decisions_dir, digest))
         admitted = batch.join(
             dups.select(F.col("new_doc_id").alias("doc_id")).distinct(),
             "doc_id",

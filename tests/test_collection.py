@@ -987,3 +987,99 @@ def test_adaptive_prefilter_strategy(spark, tmp_path):
         coll.query(q, n_results=3, filter_strategy="exact")
     with pytest.raises(ValueError, match="filter_strategy"):
         coll.query(q, n_results=3, filter_strategy="brute")
+
+
+def test_partial_update_lost_update_fence(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): a concurrent commit landing between a
+    partial update's old-value assembly and its commit must NOT have
+    its changes to omitted columns silently reverted — the commit CASes
+    on the assembly snapshot's version, loses, and re-derives."""
+    root = str(tmp_path / "lu")
+    coll = Collection(spark, root)
+    mat = _vecs(77, 3)
+    coll.add(_batch(spark, ["a", "b", "c"], mat))
+    other = Collection(spark, root)
+    real_write = Collection._write
+    fired = {"done": False}
+
+    def interfering(self, batch, replace, require_present=False, expected_version=None):
+        if expected_version is not None and not fired["done"]:
+            fired["done"] = True
+            # interleaved writer changes the OMITTED column mid-flight
+            other.update(
+                spark.createDataFrame([("a", 99)], "id string, stars int")
+            )
+        return real_write(self, batch, replace, require_present, expected_version)
+
+    monkeypatch.setattr(Collection, "_write", interfering)
+    # partial update provides lang only; stars is carried forward
+    coll.update(spark.createDataFrame([("a", "fr")], "id string, lang string"))
+    row = coll.get(ids=["a"]).head()
+    assert fired["done"], "the interference never fired"
+    assert row["lang"] == "fr"
+    assert row["stars"] == 99, "interleaved writer's stars update was reverted"
+
+
+def test_schema_evolution_is_atomic_with_the_data(spark, tmp_path):
+    """ADVICE r11 (low): the evolved schema rides INSIDE the version dir,
+    so a writer normalizing against a stale root sidecar cannot rewrite
+    partitions without the new column, and readers of the committed
+    version always see the schema its data was written with."""
+    import os
+
+    import pytest as _pt
+
+    root = str(tmp_path / "se")
+    coll = Collection(spark, root)
+    coll.add(_batch(spark, ["a", "b", "c"], _vecs(5, 3)))
+    with open(os.path.join(root, "collection.json")) as f:
+        old_side = f.read()
+    coll.add_metadata_column("score", "double", default=1.5)
+    # simulate the old crash/race window: root sidecar still pre-ALTER
+    with open(os.path.join(root, "collection.json"), "w") as f:
+        f.write(old_side)
+    # a batch shaped by the stale sidecar must fail loudly, never
+    # silently rewrite victim partitions without the new column
+    with _pt.raises(ValueError, match="schema mismatch"):
+        coll.upsert(_batch(spark, ["a"], _vecs(6, 1)))
+    # readers resolve the version-scoped schema: the column is intact
+    assert coll.get(ids=["b"]).head()["score"] == 1.5
+
+
+def test_fork_of_pinned_snapshot_clones_that_version(spark, tmp_path):
+    """ADVICE r11 (low): forking an at()-pinned view clones the PINNED
+    version, not the latest."""
+    root = str(tmp_path / "fp")
+    coll = Collection(spark, root)
+    mat = _vecs(9, 4)
+    coll.add(_batch(spark, ["a", "b"], mat[:2]))
+    v0 = coll.versions()[-1]["name"]
+    coll.upsert(_batch(spark, ["c", "d"], mat[2:]))
+    snap = coll.at(v0)
+    fork = snap.fork(str(tmp_path / "fp2"))
+    assert {r["id"] for r in fork.get().collect()} == {"a", "b"}
+    fork2 = coll.fork(str(tmp_path / "fp3"))
+    assert fork2.count() == 4
+
+
+def test_writer_lock_release_is_ownership_checked(tmp_path):
+    """ADVICE r11 (medium): release unlinks _LOCK only when it is still
+    OUR inode — a claimant that re-linked the path after a botched steal
+    keeps its lock."""
+    import os
+
+    from adk_noui_vectordb_spark.sources import versioning as vn
+
+    root = str(tmp_path / "lk")
+    os.makedirs(root)
+    lock = os.path.join(root, "_LOCK")
+    with vn.writer_lock(root):
+        assert os.path.exists(lock)
+        # simulate: a stealer renamed our lock away, restore failed, and
+        # a new live claimant re-linked the path
+        os.rename(lock, os.path.join(root, "stolen"))
+        claim2 = os.path.join(root, "claim2")
+        with open(claim2, "w") as f:
+            f.write(str(os.getpid()))
+        os.link(claim2, lock)
+    assert os.path.exists(lock), "release destroyed the new claimant's lock"

@@ -1008,13 +1008,28 @@ def test_stream_gated_collection_ingest_curates_the_facade(
     assert (_sid_py("dup-of-b"), _sid_py("new-b")) in decisions2
 
     # fresh-checkpoint replay of EVERYTHING converges (the gate decides
-    # identically; replaces are idempotent; markers skip re-deliveries)
+    # identically; replaces are idempotent). The applied markers are
+    # DELETED first — the crash-window replay (ADVICE r11): every batch
+    # re-gates and re-writes its decisions, which must OVERWRITE the
+    # content-keyed partition, never append duplicates.
+    root = dedup.minhash_index_root(base_dir)
+    for f in os.listdir(os.path.join(root, "applied")):
+        if f.startswith("gc."):
+            os.unlink(os.path.join(root, "applied", f))
     q3 = stream_gated_collection_ingest(
         spark, base_dir, coll_root, stream_dir + "/*",
         str(tmp_path / "gcckpt2"), dec_dir,
     )
     q3.awaitTermination(180)
     assert {r["id"] for r in coll.get().collect()} == {"new-b"}
+    dup_rows = (
+        spark.read.parquet(dec_dir)
+        .groupBy("new_doc_id", "dup_of")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_rows == 0, "crash-window replay duplicated audit rows"
     assert {
         r["doc_id"]
         for r in spark.read.schema(dedup.MINHASH_SIGS_SCHEMA)

@@ -137,7 +137,10 @@ def test_steal_reverifies_and_restores_a_live_owners_lock(tmp_path):
     # the lock W is ABOUT to unlink now belongs to a live owner (us)
     with open(path, "w") as f:
         f.write(str(os.getpid()))
-    vn._steal_stale_lock(path, os.path.join(root, "_LOCK.steal.test"))
+    claim = os.path.join(root, "_LOCK.claim.test")
+    with open(claim, "w") as f:
+        f.write(str(os.getpid()))
+    vn._steal_stale_lock(path, os.path.join(root, "_LOCK.steal.test"), claim)
     assert os.path.exists(path), "live owner's lock was destroyed"
     with open(path) as f:
         assert int(f.read().strip()) == os.getpid()
@@ -152,7 +155,10 @@ def test_steal_removes_a_dead_owners_lock(tmp_path):
     p.wait()
     with open(path, "w") as f:
         f.write(str(p.pid))
-    vn._steal_stale_lock(path, os.path.join(root, "_LOCK.steal.test"))
+    claim = os.path.join(root, "_LOCK.claim.test")
+    with open(claim, "w") as f:
+        f.write(str(os.getpid()))
+    vn._steal_stale_lock(path, os.path.join(root, "_LOCK.steal.test"), claim)
     assert not os.path.exists(path)
     assert not os.path.exists(os.path.join(root, "_LOCK.steal.test"))
 
