@@ -35,6 +35,7 @@ from adk_noui_vectordb_spark.operators import ann as _ann
 from adk_noui_vectordb_spark.operators import bloom as _bloom
 from adk_noui_vectordb_spark.operators import cagg as _cagg
 from adk_noui_vectordb_spark.operators import graph as _graph
+from adk_noui_vectordb_spark.operators import graph_ann as _gann
 from adk_noui_vectordb_spark.operators import layout as _layout
 from adk_noui_vectordb_spark.operators import dedup as _dedup
 from adk_noui_vectordb_spark.operators import embed as _embed
@@ -506,6 +507,29 @@ _CHECKED_R10 = frozenset({
     "simhash_signatures", "text_index_doc_map", "tokenize_bpe_encode",
 })
 
+# CORRECTNESS_r11.json: 50/50 green (every r11 rewrite re-verified, the
+# whole r11 new-key cohort, and the rotated r6/r7 staleness cohorts).
+_CHECKED_R11 = frozenset({
+    "ann_ivf_sampled_topk", "ann_ivf_topk", "ann_ivf_trained_topk",
+    "ann_ivfpq_sampled_topk", "ann_ivfpq_topk", "bloom_filter_orders",
+    "bm25_topk", "cap_docs_per_source", "chunk_js_elements",
+    "collection_get_page2", "collection_get_where",
+    "collection_query_ip_topk", "collection_query_topk",
+    "cube_status_priority", "dedup_gate_against_index",
+    "dedup_repeated_ngrams", "doc_token_entropy", "docs_where_dsl_filter",
+    "embed_dim_stats", "embed_projection_rows", "file_context",
+    "hybrid_rrf_topk", "index_pipeline", "knn_file_summary_query",
+    "knn_int8_rerank", "knn_int8_topk", "knn_join_ivf_topk",
+    "knn_join_topk", "knn_mmr_topk", "knn_text_query",
+    "knn_where_dsl_topk", "lm_bigram_score", "msm_topk_served",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    "normalize_text_corpus", "q14_promo_revenue",
+    "q16_supplier_part_counts", "q18_large_orders", "q1_pricing_summary",
+    "q3_top_orders", "q4_order_priority", "q5_region_revenue",
+    "q6_revenue_forecast", "q9_brand_profit", "rp_lsh_band_rows",
+    "sketch_heavy_hitters", "sketch_user_overlap", "zorder_events",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -520,6 +544,7 @@ for _rnd, _s in (
     (8, _CHECKED_R8),
     (9, _CHECKED_R9),
     (10, _CHECKED_R10),
+    (11, _CHECKED_R11),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -528,33 +553,19 @@ for _rnd, _s in (
 # (ADVICE r5, medium): a rewrite strips checked status so the next driver
 # window re-verifies the NEW code at sf0.01 before anything else.
 # Maintained per-round: when a rewritten key gets a fresh green row, move
-# it into that round's _CHECKED set and drop it here. r11: all 6 r10
-# rewrites greened in CORRECTNESS_r10 and moved to _CHECKED_R10, so the
-# r11 window rotates the remaining r6-green keys, then the r7 cohort
-# (VERDICT r10 next #2). r11 rewrites are added below as they land.
+# it into that round's _CHECKED set and drop it here. r12: all 9 r11
+# rewrites greened in CORRECTNESS_r11 and moved to _CHECKED_R11; the
+# entries below are the r12 rewrites.
 _REWRITTEN = frozenset({
-    # r11: knn_join_ivf_topk gained derived n_centroids (c ∝ n /
-    # target_cell_size) and a per-cell member cap (VERDICT r10 next #1) —
-    # the candidate generation changed, re-verify before the stale cohort
-    "knn_join_ivf_topk",
-    # r11: the ingest gate's serving path was fused into fewer jobs
-    # (VERDICT r10 next #8) — same decisions, new plan shape
-    "dedup_gate_against_index",
-    # r11: where-DSL $ne now matches rows with NULL metadata (ADVICE r11:
-    # ChromaDB negation ops match missing values; $nin already did)
-    "docs_where_dsl_filter",
-    "knn_where_dsl_topk",
-    "collection_get_where",
-    # r11: facade ip distance now returns 1 - dot (Chroma value contract)
+    # r12: every Collection write/read now resolves config from the
+    # VERSION-SCOPED sidecar (ADVICE r11 — schema rides with the data;
+    # partial update commits CAS on its assembly snapshot) — values
+    # identical, but the whole facade executes through the new
+    # resolution path
     "collection_query_topk",
-    # r11: serving tail factored into _ivf_serve_topk (shared with the
-    # sampled variant) — value-identical, but the executed code changed
-    "ann_ivf_trained_topk",
-    # r11: same factoring for the IVFADC serve tail (_ivfpq_serve)
-    "ann_ivfpq_topk",
-    # r11: cap_bucket_members gained the bucket_cols parameter (defaults
-    # identical) — the band join executes through the new signature
-    "knn_join_topk",
+    "collection_query_ip_topk",
+    "collection_get_where",
+    "collection_get_page2",
 })
 
 
@@ -770,6 +781,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: cell-blocked batch kNN join — the clustered-data fast
         # path (same-cell pairs only; n^2/c candidate volume)
         "knn_join_ivf_topk": _ann.knn_join_ivf_topk,
+        # r12: the HNSW analog — versioned k-NN graph (cell-join layer 0
+        # + md5-min-hub layer 1), deterministic beam search serving
+        "ann_graph_topk": _gann.ann_graph_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -1493,24 +1507,12 @@ ORDER BY d2_micro, vec_id LIMIT {topk}
     )
 
 
-def _knn_join_ivf_sql(k: int = 3, iters: int = 2) -> str:
-    """Cell-blocked batch kNN join oracle (operators/ann.py
-    knn_join_ivf_topk): the trained-IVF Lloyd's chain assigns cells,
-    candidates are same-cell nonzero-norm pairs, exact 4-dp cosine with
-    the (sim desc, nbr) tie-break, rank <= k per source.
-
-    Scale-sizing mirror (VERDICT r10 next #1): the cell count is the
-    SAME derived value as the Spark side — max(MIN, ceil(n / TARGET))
-    computed from the table's own count as a scalar subquery — and the
-    neighbor side keeps only the md5-top-CELL_CAP members per cell
-    (cap_bucket_members on ("cluster",)); all constants interpolate
-    from the ann module, one source of truth.
-
-    Sampled training mirror (r11): with c ∝ n, full-corpus Lloyd's is
-    quadratic, so the Spark side trains on the md5-top-(c ×
-    TRAIN_PER_CELL) rank-keyed sample and assigns the corpus in one
-    frozen pass — this twin replays exactly that (sample LIMIT is the
-    same scalar arithmetic; seeds are vec_id < derived_c over ranks)."""
+def _cell_join_ctes(iters: int = 2) -> list:
+    """The shared sampled-IVF cell-join CTE chain (derived c, md5-top-s
+    rank-keyed training sample, sampled Lloyd's, frozen full-corpus
+    assignment ``af``/``afnz``, md5-capped neighbor side, same-cell
+    candidates, 4-dp cosine ``jscored``) — the common prefix of the
+    ``knn_join_ivf_topk`` and ``ann_graph_topk`` oracles."""
     derived_c = (
         f"(SELECT GREATEST({_ann.IVF_JOIN_MIN_CENTROIDS}, "
         f"CAST(ceil(count(*) * 1.0 / {_ann.IVF_JOIN_TARGET_CELL}) AS BIGINT)) "
@@ -1570,6 +1572,28 @@ def _knn_join_ivf_sql(k: int = 3, iters: int = 2) -> str:
   FROM jcand c
   JOIN embeddings es ON es.vec_id = c.src
   JOIN embeddings en ON en.vec_id = c.nbr)""")
+    return ctes
+
+
+def _knn_join_ivf_sql(k: int = 3, iters: int = 2) -> str:
+    """Cell-blocked batch kNN join oracle (operators/ann.py
+    knn_join_ivf_topk): the trained-IVF Lloyd's chain assigns cells,
+    candidates are same-cell nonzero-norm pairs, exact 4-dp cosine with
+    the (sim desc, nbr) tie-break, rank <= k per source.
+
+    Scale-sizing mirror (VERDICT r10 next #1): the cell count is the
+    SAME derived value as the Spark side — max(MIN, ceil(n / TARGET))
+    computed from the table's own count as a scalar subquery — and the
+    neighbor side keeps only the md5-top-CELL_CAP members per cell
+    (cap_bucket_members on ("cluster",)); all constants interpolate
+    from the ann module, one source of truth.
+
+    Sampled training mirror (r11): with c ∝ n, full-corpus Lloyd's is
+    quadratic, so the Spark side trains on the md5-top-(c ×
+    TRAIN_PER_CELL) rank-keyed sample and assigns the corpus in one
+    frozen pass — this twin replays exactly that (sample LIMIT is the
+    same scalar arithmetic; seeds are vec_id < derived_c over ranks)."""
+    ctes = _cell_join_ctes(iters)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT src, nbr, sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -1577,6 +1601,119 @@ SELECT src, nbr, sim, CAST(rank AS INTEGER) AS rank FROM (
          row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
   FROM jscored
 ) WHERE rank <= {k}
+"""
+    )
+
+
+def _ann_graph_sql(
+    qid: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Navigable-graph ANN twin (operators/graph_ann.py ann_graph_topk):
+    reconstructs the WHOLE index in SQL — layer-0 edges are the cell
+    join's rank <= degree, hubs are each cell's md5-min nonzero member,
+    layer-1 edges the top-hub_degree hub pairs by 4-dp cosine, star
+    bridges link every member to its cell hub, and the reverse side is
+    rank-capped (the bidirectional discipline) — then unrolls the beam
+    search as chained CTEs (the knn_mmr_topk discipline): v_r =
+    v_{{r-1}} UNION the scored unseen neighbors of f_r = top-``beam``
+    of v_{{r-1}} (sim DESC, vec_id tie-break); the answer is top-k of
+    v_rounds. Seeds: the md5-min hub excluding the query id (the
+    stored entry/ pair realizes the same value) UNION the query's own
+    cell hub (the hubmap/ point lookup — here the af assignment row)."""
+    ctes = _cell_join_ctes(iters)
+    cos_h = _COS.format(a="a.emb", b="b.emb")
+    cos_q = _COS.format(a="em.embedding", b="qe.q")
+    ctes.append(f"""edges0 AS (
+  SELECT src, nbr, sim FROM (
+    SELECT src, nbr, sim,
+           row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+    FROM jscored) WHERE rank <= {degree})""")
+    ctes.append("""ghubs AS (
+  SELECT cluster, vec_id FROM (
+    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM afnz) WHERE rn = 1)""")
+    ctes.append(
+        "ghv AS (SELECT h.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb"
+        " FROM ghubs h JOIN embeddings e USING (vec_id))"
+    )
+    cos_s = _COS.format(a="em.embedding", b="eh.embedding")
+    ctes.append(f"""gstar AS (
+  SELECT a.vec_id AS src, h.vec_id AS nbr, {cos_s} AS sim
+  FROM afnz a
+  JOIN ghubs h USING (cluster)
+  JOIN embeddings em ON em.vec_id = a.vec_id
+  JOIN embeddings eh ON eh.vec_id = h.vec_id
+  WHERE a.vec_id <> h.vec_id)""")
+    ctes.append(f"""ghedges AS (
+  SELECT src, nbr, sim FROM (
+    SELECT a.vec_id AS src, b.vec_id AS nbr, {cos_h} AS sim,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_h} DESC, b.vec_id) AS rk
+    FROM ghv a JOIN ghv b ON a.vec_id <> b.vec_id) WHERE rk <= {hub_degree})""")
+    # bidirectional links, reverse side capped (graph_ann.py build doc)
+    ctes.append(
+        "gfwd AS (SELECT DISTINCT src, nbr, sim FROM"
+        " (SELECT src, nbr, sim FROM edges0"
+        "  UNION ALL SELECT src, nbr, sim FROM ghedges"
+        "  UNION ALL SELECT src, nbr, sim FROM gstar))"
+    )
+    ctes.append(f"""grev AS (
+  SELECT src, nbr FROM (
+    SELECT f.nbr AS src, f.src AS nbr,
+           row_number() OVER (PARTITION BY f.nbr
+                              ORDER BY f.sim DESC, f.src) AS rk
+    FROM gfwd f) WHERE rk <= {_ann.IVF_JOIN_CELL_CAP})""")
+    ctes.append(
+        "gedges AS (SELECT src, nbr FROM gfwd"
+        " UNION SELECT src, nbr FROM grev)"
+    )
+    ctes.append(
+        f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings"
+        f" WHERE vec_id = {qid})"
+    )
+    ctes.append(
+        f"ent AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"
+    )
+    # seeds: global entry ∪ the query's own cell hub (the hubmap/
+    # point lookup — here the af assignment row), qid excluded
+    ctes.append(f"""gseed AS (
+  SELECT vec_id FROM ent
+  UNION
+  SELECT h.vec_id FROM ghubs h
+  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid})
+    AND h.vec_id <> {qid})""")
+    ctes.append(f"""gv0 AS (
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM embeddings em JOIN gseed s ON s.vec_id = em.vec_id CROSS JOIN qe)""")
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"gf{r} AS (SELECT vec_id FROM gv{r - 1}"
+            f" ORDER BY sim DESC, vec_id LIMIT {beam})"
+        )
+        ctes.append(f"""gv{r} AS (
+  SELECT vec_id, sim FROM gv{r - 1}
+  UNION
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM gedges ed
+  JOIN gf{r} f ON ed.src = f.vec_id
+  JOIN embeddings em ON em.vec_id = ed.nbr
+  CROSS JOIN qe
+  WHERE ed.nbr <> {qid})""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM gv{rounds}) WHERE rank <= {k}
+ORDER BY rank
 """
     )
 
@@ -3383,6 +3520,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         # Cap and band-bit width interpolate the ann module constants so
         # Spark and oracle share one source of truth (ADVICE r8).
         "knn_join_ivf_topk": _knn_join_ivf_sql(),
+        "ann_graph_topk": _ann_graph_sql(),
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
 nz_bands AS (

@@ -1,0 +1,449 @@
+"""Navigable-graph ANN — the HNSW analog (VERDICT r11 next #1).
+
+The reference's actual vector index IS a navigable small-world graph:
+ChromaDB's default index is hnswlib (coding_agent/tools/
+vector_search_tool.py:42 queries it through ``collection.query``). The
+repo serves LSH / IVF / PQ / IVFADC families; this module adds the
+missing structural analog — a batch-built k-NN GRAPH persisted as a
+versioned index, served by deterministic bounded beam search.
+
+Design (Spark-first, not an hnswlib port):
+
+- **Layer 0** (the neighborhood graph): the ``knn_join_ivf_topk`` cell
+  join's edges (operators/ann.py:3194) at ``degree`` neighbors per
+  vector — IVF-cell-blocked construction is the batch analog of HNSW's
+  incremental insert-time neighbor selection (NN-Descent-style blocked
+  builds are the standard MapReduce construction; cost is linear in n
+  via the derived cell count + per-cell cap).
+- **Layer 1** (the express lanes — HNSW's upper layers): one HUB per
+  IVF cell (the md5-min nonzero member — deterministic, the house
+  md5-selection discipline), each hub linked to its ``hub_degree``
+  nearest hubs by exact 4-dp cosine. Hubs give greedy search the
+  long-range jumps that pure same-cell edges lack (same-cell-only
+  adjacency is DISCONNECTED across cells). Hub-graph construction is
+  all-pairs over c = max(8, ceil(n/128)) hubs — c², but c ∝ n/128 so
+  at very large n the hub layer itself would recurse through the same
+  cell-blocked join (documented, not needed at test scale).
+- **One unified edge set, BIDIRECTIONAL**: layer-0 ∪ layer-1 edges ∪
+  their reversals (capped per source — see the build comment; a k-NN
+  digraph is not strongly connected, HNSW links both ways for the same
+  reason) in one ``edges/`` component partitioned by ``sbucket`` (md5
+  bucket of src), so a beam round's neighbor fetch statically prunes
+  to the frontier's partition directories — bounded point reads,
+  never a scan.
+- **Entry point**: the two md5-smallest hubs persisted at build time
+  (``entry/``); serving starts from the first one that is not the
+  query itself (deterministic, query-independent otherwise).
+
+Search (``ann_graph_topk``): classic best-first beam, made
+deterministic and oracle-mirrorable — visited set V₀ = {entry};
+each of ``rounds`` rounds expands the ``beam`` best visited nodes
+(4-dp cosine to the query, vec_id tie-break), scores their unseen
+neighbors, and unions them into V; the answer is the top-k of the
+final V. The loop runs DRIVER-side over bounded state (≤ beam ids per
+frontier, ≤ beam × (degree + hub_degree) new ids per round — the
+knn_mmr_topk discipline: a sequential algorithm belongs on the driver
+when its state is O(k)-bounded), with per-round partition-pruned point
+reads of ``edges/`` and ``vecs/``. Sims use the identical
+left-to-right double fold + Decimal HALF_UP 4-dp quantize that
+knn_mmr_topk proved equal to F.round / DuckDB round, so the DuckDB
+twin unrolls the rounds as chained CTEs (v_r = v_{r-1} UNION scored
+neighbors of top-beam(v_{r-1})) and hash-matches exactly.
+
+100 TB shape: build = one cell join (linear, capped) + one hub join;
+serve = ``rounds`` × 2 point-read jobs whose cost depends only on
+(beam, degree, rounds) — corpus-size-independent, like every serving
+probe in the ANN family.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+from ..sources import versioning as vn
+from ..sources.tables import load_table
+from .ann import (
+    IVF_ASSIGN_SCHEMA,
+    IVF_JOIN_CELL_CAP,
+    IVF_JOIN_TARGET_CELL,
+    IVF_JOIN_TRAIN_PER_CELL,
+    N_VEC_BUCKETS,
+    VECS_SCHEMA,
+    _nonzero_pred,
+    build_ivf_index_sampled,
+    derived_cell_count,
+    knn_join_ivf_topk,
+    vec_bucket_expr,
+    vec_bucket_py,
+)
+
+GRAPH_DEGREE = 8
+GRAPH_HUB_DEGREE = 8
+GRAPH_EDGES_SCHEMA = "src bigint, nbr bigint, sim double, sbucket int"
+GRAPH_ENTRY_SCHEMA = "rk int, vec_id bigint"
+GRAPH_HUBMAP_SCHEMA = "vec_id bigint, hub bigint, vbucket int"
+GRAPH_COMPONENTS = [
+    ("edges", ["sbucket"]),
+    ("entry", []),
+    ("hubmap", ["vbucket"]),
+    ("vecs", []),
+]
+
+
+def graph_index_root(
+    sf_dir: str,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> str:
+    from ..memo import index_root
+
+    return index_root(
+        "graph_ann", sf_dir, degree, hub_degree, iters,
+        IVF_JOIN_TARGET_CELL, IVF_JOIN_CELL_CAP, IVF_JOIN_TRAIN_PER_CELL,
+        N_VEC_BUCKETS,
+    )
+
+
+def build_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> str:
+    """Build (or resolve) the versioned k-NN graph index. Components:
+    ``edges/sbucket=*`` (src, nbr, sim — layer-0 cell-join edges ∪
+    layer-1 hub edges), ``entry/`` (the two md5-smallest hubs),
+    ``vecs/`` (hardlinked from the sampled-IVF version the edges were
+    derived from — the corpus-of-record the serving rerank reads).
+    Returns the current version dir."""
+    from pyspark.sql.window import Window
+
+    root = graph_index_root(sf_dir, degree, hub_degree, iters)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+
+    # layer 0: the cell join's k-NN edges at graph degree
+    edges0 = knn_join_ivf_topk(spark, sf_dir, k=degree, iters=iters).select(
+        "src", "nbr", "sim"
+    )
+
+    # the SAME sampled-IVF version the cell join built/used
+    n = load_table(spark, sf_dir, "embeddings").count()
+    c = derived_cell_count(n)
+    assign_p, _cents = build_ivf_index_sampled(
+        spark, sf_dir, c, iters, IVF_JOIN_TRAIN_PER_CELL
+    )
+    ver = os.path.dirname(assign_p)
+    assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
+    nz = vecs.filter(_nonzero_pred()).select("vec_id")
+
+    # layer 1: md5-min nonzero member per cell, linked to its
+    # hub_degree nearest hubs by exact 4-dp cosine (all-pairs over c
+    # hubs — c ∝ n/128; at extreme n this layer recurses through the
+    # cell join, see module doc)
+    md = F.md5(F.col("vec_id").cast("string"))
+    wh = Window.partitionBy("cluster").orderBy(md.alias("md"), F.col("vec_id"))
+    hubs = (
+        assign.join(nz, "vec_id")
+        .withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select("cluster", "vec_id")
+    )
+    hv = hubs.join(vecs.select("vec_id", "emb"), "vec_id").localCheckpoint(
+        eager=True
+    )
+    # per-cell STAR bridges: every nonzero member links to its cell's
+    # hub. A k-NN mesh alone cannot cross sub-clusters that share one
+    # IVF cell (the fixture's interleaved clusters produced isolated
+    # 100-node components — measured before this edge class existed),
+    # and md5 hub selection is location-blind, so coverage must be
+    # STRUCTURAL: the star makes each cell one connected component by
+    # construction — the deterministic analog of HNSW's random level
+    # promotion guaranteeing every region an upper-layer door. The
+    # reversal stage below returns hub→member links (capped), so a
+    # beam landing on a hub can fan out to its whole cell.
+    star = (
+        assign.join(nz, "vec_id")
+        .join(
+            hubs.select("cluster", F.col("vec_id").alias("hub")), "cluster"
+        )
+        .filter(F.col("vec_id") != F.col("hub"))
+        .join(
+            vecs.select("vec_id", F.col("emb").alias("me")), "vec_id"
+        )
+        .join(
+            hv.select(
+                F.col("vec_id").alias("hub"), F.col("emb").alias("he")
+            ),
+            "hub",
+        )
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("hub").alias("nbr"),
+            F.round(cosine_similarity(F.col("me"), F.col("he")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    a = hv.select(F.col("vec_id").alias("src"), F.col("emb").alias("se"))
+    b = hv.select(F.col("vec_id").alias("nbr"), F.col("emb").alias("ne"))
+    hsim = F.round(cosine_similarity(F.col("se"), F.col("ne")), 4)
+    wr = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))
+    hedges = (
+        a.join(b, a["src"] != b["nbr"])
+        .select("src", "nbr", hsim.alias("sim"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= hub_degree)
+        .select("src", "nbr", "sim")
+    )
+
+    # BIDIRECTIONAL links (the HNSW discipline): a k-NN DIGRAPH is not
+    # strongly connected — 4-dp sim ties break toward low vec_ids, so
+    # high-id cluster members collect inbound edges only and whole
+    # regions become unreachable from the entry (measured: 618/1000
+    # reachable, recall capped at 0.76 on the tight fixture). Reverse
+    # every edge (cosine is symmetric, so the sim rides along), capped
+    # at IVF_JOIN_CELL_CAP per source (sim desc, nbr tie-break) so a
+    # popularity hub in a skewed cell cannot make one beam expansion
+    # fetch an unbounded list.
+    fwd = edges0.unionByName(hedges).unionByName(star).distinct()
+    rev = fwd.select(
+        F.col("nbr").alias("src"), F.col("src").alias("nbr"), "sim"
+    )
+    wcap = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))
+    rev = (
+        rev.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= IVF_JOIN_CELL_CAP)
+        .select("src", "nbr", "sim")
+    )
+    edges = (
+        fwd.unionByName(rev)
+        .distinct()
+        .withColumn("sbucket", vec_bucket_expr(F.col("src")))
+    )
+    entry = (
+        hv.select("vec_id", md.alias("md"))
+        .orderBy("md", "vec_id")
+        .limit(2)
+        .select(
+            (F.row_number().over(Window.orderBy("md", "vec_id")))
+            .cast("int")
+            .alias("rk"),
+            "vec_id",
+        )
+    )
+    # hubmap: every vector's cell hub, partitioned by the vector's OWN
+    # md5 vbucket — the serve-time O(1) point lookup that seeds the
+    # beam with the query's regional door (see ann_graph_topk). The
+    # assign/ store can't serve this lookup (it partitions by cluster,
+    # which is exactly what the lookup doesn't know yet).
+    hubmap = (
+        assign.join(
+            hubs.select("cluster", F.col("vec_id").alias("hub")), "cluster"
+        )
+        .select(
+            "vec_id", "hub", vec_bucket_expr(F.col("vec_id")).alias("vbucket")
+        )
+    )
+    try:
+        vn.commit_version(
+            spark,
+            root,
+            [
+                vn.Component("edges", ("sbucket",), frozenset(), (edges,)),
+                vn.Component("entry", (), writes=(entry,)),
+                vn.Component("hubmap", ("vbucket",), frozenset(), (hubmap,)),
+                vn.Component("vecs", link_from=os.path.join(ver, "vecs")),
+            ],
+            expected=None,
+        )
+    except vn.ConcurrentWriterError:
+        pass  # a racing builder won; serve its identical version
+    return vn.current_dir(root)
+
+
+def _sim4(a: list, b: list) -> float:
+    """4-dp cosine on doubles — the knn_mmr_topk kernel verbatim:
+    left-to-right fold (list_inner_product's order) + Decimal HALF_UP
+    quantize (= F.round / DuckDB round on these values)."""
+    num = aa = bb = 0.0
+    for x, y in zip(a, b):
+        num += x * y
+        aa += x * x
+        bb += y * y
+    c = num / (math.sqrt(aa) * math.sqrt(bb))
+    return float(Decimal(repr(c)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def ann_graph_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """Serve top-k by deterministic beam search over the persisted
+    k-NN graph (module doc). Bounded driver-side loop; every Spark job
+    inside is a partition-pruned point read (edges by the frontier's
+    sbuckets + src list; vectors by the candidates' vbuckets + id
+    list). Returns (rank int, vec_id, sim) — sims are 4-dp cosine to
+    the query, ties broken by vec_id; the query itself is excluded."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    entry_rows = (
+        spark.read.schema(GRAPH_ENTRY_SCHEMA)
+        .parquet(os.path.join(cur, "entry"))
+        .orderBy("rk")
+        .collect()
+    )
+    entry = next(
+        (r["vec_id"] for r in entry_rows if r["vec_id"] != query_vec_id), None
+    )
+    if entry is None:
+        raise ValueError("graph index has no usable entry hub")
+    vecs_path = os.path.join(cur, "vecs")
+    edges_path = os.path.join(cur, "edges")
+
+    def fetch_vecs(ids) -> dict:
+        ids = sorted(ids)
+        vbs = sorted({vec_bucket_py(i) for i in ids})
+        rows = (
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(vecs_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id", "emb")
+            .collect()
+        )
+        return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
+
+    # seed the beam with the GLOBAL entry AND the query's own cell hub
+    # (one vbucket-pruned point read of hubmap/) — the regional door.
+    # Pure best-first from a single entry provably stalls when the
+    # query's region has no well-scoring upper-layer node (measured:
+    # an interleaved sub-cluster whose only door scored sim −0.20 was
+    # never expanded at any beam width); seeding by coarse assignment
+    # is the FAISS IVF+HNSW-hybrid answer, and our coarse quantizer IS
+    # the index's top layer.
+    hub_row = (
+        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
+        .parquet(os.path.join(cur, "hubmap"))
+        .filter(
+            (F.col("vbucket") == vec_bucket_py(query_vec_id))
+            & (F.col("vec_id") == query_vec_id)
+        )
+        .head()
+    )
+    seeds = [entry]
+    if hub_row is not None and hub_row["hub"] != query_vec_id:
+        seeds.append(hub_row["hub"])
+    first = fetch_vecs({query_vec_id, *seeds})
+    if query_vec_id not in first:
+        raise ValueError(f"query vec_id {query_vec_id} not in the index")
+    q = first[query_vec_id]
+    if not any(x != 0.0 for x in q):
+        raise ValueError("zero-norm query vector: cosine undefined")
+    visited = {s: _sim4(q, first[s]) for s in set(seeds)}
+    frontier = sorted(visited, key=lambda v: (-visited[v], v))[:beam]
+    for _ in range(rounds):
+        sbs = sorted({vec_bucket_py(i) for i in frontier})
+        nbr_rows = (
+            spark.read.schema(GRAPH_EDGES_SCHEMA)
+            .parquet(edges_path)
+            .filter(
+                F.col("sbucket").isin(sbs) & F.col("src").isin(sorted(frontier))
+            )
+            .select("nbr")
+            .distinct()
+            .collect()
+        )
+        new_ids = (
+            {r["nbr"] for r in nbr_rows} - set(visited) - {query_vec_id}
+        )
+        if new_ids:
+            for vid, e in fetch_vecs(new_ids).items():
+                visited[vid] = _sim4(q, e)
+        frontier = [
+            v
+            for v, _s in sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :beam
+            ]
+        ]
+    top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return spark.createDataFrame(
+        [(i + 1, vid, s) for i, (vid, s) in enumerate(top)],
+        "rank int, vec_id bigint, sim double",
+    )
+
+
+def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
+    """Graph-index integrity: the generic versioned-root checks plus
+    the graph's own invariants — every edge endpoint has a vector,
+    no self-loops, out-degree ≤ degree + hub_degree, entry hubs exist
+    as sources. Returns (check, ok, detail); never raises."""
+    root = graph_index_root(sf_dir, **params)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("edges", ["sbucket"], GRAPH_EDGES_SCHEMA),
+            ("entry", [], GRAPH_ENTRY_SCHEMA),
+            ("hubmap", ["vbucket"], GRAPH_HUBMAP_SCHEMA),
+            ("vecs", ["vbucket"], VECS_SCHEMA),
+        ],
+    )
+    cur = vn.current_dir(root)
+    if cur is None:
+        return out
+    edges = spark.read.schema(GRAPH_EDGES_SCHEMA).parquet(
+        os.path.join(cur, "edges")
+    )
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    dangling = (
+        edges.select(F.col("nbr").alias("vec_id"))
+        .union(edges.select(F.col("src").alias("vec_id")))
+        .distinct()
+        .join(vecs.select("vec_id"), "vec_id", "left_anti")
+        .count()
+    )
+    out.append(("edge_endpoints_have_vectors", dangling == 0, f"dangling={dangling}"))
+    loops = edges.filter(F.col("src") == F.col("nbr")).count()
+    out.append(("no_self_loops", loops == 0, f"loops={loops}"))
+    deg = (
+        params.get("degree", GRAPH_DEGREE)
+        + params.get("hub_degree", GRAPH_HUB_DEGREE)
+        + 1  # the star bridge to the cell hub
+        + IVF_JOIN_CELL_CAP  # capped reverse links
+    )
+    over = (
+        edges.groupBy("src")
+        .count()
+        .filter(F.col("count") > deg)
+        .count()
+    )
+    out.append(("out_degree_bounded", over == 0, f"over={over} cap={deg}"))
+    entry = spark.read.schema(GRAPH_ENTRY_SCHEMA).parquet(
+        os.path.join(cur, "entry")
+    )
+    miss = entry.join(
+        edges.select(F.col("src").alias("vec_id")).distinct(), "vec_id", "left_anti"
+    ).count()
+    out.append(("entry_hubs_are_sources", miss == 0, f"missing={miss}"))
+    hubmap = spark.read.schema(GRAPH_HUBMAP_SCHEMA).parquet(
+        os.path.join(cur, "hubmap")
+    )
+    unmapped = vecs.join(hubmap.select("vec_id"), "vec_id", "left_anti").count()
+    out.append(("every_vector_hub_mapped", unmapped == 0, f"unmapped={unmapped}"))
+    return out

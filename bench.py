@@ -73,6 +73,7 @@ BENCH_KEYS = [
     "ann_ivf_trained_topk",
     "ann_ivfpq_topk",
     "knn_join_ivf_topk",
+    "ann_graph_topk",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

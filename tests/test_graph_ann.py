@@ -1,0 +1,135 @@
+"""Navigable-graph ANN (operators/graph_ann.py): build invariants,
+deterministic serving, and the recall gate vs IVF nprobe=1 on the tight
+clustered fixture (VERDICT r11 next #1's done-criterion)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from adk_noui_vectordb_spark.operators import ann
+from adk_noui_vectordb_spark.operators import graph_ann as ga
+
+
+@pytest.fixture(scope="module")
+def tight(spark, tmp_path_factory):
+    from tools.make_clustered_embeddings import make
+
+    base = str(tmp_path_factory.mktemp("gann") / "tight")
+    make(base, 1000, 10, 0.06)
+    emb = np.array(
+        spark.read.parquet(base + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    return base, emb
+
+
+def _exact10(emb, qid):
+    q = emb[qid]
+    cos = (emb @ q) / (np.linalg.norm(emb, axis=1) * np.linalg.norm(q))
+    n = len(emb)
+    return set(
+        sorted(
+            (i for i in range(n) if i != qid),
+            key=lambda i: (-round(cos[i], 4), i),
+        )[:10]
+    )
+
+
+def test_graph_recall_beats_ivf_nprobe1_on_tight_clusters(spark, tight):
+    """The r12 gate: recall@10 vs exact 4-dp cosine on the tight
+    clustered fixture must be >= the IVF nprobe=1 index's — the
+    hub-seeded beam reaches the query's whole cell (IVF@1's candidate
+    set) AND cross-cell neighbors via the hub mesh. Measured 1.00 vs
+    0.97 over 8 queries; pinned at >= with a 0.95 floor. The fixture
+    interleaves 10 true clusters into 8 derived cells, which is
+    exactly the regime that exposed the two structural traps the
+    design closes (isolated sub-cluster components -> star bridges;
+    low-scoring regional doors -> hubmap seeding)."""
+    base, emb = tight
+    g_hits = i_hits = tot = 0
+    n = len(emb)
+    assign_p, cents_p = ann.build_ivf_index_sampled(
+        spark, base, ann.derived_cell_count(n), 2, ann.IVF_JOIN_TRAIN_PER_CELL
+    )
+    cent_rows = sorted(
+        (r["cluster"], list(r["c"]))
+        for r in spark.read.parquet(cents_p).collect()
+    )
+    for qid in range(8):
+        truth = _exact10(emb, qid)
+        g = {
+            r["vec_id"]
+            for r in ga.ann_graph_topk(spark, base, query_vec_id=qid, k=10).collect()
+        }
+        ivf = {
+            r["vec_id"]
+            for r in ann._ivf_serve_topk(
+                spark, assign_p, cent_rows, qid, 10, 1
+            ).collect()
+        }
+        g_hits += len(g & truth)
+        i_hits += len(ivf & truth)
+        tot += 10
+    assert g_hits / tot >= i_hits / tot, (g_hits / tot, i_hits / tot)
+    assert g_hits / tot >= 0.95, g_hits / tot
+
+
+def test_graph_index_fsck_invariants(spark, sf_dir):
+    checks = ga.fsck_graph_index(spark, sf_dir)
+    bad = [c for c in checks if not c[1]]
+    assert not bad, bad
+
+
+def test_graph_serve_is_deterministic_and_excludes_query(spark, sf_dir):
+    a = [tuple(r) for r in ga.ann_graph_topk(spark, sf_dir, query_vec_id=0, k=10).collect()]
+    b = [tuple(r) for r in ga.ann_graph_topk(spark, sf_dir, query_vec_id=0, k=10).collect()]
+    assert a == b
+    assert len(a) == 10
+    assert all(r[1] != 0 for r in a)
+    assert [r[0] for r in a] == list(range(1, 11))
+    sims = [r[2] for r in a]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_graph_edges_are_bidirectional_with_star_coverage(spark, sf_dir):
+    """Every nonzero vector must be REACHABLE: it has an outgoing star
+    bridge to its cell hub, and the reversal cap keeps the hub's way
+    back (structural connectivity per cell — the measured failure mode
+    was whole sub-clusters with inbound-only edges)."""
+    cur = ga.build_graph_index(spark, sf_dir)
+    edges = spark.read.schema(ga.GRAPH_EDGES_SCHEMA).parquet(
+        os.path.join(cur, "edges")
+    )
+    vecs = spark.read.schema(ann.VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    nz = vecs.filter(ann._nonzero_pred()).select("vec_id")
+    no_out = nz.join(
+        edges.select(F.col("src").alias("vec_id")).distinct(), "vec_id", "left_anti"
+    ).count()
+    # a singleton-cell hub has no same-cell partner and no star target,
+    # but with derived c over the testdata corpora every cell has >= 2
+    # nonzero members, so every vector is a source
+    assert no_out == 0, f"{no_out} nonzero vectors have no outgoing edge"
+    hubmap = spark.read.schema(ga.GRAPH_HUBMAP_SCHEMA).parquet(
+        os.path.join(cur, "hubmap")
+    )
+    stars = edges.join(
+        hubmap.select(
+            F.col("vec_id").alias("src"), F.col("hub").alias("nbr")
+        ).filter(F.col("src") != F.col("nbr")),
+        ["src", "nbr"],
+        "inner",
+    ).count()
+    expected = (
+        hubmap.filter(F.col("vec_id") != F.col("hub"))
+        .join(nz, "vec_id")
+        .count()
+    )
+    assert stars == expected, f"star bridges {stars} != nonzero non-hub rows {expected}"

@@ -90,6 +90,7 @@ KEYS = {
     "dedup_gate_intra_batch": "documents",
     "ann_ivfpq_topk": "embeddings",
     "knn_join_ivf_topk": "embeddings",
+    "ann_graph_topk": "embeddings",
     "events_rollup_daily": "events",
     "events_rollup_type_daily": "events",
     # r10b additions (query-language + filtered-ANN serving layer)
