@@ -914,6 +914,7 @@ def build_ivf_index(
     ).write.mode("overwrite").partitionBy("vbucket").parquet(
         os.path.join(tmp, "vecs")
     )
+    _write_build_stats(spark, tmp)
     name = vn.next_version_name(root)
     try:
         vn.publish_version(root, tmp, name, expected=None)
@@ -935,6 +936,102 @@ def ivf_sampled_root(
         "ivf_index_sampled", sf_dir, n_centroids, iters, train_per_cell,
         N_VEC_BUCKETS,
     )
+
+
+def _sampled_centroid_rows(
+    e: DataFrame, n_centroids: int, iters: int, train_per_cell: int
+) -> list:
+    """The sampled Lloyd's trainer on any (vec_id, emb) frame — the
+    md5-top-s rank-keyed sample + ``_lloyd`` chain factored out of
+    ``build_ivf_index_sampled`` so ``rebalance_ivf_index`` retrains on
+    the index's OWN vecs store with byte-identical arithmetic (the
+    equality-with-rebuild pin depends on this being one code path).
+    Returns sorted centroid row dicts ({cluster, c})."""
+    from pyspark.sql.window import Window
+
+    s = n_centroids * train_per_cell
+    md = F.md5(F.col("vec_id").cast("string"))
+    sample = (
+        e.select("vec_id", "emb", md.alias("_md"))
+        .orderBy("_md", "vec_id")
+        .limit(s)
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("_md", "vec_id")
+    ranked = sample.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("vec_id"), "emb"
+    )
+    _, cents = _lloyd(ranked, k=n_centroids, iters=iters)
+    return sorted(
+        ({"cluster": r["cluster"], "c": list(r["c"])} for r in cents.collect()),
+        key=lambda r: r["cluster"],
+    )
+
+
+def _ivf_stats_of(e: DataFrame, assign: DataFrame, cent_rows: list) -> dict:
+    """Population/residual snapshot of an IVF assignment — what
+    ``build_stats.json`` freezes at (re)train time and drift detection
+    compares against: row count, mean squared distance of each vector
+    to its ASSIGNED centroid, and the largest cell population. Two
+    small aggregate jobs; diagnostic doubles (not oracle-checked)."""
+    from ..functions.vector import dot_product
+
+    # Lloyd's labels are contiguous 0..k-1 by construction; the literal
+    # is sorted by cluster, so element_at(cluster+1) is its centroid.
+    assert [r["cluster"] for r in cent_rows] == list(range(len(cent_rows)))
+    cent_lit = _centroid_literal(cent_rows)
+    st = F.element_at(cent_lit, F.col("cluster") + 1)
+    d2 = (
+        dot_product(F.col("emb"), F.col("emb"))
+        - 2 * dot_product(F.col("emb"), st["c"])
+        + st["cc"]
+    )
+    row = (
+        e.select("vec_id", "emb")
+        .join(assign.select("vec_id", "cluster"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg(d2).alias("mean_d2"))
+        .head()
+    )
+    pop = (
+        assign.groupBy("cluster")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .head()
+    )
+    return {
+        "n": int(row["n"]),
+        "mean_d2": float(row["mean_d2"]) if row["mean_d2"] is not None else 0.0,
+        "max_cell": int(pop["mx"]) if pop["mx"] is not None else 0,
+        "cells": len(cent_rows),
+    }
+
+
+def _ivf_stats_of_version(spark: SparkSession, ver_dir: str) -> dict:
+    assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(ver_dir, "assign")
+    )
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ver_dir, "vecs"))
+    cent_rows = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(os.path.join(ver_dir, "cents")).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+    return _ivf_stats_of(vecs.select("vec_id", "emb"), assign, cent_rows)
+
+
+def _write_build_stats(spark: SparkSession, tmp: str) -> None:
+    """Freeze the just-built version's population/residual snapshot as
+    ``build_stats.json`` in the version dir (a version-scoped plain
+    file: commit_version/compact/fork carry it, so it survives every
+    frozen-centroid update — exactly the point: it describes TRAIN
+    time, the baseline drift is measured against)."""
+    import json as _json
+
+    stats = _ivf_stats_of_version(spark, tmp)
+    with open(os.path.join(tmp, "build_stats.json"), "w") as f:
+        _json.dump(stats, f)
 
 
 def build_ivf_index_sampled(
@@ -961,8 +1058,6 @@ def build_ivf_index_sampled(
     the whole chain replays exactly cross-engine. Same versioned
     on-disk layout as ``build_ivf_index`` (assign/cluster=*,
     cents, vecs/vbucket=*)."""
-    from pyspark.sql.window import Window
-
     from ..sources import versioning as vn
 
     root = ivf_sampled_root(sf_dir, n_centroids, iters, train_per_cell)
@@ -973,24 +1068,12 @@ def build_ivf_index_sampled(
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    s = n_centroids * train_per_cell
-    md = F.md5(F.col("vec_id").cast("string"))
-    # TakeOrdered (orderBy+limit) — distributed, never a global sort;
-    # the checkpoint bounds the window below to the s sampled rows
-    sample = (
-        e.select("vec_id", "emb", md.alias("_md"))
-        .orderBy("_md", "vec_id")
-        .limit(s)
-        .localCheckpoint(eager=True)
-    )
-    w = Window.orderBy("_md", "vec_id")
-    ranked = sample.select(
-        (F.row_number().over(w) - 1).cast("bigint").alias("vec_id"), "emb"
-    )
-    _, cents = _lloyd(ranked, k=n_centroids, iters=iters)
-    cent_rows = sorted(
-        ({"cluster": r["cluster"], "c": list(r["c"])} for r in cents.collect()),
-        key=lambda r: r["cluster"],
+    # TakeOrdered sample (orderBy+limit — distributed, never a global
+    # sort) + rank-keyed Lloyd's: the shared trainer kernel
+    cent_rows = _sampled_centroid_rows(e, n_centroids, iters, train_per_cell)
+    cents = spark.createDataFrame(
+        [(int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows],
+        "cluster int, c array<double>",
     )
     assignment = assign_to_centroids(e.select("vec_id", "emb"), cent_rows)
     tmp = os.path.join(root, ".__tmp_build__")
@@ -1004,6 +1087,7 @@ def build_ivf_index_sampled(
     ).write.mode("overwrite").partitionBy("vbucket").parquet(
         os.path.join(tmp, "vecs")
     )
+    _write_build_stats(spark, tmp)
     name = vn.next_version_name(root)
     try:
         vn.publish_version(root, tmp, name, expected=None)
@@ -1156,6 +1240,194 @@ def update_ivf_index(
     return os.path.join(new_cur, "assign"), os.path.join(new_cur, "cents")
 
 
+DRIFT_RESIDUAL_THRESHOLD = 1.5  # mean residual d2 growth vs train time
+DRIFT_SKEW_THRESHOLD = 3.0  # max cell population vs perfectly even
+
+
+def ivf_drift_metrics(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 8, iters: int = 2
+) -> dict:
+    """Centroid-drift detector for the streamed-ingest IVF index
+    (VERDICT r11 next #4): ``update_ivf_index``/``stream_ivf_index_
+    ingest`` assign new vectors under FROZEN centroids forever, so a
+    drifting corpus silently degrades recall — cells stretch (mean
+    residual distance to the assigned centroid grows) and bloat (the
+    populations skew). Compares the CURRENT version's population/
+    residual snapshot against the ``build_stats.json`` frozen at
+    (re)train time (carried version-to-version by the commit kernel)
+    and fires ``drifted`` when either ratio crosses its threshold —
+    the signal to run ``rebalance_ivf_index``.
+
+    Cost: two aggregate jobs over the narrow assign table + one
+    residual pass (a projection against the centroid literal — no
+    shuffle beyond the aggregates). Returns diagnostics; never raises
+    on a legacy version without build stats (drifted=None: unknown)."""
+    cur = _ivf_current_dir(spark, sf_dir, n_centroids, iters)
+    now = _ivf_stats_of_version(spark, cur)
+    out: dict = {"now": now, "built": None, "drifted": None}
+    p = os.path.join(cur, "build_stats.json")
+    if not os.path.exists(p):
+        return out
+    import json as _json
+
+    with open(p) as f:
+        built = _json.load(f)
+    out["built"] = built
+    growth = (
+        now["mean_d2"] / built["mean_d2"] if built["mean_d2"] > 0 else None
+    )
+    even = now["n"] / built["cells"] if built["cells"] else None
+    skew = now["max_cell"] / even if even else None
+    out["residual_growth"] = growth
+    out["cell_skew"] = skew
+    out["drifted"] = bool(
+        (growth is not None and growth > DRIFT_RESIDUAL_THRESHOLD)
+        or (skew is not None and skew > DRIFT_SKEW_THRESHOLD)
+    )
+    return out
+
+
+def fsck_ivf_index(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 8, iters: int = 2
+) -> list:
+    """IVF-family integrity + drift check: the generic versioned-root
+    invariants, assign<->vecs id agreement, every assigned cell backed
+    by a centroid, plus the centroid-drift metrics as advisory rows (a
+    drifted index is not corrupt — the row's detail says what to run).
+    Returns (check, ok, detail) tuples; never raises."""
+    from ..sources import versioning as vn
+
+    root = ivf_index_root(sf_dir, n_centroids, iters)
+    _ivf_current_dir(spark, sf_dir, n_centroids, iters)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("assign", ["cluster"], IVF_ASSIGN_SCHEMA),
+            ("vecs", ["vbucket"], VECS_SCHEMA),
+            ("cents", [], "cluster int, c array<double>"),
+        ],
+    )
+    cur = vn.current_dir(root)
+    assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(cur, "assign")
+    )
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    a = assign.join(vecs, "vec_id", "left_anti").count()
+    b = vecs.join(assign, "vec_id", "left_anti").count()
+    out.append(
+        ("assign_vecs_same_ids", a == 0 and b == 0, f"assign_only={a} vecs_only={b}")
+    )
+    cents = {
+        r["cluster"]
+        for r in spark.read.parquet(os.path.join(cur, "cents")).collect()
+    }
+    orphan = (
+        assign.select("cluster")
+        .distinct()
+        .filter(~F.col("cluster").isin(sorted(cents)))
+        .count()
+    )
+    out.append(
+        ("assigned_cells_have_centroids", orphan == 0, f"orphan_cells={orphan}")
+    )
+    m = ivf_drift_metrics(spark, sf_dir, n_centroids, iters)
+    if m["drifted"] is None:
+        out.append(("centroid_drift", True, "no build_stats.json (legacy build)"))
+    else:
+        out.append(
+            (
+                "centroid_drift",
+                not m["drifted"],
+                f"residual_growth={m['residual_growth'] and round(m['residual_growth'], 3)} "
+                f"cell_skew={m['cell_skew'] and round(m['cell_skew'], 3)}"
+                + (" — run rebalance_ivf_index" if m["drifted"] else ""),
+            )
+        )
+    return out
+
+
+def rebalance_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_per_cell: int = 64,
+) -> "tuple[str, str]":
+    """Retrain the drifted coarse quantizer and re-partition the index
+    — the maintenance op ``ivf_drift_metrics`` points at (VERDICT r11
+    next #4). Centroids retrain via the SAMPLED trainer on the index's
+    OWN ``vecs/`` store (the corpus of record after ingest — training
+    cost stays independent of n), the whole corpus re-assigns in one
+    frozen pass, and the commit rewrites ONLY the cells whose
+    membership changed (unchanged cells hardlink; the fat ``vecs/``
+    store always hardlinks — a rebalance never moves vector bytes,
+    only the narrow (vec_id, cluster) rows and the tiny centroids).
+    CAS-committed under the shared kernel; ``build_stats.json``
+    refreshes atomically with the new centroids, so the drift baseline
+    resets to the retrain.
+
+    Equality-with-rebuild (pinned in tests/test_ann.py): the sampled
+    trainer is the SAME code path as ``build_ivf_index_sampled``, and
+    the vecs store holds exactly the ingested corpus — so a rebalanced
+    index equals a fresh sampled build over the combined corpus, row
+    for row (centroids AND assignment)."""
+    import json as _json
+
+    from ..sources import versioning as vn
+
+    assign_p, cents_p = build_ivf_index(spark, sf_dir, n_centroids, iters)
+    cur = os.path.dirname(assign_p)
+    root = os.path.dirname(cur)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    e = vecs.select("vec_id", "emb")
+    cent_rows = _sampled_centroid_rows(e, n_centroids, iters, train_per_cell)
+    new_assign = assign_to_centroids(e, cent_rows).localCheckpoint(eager=True)
+    old_assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(cur, "assign")
+    )
+    moved = (
+        old_assign.select("vec_id", F.col("cluster").alias("oc"))
+        .join(
+            new_assign.select("vec_id", F.col("cluster").alias("nc")), "vec_id"
+        )
+        .filter(F.col("oc") != F.col("nc"))
+        .localCheckpoint(eager=True)
+    )
+    rw = sorted(
+        {r["c"] for r in moved.select(F.col("oc").alias("c")).distinct().collect()}
+        | {r["c"] for r in moved.select(F.col("nc").alias("c")).distinct().collect()}
+    )
+    if not rw:
+        return assign_p, cents_p  # nothing moved: same basin, no-op
+    cents_df = spark.createDataFrame(
+        [(int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows],
+        "cluster int, c array<double>",
+    )
+    stats = _ivf_stats_of(e, new_assign, cent_rows)
+    writes = new_assign.filter(F.col("cluster").isin(rw)).select(
+        "vec_id", "cluster"
+    )
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "assign",
+                ("cluster",),
+                frozenset(f"cluster={c}" for c in rw),
+                (writes,),
+            ),
+            vn.Component("vecs", link_from=os.path.join(cur, "vecs")),
+            vn.Component("cents", (), writes=(cents_df,)),
+        ],
+        expected=os.path.basename(cur),
+        compact=IVF_COMPONENTS,
+        extra_files={"build_stats.json": _json.dumps(stats)},
+    )
+    return os.path.join(new_cur, "assign"), os.path.join(new_cur, "cents")
+
+
 def _ivf_centroid_rows(
     spark: SparkSession, sf_dir: str, n_centroids: int, iters: int
 ) -> "tuple[str, list]":
@@ -1175,8 +1447,12 @@ def _ivf_centroid_rows(
             key=lambda t: t[0],
         )
 
+    # keyed on the VERSION too: a rebalance_ivf_index within one session
+    # replaces the centroids without changing the dataset fingerprint,
+    # and serving must pick the new basin up immediately
     cent_rows = session_memo(
-        spark, sf_dir, "ivf_cent_rows", _collect, n_centroids, iters
+        spark, sf_dir, "ivf_cent_rows", _collect, n_centroids, iters,
+        os.path.basename(os.path.dirname(cents_p)),
     )
     return assign_p, cent_rows
 

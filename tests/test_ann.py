@@ -1341,3 +1341,86 @@ def test_sampled_ivfpq_recall_on_tight_clusters(spark, tmp_path):
         hits += len(got & set(order[:10]))
         tot += 10
     assert hits / tot >= 0.9, f"sampled IVFPQ recall {hits / tot}"
+
+
+def test_ivf_drift_detection_and_rebalance(spark, tmp_path):
+    """VERDICT r11 next #4: frozen-centroid streamed ingest of a
+    drifted region must FIRE the drift metric; rebalance_ivf_index
+    retrains (sampled) + reassigns, the metric recovers, and the
+    rebalanced index EQUALS a fresh sampled build over the combined
+    corpus (same trainer code path, same md5 sample discipline)."""
+    import os
+
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    centers = rng.normal(size=(4, dim))
+    rows_a = [
+        (i, [float(x) for x in (centers[i % 4] + rng.normal(scale=0.05, size=dim))])
+        for i in range(200)
+    ]
+    far = rng.normal(size=dim) * 10.0
+    rows_b = [
+        (1000 + i, [float(x) for x in (far + rng.normal(scale=0.05, size=dim))])
+        for i in range(100)
+    ]
+    base = str(tmp_path / "drift")
+    os.makedirs(base)
+    schema = "vec_id bigint, embedding array<double>"
+    spark.createDataFrame(rows_a, schema).write.parquet(
+        os.path.join(base, "embeddings.parquet")
+    )
+    ann.build_ivf_index(spark, base, n_centroids=4, iters=2)
+    m0 = ann.ivf_drift_metrics(spark, base, 4, 2)
+    assert m0["drifted"] is False, m0
+
+    ann.update_ivf_index(
+        spark, base, spark.createDataFrame(rows_b, schema), 4, 2
+    )
+    m1 = ann.ivf_drift_metrics(spark, base, 4, 2)
+    assert m1["drifted"] is True, m1
+    assert m1["residual_growth"] > ann.DRIFT_RESIDUAL_THRESHOLD, m1
+    checks = {c[0]: (c[1], c[2]) for c in ann.fsck_ivf_index(spark, base, 4, 2)}
+    assert checks["centroid_drift"][0] is False
+    assert "rebalance_ivf_index" in checks["centroid_drift"][1]
+    assert checks["assign_vecs_same_ids"][0] is True
+
+    assign_p, cents_p = ann.rebalance_ivf_index(
+        spark, base, 4, 2, train_per_cell=32
+    )
+    m2 = ann.ivf_drift_metrics(spark, base, 4, 2)
+    assert m2["drifted"] is False, m2
+    assert abs(m2["residual_growth"] - 1.0) < 1e-9  # baseline reset to retrain
+    checks2 = {c[0]: c[1] for c in ann.fsck_ivf_index(spark, base, 4, 2)}
+    assert all(checks2.values()), checks2
+
+    # equality-with-rebuild: fresh sampled build over the combined corpus
+    base2 = str(tmp_path / "drift_rebuild")
+    os.makedirs(base2)
+    spark.createDataFrame(rows_a + rows_b, schema).write.parquet(
+        os.path.join(base2, "embeddings.parquet")
+    )
+    assign_p2, cents_p2 = ann.build_ivf_index_sampled(
+        spark, base2, 4, 2, train_per_cell=32
+    )
+    got = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.schema(ann.IVF_ASSIGN_SCHEMA).parquet(assign_p).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.schema(ann.IVF_ASSIGN_SCHEMA).parquet(assign_p2).collect()
+    )
+    assert got == want
+    c_got = sorted(
+        (r["cluster"], tuple(r["c"]))
+        for r in spark.read.parquet(cents_p).collect()
+    )
+    c_want = sorted(
+        (r["cluster"], tuple(r["c"]))
+        for r in spark.read.parquet(cents_p2).collect()
+    )
+    assert c_got == c_want
