@@ -140,7 +140,13 @@ class Collection:
     this class owns). All reads resolve the current committed version;
     all writes are atomic versioned commits."""
 
-    def __init__(self, spark: SparkSession, root: str, space: str = "cosine"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        space: str = "cosine",
+        embedder: "dict | None" = None,
+    ):
         """``space`` is ChromaDB's ``hnsw:space`` — 'cosine' (default),
         'l2', or 'ip' — fixed at creation (persisted in the sidecar; a
         later open with a different value raises rather than silently
@@ -149,12 +155,26 @@ class Collection:
         Candidates always come from the angular RP-LSH probe; for the
         normalized embeddings the reference stores, all three spaces
         rank identically, and for unnormalized data l2/ip still rerank
-        EXACTLY in their own metric over the probed candidates."""
+        EXACTLY in their own metric over the probed candidates.
+
+        ``embedder`` (r12, ChromaDB's per-collection
+        ``embedding_function``): an operators/embed.py spec dict
+        ({'kind': 'hash_projection', 'dim': N} or {'kind':
+        'sentence_transformer', 'model': name}) persisted in the
+        sidecar like ``space`` — ``query_texts`` and documents-only
+        ``add``/``upsert`` batches route through THIS collection's
+        embedder instead of the global env-gated singleton, so two
+        collections with different encoders coexist. A later open
+        passing a DIFFERENT spec raises (the space guard discipline);
+        opening with None adopts whatever the sidecar holds."""
         if space not in ("cosine", "l2", "ip"):
             raise ValueError(f"unknown space {space!r}")
+        if embedder is not None and not isinstance(embedder, dict):
+            raise ValueError("embedder: expected a spec dict or None")
         self.spark = spark
         self.root = root
         self.space = space
+        self._embedder = embedder
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -162,12 +182,7 @@ class Collection:
     def _sidecar_path(self) -> str:
         return os.path.join(self.root, "collection.json")
 
-    def _load_sidecar(self) -> "dict | None":
-        p = self._sidecar_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            info = json.load(f)
+    def _check_info(self, info: dict) -> dict:
         stored = info.get("space", "cosine")
         if stored != self.space:
             raise ValueError(
@@ -175,7 +190,27 @@ class Collection:
                 f"{stored!r}; reopen with that space (metric mismatch "
                 f"silently corrupts rankings)"
             )
+        stored_emb = info.get("embedder")
+        if (
+            self._embedder is not None
+            and stored_emb is not None
+            and stored_emb != self._embedder
+        ):
+            raise ValueError(
+                f"collection {self.root} was created with embedder="
+                f"{stored_emb!r}; reopen with that spec (or None to "
+                f"adopt it) — a different encoder silently corrupts "
+                f"query_texts rankings"
+            )
         return info
+
+    def _load_sidecar(self) -> "dict | None":
+        p = self._sidecar_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            info = json.load(f)
+        return self._check_info(info)
 
     def _save_sidecar(self, info: dict) -> dict:
         """Exclusive-create; a racing creator must agree on the config
@@ -216,14 +251,7 @@ class Collection:
             return None
         with open(p) as f:
             info = json.load(f)
-        stored = info.get("space", "cosine")
-        if stored != self.space:
-            raise ValueError(
-                f"collection {self.root} was created with space="
-                f"{stored!r}; reopen with that space (metric mismatch "
-                f"silently corrupts rankings)"
-            )
-        return info
+        return self._check_info(info)
 
     def _info(self, cur: "str | None") -> "dict | None":
         """Authoritative config for the resolved version: the version-
@@ -231,6 +259,16 @@ class Collection:
         versions / empty collection)."""
         vinfo = self._version_info(cur)
         return vinfo if vinfo is not None else self._load_sidecar()
+
+    def _embedder_spec(self) -> "dict | None":
+        """The collection's effective embedder spec: the persisted
+        sidecar value wins (creation-time contract), the constructor
+        arg covers the not-yet-created window, None = the env-gated
+        global singleton."""
+        info = self._info(self._cur())
+        if info is not None and info.get("embedder") is not None:
+            return info["embedder"]
+        return self._embedder
 
     def at(self, version: str) -> "Collection":
         """Read-only snapshot view pinned to ``version`` (a name from
@@ -503,6 +541,18 @@ class Collection:
         ``ConcurrentWriterError`` instead of silently reverting the
         interleaved writer's columns."""
         self._assert_writable()
+        if "embedding" not in batch.columns and "document" in batch.columns:
+            # ChromaDB add(documents=...): embeddings computed by THE
+            # COLLECTION's embedder (sidecar spec; global singleton
+            # when unset) through the Arrow batch path (r12)
+            from ..operators.embed import make_embed_udf_for
+
+            batch = batch.withColumn(
+                "embedding",
+                make_embed_udf_for(self._embedder_spec())(
+                    F.col("document").cast("string")
+                ),
+            )
         b, meta_cols = self._normalize(batch)
         n = b.count()
         if n == 0:
@@ -560,9 +610,14 @@ class Collection:
         # and legacy versions.
         info = self._version_info(cur) if cur is not None else None
         if info is None:
-            info = self._save_sidecar(
-                {"dim": dim["lo"], "meta_schema": meta_schema, "space": self.space}
-            )
+            desired = {
+                "dim": dim["lo"],
+                "meta_schema": meta_schema,
+                "space": self.space,
+            }
+            if self._embedder is not None:
+                desired["embedder"] = self._embedder
+            info = self._save_sidecar(desired)
         if info["meta_schema"] != meta_schema:
             raise ValueError(
                 f"metadata schema mismatch: collection has "
@@ -1356,9 +1411,11 @@ class Collection:
                 "pass exactly one of query_embeddings / query_texts"
             )
         if query_texts is not None:
-            from ..operators.embed import _get_model
+            from ..operators.embed import resolve_model
 
-            model = _get_model()
+            # the COLLECTION's embedder (sidecar spec — r12), falling
+            # back to the env-gated global singleton when unset
+            model = resolve_model(info.get("embedder"))
             texts = (
                 [query_texts] if isinstance(query_texts, str) else list(query_texts)
             )
@@ -1526,19 +1583,26 @@ class Client:
             raise ValueError(f"invalid collection name {name!r}")
         return os.path.join(self.path, name)
 
-    def create_collection(self, name: str, space: str = "cosine") -> Collection:
+    def create_collection(
+        self,
+        name: str,
+        space: str = "cosine",
+        embedder: "dict | None" = None,
+    ) -> Collection:
         """Create a NEW named collection — raises if it exists (the
         ChromaDB contract; the mkdir is the atomic claim, so racing
         creators get exactly one winner). ``space`` is ChromaDB's
         ``hnsw:space`` metadata and is persisted in the collection
         sidecar on first write (VERDICT r10 next #3: an l2/ip collection
-        is fully reachable through the Client facade)."""
+        is fully reachable through the Client facade). ``embedder``
+        (r12) is the per-collection embedding-function spec, likewise
+        sidecar-persisted."""
         root = self._root(name)
         try:
             os.makedirs(root)
         except FileExistsError:
             raise ValueError(f"collection {name!r} already exists") from None
-        return Collection(self.spark, root, space=space)
+        return Collection(self.spark, root, space=space, embedder=embedder)
 
     def get_collection(self, name: str) -> Collection:
         """Reopen by name. The metric is READ FROM THE SIDECAR — never
@@ -1550,14 +1614,26 @@ class Client:
             raise ValueError(f"collection {name!r} does not exist")
         return Collection(self.spark, root, space=_stored_space(root))
 
-    def get_or_create_collection(self, name: str, space: str = "cosine") -> Collection:
+    def get_or_create_collection(
+        self,
+        name: str,
+        space: str = "cosine",
+        embedder: "dict | None" = None,
+    ) -> Collection:
         """The reference's actual bootstrap idiom (indexing_agent.py:
         58-70 is a get/except/create) as the one-call ChromaDB API.
         An existing collection's persisted space wins over the argument
-        (get semantics); a fresh one is created with ``space``."""
+        (get semantics); a fresh one is created with ``space``/
+        ``embedder``. An existing collection whose persisted embedder
+        CONFLICTS with the argument raises (the sidecar guard)."""
         root = self._root(name)
         os.makedirs(root, exist_ok=True)
-        return Collection(self.spark, root, space=_stored_space(root, default=space))
+        return Collection(
+            self.spark,
+            root,
+            space=_stored_space(root, default=space),
+            embedder=embedder,
+        )
 
     def list_collections(self) -> "list[str]":
         return sorted(

@@ -111,6 +111,52 @@ def make_embed_udf():
     return embed_batch
 
 
+# Per-spec model instances (executor- or driver-side): one model per
+# distinct spec per process — the per-executor-singleton discipline,
+# widened to several coexisting per-collection embedders.
+_SPEC_MODELS: dict = {}
+
+
+def resolve_model(spec: "dict | None" = None):
+    """Embedder from a PER-COLLECTION spec (ChromaDB's per-collection
+    ``embedding_function``, persisted in the collection sidecar like
+    ``space``): ``{"kind": "hash_projection", "dim": N}`` or
+    ``{"kind": "sentence_transformer", "model": name}``. ``None``
+    falls back to the env-gated global singleton (``_get_model``) —
+    the pre-r12 behavior, unchanged."""
+    if spec is None:
+        return _get_model()
+    import json as _json
+
+    key = _json.dumps(spec, sort_keys=True)
+    if key not in _SPEC_MODELS:
+        kind = spec.get("kind")
+        if kind == "hash_projection":
+            _SPEC_MODELS[key] = _HashProjectionModel(int(spec.get("dim", EMBED_DIM)))
+        elif kind == "sentence_transformer":
+            _SPEC_MODELS[key] = _SentenceTransformerModel(spec["model"])
+        else:
+            raise ValueError(
+                f"unknown embedder kind {kind!r} — expected "
+                f"'hash_projection' or 'sentence_transformer'"
+            )
+    return _SPEC_MODELS[key]
+
+
+def make_embed_udf_for(spec: "dict | None" = None):
+    """Arrow-batched embedding UDF bound to a per-collection spec: the
+    (small) spec dict ships in the UDF closure; each executor resolves
+    its model once per spec (``_SPEC_MODELS``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def embed_batch(texts: pd.Series) -> pd.Series:
+        model = resolve_model(spec)
+        return pd.Series(model.encode(texts.tolist()))
+
+    return embed_batch
+
+
 def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, embedding) through the Arrow batch path."""
     d = load_table(spark, sf_dir, "documents")

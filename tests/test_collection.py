@@ -1083,3 +1083,58 @@ def test_writer_lock_release_is_ownership_checked(tmp_path):
             f.write(str(os.getpid()))
         os.link(claim2, lock)
     assert os.path.exists(lock), "release destroyed the new claimant's lock"
+
+
+def test_per_collection_embedder_round_trips_independently(spark, tmp_path):
+    """r12 (VERDICT r11 next #6, Chroma parity): two collections with
+    DIFFERENT embedder specs coexist — documents-only add() embeds at
+    each collection's own dim through its own encoder, query_texts
+    routes through the same spec, and reopening with a conflicting
+    spec raises (the `space` sidecar-guard discipline)."""
+    from adk_noui_vectordb_spark.api.collection import Client
+    from adk_noui_vectordb_spark.operators.embed import resolve_model
+
+    client = Client(spark, str(tmp_path / "embcli"))
+    c16 = client.create_collection(
+        "dim16", embedder={"kind": "hash_projection", "dim": 16}
+    )
+    c32 = client.create_collection(
+        "dim32", embedder={"kind": "hash_projection", "dim": 32}
+    )
+    docs = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "delta epsilon zeta"),
+         ("c", "alpha beta delta")],
+        "id string, document string",
+    )
+    c16.add(docs)  # documents-only: embeddings computed by the spec
+    c32.add(docs)
+    e16 = c16.get(ids=["a"], include=["embeddings"]).head()["embedding"]
+    e32 = c32.get(ids=["a"], include=["embeddings"]).head()["embedding"]
+    assert len(e16) == 16 and len(e32) == 32
+    # the stored vector IS the spec model's encoding
+    m16 = resolve_model({"kind": "hash_projection", "dim": 16})
+    assert e16 == m16.encode(["alpha beta gamma"])[0]
+
+    # query_texts routes through each collection's own embedder
+    got16 = [r["id"] for r in c16.query(query_texts="alpha beta gamma", n_results=1).collect()]
+    got32 = [r["id"] for r in c32.query(query_texts="alpha beta gamma", n_results=1).collect()]
+    assert got16 == ["a"] and got32 == ["a"]
+
+    # reopen: None adopts; a conflicting spec raises
+    again = client.get_or_create_collection("dim16")
+    assert again.count() == 3
+    assert again._embedder_spec() == {"kind": "hash_projection", "dim": 16}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="embedder"):
+        client.get_or_create_collection(
+            "dim16", embedder={"kind": "hash_projection", "dim": 64}
+        ).count()
+
+    # a batch with explicit embeddings at the wrong dim still fails loudly
+    bad = spark.createDataFrame(
+        [("z", [0.1] * 8, "text z")],
+        "id string, embedding array<double>, document string",
+    )
+    with _pt.raises(ValueError, match="dim"):
+        c16.upsert(bad)
