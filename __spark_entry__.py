@@ -805,6 +805,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11: Lucene minimum_should_match — >= m of the query's terms,
         # counted from the same pivoted candidate frame as the score
         "msm_topk_served": _inv.msm_topk_served,
+        # r12: normalizing ANALYZER as a versioned index option — the
+        # folded index (accent-fold + lowercase + stop-filter, one
+        # token pipeline shared by build/update/query-side/oracle);
+        # mixed-case + stopword query terms prove the normalization
+        "bm25_folded_topk_served": lambda spark, sf: _inv.bm25_topk_served(
+            spark, sf, terms=("Join", "the", "Scan", "window"),
+            analyzer="folded",
+        ),
         # r10: boolean query layer (AND / OR / NOT) over the same
         # on-disk postings — exact-integer tf ranking, one pruned probe
         # (NOT terms ride it: a posting row disqualifies, no rescans).
@@ -1141,6 +1149,68 @@ CROSS JOIN qe
 WHERE e.vec_id <> 0
 ORDER BY sim DESC, e.vec_id LIMIT {k}"""
     )
+
+
+def _bm25_folded_sql(
+    raw_terms: tuple = ("Join", "the", "Scan", "window"), k: int = 10
+) -> str:
+    """Folded-analyzer BM25 twin (operators/invindex.py
+    bm25_topk_served(analyzer='folded')): the SAME translate → lower →
+    split → drop-empties-and-stopwords pipeline as the Spark build
+    (functions/text.py analyzed_tokens — fold table and stopword list
+    interpolate from the one source of truth), applied to BOTH the
+    corpus and the query terms (analyze_terms_py normalizes the raw
+    terms here at twin-construction time, exactly like the serving
+    path does client-side). Arithmetic is the _BM25_CTE chain
+    verbatim."""
+    from adk_noui_vectordb_spark.functions.text import (
+        FOLD_DST,
+        FOLD_SRC,
+        STOPWORDS,
+        analyze_terms_py,
+    )
+
+    terms = analyze_terms_py(raw_terms, "folded")
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = (
+        f"list_filter(string_split(lower(translate(text, '{FOLD_SRC}',"
+        f" '{FOLD_DST}')), ' '), t -> t <> '' AND t NOT IN ({stop}))"
+    )
+    in_terms = ", ".join(f"'{t}'" for t in terms)
+    slots = ",\n           ".join(
+        f"sum(CASE WHEN term = '{t}' THEN part END) AS _s{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(
+        f"coalesce(_s{i}, 0.0::DOUBLE)" for i in range(len(terms))
+    )
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE term IN ({in_terms}) GROUP BY 1, 2
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm_scored AS (
+    SELECT tf.doc_id, tf.term,
+           ln((stats.n_docs - tdf.df + 0.5::DOUBLE) / (tdf.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * (tf.tf * 2.2::DOUBLE)
+           / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+              * (dl.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs)))) AS part
+    FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+bm_agg AS (
+    SELECT doc_id,
+           {slots}
+    FROM bm_scored GROUP BY 1
+),
+bm AS (SELECT doc_id, round({total}, 4) AS bm25 FROM bm_agg)
+SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""
 
 
 def _knn_mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.5) -> str:
@@ -3570,6 +3640,9 @@ SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
 WITH {_BM25_CTE}
 SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
 """,
+        # folded-analyzer twin: same arithmetic, folded token pipeline
+        # on both the corpus and the query terms
+        "bm25_folded_topk_served": _bm25_folded_sql(),
         # search_after twin: cursor = last row of page 1 in rank order;
         # page 2 = rows strictly after the (bm25, doc_id) cursor.
         "bm25_page2_served": f"""

@@ -143,14 +143,17 @@ POSITIONS_SCHEMA = "term string, doc_id bigint, pos int, tbucket int"
 DOCS_SCHEMA = "doc_id bigint, dl int, tbuckets array<int>, dbucket int"
 
 
-def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def postings_frame(
+    spark: SparkSession, sf_dir: str, analyzer: str = "raw"
+) -> DataFrame:
     """(tbucket, term, doc_id, tf, dl) — the index kernel: the SHARED
     ``doc_term_counts`` aggregation (one explode, one map-side-combined
-    groupBy; dl denormalized) plus the bucket projection."""
+    groupBy; dl denormalized) plus the bucket projection. ``analyzer``
+    selects the token pipeline (r12)."""
     from .textops import doc_term_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    return doc_term_counts(docs, with_dl=True).select(
+    return doc_term_counts(docs, with_dl=True, analyzer=analyzer).select(
         term_bucket_expr(F.col("term")).alias("tbucket"),
         "term",
         "doc_id",
@@ -159,14 +162,17 @@ def postings_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_positions(docs: DataFrame) -> DataFrame:
+def doc_positions(docs: DataFrame, analyzer: str = "raw") -> DataFrame:
     """(tbucket, term, doc_id, pos) — ONE row per token occurrence
     (1-based position), same token universe as ``doc_term_counts``
     (the shared tokenizer: a positions row exists iff it contributes
-    to some posting's tf, the invariant ``fsck_text_index`` checks)."""
-    from ..functions.text import whitespace_tokens
+    to some posting's tf, the invariant ``fsck_text_index`` checks).
+    Under a normalizing analyzer, positions index the ANALYZED token
+    stream (stopword removal shifts positions — the standard Lucene
+    stop-filter caveat, documented rather than position-gapped)."""
+    from ..functions.text import analyzed_tokens
 
-    toks = whitespace_tokens(F.col("text"))
+    toks = analyzed_tokens(F.col("text"), analyzer)
     return docs.select(
         "doc_id", F.posexplode(toks).alias("pos0", "term")
     ).select(
@@ -177,17 +183,25 @@ def doc_positions(docs: DataFrame) -> DataFrame:
     )
 
 
-def text_index_root(sf_dir: str) -> str:
+def text_index_root(sf_dir: str, analyzer: str = "raw") -> str:
     """The fingerprint-tagged VERSIONED root (holds version dirs, the
     ``_CURRENT`` pointer and the streaming ``applied/`` markers).
     v3: the positions component joined the layout — the tag bump keeps
-    any pre-positions root from serving phrase queries."""
+    any pre-positions root from serving phrase queries. Non-raw
+    analyzers get their OWN root (different token universe = a
+    different index); 'raw' keeps the historical tag."""
     from ..memo import index_root
 
-    return index_root("text_index_v3", sf_dir, N_TERM_BUCKETS, N_DOC_BUCKETS)
+    if analyzer == "raw":
+        return index_root("text_index_v3", sf_dir, N_TERM_BUCKETS, N_DOC_BUCKETS)
+    return index_root(
+        "text_index_v3", sf_dir, N_TERM_BUCKETS, N_DOC_BUCKETS, analyzer
+    )
 
 
-def build_text_index(spark: SparkSession, sf_dir: str) -> str:
+def build_text_index(
+    spark: SparkSession, sf_dir: str, analyzer: str = "raw"
+) -> str:
     """Materialize the inverted index and return the CURRENT version
     directory (self-contained: postings/termstats/docs/stats).
     Idempotent — an existing ``_CURRENT`` is resolved, never rebuilt;
@@ -197,18 +211,22 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
     dir, then the atomic ``_CURRENT`` pointer swing."""
     import shutil
 
-    root = text_index_root(sf_dir)
+    from ..functions.text import ANALYZERS
+
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r} — expected {ANALYZERS}")
+    root = text_index_root(sf_dir, analyzer)
     cur = _current_name(root)
     if cur is not None:
         return os.path.join(root, cur)
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, ".__tmp_build__")
     shutil.rmtree(tmp, ignore_errors=True)
-    post = postings_frame(spark, sf_dir)
+    post = postings_frame(spark, sf_dir, analyzer)
     post.write.mode("overwrite").partitionBy("tbucket").parquet(
         os.path.join(tmp, "postings")
     )
-    doc_positions(load_table(spark, sf_dir, "documents")).write.mode(
+    doc_positions(load_table(spark, sf_dir, "documents"), analyzer).write.mode(
         "overwrite"
     ).partitionBy("tbucket").parquet(os.path.join(tmp, "positions"))
     # df / docs / corpus stats from the WRITTEN postings: the version is
@@ -227,6 +245,14 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
     docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot_dl")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "stats"))
+    # the analyzer is a VERSION-SCOPED option (the collection `space`
+    # discipline): recorded beside the data it shaped, carried by every
+    # later commit/compaction via the version-file kernel, cross-checked
+    # by fsck and asserted by the update path.
+    import json as _json
+
+    with open(os.path.join(tmp, "analyzer.json"), "w") as f:
+        _json.dump({"analyzer": analyzer}, f)
     name = _next_version_name(root)
     try:
         _publish_version(root, tmp, name, expected=None)
@@ -256,6 +282,18 @@ def _docs_component(postings: DataFrame) -> DataFrame:
     )
 
 
+def _read_analyzer(ver_dir: str) -> str:
+    """The analyzer recorded in a version dir ('raw' for pre-r12
+    versions without the sidecar)."""
+    import json as _json
+
+    p = os.path.join(ver_dir, "analyzer.json")
+    if not os.path.exists(p):
+        return "raw"
+    with open(p) as f:
+        return _json.load(f).get("analyzer", "raw")
+
+
 def _probe_pred(terms: tuple[str, ...]) -> F.Column:
     """Literal tbucket IN (...) AND term IN (...) — the tbucket leg is a
     partition filter (static pruning), the term leg a pushed data filter
@@ -282,11 +320,23 @@ def bm25_topk_served(
     sf_dir: str,
     terms: tuple[str, ...] = QUERY_TERMS,
     k: int = 10,
+    analyzer: str = "raw",
 ) -> DataFrame:
     """Top-k BM25 served from the on-disk index — equals
     ``hybrid.bm25_topk`` row-for-row (same arithmetic, same rounding,
-    same tie-break) without ever scanning the corpus at query time."""
-    scored = _bm25_scored(spark, sf_dir, terms)
+    same tie-break) without ever scanning the corpus at query time.
+
+    ``analyzer`` (r12): serve from the index built with that token
+    pipeline; the raw query ``terms`` normalize through the SAME
+    pipeline client-side (analyze_terms_py) — a stopword query term
+    simply contributes nothing, exactly Lucene's stop-filter query
+    behavior."""
+    from ..functions.text import analyze_terms_py
+
+    terms = analyze_terms_py(terms, analyzer)
+    if not terms:
+        return spark.createDataFrame([], "doc_id bigint, bm25 double")
+    scored = _bm25_scored(spark, sf_dir, terms, analyzer)
     total = _bm25_part(0)
     for i in range(1, len(terms)):
         total = total + _bm25_part(i)
@@ -374,13 +424,18 @@ def msm_topk_served(
 
 
 def _bm25_scored(
-    spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    analyzer: str = "raw",
 ) -> DataFrame:
     """The served-BM25 front half: probe postings/termstats (pruned),
     pivot per-doc tf and per-term df onto fixed slots, broadcast the
     corpus stats — one candidate frame carrying every column
-    ``_bm25_part`` scores over. Shared by topk and explain serving."""
-    root = build_text_index(spark, sf_dir)
+    ``_bm25_part`` scores over. Shared by topk and explain serving.
+    ``terms`` are expected ALREADY analyzed (callers normalize via
+    analyze_terms_py — the client-side twin of the index pipeline)."""
+    root = build_text_index(spark, sf_dir, analyzer)
     post = spark.read.schema(POSTINGS_SCHEMA).parquet(os.path.join(root, "postings"))
     tstats = spark.read.schema(TERMSTATS_SCHEMA).parquet(os.path.join(root, "termstats"))
     stats = spark.read.parquet(os.path.join(root, "stats"))
@@ -935,6 +990,7 @@ def update_text_index(
     sf_dir: str,
     new_docs: DataFrame,
     auto_compact_threshold: int = 16,
+    analyzer: str = "raw",
 ) -> str:
     """Incremental index maintenance with doc-level REPLACE (upsert)
     semantics — the reference's core write path (indexing_agent.py:
@@ -983,8 +1039,17 @@ def update_text_index(
     """
     from .textops import doc_term_counts
 
-    cur = build_text_index(spark, sf_dir)
+    cur = build_text_index(spark, sf_dir, analyzer)
     root = os.path.dirname(cur)
+    # the RECORDED analyzer is authoritative: an update tokenizing with
+    # a different pipeline than the stored postings would silently
+    # corrupt df/tf consistency (the `space` reopen-guard discipline)
+    rec = _read_analyzer(cur)
+    if rec != analyzer:
+        raise ValueError(
+            f"index at {root} was built with analyzer={rec!r}; "
+            f"update called with {analyzer!r}"
+        )
 
     batch_src = (
         new_docs.select("doc_id", "text")
@@ -992,7 +1057,7 @@ def update_text_index(
         .localCheckpoint(eager=True)
     )
     batch = (
-        doc_term_counts(batch_src, with_dl=True)
+        doc_term_counts(batch_src, with_dl=True, analyzer=analyzer)
         .select(
             term_bucket_expr(F.col("term")).alias("tbucket"),
             "term",
@@ -1134,7 +1199,7 @@ def update_text_index(
             .select("tbucket", "term", "doc_id", "pos")
         )
     pos_writes.append(
-        doc_positions(batch_src).select("tbucket", "term", "doc_id", "pos")
+        doc_positions(batch_src, analyzer).select("tbucket", "term", "doc_id", "pos")
     )
     docs_writes = []
     if rw_db:
@@ -1423,14 +1488,21 @@ def delete_from_text_index(
     )
 
 
-def fsck_text_index(spark: SparkSession, sf_dir: str) -> list:
+def fsck_text_index(
+    spark: SparkSession, sf_dir: str, analyzer: str = "raw"
+) -> list:
     """Semantic integrity check for the lexical index (ops tool — run
     after crashes/restores): the generic versioned-root checks plus the
-    cross-component invariants the serving and replace paths rely on.
-    Returns (check, ok, detail) tuples; never raises."""
+    cross-component invariants the serving and replace paths rely on,
+    plus the ANALYZER cross-check (r12): the recorded analyzer matches
+    the requested one, and under 'folded' no posting term violates the
+    pipeline (uppercase/accented characters, stopwords, empties cannot
+    survive the fold — a posting that does means the index was written
+    by a different tokenizer). Returns (check, ok, detail); never
+    raises."""
     from ..sources import versioning as vn
 
-    cur = build_text_index(spark, sf_dir)
+    cur = build_text_index(spark, sf_dir, analyzer)
     root = os.path.dirname(cur)
     out = vn.fsck_index(
         spark,
@@ -1506,6 +1578,30 @@ def fsck_text_index(spark: SparkSession, sf_dir: str) -> list:
         out.append(
             ("positions_match_tf", bad_pos == 0, f"mismatches={bad_pos}")
         )
+        rec = _read_analyzer(cur)
+        out.append(
+            ("analyzer_recorded", rec == analyzer, f"recorded={rec!r}")
+        )
+        if rec == "folded":
+            from ..functions.text import FOLD_SRC, STOPWORDS
+
+            bad_term = (
+                post.select("term")
+                .filter(
+                    F.col("term").rlike("[A-Z]")
+                    | F.col("term").isin(*STOPWORDS)
+                    | (F.col("term") == "")
+                    | F.col("term").rlike(f"[{FOLD_SRC}]")
+                )
+                .count()
+            )
+            out.append(
+                (
+                    "postings_respect_analyzer",
+                    bad_term == 0,
+                    f"violations={bad_term}",
+                )
+            )
     except Exception as ex:  # noqa: BLE001 — diagnose, don't die
         out.append(("semantic_checks", False, type(ex).__name__))
     return out

@@ -281,7 +281,9 @@ def winnow_fingerprints(
     return winnowed.select("doc_id", F.col("fp").alias("fingerprint")).distinct()
 
 
-def doc_term_counts(docs: DataFrame, with_dl: bool = False) -> DataFrame:
+def doc_term_counts(
+    docs: DataFrame, with_dl: bool = False, analyzer: str = "raw"
+) -> DataFrame:
     """THE shared per-document term-frequency kernel — every term-count
     consumer (tfidf, token entropy, the inverted-index build AND its
     incremental update) derives from this one function so their
@@ -289,8 +291,12 @@ def doc_term_counts(docs: DataFrame, with_dl: bool = False) -> DataFrame:
     copies had to stay identical for the shared oracle tokenization to
     hold). One explode + one map-side-combined groupBy; ``with_dl``
     rides the doc length along (max of a per-doc constant) for
-    posting-row denormalization."""
-    tokens = whitespace_tokens(F.col("text"))
+    posting-row denormalization. ``analyzer`` selects the token
+    pipeline (functions/text.py analyzed_tokens — 'raw' is verbatim
+    the historical behavior)."""
+    from ..functions.text import analyzed_tokens
+
+    tokens = analyzed_tokens(F.col("text"), analyzer)
     if with_dl:
         base = docs.select(
             "doc_id", F.size(tokens).alias("dl"), F.explode(tokens).alias("term")

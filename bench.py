@@ -57,6 +57,7 @@ BENCH_KEYS = [
     "q18_large_orders",
     "decontaminate_corpus",
     "bm25_topk",
+    "bm25_folded_topk_served",
     "chunk_js_elements",
     "line_dedup_corpus",
     "pack_sequences",

@@ -992,3 +992,65 @@ def test_msm_interpolates_between_or_and_and(spark, sf_dir):
 
     with pytest.raises(ValueError, match="min_should_match"):
         inv.msm_topk_served(spark, sf_dir, terms, min_should_match=0)
+
+
+def test_folded_analyzer_index_round_trips(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 next #7): the folded analyzer is a versioned
+    index OPTION — recorded in the version dir, honored by the update
+    path (a mismatched-analyzer update raises; a matching one folds its
+    batch through the same pipeline), normalizing query terms
+    client-side, and cross-checked by fsck."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.functions.text import analyze_terms_py
+    from adk_noui_vectordb_spark.operators import invindex as inv
+
+    # query-term twin: fold + stopword-drop
+    assert analyze_terms_py(("Join", "the", "Scan"), "folded") == ("join", "scan")
+    assert analyze_terms_py(("Café",), "folded") == ("cafe",)
+
+    cur = inv.build_text_index(spark, sf_dir, analyzer="folded")
+    assert inv._read_analyzer(cur) == "folded"
+    # serving normalizes: mixed-case + stopword query == pre-folded query
+    a = [tuple(r) for r in inv.bm25_topk_served(
+        spark, sf_dir, terms=("Join", "the", "Scan", "window"), analyzer="folded"
+    ).collect()]
+    b = [tuple(r) for r in inv.bm25_topk_served(
+        spark, sf_dir, terms=("join", "scan", "window"), analyzer="folded"
+    ).collect()]
+    assert a == b and len(a) == 10
+
+    # fsck: recorded analyzer + postings respect the pipeline
+    checks = {c[0]: (c[1], c[2]) for c in inv.fsck_text_index(spark, sf_dir, analyzer="folded")}
+    assert checks["analyzer_recorded"][0] is True
+    assert checks["postings_respect_analyzer"][0] is True
+
+    # update path: the analyzer is part of the index IDENTITY (the
+    # root tag), so a raw update can never touch the folded index —
+    # and the folded update folds its batch through the same pipeline.
+    # Runs on a PRIVATE corpus copy: an update makes the root represent
+    # corpus ∪ batch, which must never leak into the shared sf_dir
+    # roots the driver keys serve from (the documented corpus-of-record
+    # contract — violating it here poisons every later oracle run).
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = str(tmp_path / "folded_upd")
+    os.makedirs(base)
+    docs.write.parquet(os.path.join(base, "documents.parquet"))
+    batch = spark.createDataFrame(
+        [(9_900_001, "The Café JOIN window Scan")], "doc_id bigint, text string"
+    )
+    folded_root = inv.text_index_root(base, "folded")
+    raw_root = inv.text_index_root(base, "raw")
+    assert folded_root != raw_root
+    new_cur = inv.update_text_index(spark, base, batch, analyzer="folded")
+    assert new_cur.startswith(folded_root)
+    post = spark.read.schema(inv.POSTINGS_SCHEMA).parquet(
+        os.path.join(new_cur, "postings")
+    )
+    got = {
+        r["term"]
+        for r in post.filter(F.col("doc_id") == 9_900_001).collect()
+    }
+    assert got == {"cafe", "join", "window", "scan"}, got  # folded, stopword dropped

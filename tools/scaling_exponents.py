@@ -56,6 +56,7 @@ KEYS = {
     "dedup_simhash_pairs": "documents",
     # r7b additions
     "bm25_topk_served": "documents",
+    "bm25_folded_topk_served": "documents",
     "lm_bigram_score": "documents",
     "embed_topvar_project": "embeddings",
     "sketch_user_overlap": "events",
