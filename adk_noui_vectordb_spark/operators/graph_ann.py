@@ -92,7 +92,9 @@ GRAPH_COMPONENTS = [
     ("edges", ["sbucket"]),
     ("entry", []),
     ("hubmap", ["vbucket"]),
-    ("vecs", []),
+    ("vecs", ["vbucket"]),
+    ("assign", ["cluster"]),
+    ("cents", []),
 ]
 
 
@@ -264,6 +266,11 @@ def build_graph_index(
                 vn.Component("entry", (), writes=(entry,)),
                 vn.Component("hubmap", ("vbucket",), frozenset(), (hubmap,)),
                 vn.Component("vecs", link_from=os.path.join(ver, "vecs")),
+                # frozen coarse structure for the INSERT path
+                # (update_graph_index assigns new vectors under these,
+                # the update_ivf_index frozen-centroid discipline)
+                vn.Component("assign", link_from=assign_p),
+                vn.Component("cents", link_from=os.path.join(ver, "cents")),
             ],
             expected=None,
         )
@@ -388,11 +395,188 @@ def ann_graph_topk(
     )
 
 
+def update_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> str:
+    """Incremental INSERT into the navigable graph — the HNSW
+    ``add_items`` analog under the frozen-coarse-structure discipline
+    (update_ivf_index's contract): centroids and hubs do NOT move; the
+    batch assigns to existing cells in one frozen pass, links to its
+    top-``degree`` same-cell neighbors (md5-capped candidates, the
+    build's skew guard, over existing ∪ batch members of the touched
+    cells only), star-bridges to its cell hub, and every new edge also
+    lands REVERSED — so existing nodes gain doors to the new vectors
+    without rewriting their stored adjacency rows (bidirectional
+    reachability, the property beam search actually needs; HNSW's
+    neighbor-list repair/pruning is deferred to the rebuild, exactly
+    like centroid drift — ``fsck_graph_index``'s degree bound stays
+    intact because reversals were always capped-side extras).
+
+    ADD-only: a vec_id already present raises (a true vector UPDATE
+    would have to retract its scattered in-edges, which the
+    src-partitioned layout cannot prune; hnswlib makes the same trade
+    with mark-delete). Cost: O(batch × cell population of touched
+    cells) — corpus-size-independent. One CAS commit: edges append
+    into touched sbucket partitions, vecs/assign/hubmap append,
+    entry/cents hardlink through."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import dot_product
+
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    root = os.path.dirname(cur)
+
+    emb_col = "embedding" if "embedding" in new_vecs.columns else "emb"
+    batch = (
+        new_vecs.select(
+            "vec_id", F.col(emb_col).cast("array<double>").alias("emb")
+        )
+        .dropDuplicates(["vec_id"])
+        .filter(_nonzero_pred())
+        .localCheckpoint(eager=True)
+    )
+    if not batch.head(1):
+        return cur
+    # ADD-only guard: point-pruned hubmap lookup of the batch ids
+    vbs = sorted(
+        r["b"]
+        for r in batch.select(vec_bucket_expr(F.col("vec_id")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    hubmap = spark.read.schema(GRAPH_HUBMAP_SCHEMA).parquet(
+        os.path.join(cur, "hubmap")
+    )
+    clash = (
+        hubmap.filter(F.col("vbucket").isin(vbs))
+        .join(batch.select("vec_id"), "vec_id", "leftsemi")
+        .head(3)
+    )
+    if clash:
+        raise ValueError(
+            f"update_graph_index is ADD-only; ids already present: "
+            f"{[r['vec_id'] for r in clash]} (rebuild to replace)"
+        )
+
+    cent_rows = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(os.path.join(cur, "cents")).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+    from .ann import assign_to_centroids
+
+    basgn = assign_to_centroids(batch.select("vec_id", "emb"), cent_rows).localCheckpoint(
+        eager=True
+    )
+    cells = sorted(
+        r["cluster"] for r in basgn.select("cluster").distinct().collect()
+    )
+    # candidate neighbors: md5-top-cap of (existing ∪ batch) members of
+    # the touched cells — the build's cap_bucket_members discipline,
+    # recomputed over the union so ranking stays deterministic
+    assign = (
+        spark.read.schema(IVF_ASSIGN_SCHEMA)
+        .parquet(os.path.join(cur, "assign"))
+        .filter(F.col("cluster").isin(cells))
+    )
+    union_members = assign.unionByName(basgn)
+    from .ann import cap_bucket_members
+
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    all_vecs = vecs.select("vec_id", "emb").unionByName(batch)
+    cand_members = cap_bucket_members(
+        union_members, IVF_JOIN_CELL_CAP, bucket_cols=("cluster",)
+    )
+    cand = (
+        basgn.select(F.col("vec_id").alias("src"), "cluster")
+        .join(
+            cand_members.select(F.col("vec_id").alias("nbr"), "cluster"),
+            "cluster",
+        )
+        .filter(F.col("src") != F.col("nbr"))
+        .select("src", "nbr")
+    )
+    es = all_vecs.select(F.col("vec_id").alias("src"), F.col("emb").alias("se"))
+    en = all_vecs.select(F.col("vec_id").alias("nbr"), F.col("emb").alias("ne"))
+    sim = F.round(cosine_similarity(F.col("se"), F.col("ne")), 4)
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("nbr"))
+    knn_edges = (
+        cand.join(es, "src")
+        .join(en, "nbr")
+        .select("src", "nbr", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= degree)
+        .select("src", "nbr", "sim")
+    )
+    # star bridges to the FROZEN cell hubs (hub identity via any
+    # existing member's hubmap row — cells are nonempty by build)
+    hub_of_cell = (
+        assign.join(
+            hubmap.select("vec_id", "hub"), "vec_id"
+        )
+        .select("cluster", "hub")
+        .distinct()
+    )
+    star = (
+        basgn.join(hub_of_cell, "cluster")
+        .filter(F.col("vec_id") != F.col("hub"))
+        .join(batch.select("vec_id", F.col("emb").alias("me")), "vec_id")
+        .join(
+            vecs.select(F.col("vec_id").alias("hub"), F.col("emb").alias("he")),
+            "hub",
+        )
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("hub").alias("nbr"),
+            F.round(cosine_similarity(F.col("me"), F.col("he")), 4).alias("sim"),
+        )
+    )
+    fwd = knn_edges.unionByName(star).distinct().localCheckpoint(eager=True)
+    rev = fwd.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"), "sim")
+    new_edges = (
+        fwd.unionByName(rev)
+        .distinct()
+        .withColumn("sbucket", vec_bucket_expr(F.col("src")))
+    )
+    new_hubmap = basgn.join(hub_of_cell, "cluster").select(
+        "vec_id", "hub", vec_bucket_expr(F.col("vec_id")).alias("vbucket")
+    )
+    new_vecs_rows = batch.select(
+        vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+    )
+    new_cur = vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component("edges", ("sbucket",), frozenset(), (new_edges,)),
+            vn.Component("entry", link_from=os.path.join(cur, "entry")),
+            vn.Component("hubmap", ("vbucket",), frozenset(), (new_hubmap,)),
+            vn.Component("vecs", ("vbucket",), frozenset(), (new_vecs_rows,)),
+            vn.Component(
+                "assign", ("cluster",), frozenset(), (basgn.select("vec_id", "cluster"),)
+            ),
+            vn.Component("cents", link_from=os.path.join(cur, "cents")),
+        ],
+        expected=os.path.basename(cur),
+        compact=GRAPH_COMPONENTS,
+    )
+    return new_cur
+
+
 def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     """Graph-index integrity: the generic versioned-root checks plus
     the graph's own invariants — every edge endpoint has a vector,
     no self-loops, out-degree ≤ degree + hub_degree, entry hubs exist
-    as sources. Returns (check, ok, detail); never raises."""
+    as sources. Resolves (building if absent) like the other index
+    fscks. Returns (check, ok, detail); never raises."""
+    build_graph_index(spark, sf_dir, **params)
     root = graph_index_root(sf_dir, **params)
     out = vn.fsck_index(
         spark,
@@ -402,6 +586,8 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
             ("entry", [], GRAPH_ENTRY_SCHEMA),
             ("hubmap", ["vbucket"], GRAPH_HUBMAP_SCHEMA),
             ("vecs", ["vbucket"], VECS_SCHEMA),
+            ("assign", ["cluster"], IVF_ASSIGN_SCHEMA),
+            ("cents", [], "cluster int, c array<double>"),
         ],
     )
     cur = vn.current_dir(root)
@@ -421,7 +607,10 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     out.append(("edge_endpoints_have_vectors", dangling == 0, f"dangling={dangling}"))
     loops = edges.filter(F.col("src") == F.col("nbr")).count()
     out.append(("no_self_loops", loops == 0, f"loops={loops}"))
-    deg = (
+    # structural build bound; incremental inserts append reversals onto
+    # existing sources (the deferred-repair trade, update_graph_index),
+    # so the advisory ceiling is 2× — past it, rebuild (the drift story)
+    deg = 2 * (
         params.get("degree", GRAPH_DEGREE)
         + params.get("hub_degree", GRAPH_HUB_DEGREE)
         + 1  # the star bridge to the cell hub
@@ -433,7 +622,13 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
         .filter(F.col("count") > deg)
         .count()
     )
-    out.append(("out_degree_bounded", over == 0, f"over={over} cap={deg}"))
+    out.append(
+        (
+            "out_degree_bounded",
+            over == 0,
+            f"over={over} cap={deg}" + (" — rebuild the graph" if over else ""),
+        )
+    )
     entry = spark.read.schema(GRAPH_ENTRY_SCHEMA).parquet(
         os.path.join(cur, "entry")
     )

@@ -133,3 +133,52 @@ def test_graph_edges_are_bidirectional_with_star_coverage(spark, sf_dir):
         .count()
     )
     assert stars == expected, f"star bridges {stars} != nonzero non-hub rows {expected}"
+
+
+def test_graph_incremental_insert_serves_new_vectors(spark, tight, tmp_path):
+    """update_graph_index (the HNSW add_items analog, frozen coarse
+    structure): inserted vectors become REACHABLE — a query near the
+    batch finds its batch neighbors — fsck stays green, the op is
+    ADD-only, and existing adjacency rows are never rewritten (their
+    partitions gain append files; reversals give old nodes doors to
+    the new vectors)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    base, emb = tight
+    # private copy: an update makes the root represent corpus ∪ batch
+    priv = str(tmp_path / "gupd")
+    os.makedirs(priv)
+    spark.read.parquet(base + "/embeddings.parquet").write.parquet(
+        os.path.join(priv, "embeddings.parquet")
+    )
+    cur0 = ga.build_graph_index(spark, priv)
+    # batch: 20 clones-with-noise of vector 3's neighborhood
+    rng = np.random.default_rng(11)
+    v3 = emb[3]
+    rows = [
+        (50_000 + i, [float(x) for x in (v3 + rng.normal(scale=0.01, size=len(v3)))])
+        for i in range(20)
+    ]
+    batch = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cur1 = ga.update_graph_index(spark, priv, batch)
+    assert cur1 != cur0
+
+    # the query at vec 3 now ranks batch members in its top-10
+    got = {
+        r["vec_id"]
+        for r in ga.ann_graph_topk(spark, priv, query_vec_id=3, k=10).collect()
+    }
+    assert any(v >= 50_000 for v in got), got
+
+    checks = {c[0]: (c[1], c[2]) for c in ga.fsck_graph_index(spark, priv)}
+    bad = {k: v for k, v in checks.items() if not v[0]}
+    assert not bad, bad
+
+    # ADD-only: resubmitting raises
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ADD-only"):
+        ga.update_graph_index(spark, priv, batch)
