@@ -784,6 +784,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: the HNSW analog — versioned k-NN graph (cell-join layer 0
         # + md5-min-hub layer 1), deterministic beam search serving
         "ann_graph_topk": _gann.ann_graph_topk,
+        # r12: M beam searches, fused per-round probes (one edges
+        # point-read + one vecs fetch for the union of frontiers)
+        "ann_graph_batch_topk": _gann.ann_graph_batch_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -1744,39 +1747,9 @@ def _ann_graph_sql(
         "gedges AS (SELECT src, nbr FROM gfwd"
         " UNION SELECT src, nbr FROM grev)"
     )
-    ctes.append(
-        f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings"
-        f" WHERE vec_id = {qid})"
-    )
-    ctes.append(
-        f"ent AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
-        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"
-    )
-    # seeds: global entry ∪ the query's own cell hub (the hubmap/
-    # point lookup — here the af assignment row), qid excluded
-    ctes.append(f"""gseed AS (
-  SELECT vec_id FROM ent
-  UNION
-  SELECT h.vec_id FROM ghubs h
-  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid})
-    AND h.vec_id <> {qid})""")
-    ctes.append(f"""gv0 AS (
-  SELECT em.vec_id, {cos_q} AS sim
-  FROM embeddings em JOIN gseed s ON s.vec_id = em.vec_id CROSS JOIN qe)""")
-    for r in range(1, rounds + 1):
-        ctes.append(
-            f"gf{r} AS (SELECT vec_id FROM gv{r - 1}"
-            f" ORDER BY sim DESC, vec_id LIMIT {beam})"
-        )
-        ctes.append(f"""gv{r} AS (
-  SELECT vec_id, sim FROM gv{r - 1}
-  UNION
-  SELECT em.vec_id, {cos_q} AS sim
-  FROM gedges ed
-  JOIN gf{r} f ON ed.src = f.vec_id
-  JOIN embeddings em ON em.vec_id = ed.nbr
-  CROSS JOIN qe
-  WHERE ed.nbr <> {qid})""")
+    ctes += _graph_search_ctes(qid, "", beam, rounds)
+    mat = _GRAPH_MAT | {f"gv{r}" for r in range(rounds + 1)} | {"gseed"}
+    ctes = _mat_ctes(ctes, mat)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
@@ -1785,6 +1758,152 @@ SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
   FROM gv{rounds}) WHERE rank <= {k}
 ORDER BY rank
 """
+    )
+
+
+def _mat_ctes(ctes: list, names: set) -> list:
+    """Rewrite ``name AS (`` to ``name AS MATERIALIZED (`` for the named
+    CTEs — semantically neutral, but REQUIRED for the graph oracles:
+    DuckDB inlines CTEs by default, and the beam unroll references each
+    ``gv_{r-1}`` twice (once via gf_r, once directly), so without
+    materialization the whole sampled-Lloyd's + graph-construction
+    chain re-evaluates 2^rounds times per query (measured: the batch
+    twin ran past 10 minutes; materialized it is seconds)."""
+    out = []
+    for c in ctes:
+        stripped = c.lstrip()
+        for n in names:
+            pre = f"{n} AS ("
+            if stripped.startswith(pre):
+                c = c.replace(pre, f"{n} AS MATERIALIZED (", 1)
+                break
+        out.append(c)
+    return out
+
+
+_GRAPH_MAT = {
+    "af", "afnz", "rcap", "jcand", "jscored", "edges0",
+    "ghubs", "ghv", "gstar", "ghedges", "gfwd", "grev", "gedges",
+}
+
+
+def _graph_search_ctes(qid: int, sfx: str, beam: int, rounds: int) -> list:
+    """The per-query beam unroll (seed → gv0 → rounds × (gf, gv)) with
+    CTE names suffixed by ``sfx`` — shared by the single-query and the
+    batch graph oracles (each batch query runs the IDENTICAL solo
+    chain; the Spark side only fuses IO)."""
+    cos_q = _COS.format(a="em.embedding", b=f"qe{sfx}.q")
+    ctes = [
+        f"qe{sfx} AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM embeddings WHERE vec_id = {qid})",
+        f"ent{sfx} AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
+        # seeds: global entry ∪ the query's own cell hub (the hubmap/
+        # point lookup — here the af assignment row), qid excluded
+        f"""gseed{sfx} AS (
+  SELECT vec_id FROM ent{sfx}
+  UNION
+  SELECT h.vec_id FROM ghubs h
+  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid})
+    AND h.vec_id <> {qid})""",
+        f"""gv0{sfx} AS (
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM embeddings em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
+  CROSS JOIN qe{sfx})""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"gf{r}{sfx} AS (SELECT vec_id FROM gv{r - 1}{sfx}"
+            f" ORDER BY sim DESC, vec_id LIMIT {beam})"
+        )
+        ctes.append(f"""gv{r}{sfx} AS (
+  SELECT vec_id, sim FROM gv{r - 1}{sfx}
+  UNION
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM gedges ed
+  JOIN gf{r}{sfx} f ON ed.src = f.vec_id
+  JOIN embeddings em ON em.vec_id = ed.nbr
+  CROSS JOIN qe{sfx}
+  WHERE ed.nbr <> {qid})""")
+    return ctes
+
+
+def _ann_graph_batch_sql(
+    qids: tuple = (0, 3, 9),
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Batched graph-serving twin (graph_ann.py ann_graph_batch_topk):
+    the shared graph-construction CTEs once, then each query's SOLO
+    beam unroll (the batch fuses IO, not state), UNION ALL'd with its
+    query_id."""
+    ctes = _cell_join_ctes(iters)
+    cos_h = _COS.format(a="a.emb", b="b.emb")
+    ctes.append(f"""edges0 AS (
+  SELECT src, nbr, sim FROM (
+    SELECT src, nbr, sim,
+           row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+    FROM jscored) WHERE rank <= {degree})""")
+    ctes.append("""ghubs AS (
+  SELECT cluster, vec_id FROM (
+    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM afnz) WHERE rn = 1)""")
+    ctes.append(
+        "ghv AS (SELECT h.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb"
+        " FROM ghubs h JOIN embeddings e USING (vec_id))"
+    )
+    cos_s = _COS.format(a="em.embedding", b="eh.embedding")
+    ctes.append(f"""gstar AS (
+  SELECT a.vec_id AS src, h.vec_id AS nbr, {cos_s} AS sim
+  FROM afnz a
+  JOIN ghubs h USING (cluster)
+  JOIN embeddings em ON em.vec_id = a.vec_id
+  JOIN embeddings eh ON eh.vec_id = h.vec_id
+  WHERE a.vec_id <> h.vec_id)""")
+    ctes.append(f"""ghedges AS (
+  SELECT src, nbr, sim FROM (
+    SELECT a.vec_id AS src, b.vec_id AS nbr, {cos_h} AS sim,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_h} DESC, b.vec_id) AS rk
+    FROM ghv a JOIN ghv b ON a.vec_id <> b.vec_id) WHERE rk <= {hub_degree})""")
+    ctes.append(
+        "gfwd AS (SELECT DISTINCT src, nbr, sim FROM"
+        " (SELECT src, nbr, sim FROM edges0"
+        "  UNION ALL SELECT src, nbr, sim FROM ghedges"
+        "  UNION ALL SELECT src, nbr, sim FROM gstar))"
+    )
+    ctes.append(f"""grev AS (
+  SELECT src, nbr FROM (
+    SELECT f.nbr AS src, f.src AS nbr,
+           row_number() OVER (PARTITION BY f.nbr
+                              ORDER BY f.sim DESC, f.src) AS rk
+    FROM gfwd f) WHERE rk <= {_ann.IVF_JOIN_CELL_CAP})""")
+    ctes.append(
+        "gedges AS (SELECT src, nbr FROM gfwd"
+        " UNION SELECT src, nbr FROM grev)"
+    )
+    finals = []
+    mat = set(_GRAPH_MAT)
+    for i, qid in enumerate(qids):
+        sfx = f"_q{i}"
+        ctes += _graph_search_ctes(qid, sfx, beam, rounds)
+        mat |= {f"gv{r}{sfx}" for r in range(rounds + 1)} | {f"gseed{sfx}"}
+        finals.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, vec_id, sim,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM gv{rounds}{sfx}) WHERE rank <= {k}""")
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + "\nUNION ALL".join(finals)
+        + ")\nORDER BY query_id, rank\n"
     )
 
 
@@ -3591,6 +3710,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         # Spark and oracle share one source of truth (ADVICE r8).
         "knn_join_ivf_topk": _knn_join_ivf_sql(),
         "ann_graph_topk": _ann_graph_sql(),
+        "ann_graph_batch_topk": _ann_graph_batch_sql(),
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
 nz_bands AS (

@@ -395,6 +395,129 @@ def ann_graph_topk(
     )
 
 
+def ann_graph_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_ids: tuple = (0, 3, 9),
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """Batched graph serving: M beam searches with FUSED probes — per
+    round, ONE edges point-read for the union of all queries' frontiers
+    and ONE vecs fetch for the union of their unseen candidates (the
+    ann_rp_lsh_batch_topk discipline: the reference loops
+    collection.query per query; the index-served shape probes once).
+    Each query's visited-set evolution is IDENTICAL to its solo
+    ``ann_graph_topk`` run (per-query state, shared IO), so the batch
+    equals the per-query loop row-for-row (pinned) and the solo
+    oracle's unrolled CTEs serve per query. Output: (query_id, vec_id,
+    sim, rank) — top-k per query."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    qids = list(query_vec_ids)
+    entry_rows = (
+        spark.read.schema(GRAPH_ENTRY_SCHEMA)
+        .parquet(os.path.join(cur, "entry"))
+        .orderBy("rk")
+        .collect()
+    )
+    vecs_path = os.path.join(cur, "vecs")
+    edges_path = os.path.join(cur, "edges")
+
+    def fetch_vecs(ids) -> dict:
+        ids = sorted(ids)
+        vbs = sorted({vec_bucket_py(i) for i in ids})
+        rows = (
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(vecs_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id", "emb")
+            .collect()
+        )
+        return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
+
+    # one fused hubmap probe for every query's regional door
+    hub_rows = (
+        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
+        .parquet(os.path.join(cur, "hubmap"))
+        .filter(
+            F.col("vbucket").isin(sorted({vec_bucket_py(q) for q in qids}))
+            & F.col("vec_id").isin(sorted(qids))
+        )
+        .collect()
+    )
+    hub_of = {r["vec_id"]: r["hub"] for r in hub_rows}
+    seeds: dict = {}
+    for qid in qids:
+        entry = next(
+            (r["vec_id"] for r in entry_rows if r["vec_id"] != qid), None
+        )
+        if entry is None:
+            raise ValueError("graph index has no usable entry hub")
+        s = [entry]
+        h = hub_of.get(qid)
+        if h is not None and h != qid:
+            s.append(h)
+        seeds[qid] = s
+    first = fetch_vecs(set(qids) | {s for ss in seeds.values() for s in ss})
+    qemb: dict = {}
+    for qid in qids:
+        if qid not in first:
+            raise ValueError(f"query vec_id {qid} not in the index")
+        q = first[qid]
+        if not any(x != 0.0 for x in q):
+            raise ValueError(f"zero-norm query vector {qid}: cosine undefined")
+        qemb[qid] = q
+    visited = {
+        qid: {s: _sim4(qemb[qid], first[s]) for s in set(seeds[qid])}
+        for qid in qids
+    }
+    frontier = {
+        qid: sorted(visited[qid], key=lambda v: (-visited[qid][v], v))[:beam]
+        for qid in qids
+    }
+    for _ in range(rounds):
+        all_srcs = sorted({s for qid in qids for s in frontier[qid]})
+        sbs = sorted({vec_bucket_py(s) for s in all_srcs})
+        adj_rows = (
+            spark.read.schema(GRAPH_EDGES_SCHEMA)
+            .parquet(edges_path)
+            .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(all_srcs))
+            .select("src", "nbr")
+            .collect()
+        )
+        adj: dict = {}
+        for r in adj_rows:
+            adj.setdefault(r["src"], set()).add(r["nbr"])
+        new_per_q = {
+            qid: (
+                {n for s in frontier[qid] for n in adj.get(s, ())}
+                - set(visited[qid])
+                - {qid}
+            )
+            for qid in qids
+        }
+        need = set().union(*new_per_q.values()) if qids else set()
+        vm = fetch_vecs(need) if need else {}
+        for qid in qids:
+            for vid in new_per_q[qid]:
+                if vid in vm:
+                    visited[qid][vid] = _sim4(qemb[qid], vm[vid])
+            frontier[qid] = sorted(
+                visited[qid], key=lambda v: (-visited[qid][v], v)
+            )[:beam]
+    out = []
+    for qid in qids:
+        top = sorted(visited[qid].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend((qid, vid, s, i + 1) for i, (vid, s) in enumerate(top))
+    return spark.createDataFrame(
+        out, "query_id bigint, vec_id bigint, sim double, rank int"
+    )
+
+
 def update_graph_index(
     spark: SparkSession,
     sf_dir: str,

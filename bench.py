@@ -75,6 +75,7 @@ BENCH_KEYS = [
     "ann_ivfpq_topk",
     "knn_join_ivf_topk",
     "ann_graph_topk",
+    "ann_graph_batch_topk",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

@@ -182,3 +182,17 @@ def test_graph_incremental_insert_serves_new_vectors(spark, tight, tmp_path):
 
     with _pt.raises(ValueError, match="ADD-only"):
         ga.update_graph_index(spark, priv, batch)
+
+
+def test_graph_batch_equals_per_query_serving(spark, sf_dir):
+    """ann_graph_batch_topk fuses IO, not state: per-query results
+    equal the solo ann_graph_topk runs row-for-row."""
+    solo = []
+    for qid in (0, 3, 9):
+        for r in ga.ann_graph_topk(spark, sf_dir, query_vec_id=qid, k=10).collect():
+            solo.append((qid, r["vec_id"], r["sim"], r["rank"]))
+    bat = sorted(
+        tuple(r) for r in ga.ann_graph_batch_topk(spark, sf_dir).collect()
+    )
+    assert sorted(solo) == bat
+    assert len(bat) == 30

@@ -92,6 +92,7 @@ KEYS = {
     "ann_ivfpq_topk": "embeddings",
     "knn_join_ivf_topk": "embeddings",
     "ann_graph_topk": "embeddings",
+    "ann_graph_batch_topk": "embeddings",
     "events_rollup_daily": "events",
     "events_rollup_type_daily": "events",
     # r10b additions (query-language + filtered-ANN serving layer)
