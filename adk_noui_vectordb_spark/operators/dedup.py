@@ -1027,14 +1027,22 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     wide = _minhash_wide_cached(spark, sf_dir)
     from .invindex import doc_bucket_expr
 
+    # repartition BY THE PARTITION COLUMNS before the partitioned write
+    # (the _compact_locked discipline): without it every signing task
+    # writes a part file into every partition dir — measured 4,064
+    # 1KB band files / 1,015 sig files at sf0.1, and the gate's probe
+    # spent ~3s on file-open scheduling for a 40k-row table. One task
+    # per partition dir ⇒ one file per dir (≤128 bands, ≤32 sigs).
     wide.select(
         "*", doc_bucket_expr(F.col("doc_id")).alias("sbucket")
-    ).write.mode("overwrite").partitionBy("sbucket").parquet(
-        os.path.join(tmp, "sigs")
+    ).repartition(F.col("sbucket")).write.mode("overwrite").partitionBy(
+        "sbucket"
+    ).parquet(os.path.join(tmp, "sigs"))
+    _minhash_band_cols(wide).repartition(
+        F.col("band"), F.col("kbucket")
+    ).write.mode("overwrite").partitionBy("band", "kbucket").parquet(
+        os.path.join(tmp, "bands")
     )
-    _minhash_band_cols(wide).write.mode("overwrite").partitionBy(
-        "band", "kbucket"
-    ).parquet(os.path.join(tmp, "bands"))
     name = vn.next_version_name(root)
     try:
         vn.publish_version(root, tmp, name, expected=None)
