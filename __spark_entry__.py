@@ -566,6 +566,24 @@ _REWRITTEN = frozenset({
     "collection_query_ip_topk",
     "collection_get_where",
     "collection_get_page2",
+    # r12: the gate prologue runs AQE-off and the MinHash index build
+    # repartitions by partition columns (layout-only; 4,064 → 128
+    # band files) — same rows, new plan/IO shape
+    "dedup_gate_against_index",
+    "dedup_gate_intra_batch",
+    # r12: the sampled Lloyd's trainer factored onto one shared code
+    # path (_sampled_centroid_rows, feeding rebalance too) and builds
+    # now freeze build_stats.json — value-identical, new executed code
+    "ann_ivf_sampled_topk",
+    "ann_ivfpq_sampled_topk",
+    "knn_join_ivf_topk",
+    # r12: ivf_cent_rows memo now keys on the version name
+    "ann_ivf_trained_topk",
+    # r12: _bm25_scored gained the analyzer parameter (default 'raw'
+    # preserves behavior; the serving keys execute the new signature)
+    "bm25_topk_served",
+    "bm25_page2_served",
+    "msm_topk_served",
 })
 
 
