@@ -575,15 +575,21 @@ def update_graph_index(
     hubmap = spark.read.schema(GRAPH_HUBMAP_SCHEMA).parquet(
         os.path.join(cur, "hubmap")
     )
-    clash = (
+    n_batch = batch.count()
+    present = (
         hubmap.filter(F.col("vbucket").isin(vbs))
         .join(batch.select("vec_id"), "vec_id", "leftsemi")
-        .head(3)
+        .count()
     )
-    if clash:
+    if present == n_batch:
+        # the WHOLE batch is already indexed: an at-least-once replay
+        # (crash between commit and the stream's marker) — idempotent
+        # no-op, the streaming-recovery requirement
+        return cur
+    if present:
         raise ValueError(
-            f"update_graph_index is ADD-only; ids already present: "
-            f"{[r['vec_id'] for r in clash]} (rebuild to replace)"
+            f"update_graph_index is ADD-only; {present}/{n_batch} batch "
+            f"ids already present (rebuild to replace)"
         )
 
     cent_rows = sorted(

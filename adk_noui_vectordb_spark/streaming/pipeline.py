@@ -970,3 +970,54 @@ def stream_gated_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_graph_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming freshness for the navigable-graph ANN index (the 15th
+    mode, r12): embedding batches INSERT into the on-disk k-NN graph
+    via ``graph_ann.update_graph_index`` (frozen centroids and hubs,
+    append-mostly edges + star bridges + capped reversals, atomic CAS
+    commit), so an ``ann_graph_topk`` beam serves a vector one
+    micro-batch after it lands — the hnswlib add_items loop as a
+    stream. Same at-least-once/content-digest-marker contract as the
+    other vector ingest modes; the insert itself is replay-idempotent
+    (a fully-present batch is a no-op), so the crash window between
+    commit and marker cannot wedge the stream on the ADD-only guard."""
+    from ..operators.graph_ann import (
+        build_graph_index,
+        graph_index_root,
+        update_graph_index,
+    )
+
+    raw = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(vecs_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_graph_index(batch_df.sparkSession, sf_dir)
+        root = graph_index_root(sf_dir)
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
+        digest = _batch_digest(batch, ("vec_id", "embedding"))
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return
+        _retry_cas(
+            lambda: update_graph_index(batch_df.sparkSession, sf_dir, batch)
+        )
+        with open(_marker_path(root, "c", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1038,3 +1038,55 @@ def test_stream_gated_collection_ingest_curates_the_facade(
         )
         .collect()
     } == sigs
+
+
+def test_stream_graph_index_ingest_serves_next_beam(spark, sf_dir, tmp_path):
+    """15th mode (r12): embedding batches streamed into the navigable
+    graph become beam-reachable — a streamed clone of vec 0 appears in
+    the next ann_graph_topk(query=0) — and a fresh-checkpoint replay of
+    everything converges (the ADD-only guard's fully-present no-op +
+    content markers make re-delivery idempotent)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import graph_ann as ga
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_graph_index_ingest,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "gsbase")
+    stream_dir = str(tmp_path / "gsin")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    emb.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    ga.build_graph_index(spark, base_dir)
+
+    v0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    spark.createDataFrame(
+        [(987654331, v0)], "vec_id bigint, embedding array<double>"
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+
+    q = stream_graph_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_g1")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["vec_id"]
+        for r in ga.ann_graph_topk(spark, base_dir, query_vec_id=0, k=5).collect()
+    }
+    assert 987654331 in got, got  # the exact clone ranks first or near
+
+    # fresh-checkpoint replay: the batch is fully present -> no-op path
+    q2 = stream_graph_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_g2")
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        r["vec_id"]
+        for r in ga.ann_graph_topk(spark, base_dir, query_vec_id=0, k=5).collect()
+    }
+    assert got2 == got
+    checks = {c[0]: c[1] for c in ga.fsck_graph_index(spark, base_dir)}
+    assert all(checks.values()), checks
