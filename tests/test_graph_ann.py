@@ -177,11 +177,18 @@ def test_graph_incremental_insert_serves_new_vectors(spark, tight, tmp_path):
     bad = {k: v for k, v in checks.items() if not v[0]}
     assert not bad, bad
 
-    # ADD-only: resubmitting raises
+    # replay idempotence: resubmitting the IDENTICAL batch is a no-op
+    # (the streaming crash-window contract) — same version, no commit
+    assert ga.update_graph_index(spark, priv, batch) == cur1
+    # but PARTIAL overlap is a real conflict: ADD-only raises
     import pytest as _pt
 
+    mixed = spark.createDataFrame(
+        [(50_000, rows[0][1]), (60_000, rows[1][1])],
+        "vec_id bigint, embedding array<double>",
+    )
     with _pt.raises(ValueError, match="ADD-only"):
-        ga.update_graph_index(spark, priv, batch)
+        ga.update_graph_index(spark, priv, mixed)
 
 
 def test_graph_batch_equals_per_query_serving(spark, sf_dir):
