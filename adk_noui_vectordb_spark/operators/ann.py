@@ -973,22 +973,28 @@ def _ivf_stats_of(e: DataFrame, assign: DataFrame, cent_rows: list) -> dict:
     ``build_stats.json`` freezes at (re)train time and drift detection
     compares against: row count, mean squared distance of each vector
     to its ASSIGNED centroid, and the largest cell population. Two
-    small aggregate jobs; diagnostic doubles (not oracle-checked)."""
+    small aggregate jobs; diagnostic doubles (not oracle-checked).
+
+    Centroids join BROADCAST rather than indexing a literal array by
+    cluster id: Lloyd's can leave a cluster EMPTY after an iteration
+    (the seed loses every member), so labels are not necessarily
+    contiguous (caught by the sf0.001 update tests in r12)."""
     from ..functions.vector import dot_product
 
-    # Lloyd's labels are contiguous 0..k-1 by construction; the literal
-    # is sorted by cluster, so element_at(cluster+1) is its centroid.
-    assert [r["cluster"] for r in cent_rows] == list(range(len(cent_rows)))
-    cent_lit = _centroid_literal(cent_rows)
-    st = F.element_at(cent_lit, F.col("cluster") + 1)
+    spark = e.sparkSession
+    cents = spark.createDataFrame(
+        [(int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows],
+        "cluster int, c array<double>",
+    )
     d2 = (
         dot_product(F.col("emb"), F.col("emb"))
-        - 2 * dot_product(F.col("emb"), st["c"])
-        + st["cc"]
+        - 2 * dot_product(F.col("emb"), F.col("c"))
+        + dot_product(F.col("c"), F.col("c"))
     )
     row = (
         e.select("vec_id", "emb")
         .join(assign.select("vec_id", "cluster"), "vec_id")
+        .join(F.broadcast(cents), "cluster")
         .agg(F.count(F.lit(1)).alias("n"), F.avg(d2).alias("mean_d2"))
         .head()
     )
