@@ -805,6 +805,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: M beam searches, fused per-round probes (one edges
         # point-read + one vecs fetch for the union of frontiers)
         "ann_graph_batch_topk": _gann.ann_graph_batch_topk,
+        # r12: mark-delete lifecycle — tombstoned ids keep routing the
+        # beam (hnswlib semantics) but are filtered at result emission;
+        # the delete commit writes only the kilobyte tomb/ component
+        "ann_graph_tombstone_topk": _gann.ann_graph_tombstone_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -876,6 +880,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
+        # r12: binary quantization — 1-bit sign codes packed into two
+        # 32-bit BIGINT words (32x scan-payload compression); coarse
+        # ranking is pure integer XOR+popcount, rerank exact cosine
+        "binq_hamming_topk": _quant.binq_hamming_topk,
+        "ann_binq_topk": _quant.ann_binq_topk,
         # r10: Matryoshka-style truncated-dim coarse pass + exact
         # full-dim rerank (the no-index ANN baseline: prefix-dim bytes
         # per scanned row, full vectors only for the C survivors).
@@ -1696,30 +1705,13 @@ SELECT src, nbr, sim, CAST(rank AS INTEGER) AS rank FROM (
     )
 
 
-def _ann_graph_sql(
-    qid: int = 0,
-    k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
-    degree: int = 8,
-    hub_degree: int = 8,
-    iters: int = 2,
-) -> str:
-    """Navigable-graph ANN twin (operators/graph_ann.py ann_graph_topk):
-    reconstructs the WHOLE index in SQL — layer-0 edges are the cell
-    join's rank <= degree, hubs are each cell's md5-min nonzero member,
-    layer-1 edges the top-hub_degree hub pairs by 4-dp cosine, star
-    bridges link every member to its cell hub, and the reverse side is
-    rank-capped (the bidirectional discipline) — then unrolls the beam
-    search as chained CTEs (the knn_mmr_topk discipline): v_r =
-    v_{{r-1}} UNION the scored unseen neighbors of f_r = top-``beam``
-    of v_{{r-1}} (sim DESC, vec_id tie-break); the answer is top-k of
-    v_rounds. Seeds: the md5-min hub excluding the query id (the
-    stored entry/ pair realizes the same value) UNION the query's own
-    cell hub (the hubmap/ point lookup — here the af assignment row)."""
+def _graph_build_ctes(degree: int, hub_degree: int, iters: int) -> list:
+    """The graph-construction CTE chain shared by every graph-index
+    twin (solo / batch / tombstone): cell-join layer-0 edges at rank <=
+    degree, md5-min hubs + hub mesh, star bridges, capped reversals —
+    ending at ``gedges`` (the unified bidirectional adjacency)."""
     ctes = _cell_join_ctes(iters)
     cos_h = _COS.format(a="a.emb", b="b.emb")
-    cos_q = _COS.format(a="em.embedding", b="qe.q")
     ctes.append(f"""edges0 AS (
   SELECT src, nbr, sim FROM (
     SELECT src, nbr, sim,
@@ -1765,6 +1757,31 @@ def _ann_graph_sql(
         "gedges AS (SELECT src, nbr FROM gfwd"
         " UNION SELECT src, nbr FROM grev)"
     )
+    return ctes
+
+
+def _ann_graph_sql(
+    qid: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Navigable-graph ANN twin (operators/graph_ann.py ann_graph_topk):
+    reconstructs the WHOLE index in SQL — layer-0 edges are the cell
+    join's rank <= degree, hubs are each cell's md5-min nonzero member,
+    layer-1 edges the top-hub_degree hub pairs by 4-dp cosine, star
+    bridges link every member to its cell hub, and the reverse side is
+    rank-capped (the bidirectional discipline) — then unrolls the beam
+    search as chained CTEs (the knn_mmr_topk discipline): v_r =
+    v_{{r-1}} UNION the scored unseen neighbors of f_r = top-``beam``
+    of v_{{r-1}} (sim DESC, vec_id tie-break); the answer is top-k of
+    v_rounds. Seeds: the md5-min hub excluding the query id (the
+    stored entry/ pair realizes the same value) UNION the query's own
+    cell hub (the hubmap/ point lookup — here the af assignment row)."""
+    ctes = _graph_build_ctes(degree, hub_degree, iters)
     ctes += _graph_search_ctes(qid, "", beam, rounds)
     mat = _GRAPH_MAT | {f"gv{r}" for r in range(rounds + 1)} | {"gseed"}
     ctes = _mat_ctes(ctes, mat)
@@ -1774,6 +1791,42 @@ SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
   SELECT vec_id, sim,
          row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
   FROM gv{rounds}) WHERE rank <= {k}
+ORDER BY rank
+"""
+    )
+
+
+def _ann_graph_tomb_sql(
+    qid: int = 0,
+    n_delete: int = 2,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Tombstone-aware graph serving twin (graph_ann.py
+    ann_graph_tombstone_topk): traversal is tombstone-BLIND (hnswlib
+    mark-delete semantics — deleted nodes still route), so the visited
+    chain is the solo oracle's verbatim; the deleted set is the
+    blind search's own top-``n_delete`` (what the Spark side deletes),
+    and only the final emission anti-joins it."""
+    ctes = _graph_build_ctes(degree, hub_degree, iters)
+    ctes += _graph_search_ctes(qid, "", beam, rounds)
+    ctes.append(
+        f"gdel AS (SELECT vec_id FROM gv{rounds}"
+        f" ORDER BY sim DESC, vec_id LIMIT {n_delete})"
+    )
+    mat = _GRAPH_MAT | {f"gv{r}" for r in range(rounds + 1)} | {"gseed"}
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM gv{rounds}
+  WHERE vec_id NOT IN (SELECT vec_id FROM gdel)) WHERE rank <= {k}
 ORDER BY rank
 """
     )
@@ -1859,52 +1912,7 @@ def _ann_graph_batch_sql(
     the shared graph-construction CTEs once, then each query's SOLO
     beam unroll (the batch fuses IO, not state), UNION ALL'd with its
     query_id."""
-    ctes = _cell_join_ctes(iters)
-    cos_h = _COS.format(a="a.emb", b="b.emb")
-    ctes.append(f"""edges0 AS (
-  SELECT src, nbr, sim FROM (
-    SELECT src, nbr, sim,
-           row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
-    FROM jscored) WHERE rank <= {degree})""")
-    ctes.append("""ghubs AS (
-  SELECT cluster, vec_id FROM (
-    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
-             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM afnz) WHERE rn = 1)""")
-    ctes.append(
-        "ghv AS (SELECT h.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb"
-        " FROM ghubs h JOIN embeddings e USING (vec_id))"
-    )
-    cos_s = _COS.format(a="em.embedding", b="eh.embedding")
-    ctes.append(f"""gstar AS (
-  SELECT a.vec_id AS src, h.vec_id AS nbr, {cos_s} AS sim
-  FROM afnz a
-  JOIN ghubs h USING (cluster)
-  JOIN embeddings em ON em.vec_id = a.vec_id
-  JOIN embeddings eh ON eh.vec_id = h.vec_id
-  WHERE a.vec_id <> h.vec_id)""")
-    ctes.append(f"""ghedges AS (
-  SELECT src, nbr, sim FROM (
-    SELECT a.vec_id AS src, b.vec_id AS nbr, {cos_h} AS sim,
-           row_number() OVER (PARTITION BY a.vec_id
-                              ORDER BY {cos_h} DESC, b.vec_id) AS rk
-    FROM ghv a JOIN ghv b ON a.vec_id <> b.vec_id) WHERE rk <= {hub_degree})""")
-    ctes.append(
-        "gfwd AS (SELECT DISTINCT src, nbr, sim FROM"
-        " (SELECT src, nbr, sim FROM edges0"
-        "  UNION ALL SELECT src, nbr, sim FROM ghedges"
-        "  UNION ALL SELECT src, nbr, sim FROM gstar))"
-    )
-    ctes.append(f"""grev AS (
-  SELECT src, nbr FROM (
-    SELECT f.nbr AS src, f.src AS nbr,
-           row_number() OVER (PARTITION BY f.nbr
-                              ORDER BY f.sim DESC, f.src) AS rk
-    FROM gfwd f) WHERE rk <= {_ann.IVF_JOIN_CELL_CAP})""")
-    ctes.append(
-        "gedges AS (SELECT src, nbr FROM gfwd"
-        " UNION SELECT src, nbr FROM grev)"
-    )
+    ctes = _graph_build_ctes(degree, hub_degree, iters)
     finals = []
     mat = set(_GRAPH_MAT)
     for i, qid in enumerate(qids):
@@ -2034,6 +2042,23 @@ bm AS (
            round(coalesce(_s0, 0.0::DOUBLE) + coalesce(_s1, 0.0::DOUBLE)
                  + coalesce(_s2, 0.0::DOUBLE), 4) AS bm25
     FROM bm_agg
+)"""
+
+# Binary-quantization codes (operators/quantize.py with_binarized):
+# two positive 32-bit words per 64-dim vector; bit i of word w set iff
+# embedding[32w + i] > 0 (0-based). Exact integers on both engines.
+_BINQ_CODES_CTE = """
+bcodes AS (
+    SELECT vec_id,
+           list_aggregate(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 1] > 0
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+               'sum') AS w0,
+           list_aggregate(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 33] > 0
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+               'sum') AS w1
+    FROM embeddings
 )"""
 
 # Int8 quantization CTE chain (operators/quantize.py): qz = stored form,
@@ -3729,6 +3754,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         "knn_join_ivf_topk": _knn_join_ivf_sql(),
         "ann_graph_topk": _ann_graph_sql(),
         "ann_graph_batch_topk": _ann_graph_batch_sql(),
+        "ann_graph_tombstone_topk": _ann_graph_tomb_sql(),
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
 nz_bands AS (
@@ -4154,6 +4180,34 @@ qq AS (SELECT vec_id AS q_id, deq AS q_deq FROM deq WHERE vec_id = 0)
 SELECT d.vec_id, {_COS.format(a="d.deq", b="qq.q_deq")} AS sim8
 FROM deq d CROSS JOIN qq WHERE d.vec_id <> qq.q_id
 ORDER BY sim8 DESC, d.vec_id LIMIT 10
+""",
+        # Binary quantization (operators/quantize.py with_binarized):
+        # sign-bit codes as two positive 32-bit words — Spark packs via
+        # exact pow(2.0, i) casts, the twin via 1::BIGINT << i; both are
+        # exact integers in [0, 2^32), so codes and XOR+popcount
+        # distances are bit-identical with no rounding contract.
+        "binq_hamming_topk": f"""
+WITH {_BINQ_CODES_CTE},
+qc AS (SELECT w0, w1 FROM bcodes WHERE vec_id = 0)
+SELECT c.vec_id,
+       CAST(bit_count(xor(c.w0, q.w0))
+            + bit_count(xor(c.w1, q.w1)) AS INTEGER) AS hamming
+FROM bcodes c CROSS JOIN qc q WHERE c.vec_id <> 0
+ORDER BY hamming, c.vec_id LIMIT 10
+""",
+        "ann_binq_topk": f"""
+WITH {_BINQ_CODES_CTE},
+qc AS (SELECT w0, w1 FROM bcodes WHERE vec_id = 0),
+coarse AS (
+    SELECT c.vec_id,
+           bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS ham
+    FROM bcodes c CROSS JOIN qc q WHERE c.vec_id <> 0
+    ORDER BY ham, c.vec_id LIMIT 50
+),
+qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q_emb")} AS sim
+FROM embeddings e JOIN coarse USING (vec_id) CROSS JOIN qe
+ORDER BY sim DESC, e.vec_id LIMIT 10
 """,
         "knn_int8_rerank": f"""
 WITH {_QUANTIZE_CTE},

@@ -88,6 +88,7 @@ GRAPH_HUB_DEGREE = 8
 GRAPH_EDGES_SCHEMA = "src bigint, nbr bigint, sim double, sbucket int"
 GRAPH_ENTRY_SCHEMA = "rk int, vec_id bigint"
 GRAPH_HUBMAP_SCHEMA = "vec_id bigint, hub bigint, vbucket int"
+GRAPH_TOMB_SCHEMA = "vec_id bigint, vbucket int"
 GRAPH_COMPONENTS = [
     ("edges", ["sbucket"]),
     ("entry", []),
@@ -95,6 +96,7 @@ GRAPH_COMPONENTS = [
     ("vecs", ["vbucket"]),
     ("assign", ["cluster"]),
     ("cents", []),
+    ("tomb", ["vbucket"]),
 ]
 
 
@@ -292,24 +294,19 @@ def _sim4(a: list, b: list) -> float:
     return float(Decimal(repr(c)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
 
-def ann_graph_topk(
+def _beam_visited(
     spark: SparkSession,
-    sf_dir: str,
-    query_vec_id: int = 0,
-    k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
-    degree: int = GRAPH_DEGREE,
-    hub_degree: int = GRAPH_HUB_DEGREE,
-    iters: int = 2,
-) -> DataFrame:
-    """Serve top-k by deterministic beam search over the persisted
-    k-NN graph (module doc). Bounded driver-side loop; every Spark job
-    inside is a partition-pruned point read (edges by the frontier's
-    sbuckets + src list; vectors by the candidates' vbuckets + id
-    list). Returns (rank int, vec_id, sim) — sims are 4-dp cosine to
-    the query, ties broken by vec_id; the query itself is excluded."""
-    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    cur: str,
+    query_vec_id: int,
+    beam: int,
+    rounds: int,
+) -> dict:
+    """The beam-search kernel shared by the solo and tombstone-aware
+    serving keys: returns the final visited map {vec_id: 4-dp sim}.
+    Traversal NEVER consults tombstones (the hnswlib mark-delete
+    semantics: deleted nodes stay navigable so the graph's reachability
+    is unharmed; only RESULT emission filters) — so a tombstoned index
+    visits the identical set a fresh one does."""
     entry_rows = (
         spark.read.schema(GRAPH_ENTRY_SCHEMA)
         .parquet(os.path.join(cur, "entry"))
@@ -388,6 +385,28 @@ def ann_graph_topk(
                 :beam
             ]
         ]
+    return visited
+
+
+def ann_graph_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """Serve top-k by deterministic beam search over the persisted
+    k-NN graph (module doc). Bounded driver-side loop; every Spark job
+    inside is a partition-pruned point read (edges by the frontier's
+    sbuckets + src list; vectors by the candidates' vbuckets + id
+    list). Returns (rank int, vec_id, sim) — sims are 4-dp cosine to
+    the query, ties broken by vec_id; the query itself is excluded."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    visited = _beam_visited(spark, cur, query_vec_id, beam, rounds)
     top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return spark.createDataFrame(
         [(i + 1, vid, s) for i, (vid, s) in enumerate(top)],
@@ -680,23 +699,160 @@ def update_graph_index(
     new_vecs_rows = batch.select(
         vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
     )
+    components = [
+        vn.Component("edges", ("sbucket",), frozenset(), (new_edges,)),
+        vn.Component("entry", link_from=os.path.join(cur, "entry")),
+        vn.Component("hubmap", ("vbucket",), frozenset(), (new_hubmap,)),
+        vn.Component("vecs", ("vbucket",), frozenset(), (new_vecs_rows,)),
+        vn.Component(
+            "assign", ("cluster",), frozenset(), (basgn.select("vec_id", "cluster"),)
+        ),
+        vn.Component("cents", link_from=os.path.join(cur, "cents")),
+    ]
+    # a commit materializes ONLY the listed components: tombstones (if
+    # any deletes landed before this insert) must ride through or the
+    # new version would resurrect deleted ids
+    if os.path.isdir(os.path.join(cur, "tomb")):
+        components.append(
+            vn.Component("tomb", link_from=os.path.join(cur, "tomb"))
+        )
     new_cur = vn.commit_version(
         spark,
         root,
+        components,
+        expected=os.path.basename(cur),
+        compact=GRAPH_COMPONENTS,
+    )
+    return new_cur
+
+
+def _tombstoned_among(spark: SparkSession, cur: str, ids) -> set:
+    """The tombstoned subset of ``ids`` — one vbucket-pruned point read
+    of ``tomb/`` (missing component = no deletes yet = empty set)."""
+    tomb_path = os.path.join(cur, "tomb")
+    if not ids or not os.path.isdir(tomb_path):
+        return set()
+    ids = sorted(set(ids))
+    vbs = sorted({vec_bucket_py(i) for i in ids})
+    rows = (
+        spark.read.schema(GRAPH_TOMB_SCHEMA)
+        .parquet(tomb_path)
+        .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+        .select("vec_id")
+        .collect()
+    )
+    return {r["vec_id"] for r in rows}
+
+
+def delete_from_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    ids,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> str:
+    """Mark-delete from the navigable graph — the hnswlib
+    ``mark_deleted`` analog: deleted ids stay IN the graph (their
+    adjacency keeps routing the beam — ripping a node out would orphan
+    the regions it bridges, which is why hnswlib doesn't either) and
+    are filtered only at result emission. The tombstone set is a
+    versioned ``tomb/`` component (vec_id, vbucket) — vbucket-
+    partitioned so serving's final filter is the same O(candidates)
+    point read every other probe uses; every other component hardlinks
+    through, so a delete commit writes kilobytes regardless of corpus
+    size. Edge repair / physical removal is the rebuild's job, exactly
+    like centroid drift (``fsck_graph_index`` reports the tombstone
+    fraction and advises past 50%).
+
+    Replay discipline (the update_graph_index contract): a batch whose
+    ids are ALL already tombstoned no-ops (at-least-once streaming
+    replay); a partial overlap raises (ambiguous — neither a replay nor
+    a fresh delete); ids absent from the index raise."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    root = os.path.dirname(cur)
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        return cur
+    vbs = sorted({vec_bucket_py(i) for i in ids})
+    present = {
+        r["vec_id"]
+        for r in spark.read.schema(VECS_SCHEMA)
+        .parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+        .select("vec_id")
+        .collect()
+    }
+    missing = [i for i in ids if i not in present]
+    if missing:
+        raise ValueError(
+            f"delete_from_graph_index: ids not in the index: {missing}"
+        )
+    already = _tombstoned_among(spark, cur, ids)
+    if len(already) == len(ids):
+        return cur  # idempotent replay
+    if already:
+        raise ValueError(
+            f"delete_from_graph_index: {len(already)}/{len(ids)} ids "
+            f"already tombstoned (partial replay is ambiguous)"
+        )
+    tomb_rows = spark.createDataFrame(
+        [(i, vec_bucket_py(i)) for i in ids], GRAPH_TOMB_SCHEMA
+    )
+    return vn.commit_version(
+        spark,
+        root,
         [
-            vn.Component("edges", ("sbucket",), frozenset(), (new_edges,)),
+            vn.Component("tomb", ("vbucket",), frozenset(), (tomb_rows,)),
+            vn.Component("edges", link_from=os.path.join(cur, "edges")),
             vn.Component("entry", link_from=os.path.join(cur, "entry")),
-            vn.Component("hubmap", ("vbucket",), frozenset(), (new_hubmap,)),
-            vn.Component("vecs", ("vbucket",), frozenset(), (new_vecs_rows,)),
-            vn.Component(
-                "assign", ("cluster",), frozenset(), (basgn.select("vec_id", "cluster"),)
-            ),
+            vn.Component("hubmap", link_from=os.path.join(cur, "hubmap")),
+            vn.Component("vecs", link_from=os.path.join(cur, "vecs")),
+            vn.Component("assign", link_from=os.path.join(cur, "assign")),
             vn.Component("cents", link_from=os.path.join(cur, "cents")),
         ],
         expected=os.path.basename(cur),
         compact=GRAPH_COMPONENTS,
     )
-    return new_cur
+
+
+def ann_graph_tombstone_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    n_delete: int = 2,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """Tombstone-aware graph serving: delete the query's current top-
+    ``n_delete`` (forcing the k-th..k+n-th neighbors into the answer —
+    the behavior a user of hnswlib's mark_deleted sees), then serve
+    top-k. Traversal is untouched (``_beam_visited``: tombstoned nodes
+    still route), emission filters via ONE point read of ``tomb/`` over
+    the bounded visited set. Deterministic and replay-idempotent: the
+    deleted set derives from the tombstone-blind search, which never
+    changes, so a re-run deletes the same ids and no-ops."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    visited = _beam_visited(spark, cur, query_vec_id, beam, rounds)
+    ranked = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
+    to_delete = [vid for vid, _s in ranked[:n_delete]]
+    cur = delete_from_graph_index(
+        spark, sf_dir, to_delete, degree, hub_degree, iters
+    )
+    dead = _tombstoned_among(spark, cur, list(visited))
+    top = [
+        (vid, s)
+        for vid, s in sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
+        if vid not in dead
+    ][:k]
+    return spark.createDataFrame(
+        [(i + 1, vid, s) for i, (vid, s) in enumerate(top)],
+        "rank int, vec_id bigint, sim double",
+    )
 
 
 def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
@@ -770,4 +926,27 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     )
     unmapped = vecs.join(hubmap.select("vec_id"), "vec_id", "left_anti").count()
     out.append(("every_vector_hub_mapped", unmapped == 0, f"unmapped={unmapped}"))
+    # tombstones (optional component — absent until the first delete):
+    # every tombstone must name an indexed vector, and past 50% dead the
+    # index should be rebuilt (dead nodes still cost traversal and
+    # storage — the hnswlib mark-delete trade, same advisory shape as
+    # the IVF drift metrics)
+    tomb_path = os.path.join(cur, "tomb")
+    if os.path.isdir(tomb_path):
+        tomb = spark.read.schema(GRAPH_TOMB_SCHEMA).parquet(tomb_path)
+        orphan = tomb.join(vecs.select("vec_id"), "vec_id", "left_anti").count()
+        out.append(
+            ("tombstones_name_indexed_vectors", orphan == 0, f"orphan={orphan}")
+        )
+        n_dead = tomb.select("vec_id").distinct().count()
+        n_all = vecs.count()
+        frac = n_dead / n_all if n_all else 0.0
+        out.append(
+            (
+                "tombstone_fraction_bounded",
+                frac <= 0.5,
+                f"dead={n_dead}/{n_all}"
+                + (" — rebuild the graph" if frac > 0.5 else ""),
+            )
+        )
     return out

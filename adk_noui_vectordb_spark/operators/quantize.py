@@ -118,6 +118,113 @@ def knn_int8_topk(
     )
 
 
+BINQ_WORD_BITS = 32
+
+
+def with_binarized(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Add sign-bit binary codes: ``w0..w{n-1}`` BIGINT words, 32 bits
+    per word (bit i of word w set iff ``embedding[32w + i] > 0``).
+
+    32 — not 64 — bits per word keeps every packed value in
+    ``[0, 2^32)``: positive in BIGINT on both engines, so no
+    sign-bit/overflow semantics to reconcile (``1 << 63`` is where
+    Spark's long and DuckDB's BIGINT diverge). Bit values come from
+    ``pow(2.0, i)`` — exact in double for i ≤ 52 — summed by an
+    integer-valued fold; DuckDB's twin uses ``1::BIGINT << i``. Both
+    are exact small integers, so codes are bit-identical cross-engine.
+    All Catalyst HOFs; no UDF."""
+    n_words = (dim + BINQ_WORD_BITS - 1) // BINQ_WORD_BITS
+    df = emb
+    for w in range(n_words):
+        seg = F.slice(
+            F.col("embedding"), w * BINQ_WORD_BITS + 1, BINQ_WORD_BITS
+        )
+        bits = F.transform(
+            seg,
+            lambda x, i: F.when(
+                x > F.lit(0.0),
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        df = df.withColumn(
+            f"w{w}",
+            F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b),
+        )
+    return df
+
+
+def _hamming(n_words: int) -> F.Column:
+    """``sum_w bit_count(w_w XOR qw_w)`` — the 1-bit distance."""
+    total = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}")))
+        total = term if total is None else total + term
+    return total.cast("int")
+
+
+def binq_hamming_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k by Hamming distance over 1-bit sign codes (the binary-
+    quantization coarse stage: 64 dims -> 8 bytes, a 32x compression of
+    the scan payload vs float32; the asymmetric-vs-symmetric trade FAISS
+    calls ``IndexBinaryFlat``). Distance is XOR + popcount — integer
+    ops inside whole-stage codegen, the cheapest candidate scan in the
+    quantization family. Exact integers, so cross-engine hash-stable
+    with no rounding contract at all. Returns (vec_id, hamming),
+    ascending, vec_id tie-break, query excluded."""
+    n_words = (dim + BINQ_WORD_BITS - 1) // BINQ_WORD_BITS
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = with_binarized(emb, dim).select(
+        "vec_id", *[f"w{w}" for w in range(n_words)]
+    )
+    qc = codes.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("q_id"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)],
+    )
+    return (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", _hamming(n_words).alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_binq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    n_coarse: int = 50,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage binary-quantization retrieval (the knn_int8_rerank
+    shape, one tier coarser): Hamming top-C over the 8-byte sign codes
+    (TakeOrderedAndProject — per-partition C-heap over two BIGINT
+    columns), exact 4-dp float cosine on the C survivors only. The
+    100 TB serving shape at maximum compression: the float column is
+    read for C rows, not the corpus, and the coarse scan is pure
+    integer XOR+popcount."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = binq_hamming_topk(
+        spark, sf_dir, query_vec_id, k=n_coarse, dim=dim
+    ).select("vec_id")
+    q = make_query_from_vec(emb, query_vec_id)
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        emb.join(F.broadcast(coarse), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def knn_int8_rerank(
     spark: SparkSession,
     sf_dir: str,

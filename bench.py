@@ -76,6 +76,8 @@ BENCH_KEYS = [
     "knn_join_ivf_topk",
     "ann_graph_topk",
     "ann_graph_batch_topk",
+    "ann_graph_tombstone_topk",
+    "ann_binq_topk",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

@@ -191,6 +191,83 @@ def test_graph_incremental_insert_serves_new_vectors(spark, tight, tmp_path):
         ga.update_graph_index(spark, priv, mixed)
 
 
+def test_graph_tombstone_serving_equals_solo_minus_deleted(spark, sf_dir):
+    """Mark-delete semantics end-to-end: traversal is tombstone-blind,
+    so the tombstone-aware top-10 after deleting the blind search's
+    top-2 is EXACTLY the blind top-12 minus its first two, re-ranked
+    1..10 — the k-th..k+2-th neighbors surface, nothing else moves."""
+    solo = [
+        (r["vec_id"], r["sim"])
+        for r in ga.ann_graph_topk(spark, sf_dir, query_vec_id=0, k=12).collect()
+    ]
+    got = [
+        (r["rank"], r["vec_id"], r["sim"])
+        for r in ga.ann_graph_tombstone_topk(
+            spark, sf_dir, query_vec_id=0, n_delete=2, k=10
+        ).collect()
+    ]
+    want = [(i + 1, vid, s) for i, (vid, s) in enumerate(solo[2:])]
+    assert got == want
+    # and the delete is replay-idempotent: the same call again no-ops
+    assert got == [
+        (r["rank"], r["vec_id"], r["sim"])
+        for r in ga.ann_graph_tombstone_topk(
+            spark, sf_dir, query_vec_id=0, n_delete=2, k=10
+        ).collect()
+    ]
+
+
+def test_graph_delete_lifecycle(spark, tight, tmp_path):
+    """delete_from_graph_index on a private root: unknown ids raise,
+    identical-batch replay no-ops, partial overlap raises, deleting a
+    ROUTING-CRITICAL node (the query's own cell hub) leaves traversal
+    untouched (visited set identical — the reason mark-delete never
+    rips nodes out), an insert after a delete carries tombstones
+    through (no resurrection), and fsck's tombstone checks hold."""
+    base, _emb = tight
+    priv = str(tmp_path / "gdel")
+    os.makedirs(priv)
+    spark.read.parquet(base + "/embeddings.parquet").write.parquet(
+        os.path.join(priv, "embeddings.parquet")
+    )
+    cur0 = ga.build_graph_index(spark, priv)
+    with pytest.raises(ValueError, match="not in the index"):
+        ga.delete_from_graph_index(spark, priv, [999_999])
+
+    # the query's regional door — the worst node to lose
+    hub = (
+        spark.read.schema(ga.GRAPH_HUBMAP_SCHEMA)
+        .parquet(os.path.join(cur0, "hubmap"))
+        .filter(F.col("vec_id") == 7)
+        .head()["hub"]
+    )
+    before = ga._beam_visited(spark, cur0, 7, beam=8, rounds=3)
+    cur1 = ga.delete_from_graph_index(spark, priv, [hub, 11])
+    assert cur1 != cur0
+    after = ga._beam_visited(spark, cur1, 7, beam=8, rounds=3)
+    assert after == before  # tombstoned nodes still route
+    assert ga._tombstoned_among(spark, cur1, [hub, 11, 7]) == {hub, 11}
+
+    # replay no-op / partial overlap raises
+    assert ga.delete_from_graph_index(spark, priv, [hub, 11]) == cur1
+    with pytest.raises(ValueError, match="already tombstoned"):
+        ga.delete_from_graph_index(spark, priv, [11, 13])
+
+    # an insert commit must CARRY the tombstones (no resurrection)
+    batch = spark.createDataFrame(
+        [(70_000, [float(x) for x in _emb[3]])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cur2 = ga.update_graph_index(spark, priv, batch)
+    assert ga._tombstoned_among(spark, cur2, [hub, 11]) == {hub, 11}
+
+    checks = {c[0]: (c[1], c[2]) for c in ga.fsck_graph_index(spark, priv)}
+    assert checks["tombstones_name_indexed_vectors"][0], checks
+    assert checks["tombstone_fraction_bounded"][0], checks
+    bad = {k: v for k, v in checks.items() if not v[0]}
+    assert not bad, bad
+
+
 def test_graph_batch_equals_per_query_serving(spark, sf_dir):
     """ann_graph_batch_topk fuses IO, not state: per-query results
     equal the solo ann_graph_topk runs row-for-row."""

