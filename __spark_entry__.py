@@ -812,6 +812,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
+        # r12: the OTHER standard fusion — convex alpha-combination of
+        # min-max-normalized pool scores (preserves score magnitude
+        # where RRF flattens to rank)
+        "hybrid_weighted_topk": _hyb.hybrid_weighted_topk,
         # r7: the LEXICAL build-once/serve-many lifecycle (the rp/ivf
         # serving contract applied to text): postings persisted to parquet
         # partitioned by md5 term bucket, probes statically prune to the
@@ -4167,6 +4171,38 @@ SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
        coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
        + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+        # Convex alpha fusion (operators/hybrid.py hybrid_weighted_topk):
+        # min-max within each pool (all-equal pool -> 1.0), absent
+        # modality contributes 0, fixed op order round(a*v + b*l, 4).
+        "hybrid_weighted_topk": f"""
+WITH {_BM25_CTE},
+lex_top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+lex_stats AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM lex_top),
+lex_n AS (
+    SELECT doc_id,
+           CASE WHEN s.mx = s.mn THEN 1.0::DOUBLE
+                ELSE (bm25 - s.mn) / (s.mx - s.mn) END AS lex_n
+    FROM lex_top CROSS JOIN lex_stats s
+),
+qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+vsims AS (
+    SELECT e.vec_id AS doc_id, {_COS.format(a="e.embedding", b="qv.q_emb")} AS sim
+    FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.q_id
+),
+vec_top AS (SELECT doc_id, sim FROM vsims ORDER BY sim DESC, doc_id LIMIT 100),
+vec_stats AS (SELECT min(sim) AS mn, max(sim) AS mx FROM vec_top),
+vec_n AS (
+    SELECT doc_id,
+           CASE WHEN s.mx = s.mn THEN 1.0::DOUBLE
+                ELSE (sim - s.mn) / (s.mx - s.mn) END AS vec_n
+    FROM vec_top CROSS JOIN vec_stats s
+)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       round(0.6::DOUBLE * coalesce(v.vec_n, 0.0::DOUBLE)
+             + 0.4::DOUBLE * coalesce(l.lex_n, 0.0::DOUBLE), 4) AS wscore
+FROM lex_n l FULL OUTER JOIN vec_n v ON l.doc_id = v.doc_id
+ORDER BY wscore DESC, doc_id LIMIT 10
 """,
         "embed_quantize_int8": f"""
 WITH {_QUANTIZE_CTE}

@@ -204,3 +204,75 @@ def hybrid_rrf_topk(
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _minmax_norm(pool: DataFrame, score: str, out: str) -> DataFrame:
+    """Min-max normalize ``score`` within the bounded candidate pool:
+    (x - min) / (max - min), the degenerate all-equal pool mapping to
+    1.0 (every candidate is equally best). The 1-row min/max aggregate
+    re-enters as a broadcast — the bm25_scores stats discipline; the
+    pool is O(n_candidates) rows so nothing corpus-sized is touched."""
+    stats = pool.agg(F.min(score).alias("_mn"), F.max(score).alias("_mx"))
+    norm = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+        (F.col(score) - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+    )
+    return pool.crossJoin(F.broadcast(stats)).select(
+        "doc_id", norm.alias(out)
+    )
+
+
+def hybrid_weighted_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    query_vec_id: int = 0,
+    alpha: float = 0.6,
+    n_candidates: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Convex score fusion — the ``alpha`` hybrid (Weaviate's
+    relativeScoreFusion / Pinecone's convex combination, the OTHER
+    standard besides RRF): each source's top-N scores are min-max
+    normalized WITHIN its candidate pool, then fused as
+    ``alpha * vec + (1 - alpha) * lex`` — unlike RRF it preserves score
+    MAGNITUDE (a runaway best match dominates; RRF flattens it to rank
+    1), at the price of pool-relative calibration.
+
+    Same 100 TB shape as hybrid_rrf_topk: both pools are cut to
+    O(n_candidates) by TakeOrderedAndProject before any window/join;
+    the min/max stats are 1-row broadcasts. A document absent from one
+    pool contributes 0 from that modality (full-outer join). Fixed
+    op order ``round(a*v + b*l, 4)`` on 4-dp inputs keeps the fused
+    score cross-engine stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        bm25_scores(docs, terms)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(n_candidates)
+    )
+    lex_n = _minmax_norm(lex_top, "bm25", "lex_n")
+
+    q = make_query_from_vec(emb, query_vec_id)
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 4)
+    vec_top = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(n_candidates)
+    )
+    vec_n = _minmax_norm(vec_top, "sim", "vec_n")
+
+    fused = lex_n.join(vec_n, "doc_id", "full_outer")
+    wscore = F.round(
+        F.lit(alpha) * F.coalesce(F.col("vec_n"), F.lit(0.0))
+        + F.lit(1.0 - alpha) * F.coalesce(F.col("lex_n"), F.lit(0.0)),
+        4,
+    )
+    return (
+        fused.select("doc_id", wscore.alias("wscore"))
+        .orderBy(F.desc("wscore"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -78,6 +78,7 @@ BENCH_KEYS = [
     "ann_graph_batch_topk",
     "ann_graph_tombstone_topk",
     "ann_binq_topk",
+    "hybrid_weighted_topk",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

@@ -223,6 +223,47 @@ def test_binq_plan_shapes(spark):
     ) >= 2, plan
 
 
+# ------------------------------------------------- weighted (alpha) fusion
+
+
+def test_weighted_fusion_alpha_extremes(spark):
+    """alpha=1 must reproduce the pure vector top-k (the lexical pool
+    contributes 0 everywhere), alpha=0 the pure BM25 top-k — the convex
+    combination's boundary contract."""
+    emb = load_table(spark, SF, "embeddings")
+    vec = [
+        r["vec_id"]
+        for r in knn_topk(emb, make_query_from_vec(emb, 0), k=10).collect()
+    ]
+    a1 = [
+        r["doc_id"]
+        for r in hyb.hybrid_weighted_topk(spark, SF, alpha=1.0, k=10).collect()
+    ]
+    assert a1 == vec
+    lex = [
+        r["doc_id"] for r in hyb.bm25_topk(spark, SF, k=10).collect()
+    ]
+    a0 = [
+        r["doc_id"]
+        for r in hyb.hybrid_weighted_topk(spark, SF, alpha=0.0, k=10).collect()
+    ]
+    assert a0 == lex
+
+
+def test_weighted_fusion_scores_bounded_and_plan(spark):
+    """Fused scores live in [0, 1] (convex combination of min-max
+    normalized pools) and both pools are TakeOrderedAndProject cuts —
+    no corpus-sized window or sort."""
+    df = hyb.hybrid_weighted_topk(spark, SF, k=10)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(0.0 <= r["wscore"] <= 1.0 for r in rows)
+    scores = [r["wscore"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 pools + final
+
+
 def test_hybrid_plan_no_global_sort_before_cut(spark):
     # both source cuts are TakeOrderedAndProject; ranking windows only ever
     # see the <= n_candidates survivors
