@@ -881,6 +881,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: BOTH retrieval arms from on-disk indexes (inverted index +
         # RP-LSH band table) — zero corpus scans at query time.
         "hybrid_rrf_served_topk": _inv.hybrid_rrf_served_topk,
+        # r12: alpha fusion from the same on-disk pools (zero corpus
+        # scans — the weighted scan key's serving twin)
+        "hybrid_weighted_served_topk": _inv.hybrid_weighted_served_topk,
         "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
@@ -1029,6 +1032,32 @@ rp_bands AS (
            CAST(sum(bit * (1 << CAST(p % 4 AS INTEGER))) AS INTEGER) AS band_key
     FROM rp_bits GROUP BY 1, 2
 )"""
+
+# The index-served candidate pools shared by both served hybrid twins
+# (RRF and weighted): the multiprobe RP-LSH vector pool + the BM25
+# lexical pool, each cut to 100. Requires _BM25_CTE and _RP_BANDS_CTE
+# earlier in the chain.
+_SRV_POOLS_CTE = f"""srv_qb AS (
+    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
+),
+srv_qb_exp AS (
+    SELECT band, band_key FROM srv_qb
+    UNION
+    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
+    FROM srv_qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
+),
+srv_cand AS (
+    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN srv_qb_exp USING (band, band_key)
+    WHERE b.vec_id <> 0
+),
+srv_qe AS (
+    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+),
+srv_vsims AS (
+    SELECT e.vec_id AS doc_id, {_COS.format(a="e.embedding", b="srv_qe.q_emb")} AS sim
+    FROM embeddings e JOIN srv_cand USING (vec_id) CROSS JOIN srv_qe
+),
+srv_vec_top AS (SELECT doc_id, sim FROM srv_vsims ORDER BY sim DESC, doc_id LIMIT 100)"""
 
 
 def _kmeans_ctes(
@@ -4067,27 +4096,7 @@ ORDER BY tf_total DESC, doc_id LIMIT 10
         "hybrid_rrf_served_topk": f"""
 WITH {_BM25_CTE},
 {_RP_BANDS_CTE.lstrip()},
-srv_qb AS (
-    SELECT band, band_key FROM rp_bands WHERE vec_id = 0
-),
-srv_qb_exp AS (
-    SELECT band, band_key FROM srv_qb
-    UNION
-    SELECT q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER) AS band_key
-    FROM srv_qb q CROSS JOIN (SELECT unnest(range(0, {_ann.RP_BAND_BITS})) AS b) t
-),
-srv_cand AS (
-    SELECT DISTINCT b.vec_id FROM rp_bands b JOIN srv_qb_exp USING (band, band_key)
-    WHERE b.vec_id <> 0
-),
-srv_qe AS (
-    SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
-),
-srv_vsims AS (
-    SELECT e.vec_id AS doc_id, {_COS.format(a="e.embedding", b="srv_qe.q_emb")} AS sim
-    FROM embeddings e JOIN srv_cand USING (vec_id) CROSS JOIN srv_qe
-),
-srv_vec_top AS (SELECT doc_id, sim FROM srv_vsims ORDER BY sim DESC, doc_id LIMIT 100),
+{_SRV_POOLS_CTE},
 srv_vec_ranked AS (
     SELECT doc_id,
            row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
@@ -4108,6 +4117,33 @@ SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
        coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0::DOUBLE)
        + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0::DOUBLE) AS rrf
 FROM srv_fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+        # Served alpha fusion (invindex.py hybrid_weighted_served_topk):
+        # the SAME served pools, the weighted scan key's fusion tail.
+        "hybrid_weighted_served_topk": f"""
+WITH {_BM25_CTE},
+{_RP_BANDS_CTE.lstrip()},
+{_SRV_POOLS_CTE},
+srv_vec_stats AS (SELECT min(sim) AS mn, max(sim) AS mx FROM srv_vec_top),
+srv_vec_n AS (
+    SELECT doc_id,
+           CASE WHEN s.mx = s.mn THEN 1.0::DOUBLE
+                ELSE (sim - s.mn) / (s.mx - s.mn) END AS vec_n
+    FROM srv_vec_top CROSS JOIN srv_vec_stats s
+),
+srv_lex_top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+srv_lex_stats AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM srv_lex_top),
+srv_lex_n AS (
+    SELECT doc_id,
+           CASE WHEN s.mx = s.mn THEN 1.0::DOUBLE
+                ELSE (bm25 - s.mn) / (s.mx - s.mn) END AS lex_n
+    FROM srv_lex_top CROSS JOIN srv_lex_stats s
+)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       round(0.6::DOUBLE * coalesce(v.vec_n, 0.0::DOUBLE)
+             + 0.4::DOUBLE * coalesce(l.lex_n, 0.0::DOUBLE), 4) AS wscore
+FROM srv_lex_n l FULL OUTER JOIN srv_vec_n v ON l.doc_id = v.doc_id
+ORDER BY wscore DESC, doc_id LIMIT 10
 """,
         # Index-content check (the rp_lsh_band_rows analog): the probed
         # postings rows themselves — tf per (doc, query term) plus the

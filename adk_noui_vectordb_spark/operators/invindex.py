@@ -1323,6 +1323,50 @@ def hybrid_rrf_served_topk(
     )
 
 
+def hybrid_weighted_served_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    query_vec_id: int = 0,
+    alpha: float = 0.6,
+    n_candidates: int = 100,
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Index-served convex alpha fusion — hybrid.hybrid_weighted_topk's
+    serving twin, exactly as hybrid_rrf_served_topk serves the RRF
+    scan key: the lexical pool ranks from the on-disk inverted index,
+    the vector pool from the multiprobe RP-LSH band table, and ONLY
+    the fusion arithmetic differs (min-max normalize each O(N) pool,
+    ``alpha*vec + (1-alpha)*lex``, absent modality contributes 0).
+    Zero corpus scans at query time; the min/max stats are 1-row
+    broadcasts over the N-capped pools."""
+    from .ann import ann_rp_lsh_topk
+    from .hybrid import _minmax_norm
+
+    lex_top = bm25_topk_served(spark, sf_dir, terms, k=n_candidates)
+    lex_n = _minmax_norm(lex_top, "bm25", "lex_n")
+    vec_top = ann_rp_lsh_topk(
+        spark,
+        sf_dir,
+        query_vec_id,
+        k=n_candidates,
+        multiprobe_hamming=multiprobe_hamming,
+    ).select(F.col("vec_id").alias("doc_id"), "sim")
+    vec_n = _minmax_norm(vec_top, "sim", "vec_n")
+    fused = lex_n.join(vec_n, "doc_id", "full_outer")
+    wscore = F.round(
+        F.lit(alpha) * F.coalesce(F.col("vec_n"), F.lit(0.0))
+        + F.lit(1.0 - alpha) * F.coalesce(F.col("lex_n"), F.lit(0.0)),
+        4,
+    )
+    return (
+        fused.select("doc_id", wscore.alias("wscore"))
+        .orderBy(F.desc("wscore"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def compact_text_index(
     spark: SparkSession, sf_dir: str, threshold: int = 4
 ) -> str:

@@ -192,6 +192,35 @@ def test_served_hybrid_lexical_arm_matches_scan_hybrid(spark, sf_dir):
             assert scan[doc_id] == rank, (doc_id, rank, scan[doc_id])
 
 
+def test_served_weighted_hybrid_index_only_and_bounds(spark, sf_dir):
+    """The weighted served twin inherits the RRF served key's index-only
+    contract (tbucket + band partition filters, no documents scan), its
+    scores are a convex combination in [0, 1], and alpha=0 reduces to
+    the served BM25 top-k exactly."""
+    from adk_noui_vectordb_spark.plans import explain_str
+
+    df = invindex.hybrid_weighted_served_topk(spark, sf_dir)
+    plan = explain_str(df)
+    heads = [s.split("\n")[0] for s in plan.split("PartitionFilters")[1:]]
+    assert any("tbucket" in h for h in heads), plan
+    assert any("band" in h for h in heads), plan
+    assert "documents.parquet" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(0.0 <= r["wscore"] <= 1.0 for r in rows)
+    a0 = [
+        r["doc_id"]
+        for r in invindex.hybrid_weighted_served_topk(
+            spark, sf_dir, alpha=0.0
+        ).collect()
+    ]
+    lex = [
+        r["doc_id"]
+        for r in invindex.bm25_topk_served(spark, sf_dir, k=10).collect()
+    ]
+    assert a0 == lex
+
+
 def test_term_bucket_property_parity(spark):
     """Hypothesis: the Spark md5 bucket expression equals the Python
     helper for arbitrary printable-unicode terms — the derived-constant
