@@ -809,6 +809,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beam (hnswlib semantics) but are filtered at result emission;
         # the delete commit writes only the kilobyte tomb/ component
         "ann_graph_tombstone_topk": _gann.ann_graph_tombstone_topk,
+        # r12: physical removal — vacuum rebuilds over the survivors on
+        # a tagged root (delete lifecycle end-to-end: mark, vacuum,
+        # serve the re-derived graph)
+        "ann_graph_vacuumed_topk": _gann.ann_graph_vacuumed_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -1640,7 +1644,7 @@ ORDER BY d2_micro, vec_id LIMIT {topk}
     )
 
 
-def _cell_join_ctes(iters: int = 2) -> list:
+def _cell_join_ctes(iters: int = 2, source: str = "embeddings") -> list:
     """The shared sampled-IVF cell-join CTE chain (derived c, md5-top-s
     rank-keyed training sample, sampled Lloyd's, frozen full-corpus
     assignment ``af``/``afnz``, md5-capped neighbor side, same-cell
@@ -1649,16 +1653,16 @@ def _cell_join_ctes(iters: int = 2) -> list:
     derived_c = (
         f"(SELECT GREATEST({_ann.IVF_JOIN_MIN_CENTROIDS}, "
         f"CAST(ceil(count(*) * 1.0 / {_ann.IVF_JOIN_TARGET_CELL}) AS BIGINT)) "
-        f"FROM embeddings)"
+        f"FROM {source})"
     )
     derived_s = (
         f"(SELECT GREATEST({_ann.IVF_JOIN_MIN_CENTROIDS}, "
         f"CAST(ceil(count(*) * 1.0 / {_ann.IVF_JOIN_TARGET_CELL}) AS BIGINT))"
-        f" * {_ann.IVF_JOIN_TRAIN_PER_CELL} FROM embeddings)"
+        f" * {_ann.IVF_JOIN_TRAIN_PER_CELL} FROM {source})"
     )
     ctes = [
-        "eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
-        " FROM embeddings)",
+        f"eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        f" FROM {source})",
         f"samp AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS md"
         f" FROM eall ORDER BY md, vec_id LIMIT {derived_s})",
         "samp_rk AS (SELECT vec_id, CAST(row_number() OVER"
@@ -1682,7 +1686,7 @@ def _cell_join_ctes(iters: int = 2) -> list:
                               ORDER BY {dist_full}, c.cluster) AS rn
     FROM eall CROSS JOIN c{iters}s c) WHERE rn = 1)""")
     ctes.append(
-        "nz AS (SELECT vec_id FROM embeddings"
+        f"nz AS (SELECT vec_id FROM {source}"
         " WHERE list_inner_product(CAST(embedding AS DOUBLE[]),"
         " CAST(embedding AS DOUBLE[])) > 0)"
     )
@@ -1703,8 +1707,8 @@ def _cell_join_ctes(iters: int = 2) -> list:
     ctes.append(f"""jscored AS (
   SELECT c.src, c.nbr, {cos} AS sim
   FROM jcand c
-  JOIN embeddings es ON es.vec_id = c.src
-  JOIN embeddings en ON en.vec_id = c.nbr)""")
+  JOIN {source} es ON es.vec_id = c.src
+  JOIN {source} en ON en.vec_id = c.nbr)""")
     return ctes
 
 
@@ -1738,12 +1742,14 @@ SELECT src, nbr, sim, CAST(rank AS INTEGER) AS rank FROM (
     )
 
 
-def _graph_build_ctes(degree: int, hub_degree: int, iters: int) -> list:
+def _graph_build_ctes(
+    degree: int, hub_degree: int, iters: int, source: str = "embeddings"
+) -> list:
     """The graph-construction CTE chain shared by every graph-index
     twin (solo / batch / tombstone): cell-join layer-0 edges at rank <=
     degree, md5-min hubs + hub mesh, star bridges, capped reversals —
     ending at ``gedges`` (the unified bidirectional adjacency)."""
-    ctes = _cell_join_ctes(iters)
+    ctes = _cell_join_ctes(iters, source)
     cos_h = _COS.format(a="a.emb", b="b.emb")
     ctes.append(f"""edges0 AS (
   SELECT src, nbr, sim FROM (
@@ -1756,16 +1762,16 @@ def _graph_build_ctes(degree: int, hub_degree: int, iters: int) -> list:
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
     FROM afnz) WHERE rn = 1)""")
     ctes.append(
-        "ghv AS (SELECT h.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb"
-        " FROM ghubs h JOIN embeddings e USING (vec_id))"
+        f"ghv AS (SELECT h.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb"
+        f" FROM ghubs h JOIN {source} e USING (vec_id))"
     )
     cos_s = _COS.format(a="em.embedding", b="eh.embedding")
     ctes.append(f"""gstar AS (
   SELECT a.vec_id AS src, h.vec_id AS nbr, {cos_s} AS sim
   FROM afnz a
   JOIN ghubs h USING (cluster)
-  JOIN embeddings em ON em.vec_id = a.vec_id
-  JOIN embeddings eh ON eh.vec_id = h.vec_id
+  JOIN {source} em ON em.vec_id = a.vec_id
+  JOIN {source} eh ON eh.vec_id = h.vec_id
   WHERE a.vec_id <> h.vec_id)""")
     ctes.append(f"""ghedges AS (
   SELECT src, nbr, sim FROM (
@@ -1865,6 +1871,54 @@ ORDER BY rank
     )
 
 
+def _ann_graph_vac_sql(
+    qid: int = 0,
+    n_delete: int = 2,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Vacuumed-graph twin (graph_ann.py ann_graph_vacuumed_topk):
+    unlike mark-delete (same graph, filtered emission), vacuum REBUILDS
+    over the survivors — so this twin runs the whole construction +
+    search chain with every ``embeddings`` read swapped for ``esurv``
+    (the corpus minus the exact-cosine top-``n_delete`` of the query,
+    the same corpus-derived set the Spark side deletes). The derived
+    cell count, training sample, hubs, and edges all re-derive from
+    the survivor set, exactly like the scratch rebuild."""
+    cos_d = _COS.format(a="e.embedding", b="q.q_emb")
+    pre = [
+        f"""vdel AS (
+  SELECT e.vec_id FROM embeddings e
+  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings
+              WHERE vec_id = {qid}) q
+  WHERE e.vec_id <> {qid}
+  ORDER BY {cos_d} DESC, e.vec_id LIMIT {n_delete})""",
+        "esurv AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id NOT IN (SELECT vec_id FROM vdel))",
+    ]
+    ctes = pre + _graph_build_ctes(degree, hub_degree, iters, source="esurv")
+    ctes += _graph_search_ctes(qid, "", beam, rounds, source="esurv")
+    mat = (
+        _GRAPH_MAT
+        | {f"gv{r}" for r in range(rounds + 1)}
+        | {"gseed", "vdel", "esurv"}
+    )
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM gv{rounds}) WHERE rank <= {k}
+ORDER BY rank
+"""
+    )
+
+
 def _mat_ctes(ctes: list, names: set) -> list:
     """Rewrite ``name AS (`` to ``name AS MATERIALIZED (`` for the named
     CTEs — semantically neutral, but REQUIRED for the graph oracles:
@@ -1891,7 +1945,9 @@ _GRAPH_MAT = {
 }
 
 
-def _graph_search_ctes(qid: int, sfx: str, beam: int, rounds: int) -> list:
+def _graph_search_ctes(
+    qid: int, sfx: str, beam: int, rounds: int, source: str = "embeddings"
+) -> list:
     """The per-query beam unroll (seed → gv0 → rounds × (gf, gv)) with
     CTE names suffixed by ``sfx`` — shared by the single-query and the
     batch graph oracles (each batch query runs the IDENTICAL solo
@@ -1899,7 +1955,7 @@ def _graph_search_ctes(qid: int, sfx: str, beam: int, rounds: int) -> list:
     cos_q = _COS.format(a="em.embedding", b=f"qe{sfx}.q")
     ctes = [
         f"qe{sfx} AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
-        f" FROM embeddings WHERE vec_id = {qid})",
+        f" FROM {source} WHERE vec_id = {qid})",
         f"ent{sfx} AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
         # seeds: global entry ∪ the query's own cell hub (the hubmap/
@@ -1912,7 +1968,7 @@ def _graph_search_ctes(qid: int, sfx: str, beam: int, rounds: int) -> list:
     AND h.vec_id <> {qid})""",
         f"""gv0{sfx} AS (
   SELECT em.vec_id, {cos_q} AS sim
-  FROM embeddings em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
+  FROM {source} em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
   CROSS JOIN qe{sfx})""",
     ]
     for r in range(1, rounds + 1):
@@ -1926,7 +1982,7 @@ def _graph_search_ctes(qid: int, sfx: str, beam: int, rounds: int) -> list:
   SELECT em.vec_id, {cos_q} AS sim
   FROM gedges ed
   JOIN gf{r}{sfx} f ON ed.src = f.vec_id
-  JOIN embeddings em ON em.vec_id = ed.nbr
+  JOIN {source} em ON em.vec_id = ed.nbr
   CROSS JOIN qe{sfx}
   WHERE ed.nbr <> {qid})""")
     return ctes
@@ -3788,6 +3844,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         "ann_graph_topk": _ann_graph_sql(),
         "ann_graph_batch_topk": _ann_graph_batch_sql(),
         "ann_graph_tombstone_topk": _ann_graph_tomb_sql(),
+        "ann_graph_vacuumed_topk": _ann_graph_vac_sql(),
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
 nz_bands AS (

@@ -105,11 +105,18 @@ def graph_index_root(
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
+    tag: str = "",
 ) -> str:
     from ..memo import index_root
 
+    # tag participates in the key only when set, so default roots keep
+    # their established paths; a tagged root ("vac" for the vacuumed
+    # serving key) is a fully independent index lifecycle — keys that
+    # MUTATE their index must never share a root with keys that serve
+    # it tombstone-blind (their replays would interleave states)
+    extra = (tag,) if tag else ()
     return index_root(
-        "graph_ann", sf_dir, degree, hub_degree, iters,
+        "graph_ann", sf_dir, *extra, degree, hub_degree, iters,
         IVF_JOIN_TARGET_CELL, IVF_JOIN_CELL_CAP, IVF_JOIN_TRAIN_PER_CELL,
         N_VEC_BUCKETS,
     )
@@ -121,6 +128,7 @@ def build_graph_index(
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
+    tag: str = "",
 ) -> str:
     """Build (or resolve) the versioned k-NN graph index. Components:
     ``edges/sbucket=*`` (src, nbr, sim — layer-0 cell-join edges ∪
@@ -130,7 +138,7 @@ def build_graph_index(
     Returns the current version dir."""
     from pyspark.sql.window import Window
 
-    root = graph_index_root(sf_dir, degree, hub_degree, iters)
+    root = graph_index_root(sf_dir, degree, hub_degree, iters, tag)
     cur = vn.current_dir(root)
     if cur is not None:
         return cur
@@ -751,6 +759,7 @@ def delete_from_graph_index(
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
+    tag: str = "",
 ) -> str:
     """Mark-delete from the navigable graph — the hnswlib
     ``mark_deleted`` analog: deleted ids stay IN the graph (their
@@ -769,7 +778,7 @@ def delete_from_graph_index(
     ids are ALL already tombstoned no-ops (at-least-once streaming
     replay); a partial overlap raises (ambiguous — neither a replay nor
     a fresh delete); ids absent from the index raise."""
-    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters, tag)
     root = os.path.dirname(cur)
     ids = sorted({int(i) for i in ids})
     if not ids:
@@ -849,6 +858,146 @@ def ann_graph_tombstone_topk(
         for vid, s in sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
         if vid not in dead
     ][:k]
+    return spark.createDataFrame(
+        [(i + 1, vid, s) for i, (vid, s) in enumerate(top)],
+        "rank int, vec_id bigint, sim double",
+    )
+
+
+def vacuum_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+    tag: str = "",
+) -> str:
+    """Physically remove tombstoned vectors — the explicit maintenance
+    op mark-delete defers to (hnswlib's own answer to reclaiming dead
+    nodes IS a rebuild). Vacuum = the full build pipeline over the
+    SURVIVORS (the index's own ``vecs/`` minus ``tomb/`` — so vectors
+    added by ``update_graph_index`` survive too), committed as the next
+    version of the SAME root: equality-with-rebuild holds by
+    construction (the components ARE a fresh build's, hardlinked in),
+    and the version history / rollback story is preserved. Cost is the
+    build's O(n) — the honest price of physical removal; that is why
+    the serving path uses tombstones and fsck only ADVISES rebuild
+    past 50%.
+
+    The survivor corpus is staged under a content-addressed scratch
+    dir (keyed by the tombstone set's digest), so a replayed vacuum
+    reuses the staged corpus and the no-tombstones case no-ops."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters, tag)
+    root = os.path.dirname(cur)
+    tomb_path = os.path.join(cur, "tomb")
+    if not os.path.isdir(tomb_path):
+        return cur  # nothing to reclaim (also: the post-vacuum replay)
+    from ..memo import index_root
+    from .dedup import md5_long
+
+    tomb = spark.read.schema(GRAPH_TOMB_SCHEMA).parquet(tomb_path)
+    dig = tomb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            md5_long(F.col("vec_id").cast("string")) % F.lit(1_000_000_007)
+        ).alias("s"),
+    ).head()
+    if not dig["n"]:
+        return cur
+    scratch = index_root(
+        "graph_vac_corpus", sf_dir, tag, degree, hub_degree, iters,
+        int(dig["n"]), int(dig["s"]),
+    )
+    corpus_p = os.path.join(scratch, "embeddings.parquet")
+    if not os.path.isdir(corpus_p):
+        survivors = (
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(os.path.join(cur, "vecs"))
+            .join(tomb.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", F.col("emb").alias("embedding"))
+        )
+        tmp_p = corpus_p + ".__tmp__"
+        survivors.write.mode("overwrite").parquet(tmp_p)
+        os.makedirs(scratch, exist_ok=True)
+        try:
+            os.rename(tmp_p, corpus_p)
+        except OSError:
+            pass  # a racing vacuum staged it first; theirs is identical
+    vac_ver = build_graph_index(
+        spark, scratch, degree, hub_degree, iters
+    )
+    try:
+        return vn.commit_version(
+            spark,
+            root,
+            [
+                vn.Component(name, link_from=os.path.join(vac_ver, name))
+                for name, _cols in GRAPH_COMPONENTS
+                if name != "tomb"  # reclaimed: the new version is clean
+            ],
+            expected=os.path.basename(cur),
+        )
+    except vn.ConcurrentWriterError:
+        return vn.current_dir(root)
+
+
+def ann_graph_vacuumed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    n_delete: int = 2,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """The full delete lifecycle end-to-end on its OWN tagged root
+    (never shared with the tombstone-blind serving keys — their replays
+    must not observe this key's mutations): mark-delete the query's
+    exact-cosine top-``n_delete`` (corpus-derived, so the target state
+    is a pure function of the corpus), vacuum, then beam-search the
+    REBUILT graph. Unlike the tombstone key (same visited set, filtered
+    emission), vacuum changes the graph itself — the sampled quantizer,
+    hubs, and edges are re-derived over the survivors — so the oracle
+    runs the whole construction chain over ``embeddings`` minus the
+    deleted set. Replay: the deleted ids are gone from the vacuumed
+    index, which IS the target state — detected and served directly."""
+    tag = "vac"
+    from .knn import knn_topk, make_query_from_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    del_ids = [
+        r["vec_id"]
+        for r in knn_topk(
+            emb, make_query_from_vec(emb, query_vec_id), k=n_delete
+        ).collect()
+    ]
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters, tag)
+    vbs = sorted({vec_bucket_py(i) for i in del_ids})
+    present = (
+        spark.read.schema(VECS_SCHEMA)
+        .parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(del_ids))
+        .count()
+    )
+    if present == len(del_ids):
+        delete_from_graph_index(
+            spark, sf_dir, del_ids, degree, hub_degree, iters, tag
+        )
+        cur = vacuum_graph_index(
+            spark, sf_dir, degree, hub_degree, iters, tag
+        )
+    elif present:
+        raise ValueError(
+            f"vacuumed root in a mixed state: {present}/{len(del_ids)} "
+            f"of the delete set still indexed"
+        )
+    else:
+        pass  # already vacuumed (replay): the root IS the target state
+    visited = _beam_visited(spark, cur, query_vec_id, beam, rounds)
+    top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return spark.createDataFrame(
         [(i + 1, vid, s) for i, (vid, s) in enumerate(top)],
         "rank int, vec_id bigint, sim double",

@@ -77,6 +77,7 @@ BENCH_KEYS = [
     "ann_graph_topk",
     "ann_graph_batch_topk",
     "ann_graph_tombstone_topk",
+    "ann_graph_vacuumed_topk",
     "ann_binq_topk",
     "hybrid_weighted_topk",
     "hybrid_weighted_served_topk",

@@ -268,6 +268,52 @@ def test_graph_delete_lifecycle(spark, tight, tmp_path):
     assert not bad, bad
 
 
+def test_graph_vacuum_lifecycle(spark, tight, tmp_path):
+    """vacuum_graph_index physically reclaims tombstones: the new
+    version has no tomb/, the deleted ids vanish from vecs AND edges
+    (both endpoints), counts drop accordingly, fsck is green, a
+    no-tombstone vacuum no-ops, and the lifecycle continues (a fresh
+    delete commits onto the vacuumed version)."""
+    base, _emb = tight
+    priv = str(tmp_path / "gvac")
+    os.makedirs(priv)
+    spark.read.parquet(base + "/embeddings.parquet").write.parquet(
+        os.path.join(priv, "embeddings.parquet")
+    )
+    cur0 = ga.build_graph_index(spark, priv)
+    assert ga.vacuum_graph_index(spark, priv) == cur0  # nothing to do
+    n0 = (
+        spark.read.schema(ann.VECS_SCHEMA)
+        .parquet(os.path.join(cur0, "vecs"))
+        .count()
+    )
+    ga.delete_from_graph_index(spark, priv, [5, 17, 23])
+    cur1 = ga.vacuum_graph_index(spark, priv)
+    assert cur1 != cur0
+    assert not os.path.isdir(os.path.join(cur1, "tomb"))
+    vecs1 = spark.read.schema(ann.VECS_SCHEMA).parquet(
+        os.path.join(cur1, "vecs")
+    )
+    assert vecs1.count() == n0 - 3
+    assert vecs1.filter(F.col("vec_id").isin([5, 17, 23])).count() == 0
+    edges1 = spark.read.schema(ga.GRAPH_EDGES_SCHEMA).parquet(
+        os.path.join(cur1, "edges")
+    )
+    touching = edges1.filter(
+        F.col("src").isin([5, 17, 23]) | F.col("nbr").isin([5, 17, 23])
+    ).count()
+    assert touching == 0
+    bad = [c for c in ga.fsck_graph_index(spark, priv) if not c[1]]
+    assert not bad, bad
+    # the rebuilt graph still serves its region: a neighbor query works
+    got = ga.ann_graph_topk(spark, priv, query_vec_id=7, k=10).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] not in (5, 17, 23) for r in got)
+    # lifecycle continues: a fresh delete lands on the vacuumed version
+    cur2 = ga.delete_from_graph_index(spark, priv, [7])
+    assert ga._tombstoned_among(spark, cur2, [7, 5]) == {7}
+
+
 def test_graph_batch_equals_per_query_serving(spark, sf_dir):
     """ann_graph_batch_topk fuses IO, not state: per-query results
     equal the solo ann_graph_topk runs row-for-row."""
