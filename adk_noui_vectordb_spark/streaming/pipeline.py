@@ -548,6 +548,56 @@ def stream_vector_index_ingest(
     )
 
 
+def stream_graph_index_deletes(
+    spark: SparkSession,
+    sf_dir: str,
+    ids_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streamed mark-deletes for the navigable-graph index (the 16th
+    mode) — the retraction side of ``stream_graph_index_ingest``: id
+    batches tombstone via ``graph_ann.delete_from_graph_index`` (the
+    hnswlib mark_deleted analog: a kilobyte ``tomb/`` append, every
+    other component hardlinks through), so a deleted vector stops
+    surfacing one micro-batch after the delete lands while the graph
+    keeps routing through it. Same content-digest-marker contract; the
+    delete itself is replay-idempotent (a fully-tombstoned batch
+    no-ops), so the crash window between commit and marker cannot
+    wedge the stream on the partial-overlap guard."""
+    from ..operators.graph_ann import (
+        build_graph_index,
+        delete_from_graph_index,
+        graph_index_root,
+    )
+
+    raw = spark.readStream.schema("vec_id bigint").parquet(ids_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_graph_index(batch_df.sparkSession, sf_dir)
+        root = graph_index_root(sf_dir)
+        batch = batch_df.select("vec_id").localCheckpoint(eager=True)
+        digest = _batch_digest(batch, ("vec_id",))
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "d", digest)):
+            return
+        ids = [r["vec_id"] for r in batch.distinct().collect()]
+        _retry_cas(
+            lambda: delete_from_graph_index(
+                batch_df.sparkSession, sf_dir, ids
+            )
+        )
+        with open(_marker_path(root, "d", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ivf_index_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -1090,3 +1090,48 @@ def test_stream_graph_index_ingest_serves_next_beam(spark, sf_dir, tmp_path):
     assert got2 == got
     checks = {c[0]: c[1] for c in ga.fsck_graph_index(spark, base_dir)}
     assert all(checks.values()), checks
+
+
+def test_stream_graph_index_deletes_stop_surfacing(spark, sf_dir, tmp_path):
+    """16th mode: streamed id batches tombstone the graph — the deleted
+    id stops surfacing in the tombstone-aware emission path while the
+    blind beam still routes through it — and a fresh-checkpoint replay
+    converges (fully-tombstoned batches no-op)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators import graph_ann as ga
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_graph_index_deletes,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "gdbase")
+    stream_dir = str(tmp_path / "gdin")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    emb.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    cur0 = ga.build_graph_index(spark, base_dir)
+
+    # delete the blind search's current best hit for query 0
+    visited = ga._beam_visited(spark, cur0, 0, beam=8, rounds=3)
+    best = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    spark.createDataFrame([(best,)], "vec_id bigint").write.parquet(
+        os.path.join(stream_dir, "b1")
+    )
+    q = stream_graph_index_deletes(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_d1")
+    )
+    q.awaitTermination(180)
+
+    cur1 = ga.build_graph_index(spark, base_dir)
+    assert ga._tombstoned_among(spark, cur1, [best]) == {best}
+    # blind traversal unchanged; emission filters
+    assert ga._beam_visited(spark, cur1, 0, beam=8, rounds=3) == visited
+
+    # fresh-checkpoint replay: fully-tombstoned batch -> no-op path
+    q2 = stream_graph_index_deletes(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_d2")
+    )
+    q2.awaitTermination(180)
+    assert ga.build_graph_index(spark, base_dir) == cur1
+    checks = {c[0]: c[1] for c in ga.fsck_graph_index(spark, base_dir)}
+    assert all(checks.values()), checks
