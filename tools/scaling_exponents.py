@@ -93,6 +93,12 @@ KEYS = {
     "knn_join_ivf_topk": "embeddings",
     "ann_graph_topk": "embeddings",
     "ann_graph_batch_topk": "embeddings",
+    "ann_graph_tombstone_topk": "embeddings",
+    "ann_graph_vacuumed_topk": "embeddings",
+    "binq_hamming_topk": "embeddings",
+    "ann_binq_topk": "embeddings",
+    "hybrid_weighted_topk": "documents",
+    "hybrid_weighted_served_topk": "documents",
     "events_rollup_daily": "events",
     "events_rollup_type_daily": "events",
     # r10b additions (query-language + filtered-ANN serving layer)
