@@ -577,6 +577,10 @@ _REWRITTEN = frozenset({
     "ann_ivf_sampled_topk",
     "ann_ivfpq_sampled_topk",
     "knn_join_ivf_topk",
+    # r12b: both IVFADC builds compute + freeze the quantization-error
+    # build_stats (ivfpq drift machinery) — value-identical, new
+    # executed build path
+    "ann_ivfpq_topk",
     # r12: ivf_cent_rows memo now keys on the version name
     "ann_ivf_trained_topk",
     # r12: _bm25_scored gained the analyzer parameter (default 'raw'

@@ -2879,9 +2879,13 @@ def build_ivfpq_index(
     cents = spark.read.parquet(ivf_cents_p)
     resid = _residual_frame(vecs, assign, cents).localCheckpoint(eager=True)
     codes, pqcents = _pq_codebooks_for(resid, m, k, pq_iters)
+    pqcents = pqcents.localCheckpoint(eager=True)
     plist = codes.join(assign, "vec_id").select(
         "vec_id", "subspace", "code", "cluster"
-    )
+    ).localCheckpoint(eager=True)
+    import json as _json
+
+    stats = _ivfpq_stats_of(resid, plist, pqcents, m)
     try:
         return vn.commit_version(
             spark,
@@ -2893,6 +2897,7 @@ def build_ivfpq_index(
                 vn.Component("cents", link_from=ivf_cents_p),
             ],
             expected=None,
+            extra_files={"build_stats.json": _json.dumps(stats)},
         )
     except vn.ConcurrentWriterError:
         # an interleaved builder won the race to the initial version —
@@ -3146,11 +3151,16 @@ def build_ivfpq_index_sampled(
         {"subspace": r["subspace"], "code": r["code"], "c": list(r["c"])}
         for r in pqcents.collect()
     ]
-    resid_full = _residual_frame(vecs, assign, cents)
+    resid_full = _residual_frame(vecs, assign, cents).localCheckpoint(
+        eager=True
+    )
     codes = pq_encode_for(resid_full, pqcent_rows, m)
     plist = codes.join(assign, "vec_id").select(
         "vec_id", "subspace", "code", "cluster"
-    )
+    ).localCheckpoint(eager=True)
+    import json as _json
+
+    stats = _ivfpq_stats_of(resid_full, plist, pqcents, m)
     try:
         return vn.commit_version(
             spark,
@@ -3162,6 +3172,7 @@ def build_ivfpq_index_sampled(
                 vn.Component("cents", link_from=ivf_cents_p),
             ],
             expected=None,
+            extra_files={"build_stats.json": _json.dumps(stats)},
         )
     except vn.ConcurrentWriterError:
         return vn.current_dir(root)
@@ -3459,6 +3470,289 @@ def compact_ivfpq_index(
         ivfpq_index_root(sf_dir, n_centroids, ivf_iters, m, k, pq_iters),
         IVFPQ_COMPONENTS,
         threshold,
+    )
+
+
+def _ivfpq_stats_of(
+    resid: DataFrame, plist: DataFrame, pqcents: DataFrame, m: int
+) -> dict:
+    """Population/quantization-error snapshot of an IVFADC index — the
+    composed-index analog of ``_ivf_stats_of``: row count, largest cell
+    population, and the MEAN SQUARED RESIDUAL-QUANTIZATION ERROR
+    (||residual_subvector − its codeword||² averaged over (vector,
+    subspace) rows). Coarse drift stretches residuals; codebook
+    staleness shows up directly as qerr growth — the signal
+    ``update_ivfpq_index``'s frozen train/add split cannot see.
+    One broadcast-joined corpus pass + one tiny population aggregate;
+    diagnostic doubles (not oracle-checked)."""
+    d = PQ_DIM // m
+    sub = F.slice(F.col("emb"), F.col("subspace") * d + 1, F.lit(d))
+    e2 = F.aggregate(
+        F.zip_with(sub, F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        resid.join(plist.select("vec_id", "subspace", "code"), "vec_id")
+        .join(F.broadcast(pqcents.select("subspace", "code", "c")),
+              ["subspace", "code"])
+        .agg(F.count(F.lit(1)).alias("rows"), F.avg(e2).alias("qerr"))
+        .head()
+    )
+    asg = plist.select("vec_id", "cluster").distinct()
+    pop = (
+        asg.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.max("n").alias("mx"),
+            F.sum("n").alias("total"),
+        )
+        .head()
+    )
+    return {
+        "n": int(pop["total"] or 0),
+        "cells": int(pop["cells"] or 0),
+        "max_cell": int(pop["mx"] or 0),
+        "mean_qerr": float(row["qerr"]) if row["qerr"] is not None else 0.0,
+    }
+
+
+def _ivfpq_stats_of_version(spark: SparkSession, ver_dir: str, m: int) -> dict:
+    plist = spark.read.schema(IVFPQ_PLIST_SCHEMA).parquet(
+        os.path.join(ver_dir, "plist")
+    )
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ver_dir, "vecs"))
+    cents = spark.read.parquet(os.path.join(ver_dir, "cents"))
+    pqcents = spark.read.parquet(os.path.join(ver_dir, "pqcents"))
+    assign = plist.select("vec_id", "cluster").distinct()
+    resid = _residual_frame(vecs, assign, cents)
+    return _ivfpq_stats_of(resid, plist, pqcents, m)
+
+
+def ivfpq_drift_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+) -> dict:
+    """Drift detector for the streamed-ingest IVFADC index — the
+    composed-index half of VERDICT r11 next #4 (``ivf_drift_metrics``
+    covers the plain IVF root): ``update_ivfpq_index`` /
+    ``stream_ivfpq_index_ingest`` encode new vectors under FROZEN
+    coarse centroids AND codebooks forever, so a drifting corpus
+    degrades ADC ranking quality invisibly. Compares the current
+    version's mean residual-quantization error + cell skew against the
+    ``build_stats.json`` frozen at (re)train time; fires ``drifted``
+    past the shared thresholds — the signal to run
+    ``rebalance_ivfpq_index``. Returns diagnostics; drifted=None on a
+    legacy version without build stats."""
+    import json as _json
+
+    cur = build_ivfpq_index(spark, sf_dir, n_centroids, ivf_iters, m, k, pq_iters)
+    now = _ivfpq_stats_of_version(spark, cur, m)
+    out: dict = {"now": now, "built": None, "drifted": None}
+    p = os.path.join(cur, "build_stats.json")
+    if not os.path.exists(p):
+        return out
+    with open(p) as f:
+        built = _json.load(f)
+    out["built"] = built
+    growth = (
+        now["mean_qerr"] / built["mean_qerr"]
+        if built.get("mean_qerr", 0) > 0
+        else None
+    )
+    even = now["n"] / built["cells"] if built.get("cells") else None
+    skew = now["max_cell"] / even if even else None
+    out["qerr_growth"] = growth
+    out["cell_skew"] = skew
+    out["drifted"] = bool(
+        (growth is not None and growth > DRIFT_RESIDUAL_THRESHOLD)
+        or (skew is not None and skew > DRIFT_SKEW_THRESHOLD)
+    )
+    return out
+
+
+def fsck_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+) -> list:
+    """IVFADC integrity + drift: the generic versioned-root checks,
+    plist<->vecs id agreement, exactly ``m`` codes per vector, every
+    (subspace, code) backed by a codebook entry, every assigned cell
+    backed by a coarse centroid, plus the drift metrics as an advisory
+    row. Returns (check, ok, detail); never raises."""
+    from ..sources import versioning as vn
+
+    cur = build_ivfpq_index(spark, sf_dir, n_centroids, ivf_iters, m, k, pq_iters)
+    root = os.path.dirname(cur)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("plist", ["cluster"], IVFPQ_PLIST_SCHEMA),
+            ("pqcents", [], "subspace int, code int, c array<double>"),
+            ("vecs", ["vbucket"], VECS_SCHEMA),
+            ("cents", [], "cluster int, c array<double>"),
+        ],
+    )
+    plist = spark.read.schema(IVFPQ_PLIST_SCHEMA).parquet(
+        os.path.join(cur, "plist")
+    )
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    p_only = (
+        plist.select("vec_id").distinct().join(vecs, "vec_id", "left_anti").count()
+    )
+    v_only = (
+        vecs.select("vec_id").join(plist.select("vec_id"), "vec_id", "left_anti")
+        .count()
+    )
+    out.append(
+        ("plist_vecs_same_ids", p_only == 0 and v_only == 0,
+         f"plist_only={p_only} vecs_only={v_only}")
+    )
+    bad_m = (
+        plist.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") != m)
+        .count()
+    )
+    out.append(("m_codes_per_vector", bad_m == 0, f"bad={bad_m} m={m}"))
+    pqcents = spark.read.parquet(os.path.join(cur, "pqcents"))
+    orphan_code = (
+        plist.select("subspace", "code")
+        .distinct()
+        .join(pqcents.select("subspace", "code"), ["subspace", "code"],
+              "left_anti")
+        .count()
+    )
+    out.append(
+        ("codes_have_codebook_entries", orphan_code == 0,
+         f"orphans={orphan_code}")
+    )
+    cents = {
+        r["cluster"]
+        for r in spark.read.parquet(os.path.join(cur, "cents")).collect()
+    }
+    orphan_cell = (
+        plist.select("cluster")
+        .distinct()
+        .filter(~F.col("cluster").isin(sorted(cents)))
+        .count()
+    )
+    out.append(
+        ("assigned_cells_have_centroids", orphan_cell == 0,
+         f"orphan_cells={orphan_cell}")
+    )
+    dm = ivfpq_drift_metrics(spark, sf_dir, n_centroids, ivf_iters, m, k, pq_iters)
+    if dm["drifted"] is None:
+        out.append(("codebook_drift", True, "no build_stats.json (legacy build)"))
+    else:
+        out.append(
+            (
+                "codebook_drift",
+                not dm["drifted"],
+                f"qerr_growth={dm['qerr_growth'] and round(dm['qerr_growth'], 3)} "
+                f"cell_skew={dm['cell_skew'] and round(dm['cell_skew'], 3)}"
+                + (" — run rebalance_ivfpq_index" if dm["drifted"] else ""),
+            )
+        )
+    return out
+
+
+def rebalance_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = 2,
+    train_per_cell: int = 32,
+) -> str:
+    """Retrain the drifted composed index — coarse centroids AND
+    residual codebooks — on the index's OWN ``vecs/`` store (the corpus
+    of record after ingest), then re-encode everything in one frozen
+    pass: the ``build_ivfpq_index_sampled`` arithmetic replayed over
+    the ingested corpus (sampled trainers, so retrain cost stays
+    independent of n; the corpus pays one assignment + one encode
+    pass — the same price a fresh build pays, because retrained
+    codebooks change EVERY code; there is no reassign-only fast path
+    for ADC, unlike ``rebalance_ivf_index``). The commit rewrites
+    plist/cents/pqcents, hardlinks the fat vecs/, and refreezes
+    ``build_stats.json`` so the drift baseline resets. CAS under the
+    shared kernel. Returns the new current version dir."""
+    import json as _json
+
+    from pyspark.sql.window import Window
+
+    from ..sources import versioning as vn
+
+    cur = build_ivfpq_index(spark, sf_dir, n_centroids, ivf_iters, m, k, pq_iters)
+    root = os.path.dirname(cur)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    e = vecs.select("vec_id", "emb")
+    cent_rows = _sampled_centroid_rows(e, n_centroids, ivf_iters, train_per_cell)
+    assign = assign_to_centroids(e, cent_rows).localCheckpoint(eager=True)
+    cents_df = spark.createDataFrame(
+        [(int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows],
+        "cluster int, c array<double>",
+    )
+    # codebooks on the sample's residuals, rank-keyed (the sampled
+    # build's exact discipline — deterministic _lloyd seeding)
+    s = n_centroids * train_per_cell
+    md = F.md5(F.col("vec_id").cast("string"))
+    sample = (
+        e.select("vec_id", "emb", md.alias("_md"))
+        .orderBy("_md", "vec_id")
+        .limit(s)
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("_md", "vec_id")
+    ranks = sample.select(
+        "vec_id", (F.row_number().over(w) - 1).cast("bigint").alias("rk")
+    )
+    samp_resid = _residual_frame(sample.select("vec_id", "emb"), assign, cents_df)
+    ranked_resid = samp_resid.join(ranks, "vec_id").select(
+        F.col("rk").alias("vec_id"), "emb"
+    )
+    _, pqcents = _pq_codebooks_for(ranked_resid, m, k, pq_iters)
+    pqcents = pqcents.localCheckpoint(eager=True)
+    pqcent_rows = [
+        {"subspace": r["subspace"], "code": r["code"], "c": list(r["c"])}
+        for r in pqcents.collect()
+    ]
+    resid_full = _residual_frame(vecs, assign, cents_df)
+    codes = pq_encode_for(resid_full, pqcent_rows, m)
+    plist = codes.join(assign, "vec_id").select(
+        "vec_id", "subspace", "code", "cluster"
+    )
+    stats = _ivfpq_stats_of(resid_full, plist, pqcents, m)
+    old_cells = frozenset(
+        d for d in os.listdir(os.path.join(cur, "plist"))
+        if d.startswith("cluster=")
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component("plist", ("cluster",), old_cells, (plist,)),
+            vn.Component("pqcents", writes=(pqcents,)),
+            vn.Component("vecs", link_from=os.path.join(cur, "vecs")),
+            vn.Component("cents", writes=(cents_df,)),
+        ],
+        expected=os.path.basename(cur),
+        compact=IVFPQ_COMPONENTS,
+        extra_files={"build_stats.json": _json.dumps(stats)},
     )
 
 

@@ -1343,6 +1343,108 @@ def test_sampled_ivfpq_recall_on_tight_clusters(spark, tmp_path):
     assert hits / tot >= 0.9, f"sampled IVFPQ recall {hits / tot}"
 
 
+def test_ivfpq_drift_detection_and_rebalance(spark, tmp_path):
+    """The composed-index half of VERDICT r11 next #4: frozen-codebook
+    streamed ingest of a drifted region must FIRE the quantization-
+    error metric (codebooks never saw the new region, so ADC error
+    explodes); rebalance_ivfpq_index retrains coarse + codebooks on the
+    index's own vecs and re-encodes, the metric resets to baseline, and
+    the rebalanced index EQUALS a fresh sampled build over the combined
+    corpus (plist, cents, pqcents — same trainer code paths)."""
+    import os
+
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators import ann
+
+    rng = np.random.default_rng(13)
+    dim = 64  # the PQ kernel's asserted dimensionality
+    centers = rng.normal(size=(4, dim))
+    rows_a = [
+        (i, [float(x) for x in (centers[i % 4] + rng.normal(scale=0.05, size=dim))])
+        for i in range(200)
+    ]
+    far = rng.normal(size=dim) * 10.0
+    rows_b = [
+        (1000 + i, [float(x) for x in (far + rng.normal(scale=0.05, size=dim))])
+        for i in range(100)
+    ]
+    base = str(tmp_path / "pqdrift")
+    os.makedirs(base)
+    schema = "vec_id bigint, embedding array<double>"
+    spark.createDataFrame(rows_a, schema).write.parquet(
+        os.path.join(base, "embeddings.parquet")
+    )
+    P = dict(n_centroids=4, ivf_iters=2, m=4, k=8, pq_iters=2)
+    ann.build_ivfpq_index(spark, base, *P.values())
+    m0 = ann.ivfpq_drift_metrics(spark, base, *P.values())
+    assert m0["drifted"] is False, m0
+
+    ann.update_ivfpq_index(
+        spark, base, spark.createDataFrame(rows_b, schema), *P.values()
+    )
+    m1 = ann.ivfpq_drift_metrics(spark, base, *P.values())
+    assert m1["drifted"] is True, m1
+    assert m1["qerr_growth"] > ann.DRIFT_RESIDUAL_THRESHOLD, m1
+    checks = {
+        c[0]: (c[1], c[2])
+        for c in ann.fsck_ivfpq_index(spark, base, *P.values())
+    }
+    assert checks["codebook_drift"][0] is False
+    assert "rebalance_ivfpq_index" in checks["codebook_drift"][1]
+    assert checks["plist_vecs_same_ids"][0] is True
+    assert checks["m_codes_per_vector"][0] is True
+
+    cur = ann.rebalance_ivfpq_index(
+        spark, base, *P.values(), train_per_cell=32
+    )
+    m2 = ann.ivfpq_drift_metrics(spark, base, *P.values())
+    assert m2["drifted"] is False, m2
+    assert abs(m2["qerr_growth"] - 1.0) < 1e-9  # baseline reset to retrain
+    checks2 = {c[0]: c[1] for c in ann.fsck_ivfpq_index(spark, base, *P.values())}
+    assert all(checks2.values()), checks2
+
+    # equality-with-rebuild: fresh sampled build over the combined corpus
+    base2 = str(tmp_path / "pqdrift_rebuild")
+    os.makedirs(base2)
+    spark.createDataFrame(rows_a + rows_b, schema).write.parquet(
+        os.path.join(base2, "embeddings.parquet")
+    )
+    cur2 = ann.build_ivfpq_index_sampled(
+        spark, base2, *P.values(), train_per_cell=32
+    )
+
+    def rows_of(ver, comp, schema_):
+        df = (
+            spark.read.schema(schema_).parquet(os.path.join(ver, comp))
+            if schema_
+            else spark.read.parquet(os.path.join(ver, comp))
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(cur, "plist", ann.IVFPQ_PLIST_SCHEMA) == rows_of(
+        cur2, "plist", ann.IVFPQ_PLIST_SCHEMA
+    )
+    c_got = sorted(
+        (r["cluster"], tuple(r["c"]))
+        for r in spark.read.parquet(os.path.join(cur, "cents")).collect()
+    )
+    c_want = sorted(
+        (r["cluster"], tuple(r["c"]))
+        for r in spark.read.parquet(os.path.join(cur2, "cents")).collect()
+    )
+    assert c_got == c_want
+    pq_got = sorted(
+        (r["subspace"], r["code"], tuple(r["c"]))
+        for r in spark.read.parquet(os.path.join(cur, "pqcents")).collect()
+    )
+    pq_want = sorted(
+        (r["subspace"], r["code"], tuple(r["c"]))
+        for r in spark.read.parquet(os.path.join(cur2, "pqcents")).collect()
+    )
+    assert pq_got == pq_want
+
+
 def test_ivf_drift_detection_and_rebalance(spark, tmp_path):
     """VERDICT r11 next #4: frozen-centroid streamed ingest of a
     drifted region must FIRE the drift metric; rebalance_ivf_index
