@@ -900,6 +900,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranking is pure integer XOR+popcount, rerank exact cosine
         "binq_hamming_topk": _quant.binq_hamming_topk,
         "ann_binq_topk": _quant.ann_binq_topk,
+        # r12: FAISS-IndexBinaryIVF composition — sign codes stored per
+        # trained-IVF cell (16 bytes/row probed payload), Hamming
+        # within the nprobe cells, exact refine
+        "ann_binq_ivf_topk": _quant.ann_binq_ivf_topk,
         # r10: Matryoshka-style truncated-dim coarse pass + exact
         # full-dim rerank (the no-index ANN baseline: prefix-dim bytes
         # per scanned row, full vectors only for the C survivors).
@@ -1152,6 +1156,59 @@ JOIN af ON af.vec_id = e.vec_id
 JOIN top_c USING (cluster)
 CROSS JOIN qe
 WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id LIMIT {k}"""
+    )
+
+
+def _binq_ivf_sql(
+    qid: int = 0,
+    nprobe: int = 2,
+    n_coarse: int = 50,
+    k: int = 10,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> str:
+    """IndexBinaryIVF twin (operators/quantize.py ann_binq_ivf_topk):
+    the trained-IVF Lloyd's chain + centroid ranking + nprobe pruning
+    (the _ivf_trained_sql prologue), then Hamming-over-sign-codes
+    candidate ranking WITHIN the probed cells (the _BINQ_CODES_CTE
+    packing) and the exact 4-dp cosine refine."""
+    ctes, final = _kmeans_ctes(n_centroids, iters)
+    ctes = list(ctes)
+    ctes.append(f"af AS (\n{final})")
+    ctes.append(
+        "qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM embeddings WHERE vec_id = {qid})"
+    )
+    ctes.append(f"""cs AS (
+  SELECT c.cluster,
+         round(list_inner_product(c.c, qe.q)
+               / (sqrt(list_inner_product(c.c, c.c))
+                  * sqrt(list_inner_product(qe.q, qe.q))), 4) AS csim
+  FROM c{iters} c CROSS JOIN qe)""")
+    ctes.append(
+        f"top_c AS (SELECT cluster FROM cs ORDER BY csim DESC, cluster"
+        f" LIMIT {nprobe})"
+    )
+    ctes.append(_BINQ_CODES_CTE.strip().rstrip())
+    ctes.append(f"qc AS (SELECT w0, w1 FROM bcodes WHERE vec_id = {qid})")
+    ctes.append(f"""bcoarse AS (
+  SELECT b.vec_id FROM bcodes b
+  JOIN af USING (vec_id)
+  JOIN top_c USING (cluster)
+  CROSS JOIN qc
+  WHERE b.vec_id <> {qid}
+  ORDER BY bit_count(xor(b.w0, qc.w0)) + bit_count(xor(b.w1, qc.w1)),
+           b.vec_id
+  LIMIT {n_coarse})""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id, {_COS.format(a="e.embedding", b="qe.q")} AS sim
+FROM embeddings e
+JOIN bcoarse USING (vec_id)
+CROSS JOIN qe
 ORDER BY sim DESC, e.vec_id LIMIT {k}"""
     )
 
@@ -3849,6 +3906,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         "ann_graph_batch_topk": _ann_graph_batch_sql(),
         "ann_graph_tombstone_topk": _ann_graph_tomb_sql(),
         "ann_graph_vacuumed_topk": _ann_graph_vac_sql(),
+        "ann_binq_ivf_topk": _binq_ivf_sql(),
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
 nz_bands AS (

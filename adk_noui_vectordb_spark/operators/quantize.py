@@ -24,6 +24,8 @@ contract (operators/knn.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -219,6 +221,160 @@ def ann_binq_topk(
     return (
         emb.join(F.broadcast(coarse), "vec_id")
         .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def binq_ivf_root(sf_dir: str, n_centroids: int = 8, iters: int = 2) -> str:
+    from ..memo import index_root
+
+    from .ann import N_VEC_BUCKETS
+
+    return index_root(
+        "binq_ivf_index", sf_dir, n_centroids, iters, N_VEC_BUCKETS
+    )
+
+
+def build_binq_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> str:
+    """FAISS ``IndexBinaryIVF``: the trained coarse quantizer's cells
+    hold 16-byte sign codes instead of float vectors — a probe reads
+    ``nprobe`` cells at 16 bytes/row (vs 512 for the float cells), ranks
+    by XOR+popcount, and refines the C survivors against the full
+    vectors (``IndexRefineFlat``). Components: ``codes/cluster=*/``
+    (vec_id, w0, w1 — the new narrow payload); assign/cents/vecs
+    hardlink from the trained-IVF index's current version (immutable
+    files, metadata-only — the build writes only the codes)."""
+    from ..sources import versioning as vn
+    from .ann import IVF_ASSIGN_SCHEMA, VECS_SCHEMA, build_ivf_index
+
+    root = binq_ivf_root(sf_dir, n_centroids, iters)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+    assign_p, cents_p = build_ivf_index(spark, sf_dir, n_centroids, iters)
+    ivf_dir = os.path.dirname(assign_p)
+    assign = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(assign_p)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(ivf_dir, "vecs"))
+    codes = (
+        with_binarized(vecs.select("vec_id", F.col("emb").alias("embedding")))
+        .select("vec_id", "w0", "w1")
+        .join(assign, "vec_id")
+        .select("vec_id", "w0", "w1", "cluster")
+    )
+    try:
+        return vn.commit_version(
+            spark,
+            root,
+            [
+                vn.Component("codes", ("cluster",), frozenset(), (codes,)),
+                vn.Component("assign", link_from=assign_p),
+                vn.Component("cents", link_from=cents_p),
+                vn.Component("vecs", link_from=os.path.join(ivf_dir, "vecs")),
+            ],
+            expected=None,
+        )
+    except vn.ConcurrentWriterError:
+        return vn.current_dir(root)
+
+
+def _binq_words_py(vec, dim: int = 64) -> list:
+    """Python twin of with_binarized (sign bits over 32-bit words) —
+    the query-side packing for the serve probe's Hamming literals."""
+    n_words = (dim + BINQ_WORD_BITS - 1) // BINQ_WORD_BITS
+    out = []
+    for w in range(n_words):
+        word = 0
+        for i, x in enumerate(vec[w * BINQ_WORD_BITS:(w + 1) * BINQ_WORD_BITS]):
+            if x > 0.0:
+                word += 1 << i
+        out.append(word)
+    return out
+
+
+def ann_binq_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    nprobe: int = 2,
+    n_coarse: int = 50,
+    k: int = 10,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Serve FAISS-IndexBinaryIVF-style: driver-ranked centroids
+    (Decimal HALF_UP, the _ivf_serve_topk discipline), LITERAL nprobe
+    cell pruning on the stored 16-byte code rows, XOR+popcount Hamming
+    top-C against the query's packed words (computed driver-side from
+    the index's own vecs store), exact 4-dp cosine refine on the C
+    survivors. The probed IO is nprobe cells x 16 bytes/row + C full
+    vectors — the composed maximum-compression serving shape."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .ann import (
+        VECS_SCHEMA,
+        _double_sql,
+        _ivf_centroid_rows,
+        vec_bucket_py,
+    )
+
+    cur = build_binq_ivf_index(spark, sf_dir, n_centroids, iters)
+    _, cent_rows = _ivf_centroid_rows(spark, sf_dir, n_centroids, iters)
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    qrow = vecs.filter(
+        (F.col("vbucket") == vec_bucket_py(query_vec_id))
+        & (F.col("vec_id") == query_vec_id)
+    ).head()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not in the index")
+    q = [float(x) for x in qrow["emb"]]
+    if not any(x != 0.0 for x in q):
+        raise ValueError("zero-norm query vector: cosine undefined")
+
+    def cos(c):
+        num = dd = qq = 0.0
+        for a, b in zip(c, q):
+            num += a * b
+            dd += a * a
+            qq += b * b
+        return num / (math.sqrt(dd) * math.sqrt(qq))
+
+    four = Decimal("0.0001")
+    ranked = sorted(
+        (
+            (Decimal(repr(cos(c))).quantize(four, rounding=ROUND_HALF_UP), cl)
+            for cl, c in cent_rows
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = [int(cl) for _, cl in ranked[:nprobe]]
+    qw = _binq_words_py(q, dim=len(q))
+    codes = (
+        spark.read.schema("vec_id bigint, w0 bigint, w1 bigint, cluster int")
+        .parquet(os.path.join(cur, "codes"))
+        .filter(F.col("cluster").isin(top) & (F.col("vec_id") != query_vec_id))
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.lit(qw[0])))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.lit(qw[1])))
+    ).cast("int")
+    coarse = (
+        codes.select("vec_id", ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(n_coarse)
+        .select("vec_id")
+    )
+    qlit = F.expr("array(" + ",".join(_double_sql(x) for x in q) + ")")
+    sim = F.round(cosine_similarity(F.col("emb"), qlit), 4)
+    return (
+        vecs.join(F.broadcast(coarse), "vec_id")
         .select("vec_id", sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(k)

@@ -79,6 +79,7 @@ BENCH_KEYS = [
     "ann_graph_tombstone_topk",
     "ann_graph_vacuumed_topk",
     "ann_binq_topk",
+    "ann_binq_ivf_topk",
     "hybrid_weighted_topk",
     "hybrid_weighted_served_topk",
     "events_rollup_daily",

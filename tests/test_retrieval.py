@@ -264,6 +264,45 @@ def test_weighted_fusion_scores_bounded_and_plan(spark):
     assert plan.count("TakeOrderedAndProject") >= 3, plan  # 2 pools + final
 
 
+def test_binq_ivf_probe_is_partition_pruned_and_recall(spark):
+    """IndexBinaryIVF contract: the coarse probe's codes read carries a
+    LITERAL cluster partition filter (unprobed cells' 16-byte rows are
+    never listed), the refine joins broadcast, the Python query-side
+    packing twin equals with_binarized exactly, and recall@10 vs exact
+    is no worse than flat binq at the same C (the cells only FOCUS the
+    Hamming scan)."""
+    from adk_noui_vectordb_spark.operators.quantize import _binq_words_py
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.orderBy("vec_id").limit(5).collect()
+    packed = {
+        r["vec_id"]: _binq_words_py([float(x) for x in r["embedding"]])
+        for r in rows
+    }
+    spark_words = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in qz.with_binarized(emb)
+        .filter(F.col("vec_id") < 5)
+        .select("vec_id", "w0", "w1")
+        .collect()
+    }
+    for vid, (w0, w1) in spark_words.items():
+        assert packed[vid] == [w0, w1], vid
+
+    df = qz.ann_binq_ivf_topk(spark, SF, k=10)
+    plan = explain_str(df)
+    heads = [s.split("\n")[0] for s in plan.split("PartitionFilters")[1:]]
+    assert any("cluster" in h for h in heads), plan
+    got = df.collect()
+    assert len(got) == 10
+    exact = {
+        r["vec_id"]
+        for r in knn_topk(emb, make_query_from_vec(emb, 0), k=10).collect()
+    }
+    ivf_recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert ivf_recall >= 0.4, ivf_recall  # nprobe=2 of 8 cells, 1-bit codes
+
+
 def test_hybrid_plan_no_global_sort_before_cut(spark):
     # both source cuts are TakeOrderedAndProject; ranking windows only ever
     # see the <= n_candidates survivors

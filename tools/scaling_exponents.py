@@ -96,6 +96,7 @@ KEYS = {
     "ann_graph_tombstone_topk": "embeddings",
     "ann_graph_vacuumed_topk": "embeddings",
     "binq_hamming_topk": "embeddings",
+    "ann_binq_ivf_topk": "embeddings",
     "ann_binq_topk": "embeddings",
     "hybrid_weighted_topk": "documents",
     "hybrid_weighted_served_topk": "documents",
