@@ -273,8 +273,10 @@ def build_binq_ivf_index(
             spark,
             root,
             [
+                # codes IS the assignment (vec_id -> cluster with the
+                # 16-byte payload) — no separate assign component to
+                # keep consistent across updates
                 vn.Component("codes", ("cluster",), frozenset(), (codes,)),
-                vn.Component("assign", link_from=assign_p),
                 vn.Component("cents", link_from=cents_p),
                 vn.Component("vecs", link_from=os.path.join(ivf_dir, "vecs")),
             ],
@@ -282,6 +284,199 @@ def build_binq_ivf_index(
         )
     except vn.ConcurrentWriterError:
         return vn.current_dir(root)
+
+
+BINQ_IVF_COMPONENTS = [
+    ("codes", ["cluster"]),
+    ("vecs", ["vbucket"]),
+    ("cents", []),
+]
+BINQ_CODES_SCHEMA = "vec_id bigint, w0 bigint, w1 bigint, cluster int"
+
+
+def update_binq_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    auto_compact_threshold: int = 16,
+) -> str:
+    """Incremental maintenance under FROZEN coarse centroids with
+    vec-level REPLACE — the update_ivfpq_index discipline for the
+    binary tier: the batch assigns through ``assign_to_centroids`` and
+    packs through ``with_binarized`` (identical arithmetic to the
+    build); brand-new ids append 16-byte code rows + vectors into
+    hardlinked partitions; re-submitted ids rewrite exactly their OLD
+    cells (re-derived from the stored vectors under the frozen
+    centroids — never a scan) and vbuckets. CAS commit; drift is the
+    coarse quantizer's (the IVF family's rebalance story applies
+    upstream). Returns the new current version dir."""
+    from ..sources import versioning as vn
+    from .ann import (
+        VECS_SCHEMA,
+        assign_to_centroids,
+        vec_bucket_expr,
+    )
+
+    cur = build_binq_ivf_index(spark, sf_dir, n_centroids, iters)
+    root = os.path.dirname(cur)
+    cents_dicts = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(os.path.join(cur, "cents")).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+    emb_col = "embedding" if "embedding" in new_vecs.columns else "emb"
+    batch = (
+        new_vecs.select(
+            "vec_id", F.col(emb_col).cast("array<double>").alias("emb")
+        )
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+    batch_ids = batch.select("vec_id")
+    vbuckets = sorted(
+        r["b"]
+        for r in batch_ids.select(
+            vec_bucket_expr(F.col("vec_id")).alias("b")
+        ).distinct().collect()
+    )
+    if not vbuckets:
+        return cur
+    batch_assign = assign_to_centroids(batch, cents_dicts).select(
+        "vec_id", "cluster"
+    )
+    batch_codes = (
+        with_binarized(batch.select("vec_id", F.col("emb").alias("embedding")))
+        .select("vec_id", "w0", "w1")
+        .join(batch_assign, "vec_id")
+        .select("vec_id", "w0", "w1", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    old_vecs_aff = spark.read.schema(VECS_SCHEMA).parquet(
+        os.path.join(cur, "vecs")
+    ).filter(F.col("vbucket").isin(vbuckets))
+    resub = (
+        old_vecs_aff.join(batch_ids, "vec_id", "leftsemi")
+        .select("vbucket", "vec_id", "emb")
+        .localCheckpoint(eager=True)
+    )
+    resub_ids = resub.select("vec_id")
+    rw_cells = sorted(
+        r["cluster"]
+        for r in assign_to_centroids(
+            resub.select("vec_id", "emb"), cents_dicts
+        )
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    rw_vb = sorted(
+        r["vbucket"] for r in resub.select("vbucket").distinct().collect()
+    )
+    code_writes = []
+    if rw_cells:
+        code_writes.append(
+            spark.read.schema(BINQ_CODES_SCHEMA)
+            .parquet(os.path.join(cur, "codes"))
+            .filter(F.col("cluster").isin(rw_cells))
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("vec_id", "w0", "w1", "cluster")
+        )
+    code_writes.append(batch_codes)
+    vec_writes = []
+    if rw_vb:
+        vec_writes.append(
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(os.path.join(cur, "vecs"))
+            .filter(F.col("vbucket").isin(rw_vb))
+            .join(resub_ids, "vec_id", "left_anti")
+            .select("vbucket", "vec_id", "emb")
+        )
+    vec_writes.append(
+        batch.select(
+            vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+        )
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "codes",
+                ("cluster",),
+                frozenset(f"cluster={c}" for c in rw_cells),
+                tuple(code_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("vbucket",),
+                frozenset(f"vbucket={b}" for b in rw_vb),
+                tuple(vec_writes),
+            ),
+            vn.Component("cents", link_from=os.path.join(cur, "cents")),
+        ],
+        expected=os.path.basename(cur),
+        compact=BINQ_IVF_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+
+
+def fsck_binq_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> list:
+    """Binary-IVF integrity: generic versioned-root checks, codes<->vecs
+    id agreement, packed words inside [0, 2^32) (the positive-BIGINT
+    contract the cross-engine XOR rests on), every assigned cell backed
+    by a centroid. Returns (check, ok, detail); never raises."""
+    from ..sources import versioning as vn
+    from .ann import VECS_SCHEMA
+
+    cur = build_binq_ivf_index(spark, sf_dir, n_centroids, iters)
+    root = os.path.dirname(cur)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("codes", ["cluster"], BINQ_CODES_SCHEMA),
+            ("vecs", ["vbucket"], VECS_SCHEMA),
+            ("cents", [], "cluster int, c array<double>"),
+        ],
+    )
+    codes = spark.read.schema(BINQ_CODES_SCHEMA).parquet(
+        os.path.join(cur, "codes")
+    )
+    vecs = spark.read.schema(VECS_SCHEMA).parquet(os.path.join(cur, "vecs"))
+    c_only = codes.select("vec_id").join(vecs, "vec_id", "left_anti").count()
+    v_only = vecs.select("vec_id").join(codes, "vec_id", "left_anti").count()
+    out.append(
+        ("codes_vecs_same_ids", c_only == 0 and v_only == 0,
+         f"codes_only={c_only} vecs_only={v_only}")
+    )
+    bad_w = codes.filter(
+        (F.col("w0") < 0) | (F.col("w0") >= 2**32)
+        | (F.col("w1") < 0) | (F.col("w1") >= 2**32)
+    ).count()
+    out.append(("words_are_positive_32bit", bad_w == 0, f"bad={bad_w}"))
+    cents = {
+        r["cluster"]
+        for r in spark.read.parquet(os.path.join(cur, "cents")).collect()
+    }
+    orphan = (
+        codes.select("cluster")
+        .distinct()
+        .filter(~F.col("cluster").isin(sorted(cents)))
+        .count()
+    )
+    out.append(
+        ("assigned_cells_have_centroids", orphan == 0, f"orphan_cells={orphan}")
+    )
+    return out
 
 
 def _binq_words_py(vec, dim: int = 64) -> list:

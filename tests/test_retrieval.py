@@ -303,6 +303,49 @@ def test_binq_ivf_probe_is_partition_pruned_and_recall(spark):
     assert ivf_recall >= 0.4, ivf_recall  # nprobe=2 of 8 cells, 1-bit codes
 
 
+def test_binq_ivf_update_lifecycle(spark, tmp_path):
+    """update_binq_ivf_index on a private corpus: a new vector's code
+    lands in its frozen-centroid cell and an exact clone of the query
+    surfaces at Hamming 0 / rank 1; a re-submitted id REPLACES its
+    rows (no duplicates); fsck stays green throughout."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    priv = str(tmp_path / "bqupd")
+    os.makedirs(priv)
+    emb.write.parquet(os.path.join(priv, "embeddings.parquet"))
+    qz.build_binq_ivf_index(spark, priv)
+
+    v0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    clone = spark.createDataFrame(
+        [(777_001, v0)], "vec_id bigint, embedding array<double>"
+    )
+    qz.update_binq_ivf_index(spark, priv, clone)
+    got = qz.ann_binq_ivf_topk(spark, priv, query_vec_id=0, k=5).collect()
+    assert got[0]["vec_id"] == 777_001, got  # exact clone: sim 1.0, rank 1
+
+    # REPLACE: resubmit the same id with a different vector — one row
+    other = [float(x) for x in emb.filter(F.col("vec_id") == 9).head()["embedding"]]
+    qz.update_binq_ivf_index(
+        spark,
+        priv,
+        spark.createDataFrame(
+            [(777_001, other)], "vec_id bigint, embedding array<double>"
+        ),
+    )
+    cur = qz.build_binq_ivf_index(spark, priv)
+    rows = (
+        spark.read.schema(qz.BINQ_CODES_SCHEMA)
+        .parquet(os.path.join(cur, "codes"))
+        .filter(F.col("vec_id") == 777_001)
+        .collect()
+    )
+    assert len(rows) == 1, rows
+    checks = {c[0]: (c[1], c[2]) for c in qz.fsck_binq_ivf_index(spark, priv)}
+    bad = {k: v for k, v in checks.items() if not v[0]}
+    assert not bad, bad
+
+
 def test_hybrid_plan_no_global_sort_before_cut(spark):
     # both source cuts are TakeOrderedAndProject; ranking windows only ever
     # see the <= n_candidates survivors
