@@ -817,6 +817,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a tagged root (delete lifecycle end-to-end: mark, vacuum,
         # serve the re-derived graph)
         "ann_graph_vacuumed_topk": _gann.ann_graph_vacuumed_topk,
+        # r12: metadata-filtered emission (the Chroma query(where=...)
+        # -against-HNSW shape; traversal predicate-blind)
+        "ann_graph_filtered_topk": _gann.ann_graph_filtered_topk,
         # hybrid retrieval (BM25 + RRF) and int8-quantized two-stage ANN
         "bm25_topk": _hyb.bm25_topk,
         "hybrid_rrf_topk": _hyb.hybrid_rrf_topk,
@@ -1891,6 +1894,37 @@ SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
   SELECT vec_id, sim,
          row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
   FROM gv{rounds}) WHERE rank <= {k}
+ORDER BY rank
+"""
+    )
+
+
+def _ann_graph_filtered_sql(
+    qid: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Filtered graph-serving twin (graph_ann.py ann_graph_filtered_
+    topk): the solo visited chain verbatim (traversal is predicate-
+    blind), emission keeps only visited nodes whose corpus ``label``
+    equals the query's."""
+    ctes = _graph_build_ctes(degree, hub_degree, iters)
+    ctes += _graph_search_ctes(qid, "", beam, rounds)
+    mat = _GRAPH_MAT | {f"gv{r}" for r in range(rounds + 1)} | {"gseed"}
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+  SELECT v.vec_id, v.sim,
+         row_number() OVER (ORDER BY v.sim DESC, v.vec_id) AS rank
+  FROM gv{rounds} v
+  JOIN embeddings e ON e.vec_id = v.vec_id
+  WHERE e.label = (SELECT label FROM embeddings WHERE vec_id = {qid})
+) WHERE rank <= {k}
 ORDER BY rank
 """
     )
@@ -3907,6 +3941,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         "ann_graph_tombstone_topk": _ann_graph_tomb_sql(),
         "ann_graph_vacuumed_topk": _ann_graph_vac_sql(),
         "ann_binq_ivf_topk": _binq_ivf_sql(),
+        "ann_graph_filtered_topk": _ann_graph_filtered_sql(),
         "knn_join_topk": f"""
 WITH {_RP_BANDS_CTE},
 nz_bands AS (

@@ -1004,6 +1004,52 @@ def ann_graph_vacuumed_topk(
     )
 
 
+def ann_graph_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """Metadata-filtered graph serving — the shape Chroma's
+    ``query(where=...)`` takes against its HNSW backend (and hnswlib's
+    own filter functor): traversal is predicate-BLIND (restricting the
+    walk to matching nodes would disconnect the graph exactly like
+    ripping tombstones out would), the predicate applies at result
+    emission. Here the predicate is same-label-as-the-query over the
+    corpus ``label`` column, resolved by ONE bounded point read of the
+    visited ids (at 100 TB the label would ride the index like the
+    Collection facade's meta sidecar; the corpus read here is
+    vec_id-pushdown over the bounded visited set). May return fewer
+    than k rows when the visited pool holds fewer matches — the
+    honest behavior hnswlib documents for aggressive filters (raise
+    ``beam``/``rounds`` to widen the pool)."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    visited = _beam_visited(spark, cur, query_vec_id, beam, rounds)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted({query_vec_id, *visited})
+    lab_rows = (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "label")
+        .collect()
+    )
+    label_of = {r["vec_id"]: r["label"] for r in lab_rows}
+    want = label_of[query_vec_id]
+    top = [
+        (vid, s)
+        for vid, s in sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
+        if label_of.get(vid) == want
+    ][:k]
+    return spark.createDataFrame(
+        [(i + 1, vid, s) for i, (vid, s) in enumerate(top)],
+        "rank int, vec_id bigint, sim double",
+    )
+
+
 def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     """Graph-index integrity: the generic versioned-root checks plus
     the graph's own invariants — every edge endpoint has a vector,

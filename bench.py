@@ -78,6 +78,7 @@ BENCH_KEYS = [
     "ann_graph_batch_topk",
     "ann_graph_tombstone_topk",
     "ann_graph_vacuumed_topk",
+    "ann_graph_filtered_topk",
     "ann_binq_topk",
     "ann_binq_ivf_topk",
     "hybrid_weighted_topk",

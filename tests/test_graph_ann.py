@@ -314,6 +314,42 @@ def test_graph_vacuum_lifecycle(spark, tight, tmp_path):
     assert ga._tombstoned_among(spark, cur2, [7, 5]) == {7}
 
 
+def test_graph_filtered_serving_is_blind_traversal_plus_predicate(
+    spark, sf_dir
+):
+    """ann_graph_filtered_topk == the blind solo search's visited pool
+    post-filtered to the query's label, re-ranked — traversal must not
+    change under the predicate (the hnswlib filter-functor shape)."""
+    cur = ga.build_graph_index(spark, sf_dir)
+    visited = ga._beam_visited(spark, cur, 0, beam=8, rounds=3)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    label_of = {
+        r["vec_id"]: r["label"]
+        for r in emb.filter(
+            F.col("vec_id").isin(sorted({0, *visited}))
+        ).select("vec_id", "label").collect()
+    }
+    want_label = label_of[0]
+    expect = [
+        (i + 1, vid, s)
+        for i, (vid, s) in enumerate(
+            [
+                (v, s)
+                for v, s in sorted(
+                    visited.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                if label_of.get(v) == want_label
+            ][:10]
+        )
+    ]
+    got = [
+        (r["rank"], r["vec_id"], r["sim"])
+        for r in ga.ann_graph_filtered_topk(spark, sf_dir, 0, k=10).collect()
+    ]
+    assert got == expect
+    assert all(label_of[vid] == want_label for _r, vid, _s in got)
+
+
 def test_graph_batch_equals_per_query_serving(spark, sf_dir):
     """ann_graph_batch_topk fuses IO, not state: per-query results
     equal the solo ann_graph_topk runs row-for-row."""

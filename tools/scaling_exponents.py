@@ -95,6 +95,7 @@ KEYS = {
     "ann_graph_batch_topk": "embeddings",
     "ann_graph_tombstone_topk": "embeddings",
     "ann_graph_vacuumed_topk": "embeddings",
+    "ann_graph_filtered_topk": "embeddings",
     "binq_hamming_topk": "embeddings",
     "ann_binq_ivf_topk": "embeddings",
     "ann_binq_topk": "embeddings",
