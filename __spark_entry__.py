@@ -783,6 +783,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (vector_search_tool.py:33-46,149-232) over the versioned
         # vecs+bands+meta components (api/collection.py)
         "collection_query_topk": _coll.collection_query_topk,
+        # r12: the facade served by the reference's ACTUAL structure —
+        # beam search over a navigable-graph sidecar of the collection's
+        # own vectors (hnswlib is Chroma's backend), filter at emission
+        "collection_query_graph_topk": _coll.collection_query_graph_topk,
         "collection_get_where": _coll.collection_get_where,
         # r11: keyset pagination through the facade (after_id cursor —
         # the BM25 search_after discipline on the metadata store)
@@ -1926,6 +1930,85 @@ SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
   WHERE e.label = (SELECT label FROM embeddings WHERE vec_id = {qid})
 ) WHERE rank <= {k}
 ORDER BY rank
+"""
+    )
+
+
+def _collection_graph_sql(
+    doc_qid: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Facade graph-strategy twin (api/collection.py
+    collection_query_graph_topk): the WHOLE navigable graph
+    reconstructed over the collection's 60-bit md5 SURROGATE ids (sid =
+    first 15 hex of md5('doc-<n>') — every md5-keyed build decision
+    re-derives under the surrogate keyspace), then the RAW-VECTOR beam
+    (entry hub + query-cell hub seeds, NO self-exclusion — Chroma
+    includes self-matches), the demo where-filter at emission, and the
+    facade's 1 − round(cos, 4) distance contract."""
+    qid = _coll._sid_py(f"doc-{doc_qid}")
+    ctes = [
+        """gcoll AS (
+  SELECT CAST(('0x' || substr(md5('doc-' || CAST(e.vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS vec_id,
+         e.embedding, e.vec_id AS doc_id
+  FROM embeddings e)"""
+    ]
+    ctes += _graph_build_ctes(degree, hub_degree, iters, source="gcoll")
+    cos_q = _COS.format(a="em.embedding", b="qe.q")
+    ctes.append(
+        "qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM gcoll WHERE vec_id = {qid})"
+    )
+    ctes.append(
+        "gent AS (SELECT vec_id FROM ghubs"
+        " ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"
+    )
+    ctes.append(f"""gseed AS (
+  SELECT vec_id FROM gent
+  UNION
+  SELECT h.vec_id FROM ghubs h
+  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid}))""")
+    ctes.append(f"""gv0 AS (
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM gcoll em JOIN gseed s ON s.vec_id = em.vec_id
+  CROSS JOIN qe)""")
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"gf{r} AS (SELECT vec_id FROM gv{r - 1}"
+            f" ORDER BY sim DESC, vec_id LIMIT {beam})"
+        )
+        ctes.append(f"""gv{r} AS (
+  SELECT vec_id, sim FROM gv{r - 1}
+  UNION
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM gedges ed
+  JOIN gf{r} f ON ed.src = f.vec_id
+  JOIN gcoll em ON em.vec_id = ed.nbr
+  CROSS JOIN qe)""")
+    mat = (
+        _GRAPH_MAT
+        | {f"gv{r}" for r in range(rounds + 1)}
+        | {"gseed", "gcoll"}
+    )
+    ctes = _mat_ctes(ctes, mat)
+    dist = "1 - " + _COS.format(a="g.embedding", b="qe.q")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT 'doc-' || CAST(g.doc_id AS VARCHAR) AS id,
+       {dist} AS distance, d.lang, d.n_chars
+FROM gv{rounds} v
+JOIN gcoll g ON g.vec_id = v.vec_id
+JOIN documents d ON d.doc_id = g.doc_id
+CROSS JOIN qe
+WHERE {_wdsl.where_to_sql(_coll.COLLECTION_WHERE_DEMO)}
+ORDER BY distance ASC, id ASC
+LIMIT {k}
 """
     )
 
@@ -3784,6 +3867,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         # the multiprobe CTE's; distance = 1 - rounded cosine; ChromaDB
         # keeps self-matches. Filter trees render from the api module's
         # shared constants.
+        "collection_query_graph_topk": _collection_graph_sql(),
         "collection_query_topk": f"""
 WITH {_RP_BANDS_CTE},
 qb AS (

@@ -308,6 +308,139 @@ class Collection:
             os.path.join(cur, "bands")
         )
 
+    def _graph_sidecar(self, cur: str) -> str:
+        """Resolve (building if absent) the navigable-graph sidecar
+        index over THIS collection version's vectors — the reference's
+        actual serving structure (ChromaDB's default index IS hnswlib).
+        The collection's (sid, emb) store stages as a content-addressed
+        scratch corpus (keyed by the version name + the root's dataset
+        fingerprint, so any commit re-stages) and the shared
+        ``build_graph_index`` pipeline runs on it — one graph lifecycle
+        implementation, not a facade fork. Returns the graph version
+        dir."""
+        from ..memo import index_root
+        from ..operators.graph_ann import build_graph_index
+
+        scratch = index_root(
+            "coll_graph_corpus", self.root, os.path.basename(cur)
+        )
+        corpus_p = os.path.join(scratch, "embeddings.parquet")
+        if not os.path.isdir(corpus_p):
+            tmp_p = corpus_p + ".__tmp__"
+            self._vecs(cur).select(
+                "vec_id", F.col("emb").alias("embedding")
+            ).write.mode("overwrite").parquet(tmp_p)
+            os.makedirs(scratch, exist_ok=True)
+            try:
+                os.rename(tmp_p, corpus_p)
+            except OSError:
+                pass  # racing stager won; identical content
+        return build_graph_index(self.spark, scratch)
+
+    def _graph_beam(
+        self, gver: str, q: list, beam: int, rounds: int
+    ) -> dict:
+        """Beam search for a RAW query vector (no indexed id): seeds =
+        the md5-min entry hub + the hub of the query's coarse-assigned
+        cell (assign_to_centroids — the build's own 6-dp argmin, run as
+        one 1-row job so the arithmetic is the Catalyst original), then
+        the standard bounded expansion WITHOUT any self-exclusion — a
+        stored vector identical to the query surfaces at distance 0
+        (Chroma does not exclude self-matches). Returns {sid: 4-dp
+        sim}."""
+        from ..operators.ann import VECS_SCHEMA as GV_SCHEMA
+        from ..operators.ann import assign_to_centroids, vec_bucket_py
+        from ..operators.graph_ann import (
+            GRAPH_EDGES_SCHEMA,
+            GRAPH_ENTRY_SCHEMA,
+            GRAPH_HUBMAP_SCHEMA,
+            _sim4,
+        )
+
+        vecs_path = os.path.join(gver, "vecs")
+
+        def fetch_vecs(ids) -> dict:
+            ids = sorted(ids)
+            vbs = sorted({vec_bucket_py(i) for i in ids})
+            rows = (
+                self.spark.read.schema(GV_SCHEMA)
+                .parquet(vecs_path)
+                .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+                .select("vec_id", "emb")
+                .collect()
+            )
+            return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
+
+        entry = (
+            self.spark.read.schema(GRAPH_ENTRY_SCHEMA)
+            .parquet(os.path.join(gver, "entry"))
+            .orderBy("rk")
+            .head()["vec_id"]
+        )
+        cents = sorted(
+            (
+                {"cluster": r["cluster"], "c": list(r["c"])}
+                for r in self.spark.read.parquet(
+                    os.path.join(gver, "cents")
+                ).collect()
+            ),
+            key=lambda r: r["cluster"],
+        )
+        qdf = self.spark.createDataFrame([(0, q)], "vec_id bigint, emb array<double>")
+        q_cell = assign_to_centroids(qdf, cents).head()["cluster"]
+        seeds = {int(entry)}
+        from ..operators.ann import IVF_ASSIGN_SCHEMA
+
+        member = (
+            self.spark.read.schema(IVF_ASSIGN_SCHEMA)
+            .parquet(os.path.join(gver, "assign"))
+            .filter(F.col("cluster") == int(q_cell))
+            .orderBy("vec_id")
+            .head()
+        )
+        if member is not None:
+            hub_row = (
+                self.spark.read.schema(GRAPH_HUBMAP_SCHEMA)
+                .parquet(os.path.join(gver, "hubmap"))
+                .filter(
+                    (F.col("vbucket") == vec_bucket_py(member["vec_id"]))
+                    & (F.col("vec_id") == member["vec_id"])
+                )
+                .head()
+            )
+            if hub_row is not None:
+                seeds.add(int(hub_row["hub"]))
+        first = fetch_vecs(seeds)
+        visited = {s: _sim4(q, first[s]) for s in seeds if s in first}
+        frontier = sorted(visited, key=lambda v: (-visited[v], v))[:beam]
+        edges_path = os.path.join(gver, "edges")
+        for _ in range(rounds):
+            if not frontier:
+                break
+            sbs = sorted({vec_bucket_py(i) for i in frontier})
+            nbr_rows = (
+                self.spark.read.schema(GRAPH_EDGES_SCHEMA)
+                .parquet(edges_path)
+                .filter(
+                    F.col("sbucket").isin(sbs)
+                    & F.col("src").isin(sorted(frontier))
+                )
+                .select("nbr")
+                .distinct()
+                .collect()
+            )
+            new_ids = {r["nbr"] for r in nbr_rows} - set(visited)
+            if new_ids:
+                for vid, e in fetch_vecs(new_ids).items():
+                    visited[vid] = _sim4(q, e)
+            frontier = [
+                v
+                for v, _s in sorted(
+                    visited.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:beam]
+            ]
+        return visited
+
     def _band_rows_for(self, e: DataFrame, dim: int) -> DataFrame:
         """The RP banding kernel at this collection's dim (the module
         kernel rp_band_rows_for is fixed at the engine table's RP_DIM;
@@ -1434,9 +1567,10 @@ class Collection:
         mat = np.asarray(qs, dtype=np.float64)
         if mat.ndim != 2 or mat.shape[1] != dim:
             raise ValueError(f"query_embeddings must be n x {dim}")
-        if filter_strategy not in ("auto", "probe", "exact"):
+        if filter_strategy not in ("auto", "probe", "exact", "graph"):
             raise ValueError(
-                f"filter_strategy: 'auto'|'probe'|'exact', got {filter_strategy!r}"
+                "filter_strategy: 'auto'|'probe'|'exact'|'graph', "
+                f"got {filter_strategy!r}"
             )
         meta = self._meta(cur, info)
         if where is not None:
@@ -1463,6 +1597,25 @@ class Collection:
                 [(i,) for i in range(mat.shape[0])], "query_idx int"
             )
             cand = meta.select("vec_id").crossJoin(F.broadcast(qidx))
+        elif strategy == "graph":
+            # the reference's ACTUAL serving structure: beam search over
+            # the navigable-graph sidecar built from this version's
+            # vectors. Candidates are each query's visited pool (the
+            # hnswlib candidate set); the meta filter applies at
+            # emission on the pool, never during traversal (the filter-
+            # functor discipline — restricting the walk would
+            # disconnect the graph). Distances recompute below in the
+            # same 4-dp Catalyst expression every strategy uses.
+            gver = self._graph_sidecar(cur)
+            rows = []
+            for qi in range(mat.shape[0]):
+                visited = self._graph_beam(
+                    gver, [float(x) for x in mat[qi]], beam=8, rounds=3
+                )
+                rows.extend((qi, int(sid)) for sid in sorted(visited))
+            cand = self.spark.createDataFrame(
+                rows, "query_idx int, vec_id bigint"
+            )
         else:
             signs_t = np.array(
                 _rp_plane_signs(RP_PLANES, dim), dtype=np.int64
@@ -1787,6 +1940,34 @@ def collection_query_topk(
         [float(x) for x in q["e"]],
         n_results=k,
         where=COLLECTION_WHERE_DEMO,
+    ).select("id", "distance", "lang", "n_chars")
+
+
+def collection_query_graph_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """``collection.query`` served by the navigable-graph sidecar —
+    the reference's ACTUAL index structure (ChromaDB's backend is
+    hnswlib; every other facade strategy approximates it with LSH):
+    beam search over the graph built from the collection's own vectors,
+    meta filter at emission (predicate-blind traversal), self-match
+    included at distance 0. The oracle reconstructs the whole graph
+    over the collection's md5-surrogate ids and replays the raw-vector
+    beam (entry hub + query-cell hub seeds, no self-exclusion)."""
+    from ..sources.tables import load_table
+
+    coll = demo_collection(spark, sf_dir)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .head()
+    )
+    return coll.query(
+        [float(x) for x in q["e"]],
+        n_results=k,
+        where=COLLECTION_WHERE_DEMO,
+        filter_strategy="graph",
     ).select("id", "distance", "lang", "n_chars")
 
 

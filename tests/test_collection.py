@@ -1138,3 +1138,40 @@ def test_per_collection_embedder_round_trips_independently(spark, tmp_path):
     )
     with _pt.raises(ValueError, match="dim"):
         c16.upsert(bad)
+
+
+def test_graph_strategy_serves_the_collection(spark, sf_dir):
+    """filter_strategy='graph' (the hnswlib-shaped serving path): a
+    query that IS a stored vector surfaces its own document at rank 1
+    distance 0 (Chroma includes self-matches), runs are deterministic,
+    and a where-filter applies at emission only (every returned row
+    satisfies it; the unfiltered pool is a superset)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.api.collection import demo_collection
+
+    coll = demo_collection(spark, sf_dir)
+    q = [
+        float(x)
+        for x in spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") == 3)
+        .head()["embedding"]
+    ]
+    a = [
+        (r["id"], r["distance"])
+        for r in coll.query(q, n_results=5, filter_strategy="graph").collect()
+    ]
+    assert a[0] == ("doc-3", 0.0), a
+    b = [
+        (r["id"], r["distance"])
+        for r in coll.query(q, n_results=5, filter_strategy="graph").collect()
+    ]
+    assert a == b
+    filt = coll.query(
+        q, n_results=5, where={"n_chars": {"$gt": 100}}, filter_strategy="graph"
+    ).collect()
+    assert filt and all(r["n_chars"] > 100 for r in filt)
+    pool_ids = {r["id"] for r in coll.query(q, n_results=50, filter_strategy="graph").collect()}
+    assert {r["id"] for r in filt} <= pool_ids

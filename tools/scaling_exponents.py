@@ -115,6 +115,7 @@ KEYS = {
     "docs_where_dsl_filter": "documents",
     "knn_where_dsl_topk": "embeddings",
     "collection_query_topk": "embeddings",
+    "collection_query_graph_topk": "embeddings",
     "collection_get_where": "documents",
     "fuzzy_topk_served": "documents",
     "shard_manifest_counts": "documents",
