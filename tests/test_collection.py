@@ -1175,3 +1175,55 @@ def test_graph_strategy_serves_the_collection(spark, sf_dir):
     assert filt and all(r["n_chars"] > 100 for r in filt)
     pool_ids = {r["id"] for r in coll.query(q, n_results=50, filter_strategy="graph").collect()}
     assert {r["id"] for r in filt} <= pool_ids
+
+
+def test_facade_graph_strategy_recall_on_clustered_fixture(spark, tmp_path):
+    """The graph strategy's end-to-end recall on the tight clustered
+    fixture (the corpus graph's own gate regime), with RAW held-out
+    query vectors — the path that exercises the query-cell hub seeding
+    (no indexed id to start from). Measured 1.00 over 8 near-center
+    queries; pinned at >= 0.9."""
+    import numpy as np
+
+    from tools.make_clustered_embeddings import DIM, make
+
+    n, k_centers, sigma, k = 1000, 10, 0.06, 10
+    base = str(tmp_path / "grc")
+    make(base, n, k_centers, sigma)
+    emb = np.array(
+        spark.read.parquet(base + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    coll = Collection(spark, str(tmp_path / "grc_coll"))
+    coll.add(
+        spark.createDataFrame(
+            [
+                (f"v{i:05d}", [float(x) for x in emb[i]], f"d{i}")
+                for i in range(n)
+            ],
+            "id string, embedding array<double>, document string",
+        )
+    )
+    rng = np.random.RandomState(7)
+    centers = np.random.RandomState(42).randn(k_centers, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    queries = centers + sigma * rng.randn(k_centers, DIM)
+    nrm = np.linalg.norm(emb, axis=1)
+    hits = 0
+    for qi in range(8):
+        q = queries[qi]
+        cos_r = np.round((emb @ q) / (nrm * np.linalg.norm(q)), 4)
+        order = sorted(range(n), key=lambda i: (-cos_r[i], f"v{i:05d}"))
+        truth = {f"v{i:05d}" for i in order[:k]}
+        got = {
+            r["id"]
+            for r in coll.query(
+                [float(x) for x in q], n_results=k, filter_strategy="graph"
+            ).collect()
+        }
+        hits += len(got & truth)
+    assert hits / (8 * k) >= 0.9, hits / (8 * k)
