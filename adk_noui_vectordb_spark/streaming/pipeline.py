@@ -646,6 +646,55 @@ def stream_ivf_index_ingest(
     )
 
 
+def stream_binq_ivf_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs_stream_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming freshness for the binary-IVF index (the 17th mode):
+    embedding batches sign-pack under the frozen coarse centroids and
+    upsert via ``quantize.update_binq_ivf_index`` (vec-level REPLACE,
+    append-mostly, shared-kernel CAS commit), so an
+    ``ann_binq_ivf_topk`` probe serves a vector one micro-batch after
+    it lands — every updatable index family now has its stream. Same
+    at-least-once/content-digest-marker contract; the REPLACE update is
+    naturally replay-safe (identical batch rewrites identical rows)."""
+    from ..operators.quantize import (
+        binq_ivf_root,
+        build_binq_ivf_index,
+        update_binq_ivf_index,
+    )
+
+    raw = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(vecs_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_binq_ivf_index(batch_df.sparkSession, sf_dir)
+        root = binq_ivf_root(sf_dir)
+        batch = batch_df.select("vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
+        digest = _batch_digest(batch, ("vec_id", "embedding"))
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return
+        _retry_cas(
+            lambda: update_binq_ivf_index(batch_df.sparkSession, sf_dir, batch)
+        )
+        with open(_marker_path(root, "c", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ivfpq_index_ingest(
     spark: SparkSession,
     sf_dir: str,

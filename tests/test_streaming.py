@@ -1092,6 +1092,55 @@ def test_stream_graph_index_ingest_serves_next_beam(spark, sf_dir, tmp_path):
     assert all(checks.values()), checks
 
 
+def test_stream_binq_ivf_index_ingest_serves_next_probe(spark, sf_dir, tmp_path):
+    """17th mode: an embedding batch streamed into the binary-IVF index
+    becomes probe-reachable (an exact clone of the query vector lands at
+    Hamming 0 and wins the refine), a fresh-checkpoint replay converges
+    (REPLACE rewrites identical rows), and fsck stays green."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators import quantize as qz
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_binq_ivf_index_ingest,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_dir = str(tmp_path / "bqsbase")
+    stream_dir = str(tmp_path / "bqsin")
+    os.makedirs(base_dir), os.makedirs(stream_dir)
+    emb.write.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    qz.build_binq_ivf_index(spark, base_dir)
+
+    v0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    spark.createDataFrame(
+        [(987654341, v0)], "vec_id bigint, embedding array<double>"
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+
+    q = stream_binq_ivf_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_bq1")
+    )
+    q.awaitTermination(180)
+    got = [
+        r["vec_id"]
+        for r in qz.ann_binq_ivf_topk(spark, base_dir, query_vec_id=0, k=3).collect()
+    ]
+    assert 987654341 in got, got
+
+    q2 = stream_binq_ivf_index_ingest(
+        spark, base_dir, stream_dir + "/*", str(tmp_path / "ckpt_bq2")
+    )
+    q2.awaitTermination(180)
+    got2 = [
+        r["vec_id"]
+        for r in qz.ann_binq_ivf_topk(spark, base_dir, query_vec_id=0, k=3).collect()
+    ]
+    assert got2 == got
+    checks = {c[0]: c[1] for c in qz.fsck_binq_ivf_index(spark, base_dir)}
+    assert all(checks.values()), checks
+
+
 def test_stream_graph_index_deletes_stop_surfacing(spark, sf_dir, tmp_path):
     """16th mode: streamed id batches tombstone the graph — the deleted
     id stops surfacing in the tombstone-aware emission path while the
