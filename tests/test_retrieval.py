@@ -186,6 +186,32 @@ def test_binq_codes_are_positive_32bit_words(spark):
     assert (row["w0"], row["w1"]) == (0b1001, 0b1)
 
 
+def test_binq_packing_matches_python_twin_on_random_vectors(spark):
+    """Bulk cross-engine hardening beyond the fixture rows: 200 seeded
+    random vectors (mixed signs, exact zeros, tiny magnitudes) pack to
+    the SAME words in Catalyst (pow(2,i) fold) and the Python twin
+    (1 << i) — the positive-32-bit-word identity the DuckDB oracle's
+    `1::BIGINT << i` relies on, checked in one job."""
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators.quantize import _binq_words_py
+
+    rng = np.random.default_rng(99)
+    vecs = rng.normal(size=(200, 64)) * rng.choice(
+        [0.0, 1e-30, 1.0, 1e20], size=(200, 64), p=[0.1, 0.1, 0.7, 0.1]
+    )
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in qz.with_binarized(df).select("vec_id", "w0", "w1").collect()
+    }
+    for i, v in rows:
+        # the float32 cast is what the engine stores — pack the same
+        want = _binq_words_py([float(np.float32(x)) for x in v])
+        assert got[i] == tuple(want), i
+
+
 def test_binq_hamming_identity_and_symmetry(spark):
     """A vector's distance to itself is 0 (checked via a duplicate id
     pair) and the top-k distances are non-decreasing."""
