@@ -371,20 +371,29 @@ class Collection:
             )
             return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
-        entry = (
-            self.spark.read.schema(GRAPH_ENTRY_SCHEMA)
-            .parquet(os.path.join(gver, "entry"))
-            .orderBy("rk")
-            .head()["vec_id"]
-        )
-        cents = sorted(
-            (
-                {"cluster": r["cluster"], "c": list(r["c"])}
-                for r in self.spark.read.parquet(
-                    os.path.join(gver, "cents")
-                ).collect()
+        from ..memo import session_memo
+
+        # entry/cents are tiny tables in an immutable graph version —
+        # one collect per (session, version), not two jobs per query
+        entry, cents = session_memo(
+            self.spark,
+            gver,
+            "coll_graph_entry_cents",
+            lambda: (
+                self.spark.read.schema(GRAPH_ENTRY_SCHEMA)
+                .parquet(os.path.join(gver, "entry"))
+                .orderBy("rk")
+                .head()["vec_id"],
+                sorted(
+                    (
+                        {"cluster": r["cluster"], "c": list(r["c"])}
+                        for r in self.spark.read.parquet(
+                            os.path.join(gver, "cents")
+                        ).collect()
+                    ),
+                    key=lambda r: r["cluster"],
+                ),
             ),
-            key=lambda r: r["cluster"],
         )
         qdf = self.spark.createDataFrame([(0, q)], "vec_id bigint, emb array<double>")
         q_cell = assign_to_centroids(qdf, cents).head()["cluster"]

@@ -315,11 +315,21 @@ def _beam_visited(
     semantics: deleted nodes stay navigable so the graph's reachability
     is unharmed; only RESULT emission filters) — so a tombstoned index
     visits the identical set a fresh one does."""
-    entry_rows = (
-        spark.read.schema(GRAPH_ENTRY_SCHEMA)
-        .parquet(os.path.join(cur, "entry"))
-        .orderBy("rk")
-        .collect()
+    from ..memo import session_memo
+
+    # entry/ is two rows in an immutable version dir — collect once per
+    # (session, version), not once per query (the _ivf_centroid_rows
+    # memo discipline; the fingerprint key makes a new version miss)
+    entry_rows = session_memo(
+        spark,
+        cur,
+        "graph_entry_rows",
+        lambda: (
+            spark.read.schema(GRAPH_ENTRY_SCHEMA)
+            .parquet(os.path.join(cur, "entry"))
+            .orderBy("rk")
+            .collect()
+        ),
     )
     entry = next(
         (r["vec_id"] for r in entry_rows if r["vec_id"] != query_vec_id), None
@@ -445,11 +455,18 @@ def ann_graph_batch_topk(
     sim, rank) — top-k per query."""
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
     qids = list(query_vec_ids)
-    entry_rows = (
-        spark.read.schema(GRAPH_ENTRY_SCHEMA)
-        .parquet(os.path.join(cur, "entry"))
-        .orderBy("rk")
-        .collect()
+    from ..memo import session_memo
+
+    entry_rows = session_memo(
+        spark,
+        cur,
+        "graph_entry_rows",
+        lambda: (
+            spark.read.schema(GRAPH_ENTRY_SCHEMA)
+            .parquet(os.path.join(cur, "entry"))
+            .orderBy("rk")
+            .collect()
+        ),
     )
     vecs_path = os.path.join(cur, "vecs")
     edges_path = os.path.join(cur, "edges")
