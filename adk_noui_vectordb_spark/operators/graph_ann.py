@@ -267,6 +267,22 @@ def build_graph_index(
             "vec_id", "hub", vec_bucket_expr(F.col("vec_id")).alias("vbucket")
         )
     )
+    # freeze the coarse-structure snapshot the drift advisory compares
+    # against (the IVF-family build_stats discipline): inserts assign
+    # under FROZEN centroids and hubs forever, so a drifting corpus
+    # degrades beam routing invisibly without this baseline
+    import json as _json
+
+    from .ann import _ivf_stats_of
+
+    cent_rows = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(os.path.join(ver, "cents")).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+    stats = _ivf_stats_of(vecs.select("vec_id", "emb"), assign, cent_rows)
     try:
         vn.commit_version(
             spark,
@@ -283,6 +299,7 @@ def build_graph_index(
                 vn.Component("cents", link_from=os.path.join(ver, "cents")),
             ],
             expected=None,
+            extra_files={"build_stats.json": _json.dumps(stats)},
         )
     except vn.ConcurrentWriterError:
         pass  # a racing builder won; serve its identical version
@@ -943,19 +960,87 @@ def vacuum_graph_index(
     vac_ver = build_graph_index(
         spark, scratch, degree, hub_degree, iters
     )
+    return _commit_reindexed(spark, root, cur, vac_ver)
+
+
+def _commit_reindexed(
+    spark: SparkSession, root: str, cur: str, new_ver: str
+) -> str:
+    """Publish a freshly built graph version (a vacuum's or rebuild's
+    scratch build) as the next version of ``root``: every component
+    hardlinks in, tomb/ is reclaimed, and the scratch build's OWN
+    build_stats replaces the carried one (the drift baseline resets to
+    the retrain — the rebalance_ivf_index discipline)."""
+    import json as _json
+
+    extra = None
+    stats_p = os.path.join(new_ver, "build_stats.json")
+    if os.path.exists(stats_p):
+        with open(stats_p) as f:
+            extra = {"build_stats.json": f.read()}
     try:
         return vn.commit_version(
             spark,
             root,
             [
-                vn.Component(name, link_from=os.path.join(vac_ver, name))
+                vn.Component(name, link_from=os.path.join(new_ver, name))
                 for name, _cols in GRAPH_COMPONENTS
                 if name != "tomb"  # reclaimed: the new version is clean
             ],
             expected=os.path.basename(cur),
+            extra_files=extra,
         )
     except vn.ConcurrentWriterError:
         return vn.current_dir(root)
+
+
+def rebuild_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+    tag: str = "",
+) -> str:
+    """Retrain the drifted graph — the remedy ``fsck_graph_index``'s
+    coarse-drift advisory points at: the full build pipeline (sampled
+    coarse quantizer, hubs, edges, bridges, reversals) re-runs over the
+    index's OWN vecs store (ingested vectors included), committed as
+    the next version of the same root with a fresh drift baseline.
+    Unlike ``rebalance_ivf_index`` there is no reassign-only fast path:
+    retrained centroids move the HUBS, and hub identity is woven
+    through the entry points, star bridges, and the hub mesh — every
+    edge class re-derives. Tombstones, if any, are reclaimed on the way
+    (a rebuild subsumes a vacuum). Scratch corpus content-addressed by
+    the current version name, so replays reuse the staging."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters, tag)
+    root = os.path.dirname(cur)
+    from ..memo import index_root
+
+    scratch = index_root(
+        "graph_rebuild_corpus", sf_dir, tag, degree, hub_degree, iters,
+        os.path.basename(cur),
+    )
+    corpus_p = os.path.join(scratch, "embeddings.parquet")
+    if not os.path.isdir(corpus_p):
+        vecs = spark.read.schema(VECS_SCHEMA).parquet(
+            os.path.join(cur, "vecs")
+        )
+        tomb_path = os.path.join(cur, "tomb")
+        if os.path.isdir(tomb_path):
+            tomb = spark.read.schema(GRAPH_TOMB_SCHEMA).parquet(tomb_path)
+            vecs = vecs.join(tomb.select("vec_id"), "vec_id", "left_anti")
+        tmp_p = corpus_p + ".__tmp__"
+        vecs.select("vec_id", F.col("emb").alias("embedding")).write.mode(
+            "overwrite"
+        ).parquet(tmp_p)
+        os.makedirs(scratch, exist_ok=True)
+        try:
+            os.rename(tmp_p, corpus_p)
+        except OSError:
+            pass  # a racing stager won; theirs is identical
+    new_ver = build_graph_index(spark, scratch, degree, hub_degree, iters)
+    return _commit_reindexed(spark, root, cur, new_ver)
 
 
 def ann_graph_vacuumed_topk(
@@ -1138,6 +1223,43 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     )
     unmapped = vecs.join(hubmap.select("vec_id"), "vec_id", "left_anti").count()
     out.append(("every_vector_hub_mapped", unmapped == 0, f"unmapped={unmapped}"))
+    # coarse drift (the IVF-family advisory on the graph's own frozen
+    # structure): inserts assign under build-time centroids/hubs, so
+    # residual growth or cell skew vs the frozen build_stats baseline
+    # means beam routing quality is decaying — rebuild_graph_index
+    import json as _json
+
+    from .ann import (
+        DRIFT_RESIDUAL_THRESHOLD,
+        DRIFT_SKEW_THRESHOLD,
+        _ivf_stats_of_version,
+    )
+
+    stats_p = os.path.join(cur, "build_stats.json")
+    if not os.path.exists(stats_p):
+        out.append(("coarse_drift", True, "no build_stats.json (legacy build)"))
+    else:
+        with open(stats_p) as f:
+            built = _json.load(f)
+        now = _ivf_stats_of_version(spark, cur)
+        growth = (
+            now["mean_d2"] / built["mean_d2"] if built.get("mean_d2") else None
+        )
+        even = now["n"] / built["cells"] if built.get("cells") else None
+        skew = now["max_cell"] / even if even else None
+        drifted = bool(
+            (growth is not None and growth > DRIFT_RESIDUAL_THRESHOLD)
+            or (skew is not None and skew > DRIFT_SKEW_THRESHOLD)
+        )
+        out.append(
+            (
+                "coarse_drift",
+                not drifted,
+                f"residual_growth={growth and round(growth, 3)} "
+                f"cell_skew={skew and round(skew, 3)}"
+                + (" — run rebuild_graph_index" if drifted else ""),
+            )
+        )
     # tombstones (optional component — absent until the first delete):
     # every tombstone must name an indexed vector, and past 50% dead the
     # index should be rebuilt (dead nodes still cost traversal and

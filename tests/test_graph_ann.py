@@ -350,6 +350,63 @@ def test_graph_filtered_serving_is_blind_traversal_plus_predicate(
     assert all(label_of[vid] == want_label for _r, vid, _s in got)
 
 
+def test_graph_drift_detection_and_rebuild(spark, tmp_path):
+    """The graph family's drift story (the IVF/IVFADC symmetry):
+    streamed inserts of a far region under the FROZEN coarse structure
+    fire fsck's coarse-drift advisory; rebuild_graph_index retrains the
+    whole structure over the index's own vecs (reclaiming tombstones on
+    the way), the baseline resets, the rebuilt graph serves the new
+    region, and fsck returns green."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    dim = 8
+    centers = rng.normal(size=(4, dim))
+    rows_a = [
+        (i, [float(x) for x in (centers[i % 4] + rng.normal(scale=0.05, size=dim))])
+        for i in range(200)
+    ]
+    far = rng.normal(size=dim) * 10.0
+    rows_b = [
+        (1000 + i, [float(x) for x in (far + rng.normal(scale=0.05, size=dim))])
+        for i in range(100)
+    ]
+    base = str(tmp_path / "gdrift")
+    os.makedirs(base)
+    schema = "vec_id bigint, embedding array<double>"
+    spark.createDataFrame(rows_a, schema).write.parquet(
+        os.path.join(base, "embeddings.parquet")
+    )
+    ga.build_graph_index(spark, base)
+    checks0 = {c[0]: (c[1], c[2]) for c in ga.fsck_graph_index(spark, base)}
+    assert checks0["coarse_drift"][0] is True, checks0["coarse_drift"]
+
+    ga.update_graph_index(spark, base, spark.createDataFrame(rows_b, schema))
+    # and a tombstone, so the rebuild proves it subsumes a vacuum
+    ga.delete_from_graph_index(spark, base, [7])
+    checks1 = {c[0]: (c[1], c[2]) for c in ga.fsck_graph_index(spark, base)}
+    assert checks1["coarse_drift"][0] is False, checks1["coarse_drift"]
+    assert "rebuild_graph_index" in checks1["coarse_drift"][1]
+
+    cur2 = ga.rebuild_graph_index(spark, base)
+    assert not os.path.isdir(os.path.join(cur2, "tomb"))
+    vecs2 = spark.read.schema(ann.VECS_SCHEMA).parquet(
+        os.path.join(cur2, "vecs")
+    )
+    assert vecs2.filter(F.col("vec_id") == 7).count() == 0  # vacuumed
+    assert vecs2.filter(F.col("vec_id") >= 1000).count() == 100  # kept
+    checks2 = {c[0]: (c[1], c[2]) for c in ga.fsck_graph_index(spark, base)}
+    bad = {k: v for k, v in checks2.items() if not v[0]}
+    assert not bad, bad
+    # the rebuilt structure serves the new region: a far-batch query
+    # finds its far-batch neighbors
+    got = {
+        r["vec_id"]
+        for r in ga.ann_graph_topk(spark, base, query_vec_id=1000, k=10).collect()
+    }
+    assert got and all(v >= 1000 for v in got), got
+
+
 def test_graph_batch_equals_per_query_serving(spark, sf_dir):
     """ann_graph_batch_topk fuses IO, not state: per-query results
     equal the solo ann_graph_topk runs row-for-row."""
