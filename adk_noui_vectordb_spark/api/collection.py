@@ -1615,6 +1615,17 @@ class Collection:
             # functor discipline — restricting the walk would
             # disconnect the graph). Distances recompute below in the
             # same 4-dp Catalyst expression every strategy uses.
+            if self.space != "cosine":
+                # the graph's edges and beam scoring are cosine-built;
+                # routing an l2/ip ranking through a cosine graph is the
+                # r10 metric-mismatch trap (recall must be measured in
+                # the index's own metric) — refuse loudly, like the
+                # space sidecar guard, instead of serving blurred recall
+                raise ValueError(
+                    "filter_strategy='graph' serves cosine collections "
+                    f"only (this collection's space is {self.space!r}); "
+                    "use the probe strategies for l2/ip"
+                )
             gver = self._graph_sidecar(cur)
             rows = []
             for qi in range(mat.shape[0]):

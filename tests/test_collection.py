@@ -1227,3 +1227,15 @@ def test_facade_graph_strategy_recall_on_clustered_fixture(spark, tmp_path):
         }
         hits += len(got & truth)
     assert hits / (8 * k) >= 0.9, hits / (8 * k)
+
+
+def test_graph_strategy_refuses_non_cosine_spaces(spark, tmp_path):
+    """The graph's edges and beam scoring are cosine-built; an l2/ip
+    ranking routed through a cosine graph is the r10 metric-mismatch
+    trap — the facade refuses loudly (the space sidecar guard's
+    discipline) instead of serving blurred recall."""
+    mat = _vecs(51, 4)
+    coll = Collection(spark, str(tmp_path / "l2g"), space="l2")
+    coll.add(_batch(spark, ["a", "b", "c", "d"], mat))
+    with pytest.raises(ValueError, match="cosine collections only"):
+        coll.query([float(x) for x in mat[0]], n_results=2, filter_strategy="graph")
