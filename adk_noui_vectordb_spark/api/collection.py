@@ -439,9 +439,10 @@ class Collection:
                 .collect()
             )
             new_ids = {r["nbr"] for r in nbr_rows} - set(visited)
-            if new_ids:
-                for vid, e in fetch_vecs(new_ids).items():
-                    visited[vid] = _sim4(q, e)
+            if not new_ids:
+                break  # fixed point (the _beam_visited early-exit)
+            for vid, e in fetch_vecs(new_ids).items():
+                visited[vid] = _sim4(q, e)
             frontier = [
                 v
                 for v, _s in sorted(

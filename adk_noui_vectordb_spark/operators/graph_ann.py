@@ -411,9 +411,14 @@ def _beam_visited(
         new_ids = (
             {r["nbr"] for r in nbr_rows} - set(visited) - {query_vec_id}
         )
-        if new_ids:
-            for vid, e in fetch_vecs(new_ids).items():
-                visited[vid] = _sim4(q, e)
+        if not new_ids:
+            # fixed point: visited is unchanged, so the frontier (its
+            # top-beam) cannot change either — every further round
+            # would re-fetch the same adjacency for nothing. Identical
+            # results, fewer point-read jobs on converged searches.
+            break
+        for vid, e in fetch_vecs(new_ids).items():
+            visited[vid] = _sim4(q, e)
         frontier = [
             v
             for v, _s in sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[
@@ -562,7 +567,9 @@ def ann_graph_batch_topk(
             for qid in qids
         }
         need = set().union(*new_per_q.values()) if qids else set()
-        vm = fetch_vecs(need) if need else {}
+        if not need:
+            break  # every query hit its fixed point (the solo early-exit)
+        vm = fetch_vecs(need)
         for qid in qids:
             for vid in new_per_q[qid]:
                 if vid in vm:
