@@ -945,9 +945,16 @@ def vacuum_graph_index(
     ).head()
     if not dig["n"]:
         return cur
+    # keyed by the CURRENT VERSION NAME as well as the tombstone digest:
+    # the digest alone is not content-addressing — a delete/vacuum/
+    # re-insert/delete-the-same-ids lifecycle reaches the same digest
+    # over DIFFERENT vecs content, and a digest-only key would serve
+    # the first vacuum's stale staging (the rebuild_graph_index key
+    # got this right from the start). Replays of one interrupted
+    # vacuum still reuse: same version, same digest.
     scratch = index_root(
         "graph_vac_corpus", sf_dir, tag, degree, hub_degree, iters,
-        int(dig["n"]), int(dig["s"]),
+        os.path.basename(cur), int(dig["n"]), int(dig["s"]),
     )
     corpus_p = os.path.join(scratch, "embeddings.parquet")
     if not os.path.isdir(corpus_p):

@@ -350,6 +350,57 @@ def test_graph_filtered_serving_is_blind_traversal_plus_predicate(
     assert all(label_of[vid] == want_label for _r, vid, _s in got)
 
 
+def test_graph_vacuum_scratch_is_version_addressed(spark, tight, tmp_path):
+    """The stale-staging regression: delete {x} → vacuum → insert new
+    vectors → re-insert id x → delete {x} AGAIN → vacuum reaches the
+    SAME tombstone digest over DIFFERENT vecs content. A digest-only
+    scratch key would reuse the first vacuum's staged corpus and the
+    second vacuum would silently DROP everything inserted in between;
+    the key must include the current version name."""
+    base, _emb = tight
+    priv = str(tmp_path / "gvac2")
+    os.makedirs(priv)
+    spark.read.parquet(base + "/embeddings.parquet").write.parquet(
+        os.path.join(priv, "embeddings.parquet")
+    )
+    cur0 = ga.build_graph_index(spark, priv)
+    n0 = (
+        spark.read.schema(ann.VECS_SCHEMA)
+        .parquet(os.path.join(cur0, "vecs"))
+        .count()
+    )
+    ga.delete_from_graph_index(spark, priv, [5])
+    ga.vacuum_graph_index(spark, priv)
+    # the in-between state a stale scratch would lose
+    ga.update_graph_index(
+        spark,
+        priv,
+        spark.createDataFrame(
+            [(90_001, [float(x) for x in _emb[3]])],
+            "vec_id bigint, embedding array<double>",
+        ),
+    )
+    # ADD-only permits re-inserting id 5 now that it is physically gone
+    ga.update_graph_index(
+        spark,
+        priv,
+        spark.createDataFrame(
+            [(5, [float(x) for x in _emb[8]])],
+            "vec_id bigint, embedding array<double>",
+        ),
+    )
+    ga.delete_from_graph_index(spark, priv, [5])  # same digest as before
+    cur2 = ga.vacuum_graph_index(spark, priv)
+    vecs2 = spark.read.schema(ann.VECS_SCHEMA).parquet(
+        os.path.join(cur2, "vecs")
+    )
+    assert vecs2.filter(F.col("vec_id") == 90_001).count() == 1  # KEPT
+    assert vecs2.filter(F.col("vec_id") == 5).count() == 0
+    assert vecs2.count() == n0  # n0 - original 5 + 90001
+    bad = [c for c in ga.fsck_graph_index(spark, priv) if not c[1]]
+    assert not bad, bad
+
+
 def test_graph_drift_detection_and_rebuild(spark, tmp_path):
     """The graph family's drift story (the IVF/IVFADC symmetry):
     streamed inserts of a far region under the FROZEN coarse structure
