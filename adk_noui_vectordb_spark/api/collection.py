@@ -337,17 +337,24 @@ class Collection:
                 pass  # racing stager won; identical content
         return build_graph_index(self.spark, scratch)
 
-    def _graph_beam(
-        self, gver: str, q: list, beam: int, rounds: int
-    ) -> dict:
-        """Beam search for a RAW query vector (no indexed id): seeds =
-        the md5-min entry hub + the hub of the query's coarse-assigned
-        cell (assign_to_centroids — the build's own 6-dp argmin, run as
-        one 1-row job so the arithmetic is the Catalyst original), then
-        the standard bounded expansion WITHOUT any self-exclusion — a
-        stored vector identical to the query surfaces at distance 0
-        (Chroma does not exclude self-matches). Returns {sid: 4-dp
-        sim}."""
+    def _graph_beam_batch(
+        self, gver: str, qvecs: list, beam: int, rounds: int
+    ) -> list:
+        """Beam searches for M RAW query vectors with FUSED IO (the
+        ann_graph_batch_topk discipline): ONE job assigns every query
+        to its coarse cell (assign_to_centroids — the build's 6-dp
+        argmin in its original Catalyst form), ONE fused read resolves
+        the distinct cells' hubs, and each round issues one edges
+        point-read for the union of all frontiers plus one vecs fetch
+        for the union of unseen candidates. Per-query visited state is
+        untouched, so each query's evolution equals its solo run
+        (ann_graph_batch_topk's pinned property). Seeds = the md5-min
+        entry hub + the query's cell hub, NO self-exclusion — a stored
+        vector identical to a query surfaces at distance 0 (Chroma does
+        not exclude self-matches). Returns one {sid: 4-dp sim} per
+        query, in input order."""
+        from ..memo import session_memo
+        from ..operators.ann import IVF_ASSIGN_SCHEMA
         from ..operators.ann import VECS_SCHEMA as GV_SCHEMA
         from ..operators.ann import assign_to_centroids, vec_bucket_py
         from ..operators.graph_ann import (
@@ -371,8 +378,6 @@ class Collection:
             )
             return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
-        from ..memo import session_memo
-
         # entry/cents are tiny tables in an immutable graph version —
         # one collect per (session, version), not two jobs per query
         entry, cents = session_memo(
@@ -395,60 +400,93 @@ class Collection:
                 ),
             ),
         )
-        qdf = self.spark.createDataFrame([(0, q)], "vec_id bigint, emb array<double>")
-        q_cell = assign_to_centroids(qdf, cents).head()["cluster"]
-        seeds = {int(entry)}
-        from ..operators.ann import IVF_ASSIGN_SCHEMA
-
-        member = (
+        qdf = self.spark.createDataFrame(
+            [(qi, q) for qi, q in enumerate(qvecs)],
+            "vec_id bigint, emb array<double>",
+        )
+        cell_of = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_to_centroids(qdf, cents).collect()
+        }
+        cells = sorted({int(c) for c in cell_of.values()})
+        # one fused member read for the distinct query cells, then one
+        # fused hubmap point-read for those members -> cell hub map
+        members = (
             self.spark.read.schema(IVF_ASSIGN_SCHEMA)
             .parquet(os.path.join(gver, "assign"))
-            .filter(F.col("cluster") == int(q_cell))
-            .orderBy("vec_id")
-            .head()
+            .filter(F.col("cluster").isin(cells))
+            .groupBy("cluster")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .collect()
         )
-        if member is not None:
-            hub_row = (
+        member_of = {r["cluster"]: r["vec_id"] for r in members}
+        hub_of_cell: dict = {}
+        if member_of:
+            mids = sorted(member_of.values())
+            hub_rows = (
                 self.spark.read.schema(GRAPH_HUBMAP_SCHEMA)
                 .parquet(os.path.join(gver, "hubmap"))
                 .filter(
-                    (F.col("vbucket") == vec_bucket_py(member["vec_id"]))
-                    & (F.col("vec_id") == member["vec_id"])
+                    F.col("vbucket").isin(
+                        sorted({vec_bucket_py(m) for m in mids})
+                    )
+                    & F.col("vec_id").isin(mids)
                 )
-                .head()
-            )
-            if hub_row is not None:
-                seeds.add(int(hub_row["hub"]))
-        first = fetch_vecs(seeds)
-        visited = {s: _sim4(q, first[s]) for s in seeds if s in first}
-        frontier = sorted(visited, key=lambda v: (-visited[v], v))[:beam]
-        edges_path = os.path.join(gver, "edges")
-        for _ in range(rounds):
-            if not frontier:
-                break
-            sbs = sorted({vec_bucket_py(i) for i in frontier})
-            nbr_rows = (
-                self.spark.read.schema(GRAPH_EDGES_SCHEMA)
-                .parquet(edges_path)
-                .filter(
-                    F.col("sbucket").isin(sbs)
-                    & F.col("src").isin(sorted(frontier))
-                )
-                .select("nbr")
-                .distinct()
                 .collect()
             )
-            new_ids = {r["nbr"] for r in nbr_rows} - set(visited)
-            if not new_ids:
-                break  # fixed point (the _beam_visited early-exit)
-            for vid, e in fetch_vecs(new_ids).items():
-                visited[vid] = _sim4(q, e)
-            frontier = [
-                v
-                for v, _s in sorted(
-                    visited.items(), key=lambda kv: (-kv[1], kv[0])
-                )[:beam]
+            hub_by_member = {r["vec_id"]: r["hub"] for r in hub_rows}
+            hub_of_cell = {
+                c: hub_by_member[m]
+                for c, m in member_of.items()
+                if m in hub_by_member
+            }
+        seeds_per_q = []
+        for qi in range(len(qvecs)):
+            s = {int(entry)}
+            h = hub_of_cell.get(cell_of.get(qi))
+            if h is not None:
+                s.add(int(h))
+            seeds_per_q.append(s)
+        first = fetch_vecs(set().union(*seeds_per_q)) if seeds_per_q else {}
+        visited = [
+            {s: _sim4(q, first[s]) for s in seeds if s in first}
+            for q, seeds in zip(qvecs, seeds_per_q)
+        ]
+        frontier = [
+            sorted(v, key=lambda x: (-v[x], x))[:beam] for v in visited
+        ]
+        edges_path = os.path.join(gver, "edges")
+        for _ in range(rounds):
+            all_srcs = sorted({s for fr in frontier for s in fr})
+            if not all_srcs:
+                break
+            sbs = sorted({vec_bucket_py(s) for s in all_srcs})
+            adj_rows = (
+                self.spark.read.schema(GRAPH_EDGES_SCHEMA)
+                .parquet(edges_path)
+                .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(all_srcs))
+                .select("src", "nbr")
+                .collect()
+            )
+            adj: dict = {}
+            for r in adj_rows:
+                adj.setdefault(r["src"], set()).add(r["nbr"])
+            new_per_q = [
+                {n for s in frontier[qi] for n in adj.get(s, ())}
+                - set(visited[qi])
+                for qi in range(len(qvecs))
             ]
+            need = set().union(*new_per_q) if new_per_q else set()
+            if not need:
+                break  # every query at its fixed point
+            vm = fetch_vecs(need)
+            for qi, q in enumerate(qvecs):
+                for vid in new_per_q[qi]:
+                    if vid in vm:
+                        visited[qi][vid] = _sim4(q, vm[vid])
+                frontier[qi] = sorted(
+                    visited[qi], key=lambda x: (-visited[qi][x], x)
+                )[:beam]
         return visited
 
     def _band_rows_for(self, e: DataFrame, dim: int) -> DataFrame:
@@ -1628,12 +1666,17 @@ class Collection:
                     "use the probe strategies for l2/ip"
                 )
             gver = self._graph_sidecar(cur)
-            rows = []
-            for qi in range(mat.shape[0]):
-                visited = self._graph_beam(
-                    gver, [float(x) for x in mat[qi]], beam=8, rounds=3
-                )
-                rows.extend((qi, int(sid)) for sid in sorted(visited))
+            pools = self._graph_beam_batch(
+                gver,
+                [[float(x) for x in mat[qi]] for qi in range(mat.shape[0])],
+                beam=8,
+                rounds=3,
+            )
+            rows = [
+                (qi, int(sid))
+                for qi, visited in enumerate(pools)
+                for sid in sorted(visited)
+            ]
             cand = self.spark.createDataFrame(
                 rows, "query_idx int, vec_id bigint"
             )

@@ -1239,3 +1239,38 @@ def test_graph_strategy_refuses_non_cosine_spaces(spark, tmp_path):
     coll.add(_batch(spark, ["a", "b", "c", "d"], mat))
     with pytest.raises(ValueError, match="cosine collections only"):
         coll.query([float(x) for x in mat[0]], n_results=2, filter_strategy="graph")
+
+
+def test_graph_strategy_batch_equals_per_query(spark, sf_dir):
+    """The fused multi-query graph beam (one assignment job, one hub
+    resolution, one edges read + one vecs fetch per round for the UNION
+    of frontiers) keeps per-query state untouched: the batch result
+    equals the per-query calls row-for-row — the ann_graph_batch_topk
+    property at the facade."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.api.collection import demo_collection
+
+    coll = demo_collection(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = [
+        [float(x) for x in emb.filter(F.col("vec_id") == i).head()["embedding"]]
+        for i in (0, 9)
+    ]
+    batch = sorted(
+        tuple(r)
+        for r in coll.query(qs, n_results=5, filter_strategy="graph")
+        .select("query_idx", "id", "distance")
+        .collect()
+    )
+    solo = []
+    for qi, q in enumerate(qs):
+        for r in (
+            coll.query(q, n_results=5, filter_strategy="graph")
+            .select("id", "distance")
+            .collect()
+        ):
+            solo.append((qi, r["id"], r["distance"]))
+    assert batch == sorted(solo)
