@@ -787,6 +787,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beam search over a navigable-graph sidecar of the collection's
         # own vectors (hnswlib is Chroma's backend), filter at emission
         "collection_query_graph_topk": _coll.collection_query_graph_topk,
+        "collection_query_graph_batch_topk": (
+            _coll.collection_query_graph_batch_topk
+        ),
         "collection_get_where": _coll.collection_get_where,
         # r11: keyset pagination through the facade (after_id cursor —
         # the BM25 search_after discipline on the metadata store)
@@ -1934,6 +1937,50 @@ ORDER BY rank
     )
 
 
+def _coll_graph_query_ctes(qid: int, sfx: str, beam: int, rounds: int) -> list:
+    """One facade raw-vector beam chain (qe -> gent -> gseed -> gv0 ->
+    rounds x (gf, gv)) with CTE names suffixed by ``sfx`` — shared by
+    the solo and batch facade graph twins (the batch fuses IO, not
+    state, so each query runs the identical solo chain)."""
+    cos_q = _COS.format(a="em.embedding", b=f"qe{sfx}.q")
+    ctes = [
+        f"qe{sfx} AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM gcoll WHERE vec_id = {qid})",
+        f"gent{sfx} AS (SELECT vec_id FROM ghubs"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
+        f"""gseed{sfx} AS (
+  SELECT vec_id FROM gent{sfx}
+  UNION
+  SELECT h.vec_id FROM ghubs h
+  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid}))""",
+        f"""gv0{sfx} AS (
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM gcoll em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
+  CROSS JOIN qe{sfx})""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"gf{r}{sfx} AS (SELECT vec_id FROM gv{r - 1}{sfx}"
+            f" ORDER BY sim DESC, vec_id LIMIT {beam})"
+        )
+        ctes.append(f"""gv{r}{sfx} AS (
+  SELECT vec_id, sim FROM gv{r - 1}{sfx}
+  UNION
+  SELECT em.vec_id, {cos_q} AS sim
+  FROM gedges ed
+  JOIN gf{r}{sfx} f ON ed.src = f.vec_id
+  JOIN gcoll em ON em.vec_id = ed.nbr
+  CROSS JOIN qe{sfx})""")
+    return ctes
+
+
+_GCOLL_CTE = """gcoll AS (
+  SELECT CAST(('0x' || substr(md5('doc-' || CAST(e.vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS vec_id,
+         e.embedding, e.vec_id AS doc_id
+  FROM embeddings e)"""
+
+
 def _collection_graph_sql(
     doc_qid: int = 0,
     k: int = 10,
@@ -1952,45 +1999,9 @@ def _collection_graph_sql(
     includes self-matches), the demo where-filter at emission, and the
     facade's 1 − round(cos, 4) distance contract."""
     qid = _coll._sid_py(f"doc-{doc_qid}")
-    ctes = [
-        """gcoll AS (
-  SELECT CAST(('0x' || substr(md5('doc-' || CAST(e.vec_id AS VARCHAR)), 1, 15))
-              AS BIGINT) AS vec_id,
-         e.embedding, e.vec_id AS doc_id
-  FROM embeddings e)"""
-    ]
+    ctes = [_GCOLL_CTE]
     ctes += _graph_build_ctes(degree, hub_degree, iters, source="gcoll")
-    cos_q = _COS.format(a="em.embedding", b="qe.q")
-    ctes.append(
-        "qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
-        f" FROM gcoll WHERE vec_id = {qid})"
-    )
-    ctes.append(
-        "gent AS (SELECT vec_id FROM ghubs"
-        " ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"
-    )
-    ctes.append(f"""gseed AS (
-  SELECT vec_id FROM gent
-  UNION
-  SELECT h.vec_id FROM ghubs h
-  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid}))""")
-    ctes.append(f"""gv0 AS (
-  SELECT em.vec_id, {cos_q} AS sim
-  FROM gcoll em JOIN gseed s ON s.vec_id = em.vec_id
-  CROSS JOIN qe)""")
-    for r in range(1, rounds + 1):
-        ctes.append(
-            f"gf{r} AS (SELECT vec_id FROM gv{r - 1}"
-            f" ORDER BY sim DESC, vec_id LIMIT {beam})"
-        )
-        ctes.append(f"""gv{r} AS (
-  SELECT vec_id, sim FROM gv{r - 1}
-  UNION
-  SELECT em.vec_id, {cos_q} AS sim
-  FROM gedges ed
-  JOIN gf{r} f ON ed.src = f.vec_id
-  JOIN gcoll em ON em.vec_id = ed.nbr
-  CROSS JOIN qe)""")
+    ctes += _coll_graph_query_ctes(qid, "", beam, rounds)
     mat = (
         _GRAPH_MAT
         | {f"gv{r}" for r in range(rounds + 1)}
@@ -2010,6 +2021,48 @@ WHERE {_wdsl.where_to_sql(_coll.COLLECTION_WHERE_DEMO)}
 ORDER BY distance ASC, id ASC
 LIMIT {k}
 """
+    )
+
+
+def _collection_graph_batch_sql(
+    doc_qids: tuple = (0, 9),
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Batched facade graph twin (collection_query_graph_batch_topk):
+    the shared surrogate-keyspace graph construction once, then each
+    query's SOLO raw-vector beam chain (the Spark side fuses IO, not
+    state), UNION ALL'd with its query_idx; per-query top-k, no
+    where-filter (the batch key exercises the fused pool shape)."""
+    ctes = [_GCOLL_CTE]
+    ctes += _graph_build_ctes(degree, hub_degree, iters, source="gcoll")
+    finals = []
+    mat = set(_GRAPH_MAT) | {"gcoll"}
+    dist_g = "1 - " + _COS.format(a="g.embedding", b="qe{sfx}.q")
+    for i, doc_qid in enumerate(doc_qids):
+        sfx = f"_q{i}"
+        qid = _coll._sid_py(f"doc-{doc_qid}")
+        ctes += _coll_graph_query_ctes(qid, sfx, beam, rounds)
+        mat |= {f"gv{r}{sfx}" for r in range(rounds + 1)} | {f"gseed{sfx}"}
+        dist = dist_g.format(sfx=sfx)
+        finals.append(f"""
+SELECT CAST({i} AS INTEGER) AS query_idx,
+       'doc-' || CAST(g.doc_id AS VARCHAR) AS id, {dist} AS distance
+FROM (SELECT vec_id FROM gv{rounds}{sfx}) v
+JOIN gcoll g ON g.vec_id = v.vec_id
+CROSS JOIN qe{sfx}
+ORDER BY distance ASC, id ASC
+LIMIT {k}""")
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(f"(\n{f})" for f in finals)
+        + "\n)\nORDER BY query_idx, distance, id\n"
     )
 
 
@@ -3868,6 +3921,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         # keeps self-matches. Filter trees render from the api module's
         # shared constants.
         "collection_query_graph_topk": _collection_graph_sql(),
+        "collection_query_graph_batch_topk": _collection_graph_batch_sql(),
         "collection_query_topk": f"""
 WITH {_RP_BANDS_CTE},
 qb AS (

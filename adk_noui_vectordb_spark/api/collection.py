@@ -2035,6 +2035,36 @@ def collection_query_graph_topk(
     ).select("id", "distance", "lang", "n_chars")
 
 
+def collection_query_graph_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_ids: tuple = (0, 9),
+    k: int = 5,
+) -> DataFrame:
+    """Batched facade graph serving: M queries through ONE fused beam
+    (`_graph_beam_batch` — one assignment job, one hub resolution, one
+    edges read + one vecs fetch per round for the union of frontiers);
+    per-query state untouched, so each query's rows equal its solo run
+    (pinned) and the oracle replays M solo chains over the shared
+    surrogate-keyspace graph."""
+    from ..sources.tables import load_table
+
+    coll = demo_collection(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid)
+            .select(F.col("embedding").cast("array<double>").alias("e"))
+            .head()["e"]
+        ]
+        for qid in query_vec_ids
+    ]
+    return coll.query(qs, n_results=k, filter_strategy="graph").select(
+        "query_idx", "id", "distance"
+    )
+
+
 def collection_get_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``collection.get(where=..., where_document=...)`` on the facade
     (vector_search_tool.py:149-232's element/file lookups, full DSL)."""

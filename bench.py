@@ -113,6 +113,7 @@ BENCH_KEYS = [
     # r10c: ChromaDB-compatible Collection facade + full where DSL
     "collection_query_topk",
     "collection_query_graph_topk",
+    "collection_query_graph_batch_topk",
     "knn_where_dsl_topk",
     "fuzzy_topk_served",
     # r11: sample-trained IVF serving, MMR diversification, keyset page

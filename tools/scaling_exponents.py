@@ -116,6 +116,7 @@ KEYS = {
     "knn_where_dsl_topk": "embeddings",
     "collection_query_topk": "embeddings",
     "collection_query_graph_topk": "embeddings",
+    "collection_query_graph_batch_topk": "embeddings",
     "collection_get_where": "documents",
     "fuzzy_topk_served": "documents",
     "shard_manifest_counts": "documents",
