@@ -1531,6 +1531,8 @@ class Collection:
         include: "list[str] | None" = None,
         filter_strategy: str = "probe",
         prefilter_threshold: int = 10_000,
+        graph_beam: int = 8,
+        graph_rounds: int = 3,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
         literal partition predicates), vecs-store cosine rerank, DSL
@@ -1665,12 +1667,17 @@ class Collection:
                     f"only (this collection's space is {self.space!r}); "
                     "use the probe strategies for l2/ip"
                 )
+            # graph_beam/graph_rounds are the search-budget knob
+            # (hnswlib's ef): noisy corpora and selective filters thin
+            # the visited pool, and the remedy is a wider walk — the
+            # measured curve lives in tools/collection_recall_sweep.py
+            # + BASELINE.md
             gver = self._graph_sidecar(cur)
             pools = self._graph_beam_batch(
                 gver,
                 [[float(x) for x in mat[qi]] for qi in range(mat.shape[0])],
-                beam=8,
-                rounds=3,
+                beam=graph_beam,
+                rounds=graph_rounds,
             )
             rows = [
                 (qi, int(sid))

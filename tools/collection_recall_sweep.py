@@ -74,13 +74,17 @@ def run(n: int = 2000, k_centers: int = 20, sigma: float = 0.25) -> None:
 
     nrm = np.linalg.norm(emb, axis=1)
     k = 10
-    print("| selectivity | multiprobe | recall@10 | mean candidates |")
+    # arms: multiprobe 0/1 (the LSH path) and the graph strategy — the
+    # graph's filter applies at EMISSION on a ~O(beam·degree·rounds)
+    # visited pool, so selective filters thin it exactly like they thin
+    # single-probe LSH candidates; this sweep quantifies that trade.
+    print("| selectivity | arm | recall@10 | mean returned |")
     print("|---|---|---|---|")
     for m_groups in (10, 5, 2, 1):
         sel = m_groups / 10.0
         where = {"grp": {"$in": list(range(m_groups))}} if m_groups < 10 else None
         mask = grp < m_groups
-        for probe in (0, 1):
+        for arm in ("probe0", "probe1", "graph"):
             hits = tot = 0
             n_cands = []
             for qi in range(k_centers):
@@ -90,17 +94,22 @@ def run(n: int = 2000, k_centers: int = 20, sigma: float = 0.25) -> None:
                 ids = np.arange(n)[mask]
                 order = sorted(ids, key=lambda i: (-cos_r[i], f"v{i:05d}"))
                 truth = {f"v{i:05d}" for i in order[:k]}
+                kwargs = (
+                    {"filter_strategy": "graph"}
+                    if arm == "graph"
+                    else {"multiprobe_hamming": int(arm[-1])}
+                )
                 got = coll.query(
                     [float(x) for x in q],
                     n_results=k,
                     where=where,
-                    multiprobe_hamming=probe,
+                    **kwargs,
                 ).collect()
                 hits += len({r["id"] for r in got} & truth)
                 tot += k
                 n_cands.append(len(got))
             print(
-                f"| {sel:.1f} | {probe} | {hits / tot:.2f} "
+                f"| {sel:.1f} | {arm} | {hits / tot:.2f} "
                 f"| {np.mean(n_cands):.1f}/{k} returned |"
             )
 
