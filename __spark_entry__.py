@@ -530,6 +530,35 @@ _CHECKED_R11 = frozenset({
     "sketch_heavy_hitters", "sketch_user_overlap", "zorder_events",
 })
 
+# CORRECTNESS_r12.json: 50/50 green — the whole r12 new-key cohort
+# (graph family, binary quantization, weighted hybrid, folded BM25,
+# facade graph serving), every r12 rewrite (the former _REWRITTEN
+# members below), and the rotated oldest cohorts.
+_CHECKED_R12 = frozenset({
+    'agg_correlation', 'agg_percentiles', 'ann_binq_ivf_topk',
+    'ann_binq_topk', 'ann_graph_batch_topk', 'ann_graph_filtered_topk',
+    'ann_graph_tombstone_topk', 'ann_graph_topk',
+    'ann_graph_vacuumed_topk', 'ann_ivf_sampled_topk',
+    'ann_ivf_trained_topk', 'ann_ivfpq_sampled_topk', 'ann_ivfpq_topk',
+    'basket_brand_lift', 'binq_hamming_topk', 'bm25_folded_topk_served',
+    'bm25_page2_served', 'bm25_topk_served', 'collection_get_page2',
+    'collection_get_where', 'collection_query_graph_batch_topk',
+    'collection_query_graph_topk', 'collection_query_ip_topk',
+    'collection_query_topk', 'customers_with_high_value_orders',
+    'customers_without_orders', 'dedup_gate_against_index',
+    'dedup_gate_intra_batch', 'events_anomaly_zscore',
+    'events_gap_stats', 'events_rate_limited_sample',
+    'histogram_order_totals', 'hybrid_weighted_served_topk',
+    'hybrid_weighted_topk', 'knn_join_ivf_topk', 'msm_topk_served',
+    'orders_above_avg', 'q19_disjunctive_revenue',
+    'rollup_segment_status', 'scd2_user_state_history',
+    'skew_key_profile', 'stream_dedup_counts', 'stream_tumbling_counts',
+    'trend_event_values', 'triangle_count_nations',
+    'unpivot_event_matrix', 'window_moving_avg',
+    'window_running_revenue', 'window_topn_orders',
+    'window_trailing_value_sum',
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -545,6 +574,7 @@ for _rnd, _s in (
     (9, _CHECKED_R9),
     (10, _CHECKED_R10),
     (11, _CHECKED_R11),
+    (12, _CHECKED_R12),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -557,37 +587,8 @@ for _rnd, _s in (
 # rewrites greened in CORRECTNESS_r11 and moved to _CHECKED_R11; the
 # entries below are the r12 rewrites.
 _REWRITTEN = frozenset({
-    # r12: every Collection write/read now resolves config from the
-    # VERSION-SCOPED sidecar (ADVICE r11 — schema rides with the data;
-    # partial update commits CAS on its assembly snapshot) — values
-    # identical, but the whole facade executes through the new
-    # resolution path
-    "collection_query_topk",
-    "collection_query_ip_topk",
-    "collection_get_where",
-    "collection_get_page2",
-    # r12: the gate prologue runs AQE-off and the MinHash index build
-    # repartitions by partition columns (layout-only; 4,064 → 128
-    # band files) — same rows, new plan/IO shape
-    "dedup_gate_against_index",
-    "dedup_gate_intra_batch",
-    # r12: the sampled Lloyd's trainer factored onto one shared code
-    # path (_sampled_centroid_rows, feeding rebalance too) and builds
-    # now freeze build_stats.json — value-identical, new executed code
-    "ann_ivf_sampled_topk",
-    "ann_ivfpq_sampled_topk",
-    "knn_join_ivf_topk",
-    # r12b: both IVFADC builds compute + freeze the quantization-error
-    # build_stats (ivfpq drift machinery) — value-identical, new
-    # executed build path
-    "ann_ivfpq_topk",
-    # r12: ivf_cent_rows memo now keys on the version name
-    "ann_ivf_trained_topk",
-    # r12: _bm25_scored gained the analyzer parameter (default 'raw'
-    # preserves behavior; the serving keys execute the new signature)
-    "bm25_topk_served",
-    "bm25_page2_served",
-    "msm_topk_served",
+    # (r13: every r12 rewrite greened in CORRECTNESS_r12 and moved to
+    # _CHECKED_R12; repopulate as r13 rewrites land)
 })
 
 
