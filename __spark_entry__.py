@@ -587,8 +587,17 @@ for _rnd, _s in (
 # rewrites greened in CORRECTNESS_r11 and moved to _CHECKED_R11; the
 # entries below are the r12 rewrites.
 _REWRITTEN = frozenset({
-    # (r13: every r12 rewrite greened in CORRECTNESS_r12 and moved to
-    # _CHECKED_R12; repopulate as r13 rewrites land)
+    # r13: build_graph_index's hub mesh now routes through the
+    # recursive _hub_mesh_edges (all-pairs only at/below the gate —
+    # value-identical at the default gate, but every graph key executes
+    # the new construction path)
+    "ann_graph_topk",
+    "ann_graph_batch_topk",
+    "ann_graph_tombstone_topk",
+    "ann_graph_vacuumed_topk",
+    "ann_graph_filtered_topk",
+    "collection_query_graph_topk",
+    "collection_query_graph_batch_topk",
 })
 
 
@@ -814,6 +823,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: the HNSW analog — versioned k-NN graph (cell-join layer 0
         # + md5-min-hub layer 1), deterministic beam search serving
         "ann_graph_topk": _gann.ann_graph_topk,
+        # r13: the RECURSIVE hub-mesh build path (VERDICT r12 next #1 —
+        # hub levels above hub_allpairs_max meshed by the cell-blocked
+        # pipeline, HNSW log-layering; apm=4 forces the recursion at
+        # every test SF so the 100 TB build path is oracle-checked)
+        "ann_graph_recursive_topk": _gann.ann_graph_recursive_topk,
         # r12: M beam searches, fused per-round probes (one edges
         # point-read + one vecs fetch for the union of frontiers)
         "ann_graph_batch_topk": _gann.ann_graph_batch_topk,
@@ -1814,13 +1828,116 @@ SELECT src, nbr, sim, CAST(rank AS INTEGER) AS rank FROM (
     )
 
 
+def _recursive_mesh_ctes(hub_degree: int, iters: int) -> list:
+    """One unrolled hub-mesh recursion level (graph_ann.py
+    _hub_mesh_edges): the ``ghv`` hub set is sampled (md5-top rc×32,
+    rank-keyed — _sampled_centroid_rows verbatim), Lloyd's-trained at
+    rc = max(2, ceil(c/128)) cells (tag "h"), fully assigned under the
+    6-dp d2 / cluster-tie-break contract (assign_to_centroids), meshed
+    by same-cell md5-capped kNN at rank ≤ hub_degree, and the md5-min
+    next-level hubs get star bridges plus an all-pairs top mesh —
+    ending at ``ghedges`` like the all-pairs branch it replaces."""
+    mc = _gann.GRAPH_HUB_RECURSE_MIN_CELLS
+    tc = _ann.IVF_JOIN_TARGET_CELL
+    tpc = _ann.IVF_JOIN_TRAIN_PER_CELL
+    cap = _ann.IVF_JOIN_CELL_CAP
+    rc = (
+        f"(SELECT GREATEST({mc}, CAST(ceil(count(*) * 1.0 / {tc}) AS BIGINT))"
+        f" FROM ghubs)"
+    )
+    rs = (
+        f"(SELECT GREATEST({mc}, CAST(ceil(count(*) * 1.0 / {tc}) AS BIGINT))"
+        f" * {tpc} FROM ghubs)"
+    )
+    ctes = [
+        f"hsamp AS (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS md"
+        f" FROM ghv ORDER BY md, vec_id LIMIT {rs})",
+        "hsamp_rk AS (SELECT vec_id, CAST(row_number() OVER"
+        " (ORDER BY md, vec_id) - 1 AS BIGINT) AS rk FROM hsamp)",
+        "htrain AS (SELECT r.rk AS vec_id, s.emb FROM hsamp s"
+        " JOIN hsamp_rk r USING (vec_id))",
+    ]
+    kc, _final = _kmeans_ctes(rc, iters, tag="h", emb_sql="emb", source="htrain")
+    ctes += kc
+    dist_h = (
+        "round(list_inner_product(g.emb, g.emb)"
+        " - 2 * list_inner_product(g.emb, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
+    ctes.append(f"""afh AS (
+  SELECT vec_id, cluster FROM (
+    SELECT g.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY g.vec_id
+                              ORDER BY {dist_h}, c.cluster) AS rn
+    FROM ghv g CROSS JOIN c{iters}h c) WHERE rn = 1)""")
+    ctes.append(f"""hrcap AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS m
+    FROM afh) WHERE m <= {cap})""")
+    cos_hh = _COS.format(a="ga.emb", b="gb.emb")
+    ctes.append(f"""hknn AS (
+  SELECT src, nbr, sim FROM (
+    SELECT src, nbr, sim,
+           row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rk
+    FROM (
+      SELECT a.vec_id AS src, b.vec_id AS nbr, {cos_hh} AS sim
+      FROM afh a JOIN hrcap b USING (cluster)
+      JOIN ghv ga ON ga.vec_id = a.vec_id
+      JOIN ghv gb ON gb.vec_id = b.vec_id
+      WHERE a.vec_id <> b.vec_id)) WHERE rk <= {hub_degree})""")
+    ctes.append("""l2h AS (
+  SELECT cluster, vec_id FROM (
+    SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM afh) WHERE rn = 1)""")
+    ctes.append(f"""hstar AS (
+  SELECT a.vec_id AS src, h.vec_id AS nbr, {cos_hh} AS sim
+  FROM afh a
+  JOIN l2h h USING (cluster)
+  JOIN ghv ga ON ga.vec_id = a.vec_id
+  JOIN ghv gb ON gb.vec_id = h.vec_id
+  WHERE a.vec_id <> h.vec_id)""")
+    ctes.append(
+        "l2v AS (SELECT h.vec_id, g.emb FROM l2h h JOIN ghv g USING (vec_id))"
+    )
+    cos_l2 = _COS.format(a="ga.emb", b="gb.emb")
+    ctes.append(f"""l2mesh AS (
+  SELECT src, nbr, sim FROM (
+    SELECT ga.vec_id AS src, gb.vec_id AS nbr, {cos_l2} AS sim,
+           row_number() OVER (PARTITION BY ga.vec_id
+                              ORDER BY {cos_l2} DESC, gb.vec_id) AS rk
+    FROM l2v ga JOIN l2v gb ON ga.vec_id <> gb.vec_id) WHERE rk <= {hub_degree})""")
+    ctes.append(
+        "ghedges AS (SELECT src, nbr, sim FROM hknn"
+        " UNION ALL SELECT src, nbr, sim FROM hstar"
+        " UNION ALL SELECT src, nbr, sim FROM l2mesh)"
+    )
+    return ctes
+
+
 def _graph_build_ctes(
-    degree: int, hub_degree: int, iters: int, source: str = "embeddings"
+    degree: int,
+    hub_degree: int,
+    iters: int,
+    source: str = "embeddings",
+    recursive_mesh: bool = False,
 ) -> list:
     """The graph-construction CTE chain shared by every graph-index
     twin (solo / batch / tombstone): cell-join layer-0 edges at rank <=
     degree, md5-min hubs + hub mesh, star bridges, capped reversals —
-    ending at ``gedges`` (the unified bidirectional adjacency)."""
+    ending at ``gedges`` (the unified bidirectional adjacency).
+
+    ``recursive_mesh`` mirrors graph_ann.py _hub_mesh_edges with the
+    test override hub_allpairs_max=4: ONE recursion level — the hub set
+    is meshed by the sampled-Lloyd's cell-blocked pipeline (tag "h",
+    the knn_join_ivf_topk oracle one level up at rc = max(2,
+    ceil(c/128)) cells), the md5-min next-level hubs get star bridges,
+    and the top level is all-pairs. Statically one level is CORRECT for
+    every test SF because c = max(8, ceil(n/128)) ∈ (4, 512] there
+    (recursion fires exactly once, rc = 2 ≤ 4 stops it); at n > 65,536
+    this twin would need a second unrolled level."""
     ctes = _cell_join_ctes(iters, source)
     cos_h = _COS.format(a="a.emb", b="b.emb")
     ctes.append(f"""edges0 AS (
@@ -1845,7 +1962,10 @@ def _graph_build_ctes(
   JOIN {source} em ON em.vec_id = a.vec_id
   JOIN {source} eh ON eh.vec_id = h.vec_id
   WHERE a.vec_id <> h.vec_id)""")
-    ctes.append(f"""ghedges AS (
+    if recursive_mesh:
+        ctes += _recursive_mesh_ctes(hub_degree, iters)
+    else:
+        ctes.append(f"""ghedges AS (
   SELECT src, nbr, sim FROM (
     SELECT a.vec_id AS src, b.vec_id AS nbr, {cos_h} AS sim,
            row_number() OVER (PARTITION BY a.vec_id
@@ -1895,6 +2015,42 @@ def _ann_graph_sql(
     ctes = _graph_build_ctes(degree, hub_degree, iters)
     ctes += _graph_search_ctes(qid, "", beam, rounds)
     mat = _GRAPH_MAT | {f"gv{r}" for r in range(rounds + 1)} | {"gseed"}
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM gv{rounds}) WHERE rank <= {k}
+ORDER BY rank
+"""
+    )
+
+
+def _ann_graph_recursive_sql(
+    qid: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Recursive-mesh graph twin (graph_ann.py ann_graph_recursive_topk,
+    hub_allpairs_max=4): the solo graph oracle with the hub mesh
+    replaced by one unrolled cell-blocked recursion level
+    (_recursive_mesh_ctes); search chain identical — the recursion
+    changes construction, never traversal."""
+    ctes = _graph_build_ctes(
+        degree, hub_degree, iters, recursive_mesh=True
+    )
+    ctes += _graph_search_ctes(qid, "", beam, rounds)
+    mat = (
+        _GRAPH_MAT
+        | _RECURSIVE_MESH_MAT
+        | {f"gv{r}" for r in range(rounds + 1)}
+        | {"gseed"}
+    )
     ctes = _mat_ctes(ctes, mat)
     return (
         "WITH " + ",\n".join(ctes) + f"""
@@ -2174,6 +2330,13 @@ def _mat_ctes(ctes: list, names: set) -> list:
 _GRAPH_MAT = {
     "af", "afnz", "rcap", "jcand", "jscored", "edges0",
     "ghubs", "ghv", "gstar", "ghedges", "gfwd", "grev", "gedges",
+}
+
+# the recursive-mesh chain's multiply-referenced CTEs (afh feeds four
+# consumers; hsamp two) — materialized for the same inlining reason
+_RECURSIVE_MESH_MAT = {
+    "hsamp", "htrain", "afh", "hrcap", "hknn", "l2h", "hstar", "l2v",
+    "l2mesh",
 }
 
 
@@ -4076,6 +4239,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         # Spark and oracle share one source of truth (ADVICE r8).
         "knn_join_ivf_topk": _knn_join_ivf_sql(),
         "ann_graph_topk": _ann_graph_sql(),
+        "ann_graph_recursive_topk": _ann_graph_recursive_sql(),
         "ann_graph_batch_topk": _ann_graph_batch_sql(),
         "ann_graph_tombstone_topk": _ann_graph_tomb_sql(),
         "ann_graph_vacuumed_topk": _ann_graph_vac_sql(),

