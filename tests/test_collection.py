@@ -1229,6 +1229,95 @@ def test_facade_graph_strategy_recall_on_clustered_fixture(spark, tmp_path):
     assert hits / (8 * k) >= 0.9, hits / (8 * k)
 
 
+def test_graph_sidecar_is_incremental_across_commits(spark, tmp_path):
+    """VERDICT r12 next #3: the facade graph sidecar advances by the
+    version DELTA — an upsert-then-graph-query pays one
+    ``update_graph_index`` commit on the SAME graph root (job count
+    pinned: every job is batch-sized or point-pruned, never a corpus
+    rebuild), a delete pays one tombstone commit, and only a changed
+    embedding (ADD-only family contract) falls back to the full
+    rebuild. Incremental serving quality is pinned against exact
+    cosine (0.8 measured on this seeded fixture vs the fresh build's
+    0.9 — the append-only edge-quality gap is the measured drift of
+    BASELINE.md's update-cadence row, not a bug)."""
+    import json
+    import os
+    import shutil
+
+    import adk_noui_vectordb_spark.sources.versioning as vn
+
+    coll = Collection(spark, str(tmp_path / "inc"))
+    mat = _vecs(7, 40)
+    coll.add(_batch(spark, [f"a{i}" for i in range(30)], mat[:30]))
+    q = [float(x) for x in mat[0]]
+    coll.query(q, n_results=5, filter_strategy="graph").collect()
+    lin = coll._graph_lineage_dir()
+    st1 = json.load(open(os.path.join(lin, "state.json")))
+    g1 = coll._graph_sidecar(vn.current_dir(coll.root))
+
+    # pure addition -> update_graph_index on the same root, one version
+    coll.add(_batch(spark, [f"b{i}" for i in range(10)], mat[30:40]))
+    sc = spark.sparkContext
+    sc.setJobGroup("inc-sidecar", "delta apply")
+    got = coll.query(
+        [float(x) for x in mat[35]], n_results=3, filter_strategy="graph"
+    ).collect()
+    sc.setJobGroup("other", "")
+    assert (got[0]["id"], got[0]["distance"]) == ("b5", 0.0)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("inc-sidecar"))
+    assert n_jobs <= 70, f"upsert-then-graph-query ran {n_jobs} jobs"
+    g2 = coll._graph_sidecar(vn.current_dir(coll.root))
+    st2 = json.load(open(os.path.join(lin, "state.json")))
+    assert os.path.dirname(g2) == os.path.dirname(g1)  # same graph root
+    assert os.path.basename(g2) > os.path.basename(g1)  # exactly advanced
+    assert st2["scratch"] == st1["scratch"]  # no re-staging
+
+    # pure removal -> tombstone commit on the same root; gone at emission
+    coll.delete(ids=["a3", "a4"])
+    pool = {
+        r["id"]
+        for r in coll.query(q, n_results=30, filter_strategy="graph").collect()
+    }
+    assert "a3" not in pool and "a4" not in pool
+    g3 = coll._graph_sidecar(vn.current_dir(coll.root))
+    assert os.path.dirname(g3) == os.path.dirname(g1)
+
+    # serving quality: incremental pool vs exact cosine (deterministic)
+    live = [f"a{i}" for i in range(30) if i not in (3, 4)] + [
+        f"b{i}" for i in range(10)
+    ]
+    emb = {f"a{i}": mat[i] for i in range(30)}
+    emb.update({f"b{i}": mat[30 + i] for i in range(10)})
+    qv = np.array(q)
+    exact = set(
+        sorted(
+            live,
+            key=lambda i: -float(
+                np.dot(emb[i], qv) / (np.linalg.norm(emb[i]) * np.linalg.norm(qv))
+            ),
+        )[:10]
+    )
+    inc_top = {
+        r["id"]
+        for r in coll.query(q, n_results=10, filter_strategy="graph").collect()
+    }
+    assert len(inc_top & exact) / 10 >= 0.7, inc_top
+    # a wiped lineage forces the full-rebuild path; fresh quality >= 0.8
+    shutil.rmtree(lin)
+    fresh_top = {
+        r["id"]
+        for r in coll.query(q, n_results=10, filter_strategy="graph").collect()
+    }
+    assert len(fresh_top & exact) / 10 >= 0.8, fresh_top
+
+    # changed embedding -> ADD-only contract -> full rebuild fallback
+    st_before = json.load(open(os.path.join(lin, "state.json")))
+    coll.upsert(_batch(spark, ["a0"], mat[5:6]))
+    coll.query(q, n_results=5, filter_strategy="graph").collect()
+    st3 = json.load(open(os.path.join(lin, "state.json")))
+    assert st3["scratch"] != st_before["scratch"]
+
+
 def test_graph_strategy_refuses_non_cosine_spaces(spark, tmp_path):
     """The graph's edges and beam scoring are cosine-built; an l2/ip
     ranking routed through a cosine graph is the r10 metric-mismatch
