@@ -828,6 +828,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline, HNSW log-layering; apm=4 forces the recursion at
         # every test SF so the 100 TB build path is oracle-checked)
         "ann_graph_recursive_topk": _gann.ann_graph_recursive_topk,
+        # r13: ACORN-style predicate-aware traversal (opt-in) — the
+        # filter steers the frontier and failing neighbors expand one
+        # extra hop, keeping recall under selective filters (0.99 at
+        # 10% selectivity vs the blind pool's 0.15, BASELINE.md r13)
+        "ann_graph_acorn_topk": _gann.ann_graph_acorn_topk,
         # r12: M beam searches, fused per-round probes (one edges
         # point-read + one vecs fetch for the union of frontiers)
         "ann_graph_batch_topk": _gann.ann_graph_batch_topk,
@@ -2022,6 +2027,99 @@ SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
   SELECT vec_id, sim,
          row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
   FROM gv{rounds}) WHERE rank <= {k}
+ORDER BY rank
+"""
+    )
+
+
+def _graph_acorn_search_ctes(
+    qid: int, beam: int, rounds: int, source: str = "embeddings"
+) -> list:
+    """The ACORN beam unroll (graph_ann.py _beam_visited_acorn, same-
+    label predicate): gv rows carry a ``pass`` flag; each round's
+    frontier ranks passing nodes first (pass DESC, sim DESC, vec_id),
+    hop-1's failing members expand one extra hop, and both hops' new
+    nodes score into gv. Emission (the caller) keeps passing rows."""
+    cos_q = _COS.format(a="em.embedding", b="qe.q")
+    pas = f"(em.label = (SELECT label FROM {source} WHERE vec_id = {qid}))"
+    ctes = [
+        f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM {source} WHERE vec_id = {qid})",
+        f"ent AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
+        f"""gseed AS (
+  SELECT vec_id FROM ent
+  UNION
+  SELECT h.vec_id FROM ghubs h
+  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid})
+    AND h.vec_id <> {qid})""",
+        f"""gv0 AS (
+  SELECT em.vec_id, {cos_q} AS sim, {pas} AS pass
+  FROM {source} em JOIN gseed s ON s.vec_id = em.vec_id
+  CROSS JOIN qe)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"gf{r} AS (SELECT vec_id FROM gv{p}"
+            f" ORDER BY pass DESC, sim DESC, vec_id LIMIT {beam})"
+        )
+        ctes.append(f"""n1_{r} AS (
+  SELECT DISTINCT ed.nbr AS vec_id FROM gedges ed
+  JOIN gf{r} f ON ed.src = f.vec_id
+  WHERE ed.nbr <> {qid}
+    AND ed.nbr NOT IN (SELECT vec_id FROM gv{p}))""")
+        ctes.append(f"""s1_{r} AS (
+  SELECT em.vec_id, {cos_q} AS sim, {pas} AS pass
+  FROM {source} em JOIN n1_{r} n ON n.vec_id = em.vec_id
+  CROSS JOIN qe)""")
+        ctes.append(f"f1_{r} AS (SELECT vec_id FROM s1_{r} WHERE NOT pass)")
+        ctes.append(f"""n2_{r} AS (
+  SELECT DISTINCT ed.nbr AS vec_id FROM gedges ed
+  JOIN f1_{r} f ON ed.src = f.vec_id
+  WHERE ed.nbr <> {qid}
+    AND ed.nbr NOT IN (SELECT vec_id FROM gv{p})
+    AND ed.nbr NOT IN (SELECT vec_id FROM n1_{r}))""")
+        ctes.append(f"""s2_{r} AS (
+  SELECT em.vec_id, {cos_q} AS sim, {pas} AS pass
+  FROM {source} em JOIN n2_{r} n ON n.vec_id = em.vec_id
+  CROSS JOIN qe)""")
+        ctes.append(f"""gv{r} AS (
+  SELECT vec_id, sim, pass FROM gv{p}
+  UNION
+  SELECT vec_id, sim, pass FROM s1_{r}
+  UNION
+  SELECT vec_id, sim, pass FROM s2_{r})""")
+    return ctes
+
+
+def _ann_graph_acorn_sql(
+    qid: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Predicate-aware filtered graph twin (graph_ann.py
+    ann_graph_acorn_topk): graph construction identical to the solo
+    twin; the beam unroll is the ACORN chain (pass-first frontier +
+    failing-neighbor second hop); emission keeps passing rows only."""
+    ctes = _graph_build_ctes(degree, hub_degree, iters)
+    ctes += _graph_acorn_search_ctes(qid, beam, rounds)
+    mat = set(_GRAPH_MAT) | {"gseed"}
+    for r in range(rounds + 1):
+        mat.add(f"gv{r}")
+    for r in range(1, rounds + 1):
+        mat |= {f"n1_{r}", f"s1_{r}", f"f1_{r}", f"n2_{r}", f"s2_{r}"}
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM gv{rounds} WHERE pass) WHERE rank <= {k}
 ORDER BY rank
 """
     )
@@ -4240,6 +4338,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         "knn_join_ivf_topk": _knn_join_ivf_sql(),
         "ann_graph_topk": _ann_graph_sql(),
         "ann_graph_recursive_topk": _ann_graph_recursive_sql(),
+        "ann_graph_acorn_topk": _ann_graph_acorn_sql(),
         "ann_graph_batch_topk": _ann_graph_batch_sql(),
         "ann_graph_tombstone_topk": _ann_graph_tomb_sql(),
         "ann_graph_vacuumed_topk": _ann_graph_vac_sql(),

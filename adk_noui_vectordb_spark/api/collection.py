@@ -457,22 +457,16 @@ class Collection:
             gver = delete_from_graph_index(self.spark, scratch, removed)
         return gver
 
-    def _graph_beam_batch(
-        self, gver: str, qvecs: list, beam: int, rounds: int
-    ) -> list:
-        """Beam searches for M RAW query vectors with FUSED IO (the
-        ann_graph_batch_topk discipline): ONE job assigns every query
-        to its coarse cell (assign_to_centroids — the build's 6-dp
-        argmin in its original Catalyst form), ONE fused read resolves
-        the distinct cells' hubs, and each round issues one edges
-        point-read for the union of all frontiers plus one vecs fetch
-        for the union of unseen candidates. Per-query visited state is
-        untouched, so each query's evolution equals its solo run
-        (ann_graph_batch_topk's pinned property). Seeds = the md5-min
-        entry hub + the query's cell hub, NO self-exclusion — a stored
-        vector identical to a query surfaces at distance 0 (Chroma does
-        not exclude self-matches). Returns one {sid: 4-dp sim} per
-        query, in input order."""
+    def _graph_batch_state(self, gver: str, qvecs: list) -> tuple:
+        """The fused-IO prologue shared by the blind and the ACORN
+        facade beams: resolves the graph version's entry/cents (one
+        memoized collect), assigns every query to its coarse cell (ONE
+        job), resolves the distinct cells' hubs (one fused member read
+        + one fused hubmap point-read), and returns
+        (fetch_vecs, fetch_adj, visited) — visited pre-seeded with each
+        query's scored seeds (md5-min entry hub + its cell hub, NO
+        self-exclusion: a stored vector identical to a query surfaces
+        at distance 0, Chroma semantics)."""
         from ..memo import session_memo
         from ..operators.ann import IVF_ASSIGN_SCHEMA
         from ..operators.ann import VECS_SCHEMA as GV_SCHEMA
@@ -572,25 +566,49 @@ class Collection:
             {s: _sim4(q, first[s]) for s in seeds if s in first}
             for q, seeds in zip(qvecs, seeds_per_q)
         ]
+        edges_path = os.path.join(gver, "edges")
+
+        def fetch_adj(srcs) -> dict:
+            """One fused edges point-read: {src: {nbr, ...}}."""
+            srcs = sorted(srcs)
+            if not srcs:
+                return {}
+            sbs = sorted({vec_bucket_py(s) for s in srcs})
+            adj: dict = {}
+            for r in (
+                self.spark.read.schema(GRAPH_EDGES_SCHEMA)
+                .parquet(edges_path)
+                .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(srcs))
+                .select("src", "nbr")
+                .collect()
+            ):
+                adj.setdefault(r["src"], set()).add(r["nbr"])
+            return adj
+
+        return fetch_vecs, fetch_adj, visited
+
+    def _graph_beam_batch(
+        self, gver: str, qvecs: list, beam: int, rounds: int
+    ) -> list:
+        """Beam searches for M RAW query vectors with FUSED IO (the
+        ann_graph_batch_topk discipline): each round issues one edges
+        point-read for the union of all frontiers plus one vecs fetch
+        for the union of unseen candidates (prologue jobs:
+        ``_graph_batch_state``). Per-query visited state is untouched,
+        so each query's evolution equals its solo run
+        (ann_graph_batch_topk's pinned property). Returns one
+        {sid: 4-dp sim} per query, in input order."""
+        from ..operators.graph_ann import _sim4
+
+        fetch_vecs, fetch_adj, visited = self._graph_batch_state(gver, qvecs)
         frontier = [
             sorted(v, key=lambda x: (-v[x], x))[:beam] for v in visited
         ]
-        edges_path = os.path.join(gver, "edges")
         for _ in range(rounds):
-            all_srcs = sorted({s for fr in frontier for s in fr})
+            all_srcs = {s for fr in frontier for s in fr}
             if not all_srcs:
                 break
-            sbs = sorted({vec_bucket_py(s) for s in all_srcs})
-            adj_rows = (
-                self.spark.read.schema(GRAPH_EDGES_SCHEMA)
-                .parquet(edges_path)
-                .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(all_srcs))
-                .select("src", "nbr")
-                .collect()
-            )
-            adj: dict = {}
-            for r in adj_rows:
-                adj.setdefault(r["src"], set()).add(r["nbr"])
+            adj = fetch_adj(all_srcs)
             new_per_q = [
                 {n for s in frontier[qi] for n in adj.get(s, ())}
                 - set(visited[qi])
@@ -608,6 +626,73 @@ class Collection:
                     visited[qi], key=lambda x: (-visited[qi][x], x)
                 )[:beam]
         return visited
+
+    def _graph_beam_batch_acorn(
+        self, gver: str, qvecs: list, beam: int, rounds: int, pass_of
+    ) -> "tuple[list, set]":
+        """Predicate-aware facade beams (VERDICT r12 next #4, after
+        ACORN SIGMOD'24 — the graph_ann.py _beam_visited_acorn rule
+        with this facade's fused IO): per query, the frontier ranks
+        PASSING visited nodes first (failing ones fill only when
+        passing are scarce), and hop-1's failing members get their own
+        neighbors expanded (hop 2) — so a selective ``where`` keeps
+        recall instead of thinning an oblivious pool (BASELINE.md r12b:
+        0.15 at 10% selectivity). Per round: two fused edges
+        point-reads (frontiers; failing hop-1), one fused pass lookup
+        on the filtered meta (mbucket-pruned), one fused vecs fetch —
+        ~2× the blind beam's IO, the documented opt-in cost. Returns
+        (visited list, passing sid set)."""
+        from ..operators.graph_ann import _sim4
+
+        fetch_vecs, fetch_adj, visited = self._graph_batch_state(gver, qvecs)
+        passing: set = set(pass_of({s for v in visited for s in v}))
+        for _ in range(rounds):
+            frontier = [
+                sorted(
+                    v, key=lambda x: (x not in passing, -v[x], x)
+                )[:beam]
+                for v in visited
+            ]
+            all_srcs = {s for fr in frontier for s in fr}
+            if not all_srcs:
+                break
+            adj = fetch_adj(all_srcs)
+            new1_per_q = [
+                {n for s in frontier[qi] for n in adj.get(s, ())}
+                - set(visited[qi])
+                for qi in range(len(qvecs))
+            ]
+            need1 = set().union(*new1_per_q) if new1_per_q else set()
+            pass1 = set(pass_of(need1 - passing)) if need1 else set()
+            passing |= pass1
+            # hop 2 through the failing hop-1 members, fused across
+            # queries (each query only adopts hop-2 nodes reached
+            # through ITS OWN failing neighbors — per-query state stays
+            # solo-equivalent)
+            fail_per_q = [
+                {n for n in new1_per_q[qi] if n not in passing}
+                for qi in range(len(qvecs))
+            ]
+            all_fail = set().union(*fail_per_q) if fail_per_q else set()
+            adj2 = fetch_adj(all_fail)
+            new2_per_q = [
+                {n for s in fail_per_q[qi] for n in adj2.get(s, ())}
+                - set(visited[qi])
+                - new1_per_q[qi]
+                for qi in range(len(qvecs))
+            ]
+            need2 = set().union(*new2_per_q) if new2_per_q else set()
+            pass2 = set(pass_of(need2 - passing)) if need2 else set()
+            passing |= pass2
+            need = need1 | need2
+            if not need:
+                break
+            vm = fetch_vecs(need)
+            for qi, q in enumerate(qvecs):
+                for vid in new1_per_q[qi] | new2_per_q[qi]:
+                    if vid in vm:
+                        visited[qi][vid] = _sim4(q, vm[vid])
+        return visited, passing
 
     def _band_rows_for(self, e: DataFrame, dim: int) -> DataFrame:
         """The RP banding kernel at this collection's dim (the module
@@ -1653,6 +1738,7 @@ class Collection:
         prefilter_threshold: int = 10_000,
         graph_beam: int = 8,
         graph_rounds: int = 3,
+        graph_predicate_expansion: bool = False,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
         literal partition predicates), vecs-store cosine rerank, DSL
@@ -1793,17 +1879,53 @@ class Collection:
             # measured curve lives in tools/collection_recall_sweep.py
             # + BASELINE.md
             gver = self._graph_sidecar(cur)
-            pools = self._graph_beam_batch(
-                gver,
-                [[float(x) for x in mat[qi]] for qi in range(mat.shape[0])],
-                beam=graph_beam,
-                rounds=graph_rounds,
-            )
-            rows = [
-                (qi, int(sid))
-                for qi, visited in enumerate(pools)
-                for sid in sorted(visited)
+            qlist = [
+                [float(x) for x in mat[qi]] for qi in range(mat.shape[0])
             ]
+            if graph_predicate_expansion and has_filter:
+                # opt-in ACORN traversal: the compiled where predicate
+                # steers the frontier and failing neighbors expand an
+                # extra hop (see _graph_beam_batch_acorn); pass lookups
+                # are mbucket-pruned point reads of the FILTERED meta
+                fmeta = meta
+
+                def pass_of(ids) -> set:
+                    ids = sorted(ids)
+                    if not ids:
+                        return set()
+                    mb = sorted({_mbucket_py(s) for s in ids})
+                    return {
+                        r["vec_id"]
+                        for r in fmeta.filter(
+                            F.col("mbucket").isin(mb)
+                            & F.col("vec_id").isin(ids)
+                        )
+                        .select("vec_id")
+                        .collect()
+                    }
+
+                pools, passing = self._graph_beam_batch_acorn(
+                    gver,
+                    qlist,
+                    beam=graph_beam,
+                    rounds=graph_rounds,
+                    pass_of=pass_of,
+                )
+                rows = [
+                    (qi, int(sid))
+                    for qi, visited in enumerate(pools)
+                    for sid in sorted(visited)
+                    if sid in passing
+                ]
+            else:
+                pools = self._graph_beam_batch(
+                    gver, qlist, beam=graph_beam, rounds=graph_rounds
+                )
+                rows = [
+                    (qi, int(sid))
+                    for qi, visited in enumerate(pools)
+                    for sid in sorted(visited)
+                ]
             cand = self.spark.createDataFrame(
                 rows, "query_idx int, vec_id bigint"
             )

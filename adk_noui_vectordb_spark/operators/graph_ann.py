@@ -1363,6 +1363,178 @@ def ann_graph_filtered_topk(
     )
 
 
+def _beam_visited_acorn(
+    spark: SparkSession,
+    cur: str,
+    query_vec_id: int,
+    beam: int,
+    rounds: int,
+    pass_of,
+) -> "tuple[dict, set]":
+    """ACORN-style predicate-aware beam (VERDICT r12 next #4, after
+    ACORN, SIGMOD'24): the emission-filtered blind beam collapses on
+    selective predicates (BASELINE.md r12b: recall 0.15 at 10%
+    selectivity on the mild fixture) because the visited pool fills
+    with high-sim FAILING nodes. This variant searches the subgraph
+    induced on PASSING nodes while keeping failing nodes as BRIDGES:
+
+    - frontier: the top-``beam`` visited nodes with passing nodes
+      ranked FIRST (fail-visited fill the remainder only when passing
+      nodes are scarce — early rounds);
+    - expansion: the frontier's neighbors (hop 1), PLUS the neighbors
+      of hop-1's FAILING members (hop 2 — ACORN-1's
+      neighbors-of-neighbors rule, which restores the reachability the
+      induced subgraph loses when a bridge fails the predicate);
+    - the predicate is consulted through ``pass_of(ids) -> passing
+      subset`` — one bounded point read per round, the traversal's
+      structure (edges, sims, tie-breaks) stays untouched.
+
+    Per-round state stays bounded: ≤ beam + beam·degree expansion
+    sources, ≤ beam·degree² new candidates — corpus-size-independent
+    like the blind beam, at ~2× its point reads (the documented cost
+    of the opt-in). Returns (visited {vec_id: 4-dp sim}, passing ids
+    among visited); emission takes top-k of the passing subset."""
+    from ..memo import session_memo
+
+    entry_rows = session_memo(
+        spark,
+        cur,
+        "graph_entry_rows",
+        lambda: (
+            spark.read.schema(GRAPH_ENTRY_SCHEMA)
+            .parquet(os.path.join(cur, "entry"))
+            .orderBy("rk")
+            .collect()
+        ),
+    )
+    entry = next(
+        (r["vec_id"] for r in entry_rows if r["vec_id"] != query_vec_id), None
+    )
+    if entry is None:
+        raise ValueError("graph index has no usable entry hub")
+    vecs_path = os.path.join(cur, "vecs")
+    edges_path = os.path.join(cur, "edges")
+
+    def fetch_vecs(ids) -> dict:
+        ids = sorted(ids)
+        vbs = sorted({vec_bucket_py(i) for i in ids})
+        rows = (
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(vecs_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id", "emb")
+            .collect()
+        )
+        return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
+
+    def fetch_nbrs(srcs) -> set:
+        if not srcs:
+            return set()
+        sbs = sorted({vec_bucket_py(i) for i in srcs})
+        rows = (
+            spark.read.schema(GRAPH_EDGES_SCHEMA)
+            .parquet(edges_path)
+            .filter(
+                F.col("sbucket").isin(sbs) & F.col("src").isin(sorted(srcs))
+            )
+            .select("nbr")
+            .distinct()
+            .collect()
+        )
+        return {r["nbr"] for r in rows}
+
+    hub_row = (
+        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
+        .parquet(os.path.join(cur, "hubmap"))
+        .filter(
+            (F.col("vbucket") == vec_bucket_py(query_vec_id))
+            & (F.col("vec_id") == query_vec_id)
+        )
+        .head()
+    )
+    seeds = [entry]
+    if hub_row is not None and hub_row["hub"] != query_vec_id:
+        seeds.append(hub_row["hub"])
+    first = fetch_vecs({query_vec_id, *seeds})
+    if query_vec_id not in first:
+        raise ValueError(f"query vec_id {query_vec_id} not in the index")
+    q = first[query_vec_id]
+    if not any(x != 0.0 for x in q):
+        raise ValueError("zero-norm query vector: cosine undefined")
+    visited = {s: _sim4(q, first[s]) for s in set(seeds)}
+    passing: set = set(pass_of(set(seeds)))
+    for _ in range(rounds):
+        ranked = sorted(
+            visited, key=lambda v: (v not in passing, -visited[v], v)
+        )
+        frontier = ranked[:beam]
+        nbrs1 = fetch_nbrs(frontier)
+        cand1 = nbrs1 - {query_vec_id}
+        new1 = cand1 - set(visited)
+        pass1 = set(pass_of(new1)) if new1 else set()
+        # hop 2 through hop-1's FAILING members (new this round — an
+        # already-visited failing node either was a frontier once or
+        # will be via the fill rule)
+        fail1 = new1 - pass1
+        nbrs2 = fetch_nbrs(fail1)
+        new2 = nbrs2 - set(visited) - new1 - {query_vec_id}
+        pass2 = set(pass_of(new2)) if new2 else set()
+        new_ids = new1 | new2
+        if not new_ids:
+            break
+        for vid, e in fetch_vecs(new_ids).items():
+            visited[vid] = _sim4(q, e)
+        passing |= pass1 | pass2
+    return visited, passing
+
+
+def ann_graph_acorn_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """Predicate-aware filtered graph serving (the opt-in counterpart
+    of ``ann_graph_filtered_topk``'s emission-only filter): same
+    same-label-as-the-query predicate, served by the ACORN beam — the
+    predicate steers the FRONTIER and failing neighbors get a
+    second-hop expansion, so selective filters keep recall instead of
+    thinning the pool. The default filtered key is untouched (the r11
+    opt-in lesson)."""
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = emb.filter(F.col("vec_id") == query_vec_id).head()["label"]
+
+    def pass_of(ids) -> set:
+        ids = sorted(ids)
+        if not ids:
+            return set()
+        rows = (
+            emb.filter(F.col("vec_id").isin(ids) & (F.col("label") == want))
+            .select("vec_id")
+            .collect()
+        )
+        return {r["vec_id"] for r in rows}
+
+    visited, passing = _beam_visited_acorn(
+        spark, cur, query_vec_id, beam, rounds, pass_of
+    )
+    top = [
+        (vid, s)
+        for vid, s in sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
+        if vid in passing
+    ][:k]
+    return spark.createDataFrame(
+        [(i + 1, vid, s) for i, (vid, s) in enumerate(top)],
+        "rank int, vec_id bigint, sim double",
+    )
+
+
 def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     """Graph-index integrity: the generic versioned-root checks plus
     the graph's own invariants — every edge endpoint has a vector,

@@ -79,6 +79,8 @@ BENCH_KEYS = [
     "ann_graph_tombstone_topk",
     "ann_graph_vacuumed_topk",
     "ann_graph_filtered_topk",
+    "ann_graph_recursive_topk",
+    "ann_graph_acorn_topk",
     "ann_binq_topk",
     "ann_binq_ivf_topk",
     "hybrid_weighted_topk",
@@ -217,6 +219,28 @@ def _calibration_run(spark) -> float:
     return round(best, 3)
 
 
+def _calibration_jobs_run(spark) -> float:
+    """Second machine-speed control (VERDICT r12 next #5): a FIXED
+    sequence of 20 one-task jobs (tiny range counts — no shuffle, no
+    input, nothing to compute). The CPU control above cannot see
+    scheduler/FS dimension weather — the gate family's recorded swings
+    (BASELINE.md r9d/r10-close/r12) move with JOB-LAUNCH latency, which
+    this control isolates: its runtime is ~pure driver→scheduler→
+    executor round-trip cost × 20. Attribution rule (BASELINE.md):
+    compare CPU-shaped keys against ``calibration`` drift and
+    many-small-jobs keys (gate prologues, point-read serving probes)
+    against ``calibration_jobs`` drift; a key that regresses on BOTH
+    normalizations is a real regression."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(20):
+            spark.range(i, i + 10, 1, 1).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -239,7 +263,12 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     calibration = _calibration_run(spark)
-    print(f"# calibration: {calibration:.3f}s", file=sys.stderr, flush=True)
+    calibration_jobs = _calibration_jobs_run(spark)
+    print(
+        f"# calibration: {calibration:.3f}s jobs: {calibration_jobs:.3f}s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     qs = entrymod.queries()
     prev = _previous_bench()
@@ -306,6 +335,7 @@ def main() -> None:
         "runs_per_query": RUNS,
         "agg": "min",
         "calibration": calibration,
+        "calibration_jobs": calibration_jobs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload, separators=(",", ":"))

@@ -1318,6 +1318,81 @@ def test_graph_sidecar_is_incremental_across_commits(spark, tmp_path):
     assert st3["scratch"] != st_before["scratch"]
 
 
+def test_graph_predicate_expansion_recall_under_selective_filter(
+    spark, tmp_path
+):
+    """VERDICT r12 next #4 done-criterion: the ACORN-style opt-in
+    (``graph_predicate_expansion=True``) holds facade graph recall ≥
+    0.9 at 10% where-selectivity on the MILD fixture — the regime where
+    the default emission-filtered pool collapses (0.34 on this config;
+    0.15 on the full sweep fixture, BASELINE.md r12b). Measured 1.00 at
+    graph_beam=16 (hnswlib's raise-ef-for-filters guidance); the
+    default path is asserted UNCHANGED (opt-in lesson, r11)."""
+    import numpy as np
+
+    from tools.make_clustered_embeddings import make
+
+    n, k_centers, sigma = 1000, 10, 0.25
+    base = str(tmp_path / "mild")
+    make(base, n, k_centers, sigma)
+    emb = np.array(
+        spark.read.parquet(base + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    grp = np.arange(n) % 10
+    coll = Collection(spark, str(tmp_path / "coll"))
+    coll.add(
+        spark.createDataFrame(
+            [
+                (f"v{i:05d}", [float(x) for x in emb[i]], f"doc {i}", int(grp[i]))
+                for i in range(n)
+            ],
+            "id string, embedding array<double>, document string, grp int",
+        )
+    )
+    rng = np.random.RandomState(7)
+    centers = np.random.RandomState(42).randn(k_centers, emb.shape[1])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    queries = centers + sigma * rng.randn(k_centers, emb.shape[1])
+    nrm = np.linalg.norm(emb, axis=1)
+    k, w = 10, {"grp": {"$in": [0]}}
+    idxs = [i for i in range(n) if grp[i] == 0]
+    a_hits = b_hits = tot = 0
+    for qi in range(8):
+        q = queries[qi]
+        cos = (emb @ q) / (nrm * np.linalg.norm(q))
+        truth = set(sorted(idxs, key=lambda i: (-round(cos[i], 4), i))[:k])
+        qv = [float(x) for x in q]
+        blind = {
+            int(r["id"][1:])
+            for r in coll.query(
+                qv, n_results=k, where=w, filter_strategy="graph"
+            ).collect()
+        }
+        acorn = {
+            int(r["id"][1:])
+            for r in coll.query(
+                qv,
+                n_results=k,
+                where=w,
+                filter_strategy="graph",
+                graph_predicate_expansion=True,
+                graph_beam=16,
+            ).collect()
+        }
+        a_hits += len(acorn & truth)
+        b_hits += len(blind & truth)
+        tot += k
+    assert a_hits / tot >= 0.9, a_hits / tot
+    # the default path is untouched: still the collapsed blind pool
+    # (deterministic 0.34 on this seeded config)
+    assert b_hits / tot <= 0.5, b_hits / tot
+
+
 def test_graph_strategy_refuses_non_cosine_spaces(spark, tmp_path):
     """The graph's edges and beam scoring are cosine-built; an l2/ip
     ranking routed through a cosine graph is the r10 metric-mismatch

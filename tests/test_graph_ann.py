@@ -129,6 +129,60 @@ def test_graph_default_build_stays_single_allpairs_level(spark, sf_dir):
     assert stats["hub_allpairs_max"] == ga.GRAPH_HUB_ALLPAIRS_MAX
 
 
+def test_graph_acorn_filtered_beats_blind_emission_filter(spark, tight):
+    """ACORN predicate-aware traversal (VERDICT r12 next #4): on the
+    clustered fixture with the same-label predicate (selectivity 0.1),
+    the pass-first frontier + failing-neighbor second hop returns a
+    FULL k of matches with recall >= the emission-filtered blind pool's
+    on every query, and emits only matching rows."""
+    base, emb = tight
+    lab = spark.read.parquet(base + "/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    label_of = {r["vec_id"]: r["label"] for r in lab.collect()}
+    for qid in (0, 3):
+        want = label_of[qid]
+        truth = set(
+            sorted(
+                (
+                    i
+                    for i in range(len(emb))
+                    if i != qid and label_of[i] == want
+                ),
+                key=lambda i: (
+                    -round(
+                        float(
+                            np.dot(emb[i], emb[qid])
+                            / (
+                                np.linalg.norm(emb[i])
+                                * np.linalg.norm(emb[qid])
+                            )
+                        ),
+                        4,
+                    ),
+                    i,
+                ),
+            )[:10]
+        )
+        acorn = [
+            tuple(r)
+            for r in ga.ann_graph_acorn_topk(
+                spark, base, query_vec_id=qid, k=10
+            ).collect()
+        ]
+        blind = {
+            r["vec_id"]
+            for r in ga.ann_graph_filtered_topk(
+                spark, base, query_vec_id=qid, k=10
+            ).collect()
+        }
+        got = {vid for _rk, vid, _s in acorn}
+        assert len(acorn) == 10
+        assert all(label_of[vid] == want for vid in got)
+        assert len(got & truth) >= len(blind & truth), (qid, got, blind)
+        assert len(got & truth) / 10 >= 0.9, (qid, len(got & truth))
+
+
 def test_graph_index_fsck_invariants(spark, sf_dir):
     checks = ga.fsck_graph_index(spark, sf_dir)
     bad = [c for c in checks if not c[1]]

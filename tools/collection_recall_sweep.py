@@ -84,7 +84,10 @@ def run(n: int = 2000, k_centers: int = 20, sigma: float = 0.25) -> None:
         sel = m_groups / 10.0
         where = {"grp": {"$in": list(range(m_groups))}} if m_groups < 10 else None
         mask = grp < m_groups
-        for arm in ("probe0", "probe1", "graph"):
+        arms = ("probe0", "probe1", "graph", "acorn", "acorn_b16")
+        for arm in arms:
+            if arm.startswith("acorn") and where is None:
+                continue  # predicate expansion needs a predicate
             hits = tot = 0
             n_cands = []
             for qi in range(k_centers):
@@ -94,11 +97,19 @@ def run(n: int = 2000, k_centers: int = 20, sigma: float = 0.25) -> None:
                 ids = np.arange(n)[mask]
                 order = sorted(ids, key=lambda i: (-cos_r[i], f"v{i:05d}"))
                 truth = {f"v{i:05d}" for i in order[:k]}
-                kwargs = (
-                    {"filter_strategy": "graph"}
-                    if arm == "graph"
-                    else {"multiprobe_hamming": int(arm[-1])}
-                )
+                if arm == "graph":
+                    kwargs = {"filter_strategy": "graph"}
+                elif arm.startswith("acorn"):
+                    # the r13 ACORN opt-in (predicate steers the beam);
+                    # _b16 is the raise-ef-for-filters budget variant
+                    kwargs = {
+                        "filter_strategy": "graph",
+                        "graph_predicate_expansion": True,
+                    }
+                    if arm.endswith("b16"):
+                        kwargs["graph_beam"] = 16
+                else:
+                    kwargs = {"multiprobe_hamming": int(arm[-1])}
                 got = coll.query(
                     [float(x) for x in q],
                     n_results=k,
