@@ -96,6 +96,9 @@ KEYS = {
     "ann_graph_tombstone_topk": "embeddings",
     "ann_graph_vacuumed_topk": "embeddings",
     "ann_graph_filtered_topk": "embeddings",
+    # r13 additions
+    "ann_graph_recursive_topk": "embeddings",
+    "ann_graph_acorn_topk": "embeddings",
     "binq_hamming_topk": "embeddings",
     "ann_binq_ivf_topk": "embeddings",
     "ann_binq_topk": "embeddings",
