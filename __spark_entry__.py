@@ -800,6 +800,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_query_graph_batch_topk": (
             _coll.collection_query_graph_batch_topk
         ),
+        # r13: opt-in ACORN traversal through the facade — a selective
+        # where steers the fused beam (pass-first frontier + failing-
+        # neighbor second hop) at the measured graph_beam=16 budget
+        "collection_query_graph_acorn_topk": (
+            _coll.collection_query_graph_acorn_topk
+        ),
         "collection_get_where": _coll.collection_get_where,
         # r11: keyset pagination through the facade (after_id cursor —
         # the BM25 search_after discipline on the metadata store)
@@ -2234,6 +2240,111 @@ _GCOLL_CTE = """gcoll AS (
               AS BIGINT) AS vec_id,
          e.embedding, e.vec_id AS doc_id
   FROM embeddings e)"""
+
+
+def _coll_graph_acorn_ctes(
+    qid: int, beam: int, rounds: int, where_sql: str
+) -> list:
+    """The facade ACORN beam unroll (api/collection.py
+    _graph_beam_batch_acorn, M=1): gv rows carry ``pass`` = the
+    surrogate row's document satisfies the where (``cpass``); frontier
+    ranks passing first; failing hop-1 members expand one extra hop.
+    No qid exclusion (raw query vector, Chroma self-match semantics)."""
+    cos_q = _COS.format(a="em.embedding", b="qe.q")
+    ctes = [
+        f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f" FROM gcoll WHERE vec_id = {qid})",
+        "gent AS (SELECT vec_id FROM ghubs"
+        " ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
+        f"""gseed AS (
+  SELECT vec_id FROM gent
+  UNION
+  SELECT h.vec_id FROM ghubs h
+  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid}))""",
+        f"""cpass AS (
+  SELECT g.vec_id FROM gcoll g
+  JOIN documents d ON d.doc_id = g.doc_id
+  WHERE {where_sql})""",
+        f"""gv0 AS (
+  SELECT em.vec_id, {cos_q} AS sim,
+         em.vec_id IN (SELECT vec_id FROM cpass) AS pass
+  FROM gcoll em JOIN gseed s ON s.vec_id = em.vec_id
+  CROSS JOIN qe)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"gf{r} AS (SELECT vec_id FROM gv{p}"
+            f" ORDER BY pass DESC, sim DESC, vec_id LIMIT {beam})"
+        )
+        ctes.append(f"""n1_{r} AS (
+  SELECT DISTINCT ed.nbr AS vec_id FROM gedges ed
+  JOIN gf{r} f ON ed.src = f.vec_id
+  WHERE ed.nbr NOT IN (SELECT vec_id FROM gv{p}))""")
+        ctes.append(f"""s1_{r} AS (
+  SELECT em.vec_id, {cos_q} AS sim,
+         em.vec_id IN (SELECT vec_id FROM cpass) AS pass
+  FROM gcoll em JOIN n1_{r} n ON n.vec_id = em.vec_id
+  CROSS JOIN qe)""")
+        ctes.append(f"f1_{r} AS (SELECT vec_id FROM s1_{r} WHERE NOT pass)")
+        ctes.append(f"""n2_{r} AS (
+  SELECT DISTINCT ed.nbr AS vec_id FROM gedges ed
+  JOIN f1_{r} f ON ed.src = f.vec_id
+  WHERE ed.nbr NOT IN (SELECT vec_id FROM gv{p})
+    AND ed.nbr NOT IN (SELECT vec_id FROM n1_{r}))""")
+        ctes.append(f"""s2_{r} AS (
+  SELECT em.vec_id, {cos_q} AS sim,
+         em.vec_id IN (SELECT vec_id FROM cpass) AS pass
+  FROM gcoll em JOIN n2_{r} n ON n.vec_id = em.vec_id
+  CROSS JOIN qe)""")
+        ctes.append(f"""gv{r} AS (
+  SELECT vec_id, sim, pass FROM gv{p}
+  UNION
+  SELECT vec_id, sim, pass FROM s1_{r}
+  UNION
+  SELECT vec_id, sim, pass FROM s2_{r})""")
+    return ctes
+
+
+def _collection_graph_acorn_sql(
+    doc_qid: int = 0,
+    k: int = 10,
+    beam: int = 16,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Facade ACORN twin (api/collection.py
+    collection_query_graph_acorn_topk): surrogate-keyspace graph
+    construction as the blind facade twin, the pass-flagged ACORN beam
+    at the raise-ef budget, emission = passing pool under the same
+    where, facade distance contract."""
+    where_sql = _wdsl.where_to_sql({"lang": {"$eq": "fr"}})
+    qid = _coll._sid_py(f"doc-{doc_qid}")
+    ctes = [_GCOLL_CTE]
+    ctes += _graph_build_ctes(degree, hub_degree, iters, source="gcoll")
+    ctes += _coll_graph_acorn_ctes(qid, beam, rounds, where_sql)
+    mat = set(_GRAPH_MAT) | {"gcoll", "gseed", "cpass"}
+    for r in range(rounds + 1):
+        mat.add(f"gv{r}")
+    for r in range(1, rounds + 1):
+        mat |= {f"n1_{r}", f"s1_{r}", f"f1_{r}", f"n2_{r}", f"s2_{r}"}
+    ctes = _mat_ctes(ctes, mat)
+    dist = "1 - " + _COS.format(a="g.embedding", b="qe.q")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT 'doc-' || CAST(g.doc_id AS VARCHAR) AS id,
+       {dist} AS distance, d.lang
+FROM gv{rounds} v
+JOIN gcoll g ON g.vec_id = v.vec_id
+JOIN documents d ON d.doc_id = g.doc_id
+CROSS JOIN qe
+WHERE v.pass AND {where_sql}
+ORDER BY distance ASC, id ASC
+LIMIT {k}
+"""
+    )
 
 
 def _collection_graph_sql(
@@ -4183,6 +4294,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         # keeps self-matches. Filter trees render from the api module's
         # shared constants.
         "collection_query_graph_topk": _collection_graph_sql(),
+        "collection_query_graph_acorn_topk": _collection_graph_acorn_sql(),
         "collection_query_graph_batch_topk": _collection_graph_batch_sql(),
         "collection_query_topk": f"""
 WITH {_RP_BANDS_CTE},

@@ -2284,6 +2284,36 @@ def collection_query_graph_topk(
     ).select("id", "distance", "lang", "n_chars")
 
 
+def collection_query_graph_acorn_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """``collection.query`` with the opt-in ACORN traversal (r13): a
+    selective where (lang='fr', ~14% of the demo collection) steers the
+    beam — passing nodes rank first in the frontier and failing hop-1
+    neighbors expand one extra hop — at the measured
+    raise-ef-for-filters budget (graph_beam=16, BASELINE.md r13). The
+    oracle replays the pass-flagged fused beam over the surrogate
+    keyspace; default (expansion-off) facade behavior is pinned
+    unchanged elsewhere."""
+    from ..sources.tables import load_table
+
+    coll = demo_collection(spark, sf_dir)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .head()
+    )
+    return coll.query(
+        [float(x) for x in q["e"]],
+        n_results=k,
+        where={"lang": {"$eq": "fr"}},
+        filter_strategy="graph",
+        graph_predicate_expansion=True,
+        graph_beam=16,
+    ).select("id", "distance", "lang")
+
+
 def collection_query_graph_batch_topk(
     spark: SparkSession,
     sf_dir: str,
