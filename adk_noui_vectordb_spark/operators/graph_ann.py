@@ -1606,6 +1606,33 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     )
     unmapped = vecs.join(hubmap.select("vec_id"), "vec_id", "left_anti").count()
     out.append(("every_vector_hub_mapped", unmapped == 0, f"unmapped={unmapped}"))
+    # the r13 no-large-all-pairs invariant, checked from the frozen
+    # witness: every hub-mesh level above the gate must have been
+    # cell-blocked (only the final level may be all-pairs), levels must
+    # strictly shrink (termination). Older builds without the key pass
+    # vacuously (they predate the recursion).
+    import json as _json0
+
+    stats_p = os.path.join(cur, "build_stats.json")
+    levels, apm = [], None
+    if os.path.exists(stats_p):
+        with open(stats_p) as f:
+            st = _json0.load(f)
+        levels = st.get("hub_mesh_levels", [])
+        apm = st.get("hub_allpairs_max")
+    mesh_ok = (not levels) or (
+        apm is not None
+        and all(c > apm for c in levels[:-1])
+        and levels[-1] <= apm
+        and all(a > b for a, b in zip(levels, levels[1:]))
+    )
+    out.append(
+        (
+            "hub_mesh_levels_sound",
+            mesh_ok,
+            f"levels={levels} gate={apm}",
+        )
+    )
     # coarse drift (the IVF-family advisory on the graph's own frozen
     # structure): inserts assign under build-time centroids/hubs, so
     # residual growth or cell skew vs the frozen build_stats baseline
