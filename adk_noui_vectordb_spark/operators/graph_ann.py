@@ -1369,7 +1369,7 @@ def _beam_visited_acorn(
     query_vec_id: int,
     beam: int,
     rounds: int,
-    pass_of,
+    fetch_scored,
 ) -> "tuple[dict, set]":
     """ACORN-style predicate-aware beam (VERDICT r12 next #4, after
     ACORN, SIGMOD'24): the emission-filtered blind beam collapses on
@@ -1385,9 +1385,12 @@ def _beam_visited_acorn(
       of hop-1's FAILING members (hop 2 — ACORN-1's
       neighbors-of-neighbors rule, which restores the reachability the
       induced subgraph loses when a bridge fails the predicate);
-    - the predicate is consulted through ``pass_of(ids) -> passing
-      subset`` — one bounded point read per round, the traversal's
-      structure (edges, sims, tie-breaks) stays untouched.
+    - the predicate rides the vector fetch: ``fetch_scored(ids) ->
+      {id: (emb, passes)}`` resolves embedding AND predicate in ONE
+      bounded point read (r13 bench: a separate pass lookup per hop
+      made this the family's priciest key — fused, each round is two
+      edges reads + two scored fetches), the traversal's structure
+      (edges, sims, tie-breaks) stays untouched.
 
     Per-round state stays bounded: ≤ beam + beam·degree expansion
     sources, ≤ beam·degree² new candidates — corpus-size-independent
@@ -1412,20 +1415,7 @@ def _beam_visited_acorn(
     )
     if entry is None:
         raise ValueError("graph index has no usable entry hub")
-    vecs_path = os.path.join(cur, "vecs")
     edges_path = os.path.join(cur, "edges")
-
-    def fetch_vecs(ids) -> dict:
-        ids = sorted(ids)
-        vbs = sorted({vec_bucket_py(i) for i in ids})
-        rows = (
-            spark.read.schema(VECS_SCHEMA)
-            .parquet(vecs_path)
-            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "emb")
-            .collect()
-        )
-        return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
     def fetch_nbrs(srcs) -> set:
         if not srcs:
@@ -1455,36 +1445,35 @@ def _beam_visited_acorn(
     seeds = [entry]
     if hub_row is not None and hub_row["hub"] != query_vec_id:
         seeds.append(hub_row["hub"])
-    first = fetch_vecs({query_vec_id, *seeds})
+    first = fetch_scored({query_vec_id, *seeds})
     if query_vec_id not in first:
         raise ValueError(f"query vec_id {query_vec_id} not in the index")
-    q = first[query_vec_id]
+    q = first[query_vec_id][0]
     if not any(x != 0.0 for x in q):
         raise ValueError("zero-norm query vector: cosine undefined")
-    visited = {s: _sim4(q, first[s]) for s in set(seeds)}
-    passing: set = set(pass_of(set(seeds)))
+    visited = {s: _sim4(q, first[s][0]) for s in set(seeds)}
+    passing: set = {s for s in set(seeds) if first[s][1]}
     for _ in range(rounds):
         ranked = sorted(
             visited, key=lambda v: (v not in passing, -visited[v], v)
         )
         frontier = ranked[:beam]
         nbrs1 = fetch_nbrs(frontier)
-        cand1 = nbrs1 - {query_vec_id}
-        new1 = cand1 - set(visited)
-        pass1 = set(pass_of(new1)) if new1 else set()
+        new1 = nbrs1 - {query_vec_id} - set(visited)
+        got1 = fetch_scored(new1) if new1 else {}
         # hop 2 through hop-1's FAILING members (new this round — an
         # already-visited failing node either was a frontier once or
         # will be via the fill rule)
-        fail1 = new1 - pass1
+        fail1 = {i for i in new1 if not got1[i][1]}
         nbrs2 = fetch_nbrs(fail1)
         new2 = nbrs2 - set(visited) - new1 - {query_vec_id}
-        pass2 = set(pass_of(new2)) if new2 else set()
-        new_ids = new1 | new2
-        if not new_ids:
+        got2 = fetch_scored(new2) if new2 else {}
+        if not new1 and not new2:
             break
-        for vid, e in fetch_vecs(new_ids).items():
+        for vid, (e, ok) in {**got1, **got2}.items():
             visited[vid] = _sim4(q, e)
-        passing |= pass1 | pass2
+            if ok:
+                passing.add(vid)
     return visited, passing
 
 
@@ -1510,19 +1499,29 @@ def ann_graph_acorn_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     want = emb.filter(F.col("vec_id") == query_vec_id).head()["label"]
 
-    def pass_of(ids) -> set:
+    def fetch_scored(ids) -> dict:
+        # ONE bounded point read resolves vector AND predicate (at
+        # 100 TB the label rides the index like the facade's meta
+        # sidecar; here it is vec_id-pushdown over the bounded set)
         ids = sorted(ids)
         if not ids:
-            return set()
+            return {}
         rows = (
-            emb.filter(F.col("vec_id").isin(ids) & (F.col("label") == want))
-            .select("vec_id")
+            emb.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+                (F.col("label") == want).alias("ok"),
+            )
             .collect()
         )
-        return {r["vec_id"] for r in rows}
+        return {
+            r["vec_id"]: ([float(x) for x in r["e"]], bool(r["ok"]))
+            for r in rows
+        }
 
     visited, passing = _beam_visited_acorn(
-        spark, cur, query_vec_id, beam, rounds, pass_of
+        spark, cur, query_vec_id, beam, rounds, fetch_scored
     )
     top = [
         (vid, s)
