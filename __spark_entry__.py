@@ -732,6 +732,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: n-gram-granularity exact-substring dedup analysis
         # (Lee et al. 2021, arXiv:2107.06499)
         "dedup_repeated_ngrams": _dedup.dedup_repeated_ngrams,
+        # r13: the rewrite form — duplicated spans actually removed
+        # (keeper = md5-min occurrence), content hash of the clean doc
+        "dedup_substring_rewrite": _dedup.dedup_substring_rewrite,
         # indexing pipeline over the derived corpus (SURVEY.md §2.2/2.4/2.9, §3.1)
         "project_searchable_text": _idx.project_searchable_text,
         "project_element_ids": _idx.project_element_ids,
@@ -3854,6 +3857,46 @@ SELECT t.doc_id,
        CAST((2 * coalesce(h.n_dup, 0) * 1000000 + t.n_ngrams)
             // (2 * t.n_ngrams) AS BIGINT) AS dup_per_million
 FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+""",
+        # r13: exact-substring dedup REWRITE (Lee et al. 2021) — the
+        # masked-window/keeper semantics of dedup.py
+        # dedup_substring_rewrite, token reassembly via ORDER BY q
+        "dedup_substring_rewrite": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+    SELECT doc_id, p.p AS p,
+           md5(array_to_string(w[p.p:p.p+7], ' ')) AS gh,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p.p AS VARCHAR))
+             || ':' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+             || ':' || lpad(CAST(p.p AS VARCHAR), 6, '0') AS okey
+    FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS p) p
+    WHERE len(w) >= 8
+),
+stats AS (SELECT gh, count(*) AS cnt, min(okey) AS keeper FROM occ GROUP BY gh),
+masked AS (
+    SELECT DISTINCT o.doc_id, q.q AS q
+    FROM occ o JOIN stats s USING (gh),
+         LATERAL (SELECT unnest(generate_series(o.p, o.p + 7)) AS q) q
+    WHERE s.cnt >= 2 AND o.okey <> s.keeper
+),
+toks AS (
+    SELECT doc_id, i.i AS q, w[i.i] AS tok
+    FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) i
+),
+kept AS (
+    SELECT t.doc_id, t.q, t.tok
+    FROM toks t LEFT JOIN masked m ON m.doc_id = t.doc_id AND m.q = t.q
+    WHERE m.doc_id IS NULL
+),
+clean AS (
+    SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY q)) AS clean_md5
+    FROM kept GROUP BY doc_id
+),
+rem AS (SELECT doc_id, count(*) AS n_removed FROM masked GROUP BY doc_id)
+SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+       CAST(coalesce(r.n_removed, 0) AS INTEGER) AS n_removed,
+       coalesce(c.clean_md5, md5('')) AS clean_md5
+FROM d LEFT JOIN clean c USING (doc_id) LEFT JOIN rem r USING (doc_id)
 """,
         "simhash_signatures": _simhash_sql(),
         "minhash_jaccard_estimate": f"""

@@ -913,6 +913,131 @@ def dedup_repeated_ngrams(
     )
 
 
+def dedup_substring_rewrite(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """Exact-substring deduplication as a REWRITE (Lee et al. 2021,
+    arXiv:2107.06499 §3: remove every duplicated training substring,
+    keeping one occurrence) — the surgical counterpart of
+    ``dedup_repeated_ngrams``'s analysis-only view: that key measures
+    the memorization-risk mass, this one actually cuts it out of the
+    text. The reference has no analog (north-star surface).
+
+    Semantics (deterministic, engine-exact):
+    - token positions 1..m from the whitespace split (the house token
+      discipline); windows are the m−n+1 positional n-grams (NOT
+      per-doc-distinct — a doc self-repeating a span is a duplicate of
+      itself, exactly the case Lee et al. call out);
+    - a window OCCURRENCE is masked when its gram (md5 of the joined
+      window) occurs ≥ 2 times in the corpus and the occurrence is not
+      the gram's KEEPER — the md5-min occurrence key (location-blind
+      md5 selection, the house discipline; the key embeds doc_id:pos so
+      it is unique, with zero-padded doc/pos suffix making the string
+      min total even across md5 ties);
+    - a token is removed when ANY masked window covers it; the cleaned
+      text is the kept tokens rejoined in order.
+
+    Returns (doc_id, n_tokens, n_removed, clean_md5) — the content hash
+    of the rewritten doc (the c4_line_filter discipline; emitting the
+    full rewritten text would make the correctness hash dominated by
+    one fat column).
+
+    Scale shape (100 TB): windows explode map-side from the
+    pre-projected split array; the duplicate detector is ONE hash
+    aggregate on the gram key carrying (count, min(okey)) — map-side
+    combined, never a window function over gram partitions (a hot
+    boilerplate gram with 10⁶ occurrences stays one combined row, not
+    a 10⁶-row sort partition); the mask join is an equi join back on
+    the same key; position expansion is n rows per masked window; the
+    final per-doc reassembly sorts each doc's own tokens inside one
+    hash-aggregated array (sort_array over collect_list — no global
+    sort). Three shuffles, all on high-cardinality keys.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    m = F.size(F.col("w"))
+    wins = F.transform(
+        F.sequence(F.lit(1), m - (n - 1)),
+        lambda p: F.struct(
+            p.alias("p"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), p, n))).alias("gh"),
+        ),
+    )
+    occ = (
+        d.filter(m >= n)
+        .select("doc_id", F.explode(wins).alias("o"))
+        .select("doc_id", F.col("o.p").alias("p"), F.col("o.gh").alias("gh"))
+        .withColumn(
+            "okey",
+            F.concat_ws(
+                ":",
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("p").cast("string"),
+                    )
+                ),
+                F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                F.lpad(F.col("p").cast("string"), 6, "0"),
+            ),
+        )
+    )
+    stats = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("okey").alias("keeper")
+    )
+    masked_pos = (
+        occ.join(stats, "gh")
+        .filter((F.col("cnt") >= 2) & (F.col("okey") != F.col("keeper")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(n - 1))
+            ).alias("q"),
+        )
+        .distinct()
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(F.col("w")).alias("q0", "tok")
+    ).select("doc_id", (F.col("q0") + 1).alias("q"), "tok")
+    kept = toks.join(masked_pos, ["doc_id", "q"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("q"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("clean_md5"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    removed = masked_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    totals = d.select("doc_id", m.alias("n_tokens"))
+    return (
+        totals.join(clean, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("int")
+            .alias("n_removed"),
+            # a fully-masked doc keeps zero tokens: hash of the empty
+            # string, matching string_agg-absent COALESCE in the twin
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias(
+                "clean_md5"
+            ),
+        )
+    )
+
+
 def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup reporting: the distribution of near-duplicate cluster sizes
     (how much of the corpus is singletons vs small clusters vs big

@@ -31,6 +31,7 @@ BENCH_KEYS = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "dedup_embedding_cosine",
+    "dedup_substring_rewrite",
     "chunk_fixed_words",
     "text_stats",
     "quality_score",

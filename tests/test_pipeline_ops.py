@@ -1115,3 +1115,57 @@ def test_delete_from_minhash_index_retracts_and_gate_forgets(
         spark, base, spark.createDataFrame([(123456789,)], "doc_id bigint")
     )
     assert v2 == v1
+
+
+# ------------------------------------------------- substring-dedup rewrite
+
+
+def test_substring_rewrite_keeper_and_mask_semantics(spark, tmp_path):
+    """dedup_substring_rewrite (Lee et al. exact-substring dedup as a
+    rewrite): a shared 8-token span survives in exactly ONE of its
+    occurrences (the md5-min occurrence key), a WITHIN-doc repeat masks
+    its non-keeper copy, docs shorter than the window and unique docs
+    are untouched, and n_removed counts distinct masked positions."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        dedup_substring_rewrite,
+    )
+
+    span = " ".join(f"s{i}" for i in range(8))
+    span_b = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        # docs 1 and 2 share span A (cross-doc duplicate)
+        (1, f"a1 a2 {span} a3 a4"),
+        (2, f"b1 {span} b2 b3 b4 b5"),
+        # doc 3 repeats its OWN span B twice (self-duplicate)
+        (3, f"{span_b} c1 c2 {span_b}"),
+        # doc 4: unique text, long enough to window
+        (4, " ".join(f"u{i}" for i in range(12))),
+        # doc 5: shorter than the window
+        (5, "tiny doc"),
+    ]
+    base = str(tmp_path / "subdup")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r for r in dedup_substring_rewrite(spark, base).collect()
+    }
+    assert out[4]["n_removed"] == 0 and out[5]["n_removed"] == 0
+    # untouched docs hash to their original text
+    import hashlib
+
+    assert out[5]["clean_md5"] == hashlib.md5(b"tiny doc").hexdigest()
+    # the shared span is removed from SOME occurrences but kept in
+    # exactly one: total kept copies of the span across docs 1-3 == 1.
+    # Each doc's removal count is a multiple of full windows' coverage;
+    # doc 3 lost at least one 8-token copy, docs 1+2 lost 8 tokens
+    # between them (one keeps, one loses).
+    removed_12 = out[1]["n_removed"] + out[2]["n_removed"]
+    assert removed_12 == 8, (out[1], out[2])
+    # doc 3's two non-overlapping copies of span B collapse to one:
+    # exactly one 8-token copy masked
+    assert out[3]["n_removed"] == 8, out[3]
+    assert out[3]["n_tokens"] == 18

@@ -54,6 +54,7 @@ KEYS = {
     "tokenize_bpe_encode": "documents",
     "ann_ivf_trained_topk": "embeddings",
     "dedup_simhash_pairs": "documents",
+    "dedup_substring_rewrite": "documents",
     # r7b additions
     "bm25_topk_served": "documents",
     "bm25_folded_topk_served": "documents",
