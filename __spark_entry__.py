@@ -105,6 +105,10 @@ def _q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn.knn_topk_batch(emb, queries_df, k=3)
 
 
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn.knn_classify(spark, sf_dir)
+
+
 def _q_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adk_noui_vectordb_spark.functions.vector import cosine_similarity, l2_distance
 
@@ -624,6 +628,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": _q_knn_topk,
         "knn_topk_filtered": _q_knn_topk_filtered,
         "knn_batch_topk": _q_knn_batch,
+        # r13: leave-one-out kNN majority-vote label prediction — the
+        # embedding-space self-consistency probe
+        "knn_classify": _q_knn_classify,
         "score_similarity_pairs": _q_score_pairs,
         # scans / filters / lookups (SURVEY.md §2.2)
         "filter_by_lang": _roll.filter_by_lang,
@@ -675,6 +682,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: Shannon token-diversity quality signal, floor-micro-nats
         "doc_token_entropy": _text.doc_token_entropy,
         "mixture_sample": _text.mixture_sample,
+        # r13: deterministic content-keyed train/holdout split audit
+        "split_train_holdout": _text.split_train_holdout,
         "bpe_pair_counts": _text.bpe_pair_counts,
         "tokenize_bpe_encode": _text.tokenize_bpe_encode,
         "curate_corpus_full": _text.curate_corpus_full,
@@ -2991,6 +3000,36 @@ sims AS (
 )
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
 """,
+        "knn_classify": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+sims AS (
+    SELECT q.q_id AS query_id, e.vec_id, e.label,
+           {_COS.format(a="e.embedding", b="q.q_emb")} AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+),
+top AS (
+    SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM sims) WHERE rk <= 15
+),
+v AS (SELECT query_id, label, count(*) AS votes FROM top GROUP BY 1, 2),
+p AS (
+    SELECT query_id, label, votes FROM (
+        SELECT query_id, label, votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label) AS rn
+        FROM v) WHERE rn = 1
+)
+SELECT p.query_id, CAST(p.label AS INTEGER) AS predicted_label,
+       CAST(p.votes AS INTEGER) AS votes,
+       CAST(e.label AS INTEGER) AS true_label,
+       p.label = e.label AS correct
+FROM p JOIN embeddings e ON e.vec_id = p.query_id
+ORDER BY p.query_id
+""",
         "score_similarity_pairs": f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {cos_ab} AS cosine,
@@ -3405,6 +3444,17 @@ SELECT doc_id,
        CAST(-sum(lp) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll2_micro,
        CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM scored GROUP BY 1
+""",
+        "split_train_holdout": """
+WITH b AS (
+    SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 10
+                THEN 'holdout' ELSE 'train' END AS split,
+           lang, n_chars
+    FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY split, lang ORDER BY split, lang
 """,
         "mixture_sample": """
 WITH d AS (

@@ -83,6 +83,58 @@ def knn_topk_batch(
     )
 
 
+def knn_classify(spark, sf_dir: str, n_queries: int = 8, k: int = 15) -> DataFrame:
+    """k-NN majority-vote label prediction, leave-one-out, for the first
+    ``n_queries`` stored vectors — the classic embedding-space quality
+    probe (self-consistency of labels under the metric is the cheapest
+    clustering-quality signal there is; north-star surface — the
+    reference's ChromaDB metadata would play the label role). Neighbors
+    by exact 4-dp cosine with the house vec_id tie-break
+    (``knn_topk_batch``); votes tie-break to the SMALLEST label, so the
+    prediction is deterministic at any k.
+
+    Returns (query_id, predicted_label, votes, true_label, correct).
+
+    100 TB shape: the query side is a broadcast (n_queries rows), the
+    corpus side stays shuffle-free until the per-query rank window
+    (partitioned by query_id); the vote count is a map-side-combined
+    aggregate over n_queries × k rows."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = knn_topk_batch(emb, queries, k)
+    votes = (
+        top.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            F.col("predicted_label").cast("int").alias("predicted_label"),
+            F.col("votes").cast("int").alias("votes"),
+            F.col("true_label").cast("int").alias("true_label"),
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def make_query_from_vec(embeddings: DataFrame, vec_id: int) -> DataFrame:
     """Use a stored vector as the query (deterministic stand-in for the
     reference's query-embedding step, vector_search_tool.py:37)."""

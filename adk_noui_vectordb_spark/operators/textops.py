@@ -862,6 +862,43 @@ def lm_bigram_score(
     )
 
 
+def split_train_holdout(
+    spark: SparkSession, sf_dir: str, holdout_pct: int = 10
+) -> DataFrame:
+    """Deterministic content-keyed train/holdout split — the
+    reproducibility primitive every evaluation pipeline needs BEFORE
+    decontamination means anything: a doc's split must be a pure
+    function of its identity (md5 bucket of doc_id, the house
+    md5-derived-constant discipline), never of sampling state, corpus
+    order, or partition layout — so re-runs, backfills, and incremental
+    ingests all route the same document to the same side. bucket =
+    md5_long(doc_id) % 100; bucket < holdout_pct → 'holdout'.
+
+    Returns per (split, lang) audit stats (n_docs, total_chars) — the
+    summary a split publishes so downstream consumers can verify the
+    holdout fraction landed where the hash says it must.
+
+    100 TB shape: one codegen'd projection + one map-side-combined
+    aggregate on a 2×|langs| key space; the split column itself is the
+    partition-pruning key a real deployment writes the corpus by."""
+    from .dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < holdout_pct, F.lit("holdout")).otherwise(
+        F.lit("train")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 def mixture_sample(
     spark: SparkSession, sf_dir: str, token_budget: int = 5000
 ) -> DataFrame:
