@@ -1463,8 +1463,10 @@ def _beam_visited_acorn(
         got1 = fetch_scored(new1) if new1 else {}
         # hop 2 through hop-1's FAILING members (new this round — an
         # already-visited failing node either was a frontier once or
-        # will be via the fill rule)
-        fail1 = {i for i in new1 if not got1[i][1]}
+        # will be via the fill rule). Only FETCHED ids can fail: an
+        # edge pointing at a missing vector (impossible on an fsck'd
+        # index) drops out here exactly like the oracle's join drops it
+        fail1 = {i for i, (_e, ok) in got1.items() if not ok}
         nbrs2 = fetch_nbrs(fail1)
         new2 = nbrs2 - set(visited) - new1 - {query_vec_id}
         got2 = fetch_scored(new2) if new2 else {}
