@@ -100,6 +100,9 @@ KEYS = {
     # r13 additions
     "ann_graph_recursive_topk": "embeddings",
     "ann_graph_acorn_topk": "embeddings",
+    "collection_query_graph_acorn_topk": "embeddings",
+    "knn_classify": "embeddings",
+    "split_train_holdout": "documents",
     "binq_hamming_topk": "embeddings",
     "ann_binq_ivf_topk": "embeddings",
     "ann_binq_topk": "embeddings",
