@@ -819,6 +819,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _coll.collection_query_graph_acorn_topk
         ),
         "collection_get_where": _coll.collection_get_where,
+        # r13: MVCC time travel — get() against a pinned older version
+        # while _CURRENT points past it (immutable-snapshot proof)
+        "collection_get_snapshot": _coll.collection_get_snapshot,
         # r11: keyset pagination through the facade (after_id cursor —
         # the BM25 search_after discipline on the metadata store)
         "collection_get_page2": _coll.collection_get_page2,
@@ -4446,6 +4449,15 @@ CROSS JOIN qe
 WHERE {_wdsl.where_to_sql(_coll.COLLECTION_WHERE_DEMO)}
 ORDER BY distance ASC, id ASC
 LIMIT 10
+""",
+        # snapshot = the FIRST commit's content (even doc_ids) only
+        "collection_get_snapshot": f"""
+SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS id, d.lang, d.n_chars
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.doc_id % 2 = 0
+  AND {_wdsl.where_to_sql({"lang": {"$in": ["en", "de"]}})}
+ORDER BY id ASC
+LIMIT 20
 """,
         "collection_get_where": f"""
 SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS id, d.lang, d.source, d.n_chars

@@ -2355,6 +2355,44 @@ def collection_get_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "lang", "source", "n_chars")
 
 
+def collection_get_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel READ through the facade (r13 — the MVCC story
+    end-to-end as a driver key): a two-commit lifecycle on its OWN
+    tagged root (even doc_ids commit as v_000000, odd ones as v_000001
+    — mutating keys never share a root with other serving keys, the
+    vacuum-key discipline), then ``snapshot('v_000000').get(...)``
+    serves YESTERDAY'S corpus while ``_CURRENT`` points at today's:
+    the rows are exactly the FIRST commit's filter survivors, proving
+    committed version dirs are immutable snapshots. Replays detect the
+    target state (both versions present) and serve directly."""
+    from ..memo import index_root
+    from ..sources.tables import load_table
+
+    root = index_root(
+        "collection_snap_v1", sf_dir, RP_PLANES, RP_BANDS, N_META_BUCKETS
+    )
+    coll = Collection(spark, root)
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("text").alias("document"),
+        "lang",
+        "source",
+        "n_chars",
+        (F.col("doc_id") % 2).alias("par"),
+    )
+    if coll._cur() is None:
+        coll.add(base.filter(F.col("par") == 0).drop("par"))
+    if os.path.basename(coll._cur()) == "v_000000":
+        coll.add(base.filter(F.col("par") == 1).drop("par"))
+    snap = coll.at("v_000000")
+    return snap.get(where={"lang": {"$in": ["en", "de"]}}, limit=20).select(
+        "id", "lang", "n_chars"
+    )
+
+
 def collection_get_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset pagination through the facade (r11): page 2 of the
     filtered ``get`` via ``after_id`` — the cursor is the last id of
