@@ -822,6 +822,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13: MVCC time travel — get() against a pinned older version
         # while _CURRENT points past it (immutable-snapshot proof)
         "collection_get_snapshot": _coll.collection_get_snapshot,
+        # r13: the write-side counterpart — rollback() pointer swing,
+        # get serves the restored state (crash-window convergent)
+        "collection_rollback_get": _coll.collection_rollback_get,
         # r11: keyset pagination through the facade (after_id cursor —
         # the BM25 search_after discipline on the metadata store)
         "collection_get_page2": _coll.collection_get_page2,
@@ -4449,6 +4452,15 @@ CROSS JOIN qe
 WHERE {_wdsl.where_to_sql(_coll.COLLECTION_WHERE_DEMO)}
 ORDER BY distance ASC, id ASC
 LIMIT 10
+""",
+        # rollback restores the FIRST commit's content (even doc_ids)
+        "collection_rollback_get": f"""
+SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS id, d.lang, d.n_chars
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.doc_id % 2 = 0
+  AND {_wdsl.where_to_sql({"lang": {"$in": ["es", "zh"]}})}
+ORDER BY id ASC
+LIMIT 20
 """,
         # snapshot = the FIRST commit's content (even doc_ids) only
         "collection_get_snapshot": f"""

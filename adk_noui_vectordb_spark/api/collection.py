@@ -2393,6 +2393,48 @@ def collection_get_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collection_rollback_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side time travel (r13 — ``rollback``'s pointer swing as a
+    driver key, complementing ``collection_get_snapshot``'s read-side
+    pin): add even doc_ids (v_000000), add odd ones (v_000001), then
+    ``rollback('v_000000')`` — one atomic ``_CURRENT`` swing under the
+    writer lock — and serve ``get`` from the RESTORED state: rows are
+    exactly the first commit's filter survivors, the second commit's
+    rows gone without any data rewrite (the abandoned version is an
+    orphan the next commit sweeps). Replay-safe at every crash window:
+    whatever version ``_CURRENT`` names on entry, the key converges it
+    back to v_000000 before reading."""
+    from ..memo import index_root
+    from ..sources.tables import load_table
+
+    root = index_root(
+        "collection_rollback_v1", sf_dir, RP_PLANES, RP_BANDS, N_META_BUCKETS
+    )
+    coll = Collection(spark, root)
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("text").alias("document"),
+        "lang",
+        "source",
+        "n_chars",
+        (F.col("doc_id") % 2).alias("par"),
+    )
+    if coll._cur() is None:
+        coll.add(base.filter(F.col("par") == 0).drop("par"))
+    if os.path.basename(coll._cur()) == "v_000000" and not os.path.isdir(
+        os.path.join(root, "v_000001")
+    ):
+        coll.add(base.filter(F.col("par") == 1).drop("par"))
+    if os.path.basename(coll._cur()) != "v_000000":
+        coll.rollback("v_000000")
+    return coll.get(where={"lang": {"$in": ["es", "zh"]}}, limit=20).select(
+        "id", "lang", "n_chars"
+    )
+
+
 def collection_get_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset pagination through the facade (r11): page 2 of the
     filtered ``get`` via ``after_id`` — the cursor is the last id of
