@@ -946,6 +946,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: alpha fusion from the same on-disk pools (zero corpus
         # scans — the weighted scan key's serving twin)
         "hybrid_weighted_served_topk": _inv.hybrid_weighted_served_topk,
+        # r13: the two serving families composed — BM25 postings pool +
+        # the navigable graph's beam pool, same convex fusion
+        "hybrid_weighted_graph_topk": _inv.hybrid_weighted_graph_topk,
         "embed_quantize_int8": _quant.quantize_rows,
         "knn_int8_topk": _quant.knn_int8_topk,
         "knn_int8_rerank": _quant.knn_int8_rerank,
@@ -2145,6 +2148,55 @@ SELECT CAST(rank AS INTEGER) AS rank, vec_id, sim FROM (
          row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
   FROM gv{rounds} WHERE pass) WHERE rank <= {k}
 ORDER BY rank
+"""
+    )
+
+
+def _hybrid_weighted_graph_sql(
+    qid: int = 0,
+    k: int = 10,
+    alpha: float = 0.6,
+    n_candidates: int = 100,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Graph-pool alpha fusion twin (invindex.py
+    hybrid_weighted_graph_topk): the BM25 chain + the full graph
+    construction/search chain, vector pool = top-N of the final
+    visited set, then the weighted key's min-max fusion tail."""
+    g = _graph_build_ctes(degree, hub_degree, iters)
+    g += _graph_search_ctes(qid, "", beam, rounds)
+    mat = _GRAPH_MAT | {f"gv{r}" for r in range(rounds + 1)} | {"gseed"}
+    g = _mat_ctes(g, mat)
+    return (
+        f"WITH {_BM25_CTE},\n"
+        + ",\n".join(g)
+        + f""",
+gvec_top AS (SELECT vec_id AS doc_id, sim FROM gv{rounds}
+             ORDER BY sim DESC, vec_id LIMIT {n_candidates}),
+gvec_stats AS (SELECT min(sim) AS mn, max(sim) AS mx FROM gvec_top),
+gvec_n AS (
+    SELECT doc_id,
+           CASE WHEN s.mx = s.mn THEN 1.0::DOUBLE
+                ELSE (sim - s.mn) / (s.mx - s.mn) END AS vec_n
+    FROM gvec_top CROSS JOIN gvec_stats s
+),
+glex_top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT {n_candidates}),
+glex_stats AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM glex_top),
+glex_n AS (
+    SELECT doc_id,
+           CASE WHEN s.mx = s.mn THEN 1.0::DOUBLE
+                ELSE (bm25 - s.mn) / (s.mx - s.mn) END AS lex_n
+    FROM glex_top CROSS JOIN glex_stats s
+)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       round({alpha}::DOUBLE * coalesce(v.vec_n, 0.0::DOUBLE)
+             + {round(1.0 - alpha, 10)}::DOUBLE * coalesce(l.lex_n, 0.0::DOUBLE), 4) AS wscore
+FROM glex_n l FULL OUTER JOIN gvec_n v ON l.doc_id = v.doc_id
+ORDER BY wscore DESC, doc_id LIMIT {k}
 """
     )
 
@@ -4905,6 +4957,7 @@ FROM srv_fused ORDER BY rrf DESC, doc_id LIMIT 10
 """,
         # Served alpha fusion (invindex.py hybrid_weighted_served_topk):
         # the SAME served pools, the weighted scan key's fusion tail.
+        "hybrid_weighted_graph_topk": _hybrid_weighted_graph_sql(),
         "hybrid_weighted_served_topk": f"""
 WITH {_BM25_CTE},
 {_RP_BANDS_CTE.lstrip()},

@@ -86,6 +86,7 @@ BENCH_KEYS = [
     "ann_binq_ivf_topk",
     "hybrid_weighted_topk",
     "hybrid_weighted_served_topk",
+    "hybrid_weighted_graph_topk",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

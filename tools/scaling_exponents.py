@@ -108,6 +108,7 @@ KEYS = {
     "ann_binq_topk": "embeddings",
     "hybrid_weighted_topk": "documents",
     "hybrid_weighted_served_topk": "documents",
+    "hybrid_weighted_graph_topk": "documents",
     "events_rollup_daily": "events",
     "events_rollup_type_daily": "events",
     # r10b additions (query-language + filtered-ANN serving layer)
