@@ -857,6 +857,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extra hop, keeping recall under selective filters (0.99 at
         # 10% selectivity vs the blind pool's 0.15, BASELINE.md r13)
         "ann_graph_acorn_topk": _gann.ann_graph_acorn_topk,
+        # r13: M predicate-aware beams with fused IO (batch == solo
+        # pinned; per-query pass sets over the shared label cache)
+        "ann_graph_acorn_batch_topk": _gann.ann_graph_acorn_batch_topk,
         # r12: M beam searches, fused per-round probes (one edges
         # point-read + one vecs fetch for the union of frontiers)
         "ann_graph_batch_topk": _gann.ann_graph_batch_topk,
@@ -2060,63 +2063,66 @@ ORDER BY rank
 
 
 def _graph_acorn_search_ctes(
-    qid: int, beam: int, rounds: int, source: str = "embeddings"
+    qid: int, beam: int, rounds: int, source: str = "embeddings",
+    sfx: str = "",
 ) -> list:
     """The ACORN beam unroll (graph_ann.py _beam_visited_acorn, same-
     label predicate): gv rows carry a ``pass`` flag; each round's
     frontier ranks passing nodes first (pass DESC, sim DESC, vec_id),
     hop-1's failing members expand one extra hop, and both hops' new
     nodes score into gv. Emission (the caller) keeps passing rows."""
-    cos_q = _COS.format(a="em.embedding", b="qe.q")
+    cos_q = _COS.format(a="em.embedding", b=f"qe{sfx}.q")
     pas = f"(em.label = (SELECT label FROM {source} WHERE vec_id = {qid}))"
     ctes = [
-        f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
+        f"qe{sfx} AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
         f" FROM {source} WHERE vec_id = {qid})",
-        f"ent AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
+        f"ent{sfx} AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
-        f"""gseed AS (
-  SELECT vec_id FROM ent
+        f"""gseed{sfx} AS (
+  SELECT vec_id FROM ent{sfx}
   UNION
   SELECT h.vec_id FROM ghubs h
   WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid})
     AND h.vec_id <> {qid})""",
-        f"""gv0 AS (
+        f"""gv0{sfx} AS (
   SELECT em.vec_id, {cos_q} AS sim, {pas} AS pass
-  FROM {source} em JOIN gseed s ON s.vec_id = em.vec_id
-  CROSS JOIN qe)""",
+  FROM {source} em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
+  CROSS JOIN qe{sfx})""",
     ]
     for r in range(1, rounds + 1):
         p = r - 1
         ctes.append(
-            f"gf{r} AS (SELECT vec_id FROM gv{p}"
+            f"gf{r}{sfx} AS (SELECT vec_id FROM gv{p}{sfx}"
             f" ORDER BY pass DESC, sim DESC, vec_id LIMIT {beam})"
         )
-        ctes.append(f"""n1_{r} AS (
+        ctes.append(f"""n1_{r}{sfx} AS (
   SELECT DISTINCT ed.nbr AS vec_id FROM gedges ed
-  JOIN gf{r} f ON ed.src = f.vec_id
+  JOIN gf{r}{sfx} f ON ed.src = f.vec_id
   WHERE ed.nbr <> {qid}
-    AND ed.nbr NOT IN (SELECT vec_id FROM gv{p}))""")
-        ctes.append(f"""s1_{r} AS (
+    AND ed.nbr NOT IN (SELECT vec_id FROM gv{p}{sfx}))""")
+        ctes.append(f"""s1_{r}{sfx} AS (
   SELECT em.vec_id, {cos_q} AS sim, {pas} AS pass
-  FROM {source} em JOIN n1_{r} n ON n.vec_id = em.vec_id
-  CROSS JOIN qe)""")
-        ctes.append(f"f1_{r} AS (SELECT vec_id FROM s1_{r} WHERE NOT pass)")
-        ctes.append(f"""n2_{r} AS (
+  FROM {source} em JOIN n1_{r}{sfx} n ON n.vec_id = em.vec_id
+  CROSS JOIN qe{sfx})""")
+        ctes.append(
+            f"f1_{r}{sfx} AS (SELECT vec_id FROM s1_{r}{sfx} WHERE NOT pass)"
+        )
+        ctes.append(f"""n2_{r}{sfx} AS (
   SELECT DISTINCT ed.nbr AS vec_id FROM gedges ed
-  JOIN f1_{r} f ON ed.src = f.vec_id
+  JOIN f1_{r}{sfx} f ON ed.src = f.vec_id
   WHERE ed.nbr <> {qid}
-    AND ed.nbr NOT IN (SELECT vec_id FROM gv{p})
-    AND ed.nbr NOT IN (SELECT vec_id FROM n1_{r}))""")
-        ctes.append(f"""s2_{r} AS (
+    AND ed.nbr NOT IN (SELECT vec_id FROM gv{p}{sfx})
+    AND ed.nbr NOT IN (SELECT vec_id FROM n1_{r}{sfx}))""")
+        ctes.append(f"""s2_{r}{sfx} AS (
   SELECT em.vec_id, {cos_q} AS sim, {pas} AS pass
-  FROM {source} em JOIN n2_{r} n ON n.vec_id = em.vec_id
-  CROSS JOIN qe)""")
-        ctes.append(f"""gv{r} AS (
-  SELECT vec_id, sim, pass FROM gv{p}
+  FROM {source} em JOIN n2_{r}{sfx} n ON n.vec_id = em.vec_id
+  CROSS JOIN qe{sfx})""")
+        ctes.append(f"""gv{r}{sfx} AS (
+  SELECT vec_id, sim, pass FROM gv{p}{sfx}
   UNION
-  SELECT vec_id, sim, pass FROM s1_{r}
+  SELECT vec_id, sim, pass FROM s1_{r}{sfx}
   UNION
-  SELECT vec_id, sim, pass FROM s2_{r})""")
+  SELECT vec_id, sim, pass FROM s2_{r}{sfx})""")
     return ctes
 
 
@@ -2198,6 +2204,46 @@ SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
 FROM glex_n l FULL OUTER JOIN gvec_n v ON l.doc_id = v.doc_id
 ORDER BY wscore DESC, doc_id LIMIT {k}
 """
+    )
+
+
+def _ann_graph_acorn_batch_sql(
+    qids: tuple = (0, 3, 9),
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    hub_degree: int = 8,
+    iters: int = 2,
+) -> str:
+    """Batched ACORN twin (graph_ann.py ann_graph_acorn_batch_topk):
+    the shared graph construction once, then each query's SOLO
+    pass-flagged acorn chain (the Spark side fuses IO, not state),
+    UNION ALL'd with its query_id; per-query top-k of the passing
+    visited set."""
+    ctes = _graph_build_ctes(degree, hub_degree, iters)
+    finals = []
+    mat = set(_GRAPH_MAT)
+    for i, qid in enumerate(qids):
+        sfx = f"_q{i}"
+        ctes += _graph_acorn_search_ctes(qid, beam, rounds, sfx=sfx)
+        mat |= {f"gv{r}{sfx}" for r in range(rounds + 1)} | {f"gseed{sfx}"}
+        for r in range(1, rounds + 1):
+            mat |= {
+                f"n1_{r}{sfx}", f"s1_{r}{sfx}", f"f1_{r}{sfx}",
+                f"n2_{r}{sfx}", f"s2_{r}{sfx}",
+            }
+        finals.append(f"""
+SELECT CAST({qid} AS BIGINT) AS query_id, vec_id, sim,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, sim,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM gv{rounds}{sfx} WHERE pass) WHERE rank <= {k}""")
+    ctes = _mat_ctes(ctes, mat)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + "\nUNION ALL".join(finals)
+        + ")\nORDER BY query_id, rank\n"
     )
 
 
@@ -4620,6 +4666,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
         "ann_graph_topk": _ann_graph_sql(),
         "ann_graph_recursive_topk": _ann_graph_recursive_sql(),
         "ann_graph_acorn_topk": _ann_graph_acorn_sql(),
+        "ann_graph_acorn_batch_topk": _ann_graph_acorn_batch_sql(),
         "ann_graph_batch_topk": _ann_graph_batch_sql(),
         "ann_graph_tombstone_topk": _ann_graph_tomb_sql(),
         "ann_graph_vacuumed_topk": _ann_graph_vac_sql(),

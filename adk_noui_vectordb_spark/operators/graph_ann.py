@@ -1536,6 +1536,170 @@ def ann_graph_acorn_topk(
     )
 
 
+def ann_graph_acorn_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_ids: tuple = (0, 3, 9),
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = GRAPH_DEGREE,
+    hub_degree: int = GRAPH_HUB_DEGREE,
+    iters: int = 2,
+) -> DataFrame:
+    """Batched ACORN serving — M predicate-aware beams with FUSED IO
+    (the ann_graph_batch_topk discipline applied to the acorn loop):
+    per round, ONE edges read for the union of frontiers, ONE scored
+    fetch (vector + label) for the union of hop-1 candidates, ONE
+    edges read for the union of failing members, ONE scored fetch for
+    hop-2. The predicate is per-query (same-label-as-THAT-query), so
+    pass sets are per-query over the SHARED label cache; per-query
+    visited/passing evolution is identical to the solo
+    ``ann_graph_acorn_topk`` run (batch == solo, pinned; the solo
+    oracle's pass-flagged chain serves per query). Output:
+    (query_id, vec_id, sim, rank) — top-k passing per query."""
+    from ..memo import session_memo
+    from ..sources.tables import load_table
+
+    cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
+    qids = list(query_vec_ids)
+    entry_rows = session_memo(
+        spark,
+        cur,
+        "graph_entry_rows",
+        lambda: (
+            spark.read.schema(GRAPH_ENTRY_SCHEMA)
+            .parquet(os.path.join(cur, "entry"))
+            .orderBy("rk")
+            .collect()
+        ),
+    )
+    emb_t = load_table(spark, sf_dir, "embeddings")
+    edges_path = os.path.join(cur, "edges")
+    cache: dict = {}  # id -> (emb, label), shared across queries/rounds
+
+    def fetch(ids) -> None:
+        ids = sorted(set(ids) - set(cache))
+        if not ids:
+            return
+        for r in (
+            emb_t.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+                "label",
+            )
+            .collect()
+        ):
+            cache[r["vec_id"]] = ([float(x) for x in r["e"]], r["label"])
+
+    def fetch_nbrs(srcs) -> dict:
+        srcs = sorted(srcs)
+        if not srcs:
+            return {}
+        sbs = sorted({vec_bucket_py(s) for s in srcs})
+        adj: dict = {}
+        for r in (
+            spark.read.schema(GRAPH_EDGES_SCHEMA)
+            .parquet(edges_path)
+            .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(srcs))
+            .select("src", "nbr")
+            .collect()
+        ):
+            adj.setdefault(r["src"], set()).add(r["nbr"])
+        return adj
+
+    hub_rows = (
+        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
+        .parquet(os.path.join(cur, "hubmap"))
+        .filter(
+            F.col("vbucket").isin(sorted({vec_bucket_py(q) for q in qids}))
+            & F.col("vec_id").isin(sorted(qids))
+        )
+        .collect()
+    )
+    hub_of = {r["vec_id"]: r["hub"] for r in hub_rows}
+    seeds: dict = {}
+    for qid in qids:
+        entry = next(
+            (r["vec_id"] for r in entry_rows if r["vec_id"] != qid), None
+        )
+        if entry is None:
+            raise ValueError("graph index has no usable entry hub")
+        s = [entry]
+        h = hub_of.get(qid)
+        if h is not None and h != qid:
+            s.append(h)
+        seeds[qid] = s
+    fetch(set(qids) | {s for ss in seeds.values() for s in ss})
+    want, qemb = {}, {}
+    for qid in qids:
+        if qid not in cache:
+            raise ValueError(f"query vec_id {qid} not in the index")
+        q, lab = cache[qid]
+        if not any(x != 0.0 for x in q):
+            raise ValueError(f"zero-norm query vector {qid}: cosine undefined")
+        qemb[qid], want[qid] = q, lab
+    visited = {
+        qid: {s: _sim4(qemb[qid], cache[s][0]) for s in set(seeds[qid])}
+        for qid in qids
+    }
+    passing = {
+        qid: {s for s in set(seeds[qid]) if cache[s][1] == want[qid]}
+        for qid in qids
+    }
+    for _ in range(rounds):
+        frontier = {
+            qid: sorted(
+                visited[qid],
+                key=lambda v: (v not in passing[qid], -visited[qid][v], v),
+            )[:beam]
+            for qid in qids
+        }
+        adj = fetch_nbrs({s for qid in qids for s in frontier[qid]})
+        new1 = {
+            qid: {n for s in frontier[qid] for n in adj.get(s, ())}
+            - set(visited[qid])
+            - {qid}
+            for qid in qids
+        }
+        fetch(set().union(*new1.values()))
+        fail1 = {
+            qid: {i for i in new1[qid] if i in cache and cache[i][1] != want[qid]}
+            for qid in qids
+        }
+        adj2 = fetch_nbrs(set().union(*fail1.values()))
+        new2 = {
+            qid: {n for s in fail1[qid] for n in adj2.get(s, ())}
+            - set(visited[qid])
+            - new1[qid]
+            - {qid}
+            for qid in qids
+        }
+        fetch(set().union(*new2.values()))
+        if not any(new1[qid] | new2[qid] for qid in qids):
+            break
+        for qid in qids:
+            for vid in new1[qid] | new2[qid]:
+                if vid in cache:
+                    visited[qid][vid] = _sim4(qemb[qid], cache[vid][0])
+                    if cache[vid][1] == want[qid]:
+                        passing[qid].add(vid)
+    rows = []
+    for qid in qids:
+        top = [
+            (vid, s)
+            for vid, s in sorted(
+                visited[qid].items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            if vid in passing[qid]
+        ][:k]
+        rows += [(qid, vid, s, i + 1) for i, (vid, s) in enumerate(top)]
+    return spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, sim double, rank int"
+    )
+
+
 def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     """Graph-index integrity: the generic versioned-root checks plus
     the graph's own invariants — every edge endpoint has a vector,

@@ -82,6 +82,7 @@ BENCH_KEYS = [
     "ann_graph_filtered_topk",
     "ann_graph_recursive_topk",
     "ann_graph_acorn_topk",
+    "ann_graph_acorn_batch_topk",
     "ann_binq_topk",
     "ann_binq_ivf_topk",
     "hybrid_weighted_topk",

@@ -571,3 +571,19 @@ def test_graph_batch_equals_per_query_serving(spark, sf_dir):
     )
     assert sorted(solo) == bat
     assert len(bat) == 30
+
+
+def test_graph_acorn_batch_equals_per_query_serving(spark, sf_dir):
+    """Batched ACORN == per-query solo serving row-for-row (the
+    ann_graph_batch_topk discipline carried to the predicate-aware
+    beam: fused IO, per-query visited/passing state untouched)."""
+    solo = []
+    for qid in (0, 3, 9):
+        for r in ga.ann_graph_acorn_topk(
+            spark, sf_dir, query_vec_id=qid, k=10
+        ).collect():
+            solo.append((qid, r["vec_id"], r["sim"], r["rank"]))
+    batch = [
+        tuple(r) for r in ga.ann_graph_acorn_batch_topk(spark, sf_dir).collect()
+    ]
+    assert sorted(batch) == sorted(solo)

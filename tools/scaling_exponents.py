@@ -100,6 +100,7 @@ KEYS = {
     # r13 additions
     "ann_graph_recursive_topk": "embeddings",
     "ann_graph_acorn_topk": "embeddings",
+    "ann_graph_acorn_batch_topk": "embeddings",
     "collection_query_graph_acorn_topk": "embeddings",
     "knn_classify": "embeddings",
     "split_train_holdout": "documents",
