@@ -563,6 +563,32 @@ _CHECKED_R12 = frozenset({
     'window_trailing_value_sum',
 })
 
+# CORRECTNESS_r13.json: 50/50 green — the whole r13 new-key cohort
+# (recursive hub mesh, ACORN traversal, MVCC time travel, substring
+# rewrite, kNN classify, train/holdout split), every r13 rewrite (the
+# former _REWRITTEN graph-family members), and the rotated r8 cohort.
+_CHECKED_R13 = frozenset({
+    "agg_docs_by_lang", "agg_job_totals", "agg_source_summary",
+    "ann_graph_acorn_batch_topk", "ann_graph_acorn_topk",
+    "ann_graph_batch_topk", "ann_graph_filtered_topk",
+    "ann_graph_recursive_topk", "ann_graph_tombstone_topk",
+    "ann_graph_topk", "ann_graph_vacuumed_topk", "bpe_pair_counts",
+    "chunk_fixed_lines", "chunk_fixed_words", "chunk_markdown_sections",
+    "collection_get_snapshot", "collection_query_graph_acorn_topk",
+    "collection_query_graph_batch_topk", "collection_query_graph_topk",
+    "collection_rollback_get", "curate_corpus", "curate_corpus_full",
+    "dedup_canonical_selection", "dedup_substring_rewrite",
+    "doc_fingerprint", "filter_by_element_type", "filter_by_file",
+    "filter_by_lang", "filter_ext_dispatch", "hybrid_weighted_graph_topk",
+    "knn_batch_topk", "knn_classify", "knn_topk", "knn_topk_filtered",
+    "line_dedup_corpus", "lm_perplexity_score", "mixture_sample",
+    "orc_roundtrip", "pack_sequences", "pagerank_trade_graph",
+    "point_lookup", "quality_score", "redact_pii",
+    "score_similarity_pairs", "sketch_value_quantiles",
+    "split_train_holdout", "text_stats", "tfidf_top_terms",
+    "token_count", "user_activity_profile",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -579,6 +605,7 @@ for _rnd, _s in (
     (10, _CHECKED_R10),
     (11, _CHECKED_R11),
     (12, _CHECKED_R12),
+    (13, _CHECKED_R13),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -589,20 +616,9 @@ for _rnd, _s in (
 # Maintained per-round: when a rewritten key gets a fresh green row, move
 # it into that round's _CHECKED set and drop it here. r12: all 9 r11
 # rewrites greened in CORRECTNESS_r11 and moved to _CHECKED_R11; the
-# entries below are the r12 rewrites.
-_REWRITTEN = frozenset({
-    # r13: build_graph_index's hub mesh now routes through the
-    # recursive _hub_mesh_edges (all-pairs only at/below the gate —
-    # value-identical at the default gate, but every graph key executes
-    # the new construction path)
-    "ann_graph_topk",
-    "ann_graph_batch_topk",
-    "ann_graph_tombstone_topk",
-    "ann_graph_vacuumed_topk",
-    "ann_graph_filtered_topk",
-    "collection_query_graph_topk",
-    "collection_query_graph_batch_topk",
-})
+# entries below are the r12 rewrites. r13: all 7 r13 rewrites greened in
+# CORRECTNESS_r13 and moved to _CHECKED_R13; r14 rewrites accumulate here.
+_REWRITTEN = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
