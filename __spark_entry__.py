@@ -617,8 +617,29 @@ for _rnd, _s in (
 # it into that round's _CHECKED set and drop it here. r12: all 9 r11
 # rewrites greened in CORRECTNESS_r11 and moved to _CHECKED_R11; the
 # entries below are the r12 rewrites. r13: all 7 r13 rewrites greened in
-# CORRECTNESS_r13 and moved to _CHECKED_R13; r14 rewrites accumulate here.
-_REWRITTEN = frozenset()
+# CORRECTNESS_r13 and moved to _CHECKED_R13; the entries below are the
+# r14 rewrites.
+_REWRITTEN = frozenset({
+    # r14 graph-recall overhaul (VERDICT r13 next #1): nprobe-2 layer-0
+    # edge candidates (build), multi-cell seed doors + beam 20/rounds 4
+    # defaults (serve), cellhubs component — every graph-family key
+    # executes new build AND serve paths; twins updated in lockstep
+    "ann_graph_topk",
+    "ann_graph_batch_topk",
+    "ann_graph_recursive_topk",
+    "ann_graph_tombstone_topk",
+    "ann_graph_vacuumed_topk",
+    "ann_graph_filtered_topk",
+    "ann_graph_acorn_topk",
+    "ann_graph_acorn_batch_topk",
+    "collection_query_graph_topk",
+    "collection_query_graph_batch_topk",
+    "collection_query_graph_acorn_topk",
+    "hybrid_weighted_graph_topk",
+    # src_nprobe param threaded through (default path value-identical;
+    # re-verify the executed body anyway — the cheap-insurance rule)
+    "knn_join_ivf_topk",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1960,10 +1981,27 @@ def _recursive_mesh_ctes(hub_degree: int, iters: int) -> list:
            row_number() OVER (PARTITION BY ga.vec_id
                               ORDER BY {cos_l2} DESC, gb.vec_id) AS rk
     FROM l2v ga JOIN l2v gb ON ga.vec_id <> gb.vec_id) WHERE rk <= {hub_degree})""")
+    # ADVICE r13 (low): this twin unrolls exactly ONE recursion level,
+    # correct only while the NEXT level (rc = max(MIN, ceil(c/TARGET))
+    # hubs) is small enough for the all-pairs base case at the key's
+    # hub_allpairs_max=4 — i.e. hub count c <= 4*TARGET (n <= ~65k at
+    # 128 vecs/hub). Past that the Spark side recurses a second level
+    # and a silent hash mismatch would flag the key red; fail LOUDLY at
+    # query time instead so an out-of-range SF reads as a harness
+    # limit, not a correctness failure.
+    guard = (
+        f"(SELECT CASE WHEN GREATEST({mc}, CAST(ceil(count(*) * 1.0 /"
+        f" {tc}) AS BIGINT)) <= 4 THEN TRUE ELSE error("
+        "'recursive-mesh twin unrolls one level; hub count exceeds the"
+        " hub_allpairs_max=4 one-level bound — raise the unroll depth'"
+        ") END FROM ghubs)"
+    )
     ctes.append(
-        "ghedges AS (SELECT src, nbr, sim FROM hknn"
+        "ghedges AS (SELECT src, nbr, sim FROM ("
+        "SELECT src, nbr, sim FROM hknn"
         " UNION ALL SELECT src, nbr, sim FROM hstar"
         " UNION ALL SELECT src, nbr, sim FROM l2mesh)"
+        f" WHERE {guard})"
     )
     return ctes
 
@@ -1988,14 +2026,44 @@ def _graph_build_ctes(
     and the top level is all-pairs. Statically one level is CORRECT for
     every test SF because c = max(8, ceil(n/128)) ∈ (4, 512] there
     (recursion fires exactly once, rc = 2 ≤ 4 stops it); at n > 65,536
-    this twin would need a second unrolled level."""
+    this twin would need a second unrolled level.
+
+    r14: layer-0 edge CANDIDATES come from each source's top-
+    GRAPH_BUILD_NPROBE cells (graph_ann.py GRAPH_BUILD_NPROBE doc — the
+    boundary-vector fix; neighbor side stays the rn=1 membership so a
+    pair cannot repeat)."""
     ctes = _cell_join_ctes(iters, source)
     cos_h = _COS.format(a="a.emb", b="b.emb")
+    np_ = _gann.GRAPH_BUILD_NPROBE
+    dist_full = (
+        "round(list_inner_product(eall.emb, eall.emb)"
+        " - 2 * list_inner_product(eall.emb, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
+    ctes.append(f"""af2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT eall.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY eall.vec_id
+                              ORDER BY {dist_full}, c.cluster) AS rn
+    FROM eall CROSS JOIN c{iters}s c) WHERE rn <= {np_})""")
+    ctes.append(
+        "afnz2 AS (SELECT a.vec_id, a.cluster FROM af2 a JOIN nz USING (vec_id))"
+    )
+    ctes.append("""jcand2 AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr
+  FROM afnz2 a JOIN rcap b USING (cluster)
+  WHERE a.vec_id <> b.vec_id)""")
+    cos_j = _COS.format(a="es.embedding", b="en.embedding")
+    ctes.append(f"""jscored2 AS (
+  SELECT c.src, c.nbr, {cos_j} AS sim
+  FROM jcand2 c
+  JOIN {source} es ON es.vec_id = c.src
+  JOIN {source} en ON en.vec_id = c.nbr)""")
     ctes.append(f"""edges0 AS (
   SELECT src, nbr, sim FROM (
     SELECT src, nbr, sim,
            row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
-    FROM jscored) WHERE rank <= {degree})""")
+    FROM jscored2) WHERE rank <= {degree})""")
     ctes.append("""ghubs AS (
   SELECT cluster, vec_id FROM (
     SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
@@ -2045,8 +2113,8 @@ def _graph_build_ctes(
 def _ann_graph_sql(
     qid: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2080,26 +2148,38 @@ ORDER BY rank
 
 def _graph_acorn_search_ctes(
     qid: int, beam: int, rounds: int, source: str = "embeddings",
-    sfx: str = "",
+    sfx: str = "", iters: int = 2,
 ) -> list:
     """The ACORN beam unroll (graph_ann.py _beam_visited_acorn, same-
     label predicate): gv rows carry a ``pass`` flag; each round's
     frontier ranks passing nodes first (pass DESC, sim DESC, vec_id),
     hop-1's failing members expand one extra hop, and both hops' new
-    nodes score into gv. Emission (the caller) keeps passing rows."""
+    nodes score into gv. Emission (the caller) keeps passing rows.
+    Seeds are the r14 multi-cell doors (_graph_search_ctes); expansion
+    stays UNCAPPED — the pass-first frontier + hop-2 rule rations IO."""
     cos_q = _COS.format(a="em.embedding", b=f"qe{sfx}.q")
     pas = f"(em.label = (SELECT label FROM {source} WHERE vec_id = {qid}))"
+    sc = _gann.GRAPH_SEED_CELLS
+    dist_q = (
+        f"round(list_inner_product(qe{sfx}.q, qe{sfx}.q)"
+        f" - 2 * list_inner_product(qe{sfx}.q, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
     ctes = [
         f"qe{sfx} AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
         f" FROM {source} WHERE vec_id = {qid})",
         f"ent{sfx} AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
+        f"""gqc{sfx} AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (ORDER BY {dist_q}, c.cluster) AS rn
+    FROM c{iters}s c CROSS JOIN qe{sfx}) WHERE rn <= {sc})""",
         f"""gseed{sfx} AS (
   SELECT vec_id FROM ent{sfx}
   UNION
-  SELECT h.vec_id FROM ghubs h
-  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid})
-    AND h.vec_id <> {qid})""",
+  SELECT h.vec_id FROM ghubs h JOIN gqc{sfx} USING (cluster)
+  WHERE h.vec_id <> {qid})""",
         f"""gv0{sfx} AS (
   SELECT em.vec_id, {cos_q} AS sim, {pas} AS pass
   FROM {source} em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
@@ -2145,8 +2225,8 @@ def _graph_acorn_search_ctes(
 def _ann_graph_acorn_sql(
     qid: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_ACORN_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2179,8 +2259,8 @@ def _hybrid_weighted_graph_sql(
     k: int = 10,
     alpha: float = 0.6,
     n_candidates: int = 100,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2226,8 +2306,8 @@ ORDER BY wscore DESC, doc_id LIMIT {k}
 def _ann_graph_acorn_batch_sql(
     qids: tuple = (0, 3, 9),
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_ACORN_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2266,8 +2346,8 @@ SELECT CAST({qid} AS BIGINT) AS query_id, vec_id, sim,
 def _ann_graph_recursive_sql(
     qid: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2302,8 +2382,8 @@ ORDER BY rank
 def _ann_graph_filtered_sql(
     qid: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2330,22 +2410,36 @@ ORDER BY rank
     )
 
 
-def _coll_graph_query_ctes(qid: int, sfx: str, beam: int, rounds: int) -> list:
-    """One facade raw-vector beam chain (qe -> gent -> gseed -> gv0 ->
-    rounds x (gf, gv)) with CTE names suffixed by ``sfx`` — shared by
-    the solo and batch facade graph twins (the batch fuses IO, not
-    state, so each query runs the identical solo chain)."""
+def _coll_graph_query_ctes(
+    qid: int, sfx: str, beam: int, rounds: int, iters: int = 2
+) -> list:
+    """One facade raw-vector beam chain (qe -> gent -> gqc -> gseed ->
+    gv0 -> rounds x (gf, gv)) with CTE names suffixed by ``sfx`` —
+    shared by the solo and batch facade graph twins (the batch fuses
+    IO, not state, so each query runs the identical solo chain). Seeds
+    are the r14 multi-cell doors — NO qid exclusion anywhere (raw
+    query vector, Chroma self-match)."""
     cos_q = _COS.format(a="em.embedding", b=f"qe{sfx}.q")
+    sc = _gann.GRAPH_SEED_CELLS
+    dist_q = (
+        f"round(list_inner_product(qe{sfx}.q, qe{sfx}.q)"
+        f" - 2 * list_inner_product(qe{sfx}.q, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
     ctes = [
         f"qe{sfx} AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
         f" FROM gcoll WHERE vec_id = {qid})",
         f"gent{sfx} AS (SELECT vec_id FROM ghubs"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
+        f"""gqc{sfx} AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (ORDER BY {dist_q}, c.cluster) AS rn
+    FROM c{iters}s c CROSS JOIN qe{sfx}) WHERE rn <= {sc})""",
         f"""gseed{sfx} AS (
   SELECT vec_id FROM gent{sfx}
   UNION
-  SELECT h.vec_id FROM ghubs h
-  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid}))""",
+  SELECT h.vec_id FROM ghubs h JOIN gqc{sfx} USING (cluster))""",
         f"""gv0{sfx} AS (
   SELECT em.vec_id, {cos_q} AS sim
   FROM gcoll em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
@@ -2375,24 +2469,36 @@ _GCOLL_CTE = """gcoll AS (
 
 
 def _coll_graph_acorn_ctes(
-    qid: int, beam: int, rounds: int, where_sql: str
+    qid: int, beam: int, rounds: int, where_sql: str, iters: int = 2
 ) -> list:
     """The facade ACORN beam unroll (api/collection.py
     _graph_beam_batch_acorn, M=1): gv rows carry ``pass`` = the
     surrogate row's document satisfies the where (``cpass``); frontier
     ranks passing first; failing hop-1 members expand one extra hop.
-    No qid exclusion (raw query vector, Chroma self-match semantics)."""
+    No qid exclusion (raw query vector, Chroma self-match semantics).
+    Seeds are the r14 multi-cell doors; expansion stays uncapped (the
+    ACORN rationing argument, _graph_acorn_search_ctes)."""
     cos_q = _COS.format(a="em.embedding", b="qe.q")
+    sc = _gann.GRAPH_SEED_CELLS
+    dist_q = (
+        "round(list_inner_product(qe.q, qe.q)"
+        " - 2 * list_inner_product(qe.q, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
     ctes = [
         f"qe AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
         f" FROM gcoll WHERE vec_id = {qid})",
         "gent AS (SELECT vec_id FROM ghubs"
         " ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
-        f"""gseed AS (
+        f"""gqc AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (ORDER BY {dist_q}, c.cluster) AS rn
+    FROM c{iters}s c CROSS JOIN qe) WHERE rn <= {sc})""",
+        """gseed AS (
   SELECT vec_id FROM gent
   UNION
-  SELECT h.vec_id FROM ghubs h
-  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid}))""",
+  SELECT h.vec_id FROM ghubs h JOIN gqc USING (cluster))""",
         f"""cpass AS (
   SELECT g.vec_id FROM gcoll g
   JOIN documents d ON d.doc_id = g.doc_id
@@ -2441,8 +2547,8 @@ def _coll_graph_acorn_ctes(
 def _collection_graph_acorn_sql(
     doc_qid: int = 0,
     k: int = 10,
-    beam: int = 16,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_ACORN_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2482,8 +2588,8 @@ LIMIT {k}
 def _collection_graph_sql(
     doc_qid: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2525,8 +2631,8 @@ LIMIT {k}
 def _collection_graph_batch_sql(
     doc_qids: tuple = (0, 9),
     k: int = 5,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2568,8 +2674,8 @@ def _ann_graph_tomb_sql(
     qid: int = 0,
     n_delete: int = 2,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2604,8 +2710,8 @@ def _ann_graph_vac_sql(
     qid: int = 0,
     n_delete: int = 2,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,
@@ -2668,8 +2774,13 @@ def _mat_ctes(ctes: list, names: set) -> list:
     return out
 
 
+# jcand/jscored (the rn=1 candidate chain) are NOT here: since r14 the
+# graph build scores from the nprobe-2 chain (jcand2/jscored2) and the
+# rn=1 pair sits unreferenced in the WITH list — materializing it would
+# make DuckDB compute a dead corpus-sized join
 _GRAPH_MAT = {
-    "af", "afnz", "rcap", "jcand", "jscored", "edges0",
+    "af", "afnz", "rcap", "edges0",
+    "af2", "afnz2", "jcand2", "jscored2",
     "ghubs", "ghv", "gstar", "ghedges", "gfwd", "grev", "gedges",
 }
 
@@ -2682,26 +2793,42 @@ _RECURSIVE_MESH_MAT = {
 
 
 def _graph_search_ctes(
-    qid: int, sfx: str, beam: int, rounds: int, source: str = "embeddings"
+    qid: int,
+    sfx: str,
+    beam: int,
+    rounds: int,
+    source: str = "embeddings",
+    iters: int = 2,
 ) -> list:
     """The per-query beam unroll (seed → gv0 → rounds × (gf, gv)) with
     CTE names suffixed by ``sfx`` — shared by the single-query and the
     batch graph oracles (each batch query runs the IDENTICAL solo
     chain; the Spark side only fuses IO)."""
     cos_q = _COS.format(a="em.embedding", b=f"qe{sfx}.q")
+    sc = _gann.GRAPH_SEED_CELLS
+    dist_q = (
+        f"round(list_inner_product(qe{sfx}.q, qe{sfx}.q)"
+        f" - 2 * list_inner_product(qe{sfx}.q, c.c)"
+        " + list_inner_product(c.c, c.c), 6)"
+    )
     ctes = [
         f"qe{sfx} AS (SELECT CAST(embedding AS DOUBLE[]) AS q"
         f" FROM {source} WHERE vec_id = {qid})",
         f"ent{sfx} AS (SELECT vec_id FROM ghubs WHERE vec_id <> {qid}"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)",
-        # seeds: global entry ∪ the query's own cell hub (the hubmap/
-        # point lookup — here the af assignment row), qid excluded
+        # the query's GRAPH_SEED_CELLS nearest cells under the frozen
+        # 6-dp d2 / cluster tie-break (graph_ann._seed_hubs)
+        f"""gqc{sfx} AS (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (ORDER BY {dist_q}, c.cluster) AS rn
+    FROM c{iters}s c CROSS JOIN qe{sfx}) WHERE rn <= {sc})""",
+        # seeds: global entry ∪ the seed cells' hubs, qid excluded
         f"""gseed{sfx} AS (
   SELECT vec_id FROM ent{sfx}
   UNION
-  SELECT h.vec_id FROM ghubs h
-  WHERE h.cluster = (SELECT cluster FROM af WHERE vec_id = {qid})
-    AND h.vec_id <> {qid})""",
+  SELECT h.vec_id FROM ghubs h JOIN gqc{sfx} USING (cluster)
+  WHERE h.vec_id <> {qid})""",
         f"""gv0{sfx} AS (
   SELECT em.vec_id, {cos_q} AS sim
   FROM {source} em JOIN gseed{sfx} s ON s.vec_id = em.vec_id
@@ -2727,8 +2854,8 @@ def _graph_search_ctes(
 def _ann_graph_batch_sql(
     qids: tuple = (0, 3, 9),
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = _gann.GRAPH_BEAM,
+    rounds: int = _gann.GRAPH_ROUNDS,
     degree: int = 8,
     hub_degree: int = 8,
     iters: int = 2,

@@ -316,11 +316,17 @@ class Collection:
         graph sidecar reflects, that version's parquet fingerprint
         (stale-path guard: a recreated collection at the same path must
         never be served a previous collection's graph), and the scratch
-        sf_dir whose graph root carries the sidecar's version history."""
-        import tempfile
+        sf_dir whose graph root carries the sidecar's version history.
 
-        tag = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:12]
-        return os.path.join(tempfile.gettempdir(), f"adk_coll_graph_lin_{tag}")
+        Lives INSIDE the collection root (ADVICE r13: a world-shared
+        /tmp path could be pre-created/poisoned by another local user
+        and outlived the collection it described, decoupling state and
+        collection lifetimes). The versioning layer only ever touches
+        ``v_*`` / ``.__tmp_*`` entries, so a dotted sibling is inert to
+        commits/compaction — and ``delete_collection``'s rm -rf now
+        takes the lineage down WITH the collection, closing the
+        recreate-at-same-path staleness window structurally."""
+        return os.path.join(self.root, ".graph_lineage")
 
     def _graph_sidecar(self, cur: str) -> str:
         """Resolve the navigable-graph sidecar index over THIS
@@ -333,14 +339,24 @@ class Collection:
         ``delete_from_graph_index`` (pure removals) on the SAME graph
         root — a steady upsert stream pays O(batch) per commit, exactly
         hnswlib's ``add_items`` amortization, instead of a full rebuild
-        per version. Changed embeddings, re-added tombstoned ids, a
-        compacted-away predecessor version, or a concurrent-writer race
-        fall back to the full rebuild (the graph family's ADD-only /
-        mark-delete contract — hnswlib makes the same trade). Emission
-        safety is structural: deltas only ever REMOVE ids from the
+        per version. CHANGED embeddings are incremental too (r14,
+        VERDICT r13 next #4): the old sid is tombstoned and the new
+        vector added under a fresh surrogate rid in the sidecar's
+        PRIVATE id space — the graph stays ADD-only (hnswlib's own
+        contract) while an update()-heavy workload pays O(batch) per
+        commit; the rid→sid alias map rides the lineage state and is
+        applied at pool emission (``_graph_alias_map``). Re-added
+        tombstoned ids, a compacted-away predecessor version, a
+        cross-lifetime fingerprint mismatch, or a concurrent-writer
+        race still fall back to the full rebuild (which RESETS the
+        alias map — a fresh scratch serves plain sids). Emission safety
+        is structural: deltas only ever REMOVE ids from the
         collection's vecs store, and every strategy's final distance
         join runs against the CURRENT version's vecs, so tombstoned
-        pool candidates drop out there. Returns the graph version dir."""
+        pool candidates drop out there (a replaced sid surviving in a
+        pool as a routing bridge joins to its CURRENT vector — right
+        answer by construction; the alias translation dedups it against
+        its rid twin). Returns the graph version dir."""
         from ..memo import dataset_fingerprint, index_root
         from ..operators.graph_ann import build_graph_index
 
@@ -358,7 +374,7 @@ class Collection:
         def _fp(ver_dir: str) -> list:
             return [list(t) for t in dataset_fingerprint(ver_dir)]
 
-        def _save(scratch: str) -> None:
+        def _save(scratch: str, alias: "dict | None" = None) -> None:
             os.makedirs(lin, exist_ok=True)
             tmp = state_p + ".__tmp__"
             with open(tmp, "w") as f:
@@ -367,6 +383,10 @@ class Collection:
                         "coll_ver": cur_name,
                         "fp": _fp(cur),
                         "scratch": scratch,
+                        # sid -> PRIVATE graph id for incrementally
+                        # replaced vectors; {} after a full rebuild (a
+                        # fresh scratch serves plain sids)
+                        "alias": alias or {},
                     },
                     f,
                 )
@@ -384,11 +404,23 @@ class Collection:
             and state.get("coll_ver", "") < cur_name
             and os.path.isdir(os.path.join(self.root, state.get("coll_ver", "")))
             and os.path.isdir(state.get("scratch", ""))
+            # ADVICE r13 (medium): the delta branch must verify the
+            # lineage's stored fingerprint against the PREV version dir
+            # it is about to diff from — version dirs are immutable
+            # within a lifetime, so a mismatch can only mean the
+            # lineage outlived its collection (recreated at the same
+            # path with version numbering past the stale coll_ver);
+            # falling through serves a full rebuild instead of applying
+            # a new-collection delta to an old-collection graph
+            and state.get("fp")
+            == _fp(os.path.join(self.root, state["coll_ver"]))
         ):
             prev = os.path.join(self.root, state["coll_ver"])
             try:
-                gver = self._graph_apply_delta(state["scratch"], prev, cur)
-                _save(state["scratch"])
+                gver, alias = self._graph_apply_delta(
+                    state["scratch"], prev, cur, state.get("alias") or {}
+                )
+                _save(state["scratch"], alias)
                 return gver
             except (ValueError, vn.ConcurrentWriterError):
                 pass  # not incrementally applicable: full rebuild below
@@ -418,16 +450,26 @@ class Collection:
             _save(scratch)
         return gver
 
-    def _graph_apply_delta(self, scratch: str, prev: str, cur: str) -> str:
+    def _graph_apply_delta(
+        self, scratch: str, prev: str, cur: str, alias: dict
+    ) -> "tuple[str, dict]":
         """Advance the sidecar graph from the ``prev`` collection
         version to ``cur`` by the vecs diff: pure additions stream
         through ``update_graph_index`` (frozen coarse structure, capped
         reversed edges), pure removals through
-        ``delete_from_graph_index`` (tombstones keep routing). Raises
-        ValueError when the delta is not incrementally applicable —
-        any CHANGED embedding (same sid, new vector: the graph family
-        is ADD-only) — and lets the graph ops' own guards surface
-        re-added-tombstoned ids the same way."""
+        ``delete_from_graph_index`` (tombstones keep routing), and
+        CHANGED embeddings (same sid, new vector) become tombstone-old
+        + add-under-fresh-surrogate (r14, VERDICT r13 next #4): the
+        graph node for a replaced sid is a PRIVATE rid =
+        md5("rep|version|sid") in the same 60-bit space, recorded in
+        ``alias`` (sid -> live graph id) and translated back at pool
+        emission — the graph stays ADD-only (hnswlib's contract) while
+        update()-heavy workloads pay O(batch) per commit. Deterministic
+        rids make a crash replay idempotent (the whole re-added batch
+        is detected as present and no-ops). Raises ValueError on
+        structural inapplicability (e.g. an rid collision trips the
+        ADD-only guard) — the caller then serves a full rebuild, which
+        resets the alias map. Returns (graph version dir, new alias)."""
         from ..operators.graph_ann import (
             build_graph_index,
             delete_from_graph_index,
@@ -436,13 +478,27 @@ class Collection:
 
         pv = self._vecs(prev).select("vec_id", "emb")
         cv = self._vecs(cur).select("vec_id", "emb")
-        changed = (
+        cur_name = os.path.basename(cur)
+        changed_rows = (
             cv.join(pv.select("vec_id", F.col("emb").alias("pe")), "vec_id")
             .filter(F.col("emb") != F.col("pe"))
-            .head(1)
+            .select("vec_id", "emb")
+            .collect()
         )
-        if changed:
-            raise ValueError("delta contains changed embeddings")
+        alias = dict(alias)
+        rep_rows = []
+        tomb_ids = []
+        for r in changed_rows:
+            sid = int(r["vec_id"])
+            # tombstone the sid's LIVE graph node (the sid itself, or
+            # the rid of an earlier replacement)
+            tomb_ids.append(int(alias.get(str(sid), sid)))
+            rid = int(
+                hashlib.md5(f"rep|{cur_name}|{sid}".encode()).hexdigest()[:15],
+                16,
+            )
+            rep_rows.append((rid, [float(x) for x in r["emb"]]))
+            alias[str(sid)] = rid
         added = cv.join(pv.select("vec_id"), "vec_id", "left_anti")
         removed = [
             int(r["vec_id"])
@@ -450,31 +506,52 @@ class Collection:
             .select("vec_id")
             .collect()
         ]
+        for sid in removed:
+            tomb_ids.append(int(alias.pop(str(sid), sid)))
         gver = build_graph_index(self.spark, scratch)
+        if rep_rows:
+            added = added.unionByName(
+                self.spark.createDataFrame(
+                    rep_rows, "vec_id bigint, emb array<double>"
+                )
+            )
         if added.head(1):
             gver = update_graph_index(self.spark, scratch, added)
-        if removed:
-            gver = delete_from_graph_index(self.spark, scratch, removed)
-        return gver
+        if tomb_ids:
+            gver = delete_from_graph_index(self.spark, scratch, tomb_ids)
+        return gver, alias
+
+    def _graph_alias_map(self) -> dict:
+        """{private graph id -> sid} for incrementally REPLACED vectors
+        (the inverse of the lineage's sid->rid alias) — applied when a
+        graph pool's ids become collection candidates. Empty when the
+        sidecar has never replaced (the common case: zero overhead)."""
+        state_p = os.path.join(self._graph_lineage_dir(), "state.json")
+        try:
+            with open(state_p) as f:
+                alias = json.load(f).get("alias") or {}
+        except (OSError, ValueError):
+            return {}
+        return {int(g): int(s) for s, g in alias.items()}
 
     def _graph_batch_state(self, gver: str, qvecs: list) -> tuple:
         """The fused-IO prologue shared by the blind and the ACORN
-        facade beams: resolves the graph version's entry/cents (one
-        memoized collect), assigns every query to its coarse cell (ONE
-        job), resolves the distinct cells' hubs (one fused member read
-        + one fused hubmap point-read), and returns
-        (fetch_vecs, fetch_adj, visited) — visited pre-seeded with each
-        query's scored seeds (md5-min entry hub + its cell hub, NO
-        self-exclusion: a stored vector identical to a query surfaces
-        at distance 0, Chroma semantics)."""
+        facade beams: resolves the graph version's entry and coarse
+        structure (memoized collects), ranks each query's
+        GRAPH_SEED_CELLS nearest cells driver-side and takes their hubs
+        as seed doors (zero per-query jobs — cellhubs/ is collected
+        once per version), and returns (fetch_vecs, fetch_adj, visited)
+        — visited pre-seeded with each query's scored seeds (md5-min
+        entry hub + its seed-cell hubs, NO self-exclusion: a stored
+        vector identical to a query surfaces at distance 0, Chroma
+        semantics)."""
         from ..memo import session_memo
-        from ..operators.ann import IVF_ASSIGN_SCHEMA
         from ..operators.ann import VECS_SCHEMA as GV_SCHEMA
-        from ..operators.ann import assign_to_centroids, vec_bucket_py
+        from ..operators.ann import vec_bucket_py
         from ..operators.graph_ann import (
             GRAPH_EDGES_SCHEMA,
             GRAPH_ENTRY_SCHEMA,
-            GRAPH_HUBMAP_SCHEMA,
+            _seed_hubs,
             _sim4,
         )
 
@@ -492,74 +569,28 @@ class Collection:
             )
             return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
-        # entry/cents are tiny tables in an immutable graph version —
-        # one collect per (session, version), not two jobs per query
-        entry, cents = session_memo(
+        # entry/ is a tiny table in an immutable graph version — one
+        # collect per (session, version), not one job per query
+        entry = session_memo(
             self.spark,
             gver,
-            "coll_graph_entry_cents",
+            "coll_graph_entry",
             lambda: (
                 self.spark.read.schema(GRAPH_ENTRY_SCHEMA)
                 .parquet(os.path.join(gver, "entry"))
                 .orderBy("rk")
-                .head()["vec_id"],
-                sorted(
-                    (
-                        {"cluster": r["cluster"], "c": list(r["c"])}
-                        for r in self.spark.read.parquet(
-                            os.path.join(gver, "cents")
-                        ).collect()
-                    ),
-                    key=lambda r: r["cluster"],
-                ),
+                .head()["vec_id"]
             ),
         )
-        qdf = self.spark.createDataFrame(
-            [(qi, q) for qi, q in enumerate(qvecs)],
-            "vec_id bigint, emb array<double>",
-        )
-        cell_of = {
-            r["vec_id"]: r["cluster"]
-            for r in assign_to_centroids(qdf, cents).collect()
-        }
-        cells = sorted({int(c) for c in cell_of.values()})
-        # one fused member read for the distinct query cells, then one
-        # fused hubmap point-read for those members -> cell hub map
-        members = (
-            self.spark.read.schema(IVF_ASSIGN_SCHEMA)
-            .parquet(os.path.join(gver, "assign"))
-            .filter(F.col("cluster").isin(cells))
-            .groupBy("cluster")
-            .agg(F.min("vec_id").alias("vec_id"))
-            .collect()
-        )
-        member_of = {r["cluster"]: r["vec_id"] for r in members}
-        hub_of_cell: dict = {}
-        if member_of:
-            mids = sorted(member_of.values())
-            hub_rows = (
-                self.spark.read.schema(GRAPH_HUBMAP_SCHEMA)
-                .parquet(os.path.join(gver, "hubmap"))
-                .filter(
-                    F.col("vbucket").isin(
-                        sorted({vec_bucket_py(m) for m in mids})
-                    )
-                    & F.col("vec_id").isin(mids)
-                )
-                .collect()
-            )
-            hub_by_member = {r["vec_id"]: r["hub"] for r in hub_rows}
-            hub_of_cell = {
-                c: hub_by_member[m]
-                for c, m in member_of.items()
-                if m in hub_by_member
-            }
+        # seed doors: the hubs of each query's GRAPH_SEED_CELLS nearest
+        # cells (pure driver math over the memoized cents + the graph
+        # version's cellhubs table — the r14 multi-door seeding; this
+        # replaced the per-batch assignment job + member read + hubmap
+        # point-read with zero jobs)
         seeds_per_q = []
-        for qi in range(len(qvecs)):
+        for q in qvecs:
             s = {int(entry)}
-            h = hub_of_cell.get(cell_of.get(qi))
-            if h is not None:
-                s.add(int(h))
+            s.update(int(h) for h in _seed_hubs(self.spark, gver, list(q)))
             seeds_per_q.append(s)
         first = fetch_vecs(set().union(*seeds_per_q)) if seeds_per_q else {}
         visited = [
@@ -569,7 +600,11 @@ class Collection:
         edges_path = os.path.join(gver, "edges")
 
         def fetch_adj(srcs) -> dict:
-            """One fused edges point-read: {src: {nbr, ...}}."""
+            """One fused edges point-read: {src: {nbr, ...}}. NO
+            per-source expansion cap — a sim-ranked cap was measured to
+            sever hub star-doors into interleaved sub-clusters
+            (graph_ann.py module doc); volume is already bounded by the
+            build's per-source reversal cap."""
             srcs = sorted(srcs)
             if not srcs:
                 return {}
@@ -1736,8 +1771,8 @@ class Collection:
         include: "list[str] | None" = None,
         filter_strategy: str = "probe",
         prefilter_threshold: int = 10_000,
-        graph_beam: int = 8,
-        graph_rounds: int = 3,
+        graph_beam: "int | None" = None,
+        graph_rounds: "int | None" = None,
         graph_predicate_expansion: bool = False,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
@@ -1877,8 +1912,30 @@ class Collection:
             # (hnswlib's ef): noisy corpora and selective filters thin
             # the visited pool, and the remedy is a wider walk — the
             # measured curve lives in tools/collection_recall_sweep.py
-            # + BASELINE.md
+            # + BASELINE.md. None = the module defaults (r14: blind
+            # walks at GRAPH_BEAM with the multi-cell seed doors; the
+            # ACORN opt-in keeps its measured raise-ef-for-filters
+            # GRAPH_ACORN_BEAM budget)
+            from ..operators.graph_ann import (
+                GRAPH_ACORN_BEAM,
+                GRAPH_BEAM,
+                GRAPH_ROUNDS,
+            )
+
+            if graph_beam is None:
+                graph_beam = (
+                    GRAPH_ACORN_BEAM
+                    if (graph_predicate_expansion and has_filter)
+                    else GRAPH_BEAM
+                )
+            if graph_rounds is None:
+                graph_rounds = GRAPH_ROUNDS
             gver = self._graph_sidecar(cur)
+            # replaced vectors live in the graph under private rids —
+            # translate pool ids back to sids at emission (and dedup: a
+            # tombstoned sid surviving as a routing bridge and its rid
+            # twin both name the same document)
+            amap = self._graph_alias_map()
             qlist = [
                 [float(x) for x in mat[qi]] for qi in range(mat.shape[0])
             ]
@@ -1887,22 +1944,26 @@ class Collection:
                 # steers the frontier and failing neighbors expand an
                 # extra hop (see _graph_beam_batch_acorn); pass lookups
                 # are mbucket-pruned point reads of the FILTERED meta
+                # (by the pool ids' SID translation when rids exist)
                 fmeta = meta
 
                 def pass_of(ids) -> set:
                     ids = sorted(ids)
                     if not ids:
                         return set()
-                    mb = sorted({_mbucket_py(s) for s in ids})
-                    return {
+                    tr = {g: int(amap.get(g, g)) for g in ids}
+                    mb = sorted({_mbucket_py(s) for s in tr.values()})
+                    sids = sorted(set(tr.values()))
+                    passing_sids = {
                         r["vec_id"]
                         for r in fmeta.filter(
                             F.col("mbucket").isin(mb)
-                            & F.col("vec_id").isin(ids)
+                            & F.col("vec_id").isin(sids)
                         )
                         .select("vec_id")
                         .collect()
                     }
+                    return {g for g, s in tr.items() if s in passing_sids}
 
                 pools, passing = self._graph_beam_batch_acorn(
                     gver,
@@ -1911,21 +1972,25 @@ class Collection:
                     rounds=graph_rounds,
                     pass_of=pass_of,
                 )
-                rows = [
-                    (qi, int(sid))
-                    for qi, visited in enumerate(pools)
-                    for sid in sorted(visited)
-                    if sid in passing
-                ]
+                rows = sorted(
+                    {
+                        (qi, int(amap.get(gid, gid)))
+                        for qi, visited in enumerate(pools)
+                        for gid in visited
+                        if gid in passing
+                    }
+                )
             else:
                 pools = self._graph_beam_batch(
                     gver, qlist, beam=graph_beam, rounds=graph_rounds
                 )
-                rows = [
-                    (qi, int(sid))
-                    for qi, visited in enumerate(pools)
-                    for sid in sorted(visited)
-                ]
+                rows = sorted(
+                    {
+                        (qi, int(amap.get(gid, gid)))
+                        for qi, visited in enumerate(pools)
+                        for gid in visited
+                    }
+                )
             cand = self.spark.createDataFrame(
                 rows, "query_idx int, vec_id bigint"
             )
@@ -2290,11 +2355,10 @@ def collection_query_graph_acorn_topk(
     """``collection.query`` with the opt-in ACORN traversal (r13): a
     selective where (lang='fr', ~14% of the demo collection) steers the
     beam — passing nodes rank first in the frontier and failing hop-1
-    neighbors expand one extra hop — at the measured
-    raise-ef-for-filters budget (graph_beam=16, BASELINE.md r13). The
-    oracle replays the pass-flagged fused beam over the surrogate
-    keyspace; default (expansion-off) facade behavior is pinned
-    unchanged elsewhere."""
+    neighbors expand one extra hop — at the module default budget
+    (GRAPH_BEAM/GRAPH_ROUNDS, which dominates r13's measured
+    raise-ef-for-filters graph_beam=16 setting). The oracle replays the
+    pass-flagged fused beam over the surrogate keyspace."""
     from ..sources.tables import load_table
 
     coll = demo_collection(spark, sf_dir)
@@ -2310,7 +2374,6 @@ def collection_query_graph_acorn_topk(
         where={"lang": {"$eq": "fr"}},
         filter_strategy="graph",
         graph_predicate_expansion=True,
-        graph_beam=16,
     ).select("id", "distance", "lang")
 
 

@@ -1819,6 +1819,129 @@ def assign_to_centroids(e: DataFrame, rows, with_emb: bool = False) -> DataFrame
     return e.select(*cols)
 
 
+def assign_topn_to_centroids(e: DataFrame, rows, nprobe: int) -> DataFrame:
+    """(vec_id, cluster) rows for each vector's ``nprobe`` NEAREST frozen
+    centroids — the multi-probe analog of ``assign_to_centroids`` under
+    the identical 6-dp d2 / cluster-tie-break contract (nprobe=1 emits
+    exactly the argmin assignment). The graph build's edge-candidate
+    generator (graph_ann.py): a vector on a cell BOUNDARY has true
+    neighbors in the adjacent cell, and same-cell-only candidates make
+    those edges unbuildable — probing the top-2 cells per SOURCE doubles
+    candidate volume (still ~n x target_cell_size x nprobe, linear in n)
+    without touching the per-source out-degree cap. Output is one row
+    per (vector, probed cluster); clusters of one vector are distinct by
+    construction. Shuffle-free: literal argsort below
+    CENTROID_LITERAL_MAX_KDIM, Arrow top-n kernel above."""
+    if nprobe <= 1:
+        return assign_to_centroids(e, rows).select("vec_id", "cluster")
+    if len(rows) * len(rows[0]["c"]) > CENTROID_LITERAL_MAX_KDIM:
+        return _assign_topn_broadcast(e, rows, nprobe)
+    from ..functions.vector import dot_product
+
+    cent_lit = _centroid_literal(rows)
+    ee = dot_product(F.col("emb"), F.col("emb"))
+    dists = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.round(
+                ee - 2 * dot_product(F.col("emb"), s["c"]) + s["cc"], 6
+            ).alias("d2"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    # array_sort on (d2, cluster) structs IS the contract's lexicographic
+    # ranking; slice keeps the nprobe nearest
+    top = F.slice(F.array_sort(dists), 1, nprobe)
+    return e.select("vec_id", F.explode(top).alias("t")).select(
+        "vec_id", F.col("t")["cluster"].alias("cluster")
+    )
+
+
+def _assign_topn_broadcast(e: DataFrame, rows, nprobe: int) -> DataFrame:
+    """Broadcast + Arrow top-``nprobe`` twin of the literal multi-probe
+    assignment (used above CENTROID_LITERAL_MAX_KDIM). Bulk selection is
+    a raw-double numpy partition; only rows whose rank-(nprobe-1) /
+    rank-nprobe raw distances sit within the 1.5e-6 ambiguity window (6-dp
+    rounding can only reorder distances closer than that) re-rank their
+    window candidates with the exact left-to-right fold + Decimal HALF_UP
+    key — the `_assign_broadcast` equality argument, applied to the top-n
+    BOUNDARY instead of the argmin."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.stack([np.asarray(r["c"], dtype=np.float64) for r in rows])
+    clusters = np.array([int(r["cluster"]) for r in rows], dtype=np.int64)
+    ccs = np.array([_seq_self_dot(r["c"]) for r in rows], dtype=np.float64)
+    if len(rows) <= nprobe:
+        # fewer centroids than probes: every (vec, cluster) pair
+        arr = "array({})".format(
+            ",".join(str(int(c)) for c in sorted(clusters))
+        )
+        return e.select(
+            "vec_id", F.explode(F.expr(arr)).cast("int").alias("cluster")
+        )
+    bc = e.sparkSession.sparkContext.broadcast((cmat, clusters, ccs))
+
+    def kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+        cmat, clusters, ccs = bc.value
+
+        def exact_key(emb, j):
+            ee = _seq_self_dot(emb)
+            dot = 0.0
+            cj = cmat[j]
+            for i, x in enumerate(emb):
+                dot += float(x) * float(cj[i])
+            d2 = ee - 2 * dot + float(ccs[j])
+            return (
+                Decimal(repr(d2)).quantize(six, rounding=ROUND_HALF_UP),
+                int(clusters[j]),
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                - 2.0 * (mat @ cmat.T)
+                + ccs[None, :]
+            )
+            part = np.partition(d2, nprobe, axis=1)
+            gap = part[:, nprobe] - part[:, nprobe - 1]
+            topn = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            out_ids = []
+            out_cl = []
+            ids = pdf["vec_id"].to_numpy()
+            for ridx in range(len(mat)):
+                if gap[ridx] < 1.5e-6:
+                    # boundary ambiguity: exact-rank every candidate
+                    # within the window of the nprobe-th raw distance
+                    thresh = part[ridx, nprobe - 1] + 1.5e-6
+                    cand = np.nonzero(d2[ridx] <= thresh)[0]
+                    emb = mat[ridx]
+                    picked = sorted(
+                        ((exact_key(emb, j), j) for j in cand)
+                    )[:nprobe]
+                    cl = [int(clusters[j]) for _k, j in picked]
+                else:
+                    cl = [int(clusters[j]) for j in topn[ridx]]
+                out_ids.extend([ids[ridx]] * len(cl))
+                out_cl.extend(cl)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_ids, dtype=np.int64),
+                    "cluster": np.array(out_cl, dtype=np.int32),
+                }
+            )
+
+    return e.select("vec_id", "emb").mapInPandas(
+        kernel, "vec_id bigint, cluster int"
+    )
+
+
 def _lloyd(e: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
     """The deterministic Lloyd's kernel shared by ``cluster_kmeans`` and the
     product-quantization codebook trainer: ``e`` is any (vec_id, emb) frame;
@@ -3775,6 +3898,7 @@ def knn_join_ivf_topk(
     iters: int = 2,
     target_cell_size: int = IVF_JOIN_TARGET_CELL,
     cell_cap: int = IVF_JOIN_CELL_CAP,
+    src_nprobe: int = 1,
 ) -> DataFrame:
     """Batch k-NN JOIN blocked by TRAINED IVF CELLS — the clustered-data
     fast path ``knn_join_topk``'s contract promises (BASELINE.md: the
@@ -3835,7 +3959,24 @@ def knn_join_ivf_topk(
     nz = emb.select("vec_id")
 
     nz_assign = assign.join(nz, "vec_id")
-    l = nz_assign.select(F.col("vec_id").alias("src"), "cluster")
+    if src_nprobe > 1:
+        # multi-probe SOURCE side (the graph build's boundary fix): each
+        # vector's candidates come from its src_nprobe nearest cells —
+        # one extra shuffle-free projection pass under the frozen
+        # centroids; the NEIGHBOR side stays the rn=1 membership, so a
+        # (src, nbr) pair can only arise once (nbr has one home cell)
+        cent_rows = sorted(
+            (
+                {"cluster": r["cluster"], "c": list(r["c"])}
+                for r in spark.read.parquet(os.path.join(ver, "cents")).collect()
+            ),
+            key=lambda r: r["cluster"],
+        )
+        l = assign_topn_to_centroids(
+            emb.select("vec_id", F.col("e").alias("emb")), cent_rows, src_nprobe
+        ).select(F.col("vec_id").alias("src"), "cluster")
+    else:
+        l = nz_assign.select(F.col("vec_id").alias("src"), "cluster")
     r = cap_bucket_members(nz_assign, cell_cap, bucket_cols=("cluster",)).select(
         F.col("vec_id").alias("nbr"), "cluster"
     )

@@ -94,6 +94,44 @@ from .ann import (
 
 GRAPH_DEGREE = 8
 GRAPH_HUB_DEGREE = 8
+# r14 recall levers (VERDICT r13 next #1 — mild-fixture unfiltered
+# recall ~0.64-0.73 vs multiprobe 0.98; all three measured on the
+# σ=0.25 mixture fixture, tools/collection_recall_sweep.py):
+# - BUILD: layer-0 edge candidates come from each SOURCE's top-2 cells
+#   (boundary vectors get their cross-cell true neighbors as edges; the
+#   out-degree cap is unchanged, so edge VOLUME stays ~flat while edge
+#   QUALITY jumps — sim study: 0.64 -> 0.80 at the old serve budget).
+GRAPH_BUILD_NPROBE = 2
+# - SERVE seeds: the global entry hub plus the hubs of the query's
+#   GRAPH_SEED_CELLS nearest cells (was: 1 cell) — on noisy data the
+#   true neighborhood straddles cells, and the beam can only descend
+#   into regions it was given a door to (FAISS's nprobe, applied to the
+#   graph's coarse layer). Measured on the mild facade fixture
+#   (BASELINE.md r14): recall 0.89/0.92/0.94 at 3/4/5 cells, each cell
+#   ~+120 visited vectors; 4 is the knee.
+GRAPH_SEED_CELLS = 4
+# - SERVE expansion stays UNCAPPED: a sim-ranked per-source expansion
+#   cap was tried (HNSW's bounded neighbor list) and REJECTED by
+#   measurement — a hub's star-reversal fan is a STRUCTURAL door into
+#   its cell, and capping it to the hub's top-64 by sim severed whole
+#   interleaved sub-clusters (tight fixture: 4/20 queries went 0/10;
+#   uncapped: 1.00). Expansion volume is already bounded corpus-size-
+#   independently by the build's per-source reversal cap
+#   (IVF_JOIN_CELL_CAP) — O(beam x 256) rows per round, never O(n).
+# Default search budget for the blind kernel (hnswlib ef): beam 8 -> 12,
+# rounds unchanged — so the per-query point-read JOB count stays the old
+# default's. Net measured profile (mild facade fixture, BASELINE.md
+# r14): recall 0.64 -> 0.92 at ~2.5x the old blind beam's vector fetch
+# volume (613 vs 241 mean visited; each fetch stays a bounded
+# partition-pruned point read, <= seeds x cell fan + beam x rev cap
+# rows, corpus-size-independent). Tight fixture stays 1.00.
+GRAPH_BEAM = 12
+GRAPH_ROUNDS = 3
+# The ACORN walks keep r13's measured raise-ef-for-filters budget
+# (BASELINE.md r13: beam 16 lifted 10%-selectivity recall to ~parity
+# with multiprobe): the predicate thins the pool, so the opt-in pays a
+# wider beam than the blind default.
+GRAPH_ACORN_BEAM = 16
 # Hub-mesh recursion gate: a level with more hubs than this is meshed by
 # the cell-blocked pipeline (one more recursion level) instead of the
 # all-pairs join. 4096² = 16.8M candidate pairs is a trivially cheap
@@ -111,11 +149,13 @@ GRAPH_HUB_RECURSE_MIN_CELLS = 2
 GRAPH_EDGES_SCHEMA = "src bigint, nbr bigint, sim double, sbucket int"
 GRAPH_ENTRY_SCHEMA = "rk int, vec_id bigint"
 GRAPH_HUBMAP_SCHEMA = "vec_id bigint, hub bigint, vbucket int"
+GRAPH_CELLHUBS_SCHEMA = "cluster int, hub bigint"
 GRAPH_TOMB_SCHEMA = "vec_id bigint, vbucket int"
 GRAPH_COMPONENTS = [
     ("edges", ["sbucket"]),
     ("entry", []),
     ("hubmap", ["vbucket"]),
+    ("cellhubs", []),
     ("vecs", ["vbucket"]),
     ("assign", ["cluster"]),
     ("cents", []),
@@ -147,6 +187,10 @@ def graph_index_root(
         "graph_ann", sf_dir, *extra, degree, hub_degree, iters,
         IVF_JOIN_TARGET_CELL, IVF_JOIN_CELL_CAP, IVF_JOIN_TRAIN_PER_CELL,
         N_VEC_BUCKETS,
+        # r14: nprobe-2 layer-0 candidates + the cellhubs component —
+        # unconditionally in the key so every pre-r14 cached version is
+        # invalidated (its edge set AND its component list are stale)
+        "np", GRAPH_BUILD_NPROBE,
     )
 
 
@@ -300,10 +344,12 @@ def build_graph_index(
     if cur is not None:
         return cur
 
-    # layer 0: the cell join's k-NN edges at graph degree
-    edges0 = knn_join_ivf_topk(spark, sf_dir, k=degree, iters=iters).select(
-        "src", "nbr", "sim"
-    )
+    # layer 0: the cell join's k-NN edges at graph degree — candidates
+    # from each source's top-GRAPH_BUILD_NPROBE cells (boundary vectors
+    # get cross-cell true neighbors; out-degree cap unchanged)
+    edges0 = knn_join_ivf_topk(
+        spark, sf_dir, k=degree, iters=iters, src_nprobe=GRAPH_BUILD_NPROBE
+    ).select("src", "nbr", "sim")
 
     # the SAME sampled-IVF version the cell join built/used
     n = load_table(spark, sf_dir, "embeddings").count()
@@ -453,6 +499,20 @@ def build_graph_index(
                 vn.Component("edges", ("sbucket",), frozenset(), (edges,)),
                 vn.Component("entry", (), writes=(entry,)),
                 vn.Component("hubmap", ("vbucket",), frozenset(), (hubmap,)),
+                # cluster -> hub, c rows: the serve-time seed lookup
+                # (top-GRAPH_SEED_CELLS cells by query distance -> their
+                # hubs) — collected once per (session, version) like
+                # entry/cents, never per query
+                vn.Component(
+                    "cellhubs",
+                    (),
+                    writes=(
+                        hubs.select(
+                            F.col("cluster").cast("int").alias("cluster"),
+                            F.col("vec_id").alias("hub"),
+                        ),
+                    ),
+                ),
                 vn.Component("vecs", link_from=os.path.join(ver, "vecs")),
                 # frozen coarse structure for the INSERT path
                 # (update_graph_index assigns new vectors under these,
@@ -479,6 +539,82 @@ def _sim4(a: list, b: list) -> float:
         bb += y * y
     c = num / (math.sqrt(aa) * math.sqrt(bb))
     return float(Decimal(repr(c)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def _graph_coarse_rows(spark: SparkSession, cur: str) -> tuple:
+    """(centroid rows sorted by cluster, {cluster: hub}) for a graph
+    version — two tiny immutable tables collected once per (session,
+    version), the entry-rows memo discipline. The serve-time seed
+    resolution is thereafter pure driver math: zero per-query jobs."""
+    from ..memo import session_memo
+
+    return session_memo(
+        spark,
+        cur,
+        "graph_coarse_rows",
+        lambda: (
+            sorted(
+                (
+                    {"cluster": int(r["cluster"]), "c": [float(x) for x in r["c"]]}
+                    for r in spark.read.parquet(
+                        os.path.join(cur, "cents")
+                    ).collect()
+                ),
+                key=lambda r: r["cluster"],
+            ),
+            {
+                int(r["cluster"]): r["hub"]
+                for r in spark.read.schema(GRAPH_CELLHUBS_SCHEMA)
+                .parquet(os.path.join(cur, "cellhubs"))
+                .collect()
+            },
+        ),
+    )
+
+
+def _exact_d2_key(emb: list, crow: dict) -> tuple:
+    """The frozen-assignment ranking key — d2 as a left-to-right double
+    fold, 6-dp Decimal HALF_UP, cluster tie-break: the exact arithmetic
+    of ``assign_to_centroids`` (ann.py `_assign_broadcast.exact_key`),
+    reproduced driver-side so seed-cell selection for ONE query needs no
+    Spark job."""
+    c = crow["c"]
+    ee = dot = cc = 0.0
+    for x in emb:
+        ee += x * x
+    for x, y in zip(emb, c):
+        dot += x * y
+    for y in c:
+        cc += y * y
+    d2 = ee - 2 * dot + cc
+    return (
+        Decimal(repr(d2)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP),
+        crow["cluster"],
+    )
+
+
+def _seed_hubs(
+    spark: SparkSession,
+    cur: str,
+    q_emb: list,
+    exclude: "int | None" = None,
+    seed_cells: int = GRAPH_SEED_CELLS,
+) -> list:
+    """Seed set for a beam search: the hubs of the query's
+    ``seed_cells`` nearest cells (exact frozen-assignment ranking) —
+    the multi-door fix for noise-straddled neighborhoods (module
+    constants doc). ``exclude`` drops the query's own id (corpus-key
+    semantics; the facade passes None). The global entry hub is NOT
+    included here — callers union it (its selection depends on the
+    caller's exclusion rule)."""
+    cent_rows, hub_of = _graph_coarse_rows(spark, cur)
+    ranked = sorted(cent_rows, key=lambda r: _exact_d2_key(q_emb, r))
+    out = []
+    for r in ranked[:seed_cells]:
+        h = hub_of.get(r["cluster"])
+        if h is not None and h != exclude and h not in out:
+            out.append(h)
+    return out
 
 
 def _beam_visited(
@@ -530,32 +666,27 @@ def _beam_visited(
         )
         return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
-    # seed the beam with the GLOBAL entry AND the query's own cell hub
-    # (one vbucket-pruned point read of hubmap/) — the regional door.
-    # Pure best-first from a single entry provably stalls when the
-    # query's region has no well-scoring upper-layer node (measured:
-    # an interleaved sub-cluster whose only door scored sim −0.20 was
+    # seed the beam with the GLOBAL entry AND the hubs of the query's
+    # GRAPH_SEED_CELLS nearest cells (pure driver math over the
+    # memoized cents/cellhubs tables — zero per-query jobs). Pure
+    # best-first from a single entry provably stalls when the query's
+    # region has no well-scoring upper-layer node (measured: an
+    # interleaved sub-cluster whose only door scored sim −0.20 was
     # never expanded at any beam width); seeding by coarse assignment
     # is the FAISS IVF+HNSW-hybrid answer, and our coarse quantizer IS
-    # the index's top layer.
-    hub_row = (
-        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
-        .parquet(os.path.join(cur, "hubmap"))
-        .filter(
-            (F.col("vbucket") == vec_bucket_py(query_vec_id))
-            & (F.col("vec_id") == query_vec_id)
-        )
-        .head()
-    )
-    seeds = [entry]
-    if hub_row is not None and hub_row["hub"] != query_vec_id:
-        seeds.append(hub_row["hub"])
-    first = fetch_vecs({query_vec_id, *seeds})
-    if query_vec_id not in first:
+    # the index's top layer — multi-cell doors are its nprobe.
+    qv = fetch_vecs({query_vec_id})
+    if query_vec_id not in qv:
         raise ValueError(f"query vec_id {query_vec_id} not in the index")
-    q = first[query_vec_id]
+    q = qv[query_vec_id]
     if not any(x != 0.0 for x in q):
         raise ValueError("zero-norm query vector: cosine undefined")
+    seeds = [entry] + [
+        h
+        for h in _seed_hubs(spark, cur, q, exclude=query_vec_id)
+        if h != entry
+    ]
+    first = fetch_vecs(set(seeds))
     visited = {s: _sim4(q, first[s]) for s in set(seeds)}
     frontier = sorted(visited, key=lambda v: (-visited[v], v))[:beam]
     for _ in range(rounds):
@@ -595,8 +726,8 @@ def ann_graph_topk(
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -621,8 +752,8 @@ def ann_graph_recursive_topk(
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -656,8 +787,8 @@ def ann_graph_batch_topk(
     sf_dir: str,
     query_vec_ids: tuple = (0, 3, 9),
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -702,17 +833,17 @@ def ann_graph_batch_topk(
         )
         return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
-    # one fused hubmap probe for every query's regional door
-    hub_rows = (
-        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
-        .parquet(os.path.join(cur, "hubmap"))
-        .filter(
-            F.col("vbucket").isin(sorted({vec_bucket_py(q) for q in qids}))
-            & F.col("vec_id").isin(sorted(qids))
-        )
-        .collect()
-    )
-    hub_of = {r["vec_id"]: r["hub"] for r in hub_rows}
+    # one fused vecs fetch for the query embeddings, then pure driver
+    # math (memoized cents/cellhubs) resolves every query's seed doors
+    qv = fetch_vecs(set(qids))
+    qemb: dict = {}
+    for qid in qids:
+        if qid not in qv:
+            raise ValueError(f"query vec_id {qid} not in the index")
+        q = qv[qid]
+        if not any(x != 0.0 for x in q):
+            raise ValueError(f"zero-norm query vector {qid}: cosine undefined")
+        qemb[qid] = q
     seeds: dict = {}
     for qid in qids:
         entry = next(
@@ -720,20 +851,12 @@ def ann_graph_batch_topk(
         )
         if entry is None:
             raise ValueError("graph index has no usable entry hub")
-        s = [entry]
-        h = hub_of.get(qid)
-        if h is not None and h != qid:
-            s.append(h)
-        seeds[qid] = s
-    first = fetch_vecs(set(qids) | {s for ss in seeds.values() for s in ss})
-    qemb: dict = {}
-    for qid in qids:
-        if qid not in first:
-            raise ValueError(f"query vec_id {qid} not in the index")
-        q = first[qid]
-        if not any(x != 0.0 for x in q):
-            raise ValueError(f"zero-norm query vector {qid}: cosine undefined")
-        qemb[qid] = q
+        seeds[qid] = [entry] + [
+            h
+            for h in _seed_hubs(spark, cur, qemb[qid], exclude=qid)
+            if h != entry
+        ]
+    first = fetch_vecs({s for ss in seeds.values() for s in ss})
     visited = {
         qid: {s: _sim4(qemb[qid], first[s]) for s in set(seeds[qid])}
         for qid in qids
@@ -864,13 +987,19 @@ def update_graph_index(
         ),
         key=lambda r: r["cluster"],
     )
-    from .ann import assign_to_centroids
+    from .ann import assign_to_centroids, assign_topn_to_centroids
 
     basgn = assign_to_centroids(batch.select("vec_id", "emb"), cent_rows).localCheckpoint(
         eager=True
     )
+    # candidate PROBES mirror the build's nprobe discipline (a boundary
+    # insert links into its adjacent cell too); membership/star/hubmap
+    # stay the rn=1 assignment
+    basgn2 = assign_topn_to_centroids(
+        batch.select("vec_id", "emb"), cent_rows, GRAPH_BUILD_NPROBE
+    ).localCheckpoint(eager=True)
     cells = sorted(
-        r["cluster"] for r in basgn.select("cluster").distinct().collect()
+        r["cluster"] for r in basgn2.select("cluster").distinct().collect()
     )
     # candidate neighbors: md5-top-cap of (existing ∪ batch) members of
     # the touched cells — the build's cap_bucket_members discipline,
@@ -889,12 +1018,14 @@ def update_graph_index(
         union_members, IVF_JOIN_CELL_CAP, bucket_cols=("cluster",)
     )
     cand = (
-        basgn.select(F.col("vec_id").alias("src"), "cluster")
+        basgn2.select(F.col("vec_id").alias("src"), "cluster")
         .join(
             cand_members.select(F.col("vec_id").alias("nbr"), "cluster"),
             "cluster",
         )
         .filter(F.col("src") != F.col("nbr"))
+        # no distinct needed: a nbr has exactly ONE home cell (rn=1
+        # membership), so the 2 src probes cannot repeat a pair
         .select("src", "nbr")
     )
     es = all_vecs.select(F.col("vec_id").alias("src"), F.col("emb").alias("se"))
@@ -948,6 +1079,7 @@ def update_graph_index(
     components = [
         vn.Component("edges", ("sbucket",), frozenset(), (new_edges,)),
         vn.Component("entry", link_from=os.path.join(cur, "entry")),
+        vn.Component("cellhubs", link_from=os.path.join(cur, "cellhubs")),
         vn.Component("hubmap", ("vbucket",), frozenset(), (new_hubmap,)),
         vn.Component("vecs", ("vbucket",), frozenset(), (new_vecs_rows,)),
         vn.Component(
@@ -1053,6 +1185,9 @@ def delete_from_graph_index(
             vn.Component("tomb", ("vbucket",), frozenset(), (tomb_rows,)),
             vn.Component("edges", link_from=os.path.join(cur, "edges")),
             vn.Component("entry", link_from=os.path.join(cur, "entry")),
+            vn.Component(
+                "cellhubs", link_from=os.path.join(cur, "cellhubs")
+            ),
             vn.Component("hubmap", link_from=os.path.join(cur, "hubmap")),
             vn.Component("vecs", link_from=os.path.join(cur, "vecs")),
             vn.Component("assign", link_from=os.path.join(cur, "assign")),
@@ -1069,8 +1204,8 @@ def ann_graph_tombstone_topk(
     query_vec_id: int = 0,
     n_delete: int = 2,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -1260,8 +1395,8 @@ def ann_graph_vacuumed_topk(
     query_vec_id: int = 0,
     n_delete: int = 2,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -1322,8 +1457,8 @@ def ann_graph_filtered_topk(
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -1433,24 +1568,20 @@ def _beam_visited_acorn(
         )
         return {r["nbr"] for r in rows}
 
-    hub_row = (
-        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
-        .parquet(os.path.join(cur, "hubmap"))
-        .filter(
-            (F.col("vbucket") == vec_bucket_py(query_vec_id))
-            & (F.col("vec_id") == query_vec_id)
-        )
-        .head()
-    )
-    seeds = [entry]
-    if hub_row is not None and hub_row["hub"] != query_vec_id:
-        seeds.append(hub_row["hub"])
-    first = fetch_scored({query_vec_id, *seeds})
-    if query_vec_id not in first:
+    qv = fetch_scored({query_vec_id})
+    if query_vec_id not in qv:
         raise ValueError(f"query vec_id {query_vec_id} not in the index")
-    q = first[query_vec_id][0]
+    q = qv[query_vec_id][0]
     if not any(x != 0.0 for x in q):
         raise ValueError("zero-norm query vector: cosine undefined")
+    # same multi-cell doors as the blind kernel (module constants doc);
+    # the predicate-aware frontier rule below is unchanged
+    seeds = [entry] + [
+        h
+        for h in _seed_hubs(spark, cur, q, exclude=query_vec_id)
+        if h != entry
+    ]
+    first = fetch_scored(set(seeds))
     visited = {s: _sim4(q, first[s][0]) for s in set(seeds)}
     passing: set = {s for s in set(seeds) if first[s][1]}
     for _ in range(rounds):
@@ -1484,8 +1615,8 @@ def ann_graph_acorn_topk(
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_ACORN_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -1541,8 +1672,8 @@ def ann_graph_acorn_batch_topk(
     sf_dir: str,
     query_vec_ids: tuple = (0, 3, 9),
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: int = GRAPH_ACORN_BEAM,
+    rounds: int = GRAPH_ROUNDS,
     degree: int = GRAPH_DEGREE,
     hub_degree: int = GRAPH_HUB_DEGREE,
     iters: int = 2,
@@ -1609,29 +1740,9 @@ def ann_graph_acorn_batch_topk(
             adj.setdefault(r["src"], set()).add(r["nbr"])
         return adj
 
-    hub_rows = (
-        spark.read.schema(GRAPH_HUBMAP_SCHEMA)
-        .parquet(os.path.join(cur, "hubmap"))
-        .filter(
-            F.col("vbucket").isin(sorted({vec_bucket_py(q) for q in qids}))
-            & F.col("vec_id").isin(sorted(qids))
-        )
-        .collect()
-    )
-    hub_of = {r["vec_id"]: r["hub"] for r in hub_rows}
-    seeds: dict = {}
-    for qid in qids:
-        entry = next(
-            (r["vec_id"] for r in entry_rows if r["vec_id"] != qid), None
-        )
-        if entry is None:
-            raise ValueError("graph index has no usable entry hub")
-        s = [entry]
-        h = hub_of.get(qid)
-        if h is not None and h != qid:
-            s.append(h)
-        seeds[qid] = s
-    fetch(set(qids) | {s for ss in seeds.values() for s in ss})
+    # one fused fetch for the query rows, then driver-math seed doors
+    # (memoized cents/cellhubs — the blind batch's discipline)
+    fetch(set(qids))
     want, qemb = {}, {}
     for qid in qids:
         if qid not in cache:
@@ -1640,6 +1751,19 @@ def ann_graph_acorn_batch_topk(
         if not any(x != 0.0 for x in q):
             raise ValueError(f"zero-norm query vector {qid}: cosine undefined")
         qemb[qid], want[qid] = q, lab
+    seeds: dict = {}
+    for qid in qids:
+        entry = next(
+            (r["vec_id"] for r in entry_rows if r["vec_id"] != qid), None
+        )
+        if entry is None:
+            raise ValueError("graph index has no usable entry hub")
+        seeds[qid] = [entry] + [
+            h
+            for h in _seed_hubs(spark, cur, qemb[qid], exclude=qid)
+            if h != entry
+        ]
+    fetch({s for ss in seeds.values() for s in ss})
     visited = {
         qid: {s: _sim4(qemb[qid], cache[s][0]) for s in set(seeds[qid])}
         for qid in qids
@@ -1715,6 +1839,7 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
             ("edges", ["sbucket"], GRAPH_EDGES_SCHEMA),
             ("entry", [], GRAPH_ENTRY_SCHEMA),
             ("hubmap", ["vbucket"], GRAPH_HUBMAP_SCHEMA),
+            ("cellhubs", [], GRAPH_CELLHUBS_SCHEMA),
             ("vecs", ["vbucket"], VECS_SCHEMA),
             ("assign", ["cluster"], IVF_ASSIGN_SCHEMA),
             ("cents", [], "cluster int, c array<double>"),
@@ -1771,6 +1896,37 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     )
     unmapped = vecs.join(hubmap.select("vec_id"), "vec_id", "left_anti").count()
     out.append(("every_vector_hub_mapped", unmapped == 0, f"unmapped={unmapped}"))
+    # the serve-time seed store: one hub per cluster, each a real vector,
+    # and consistent with hubmap (a member's mapped hub IS its cluster's
+    # cellhubs row — the two stores answer the same question from
+    # different keys and must never diverge)
+    cellhubs = spark.read.schema(GRAPH_CELLHUBS_SCHEMA).parquet(
+        os.path.join(cur, "cellhubs")
+    )
+    dup = (
+        cellhubs.groupBy("cluster").count().filter(F.col("count") > 1).count()
+    )
+    out.append(("one_hub_per_cell", dup == 0, f"dup_clusters={dup}"))
+    ch_dangling = cellhubs.join(
+        vecs.select(F.col("vec_id").alias("hub")), "hub", "left_anti"
+    ).count()
+    out.append(
+        ("cellhub_vectors_exist", ch_dangling == 0, f"dangling={ch_dangling}")
+    )
+    assign_t = spark.read.schema(IVF_ASSIGN_SCHEMA).parquet(
+        os.path.join(cur, "assign")
+    )
+    mismatch = (
+        assign_t.join(hubmap.select("vec_id", "hub"), "vec_id")
+        .join(
+            cellhubs.select("cluster", F.col("hub").alias("ch")), "cluster"
+        )
+        .filter(F.col("hub") != F.col("ch"))
+        .count()
+    )
+    out.append(
+        ("cellhubs_match_hubmap", mismatch == 0, f"mismatched={mismatch}")
+    )
     # the r13 no-large-all-pairs invariant, checked from the frozen
     # witness: every hub-mesh level above the gate must have been
     # cell-blocked (only the final level may be all-pairs), levels must

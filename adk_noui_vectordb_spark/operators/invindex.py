@@ -1375,8 +1375,8 @@ def hybrid_weighted_graph_topk(
     alpha: float = 0.6,
     n_candidates: int = 100,
     k: int = 10,
-    beam: int = 8,
-    rounds: int = 3,
+    beam: "int | None" = None,
+    rounds: "int | None" = None,
 ) -> DataFrame:
     """Alpha fusion with the NAVIGABLE GRAPH as the vector pool (r13 —
     the two serving families composed: Weaviate/Chroma deployments pair
@@ -1386,9 +1386,11 @@ def hybrid_weighted_graph_topk(
     multiprobe band probe — bounded point reads, no band table needed.
     Zero corpus scans at query time on either pool."""
     from .ann import VECS_SCHEMA  # noqa: F401  (parity with served twin)
-    from .graph_ann import ann_graph_topk
+    from .graph_ann import GRAPH_BEAM, GRAPH_ROUNDS, ann_graph_topk
     from .hybrid import _minmax_norm
 
+    beam = GRAPH_BEAM if beam is None else beam
+    rounds = GRAPH_ROUNDS if rounds is None else rounds
     lex_top = bm25_topk_served(spark, sf_dir, terms, k=n_candidates)
     lex_n = _minmax_norm(lex_top, "bm25", "lex_n")
     vec_top = ann_graph_topk(

@@ -1,6 +1,8 @@
 """Approximate-ANN quality gates (BASELINE.md: recall@10 >= 0.9 vs brute
 force). The driver can only rows-check LSH, so recall is enforced here."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from adk_noui_vectordb_spark.operators.ann import ann_ivf_topk, ann_lsh_topk
@@ -306,6 +308,57 @@ def test_kmeans_broadcast_assignment_equals_literal(spark, sf_dir, monkeypatch):
     plan = explain_str(ann.cluster_kmeans(spark, sf_dir, k=8), mode="simple")
     for bad in ("Exchange", "Sort", "Window", "Join"):
         assert bad not in plan, f"{bad} in broadcast assignment plan:\n{plan}"
+
+
+def test_assign_topn_matches_argmin_and_broadcast(spark, sf_dir, monkeypatch):
+    """r14 multi-probe assignment (the graph build's boundary fix):
+    (1) nprobe=1 reduces exactly to assign_to_centroids; (2) the row's
+    rank-1 cluster under nprobe=2 IS the argmin assignment (the second
+    probe only ADDS a row); (3) the Arrow broadcast top-n kernel agrees
+    pair-for-pair with the literal array_sort path under the identical
+    (round(d2,6), cluster) contract."""
+    from adk_noui_vectordb_spark.operators import ann
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    assign_p, _ = ann.build_ivf_index_sampled(spark, sf_dir, 8, 2, 32)
+    cents_p = os.path.join(os.path.dirname(assign_p), "cents")
+    cent_rows = sorted(
+        (
+            {"cluster": r["cluster"], "c": list(r["c"])}
+            for r in spark.read.parquet(cents_p).collect()
+        ),
+        key=lambda r: r["cluster"],
+    )
+    argmin = {
+        (r["vec_id"], r["cluster"])
+        for r in ann.assign_to_centroids(e, cent_rows).collect()
+    }
+    top1 = {
+        (r["vec_id"], r["cluster"])
+        for r in ann.assign_topn_to_centroids(e, cent_rows, 1).collect()
+    }
+    assert top1 == argmin
+    top2 = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in ann.assign_topn_to_centroids(e, cent_rows, 2).collect()
+    )
+    n = e.count()
+    assert len(top2) == 2 * n
+    assert argmin <= set(top2)  # every argmin pair is among the 2 probes
+    per_vec: dict = {}
+    for vid, cl in top2:
+        per_vec.setdefault(vid, set()).add(cl)
+    assert all(len(cls) == 2 for cls in per_vec.values())
+    monkeypatch.setattr(ann, "CENTROID_LITERAL_MAX_KDIM", 0)
+    bcast = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in ann.assign_topn_to_centroids(e, cent_rows, 2).collect()
+    )
+    assert bcast == top2
 
 
 def test_kmeans_large_k_smoke(spark, sf_dir):

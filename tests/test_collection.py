@@ -1310,12 +1310,107 @@ def test_graph_sidecar_is_incremental_across_commits(spark, tmp_path):
     }
     assert len(fresh_top & exact) / 10 >= 0.8, fresh_top
 
-    # changed embedding -> ADD-only contract -> full rebuild fallback
+    # changed embedding -> INCREMENTAL replace (r14, VERDICT r13 next
+    # #4): tombstone-old + add-under-fresh-surrogate on the SAME graph
+    # root — no re-staging; the sid->rid alias lands in the lineage and
+    # the replaced vector serves at its NEW position
     st_before = json.load(open(os.path.join(lin, "state.json")))
     coll.upsert(_batch(spark, ["a0"], mat[5:6]))
-    coll.query(q, n_results=5, filter_strategy="graph").collect()
+    got = coll.query(
+        [float(x) for x in mat[5]], n_results=3, filter_strategy="graph"
+    ).collect()
+    assert ("a0", 0.0) in {(r["id"], r["distance"]) for r in got}
     st3 = json.load(open(os.path.join(lin, "state.json")))
-    assert st3["scratch"] != st_before["scratch"]
+    assert st3["scratch"] == st_before["scratch"], "replace re-staged"
+    assert list(st3.get("alias", {})) == [str(_sid_py("a0"))]
+
+
+def test_graph_sidecar_replace_pays_batch_and_matches_fresh_rebuild(
+    spark, tmp_path
+):
+    """VERDICT r13 next #4 done-criteria: an update()-heavy commit on a
+    graph-served collection pays O(batch) (job budget pinned — no
+    corpus re-staging, no full rebuild), and the incrementally-replaced
+    sidecar serves query results HASH-EQUAL to a from-scratch rebuild
+    over the identical final vectors. Also pins the alias lifecycle: a
+    twice-replaced sid chains rids; deleting a replaced sid drops its
+    alias entry and the vector stops surfacing."""
+    import json
+    import os
+    import shutil
+
+    import adk_noui_vectordb_spark.sources.versioning as vn
+
+    coll = Collection(spark, str(tmp_path / "rep"))
+    mat = _vecs(11, 44)
+    coll.add(_batch(spark, [f"d{i}" for i in range(40)], mat[:40]))
+    q = [float(x) for x in mat[1]]
+    coll.query(q, n_results=5, filter_strategy="graph").collect()
+    lin = coll._graph_lineage_dir()
+    st1 = json.load(open(os.path.join(lin, "state.json")))
+
+    # replace two vectors in one commit; O(batch) pinned by job count
+    coll.update(_batch(spark, ["d3", "d7"], mat[40:42]))
+    sc = spark.sparkContext
+    sc.setJobGroup("rep-sidecar", "replace delta")
+    got = coll.query(
+        [float(x) for x in mat[40]], n_results=3, filter_strategy="graph"
+    ).collect()
+    sc.setJobGroup("other", "")
+    assert (got[0]["id"], got[0]["distance"]) == ("d3", 0.0)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("rep-sidecar"))
+    assert n_jobs <= 80, f"replace-then-graph-query ran {n_jobs} jobs"
+    st2 = json.load(open(os.path.join(lin, "state.json")))
+    assert st2["scratch"] == st1["scratch"], "replace re-staged the corpus"
+    assert set(st2["alias"]) == {str(_sid_py("d3")), str(_sid_py("d7"))}
+
+    # chain: replace d3 AGAIN -> the rid advances, still incremental
+    coll.update(_batch(spark, ["d3"], mat[42:43]))
+    got2 = coll.query(
+        [float(x) for x in mat[42]], n_results=3, filter_strategy="graph"
+    ).collect()
+    assert (got2[0]["id"], got2[0]["distance"]) == ("d3", 0.0)
+    st3 = json.load(open(os.path.join(lin, "state.json")))
+    assert st3["scratch"] == st1["scratch"]
+    assert st3["alias"][str(_sid_py("d3"))] != st2["alias"][str(_sid_py("d3"))]
+
+    # delete a replaced sid: alias entry drops, vector stops surfacing
+    coll.delete(ids=["d7"])
+    pool = {
+        r["id"]
+        for r in coll.query(
+            [float(x) for x in mat[41]], n_results=40, filter_strategy="graph"
+        ).collect()
+    }
+    assert "d7" not in pool
+    st4 = json.load(open(os.path.join(lin, "state.json")))
+    assert str(_sid_py("d7")) not in st4["alias"]
+
+    # hash-equality with a FRESH rebuild over the identical final
+    # vectors: capture incrementally-served results, wipe the lineage
+    # (forces the full-rebuild path, which also resets the alias), and
+    # compare row-for-row
+    queries = [q, [float(x) for x in mat[42]], [float(x) for x in mat[20]]]
+    inc = [
+        sorted(
+            (r["id"], r["distance"])
+            for r in coll.query(
+                qv, n_results=10, filter_strategy="graph"
+            ).collect()
+        )
+        for qv in queries
+    ]
+    shutil.rmtree(lin)
+    fresh = [
+        sorted(
+            (r["id"], r["distance"])
+            for r in coll.query(
+                qv, n_results=10, filter_strategy="graph"
+            ).collect()
+        )
+        for qv in queries
+    ]
+    assert inc == fresh, "incremental replace diverged from fresh rebuild"
 
 
 def test_graph_predicate_expansion_recall_under_selective_filter(
@@ -1323,11 +1418,14 @@ def test_graph_predicate_expansion_recall_under_selective_filter(
 ):
     """VERDICT r12 next #4 done-criterion: the ACORN-style opt-in
     (``graph_predicate_expansion=True``) holds facade graph recall ≥
-    0.9 at 10% where-selectivity on the MILD fixture — the regime where
-    the default emission-filtered pool collapses (0.34 on this config;
-    0.15 on the full sweep fixture, BASELINE.md r12b). Measured 1.00 at
-    graph_beam=16 (hnswlib's raise-ef-for-filters guidance); the
-    default path is asserted UNCHANGED (opt-in lesson, r11)."""
+    0.9 at 10% where-selectivity on the MILD fixture (measured 1.00 on
+    this config at graph_beam=16, hnswlib's raise-ef-for-filters
+    guidance). r14 additionally pins the UNFILTERED default ≥ 0.9
+    (VERDICT r13 next #1 done-criterion — measured 0.96 here, 0.92 on
+    the full n=2000 sweep fixture vs 0.64 pre-r14: nprobe-2 build edges
+    + multi-cell seed doors). The blind emission-filtered path improved
+    too (0.34 -> 0.79 measured) but remains ≤ the steered walk — that
+    ordering is the pinned invariant now, not the old collapse."""
     import numpy as np
 
     from tools.make_clustered_embeddings import make
@@ -1361,12 +1459,21 @@ def test_graph_predicate_expansion_recall_under_selective_filter(
     nrm = np.linalg.norm(emb, axis=1)
     k, w = 10, {"grp": {"$in": [0]}}
     idxs = [i for i in range(n) if grp[i] == 0]
-    a_hits = b_hits = tot = 0
+    u_hits = a_hits = b_hits = tot = 0
     for qi in range(8):
         q = queries[qi]
         cos = (emb @ q) / (nrm * np.linalg.norm(q))
         truth = set(sorted(idxs, key=lambda i: (-round(cos[i], 4), i))[:k])
+        truth_u = set(
+            sorted(range(n), key=lambda i: (-round(cos[i], 4), i))[:k]
+        )
         qv = [float(x) for x in q]
+        unfiltered = {
+            int(r["id"][1:])
+            for r in coll.query(
+                qv, n_results=k, filter_strategy="graph"
+            ).collect()
+        }
         blind = {
             int(r["id"][1:])
             for r in coll.query(
@@ -1384,13 +1491,16 @@ def test_graph_predicate_expansion_recall_under_selective_filter(
                 graph_beam=16,
             ).collect()
         }
+        u_hits += len(unfiltered & truth_u)
         a_hits += len(acorn & truth)
         b_hits += len(blind & truth)
         tot += k
+    # r14 intrinsic-recall pin (measured 0.96 on this seeded config)
+    assert u_hits / tot >= 0.9, u_hits / tot
     assert a_hits / tot >= 0.9, a_hits / tot
-    # the default path is untouched: still the collapsed blind pool
-    # (deterministic 0.34 on this seeded config)
-    assert b_hits / tot <= 0.5, b_hits / tot
+    # the steered walk never loses to the emission-filtered pool
+    # (measured 1.00 vs 0.79 here)
+    assert a_hits >= b_hits, (a_hits, b_hits)
 
 
 def test_graph_strategy_refuses_non_cosine_spaces(spark, tmp_path):
