@@ -150,12 +150,20 @@ GRAPH_EDGES_SCHEMA = "src bigint, nbr bigint, sim double, sbucket int"
 GRAPH_ENTRY_SCHEMA = "rk int, vec_id bigint"
 GRAPH_HUBMAP_SCHEMA = "vec_id bigint, hub bigint, vbucket int"
 GRAPH_CELLHUBS_SCHEMA = "cluster int, hub bigint"
+GRAPH_LABELS_SCHEMA = "vec_id bigint, label int, vbucket int"
 GRAPH_TOMB_SCHEMA = "vec_id bigint, vbucket int"
 GRAPH_COMPONENTS = [
     ("edges", ["sbucket"]),
     ("entry", []),
     ("hubmap", ["vbucket"]),
     ("cellhubs", []),
+    # label sidecar for predicate-aware (ACORN) serving: vbucket-
+    # partitioned so the pass lookup is a pruned point read like the
+    # vector fetch (VERDICT r13 next #5 — was vec_id pushdown over the
+    # raw single-file corpus). OPTIONAL: written only when the corpus
+    # carries a label column (facade/vacuum scratch corpora don't; the
+    # facade's predicate rides its own mbucket-pruned meta store).
+    ("labels", ["vbucket"]),
     ("vecs", ["vbucket"]),
     ("assign", ["cluster"]),
     ("cents", []),
@@ -352,7 +360,8 @@ def build_graph_index(
     ).select("src", "nbr", "sim")
 
     # the SAME sampled-IVF version the cell join built/used
-    n = load_table(spark, sf_dir, "embeddings").count()
+    emb_t = load_table(spark, sf_dir, "embeddings")
+    n = emb_t.count()
     c = derived_cell_count(n)
     assign_p, _cents = build_ivf_index_sampled(
         spark, sf_dir, c, iters, IVF_JOIN_TRAIN_PER_CELL
@@ -491,11 +500,31 @@ def build_graph_index(
     stats = _ivf_stats_of(vecs.select("vec_id", "emb"), assign, cent_rows)
     stats["hub_mesh_levels"] = mesh_levels
     stats["hub_allpairs_max"] = int(hub_allpairs_max)
+    comps = []
+    if "label" in emb_t.columns:
+        # label sidecar for ACORN pass lookups (GRAPH_COMPONENTS doc):
+        # partitioned by the vector's OWN vbucket so the predicate
+        # fetch prunes exactly like the vector fetch
+        comps.append(
+            vn.Component(
+                "labels",
+                ("vbucket",),
+                frozenset(),
+                (
+                    emb_t.select(
+                        "vec_id",
+                        F.col("label").cast("int").alias("label"),
+                        vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+                    ),
+                ),
+            )
+        )
     try:
         vn.commit_version(
             spark,
             root,
-            [
+            comps
+            + [
                 vn.Component("edges", ("sbucket",), frozenset(), (edges,)),
                 vn.Component("entry", (), writes=(entry,)),
                 vn.Component("hubmap", ("vbucket",), frozenset(), (hubmap,)),
@@ -1094,6 +1123,30 @@ def update_graph_index(
         components.append(
             vn.Component("tomb", link_from=os.path.join(cur, "tomb"))
         )
+    # the label sidecar (when this index carries one) advances with the
+    # batch's labels, or rides through unchanged for label-less batches
+    # (such ids simply never satisfy a label predicate)
+    if os.path.isdir(os.path.join(cur, "labels")):
+        if "label" in new_vecs.columns:
+            lab_rows = (
+                new_vecs.select(
+                    "vec_id", F.col("label").cast("int").alias("label")
+                )
+                .dropDuplicates(["vec_id"])
+                .join(batch.select("vec_id"), "vec_id")
+                .select(
+                    "vec_id",
+                    "label",
+                    vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+                )
+            )
+            components.append(
+                vn.Component("labels", ("vbucket",), frozenset(), (lab_rows,))
+            )
+        else:
+            components.append(
+                vn.Component("labels", link_from=os.path.join(cur, "labels"))
+            )
     new_cur = vn.commit_version(
         spark,
         root,
@@ -1192,7 +1245,12 @@ def delete_from_graph_index(
             vn.Component("vecs", link_from=os.path.join(cur, "vecs")),
             vn.Component("assign", link_from=os.path.join(cur, "assign")),
             vn.Component("cents", link_from=os.path.join(cur, "cents")),
-        ],
+        ]
+        + (
+            [vn.Component("labels", link_from=os.path.join(cur, "labels"))]
+            if os.path.isdir(os.path.join(cur, "labels"))
+            else []
+        ),
         expected=os.path.basename(cur),
         compact=GRAPH_COMPONENTS,
     )
@@ -1331,7 +1389,9 @@ def _commit_reindexed(
             [
                 vn.Component(name, link_from=os.path.join(new_ver, name))
                 for name, _cols in GRAPH_COMPONENTS
-                if name != "tomb"  # reclaimed: the new version is clean
+                # tomb is reclaimed (the new version is clean); labels
+                # is optional (absent on label-less corpora)
+                if name != "tomb" and os.path.isdir(os.path.join(new_ver, name))
             ],
             expected=os.path.basename(cur),
             extra_files=extra,
@@ -1610,6 +1670,65 @@ def _beam_visited_acorn(
     return visited, passing
 
 
+def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
+    """INDEX-SERVED scored fetch for the corpus ACORN keys (VERDICT r13
+    next #5 — was vec_id pushdown over the raw single-file embeddings
+    parquet): one action joins the vbucket-PRUNED vecs and labels
+    components of the graph version, so the predicate lookup prunes
+    partitions exactly like the vector fetch (the facade's
+    mbucket-pruned meta discipline). A fetched id with no label row
+    scores but never passes (a label-less streamed insert cannot match
+    a label predicate). Returns (fetch_scored, query_label)."""
+    vecs_path = os.path.join(cur, "vecs")
+    labels_path = os.path.join(cur, "labels")
+    if not os.path.isdir(labels_path):
+        raise ValueError(
+            "graph index has no labels component (label-less corpus): "
+            "the same-label ACORN predicate is unservable"
+        )
+    qb = vec_bucket_py(query_vec_id)
+    want_row = (
+        spark.read.schema(GRAPH_LABELS_SCHEMA)
+        .parquet(labels_path)
+        .filter((F.col("vbucket") == qb) & (F.col("vec_id") == query_vec_id))
+        .head()
+    )
+    if want_row is None:
+        raise ValueError(f"query vec_id {query_vec_id} has no label row")
+    want = want_row["label"]
+
+    def fetch_scored(ids) -> dict:
+        ids = sorted(ids)
+        if not ids:
+            return {}
+        vbs = sorted({vec_bucket_py(i) for i in ids})
+        v = (
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(vecs_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id", "emb")
+        )
+        lab = (
+            spark.read.schema(GRAPH_LABELS_SCHEMA)
+            .parquet(labels_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id", "label")
+        )
+        rows = v.join(lab, "vec_id", "left").select(
+            "vec_id",
+            "emb",
+            F.coalesce(F.col("label") == F.lit(want), F.lit(False)).alias(
+                "ok"
+            ),
+        ).collect()
+        return {
+            r["vec_id"]: ([float(x) for x in r["emb"]], bool(r["ok"]))
+            for r in rows
+        }
+
+    return fetch_scored, want
+
+
 def ann_graph_acorn_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1629,30 +1748,7 @@ def ann_graph_acorn_topk(
     thinning the pool. The default filtered key is untouched (the r11
     opt-in lesson)."""
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
-    emb = load_table(spark, sf_dir, "embeddings")
-    want = emb.filter(F.col("vec_id") == query_vec_id).head()["label"]
-
-    def fetch_scored(ids) -> dict:
-        # ONE bounded point read resolves vector AND predicate (at
-        # 100 TB the label rides the index like the facade's meta
-        # sidecar; here it is vec_id-pushdown over the bounded set)
-        ids = sorted(ids)
-        if not ids:
-            return {}
-        rows = (
-            emb.filter(F.col("vec_id").isin(ids))
-            .select(
-                "vec_id",
-                F.col("embedding").cast("array<double>").alias("e"),
-                (F.col("label") == want).alias("ok"),
-            )
-            .collect()
-        )
-        return {
-            r["vec_id"]: ([float(x) for x in r["e"]], bool(r["ok"]))
-            for r in rows
-        }
-
+    fetch_scored, _want = _index_scored_fetcher(spark, cur, query_vec_id)
     visited, passing = _beam_visited_acorn(
         spark, cur, query_vec_id, beam, rounds, fetch_scored
     )
@@ -1690,7 +1786,6 @@ def ann_graph_acorn_batch_topk(
     oracle's pass-flagged chain serves per query). Output:
     (query_id, vec_id, sim, rank) — top-k passing per query."""
     from ..memo import session_memo
-    from ..sources.tables import load_table
 
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
     qids = list(query_vec_ids)
@@ -1705,24 +1800,38 @@ def ann_graph_acorn_batch_topk(
             .collect()
         ),
     )
-    emb_t = load_table(spark, sf_dir, "embeddings")
     edges_path = os.path.join(cur, "edges")
+    vecs_path = os.path.join(cur, "vecs")
+    labels_path = os.path.join(cur, "labels")
+    if not os.path.isdir(labels_path):
+        raise ValueError(
+            "graph index has no labels component (label-less corpus): "
+            "the same-label ACORN predicate is unservable"
+        )
     cache: dict = {}  # id -> (emb, label), shared across queries/rounds
 
     def fetch(ids) -> None:
+        # index-served: ONE action over the vbucket-PRUNED vecs+labels
+        # components (_index_scored_fetcher doc) — a missing label row
+        # scores but never passes
         ids = sorted(set(ids) - set(cache))
         if not ids:
             return
-        for r in (
-            emb_t.filter(F.col("vec_id").isin(ids))
-            .select(
-                "vec_id",
-                F.col("embedding").cast("array<double>").alias("e"),
-                "label",
-            )
-            .collect()
-        ):
-            cache[r["vec_id"]] = ([float(x) for x in r["e"]], r["label"])
+        vbs = sorted({vec_bucket_py(i) for i in ids})
+        v = (
+            spark.read.schema(VECS_SCHEMA)
+            .parquet(vecs_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id", "emb")
+        )
+        lab = (
+            spark.read.schema(GRAPH_LABELS_SCHEMA)
+            .parquet(labels_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id", "label")
+        )
+        for r in v.join(lab, "vec_id", "left").collect():
+            cache[r["vec_id"]] = ([float(x) for x in r["emb"]], r["label"])
 
     def fetch_nbrs(srcs) -> dict:
         srcs = sorted(srcs)
@@ -1832,19 +1941,19 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     fscks. Returns (check, ok, detail); never raises."""
     build_graph_index(spark, sf_dir, **params)
     root = graph_index_root(sf_dir, **params)
-    out = vn.fsck_index(
-        spark,
-        root,
-        [
-            ("edges", ["sbucket"], GRAPH_EDGES_SCHEMA),
-            ("entry", [], GRAPH_ENTRY_SCHEMA),
-            ("hubmap", ["vbucket"], GRAPH_HUBMAP_SCHEMA),
-            ("cellhubs", [], GRAPH_CELLHUBS_SCHEMA),
-            ("vecs", ["vbucket"], VECS_SCHEMA),
-            ("assign", ["cluster"], IVF_ASSIGN_SCHEMA),
-            ("cents", [], "cluster int, c array<double>"),
-        ],
-    )
+    comp_list = [
+        ("edges", ["sbucket"], GRAPH_EDGES_SCHEMA),
+        ("entry", [], GRAPH_ENTRY_SCHEMA),
+        ("hubmap", ["vbucket"], GRAPH_HUBMAP_SCHEMA),
+        ("cellhubs", [], GRAPH_CELLHUBS_SCHEMA),
+        ("vecs", ["vbucket"], VECS_SCHEMA),
+        ("assign", ["cluster"], IVF_ASSIGN_SCHEMA),
+        ("cents", [], "cluster int, c array<double>"),
+    ]
+    pre = vn.current_dir(root)
+    if pre is not None and os.path.isdir(os.path.join(pre, "labels")):
+        comp_list.append(("labels", ["vbucket"], GRAPH_LABELS_SCHEMA))
+    out = vn.fsck_index(spark, root, comp_list)
     cur = vn.current_dir(root)
     if cur is None:
         return out
@@ -1927,6 +2036,22 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     out.append(
         ("cellhubs_match_hubmap", mismatch == 0, f"mismatched={mismatch}")
     )
+    labels_p = os.path.join(cur, "labels")
+    if os.path.isdir(labels_p):
+        lab = spark.read.schema(GRAPH_LABELS_SCHEMA).parquet(labels_p)
+        dangling_lab = lab.join(
+            vecs.select("vec_id"), "vec_id", "left_anti"
+        ).count()
+        out.append(
+            ("label_rows_have_vectors", dangling_lab == 0,
+             f"dangling={dangling_lab}")
+        )
+        dup_lab = (
+            lab.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        )
+        out.append(
+            ("one_label_per_vector", dup_lab == 0, f"dup={dup_lab}")
+        )
     # the r13 no-large-all-pairs invariant, checked from the frozen
     # witness: every hub-mesh level above the gate must have been
     # cell-blocked (only the final level may be all-pairs), levels must
