@@ -2498,6 +2498,72 @@ def collection_rollback_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collection_replace_graph_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Incremental vector REPLACE through the graph sidecar, end-to-end
+    as a driver key (r14 — VERDICT r13 next #4's oracle coverage):
+    v_000000 adds the whole demo corpus; a graph query stages the
+    sidecar at v_000000 (full build); v_000001 ``update``s doc-3's
+    embedding to embeddings[7]'s vector; the next graph query advances
+    the sidecar INCREMENTALLY — tombstone doc-3's old node, add the new
+    vector under the private rid = md5('rep|v_000001|<sid>'), alias-
+    translate at emission. Queried AT the new vector, both doc-7 and
+    the replaced doc-3 surface at distance 0.
+
+    Every run REPLAYS the lifecycle deterministically (the rollback
+    key's discipline): roll back to v_000000, wipe the sidecar lineage
+    (forces the staged-at-v_000000 state), query, update, query — so
+    the driver always exercises the replace path, never a cached
+    shortcut serving a differently-built graph. The oracle reconstructs
+    the v_000000 graph over the surrogate keyspace, applies the
+    update-path edge discipline for the rid (frozen-centroid top-2-cell
+    candidates, md5-capped union members, star bridge, reversals), runs
+    the beam over the UNION adjacency, translates rid->sid, and ranks
+    against the CURRENT (post-replace) vectors."""
+    import shutil
+
+    from ..memo import index_root
+    from ..sources.tables import load_table
+
+    root = index_root(
+        "collection_replace_graph_v1", sf_dir, RP_PLANES, RP_BANDS,
+        N_META_BUCKETS,
+    )
+    coll = Collection(spark, root)
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("text").alias("document"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    if coll._cur() is None:
+        coll.add(base)
+    if os.path.basename(coll._cur()) != "v_000000":
+        coll.rollback("v_000000")
+    shutil.rmtree(coll._graph_lineage_dir(), ignore_errors=True)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    # stage the sidecar at v_000000 (the lineage anchor the delta
+    # advances from)
+    coll.query(qv, n_results=1, filter_strategy="graph").collect()
+    coll.update(
+        e.filter(F.col("vec_id") == 7).select(
+            F.lit("doc-3").alias("id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    return coll.query(qv, n_results=k, filter_strategy="graph").select(
+        "id", "distance"
+    )
+
+
 def collection_get_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset pagination through the facade (r11): page 2 of the
     filtered ``get`` via ``after_id`` — the cursor is the last id of

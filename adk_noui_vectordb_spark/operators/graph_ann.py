@@ -45,7 +45,10 @@ Design (Spark-first, not an hnswlib port):
   query itself (deterministic, query-independent otherwise).
 
 Search (``ann_graph_topk``): classic best-first beam, made
-deterministic and oracle-mirrorable — visited set V₀ = {entry};
+deterministic and oracle-mirrorable — visited set V₀ = {entry} ∪ the
+hubs of the query's GRAPH_SEED_CELLS nearest cells (r14 multi-door
+seeding, resolved by pure driver math over the memoized cents +
+cellhubs tables — FAISS's nprobe applied to the graph's coarse layer);
 each of ``rounds`` rounds expands the ``beam`` best visited nodes
 (4-dp cosine to the query, vec_id tie-break), scores their unseen
 neighbors, and unions them into V; the answer is the top-k of the

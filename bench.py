@@ -88,6 +88,13 @@ BENCH_KEYS = [
     "hybrid_weighted_topk",
     "hybrid_weighted_served_topk",
     "hybrid_weighted_graph_topk",
+    # r14 (VERDICT r13 next #7): the r13 cost classes that were not yet
+    # bench-visible — MVCC read-pin + rollback pointer swing (the
+    # versioning path), content-keyed split, kNN label vote
+    "collection_get_snapshot",
+    "collection_rollback_get",
+    "split_train_holdout",
+    "knn_classify",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions
