@@ -110,6 +110,10 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn.knn_classify(spark, sf_dir)
 
 
+def _q_knn_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn.knn_regress(spark, sf_dir)
+
+
 def _q_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adk_noui_vectordb_spark.functions.vector import cosine_similarity, l2_distance
 
@@ -669,6 +673,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13: leave-one-out kNN majority-vote label prediction — the
         # embedding-space self-consistency probe
         "knn_classify": _q_knn_classify,
+        # r14: the numeric counterpart — leave-one-out mean-value
+        # prediction over the exact top-15 (continuous-metadata probe)
+        "knn_regress": _q_knn_regress,
         "score_similarity_pairs": _q_score_pairs,
         # scans / filters / lookups (SURVEY.md §2.2)
         "filter_by_lang": _roll.filter_by_lang,
@@ -773,6 +780,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_estimate": _dedup.minhash_jaccard_estimate,
         "dedup_simhash_pairs": _dedup.dedup_simhash_pairs,
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        # r14: asymmetric subset-duplication — word-set CONTAINMENT over
+        # PPJoin prefix-filtered candidates (Xiao et al. WWW 2008); the
+        # detector Jaccard structurally misses (short doc quoted in a
+        # long one)
+        "dedup_containment_pairs": _dedup.dedup_containment_pairs,
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
         "semdedup_prune": _dedup.semdedup_prune,
@@ -3407,6 +3419,32 @@ sims AS (
 )
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
 """,
+        "knn_regress": f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+sims AS (
+    SELECT q.q_id AS query_id, e.vec_id,
+           {_COS.format(a="e.embedding", b="q.q_emb")} AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+),
+top AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM sims) WHERE rk <= 15
+),
+p AS (
+    SELECT t.query_id, avg(d.n_chars) AS predicted_n_chars
+    FROM top t JOIN documents d ON d.doc_id = t.vec_id
+    GROUP BY t.query_id
+)
+SELECT p.query_id, p.predicted_n_chars,
+       d.n_chars AS true_n_chars,
+       abs(p.predicted_n_chars - d.n_chars) AS abs_error
+FROM p JOIN documents d ON d.doc_id = p.query_id
+ORDER BY p.query_id
+""",
         "knn_classify": f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
 sims AS (
@@ -4270,6 +4308,53 @@ ranked AS (
 )
 SELECT cluster_id, doc_id AS canonical_doc, n_members, quality AS best_quality
 FROM ranked WHERE rn = 1
+""",
+        # r14 containment (operators/dedup.py dedup_containment_pairs):
+        # prefix-filter candidates (rarest floor(slack*n)+1 tokens by
+        # (df, token) must hit the partner), exact two-sided containment
+        # on candidates, either direction >= 0.8; the slack literal is
+        # the SAME python double both engines floor()
+        "dedup_containment_pairs": """
+WITH shingle_pos AS (
+    SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 2, 1))) AS i) t
+),
+docs AS (
+    SELECT doc_id, list_distinct(list(shingle)) AS words
+    FROM shingle_pos GROUP BY doc_id
+),
+tok AS (SELECT DISTINCT doc_id, shingle AS w FROM shingle_pos),
+dfc AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+pre AS (
+    SELECT doc_id, w FROM (
+        SELECT t.doc_id, t.w,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df ASC, t.w ASC) AS rn,
+               len(dd.words) AS n
+        FROM tok t JOIN dfc d USING (w)
+        JOIN docs dd ON dd.doc_id = t.doc_id)
+    WHERE rn <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+),
+cand AS (
+    SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,
+                    greatest(p.doc_id, t.doc_id) AS doc_b
+    FROM pre p JOIN tok t USING (w)
+    WHERE p.doc_id <> t.doc_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(a.words, x -> list_contains(b.words, x)))
+                 / CAST(len(a.words) AS DOUBLE), 4) AS cont_a_in_b,
+           round(len(list_filter(b.words, x -> list_contains(a.words, x)))
+                 / CAST(len(b.words) AS DOUBLE), 4) AS cont_b_in_a
+    FROM cand c
+    JOIN docs a ON a.doc_id = c.doc_a
+    JOIN docs b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM scored
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8
+ORDER BY doc_a, doc_b
 """,
         "ngram_jaccard_pairs": """
 WITH docs AS (

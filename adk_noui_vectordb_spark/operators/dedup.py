@@ -334,6 +334,104 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_blocked(docs, threshold, block_cap)
 
 
+def dedup_containment_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by SHINGLE-set CONTAINMENT — C(A→B) =
+    |S(A)∩S(B)| / |S(A)| over distinct 3-gram shingles (Broder's item
+    space, the minhash pipeline's `_shingles`) — the subset-duplication
+    detector Jaccard structurally misses (a short document quoted
+    inside a long one has low Jaccard but containment ≈ 1; cf. the
+    verbatim case `dedup_substring_rewrite` handles). Emits unordered
+    pairs where EITHER direction reaches ``threshold``, with both 4-dp
+    containments.
+
+    Candidates by PREFIX FILTERING (PPJoin, Xiao et al. WWW 2008): order
+    each doc's shingles by ascending global document frequency (shingle
+    tie-break); if C(A→B) ≥ t then A's ⌊(1−t)·|A|⌋+1 RAREST shingles
+    must intersect B (fewer than that many misses leaves |A∩B| ≥ t|A|)
+    — so candidates come from joining each doc's rare-prefix shingles
+    against the full shingle index, never all-pairs. Completeness holds
+    per DIRECTION, and the single prefix×index join covers both
+    directions at once ((p=A,t=B) and (p=B,t=A) both land on the same
+    unordered pair).
+
+    SHINGLES, not words, deliberately: prefix filtering is only as
+    selective as the item space — on this testdata's 31-word vocabulary
+    the word-set variant degenerates to all-pairs (measured: 12.4M
+    candidate pairs at 5,000 docs, OOM), while 3-gram shingles (27k
+    distinct, max df 25) cut it to 176k. Real corpora have the same
+    skew: function words are universal, word TRIGRAMS are not.
+
+    100 TB shape: the shingle index is the BM25-postings cost class;
+    the per-doc prefix ranking is one window over (doc, shingle-df);
+    candidate volume is Σ df(prefix shingles) — the PPJoin trade.
+    Verification touches candidate pairs only (array_intersect on two
+    bounded shingle arrays)."""
+    from pyspark.sql.window import Window
+
+    # the (1 − t) multiplier is computed ONCE here and injected into
+    # both engines verbatim (oracle too) — 1 − 0.8 is not an exact
+    # double, and floor() sits right on that edge
+    slack = 1.0 - threshold
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", _shingles(whitespace_tokens(F.col("text"))).alias("words")
+    )
+    tok = docs.select("doc_id", F.explode("words").alias("w"))
+    dfc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    sized = docs.select("doc_id", F.size("words").alias("n"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w"))
+    prefix = (
+        tok.join(dfc, "w")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .join(sized, "doc_id")
+        .filter(F.col("rn") <= F.floor(F.lit(slack) * F.col("n")) + 1)
+        .select("doc_id", "w")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(tok.alias("t"), "w")
+        .filter(F.col("p.doc_id") != F.col("t.doc_id"))
+        .select(
+            F.least("p.doc_id", "t.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "t.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("words").alias("wa")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("words").alias("wb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("wa", "wb"))
+                / F.size("wa").cast("double"),
+                4,
+            ).alias("cont_a_in_b"),
+            F.round(
+                F.size(F.array_intersect("wa", "wb"))
+                / F.size("wb").cast("double"),
+                4,
+            ).alias("cont_b_in_a"),
+        )
+    )
+    return scored.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold
+    ).orderBy("doc_a", "doc_b")
+
+
 def jaccard_pairs_blocked(
     docs: DataFrame, threshold: float = 0.2, block_cap: int = 4096
 ) -> DataFrame:

@@ -135,6 +135,57 @@ def knn_classify(spark, sf_dir: str, n_queries: int = 8, k: int = 15) -> DataFra
     )
 
 
+def knn_regress(spark, sf_dir: str, n_queries: int = 8, k: int = 15) -> DataFrame:
+    """k-NN VALUE regression, leave-one-out (r14 — the numeric
+    counterpart of ``knn_classify``): predict each query document's
+    ``n_chars`` as the exact mean over its k nearest neighbors' values
+    (neighbors by 4-dp cosine, vec_id tie-break — ``knn_topk_batch``).
+    The embedding-space probe for CONTINUOUS metadata: if the metric is
+    meaningful, nearby documents have similar lengths/scores, and the
+    mean-absolute-error across queries is the quality signal.
+
+    Returns (query_id, predicted_n_chars double, true_n_chars,
+    abs_error double). No rounding anywhere: the neighbor sum is exact
+    BIGINT and one double division by the neighbor count is bit-equal
+    across engines (the agg_percentiles rounding-tie lesson — emit raw
+    doubles, never round(sum/count)).
+
+    100 TB shape: broadcast query side, shuffle-free corpus scoring,
+    one per-query rank window, map-side-combined mean."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = knn_topk_batch(emb, queries, k)
+    pred = (
+        top.join(target, "vec_id")
+        .groupBy("query_id")
+        .agg(F.avg("n_chars").alias("predicted_n_chars"))
+    )
+    truth = target.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("n_chars").alias("true_n_chars"),
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            "predicted_n_chars",
+            "true_n_chars",
+            F.abs(
+                F.col("predicted_n_chars") - F.col("true_n_chars")
+            ).alias("abs_error"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def make_query_from_vec(embeddings: DataFrame, vec_id: int) -> DataFrame:
     """Use a stored vector as the query (deterministic stand-in for the
     reference's query-embedding step, vector_search_tool.py:37)."""

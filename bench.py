@@ -95,6 +95,9 @@ BENCH_KEYS = [
     "collection_rollback_get",
     "split_train_holdout",
     "knn_classify",
+    # r14 additions
+    "knn_regress",
+    "dedup_containment_pairs",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

@@ -1169,3 +1169,61 @@ def test_substring_rewrite_keeper_and_mask_semantics(spark, tmp_path):
     # exactly one 8-token copy masked
     assert out[3]["n_removed"] == 8, out[3]
     assert out[3]["n_tokens"] == 18
+
+
+def test_containment_pairs_catch_subset_duplication(spark, tmp_path):
+    """dedup_containment_pairs (PPJoin prefix filtering + exact verify):
+    a short doc fully quoted inside a long one pairs with containment
+    1.0 in the short->long direction even though its Jaccard is far
+    below any dedup threshold; unrelated docs never pair; exact
+    duplicates read 1.0 both ways."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        dedup_containment_pairs,
+    )
+
+    quoted = "alpha beta gamma delta"
+    rows = [
+        (1, quoted),  # short doc
+        (2, quoted + " " + " ".join(f"f{i}" for i in range(16))),  # superset
+        (3, " ".join(f"z{i}" for i in range(10))),  # unrelated
+        (4, "p q r s t"),
+        (5, "p q r s t"),  # exact duplicate of 4
+    ]
+    base = str(tmp_path / "contain")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in dedup_containment_pairs(spark, base, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2), (4, 5)}, got
+    c12 = got[(1, 2)]
+    assert c12[0] == 1.0  # the short doc's 2 shingles are both contained
+    assert c12[1] == 0.1111  # 2 of the superset's 18 shingles back
+    assert got[(4, 5)] == (1.0, 1.0)
+
+
+def test_knn_regress_predicts_within_neighbor_range(spark, sf_dir):
+    """knn_regress: one row per query, the prediction is the exact mean
+    of the 15 neighbors' n_chars (so it lies within the corpus range),
+    and abs_error is self-consistent."""
+    from adk_noui_vectordb_spark.operators.knn import knn_regress
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    got = knn_regress(spark, sf_dir).collect()
+    assert [r["query_id"] for r in got] == list(range(8))
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.min("n_chars"), F.max("n_chars"))
+        .head()
+    )
+    lo, hi = stats[0], stats[1]
+    for r in got:
+        assert lo <= r["predicted_n_chars"] <= hi
+        assert r["abs_error"] == abs(
+            r["predicted_n_chars"] - r["true_n_chars"]
+        )

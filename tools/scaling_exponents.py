@@ -103,6 +103,8 @@ KEYS = {
     "ann_graph_acorn_batch_topk": "embeddings",
     "collection_query_graph_acorn_topk": "embeddings",
     "knn_classify": "embeddings",
+    "knn_regress": "embeddings",
+    "dedup_containment_pairs": "documents",
     "split_train_holdout": "documents",
     "binq_hamming_topk": "embeddings",
     "ann_binq_ivf_topk": "embeddings",
