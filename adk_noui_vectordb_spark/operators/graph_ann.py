@@ -1681,7 +1681,7 @@ def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
     partitions exactly like the vector fetch (the facade's
     mbucket-pruned meta discipline). A fetched id with no label row
     scores but never passes (a label-less streamed insert cannot match
-    a label predicate). Returns (fetch_scored, query_label)."""
+    a label predicate). Returns (fetch_scored, lazy-want state dict)."""
     vecs_path = os.path.join(cur, "vecs")
     labels_path = os.path.join(cur, "labels")
     if not os.path.isdir(labels_path):
@@ -1689,16 +1689,10 @@ def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
             "graph index has no labels component (label-less corpus): "
             "the same-label ACORN predicate is unservable"
         )
-    qb = vec_bucket_py(query_vec_id)
-    want_row = (
-        spark.read.schema(GRAPH_LABELS_SCHEMA)
-        .parquet(labels_path)
-        .filter((F.col("vbucket") == qb) & (F.col("vec_id") == query_vec_id))
-        .head()
-    )
-    if want_row is None:
-        raise ValueError(f"query vec_id {query_vec_id} has no label row")
-    want = want_row["label"]
+    # the query's label resolves LAZILY from the kernel's first fetch
+    # (which is always fetch_scored({query_vec_id})) — no separate
+    # point-read job for it
+    state: dict = {"want": None}
 
     def fetch_scored(ids) -> dict:
         ids = sorted(ids)
@@ -1717,19 +1711,28 @@ def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
             .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
             .select("vec_id", "label")
         )
-        rows = v.join(lab, "vec_id", "left").select(
-            "vec_id",
-            "emb",
-            F.coalesce(F.col("label") == F.lit(want), F.lit(False)).alias(
-                "ok"
-            ),
-        ).collect()
+        got = {
+            r["vec_id"]: ([float(x) for x in r["emb"]], r["label"])
+            for r in v.join(lab, "vec_id", "left")
+            .select("vec_id", "emb", "label")
+            .collect()
+        }
+        if state["want"] is None:
+            if query_vec_id not in got:
+                raise ValueError(
+                    f"query vec_id {query_vec_id} not in the index"
+                )
+            if got[query_vec_id][1] is None:
+                raise ValueError(
+                    f"query vec_id {query_vec_id} has no label row"
+                )
+            state["want"] = got[query_vec_id][1]
+        w = state["want"]
         return {
-            r["vec_id"]: ([float(x) for x in r["emb"]], bool(r["ok"]))
-            for r in rows
+            i: (e, lb is not None and lb == w) for i, (e, lb) in got.items()
         }
 
-    return fetch_scored, want
+    return fetch_scored, state
 
 
 def ann_graph_acorn_topk(
@@ -1751,7 +1754,7 @@ def ann_graph_acorn_topk(
     thinning the pool. The default filtered key is untouched (the r11
     opt-in lesson)."""
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
-    fetch_scored, _want = _index_scored_fetcher(spark, cur, query_vec_id)
+    fetch_scored, _state = _index_scored_fetcher(spark, cur, query_vec_id)
     visited, passing = _beam_visited_acorn(
         spark, cur, query_vec_id, beam, rounds, fetch_scored
     )
