@@ -969,8 +969,6 @@ def update_graph_index(
     entry/cents hardlink through."""
     from pyspark.sql.window import Window
 
-    from ..functions.vector import dot_product
-
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
     root = os.path.dirname(cur)
 
