@@ -785,6 +785,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detector Jaccard structurally misses (short doc quoted in a
         # long one)
         "dedup_containment_pairs": _dedup.dedup_containment_pairs,
+        # r14: the containment INGEST GATE — subset-dup admission
+        # checks served from the persisted shingle index (stored
+        # prefixes + postings + reverse map + sizes), never a corpus
+        # scan; the asymmetric sibling of dedup_gate_against_index
+        "dedup_containment_gate": _dedup.dedup_containment_gate,
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
         "semdedup_prune": _dedup.semdedup_prune,
@@ -4314,6 +4319,81 @@ FROM ranked WHERE rn = 1
         # (df, token) must hit the partner), exact two-sided containment
         # on candidates, either direction >= 0.8; the slack literal is
         # the SAME python double both engines floor()
+        # r14 containment ingest gate (dedup.py
+        # dedup_containment_gate): the index is a pure function of the
+        # corpus, so the twin replays it — corpus+batch shingle keys,
+        # corpus dfs, stored/bathside prefixes (unseen shingles df 0),
+        # two-direction candidates, exact intersections on candidates
+        "dedup_containment_gate": """
+WITH batchq AS (
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string((string_split(text, ' '))[1:12], ' ') AS text
+    FROM documents WHERE doc_id % 10 = 0
+),
+cgp AS (
+    SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 2, 1))) AS i) t
+),
+cg AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS gk
+       FROM cgp),
+bgp AS (
+    SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM batchq) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 2, 1))) AS i) t
+),
+bg AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS gk
+       FROM bgp),
+dfs AS (SELECT gk, count(*) AS df FROM cg GROUP BY gk),
+csz AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
+bsz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+cpre AS (
+    SELECT doc_id, gk FROM (
+        SELECT c.doc_id, c.gk,
+               row_number() OVER (PARTITION BY c.doc_id
+                                  ORDER BY f.df ASC, c.gk ASC) AS rn,
+               s.n
+        FROM cg c JOIN dfs f USING (gk) JOIN csz s USING (doc_id))
+    WHERE rn <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+),
+bpre AS (
+    SELECT doc_id, gk FROM (
+        SELECT b.doc_id, b.gk,
+               row_number() OVER (PARTITION BY b.doc_id
+                                  ORDER BY coalesce(f.df, 0) ASC, b.gk ASC) AS rn,
+               s.n
+        FROM bg b LEFT JOIN dfs f USING (gk) JOIN bsz s USING (doc_id))
+    WHERE rn <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+),
+cand AS (
+    SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+    FROM bpre b JOIN cg c USING (gk)
+    UNION
+    SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+    FROM bg b JOIN cpre c USING (gk)
+),
+inter AS (
+    SELECT b.doc_id AS new_id, c.doc_id AS old_id, count(*) AS i
+    FROM bg b JOIN cg c USING (gk)
+    JOIN cand ON cand.new_id = b.doc_id AND cand.old_id = c.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT i.new_id AS new_doc_id, i.old_id AS dup_of,
+           round(i.i / CAST(bs.n AS DOUBLE), 4) AS cont_new_in_old,
+           round(i.i / CAST(cs.n AS DOUBLE), 4) AS cont_old_in_new
+    FROM inter i
+    JOIN bsz bs ON bs.doc_id = i.new_id
+    JOIN csz cs ON cs.doc_id = i.old_id
+)
+SELECT new_doc_id, dup_of, cont_new_in_old, cont_old_in_new FROM scored
+WHERE greatest(cont_new_in_old, cont_old_in_new) >= 0.8
+ORDER BY new_doc_id, dup_of
+""",
         "dedup_containment_pairs": """
 WITH shingle_pos AS (
     SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle

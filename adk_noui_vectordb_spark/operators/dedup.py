@@ -432,6 +432,272 @@ def dedup_containment_pairs(
     ).orderBy("doc_a", "doc_b")
 
 
+N_GRAM_BUCKETS = 32
+CONTAIN_THRESHOLD = 0.8
+
+
+def containment_index_root(sf_dir: str) -> str:
+    from ..memo import index_root
+
+    # the threshold participates: the stored in_prefix flags are a pure
+    # function of it (a different gate threshold is a different index)
+    return index_root(
+        "containment_idx_v1", sf_dir, N_GRAM_BUCKETS, repr(CONTAIN_THRESHOLD)
+    )
+
+
+def _doc_gram_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, gk) — each doc's DISTINCT 3-gram shingles as 60-bit md5
+    keys (`md5_long`; a 60-bit collision merging two shingles is
+    negligible AND mirrored exactly by the twin's identical md5, so
+    parity is unconditional)."""
+    return (
+        d.select(
+            "doc_id", _shingles(whitespace_tokens(F.col("text"))).alias("sh")
+        )
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", md5_long(F.col("shingle")).alias("gk"))
+    )
+
+
+def build_containment_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the shingle index the CONTAINMENT ingest gate serves
+    from (the `build_minhash_index` lifecycle). Components:
+
+    - ``post/gbucket=*/``: (gk, doc_id, in_prefix) — the shingle
+      postings, partitioned by gk's md5 bucket so probes prune with
+      literal partition filters; ``in_prefix`` marks the rows belonging
+      to their doc's PPJoin prefix (the ⌊(1−t)·n⌋+1 rarest-by-corpus-df
+      shingles) — the stored half of the two-direction candidate
+      theorem (see `dedup_containment_gate_for`);
+    - ``dfs/gbucket=*/``: (gk, df) — corpus document frequencies, the
+      batch-side prefix ranking's x-axis;
+    - ``grams/sbucket=*/``: (doc_id, gk) — the doc-keyed reverse map
+      verification reads (candidate old docs' full shingle sets,
+      doc-bucket-pruned);
+    - ``sizes/sbucket=*/``: (doc_id, n) — containment denominators."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from ..sources import versioning as vn
+    from .invindex import doc_bucket_expr
+
+    root = containment_index_root(sf_dir)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, ".__tmp_build__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    slack = 1.0 - CONTAIN_THRESHOLD
+    grams = _doc_gram_keys(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfs = grams.groupBy("gk").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gk"))
+    post = (
+        grams.join(dfs, "gk")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .join(sizes, "doc_id")
+        .select(
+            "gk",
+            "doc_id",
+            (
+                F.col("rn") <= F.floor(F.lit(slack) * F.col("n")) + 1
+            ).alias("in_prefix"),
+            (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("gbucket"),
+        )
+    )
+    post.repartition(F.col("gbucket")).write.mode("overwrite").partitionBy(
+        "gbucket"
+    ).parquet(os.path.join(tmp, "post"))
+    dfs.select(
+        "gk", "df", (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("gbucket")
+    ).repartition(F.col("gbucket")).write.mode("overwrite").partitionBy(
+        "gbucket"
+    ).parquet(os.path.join(tmp, "dfs"))
+    grams.select(
+        "doc_id", "gk", doc_bucket_expr(F.col("doc_id")).alias("sbucket")
+    ).repartition(F.col("sbucket")).write.mode("overwrite").partitionBy(
+        "sbucket"
+    ).parquet(os.path.join(tmp, "grams"))
+    sizes.select(
+        "doc_id", "n", doc_bucket_expr(F.col("doc_id")).alias("sbucket")
+    ).repartition(F.col("sbucket")).write.mode("overwrite").partitionBy(
+        "sbucket"
+    ).parquet(os.path.join(tmp, "sizes"))
+    name = vn.next_version_name(root)
+    try:
+        vn.publish_version(root, tmp, name, expected=None)
+    except vn.ConcurrentWriterError:
+        return vn.current_dir(root)
+    return os.path.join(root, name)
+
+
+def dedup_containment_gate_for(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    threshold: float = CONTAIN_THRESHOLD,
+) -> DataFrame:
+    """CONTAINMENT ingest gate: which documents of a NEW batch are
+    subset-duplicates of (or contain) anything already indexed —
+    answered entirely from the persisted containment index, never a
+    corpus scan. The asymmetric sibling of `dedup_gate_for`'s Jaccard
+    gate: a crawl re-ingesting a paragraph that lives inside an indexed
+    page (or a page that swallowed an indexed paragraph) passes a
+    Jaccard gate and is caught here.
+
+    Candidates, complete per direction (PPJoin prefix theorem, both
+    sides bounded — never batch × corpus):
+    - new ⊂ old: the batch doc's ⌊(1−t)·n⌋+1 rarest shingles (ranked by
+      the STORED corpus dfs; unseen shingles get df 0 = rarest) must
+      hit the old doc → probe `post/` with the batch PREFIX keys;
+    - old ⊂ new: the old doc's stored prefix must hit the batch → probe
+      `post/ WHERE in_prefix` with ALL batch keys.
+    Verification reads candidate old docs' full shingle sets from the
+    doc-bucket-pruned `grams/` reverse map and counts exact
+    intersections; containments are exact-integer / exact-integer, 4-dp
+    HALF_UP.
+
+    Returns (new_doc_id, dup_of, cont_new_in_old, cont_old_in_new) for
+    pairs whose larger direction reaches ``threshold``."""
+    import os
+
+    cur = build_containment_index(spark, sf_dir)
+    slack = 1.0 - threshold
+    from pyspark.sql.window import Window
+
+    bg = _doc_gram_keys(
+        new_docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+    ).localCheckpoint(eager=True)
+    gbs = sorted(
+        r["b"]
+        for r in bg.select((F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    )
+    post = (
+        spark.read.schema("gk bigint, doc_id bigint, in_prefix boolean, gbucket int")
+        .parquet(os.path.join(cur, "post"))
+        .filter(F.col("gbucket").isin(gbs))
+    )
+    dfs = (
+        spark.read.schema("gk bigint, df bigint, gbucket int")
+        .parquet(os.path.join(cur, "dfs"))
+        .filter(F.col("gbucket").isin(gbs))
+    )
+    bsizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gk"))
+    branked = (
+        bg.join(dfs.select("gk", "df"), "gk", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("rn", F.row_number().over(wdoc))
+        .join(bsizes, "doc_id")
+    )
+    bprefix = branked.filter(
+        F.col("rn") <= F.floor(F.lit(slack) * F.col("n_new")) + 1
+    ).select("doc_id", "gk")
+    c1 = bprefix.alias("b").join(
+        post.select("gk", F.col("doc_id").alias("old_id")), "gk"
+    )
+    c2 = bg.alias("b").join(
+        post.filter(F.col("in_prefix")).select(
+            "gk", F.col("doc_id").alias("old_id")
+        ),
+        "gk",
+    )
+    cand = (
+        c1.select(F.col("b.doc_id").alias("new_id"), "old_id")
+        .unionByName(c2.select(F.col("b.doc_id").alias("new_id"), "old_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    old_ids = [r["old_id"] for r in cand.select("old_id").distinct().collect()]
+    if not old_ids:
+        return spark.createDataFrame(
+            [],
+            "new_doc_id bigint, dup_of bigint, cont_new_in_old double,"
+            " cont_old_in_new double",
+        )
+    import hashlib
+
+    from .invindex import N_DOC_BUCKETS
+
+    sbs = sorted(
+        {
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % N_DOC_BUCKETS
+            for i in old_ids
+        }
+    )
+    old_grams = (
+        spark.read.schema("doc_id bigint, gk bigint, sbucket int")
+        .parquet(os.path.join(cur, "grams"))
+        .filter(F.col("sbucket").isin(sbs) & F.col("doc_id").isin(old_ids))
+        .select(F.col("doc_id").alias("old_id"), "gk")
+    )
+    old_sizes = (
+        spark.read.schema("doc_id bigint, n bigint, sbucket int")
+        .parquet(os.path.join(cur, "sizes"))
+        .filter(F.col("sbucket").isin(sbs) & F.col("doc_id").isin(old_ids))
+        .select(F.col("doc_id").alias("old_id"), F.col("n").alias("n_old"))
+    )
+    inter = (
+        bg.select(F.col("doc_id").alias("new_id"), "gk")
+        .join(old_grams, "gk")
+        .join(cand, ["new_id", "old_id"], "leftsemi")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(
+            bsizes.select(F.col("doc_id").alias("new_id"), "n_new"), "new_id"
+        )
+        .join(old_sizes, "old_id")
+        .select(
+            F.col("new_id").alias("new_doc_id"),
+            F.col("old_id").alias("dup_of"),
+            F.round(F.col("inter") / F.col("n_new"), 4).alias(
+                "cont_new_in_old"
+            ),
+            F.round(F.col("inter") / F.col("n_old"), 4).alias(
+                "cont_old_in_new"
+            ),
+        )
+    )
+    return scored.filter(
+        F.greatest("cont_new_in_old", "cont_old_in_new") >= threshold
+    ).orderBy("new_doc_id", "dup_of")
+
+
+def dedup_containment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable containment-gate run (the `dedup_gate_against_
+    index` fixture shape): every doc_id % 10 == 0 document re-keyed
+    +1_000_000 plus a TRUNCATED variant (the doc's first 12 words,
+    re-keyed +2_000_000) gated against the corpus index — each clone
+    must surface its original at containment 1.0 both ways, and each
+    long-enough truncation must surface the original in the
+    new-in-old direction only (the pair a Jaccard gate misses).
+    Read-only; repeated driver runs are stable."""
+    d = load_table(spark, sf_dir, "documents")
+    clones = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    truncs = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(whitespace_tokens(F.col("text")), 1, 12), " "
+        ).alias("text"),
+    )
+    return dedup_containment_gate_for(
+        spark, sf_dir, clones.unionByName(truncs)
+    )
+
+
 def jaccard_pairs_blocked(
     docs: DataFrame, threshold: float = 0.2, block_cap: int = 4096
 ) -> DataFrame:

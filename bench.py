@@ -98,6 +98,7 @@ BENCH_KEYS = [
     # r14 additions
     "knn_regress",
     "dedup_containment_pairs",
+    "dedup_containment_gate",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

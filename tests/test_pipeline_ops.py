@@ -1227,3 +1227,35 @@ def test_knn_regress_predicts_within_neighbor_range(spark, sf_dir):
         assert r["abs_error"] == abs(
             r["predicted_n_chars"] - r["true_n_chars"]
         )
+
+
+def test_containment_gate_catches_clones_and_truncations(spark, sf_dir):
+    """dedup_containment_gate: every re-keyed clone surfaces its
+    original at containment 1.0 both ways, every truncated variant
+    (first 12 words) surfaces the original at 1.0 in the new-in-old
+    direction (its shingles are a prefix-subset of the original's) —
+    the pair class a Jaccard gate misses — and no batch doc matches an
+    unrelated corpus doc at 1.0 without sharing its shingles."""
+    from adk_noui_vectordb_spark.operators.dedup import (
+        dedup_containment_gate,
+    )
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    rows = dedup_containment_gate(spark, sf_dir).collect()
+    pairs = {(r["new_doc_id"], r["dup_of"]): r for r in rows}
+    origs = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert origs
+    for d in origs:
+        clone = pairs[(1_000_000 + d, d)]
+        assert (
+            clone["cont_new_in_old"] == 1.0
+            and clone["cont_old_in_new"] == 1.0
+        ), clone
+        trunc = pairs[(2_000_000 + d, d)]
+        assert trunc["cont_new_in_old"] == 1.0, trunc

@@ -105,6 +105,7 @@ KEYS = {
     "knn_classify": "embeddings",
     "knn_regress": "embeddings",
     "dedup_containment_pairs": "documents",
+    "dedup_containment_gate": "documents",
     "split_train_holdout": "documents",
     "binq_hamming_topk": "embeddings",
     "ann_binq_ivf_topk": "embeddings",
