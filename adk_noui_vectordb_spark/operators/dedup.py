@@ -571,15 +571,27 @@ def dedup_containment_gate_for(
     slack = 1.0 - threshold
     from pyspark.sql.window import Window
 
-    bg = _doc_gram_keys(
-        new_docs.select("doc_id", "text").dropDuplicates(["doc_id"])
-    ).localCheckpoint(eager=True)
-    gbs = sorted(
-        r["b"]
-        for r in bg.select((F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("b"))
-        .distinct()
-        .collect()
-    )
+    # prologue actions run with AQE OFF (restored after) — the
+    # dedup_gate_for latency fix: these are tiny hand-planned
+    # statements, and AQE's per-exchange stage materialization turns
+    # each into 2-3 scheduler round-trips (measured 28 jobs / 13 s warm
+    # at sf0.1 before this; the returned serving query is untouched)
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bg = _doc_gram_keys(
+            new_docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+        ).localCheckpoint(eager=True)
+        gbs = sorted(
+            r["b"]
+            for r in bg.select(
+                (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     post = (
         spark.read.schema("gk bigint, doc_id bigint, in_prefix boolean, gbucket int")
         .parquet(os.path.join(cur, "post"))
@@ -610,13 +622,21 @@ def dedup_containment_gate_for(
         ),
         "gk",
     )
-    cand = (
-        c1.select(F.col("b.doc_id").alias("new_id"), "old_id")
-        .unionByName(c2.select(F.col("b.doc_id").alias("new_id"), "old_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    old_ids = [r["old_id"] for r in cand.select("old_id").distinct().collect()]
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cand = (
+            c1.select(F.col("b.doc_id").alias("new_id"), "old_id")
+            .unionByName(
+                c2.select(F.col("b.doc_id").alias("new_id"), "old_id")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        old_ids = [
+            r["old_id"] for r in cand.select("old_id").distinct().collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     if not old_ids:
         return spark.createDataFrame(
             [],
@@ -634,18 +654,32 @@ def dedup_containment_gate_for(
             for i in old_ids
         }
     )
-    old_grams = (
+    # candidate-old restriction: a LITERAL isin pushes down nicely for
+    # small sets, but planning a many-thousand-entry In expression costs
+    # seconds — large sets restrict via a broadcast semi-join against
+    # the (already checkpointed) candidate table instead, keeping the
+    # sbucket partition pruning literal either way
+    def _restrict(df):
+        if len(old_ids) <= 512:
+            return df.filter(F.col("doc_id").isin(old_ids))
+        return df.join(
+            F.broadcast(
+                cand.select(F.col("old_id").alias("doc_id")).distinct()
+            ),
+            "doc_id",
+            "leftsemi",
+        )
+
+    old_grams = _restrict(
         spark.read.schema("doc_id bigint, gk bigint, sbucket int")
         .parquet(os.path.join(cur, "grams"))
-        .filter(F.col("sbucket").isin(sbs) & F.col("doc_id").isin(old_ids))
-        .select(F.col("doc_id").alias("old_id"), "gk")
-    )
-    old_sizes = (
+        .filter(F.col("sbucket").isin(sbs))
+    ).select(F.col("doc_id").alias("old_id"), "gk")
+    old_sizes = _restrict(
         spark.read.schema("doc_id bigint, n bigint, sbucket int")
         .parquet(os.path.join(cur, "sizes"))
-        .filter(F.col("sbucket").isin(sbs) & F.col("doc_id").isin(old_ids))
-        .select(F.col("doc_id").alias("old_id"), F.col("n").alias("n_old"))
-    )
+        .filter(F.col("sbucket").isin(sbs))
+    ).select(F.col("doc_id").alias("old_id"), F.col("n").alias("n_old"))
     inter = (
         bg.select(F.col("doc_id").alias("new_id"), "gk")
         .join(old_grams, "gk")
