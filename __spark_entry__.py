@@ -594,6 +594,33 @@ _CHECKED_R13 = frozenset({
     "token_count", "user_activity_profile",
 })
 
+# Green (rows+schema+hash) in CORRECTNESS_r14.json — all 50 window keys:
+# the r14 new operators (knn_regress, containment family, embed/pq
+# additions), every r14 rewrite (the former _REWRITTEN graph-family
+# members + knn_join_ivf_topk), and the rotated r5/r6 cohort.
+_CHECKED_R14 = frozenset({
+    "ann_graph_acorn_batch_topk", "ann_graph_acorn_topk",
+    "ann_graph_batch_topk", "ann_graph_filtered_topk",
+    "ann_graph_recursive_topk", "ann_graph_tombstone_topk",
+    "ann_graph_topk", "ann_graph_vacuumed_topk", "c4_line_filter",
+    "chunk_ast_python", "collection_query_graph_acorn_topk",
+    "collection_query_graph_batch_topk", "collection_query_graph_topk",
+    "collection_replace_graph_topk", "dedup_containment_gate",
+    "dedup_containment_pairs", "dedup_exact", "diag_generic",
+    "diag_js_ts", "diag_python", "diag_python_syntax",
+    "embed_quantize_int8", "embed_topvar_project", "gopher_quality_flags",
+    "hybrid_weighted_graph_topk", "knn_join_ivf_topk", "knn_pq_rerank",
+    "knn_pq_topk", "knn_regress", "lang_id_ngram",
+    "minhash_band_rows", "minhash_signature_rows", "ngram_jaccard_pairs",
+    "pq_encode_rows", "q10_returned_revenue", "q11_important_stock",
+    "q12_ship_delay_priority", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_qty_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customer_balance",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "split_assignment", "stratified_sample", "stream_running_totals",
+    "winnow_fingerprints",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -611,6 +638,7 @@ for _rnd, _s in (
     (11, _CHECKED_R11),
     (12, _CHECKED_R12),
     (13, _CHECKED_R13),
+    (14, _CHECKED_R14),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -622,13 +650,16 @@ for _rnd, _s in (
 # it into that round's _CHECKED set and drop it here. r12: all 9 r11
 # rewrites greened in CORRECTNESS_r11 and moved to _CHECKED_R11; the
 # entries below are the r12 rewrites. r13: all 7 r13 rewrites greened in
-# CORRECTNESS_r13 and moved to _CHECKED_R13; the entries below are the
-# r14 rewrites.
+# CORRECTNESS_r13 and moved to _CHECKED_R13. r14: all 13 r14 rewrites
+# (graph-recall overhaul: nprobe-2 layer-0 edges at build, 4 seed-cell
+# doors with beam 12 / rounds 3 serve defaults, cellhubs component)
+# greened in CORRECTNESS_r14 and moved to _CHECKED_R14; the entries
+# below are the r15 rewrites.
 _REWRITTEN = frozenset({
-    # r14 graph-recall overhaul (VERDICT r13 next #1): nprobe-2 layer-0
-    # edge candidates (build), multi-cell seed doors + beam 20/rounds 4
-    # defaults (serve), cellhubs component — every graph-family key
-    # executes new build AND serve paths; twins updated in lockstep
+    # r15 ACORN single-scan scored fetch (VERDICT r14 next #1): the
+    # label folds into the graph vecs/ component at build/insert time,
+    # so every graph build writes a new layout and the ACORN serve path
+    # reads one pruned scan — all graph-family keys execute new code
     "ann_graph_topk",
     "ann_graph_batch_topk",
     "ann_graph_recursive_topk",
@@ -640,10 +671,8 @@ _REWRITTEN = frozenset({
     "collection_query_graph_topk",
     "collection_query_graph_batch_topk",
     "collection_query_graph_acorn_topk",
+    "collection_replace_graph_topk",
     "hybrid_weighted_graph_topk",
-    # src_nprobe param threaded through (default path value-identical;
-    # re-verify the executed body anyway — the cheap-insurance rule)
-    "knn_join_ivf_topk",
 })
 
 
