@@ -673,6 +673,12 @@ _REWRITTEN = frozenset({
     "collection_query_graph_acorn_topk",
     "collection_replace_graph_topk",
     "hybrid_weighted_graph_topk",
+    # r15 exact-integer PPJoin prefix bound (ADVICE r14 #1) — the
+    # pairs op, the stored index (root bumped to v2), and the gate's
+    # batch side all compute n - ceil(t*n) + 1 in integer arithmetic;
+    # twins mirrored
+    "dedup_containment_pairs",
+    "dedup_containment_gate",
 })
 
 
@@ -4344,10 +4350,10 @@ SELECT cluster_id, doc_id AS canonical_doc, n_members, quality AS best_quality
 FROM ranked WHERE rn = 1
 """,
         # r14 containment (operators/dedup.py dedup_containment_pairs):
-        # prefix-filter candidates (rarest floor(slack*n)+1 tokens by
-        # (df, token) must hit the partner), exact two-sided containment
-        # on candidates, either direction >= 0.8; the slack literal is
-        # the SAME python double both engines floor()
+        # prefix-filter candidates (rarest n - ceil(t*n) + 1 tokens by
+        # (df, token) must hit the partner; exact integer arithmetic,
+        # ppjoin_prefix_len — ADVICE r14 #1), exact two-sided
+        # containment on candidates, either direction >= 0.8
         # r14 containment ingest gate (dedup.py
         # dedup_containment_gate): the index is a pure function of the
         # corpus, so the twin replays it — corpus+batch shingle keys,
@@ -4387,7 +4393,7 @@ cpre AS (
                                   ORDER BY f.df ASC, c.gk ASC) AS rn,
                s.n
         FROM cg c JOIN dfs f USING (gk) JOIN csz s USING (doc_id))
-    WHERE rn <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
 ),
 bpre AS (
     SELECT doc_id, gk FROM (
@@ -4396,7 +4402,7 @@ bpre AS (
                                   ORDER BY coalesce(f.df, 0) ASC, b.gk ASC) AS rn,
                s.n
         FROM bg b LEFT JOIN dfs f USING (gk) JOIN bsz s USING (doc_id))
-    WHERE rn <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
 ),
 cand AS (
     SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
@@ -4443,7 +4449,7 @@ pre AS (
                len(dd.words) AS n
         FROM tok t JOIN dfc d USING (w)
         JOIN docs dd ON dd.doc_id = t.doc_id)
-    WHERE rn <= CAST(floor(0.19999999999999996 * n) AS BIGINT) + 1
+    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
 ),
 cand AS (
     SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,

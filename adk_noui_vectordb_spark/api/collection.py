@@ -476,29 +476,42 @@ class Collection:
             update_graph_index,
         )
 
+        from ..operators.dedup import md5_long
+
         pv = self._vecs(prev).select("vec_id", "emb")
         cv = self._vecs(cur).select("vec_id", "emb")
         cur_name = os.path.basename(cur)
-        changed_rows = (
+        # ADVICE r14 #3: the rid derives DISTRIBUTEDLY (md5_long over
+        # the same "rep|version|sid" string the driver loop used to
+        # hash — identical first-15-hex-chars value), and the driver
+        # collects only the (sid, rid) id pairs for the alias map —
+        # never the changed embeddings, so an update()-heavy commit on
+        # a wide-embedding collection stays O(batch × 16 bytes) driver
+        # memory, not O(batch × dim)
+        changed = (
             cv.join(pv.select("vec_id", F.col("emb").alias("pe")), "vec_id")
             .filter(F.col("emb") != F.col("pe"))
-            .select("vec_id", "emb")
-            .collect()
+            .select(
+                "vec_id",
+                "emb",
+                md5_long(
+                    F.concat(
+                        F.lit(f"rep|{cur_name}|"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ).alias("rid"),
+            )
         )
         alias = dict(alias)
-        rep_rows = []
         tomb_ids = []
-        for r in changed_rows:
+        n_changed = 0
+        for r in changed.select("vec_id", "rid").collect():
             sid = int(r["vec_id"])
+            n_changed += 1
             # tombstone the sid's LIVE graph node (the sid itself, or
             # the rid of an earlier replacement)
             tomb_ids.append(int(alias.get(str(sid), sid)))
-            rid = int(
-                hashlib.md5(f"rep|{cur_name}|{sid}".encode()).hexdigest()[:15],
-                16,
-            )
-            rep_rows.append((rid, [float(x) for x in r["emb"]]))
-            alias[str(sid)] = rid
+            alias[str(sid)] = int(r["rid"])
         added = cv.join(pv.select("vec_id"), "vec_id", "left_anti")
         removed = [
             int(r["vec_id"])
@@ -509,11 +522,9 @@ class Collection:
         for sid in removed:
             tomb_ids.append(int(alias.pop(str(sid), sid)))
         gver = build_graph_index(self.spark, scratch)
-        if rep_rows:
+        if n_changed:
             added = added.unionByName(
-                self.spark.createDataFrame(
-                    rep_rows, "vec_id bigint, emb array<double>"
-                )
+                changed.select(F.col("rid").alias("vec_id"), "emb")
             )
         if added.head(1):
             gver = update_graph_index(self.spark, scratch, added)

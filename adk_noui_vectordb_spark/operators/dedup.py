@@ -334,6 +334,28 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_blocked(docs, threshold, block_cap)
 
 
+def ppjoin_prefix_len(n: Column, threshold: float) -> Column:
+    """Exact PPJoin prefix length ``n − ⌈t·n⌉ + 1`` in pure integer
+    arithmetic (ADVICE r14 #1: the previous ``floor((1−t)·n)+1`` on the
+    inexact double ``1.0−0.8 = 0.19999999999999996`` is one SHORTER than
+    the exact bound whenever (1−t)·n is integral — any n divisible by 5
+    at t=0.8 — silently dropping a pair whose containment is exactly t;
+    the twin embedded the same literal, so parity could never surface
+    it). t is read as the exact decimal of its repr (0.8 → 8/10), and
+    ⌈num·n/den⌉ = floor((num·n + den − 1)/den) — all-integer, mirrored
+    verbatim by the DuckDB twins. Identity: floor((1−t)n)+1 =
+    n − ⌈t·n⌉ + 1 for exact reals."""
+    from decimal import Decimal
+
+    t = Decimal(str(threshold))
+    den = 10 ** max(1, -t.as_tuple().exponent)
+    num = int(t * den)
+    ceil_tn = F.floor(
+        (F.lit(num) * n + F.lit(den - 1)) / F.lit(den)
+    ).cast("bigint")
+    return n.cast("bigint") - ceil_tn + F.lit(1)
+
+
 def dedup_containment_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
@@ -348,8 +370,10 @@ def dedup_containment_pairs(
 
     Candidates by PREFIX FILTERING (PPJoin, Xiao et al. WWW 2008): order
     each doc's shingles by ascending global document frequency (shingle
-    tie-break); if C(A→B) ≥ t then A's ⌊(1−t)·|A|⌋+1 RAREST shingles
-    must intersect B (fewer than that many misses leaves |A∩B| ≥ t|A|)
+    tie-break); if C(A→B) ≥ t then A's |A|−⌈t·|A|⌉+1 RAREST shingles
+    (= ⌊(1−t)·|A|⌋+1 for exact reals; computed all-integer, see
+    ``ppjoin_prefix_len``) must intersect B (fewer than that many
+    misses leaves |A∩B| ≥ t|A|)
     — so candidates come from joining each doc's rare-prefix shingles
     against the full shingle index, never all-pairs. Completeness holds
     per DIRECTION, and the single prefix×index join covers both
@@ -370,10 +394,6 @@ def dedup_containment_pairs(
     bounded shingle arrays)."""
     from pyspark.sql.window import Window
 
-    # the (1 − t) multiplier is computed ONCE here and injected into
-    # both engines verbatim (oracle too) — 1 − 0.8 is not an exact
-    # double, and floor() sits right on that edge
-    slack = 1.0 - threshold
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id", _shingles(whitespace_tokens(F.col("text"))).alias("words")
@@ -386,7 +406,7 @@ def dedup_containment_pairs(
         tok.join(dfc, "w")
         .withColumn("rn", F.row_number().over(wdoc))
         .join(sized, "doc_id")
-        .filter(F.col("rn") <= F.floor(F.lit(slack) * F.col("n")) + 1)
+        .filter(F.col("rn") <= ppjoin_prefix_len(F.col("n"), threshold))
         .select("doc_id", "w")
     )
     cand = (
@@ -440,9 +460,11 @@ def containment_index_root(sf_dir: str) -> str:
     from ..memo import index_root
 
     # the threshold participates: the stored in_prefix flags are a pure
-    # function of it (a different gate threshold is a different index)
+    # function of it (a different gate threshold is a different index).
+    # v2: exact-integer prefix bound (ppjoin_prefix_len) — v1 flags were
+    # baked with the inexact-double floor and are one short on n % 5 == 0
     return index_root(
-        "containment_idx_v1", sf_dir, N_GRAM_BUCKETS, repr(CONTAIN_THRESHOLD)
+        "containment_idx_v2", sf_dir, N_GRAM_BUCKETS, repr(CONTAIN_THRESHOLD)
     )
 
 
@@ -467,7 +489,7 @@ def build_containment_index(spark: SparkSession, sf_dir: str) -> str:
     - ``post/gbucket=*/``: (gk, doc_id, in_prefix) — the shingle
       postings, partitioned by gk's md5 bucket so probes prune with
       literal partition filters; ``in_prefix`` marks the rows belonging
-      to their doc's PPJoin prefix (the ⌊(1−t)·n⌋+1 rarest-by-corpus-df
+      to their doc's PPJoin prefix (the n−⌈t·n⌉+1 rarest-by-corpus-df
       shingles) — the stored half of the two-direction candidate
       theorem (see `dedup_containment_gate_for`);
     - ``dfs/gbucket=*/``: (gk, df) — corpus document frequencies, the
@@ -491,7 +513,6 @@ def build_containment_index(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, ".__tmp_build__")
     shutil.rmtree(tmp, ignore_errors=True)
-    slack = 1.0 - CONTAIN_THRESHOLD
     grams = _doc_gram_keys(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ).localCheckpoint(eager=True)
@@ -506,7 +527,8 @@ def build_containment_index(spark: SparkSession, sf_dir: str) -> str:
             "gk",
             "doc_id",
             (
-                F.col("rn") <= F.floor(F.lit(slack) * F.col("n")) + 1
+                F.col("rn")
+                <= ppjoin_prefix_len(F.col("n"), CONTAIN_THRESHOLD)
             ).alias("in_prefix"),
             (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("gbucket"),
         )
@@ -553,7 +575,7 @@ def dedup_containment_gate_for(
 
     Candidates, complete per direction (PPJoin prefix theorem, both
     sides bounded — never batch × corpus):
-    - new ⊂ old: the batch doc's ⌊(1−t)·n⌋+1 rarest shingles (ranked by
+    - new ⊂ old: the batch doc's n−⌈t·n⌉+1 rarest shingles (ranked by
       the STORED corpus dfs; unseen shingles get df 0 = rarest) must
       hit the old doc → probe `post/` with the batch PREFIX keys;
     - old ⊂ new: the old doc's stored prefix must hit the batch → probe
@@ -567,8 +589,19 @@ def dedup_containment_gate_for(
     pairs whose larger direction reaches ``threshold``."""
     import os
 
+    # ADVICE r14 #2: the STORED in_prefix flags are baked at
+    # CONTAIN_THRESHOLD — prefix length shrinks as t grows, so stored
+    # prefixes stay complete for any t ≥ CONTAIN_THRESHOLD, but a lower
+    # t needs LONGER stored prefixes than the index has; candidates in
+    # the old-contained-in-new direction would silently go missing
+    if threshold < CONTAIN_THRESHOLD:
+        raise ValueError(
+            f"containment gate threshold {threshold} is below the "
+            f"index's build threshold {CONTAIN_THRESHOLD}: the stored "
+            f"prefix flags are too short to be complete — rebuild the "
+            f"index at the lower threshold instead"
+        )
     cur = build_containment_index(spark, sf_dir)
-    slack = 1.0 - threshold
     from pyspark.sql.window import Window
 
     # prologue actions run with AQE OFF (restored after) — the
@@ -611,7 +644,7 @@ def dedup_containment_gate_for(
         .join(bsizes, "doc_id")
     )
     bprefix = branked.filter(
-        F.col("rn") <= F.floor(F.lit(slack) * F.col("n_new")) + 1
+        F.col("rn") <= ppjoin_prefix_len(F.col("n_new"), threshold)
     ).select("doc_id", "gk")
     c1 = bprefix.alias("b").join(
         post.select("gk", F.col("doc_id").alias("old_id")), "gk"

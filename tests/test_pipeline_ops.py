@@ -1207,6 +1207,68 @@ def test_containment_pairs_catch_subset_duplication(spark, tmp_path):
     assert got[(4, 5)] == (1.0, 1.0)
 
 
+def test_ppjoin_prefix_len_exact_boundary(spark):
+    """ADVICE r14 #1: the prefix bound is n − ⌈t·n⌉ + 1 in exact integer
+    arithmetic. The inexact-double formula floor((1−0.8)·n)+1 is one
+    short exactly when (1−t)·n is integral (n divisible by 5 at t=0.8):
+    floor(0.19999999999999996·5)+1 = 1, exact = 2 — a containment-
+    exactly-0.8 pair needs both prefix shingles to stay complete."""
+    import math
+
+    from adk_noui_vectordb_spark.operators.dedup import ppjoin_prefix_len
+
+    df = spark.range(1, 51).select(F.col("id").alias("n"))
+    got = {
+        r["n"]: r["p"]
+        for r in df.select(
+            "n", ppjoin_prefix_len(F.col("n"), 0.8).alias("p")
+        ).collect()
+    }
+    for n in range(1, 51):
+        assert got[n] == n - math.ceil(
+            __import__("fractions").Fraction(4, 5) * n
+        ) + 1, (n, got[n])
+    # the motivating case: every multiple of 5 reads one LONGER than
+    # the old double-floor formula
+    for n in (5, 10, 25, 50):
+        assert got[n] == n // 5 + 1
+        assert got[n] == math.floor(0.19999999999999996 * n) + 1 + 1
+
+
+def test_containment_gate_rejects_below_build_threshold(spark, sf_dir):
+    """ADVICE r14 #2: the stored in_prefix flags are baked at
+    CONTAIN_THRESHOLD; a lower gate threshold needs LONGER stored
+    prefixes than the index has, so the gate refuses loudly instead of
+    silently returning incomplete old-contained-in-new candidates.
+    Thresholds >= the build threshold stay servable (prefix length is
+    antitone in t, so stored prefixes remain complete)."""
+    import pytest
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        dedup_containment_gate_for,
+    )
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .limit(3)
+    )
+    with pytest.raises(ValueError, match="below the"):
+        dedup_containment_gate_for(
+            spark, sf_dir, batch, threshold=CONTAIN_THRESHOLD - 0.1
+        )
+    # >= build threshold serves (stricter gate over the same prefixes)
+    rows = dedup_containment_gate_for(
+        spark, sf_dir, batch, threshold=0.9
+    ).collect()
+    assert all(
+        max(r["cont_new_in_old"], r["cont_old_in_new"]) >= 0.9 for r in rows
+    )
+
+
 def test_knn_regress_predicts_within_neighbor_range(spark, sf_dir):
     """knn_regress: one row per query, the prediction is the exact mean
     of the 15 neighbors' n_chars (so it lies within the corpus range),

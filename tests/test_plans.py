@@ -563,10 +563,10 @@ def test_sampled_ivf_probe_prunes_cells_and_takeordered(spark, sf_dir):
 
 
 def test_acorn_pass_lookup_prunes_vbucket(spark, sf_dir):
-    """VERDICT r13 next #5: the corpus ACORN keys' predicate lookup
-    rides the graph index's vbucket-partitioned ``labels`` component
-    (not vec_id pushdown over the raw single-file corpus) — both sides
-    of the scored fetch must show static vbucket PartitionFilters."""
+    """VERDICT r13 next #5 + r14 next #1: the corpus ACORN keys'
+    scored fetch is ONE scan of the label-carrying vecs component
+    (GRAPH_VECS_SCHEMA) with static vbucket PartitionFilters; the
+    labels sidecar keeps the same pruned layout (plan-pinned here)."""
     import os
 
     from pyspark.sql import functions as F
@@ -577,7 +577,7 @@ def test_acorn_pass_lookup_prunes_vbucket(spark, sf_dir):
     vbs = [gann.vec_bucket_py(i) for i in (0, 3)]
     for comp, schema in (
         ("labels", gann.GRAPH_LABELS_SCHEMA),
-        ("vecs", "vec_id bigint, emb array<double>, vbucket int"),
+        ("vecs", gann.GRAPH_VECS_SCHEMA),
     ):
         probe = (
             spark.read.schema(schema)
@@ -591,3 +591,26 @@ def test_acorn_pass_lookup_prunes_vbucket(spark, sf_dir):
             if "PartitionFilters" in ln and "vbucket" in ln
         ]
         assert pf, f"{comp}: no vbucket PartitionFilters\n{plan}"
+    # the layout invariant behind the single-scan fetch: on this
+    # labeled corpus the vecs FILES physically carry the label, equal
+    # to the sidecar's value for the same id (not schema-filled nulls)
+    got = (
+        spark.read.schema(gann.GRAPH_VECS_SCHEMA)
+        .parquet(os.path.join(cur, "vecs"))
+        .filter(
+            F.col("vbucket").isin(vbs[:1]) & (F.col("vec_id") == F.lit(0))
+        )
+        .select("label")
+        .head()
+    )
+    want = (
+        spark.read.schema(gann.GRAPH_LABELS_SCHEMA)
+        .parquet(os.path.join(cur, "labels"))
+        .filter(
+            F.col("vbucket").isin(vbs[:1]) & (F.col("vec_id") == F.lit(0))
+        )
+        .select("label")
+        .head()
+    )
+    assert got is not None and want is not None
+    assert got["label"] == want["label"] and got["label"] is not None
