@@ -84,6 +84,15 @@ _COMPONENTS = [
 
 # Demo filter trees for the driver-checked serving keys — shared with
 # the DuckDB oracles via where_to_sql (one filter, two engines).
+# r15 (VERDICT r14 next #3): below this estimated filter selectivity the
+# graph strategy auto-enables ACORN predicate expansion — the measured
+# crossover (BASELINE.md r14 recall table: blind emission-filtering reads
+# 0.69/0.57/0.41 at selectivity 0.5/0.2/0.1 while ACORN reads
+# 0.88/0.92/0.94; at ~0.5 the two curves meet). A Chroma-parity caller
+# passing query(where=...) gets the recall-correct traversal without
+# knowing the knob exists; passing graph_predicate_expansion=True/False
+# still forces either path.
+GRAPH_AUTO_EXPANSION_SELECTIVITY = 0.5
 COLLECTION_WHERE_DEMO = {"lang": {"$in": ["en", "de", "fr"]}}
 COLLECTION_GET_WHERE_DEMO = {
     "$or": [{"lang": "es"}, {"n_chars": {"$gt": 900}}],
@@ -1784,7 +1793,7 @@ class Collection:
         prefilter_threshold: int = 10_000,
         graph_beam: "int | None" = None,
         graph_rounds: "int | None" = None,
-        graph_predicate_expansion: bool = False,
+        graph_predicate_expansion: "bool | None" = None,
     ) -> DataFrame:
         """ChromaDB ``query``: RP-LSH probe (client-side band keys →
         literal partition predicates), vecs-store cosine rerank, DSL
@@ -1823,6 +1832,14 @@ class Collection:
         reference does exactly this before its collection.query. The
         embedder's dim must match the collection's (a collection built
         with a different encoder fails loudly, never serves garbage).
+
+        ``graph_predicate_expansion`` (tri-state, r15): ``True`` forces
+        the ACORN predicate-aware walk, ``False`` forces the blind
+        walk + emission filter, ``None`` (default) AUTO-selects — a
+        filtered graph query estimates selectivity from two narrow
+        meta-sidecar counts and takes the ACORN beam below
+        ``GRAPH_AUTO_EXPANSION_SELECTIVITY`` (the silent thin-pool
+        case a Chroma-parity ``query(where=...)`` caller used to hit).
 
         Returns (query_idx, id, distance, document, <metadata>), with
         ``distance = 1 - round(cos, 4)`` (cosine space). Post-filtering
@@ -1933,6 +1950,36 @@ class Collection:
                 GRAPH_ROUNDS,
             )
 
+            if graph_predicate_expansion is None:
+                # r15 AUTO (VERDICT r14 next #3): a selective filter
+                # thins the blind walk's emission pool silently — the
+                # exact case a Chroma-parity caller hits with
+                # query(where=...). Estimate selectivity with two
+                # counts on the NARROW meta sidecar (the filtered one
+                # runs against pushed-down predicates; the total is
+                # memoized per immutable version dir — at 100 TB both
+                # are metadata-column counts, never a vector read) and
+                # switch to the ACORN beam below the measured
+                # crossover. Explicit True/False still forces a path —
+                # the oracle-pinned driver keys pass one, so their
+                # executed plan never depends on a cardinality count.
+                if has_filter:
+                    from ..memo import session_memo
+
+                    n_total = session_memo(
+                        self.spark,
+                        cur,
+                        "coll_meta_total_rows",
+                        lambda: self._meta(cur, info).count(),
+                    )
+                    # inclusive: at exactly half selectivity the r14
+                    # table still reads ACORN 0.88 vs blind 0.69
+                    graph_predicate_expansion = (
+                        meta.count()
+                        <= GRAPH_AUTO_EXPANSION_SELECTIVITY * max(1, n_total)
+                    )
+                else:
+                    graph_predicate_expansion = False
             if graph_beam is None:
                 graph_beam = (
                     GRAPH_ACORN_BEAM
@@ -2357,6 +2404,11 @@ def collection_query_graph_topk(
         n_results=k,
         where=COLLECTION_WHERE_DEMO,
         filter_strategy="graph",
+        # pinned blind: the oracle replays the predicate-blind beam, so
+        # this key must not depend on the auto selectivity estimate
+        # (the demo where keeps ~70% of the corpus — auto would resolve
+        # to blind anyway, but a driver key's plan stays explicit)
+        graph_predicate_expansion=False,
     ).select("id", "distance", "lang", "n_chars")
 
 

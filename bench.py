@@ -20,6 +20,12 @@ import time
 
 from adk_noui_vectordb_spark.session import get_spark
 
+# A bench run whose fixed control workload exceeds this many seconds ran
+# on a contended machine (quiet band 0.9-1.2 s across r10-r14; the r14
+# driver run read 4.157) — its JSON gets "weather": true and its per-key
+# timings must not move bands. See BASELINE.md's validity rule.
+WEATHER_CAL_LIMIT = 2.0
+
 # Headline set: one per operator family, the ones whose plans matter at scale.
 BENCH_KEYS = [
     "knn_topk",
@@ -352,6 +358,21 @@ def main() -> None:
         "calibration_jobs": calibration_jobs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Validity rule (BASELINE.md r15, motivated by the r14 driver run at
+    # calibration 4.157 vs the 0.9-1.2 quiet band): a run whose control
+    # workload took > WEATHER_CAL_LIMIT seconds ran on a contended
+    # machine — its per-key timings are weather, not code, and MUST NOT
+    # move performance bands. The flag rides the JSON so history readers
+    # can filter mechanically.
+    if calibration > WEATHER_CAL_LIMIT:
+        payload["weather"] = True
+        print(
+            f"# WEATHER: calibration {calibration:.3f}s exceeds the "
+            f"{WEATHER_CAL_LIMIT}s validity limit — machine contended; "
+            "do not move bands on this run",
+            file=sys.stderr,
+            flush=True,
+        )
     line = json.dumps(payload, separators=(",", ":"))
     # Never crash on length (a crash = zero perf evidence for the round,
     # the r4 failure mode): if the key set outgrows the window, shed the

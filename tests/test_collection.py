@@ -1477,7 +1477,11 @@ def test_graph_predicate_expansion_recall_under_selective_filter(
         blind = {
             int(r["id"][1:])
             for r in coll.query(
-                qv, n_results=k, where=w, filter_strategy="graph"
+                qv,
+                n_results=k,
+                where=w,
+                filter_strategy="graph",
+                graph_predicate_expansion=False,
             ).collect()
         }
         acorn = {
@@ -1491,6 +1495,17 @@ def test_graph_predicate_expansion_recall_under_selective_filter(
                 graph_beam=16,
             ).collect()
         }
+        # r15 AUTO (VERDICT r14 next #3 done-criterion): NO opt-in —
+        # the 10%-selectivity filter alone must route to the ACORN
+        # walk at its GRAPH_ACORN_BEAM budget, so the result set is
+        # identical to the forced run above (same deterministic path)
+        auto = {
+            int(r["id"][1:])
+            for r in coll.query(
+                qv, n_results=k, where=w, filter_strategy="graph"
+            ).collect()
+        }
+        assert auto == acorn, (qi, sorted(auto), sorted(acorn))
         u_hits += len(unfiltered & truth_u)
         a_hits += len(acorn & truth)
         b_hits += len(blind & truth)

@@ -84,9 +84,12 @@ def run(n: int = 2000, k_centers: int = 20, sigma: float = 0.25) -> None:
         sel = m_groups / 10.0
         where = {"grp": {"$in": list(range(m_groups))}} if m_groups < 10 else None
         mask = grp < m_groups
-        arms = ("probe0", "probe1", "graph", "acorn", "acorn_b16")
+        # "graph" pins expansion OFF (the blind emission-filtered walk);
+        # "auto" is the r15 default — the facade's selectivity estimate
+        # picks the walk (ACORN below 0.5, blind above)
+        arms = ("probe0", "probe1", "graph", "auto", "acorn", "acorn_b16")
         for arm in arms:
-            if arm.startswith("acorn") and where is None:
+            if arm.startswith(("acorn", "auto")) and where is None:
                 continue  # predicate expansion needs a predicate
             hits = tot = 0
             n_cands = []
@@ -98,6 +101,11 @@ def run(n: int = 2000, k_centers: int = 20, sigma: float = 0.25) -> None:
                 order = sorted(ids, key=lambda i: (-cos_r[i], f"v{i:05d}"))
                 truth = {f"v{i:05d}" for i in order[:k]}
                 if arm == "graph":
+                    kwargs = {
+                        "filter_strategy": "graph",
+                        "graph_predicate_expansion": False,
+                    }
+                elif arm == "auto":
                     kwargs = {"filter_strategy": "graph"}
                 elif arm.startswith("acorn"):
                     # the r13 ACORN opt-in (predicate steers the beam);
