@@ -856,6 +856,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc max-sim fold (the parent-document pattern over the
         # reference's chunked collection)
         "chunked_maxsim_topk": _embed.chunked_maxsim_topk,
+        # r15: TRUE late interaction (ColBERT SIGIR'20 scoring) — per
+        # query-TOKEN vectors, score = Σ_i max_chunks cos(q_i, chunk);
+        # the sum-of-MaxSim reduction, distinct from the parent-doc
+        # single-vector max above
+        "late_interaction_topk": _embed.late_interaction_topk,
         "knn_file_summary_query": _embed.knn_file_summary_query,
         "file_context": _idx.file_context,
         # approximate ANN (SURVEY.md §4). r6: the engine-owned
@@ -5795,6 +5800,64 @@ WITH qtok AS (
 SELECT doc_id, max(sim) AS max_sim, count(*) AS n_chunks
 FROM csim GROUP BY 1
 ORDER BY max_sim DESC, doc_id
+LIMIT 5
+""",
+        # r15 TRUE late interaction (embed.py late_interaction_topk):
+        # each query TOKEN is one (bucket, sign) under the hash-projection
+        # embedder (single token -> one-hot signed, normalized to +-1), so
+        # cos(q_i, chunk) = sign_i * v_norm[bucket_i]; per-token MaxSim
+        # over the doc's chunks, summed as EXACT x10^4 integers (the
+        # 4-dp per-token rounds are tie-free: s/sqrt(S<=64) never lands
+        # on a half-tie) — no float-sum order can flip the final score
+        "late_interaction_topk": """
+WITH qtok AS (
+    SELECT * FROM (VALUES (0, 'spark'), (1, 'query'),
+                          (2, 'filter'), (3, 'join')) AS t(i, w)
+), qb AS (
+    SELECT i,
+           CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64
+                AS INTEGER) AS bucket,
+           CASE WHEN (CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) >> 6)
+                     & 1 = 1
+                THEN 1.0 ELSE -1.0 END AS sign
+    FROM qtok
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), ctok AS (
+    SELECT doc_id, CAST(floor((pos - 1) / 8) AS INTEGER) AS chunk_id, w
+    FROM tok
+), h AS (
+    SELECT doc_id, chunk_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM ctok
+), b AS (
+    SELECT doc_id, chunk_id, CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM h
+), s AS (
+    SELECT doc_id, chunk_id, bucket, CAST(sum(sign) AS DOUBLE) AS v
+    FROM b GROUP BY 1, 2, 3
+), n AS (
+    SELECT doc_id, chunk_id, sqrt(sum(v * v)) AS norm FROM s GROUP BY 1, 2
+), contrib AS (
+    SELECT n.doc_id, n.chunk_id, qb.i,
+           CASE WHEN n.norm > 0
+                THEN coalesce(qb.sign * s.v, 0.0) / n.norm
+                ELSE 0.0 END AS c
+    FROM n CROSS JOIN qb
+    LEFT JOIN s ON s.doc_id = n.doc_id AND s.chunk_id = n.chunk_id
+               AND s.bucket = qb.bucket
+), maxt AS (
+    SELECT doc_id, i, max(c) AS m FROM contrib GROUP BY 1, 2
+), sc AS (
+    SELECT doc_id,
+           sum(CAST(round(round(m, 4) * 10000) AS BIGINT)) AS s4
+    FROM maxt GROUP BY 1
+)
+SELECT doc_id, CAST(s4 AS DOUBLE) / 10000.0 AS score FROM sc
+ORDER BY score DESC, doc_id
 LIMIT 5
 """,
         "multimodal_features": """

@@ -246,6 +246,70 @@ def chunked_maxsim_topk(
     )
 
 
+def late_interaction_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = DEFAULT_QUERY_TEXT,
+    chunk_size: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """TRUE late-interaction retrieval (the ColBERT scoring function,
+    Khattab & Zaharia SIGIR 2020): the query decomposes into per-TOKEN
+    vectors and score(doc) = Σ_i max_chunks cos(q_i, chunk) — sum of
+    per-token MaxSim, NOT the single-query-vector parent-doc max of
+    ``chunked_maxsim_topk``. A doc that matches different query tokens
+    in different chunks outranks one that matches them all weakly in a
+    single chunk — the property the late-interaction literature buys
+    over pooled single-vector retrieval.
+
+    Plan shape: ONE Arrow embed pass over the shared fixed-word chunks;
+    each query token enters as a broadcast literal vector and its dot
+    is a Catalyst fold (zip_with/aggregate, whole-stage codegen); the
+    per-doc reduction is m max aggregates + one sum — map-side
+    combinable, one shuffle on doc_id, TakeOrderedAndProject for the
+    top-k. At 100 TB the chunk vectors come from the RP/IVF index and
+    candidates from a probe; the fold here is the identical groupBy.
+
+    Cross-engine determinism: each per-token max is rounded to 4 dp
+    (tie-free for normalized one-hot token dots: s/k with k = sqrt of a
+    chunk's ≤64 sum-of-squares can never land on a 4-dp half-tie) and
+    the score is summed as EXACT scaled integers (×10⁴, bigint), so no
+    float-sum ordering can flip the final rounding; both engines emit
+    score = Σ round(max_i,4) exactly.
+    """
+    from .chunking import chunk_fixed_words
+
+    qtokens = query_text.split(" ")
+    qvecs = _get_model().encode(qtokens)
+    chunks = chunk_fixed_words(spark, sf_dir, chunk_size)
+    embed = make_embed_udf()
+    emb = chunks.select(
+        "doc_id", embed(F.col("chunk_text")).alias("embedding")
+    )
+    for i, qv in enumerate(qvecs):
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), q, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        emb = emb.withColumn(f"d{i}", dot)
+    grouped = emb.groupBy("doc_id").agg(
+        *[F.max(f"d{i}").alias(f"m{i}") for i in range(len(qvecs))]
+    )
+    score_e4 = None
+    for i in range(len(qvecs)):
+        term = F.round(F.round(F.col(f"m{i}"), 4) * 10000).cast("bigint")
+        score_e4 = term if score_e4 is None else score_e4 + term
+    return (
+        grouped.select(
+            "doc_id", (score_e4 / F.lit(10000.0)).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def embed_projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-comparable exploded view of the embedding output:
     (doc_id, bucket, weight) for nonzero buckets. Proves the pandas_udf

@@ -41,6 +41,7 @@ BENCH_KEYS = [
     "chunk_fixed_words",
     "text_stats",
     "quality_score",
+    "late_interaction_topk",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",

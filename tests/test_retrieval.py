@@ -533,3 +533,61 @@ def test_knn_mmr_diversifies_the_topk(spark, sf_dir):
         return max(cos(emb[a], emb[b]) for a in vs for b in vs if a != b)
 
     assert max_pair(mmr5) <= max_pair(top5) + 1e-9
+
+
+def test_late_interaction_matches_bruteforce_and_beats_pooled(
+    spark, tmp_path
+):
+    """late_interaction_topk (ColBERT sum-of-MaxSim): scores equal a
+    numpy brute-force replay of the hash-projection model over the same
+    fixed-word chunks, and the reduction exhibits the late-interaction
+    property — a doc matching different query tokens in DIFFERENT
+    chunks scores the sum of per-token maxes (pooled single-vector max
+    cannot see that spread), while a token-free doc scores ≤ it."""
+    import os
+
+    import numpy as np
+
+    from adk_noui_vectordb_spark.operators.embed import (
+        _HashProjectionModel,
+        late_interaction_topk,
+    )
+
+    qtokens = ["spark", "query", "filter", "join"]
+    noise = [f"n{i}" for i in range(16)]
+    rows = [
+        # each query token in its OWN chunk (chunk_size=8)
+        (
+            1,
+            " ".join(
+                ["spark"] + noise[:7] + ["query"] + noise[7:14]
+                + ["filter", "join"] + noise[14:16]
+            ),
+        ),
+        (2, " ".join(noise)),  # no query tokens at all
+        (3, "spark query filter join " + " ".join(noise[:4])),
+    ]
+    base = str(tmp_path / "li")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in late_interaction_topk(spark, base, k=3).collect()
+    }
+    model = _HashProjectionModel(64)
+    qvecs = np.array(model.encode(qtokens))
+    for doc_id, text in rows:
+        words = text.split(" ")
+        chunks = [
+            " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
+        ]
+        cvecs = np.array(model.encode(chunks))
+        score = sum(
+            round(float(np.max(cvecs @ qvecs[i])), 4)
+            for i in range(len(qtokens))
+        )
+        assert abs(got[doc_id] - score) < 1e-9, (doc_id, got[doc_id], score)
+    # docs carrying the query tokens beat the token-free doc
+    assert got[1] > got[2] and got[3] > got[2]

@@ -133,6 +133,7 @@ KEYS = {
     "fuzzy_topk_served": "documents",
     "shard_manifest_counts": "documents",
     "chunked_maxsim_topk": "documents",
+    "late_interaction_topk": "documents",
     "ann_grouped_topk": "embeddings",
     # r11 additions
     "knn_mmr_topk": "embeddings",
