@@ -825,6 +825,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefixes + postings + reverse map + sizes), never a corpus
         # scan; the asymmetric sibling of dedup_gate_against_index
         "dedup_containment_gate": _dedup.dedup_containment_gate,
+        # r15: the ADMIT→GATE lifecycle on a tagged root — batch A
+        # admitted via update_containment_index (frozen dfs, stored
+        # prefix flags; completeness is ranking-independent), then
+        # truncations of the same docs gated: the dup_of = 3M+d row
+        # class exists only if the admit advanced the index
+        "dedup_containment_gate_ingested": (
+            _dedup.dedup_containment_gate_ingested
+        ),
         "simhash_signatures": _dedup.simhash_signatures,
         "dedup_embedding_cosine": _dedup.dedup_embedding_cosine,
         "semdedup_prune": _dedup.semdedup_prune,
@@ -4429,6 +4437,102 @@ scored AS (
     FROM inter i
     JOIN bsz bs ON bs.doc_id = i.new_id
     JOIN csz cs ON cs.doc_id = i.old_id
+)
+SELECT new_doc_id, dup_of, cont_new_in_old, cont_old_in_new FROM scored
+WHERE greatest(cont_new_in_old, cont_old_in_new) >= 0.8
+ORDER BY new_doc_id, dup_of
+""",
+        # r15 ingested-gate twin (dedup.py dedup_containment_gate_ingested):
+        # the index after the admit is corpus ∪ batch-A with FROZEN
+        # corpus dfs — corpus docs' stored prefixes rank by those dfs,
+        # A docs' by the same frozen dfs with unseen shingles at df 0
+        # (exactly what update_containment_index bakes); the gate's
+        # batch-side ranking reads the same frozen dfs/ component
+        "dedup_containment_gate_ingested": """
+WITH aq AS (
+    SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+bq AS (
+    SELECT doc_id + 4000000 AS doc_id,
+           array_to_string((string_split(text, ' '))[1:12], ' ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+cgp AS (
+    SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 2, 1))) AS i) t
+),
+cg AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS gk
+       FROM cgp),
+agp AS (
+    SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM aq) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 2, 1))) AS i) t
+),
+ag AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS gk
+       FROM agp),
+bgp AS (
+    SELECT d.doc_id, array_to_string(d.parts[t.i:t.i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM bq) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(d.parts) - 2, 1))) AS i) t
+),
+bg AS (SELECT DISTINCT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS gk
+       FROM bgp),
+ig AS (SELECT * FROM cg UNION ALL SELECT * FROM ag),
+dfs AS (SELECT gk, count(*) AS df FROM cg GROUP BY gk),
+isz AS (SELECT doc_id, count(*) AS n FROM ig GROUP BY doc_id),
+bsz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+cpre AS (
+    SELECT doc_id, gk FROM (
+        SELECT c.doc_id, c.gk,
+               row_number() OVER (PARTITION BY c.doc_id
+                                  ORDER BY f.df ASC, c.gk ASC) AS rn,
+               s.n
+        FROM cg c JOIN dfs f USING (gk) JOIN isz s USING (doc_id))
+    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+),
+apre AS (
+    SELECT doc_id, gk FROM (
+        SELECT a.doc_id, a.gk,
+               row_number() OVER (PARTITION BY a.doc_id
+                                  ORDER BY coalesce(f.df, 0) ASC, a.gk ASC) AS rn,
+               s.n
+        FROM ag a LEFT JOIN dfs f USING (gk) JOIN isz s USING (doc_id))
+    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+),
+ipre AS (SELECT * FROM cpre UNION ALL SELECT * FROM apre),
+bpre AS (
+    SELECT doc_id, gk FROM (
+        SELECT b.doc_id, b.gk,
+               row_number() OVER (PARTITION BY b.doc_id
+                                  ORDER BY coalesce(f.df, 0) ASC, b.gk ASC) AS rn,
+               s.n
+        FROM bg b LEFT JOIN dfs f USING (gk) JOIN bsz s USING (doc_id))
+    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+),
+cand AS (
+    SELECT DISTINCT b.doc_id AS new_id, i.doc_id AS old_id
+    FROM bpre b JOIN ig i USING (gk)
+    UNION
+    SELECT DISTINCT b.doc_id AS new_id, i.doc_id AS old_id
+    FROM bg b JOIN ipre i USING (gk)
+),
+inter AS (
+    SELECT b.doc_id AS new_id, i.doc_id AS old_id, count(*) AS i
+    FROM bg b JOIN ig i USING (gk)
+    JOIN cand ON cand.new_id = b.doc_id AND cand.old_id = i.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT i.new_id AS new_doc_id, i.old_id AS dup_of,
+           round(i.i / CAST(bs.n AS DOUBLE), 4) AS cont_new_in_old,
+           round(i.i / CAST(cs.n AS DOUBLE), 4) AS cont_old_in_new
+    FROM inter i
+    JOIN bsz bs ON bs.doc_id = i.new_id
+    JOIN isz cs ON cs.doc_id = i.old_id
 )
 SELECT new_doc_id, dup_of, cont_new_in_old, cont_old_in_new FROM scored
 WHERE greatest(cont_new_in_old, cont_old_in_new) >= 0.8

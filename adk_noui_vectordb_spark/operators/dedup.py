@@ -454,17 +454,28 @@ def dedup_containment_pairs(
 
 N_GRAM_BUCKETS = 32
 CONTAIN_THRESHOLD = 0.8
+CONTAINMENT_COMPONENTS = [
+    ("post", ["gbucket"]),
+    ("dfs", ["gbucket"]),
+    ("grams", ["sbucket"]),
+    ("sizes", ["sbucket"]),
+]
 
 
-def containment_index_root(sf_dir: str) -> str:
+def containment_index_root(sf_dir: str, tag: str = "") -> str:
     from ..memo import index_root
 
     # the threshold participates: the stored in_prefix flags are a pure
     # function of it (a different gate threshold is a different index).
     # v2: exact-integer prefix bound (ppjoin_prefix_len) — v1 flags were
-    # baked with the inexact-double floor and are one short on n % 5 == 0
+    # baked with the inexact-double floor and are one short on n % 5 == 0.
+    # tag (only-when-set, the graph-root discipline): keys that MUTATE
+    # their index (the ingested-gate lifecycle) never share a root with
+    # the read-only gate keys
+    extra = (tag,) if tag else ()
     return index_root(
-        "containment_idx_v2", sf_dir, N_GRAM_BUCKETS, repr(CONTAIN_THRESHOLD)
+        "containment_idx_v2", sf_dir, *extra,
+        N_GRAM_BUCKETS, repr(CONTAIN_THRESHOLD),
     )
 
 
@@ -482,7 +493,9 @@ def _doc_gram_keys(d: DataFrame) -> DataFrame:
     )
 
 
-def build_containment_index(spark: SparkSession, sf_dir: str) -> str:
+def build_containment_index(
+    spark: SparkSession, sf_dir: str, tag: str = ""
+) -> str:
     """Materialize the shingle index the CONTAINMENT ingest gate serves
     from (the `build_minhash_index` lifecycle). Components:
 
@@ -506,7 +519,7 @@ def build_containment_index(spark: SparkSession, sf_dir: str) -> str:
     from ..sources import versioning as vn
     from .invindex import doc_bucket_expr
 
-    root = containment_index_root(sf_dir)
+    root = containment_index_root(sf_dir, tag)
     cur = vn.current_dir(root)
     if cur is not None:
         return cur
@@ -559,11 +572,177 @@ def build_containment_index(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(root, name)
 
 
+def update_containment_index(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    tag: str = "",
+    auto_compact_threshold: int = 16,
+) -> str:
+    """ADMIT a batch into the containment index — the asymmetric
+    sibling of ``update_minhash_index``'s doc-level REPLACE, under the
+    frozen-coarse-structure discipline the IVF/graph inserts use:
+    ``dfs/`` stays FROZEN at its build-time corpus frequencies (linked
+    through), and the batch's stored ``in_prefix`` flags rank by those
+    frozen dfs (unseen shingles df 0 = rarest). This is SOUND, not just
+    cheap: prefix-filter completeness is ranking-INDEPENDENT — if
+    C(A→B) ≥ t then ANY n−⌈t·n⌉+1 items of A intersect B (|A∖B| ≤
+    |A|−⌈t·|A|⌉, pigeonhole), so the df order only tunes candidate
+    SELECTIVITY; a drifted ranking admits more candidates, never misses
+    a pair. Rebuild when drift makes probes fat (the fsck-advisory
+    story, like centroid drift).
+
+    Doc-level replace: a re-submitted doc_id's stale ``post/`` rows are
+    located through its OWN stored shingles (``grams/`` doubles as the
+    reverse map, sbucket-pruned — the minhash sigs/ discipline), and
+    only the touched gbucket/sbucket partitions rewrite; pure additions
+    append beside hardlinks with zero reads of existing postings.
+    Atomic CAS commit on the (optionally tagged) root."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from ..sources import versioning as vn
+    from .invindex import doc_bucket_expr
+
+    cur = build_containment_index(spark, sf_dir, tag)
+    root = os.path.dirname(cur)
+
+    bg = _doc_gram_keys(
+        new_docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+    ).localCheckpoint(eager=True)
+    if not bg.head(1):
+        return cur
+    batch_ids = bg.select("doc_id").distinct()
+    sbs = sorted(
+        r["b"]
+        for r in batch_ids.select(
+            doc_bucket_expr(F.col("doc_id")).alias("b")
+        ).distinct().collect()
+    )
+    # resubmitted docs' OLD shingles (the reverse map, sbucket-pruned):
+    # their scattered post/ rows live exactly in these gks' gbuckets
+    old_grams_aff = (
+        spark.read.schema("doc_id bigint, gk bigint, sbucket int")
+        .parquet(os.path.join(cur, "grams"))
+        .filter(F.col("sbucket").isin(sbs))
+    )
+    resub_grams = old_grams_aff.join(
+        batch_ids, "doc_id", "leftsemi"
+    ).localCheckpoint(eager=True)
+    resub_ids = resub_grams.select("doc_id").distinct()
+    rw_gb = sorted(
+        r["b"]
+        for r in resub_grams.select(
+            (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    rw_sb = sorted(
+        r["sbucket"]
+        for r in resub_grams.select("sbucket").distinct().collect()
+    )
+
+    # batch post rows: prefix flags ranked by the FROZEN stored dfs
+    bsizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    gbs = sorted(
+        r["b"]
+        for r in bg.select(
+            (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    dfs_t = (
+        spark.read.schema("gk bigint, df bigint, gbucket int")
+        .parquet(os.path.join(cur, "dfs"))
+        .filter(F.col("gbucket").isin(gbs))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gk"))
+    new_post = (
+        bg.join(dfs_t.select("gk", "df"), "gk", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("rn", F.row_number().over(wdoc))
+        .join(bsizes, "doc_id")
+        .select(
+            "gk",
+            "doc_id",
+            (
+                F.col("rn")
+                <= ppjoin_prefix_len(F.col("n"), CONTAIN_THRESHOLD)
+            ).alias("in_prefix"),
+            (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("gbucket"),
+        )
+    )
+    post_writes = []
+    if rw_gb:
+        post_writes.append(
+            spark.read.schema(
+                "gk bigint, doc_id bigint, in_prefix boolean, gbucket int"
+            )
+            .parquet(os.path.join(cur, "post"))
+            .filter(F.col("gbucket").isin(rw_gb))
+            .join(resub_ids, "doc_id", "left_anti")
+        )
+    post_writes.append(new_post)
+    gram_writes = []
+    size_writes = []
+    if rw_sb:
+        gram_writes.append(
+            spark.read.schema("doc_id bigint, gk bigint, sbucket int")
+            .parquet(os.path.join(cur, "grams"))
+            .filter(F.col("sbucket").isin(rw_sb))
+            .join(resub_ids, "doc_id", "left_anti")
+        )
+        size_writes.append(
+            spark.read.schema("doc_id bigint, n bigint, sbucket int")
+            .parquet(os.path.join(cur, "sizes"))
+            .filter(F.col("sbucket").isin(rw_sb))
+            .join(resub_ids, "doc_id", "left_anti")
+        )
+    gram_writes.append(
+        bg.select(
+            "doc_id", "gk", doc_bucket_expr(F.col("doc_id")).alias("sbucket")
+        )
+    )
+    size_writes.append(
+        bsizes.select(
+            "doc_id", "n", doc_bucket_expr(F.col("doc_id")).alias("sbucket")
+        )
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "post",
+                ("gbucket",),
+                frozenset(f"gbucket={b}" for b in rw_gb),
+                tuple(post_writes),
+            ),
+            vn.Component("dfs", link_from=os.path.join(cur, "dfs")),
+            vn.Component(
+                "grams",
+                ("sbucket",),
+                frozenset(f"sbucket={b}" for b in rw_sb),
+                tuple(gram_writes),
+            ),
+            vn.Component(
+                "sizes",
+                ("sbucket",),
+                frozenset(f"sbucket={b}" for b in rw_sb),
+                tuple(size_writes),
+            ),
+        ],
+        expected=os.path.basename(cur),
+        compact=CONTAINMENT_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+
+
 def dedup_containment_gate_for(
     spark: SparkSession,
     sf_dir: str,
     new_docs: DataFrame,
     threshold: float = CONTAIN_THRESHOLD,
+    tag: str = "",
 ) -> DataFrame:
     """CONTAINMENT ingest gate: which documents of a NEW batch are
     subset-duplicates of (or contain) anything already indexed —
@@ -601,7 +780,7 @@ def dedup_containment_gate_for(
             f"prefix flags are too short to be complete — rebuild the "
             f"index at the lower threshold instead"
         )
-    cur = build_containment_index(spark, sf_dir)
+    cur = build_containment_index(spark, sf_dir, tag)
     from pyspark.sql.window import Window
 
     # prologue actions run with AQE OFF (restored after) — the
@@ -763,6 +942,64 @@ def dedup_containment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_containment_gate_for(
         spark, sf_dir, clones.unionByName(truncs)
     )
+
+
+def dedup_containment_gate_ingested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable ADMIT→GATE lifecycle on its OWN tagged root
+    (never shared with the read-only gate key — the graph "vac"
+    discipline): batch A = every doc_id % 7 == 0 document re-keyed
+    +3_000_000 is ADMITTED through ``update_containment_index`` (frozen
+    dfs, stored prefix flags), then batch B = the same documents'
+    12-word truncations re-keyed +4_000_000 is gated. Each long-enough
+    truncation is contained in BOTH its original (dup_of = d) and the
+    admitted clone (dup_of = 3_000_000 + d) — the second row class
+    exists ONLY if the admit actually advanced the index, which is what
+    this key verifies end-to-end. Replay-idempotent: a re-run detects
+    the fully-admitted batch via one sbucket-pruned sizes probe and
+    skips the commit (bounded version count), so repeated driver runs
+    serve identical rows."""
+    import os
+
+    from .invindex import doc_bucket_expr
+
+    tag = "ing"
+    d = load_table(spark, sf_dir, "documents")
+    sevens = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    batch_a = sevens.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    cur = build_containment_index(spark, sf_dir, tag)
+    a_ids = batch_a.select("doc_id")
+    sbs = sorted(
+        r["b"]
+        for r in a_ids.select(
+            doc_bucket_expr(F.col("doc_id")).alias("b")
+        ).distinct().collect()
+    )
+    present = (
+        spark.read.schema("doc_id bigint, n bigint, sbucket int")
+        .parquet(os.path.join(cur, "sizes"))
+        .filter(F.col("sbucket").isin(sbs))
+        .join(a_ids, "doc_id", "leftsemi")
+        .count()
+    )
+    n_a = batch_a.count()
+    if present == 0:
+        update_containment_index(spark, sf_dir, batch_a, tag)
+    elif present != n_a:
+        raise ValueError(
+            f"ingested-gate root in a mixed state: {present}/{n_a} of "
+            f"the admit batch indexed"
+        )
+    batch_b = sevens.select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(whitespace_tokens(F.col("text")), 1, 12), " "
+        ).alias("text"),
+    )
+    return dedup_containment_gate_for(spark, sf_dir, batch_b, tag=tag)
 
 
 def jaccard_pairs_blocked(

@@ -106,6 +106,7 @@ BENCH_KEYS = [
     "knn_regress",
     "dedup_containment_pairs",
     "dedup_containment_gate",
+    "dedup_containment_gate_ingested",
     "events_rollup_daily",
     "tokenize_bpe_encode",
     # r7 additions

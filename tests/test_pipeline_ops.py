@@ -1321,3 +1321,57 @@ def test_containment_gate_catches_clones_and_truncations(spark, sf_dir):
         ), clone
         trunc = pairs[(2_000_000 + d, d)]
         assert trunc["cont_new_in_old"] == 1.0, trunc
+
+
+def test_containment_index_admit_and_replace(spark, tmp_path):
+    """update_containment_index: an admitted doc becomes gate-visible
+    (both directions), a re-submitted doc_id REPLACES its postings
+    (stale shingles stop matching), and the frozen-dfs prefix flags
+    keep candidate generation complete for exact clones."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        dedup_containment_gate_for,
+        update_containment_index,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t3 = "one two three four five six seven eight nine"
+    rows = [
+        (1, t1),
+        (2, " ".join(f"x{i}" for i in range(12))),
+        (3, t3),
+    ]
+    base = str(tmp_path / "ing")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+
+    def gate(text):
+        b = spark.createDataFrame(
+            [(999, text)], "doc_id bigint, text string"
+        )
+        return {
+            r["dup_of"]
+            for r in dedup_containment_gate_for(spark, base, b).collect()
+        }
+
+    # before any admit: a clone of doc 1 surfaces only doc 1
+    assert gate(t1) == {1}
+    # admit id 100 with doc-1 text: the clone now surfaces both
+    update_containment_index(
+        spark,
+        base,
+        spark.createDataFrame([(100, t1)], "doc_id bigint, text string"),
+    )
+    assert gate(t1) == {1, 100}
+    # REPLACE: resubmit id 100 with doc-3 text — the stale doc-1
+    # postings must stop matching and the new ones must match
+    update_containment_index(
+        spark,
+        base,
+        spark.createDataFrame([(100, t3)], "doc_id bigint, text string"),
+    )
+    assert gate(t1) == {1}
+    assert gate(t3) == {3, 100}

@@ -134,6 +134,7 @@ KEYS = {
     "shard_manifest_counts": "documents",
     "chunked_maxsim_topk": "documents",
     "late_interaction_topk": "documents",
+    "dedup_containment_gate_ingested": "documents",
     "ann_grouped_topk": "embeddings",
     # r11 additions
     "knn_mmr_topk": "embeddings",
