@@ -762,6 +762,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: Shannon token-diversity quality signal, floor-micro-nats
         "doc_token_entropy": _text.doc_token_entropy,
         "mixture_sample": _text.mixture_sample,
+        # r15: DSIR (Xie et al. NeurIPS 2023) — hashed-ngram importance
+        # resampling against a target slice; per-bucket 4-dp-frozen
+        # integer log-ratios, exact integer doc sums
+        "dsir_importance_select": _text.dsir_importance_select,
         # r13: deterministic content-keyed train/holdout split audit
         "split_train_holdout": _text.split_train_holdout,
         "bpe_pair_counts": _text.bpe_pair_counts,
@@ -3953,6 +3957,55 @@ WITH b AS (
 )
 SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY split, lang ORDER BY split, lang
+""",
+        # r15 DSIR twin (textops.py dsir_importance_select): unigram +
+        # bigram features hashed to 8192 buckets, add-1 smoothed
+        # log-ratio per bucket frozen to a x10^4 BIGINT after a 4-dp
+        # round, document log-weight = exact integer sum / 10^4
+        "dsir_importance_select": """
+WITH tok AS (
+    SELECT doc_id, lang, w, pos FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+), big AS (
+    SELECT doc_id, lang,
+           w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
+    FROM tok
+    QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), feats AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 8192 AS bucket
+    FROM tok
+    UNION ALL
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 8192 AS bucket
+    FROM big
+), rawc AS (
+    SELECT bucket, count(*) AS cr FROM feats GROUP BY 1
+), tgtc AS (
+    SELECT bucket, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
+), tots AS (
+    SELECT (SELECT sum(cr) FROM rawc) AS r_tot,
+           (SELECT sum(ct) FROM tgtc) AS t_tot
+), lr AS (
+    SELECT r.bucket,
+           CAST(round(round(
+               ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                  / CAST(tots.t_tot + 8192 AS DOUBLE))
+               - ln(CAST(r.cr + 1 AS DOUBLE)
+                    / CAST(tots.r_tot + 8192 AS DOUBLE)),
+               4) * 10000) AS BIGINT) AS lr_e4
+    FROM rawc r LEFT JOIN tgtc t USING (bucket) CROSS JOIN tots
+)
+SELECT f.doc_id,
+       CAST(sum(lr.lr_e4) AS DOUBLE) / 10000.0 AS log_weight,
+       count(*) AS n_feats
+FROM feats f JOIN lr USING (bucket)
+GROUP BY 1
+ORDER BY log_weight DESC, doc_id
+LIMIT 100
 """,
         "mixture_sample": """
 WITH d AS (

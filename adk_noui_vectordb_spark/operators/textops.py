@@ -1301,3 +1301,117 @@ def cap_docs_per_source(
         .filter(F.col("keep_rank") <= cap)
         .select("doc_id", "source", "keep_rank")
     )
+
+
+DSIR_BUCKETS = 8192
+
+
+def dsir_importance_select(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en", k: int = 100
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): rank raw-corpus documents by their importance weight
+    under hashed n-gram bag-of-features language models of a TARGET
+    distribution vs the RAW distribution — the published recipe for
+    selecting pretraining data that "looks like" a high-quality target
+    set. Features are unigrams + word bigrams hashed into
+    ``DSIR_BUCKETS`` buckets (the paper's hashed n-gram parametrization);
+    the per-bucket log importance ratio with add-1 smoothing is
+
+        lr(b) = ln((c_t(b)+1)/(T+B)) − ln((c_r(b)+1)/(R+B))
+
+    and a document's log-weight is the sum of lr over its feature
+    OCCURRENCES. The target here is the ``lang == target_lang`` slice
+    (a real pipeline passes a curated target corpus through the same
+    two count aggregates). Deterministic top-k by (weight desc, doc_id)
+    stands in for the paper's Gumbel-noise resampling draw — the
+    seedless-reproducibility convention every sampler in this repo
+    follows.
+
+    Cross-engine determinism: lr is computed ONCE PER BUCKET (≤ B rows),
+    4-dp rounded, and frozen to a ×10⁴ BIGINT; document scores are then
+    EXACT integer sums — no float accumulation order can flip the
+    ranking (the late_interaction_topk discipline). ln() may differ by
+    an ulp across engines only within ~1e-12 of a rounding boundary,
+    per-corpus deterministic, guarded by the 3-SF sweeps.
+
+    Scale shape: two narrow feature-count aggregates (map-side partial),
+    an ≤8k-row broadcast ratio table, one groupBy(doc) integer sum,
+    TakeOrderedAndProject — no shuffle wider than the doc-id rollup.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w"),
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", F.col("w"), F.lead("w").over(wnd)).alias("feat"),
+        F.lead("w").over(wnd).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull()).select("doc_id", "lang", "feat")
+    feats = (
+        tok.select("doc_id", "lang", F.col("w").alias("feat"))
+        .unionByName(big)
+        .select(
+            "doc_id",
+            "lang",
+            (md5_long(F.col("feat")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    raw_counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    tgt_counts = (
+        feats.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw_counts.agg(
+        F.sum("cr").alias("r_tot")
+    ).crossJoin(tgt_counts.agg(F.sum("ct").alias("t_tot")))
+    # every doc feature's bucket appears in raw_counts by construction,
+    # so the ratio table is raw-anchored; absent target buckets smooth
+    # to c_t = 0
+    lr = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("ct") + 1).cast("double")
+                        / (F.col("t_tot") + DSIR_BUCKETS).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("r_tot") + DSIR_BUCKETS).cast("double")
+                    ),
+                    4,
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("lr_e4"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("lr_e4") / F.lit(10000.0)).alias("log_weight"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+        .orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1375,3 +1375,57 @@ def test_containment_index_admit_and_replace(spark, tmp_path):
     )
     assert gate(t1) == {1}
     assert gate(t3) == {3, 100}
+
+
+def test_dsir_selects_target_like_documents(spark, sf_dir):
+    """dsir_importance_select: the importance ranking must concentrate
+    the target slice — documents of the target language dominate the
+    top-k (their hashed n-grams are exactly what the target LM upweights)
+    — and weights are finite with n_feats = 2·words − 1 per doc."""
+    from adk_noui_vectordb_spark.operators.textops import (
+        dsir_importance_select,
+    )
+
+    rows = dsir_importance_select(
+        spark, sf_dir, target_lang="en", k=100_000
+    ).collect()
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert len(rows) == len(langs)  # k past corpus size = full ranking
+    # the LM-affinity signal (per-feature mean ratio) must put the
+    # target language strictly above every other language's mean —
+    # the property DSIR's importance weights exist to capture; the raw
+    # sum additionally carries document length (as in the paper)
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        by_lang[langs[r["doc_id"]]].append(r["log_weight"] / r["n_feats"])
+    means = {l: sum(v) / len(v) for l, v in by_lang.items()}
+    assert all(means["en"] > m for l, m in means.items() if l != "en"), means
+    pernorm = sorted(
+        rows, key=lambda r: (-r["log_weight"] / r["n_feats"], r["doc_id"])
+    )[:50]
+    frac_en = sum(1 for r in pernorm if langs[r["doc_id"]] == "en") / 50
+    assert frac_en >= 0.8, frac_en
+    # the raw top-50 is still enriched over the corpus base rate
+    base = sum(1 for l in langs.values() if l == "en") / len(langs)
+    top_frac = sum(1 for r in rows[:50] if langs[r["doc_id"]] == "en") / 50
+    assert top_frac > base, (top_frac, base)
+    words = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["n_feats"] == 2 * words[r["doc_id"]] - 1, r
+    # descending, deterministic tie-break
+    ws = [r["log_weight"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
