@@ -614,3 +614,16 @@ def test_acorn_pass_lookup_prunes_vbucket(spark, sf_dir):
     )
     assert got is not None and want is not None
     assert got["label"] == want["label"] and got["label"] is not None
+
+
+def test_late_interaction_plan_partial_max_and_take_ordered(spark, sf_dir):
+    """The sum-of-MaxSim fold must stay map-side-combinable (partial max
+    aggregates before the doc_id exchange) and the final top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    from adk_noui_vectordb_spark.operators.embed import late_interaction_topk
+
+    plan = explain_str(late_interaction_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # partial_max in the pre-shuffle HashAggregate (formatted plan shows
+    # partial aggregate functions on the map side)
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
