@@ -2334,6 +2334,86 @@ def dedup_gate_intra_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra_batch_dup_decisions(spark, batch)
 
 
+def fsck_containment_index(
+    spark: SparkSession, sf_dir: str, tag: str = ""
+) -> list:
+    """Semantic integrity check for the containment shingle index: the
+    generic versioned-root checks plus the invariants the gate's
+    two-direction candidate theorem and the ADMIT path's doc-level
+    replace rely on — (post rows) ≡ (grams rows) as (doc, gk) sets,
+    sizes ≡ per-doc distinct gram counts, and every doc's stored
+    prefix flag count EXACTLY n − ⌈t·n⌉ + 1 (a short prefix breaks
+    old-contained-in-new completeness; a long one only fattens
+    candidates, but either means a write-path bug). Returns
+    (check, ok, detail) tuples; never raises."""
+    import os
+
+    from ..sources import versioning as vn
+
+    cur = build_containment_index(spark, sf_dir, tag)
+    root = os.path.dirname(cur)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("post", ["gbucket"], "gk bigint, doc_id bigint, in_prefix boolean, gbucket int"),
+            ("dfs", ["gbucket"], "gk bigint, df bigint, gbucket int"),
+            ("grams", ["sbucket"], "doc_id bigint, gk bigint, sbucket int"),
+            ("sizes", ["sbucket"], "doc_id bigint, n bigint, sbucket int"),
+        ],
+    )
+    try:
+        post = spark.read.schema(
+            "gk bigint, doc_id bigint, in_prefix boolean, gbucket int"
+        ).parquet(os.path.join(cur, "post"))
+        grams = spark.read.schema(
+            "doc_id bigint, gk bigint, sbucket int"
+        ).parquet(os.path.join(cur, "grams"))
+        sizes = spark.read.schema(
+            "doc_id bigint, n bigint, sbucket int"
+        ).parquet(os.path.join(cur, "sizes"))
+        pg = post.select("doc_id", "gk")
+        gg = grams.select("doc_id", "gk")
+        only_p = pg.join(gg, ["doc_id", "gk"], "left_anti").count()
+        only_g = gg.join(pg, ["doc_id", "gk"], "left_anti").count()
+        out.append(
+            (
+                "post_grams_same_pairs",
+                only_p == 0 and only_g == 0,
+                f"post_only={only_p} grams_only={only_g}",
+            )
+        )
+        sz_bad = (
+            grams.groupBy("doc_id")
+            .agg(F.countDistinct("gk").alias("g_n"))
+            .join(sizes.select("doc_id", "n"), "doc_id", "full")
+            .filter(
+                F.col("g_n").isNull()
+                | F.col("n").isNull()
+                | (F.col("g_n") != F.col("n"))
+            )
+            .count()
+        )
+        out.append(("sizes_match_gram_counts", sz_bad == 0, f"bad={sz_bad}"))
+        pf_bad = (
+            post.filter(F.col("in_prefix"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("flagged"))
+            .join(sizes.select("doc_id", "n"), "doc_id")
+            .filter(
+                F.col("flagged")
+                != ppjoin_prefix_len(F.col("n"), CONTAIN_THRESHOLD)
+            )
+            .count()
+        )
+        out.append(
+            ("prefix_flags_exact_bound", pf_bad == 0, f"bad_docs={pf_bad}")
+        )
+    except Exception as ex:  # noqa: BLE001 — diagnose, don't die
+        out.append(("semantic_checks", False, repr(ex)[:200]))
+    return out
+
+
 def fsck_minhash_index(spark: SparkSession, sf_dir: str) -> list:
     """Semantic integrity check for the MinHash signature index: the
     generic versioned-root checks plus the band/signature consistency

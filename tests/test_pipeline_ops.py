@@ -1429,3 +1429,47 @@ def test_dsir_selects_target_like_documents(spark, sf_dir):
     # descending, deterministic tie-break
     ws = [r["log_weight"] for r in rows]
     assert ws == sorted(ws, reverse=True)
+
+
+def test_containment_fsck_green_after_build_and_admit(spark, tmp_path):
+    """fsck_containment_index: all checks pass on a fresh build AND
+    after an admit + doc-level replace (the write paths must preserve
+    post≡grams, sizes, and the exact prefix-flag bound)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        fsck_containment_index,
+        update_containment_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, " ".join(f"x{i}" for i in range(10))),
+    ]
+    base = str(tmp_path / "cfsck")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    assert all(ok for _, ok, _ in fsck_containment_index(spark, base)), (
+        fsck_containment_index(spark, base)
+    )
+    update_containment_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(50, "one two three four five six")],
+            "doc_id bigint, text string",
+        ),
+    )
+    # replace the admitted doc, then re-check every invariant
+    update_containment_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(50, "seven eight nine ten eleven twelve thirteen")],
+            "doc_id bigint, text string",
+        ),
+    )
+    got = fsck_containment_index(spark, base)
+    assert all(ok for _, ok, _ in got), got
