@@ -621,6 +621,37 @@ _CHECKED_R14 = frozenset({
     "winnow_fingerprints",
 })
 
+# Green (rows+schema+hash) in CORRECTNESS_r15.json — all 50 window keys:
+# the r15 new operators (late interaction, DSIR, containment admit,
+# streaming range-join/sessionize), every r15 rewrite (the ACORN
+# vecs-fold graph family + the exact-integer containment pair), and
+# the rotated r7/r8 cohort.
+_CHECKED_R15 = frozenset({
+    "agg_collection_count", "ann_graph_acorn_batch_topk",
+    "ann_graph_acorn_topk", "ann_graph_batch_topk",
+    "ann_graph_filtered_topk", "ann_graph_recursive_topk",
+    "ann_graph_tombstone_topk", "ann_graph_topk",
+    "ann_graph_vacuumed_topk", "ann_rp_lsh_multiprobe_topk",
+    "ann_rp_lsh_topk", "asof_join_purchase_click", "cluster_kmeans",
+    "collection_query_graph_acorn_topk",
+    "collection_query_graph_batch_topk", "collection_query_graph_topk",
+    "collection_replace_graph_topk", "csv_roundtrip",
+    "decontaminate_corpus", "dedup_connected_components",
+    "dedup_containment_gate", "dedup_containment_gate_ingested",
+    "dedup_containment_pairs", "dedup_embedding_cosine",
+    "dedup_minhash_pairs", "dsir_importance_select",
+    "dup_cluster_size_histogram", "events_by_dow", "events_sessionize",
+    "events_sliding_counts", "events_tumbling_counts",
+    "funnel_signup_purchase", "hybrid_weighted_graph_topk",
+    "json_props_rollup", "jsonl_roundtrip", "late_interaction_topk",
+    "minhash_jaccard_estimate", "pivot_event_matrix",
+    "quality_repetition", "range_join_bursts", "retention_day_over_day",
+    "rp_index_vec_rows", "salted_event_totals", "salted_skew_join",
+    "setop_active_noncustomers", "sketch_distinct_users",
+    "stream_range_join", "stream_sessionize", "tokenize_bpe_encode",
+    "upsert_latest_events",
+})
+
 # Latest green driver round per key — the freshness ranking queries()
 # sorts by (older green = more valuable re-check). Derived from the
 # _CHECKED sets; a key in several sets takes its newest round.
@@ -639,6 +670,7 @@ for _rnd, _s in (
     (12, _CHECKED_R12),
     (13, _CHECKED_R13),
     (14, _CHECKED_R14),
+    (15, _CHECKED_R15),
 ):
     for _k in _s:
         _LATEST_GREEN[_k] = _rnd
@@ -651,43 +683,21 @@ for _rnd, _s in (
 # rewrites greened in CORRECTNESS_r11 and moved to _CHECKED_R11; the
 # entries below are the r12 rewrites. r13: all 7 r13 rewrites greened in
 # CORRECTNESS_r13 and moved to _CHECKED_R13. r14: all 13 r14 rewrites
-# (graph-recall overhaul: nprobe-2 layer-0 edges at build, 4 seed-cell
-# doors with beam 12 / rounds 3 serve defaults, cellhubs component)
-# greened in CORRECTNESS_r14 and moved to _CHECKED_R14; the entries
-# below are the r15 rewrites.
-_REWRITTEN = frozenset({
-    # r15 ACORN single-scan scored fetch (VERDICT r14 next #1): the
-    # label folds into the graph vecs/ component at build/insert time,
-    # so every graph build writes a new layout and the ACORN serve path
-    # reads one pruned scan — all graph-family keys execute new code
-    "ann_graph_topk",
-    "ann_graph_batch_topk",
-    "ann_graph_recursive_topk",
-    "ann_graph_tombstone_topk",
-    "ann_graph_vacuumed_topk",
-    "ann_graph_filtered_topk",
-    "ann_graph_acorn_topk",
-    "ann_graph_acorn_batch_topk",
-    "collection_query_graph_topk",
-    "collection_query_graph_batch_topk",
-    "collection_query_graph_acorn_topk",
-    "collection_replace_graph_topk",
-    "hybrid_weighted_graph_topk",
-    # r15 exact-integer PPJoin prefix bound (ADVICE r14 #1) — the
-    # pairs op, the stored index (root bumped to v2), and the gate's
-    # batch side all compute n - ceil(t*n) + 1 in integer arithmetic;
-    # twins mirrored
-    "dedup_containment_pairs",
-    "dedup_containment_gate",
-})
+# greened in CORRECTNESS_r14 and moved to _CHECKED_R14. r15: all 15 r15
+# rewrites (ACORN vecs-fold graph family + exact-integer containment
+# prefix bound) greened in CORRECTNESS_r15 and moved to _CHECKED_R15;
+# the entries below are the r16 rewrites.
+_REWRITTEN = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Keys ordered by how much a fresh driver row is worth (the driver
     records the first 50 entries): brand-new and rewritten-since-last-green
-    keys first, then ascending by latest-green round — so the r4 cohort
-    (the oldest surviving greens after r7: TPC-H completion set, retrieval
-    core, pagerank, …) dominates the r8 window, per VERDICT r7 next #3.
+    keys first (rank 0), then ascending by latest-green driver round, so
+    the window always re-verifies the stalest cohort. For r16 that means
+    the new keys plus the r10-green cohort (indexing projections, the
+    served text-search family, semdedup/events rollups) and the oldest
+    r11 keys — keeping every key's newest driver row within ~4 rounds.
     Ties keep registry insertion order (sorted() is stable)."""
     q = _all_queries()
 
