@@ -18,6 +18,7 @@ SentenceTransformer changes only ``_encode_batch``.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 
@@ -300,6 +301,214 @@ def late_interaction_topk(
     score_e4 = None
     for i in range(len(qvecs)):
         term = F.round(F.round(F.col(f"m{i}"), 4) * 10000).cast("bigint")
+        score_e4 = term if score_e4 is None else score_e4 + term
+    return (
+        grouped.select(
+            "doc_id", (score_e4 / F.lit(10000.0)).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Served late interaction (VERDICT r15 next #1): the chunk-level vector
+# index that turns the ColBERT scorer from scan-time into build-once /
+# serve-many — the same discipline every other retrieval family here
+# follows (bm25_topk -> bm25_topk_served, scan kNN -> ann_rp_lsh_topk).
+# The reference's anti-pattern this replaces: its tool re-constructs the
+# model and re-reads the collection PER CALL (vector_search_tool.py:13-31).
+# ---------------------------------------------------------------------------
+
+# vec_id for a chunk packs (doc_id, chunk_id) into one bigint so the
+# index reuses the RP banding kernel's (vec_id, emb) contract; 2^16
+# chunks per doc is the documented cap (a chunk_size-8 doc would need
+# >500k words to overflow — tests pin the fixture headroom), and
+# doc_id * 2^16 stays far under the 2^62 ANSI-overflow guard for any
+# plausible doc_id space.
+LI_CHUNK_FACTOR = 65536
+LI_BANDS_SCHEMA = "vec_id bigint, band int, band_key int"
+LI_VECS_SCHEMA = "vec_id bigint, doc_id bigint, emb array<double>, vbucket int"
+
+
+def li_index_root(sf_dir: str, chunk_size: int = 8) -> str:
+    from ..memo import index_root
+    from .ann import N_VEC_BUCKETS, RP_BANDS, RP_PLANES
+
+    return index_root(
+        "li_index_v1", sf_dir, chunk_size, RP_PLANES, RP_BANDS, N_VEC_BUCKETS
+    )
+
+
+def build_li_index(spark: SparkSession, sf_dir: str, chunk_size: int = 8) -> str:
+    """Build the chunk-level late-interaction index: ONE chunker + Arrow
+    embed pass materializes ``vecs/vbucket=*/`` (the chunk-vector store,
+    point-lookupable by the md5 vec bucket), then ``bands/`` RP-bands
+    THE STORED VECTORS (read back from the just-written component, so
+    band signatures derive from the index's own corpus of record — the
+    embed UDF runs exactly once per chunk). Versioned via the shared
+    atomic ``_CURRENT`` lifecycle; the root tag hashes the dataset
+    fingerprint + chunk_size, so regenerated testdata or a different
+    chunker granularity gets a fresh build. Returns the version dir.
+
+    Scale shape: both writes are partitioned appends-at-build (bands by
+    (band, band_key) — at most RP_BANDS * 2^RP_BAND_BITS = 96 leaf dirs;
+    vecs by 32 vbuckets); zero-norm chunks stay in vecs/ but band
+    nothing (no direction — the build_rp_index discipline).
+    """
+    import os
+    import shutil
+
+    from ..sources import versioning as vn
+    from .ann import _nonzero_pred, rp_band_rows_for, vec_bucket_expr
+    from .chunking import chunk_fixed_words
+
+    root = li_index_root(sf_dir, chunk_size)
+    cur = vn.current_dir(root)
+    if cur is not None:
+        return cur
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, ".__tmp_build__")
+    shutil.rmtree(tmp, ignore_errors=True)
+    chunks = chunk_fixed_words(spark, sf_dir, chunk_size)
+    embed = make_embed_udf()
+    vid = (
+        F.col("doc_id").cast("bigint") * LI_CHUNK_FACTOR
+        + F.col("chunk_id").cast("bigint")
+    )
+    vecs = chunks.select(
+        vid.alias("vec_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        embed(F.col("chunk_text")).alias("emb"),
+    ).withColumn("vbucket", vec_bucket_expr(F.col("vec_id")))
+    vecs.write.mode("overwrite").partitionBy("vbucket").parquet(
+        os.path.join(tmp, "vecs")
+    )
+    stored = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(tmp, "vecs"))
+    rp_band_rows_for(
+        stored.filter(_nonzero_pred()).select("vec_id", "emb")
+    ).write.mode("overwrite").partitionBy("band", "band_key").parquet(
+        os.path.join(tmp, "bands")
+    )
+    name = vn.next_version_name(root)
+    try:
+        vn.publish_version(root, tmp, name, expected=None)
+    except vn.ConcurrentWriterError:
+        return vn.current_dir(root)
+    return os.path.join(root, name)
+
+
+def late_interaction_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = DEFAULT_QUERY_TEXT,
+    chunk_size: int = 8,
+    k: int = 5,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Index-served ColBERT late interaction: the identical
+    sum-of-MaxSim fold as ``late_interaction_topk``, but over PROBED
+    candidates only — zero corpus scans and zero re-embeds at query
+    time.
+
+    Per query TOKEN: the token embeds driver-side (m tiny vectors), its
+    RP band keys come from the same ``_rp_band_keys`` kernel the build
+    used, expanded Hamming-1 per band (the multiprobe recall knob, Lv et
+    al. VLDB 2007), and its candidate chunks are the band-table rows in
+    the probed buckets — LITERAL (band, band_key) predicates, so the
+    scan statically prunes to at most m * RP_BANDS * (1 + RP_BAND_BITS)
+    of the 96 partition dirs (plan-pinned in tests/test_plans.py). A
+    tiny broadcast (tok, band, band_key) frame tags which token(s) each
+    probed row serves. The rerank joins candidates against the index's
+    own ``vecs/`` store, folds each candidate's dot against its token's
+    literal vector (Catalyst zip_with/aggregate, codegen), and reduces
+    per doc with m conditional max aggregates + the exact scaled-integer
+    sum — map-side combinable, ONE shuffle on doc_id,
+    TakeOrderedAndProject.
+
+    Served semantics vs the scan key: a (doc, token) pair whose chunks
+    all missed that token's probe contributes 0 to the sum (the scan key
+    computes a true max over ALL the doc's chunks, which can be
+    negative) — the standard served-ColBERT approximation; measured
+    top-k agreement vs the scan key is pinned >= 0.9 in
+    tests/test_retrieval.py.
+    """
+    from functools import reduce
+    from operator import or_
+
+    import numpy as np
+
+    from ..sources import versioning as vn
+    from .ann import (
+        RP_BAND_BITS,
+        RP_BANDS,
+        _double_sql,
+        _rp_band_keys,
+        _rp_plane_signs,
+    )
+
+    build_li_index(spark, sf_dir, chunk_size)
+    ver = vn.current_dir(li_index_root(sf_dir, chunk_size))
+    qtokens = query_text.split(" ")
+    qvecs = _get_model().encode(qtokens)
+    signs_t = np.array(_rp_plane_signs(), dtype=np.int64).T
+    qkeys = _rp_band_keys(np.asarray(qvecs, dtype=np.float64), signs_t)
+    tok_pairs: list[tuple[int, int, int]] = []
+    for i in range(len(qtokens)):
+        for b in range(RP_BANDS):
+            keys = {int(qkeys[i][b])}
+            if multiprobe_hamming >= 1:
+                keys |= {
+                    int(qkeys[i][b]) ^ (1 << bit) for bit in range(RP_BAND_BITS)
+                }
+            tok_pairs.extend((i, b, key) for key in sorted(keys))
+    distinct_pairs = sorted({(b, key) for _, b, key in tok_pairs})
+    bands = spark.read.schema(LI_BANDS_SCHEMA).parquet(
+        os.path.join(ver, "bands")
+    )
+    probe_pred = reduce(
+        or_,
+        [
+            (F.col("band") == b) & (F.col("band_key") == key)
+            for b, key in distinct_pairs
+        ],
+    )
+    tokmap = spark.createDataFrame(
+        tok_pairs, "tok int, band int, band_key int"
+    )
+    cand = (
+        bands.filter(probe_pred)
+        .join(F.broadcast(tokmap), ["band", "band_key"])
+        .select("tok", "vec_id")
+        .distinct()
+    )
+    vecs = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
+    joined = vecs.join(cand, "vec_id")
+    sim = None
+    for i, qv in enumerate(qvecs):
+        qlit = F.expr(
+            "array(" + ",".join(_double_sql(x) for x in qv) + ")"
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("emb"), qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cond = F.col("tok") == i
+        sim = F.when(cond, dot) if sim is None else sim.when(cond, dot)
+    scored = joined.select("doc_id", "tok", sim.alias("sim"))
+    grouped = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("tok") == i, F.col("sim"))).alias(f"m{i}")
+            for i in range(len(qvecs))
+        ]
+    )
+    score_e4 = None
+    for i in range(len(qvecs)):
+        term = F.coalesce(
+            F.round(F.round(F.col(f"m{i}"), 4) * 10000).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
         score_e4 = term if score_e4 is None else score_e4 + term
     return (
         grouped.select(

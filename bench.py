@@ -42,6 +42,7 @@ BENCH_KEYS = [
     "text_stats",
     "quality_score",
     "late_interaction_topk",
+    "late_interaction_topk_served",
     "dsir_importance_select",
     "q1_pricing_summary",
     "q3_top_orders",

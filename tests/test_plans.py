@@ -627,3 +627,23 @@ def test_late_interaction_plan_partial_max_and_take_ordered(spark, sf_dir):
     # partial_max in the pre-shuffle HashAggregate (formatted plan shows
     # partial aggregate functions on the map side)
     assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_li_served_probe_prunes_and_take_ordered(spark, sf_dir):
+    """late_interaction_topk_served: the band-table probe must be
+    static PartitionFilters on (band, band_key) — the scan lists only
+    the probed bucket dirs, never the chunk corpus — and the final
+    top-k must stay TakeOrderedAndProject with map-side partial maxes
+    (the scan key's pinned shape, preserved by the served fold)."""
+    from adk_noui_vectordb_spark.operators.embed import (
+        late_interaction_topk_served,
+    )
+
+    df = late_interaction_topk_served(spark, sf_dir)
+    plan = explain_str(df)
+    seg = plan.split("PartitionFilters")
+    assert len(seg) > 1, plan
+    head = seg[1].split("\n")[0]
+    assert "band" in head and "band_key" in head, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan

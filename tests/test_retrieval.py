@@ -591,3 +591,62 @@ def test_late_interaction_matches_bruteforce_and_beats_pooled(
         assert abs(got[doc_id] - score) < 1e-9, (doc_id, got[doc_id], score)
     # docs carrying the query tokens beat the token-free doc
     assert got[1] > got[2] and got[3] > got[2]
+
+
+def test_late_interaction_served_agrees_with_scan(spark):
+    """late_interaction_topk_served (index-served ColBERT): the
+    Hamming-1 multiprobe candidate pools must recover >= 0.9 of the
+    scan key's top-5 docs at sf0.01, and every doc both keys return
+    must carry the IDENTICAL score (the fold is the same arithmetic —
+    only the candidate set is approximate, and a doc present in both
+    top-5s by definition had its max-chunks probed... asserted, not
+    assumed)."""
+    from adk_noui_vectordb_spark.operators.embed import (
+        late_interaction_topk,
+        late_interaction_topk_served,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    scan = {
+        r["doc_id"]: r["score"]
+        for r in late_interaction_topk(spark, sf, k=5).collect()
+    }
+    served = {
+        r["doc_id"]: r["score"]
+        for r in late_interaction_topk_served(spark, sf, k=5).collect()
+    }
+    overlap = set(scan) & set(served)
+    assert len(overlap) >= 0.9 * len(scan), (scan, served)
+    for d in overlap:
+        assert served[d] <= scan[d] + 1e-9, (d, served[d], scan[d])
+    # a doc in both top-5s whose served score equals its scan score had
+    # every per-token max recovered by the probe; demand that for the
+    # shared top docs (probe completeness on the actual winners)
+    assert all(abs(served[d] - scan[d]) < 1e-9 for d in overlap), (
+        scan,
+        served,
+    )
+
+
+def test_li_index_chunk_factor_headroom(spark):
+    """vec_id packs (doc_id, chunk_id) as doc_id * 2^16 + chunk_id: the
+    fixture must sit far below the per-doc chunk cap, and the packing
+    must round-trip (doc_id recoverable by integer division)."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators.chunking import chunk_fixed_words
+    from adk_noui_vectordb_spark.operators.embed import LI_CHUNK_FACTOR
+
+    chunks = chunk_fixed_words(spark, "/root/testdata/sf0.01", 8)
+    mx = chunks.agg(F.max("chunk_id").alias("m")).head()["m"]
+    assert mx < LI_CHUNK_FACTOR // 4, mx  # 4x headroom on the fixture
+    packed = chunks.select(
+        (F.col("doc_id").cast("bigint") * LI_CHUNK_FACTOR
+         + F.col("chunk_id")).alias("vec_id"),
+        "doc_id",
+    )
+    bad = packed.filter(
+        (F.col("vec_id") - F.col("vec_id") % LI_CHUNK_FACTOR)
+        / LI_CHUNK_FACTOR != F.col("doc_id")
+    ).count()
+    assert bad == 0

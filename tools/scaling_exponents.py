@@ -134,6 +134,7 @@ KEYS = {
     "shard_manifest_counts": "documents",
     "chunked_maxsim_topk": "documents",
     "late_interaction_topk": "documents",
+    "late_interaction_topk_served": "documents",
     "dedup_containment_gate_ingested": "documents",
     "dsir_importance_select": "documents",
     "ann_grouped_topk": "embeddings",
