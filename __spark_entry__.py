@@ -687,7 +687,20 @@ for _rnd, _s in (
 # rewrites (ACORN vecs-fold graph family + exact-integer containment
 # prefix bound) greened in CORRECTNESS_r15 and moved to _CHECKED_R15;
 # the entries below are the r16 rewrites.
-_REWRITTEN = frozenset()
+_REWRITTEN = frozenset({
+    # r16 ppjoin_prefix_len hardening (ADVICE r15 #1/#3): num/den now
+    # come from Fraction.limit_denominator(10^6) and the ceil divides
+    # in DECIMAL (exact by construction); twins moved to integer // —
+    # values identical for the pinned t=0.8, but the executed path of
+    # every containment key changed
+    "dedup_containment_pairs",
+    "dedup_containment_gate",
+    "dedup_containment_gate_ingested",
+    # r16 DSIR explicit-target generalization (VERDICT r15 next #5):
+    # featurization factored into _dsir_features shared by corpus and
+    # target sides — same ranking, new executed path
+    "dsir_importance_select",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -883,6 +896,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sum-of-MaxSim reduction, distinct from the parent-doc
         # single-vector max above
         "late_interaction_topk": _embed.late_interaction_topk,
+        # r16: index-served ColBERT (VERDICT r15 next #1) — chunk vectors
+        # persisted once in the versioned li_index (vecs/ + RP bands/),
+        # per-token Hamming-1 multiprobe candidate pools, the identical
+        # sum-of-MaxSim fold over candidates only; zero re-embeds at
+        # query time
+        "late_interaction_topk_served": _embed.late_interaction_topk_served,
         "knn_file_summary_query": _embed.knn_file_summary_query,
         "file_context": _idx.file_context,
         # approximate ANN (SURVEY.md §4). r6: the engine-owned
@@ -4469,7 +4488,7 @@ cpre AS (
                                   ORDER BY f.df ASC, c.gk ASC) AS rn,
                s.n
         FROM cg c JOIN dfs f USING (gk) JOIN csz s USING (doc_id))
-    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+    WHERE rn <= n - (8 * n + 9) // 10 + 1
 ),
 bpre AS (
     SELECT doc_id, gk FROM (
@@ -4478,7 +4497,7 @@ bpre AS (
                                   ORDER BY coalesce(f.df, 0) ASC, b.gk ASC) AS rn,
                s.n
         FROM bg b LEFT JOIN dfs f USING (gk) JOIN bsz s USING (doc_id))
-    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+    WHERE rn <= n - (8 * n + 9) // 10 + 1
 ),
 cand AS (
     SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
@@ -4555,7 +4574,7 @@ cpre AS (
                                   ORDER BY f.df ASC, c.gk ASC) AS rn,
                s.n
         FROM cg c JOIN dfs f USING (gk) JOIN isz s USING (doc_id))
-    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+    WHERE rn <= n - (8 * n + 9) // 10 + 1
 ),
 apre AS (
     SELECT doc_id, gk FROM (
@@ -4564,7 +4583,7 @@ apre AS (
                                   ORDER BY coalesce(f.df, 0) ASC, a.gk ASC) AS rn,
                s.n
         FROM ag a LEFT JOIN dfs f USING (gk) JOIN isz s USING (doc_id))
-    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+    WHERE rn <= n - (8 * n + 9) // 10 + 1
 ),
 ipre AS (SELECT * FROM cpre UNION ALL SELECT * FROM apre),
 bpre AS (
@@ -4574,7 +4593,7 @@ bpre AS (
                                   ORDER BY coalesce(f.df, 0) ASC, b.gk ASC) AS rn,
                s.n
         FROM bg b LEFT JOIN dfs f USING (gk) JOIN bsz s USING (doc_id))
-    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+    WHERE rn <= n - (8 * n + 9) // 10 + 1
 ),
 cand AS (
     SELECT DISTINCT b.doc_id AS new_id, i.doc_id AS old_id
@@ -4621,7 +4640,7 @@ pre AS (
                len(dd.words) AS n
         FROM tok t JOIN dfc d USING (w)
         JOIN docs dd ON dd.doc_id = t.doc_id)
-    WHERE rn <= n - CAST(floor((8 * n + 9) / 10) AS BIGINT) + 1
+    WHERE rn <= n - (8 * n + 9) // 10 + 1
 ),
 cand AS (
     SELECT DISTINCT least(p.doc_id, t.doc_id) AS doc_a,
@@ -6016,6 +6035,104 @@ WITH qtok AS (
     FROM n CROSS JOIN qb
     LEFT JOIN s ON s.doc_id = n.doc_id AND s.chunk_id = n.chunk_id
                AND s.bucket = qb.bucket
+), maxt AS (
+    SELECT doc_id, i, max(c) AS m FROM contrib GROUP BY 1, 2
+), sc AS (
+    SELECT doc_id,
+           sum(CAST(round(round(m, 4) * 10000) AS BIGINT)) AS s4
+    FROM maxt GROUP BY 1
+)
+SELECT doc_id, CAST(s4 AS DOUBLE) / 10000.0 AS score FROM sc
+ORDER BY score DESC, doc_id
+LIMIT 5
+""",
+        # Index-served ColBERT twin: re-derives the chunk vectors, their
+        # RP band keys (the _RP_BANDS_CTE arithmetic over NORMALIZED
+        # chunk components — micro-quantized integer dots against the
+        # md5-parity planes), the per-token Hamming-1 probe, and the
+        # sum-of-MaxSim fold over candidates only. A (doc, token) pair
+        # absent from the candidate set contributes nothing to the sum —
+        # the served key's documented approximation, mirrored exactly.
+        "late_interaction_topk_served": """
+WITH qtok AS (
+    SELECT * FROM (VALUES (0, 'spark'), (1, 'query'),
+                          (2, 'filter'), (3, 'join')) AS t(i, w)
+), qv AS (
+    SELECT i,
+           CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64
+                AS INTEGER) AS bucket,
+           CASE WHEN (CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) >> 6)
+                     & 1 = 1
+                THEN 1 ELSE -1 END AS sign
+    FROM qtok
+), qbits AS (
+    SELECT qv.i, p.p,
+           CASE WHEN qv.sign *
+                (CASE WHEN CAST(('0x' || substr(
+                          md5('rp|' || p.p || '|' || (qv.bucket + 1)),
+                          1, 15)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM qv CROSS JOIN generate_series(0, 23) p(p)
+), qb AS (
+    SELECT i, CAST(p // 4 AS INTEGER) AS band,
+           CAST(sum(bit * (1 << CAST(p % 4 AS INTEGER))) AS INTEGER)
+               AS band_key
+    FROM qbits GROUP BY 1, 2
+), qexp AS (
+    SELECT i, band, band_key FROM qb
+    UNION
+    SELECT q.i, q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER)
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), ctok AS (
+    SELECT doc_id, CAST(floor((pos - 1) / 8) AS INTEGER) AS chunk_id, w
+    FROM tok
+), h AS (
+    SELECT doc_id, chunk_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM ctok
+), b AS (
+    SELECT doc_id, chunk_id, CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM h
+), s AS (
+    SELECT doc_id, chunk_id, bucket, CAST(sum(sign) AS DOUBLE) AS v
+    FROM b GROUP BY 1, 2, 3
+), n AS (
+    SELECT doc_id, chunk_id, sqrt(sum(v * v)) AS norm FROM s GROUP BY 1, 2
+), cq AS (
+    SELECT s.doc_id, s.chunk_id, s.bucket,
+           CAST(floor(s.v / n.norm * 1000000 + 0.5) AS BIGINT) AS qcomp
+    FROM s JOIN n USING (doc_id, chunk_id)
+    WHERE n.norm > 0
+), cbits AS (
+    SELECT cq.doc_id, cq.chunk_id, p.p,
+           CASE WHEN sum(cq.qcomp *
+                (CASE WHEN CAST(('0x' || substr(
+                          md5('rp|' || p.p || '|' || (cq.bucket + 1)),
+                          1, 15)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM cq CROSS JOIN generate_series(0, 23) p(p)
+    GROUP BY 1, 2, 3
+), cbands AS (
+    SELECT doc_id, chunk_id, CAST(p // 4 AS INTEGER) AS band,
+           CAST(sum(bit * (1 << CAST(p % 4 AS INTEGER))) AS INTEGER)
+               AS band_key
+    FROM cbits GROUP BY 1, 2, 3
+), cand AS (
+    SELECT DISTINCT q.i, c.doc_id, c.chunk_id
+    FROM cbands c JOIN qexp q USING (band, band_key)
+), contrib AS (
+    SELECT cand.i, cand.doc_id, cand.chunk_id,
+           coalesce(qv.sign * s.v, 0.0) / n.norm AS c
+    FROM cand
+    JOIN n USING (doc_id, chunk_id)
+    JOIN qv ON qv.i = cand.i
+    LEFT JOIN s ON s.doc_id = cand.doc_id AND s.chunk_id = cand.chunk_id
+               AND s.bucket = qv.bucket
 ), maxt AS (
     SELECT doc_id, i, max(c) AS m FROM contrib GROUP BY 1, 2
 ), sc AS (

@@ -341,17 +341,29 @@ def ppjoin_prefix_len(n: Column, threshold: float) -> Column:
     the exact bound whenever (1−t)·n is integral — any n divisible by 5
     at t=0.8 — silently dropping a pair whose containment is exactly t;
     the twin embedded the same literal, so parity could never surface
-    it). t is read as the exact decimal of its repr (0.8 → 8/10), and
-    ⌈num·n/den⌉ = floor((num·n + den − 1)/den) — all-integer, mirrored
-    verbatim by the DuckDB twins. Identity: floor((1−t)n)+1 =
-    n − ⌈t·n⌉ + 1 for exact reals."""
-    from decimal import Decimal
+    it). ⌈num·n/den⌉ = floor((num·n + den − 1)/den); the DuckDB twins
+    mirror the same rational with integer ``//``.
 
-    t = Decimal(str(threshold))
-    den = 10 ** max(1, -t.as_tuple().exponent)
-    num = int(t * den)
+    num/den come from ``Fraction(threshold).limit_denominator(10**6)``
+    (ADVICE r15 #1): a high-precision float like 0.8333333333333333
+    would otherwise read as den = 10^16, whose num·n product overflows
+    int64 silently under Spark's non-ANSI wrap — the 10^-6 threshold
+    grid keeps den (hence num) ≤ 10^6, so num·n is exact far past any
+    real shingle count. The reduced fraction yields the same value for
+    every n (scaling num/den preserves the rational: ⌈4n/5⌉ ≡ ⌈8n/10⌉,
+    so the twins' 8/10 literals stay agreeing). The division itself is
+    DECIMAL, not double (ADVICE r15 #3: double floor is only exact
+    while num·n + den − 1 < 2^53): decimal(38,0)/int divides exactly
+    and rounds HALF_UP at scale ≥ 6, and with den ≤ 10^6 the true
+    fraction part is ≤ (10^6−1)/10^6 = 0.999999 — representable, never
+    rounded up across the integer boundary — so floor is exact by
+    construction for all 38-digit n."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold)).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
     ceil_tn = F.floor(
-        (F.lit(num) * n + F.lit(den - 1)) / F.lit(den)
+        (F.lit(num) * n.cast("decimal(38,0)") + F.lit(den - 1)) / F.lit(den)
     ).cast("bigint")
     return n.cast("bigint") - ceil_tn + F.lit(1)
 
@@ -564,6 +576,7 @@ def build_containment_index(
     ).repartition(F.col("sbucket")).write.mode("overwrite").partitionBy(
         "sbucket"
     ).parquet(os.path.join(tmp, "sizes"))
+    _write_containment_build_stats(spark, tmp)
     name = vn.next_version_name(root)
     try:
         vn.publish_version(root, tmp, name, expected=None)
@@ -589,8 +602,10 @@ def update_containment_index(
     C(A→B) ≥ t then ANY n−⌈t·n⌉+1 items of A intersect B (|A∖B| ≤
     |A|−⌈t·|A|⌉, pigeonhole), so the df order only tunes candidate
     SELECTIVITY; a drifted ranking admits more candidates, never misses
-    a pair. Rebuild when drift makes probes fat (the fsck-advisory
-    story, like centroid drift).
+    a pair. ``containment_drift_metrics`` watches probe fatness against
+    the frozen ``build_stats.json`` (surfaced as the ``prefix_drift``
+    fsck row) and ``rebuild_containment_index`` re-derives dfs over the
+    index's own docs when it fires — the centroid-drift discipline.
 
     Doc-level replace: a re-submitted doc_id's stale ``post/`` rows are
     located through its OWN stored shingles (``grams/`` doubles as the
@@ -734,6 +749,203 @@ def update_containment_index(
         expected=os.path.basename(cur),
         compact=CONTAINMENT_COMPONENTS,
         compact_threshold=auto_compact_threshold,
+    )
+
+
+# Drift thresholds for the frozen-dfs admit path (the IVF family's
+# discipline: DRIFT_RESIDUAL_THRESHOLD=1.5 growth / DRIFT_SKEW_THRESHOLD
+# =3.0 mass, ann.py:1249): probes serve from prefixes ranked by
+# BUILD-time dfs, so admitted mass fattens candidates invisibly — the
+# metrics below make it visible and point at the rebuild.
+CONTAIN_DRIFT_FANOUT_THRESHOLD = 1.5  # mean prefix-row TRUE df vs build
+CONTAIN_DRIFT_MASS_THRESHOLD = 3.0  # indexed doc count vs build
+
+
+def _containment_stats_of_version(spark: SparkSession, ver_dir: str) -> dict:
+    """The probe-fatness snapshot drift is measured with: indexed doc
+    mass and the mean TRUE document frequency over in_prefix postings
+    (TRUE df recomputed from post/ itself — the frozen dfs/ table
+    understates reality after admits, which is exactly the decay being
+    measured). Two aggregate jobs over the narrow post table plus a
+    sizes count."""
+    import os
+
+    post = spark.read.schema(
+        "gk bigint, doc_id bigint, in_prefix boolean, gbucket int"
+    ).parquet(os.path.join(ver_dir, "post"))
+    sizes = spark.read.schema("doc_id bigint, n bigint, sbucket int").parquet(
+        os.path.join(ver_dir, "sizes")
+    )
+    n_docs = sizes.count()
+    truedf = post.groupBy("gk").agg(F.count(F.lit(1)).alias("tdf"))
+    row = (
+        post.filter(F.col("in_prefix"))
+        .join(truedf, "gk")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.avg("tdf").alias("fanout"),
+        )
+        .head()
+    )
+    return {
+        "n_docs": int(n_docs),
+        "n_prefix_rows": int(row["rows"] or 0),
+        "mean_prefix_df": (
+            float(row["fanout"]) if row["fanout"] is not None else 0.0
+        ),
+    }
+
+
+def _write_containment_build_stats(spark: SparkSession, tmp: str) -> None:
+    """Freeze the just-built version's probe-fatness snapshot as
+    ``build_stats.json`` (the `_write_build_stats` IVF discipline: the
+    commit kernel carries version files forward, so the baseline
+    survives every frozen-dfs admit — it describes BUILD time, which is
+    what drift is measured against)."""
+    import json as _json
+    import os
+
+    stats = _containment_stats_of_version(spark, tmp)
+    with open(os.path.join(tmp, "build_stats.json"), "w") as f:
+        _json.dump(stats, f)
+
+
+def containment_drift_metrics(
+    spark: SparkSession, sf_dir: str, tag: str = ""
+) -> dict:
+    """Probe-fatness drift detector for the containment admit path
+    (VERDICT r15 next #3 — closes the ``update_containment_index``
+    docstring's promise): admits keep ``dfs/`` frozen forever (SOUND —
+    prefix completeness is ranking-independent), so the only decay mode
+    is SELECTIVITY: prefixes ranked by stale dfs probe ever-fatter
+    postings. Compares the current version's admitted mass and mean
+    in_prefix TRUE df against the build_stats.json frozen at
+    (re)build time and fires ``drifted`` when either growth crosses
+    its threshold — the signal to run ``rebuild_containment_index``.
+    Returns diagnostics; never raises on a legacy version without build
+    stats (drifted=None: unknown)."""
+    import json as _json
+    import os
+
+    cur = build_containment_index(spark, sf_dir, tag)
+    now = _containment_stats_of_version(spark, cur)
+    out: dict = {"now": now, "built": None, "drifted": None}
+    p = os.path.join(cur, "build_stats.json")
+    if not os.path.exists(p):
+        return out
+    with open(p) as f:
+        built = _json.load(f)
+    out["built"] = built
+    mass = now["n_docs"] / built["n_docs"] if built.get("n_docs") else None
+    fan = (
+        now["mean_prefix_df"] / built["mean_prefix_df"]
+        if built.get("mean_prefix_df")
+        else None
+    )
+    out["mass_growth"] = mass
+    out["fanout_growth"] = fan
+    out["drifted"] = bool(
+        (mass is not None and mass > CONTAIN_DRIFT_MASS_THRESHOLD)
+        or (fan is not None and fan > CONTAIN_DRIFT_FANOUT_THRESHOLD)
+    )
+    return out
+
+
+def rebuild_containment_index(
+    spark: SparkSession, sf_dir: str, tag: str = ""
+) -> str:
+    """Re-derive the frozen coarse structure over the index's OWN docs
+    — the ``rebalance_ivf_index`` symmetry for the containment family:
+    ``grams/``+``sizes/`` are the corpus of record after admits, so
+    fresh dfs come from one groupBy over grams, prefixes re-rank under
+    the fresh dfs, and the commit rewrites ``post/`` and ``dfs/`` in
+    full while the fat doc-keyed components hardlink (a rebuild never
+    moves gram bytes — only the narrow posting/df rows).
+    ``build_stats.json`` refreshes atomically with the commit, so the
+    drift baseline resets to the rebuild. CAS-committed; returns the
+    new current version dir.
+
+    Equality-with-fresh-build (pinned in tests/test_pipeline_ops.py):
+    dfs/prefixes are a pure function of the doc set, and grams/sizes
+    hold exactly the admitted corpus — so a rebuilt index equals a
+    fresh ``build_containment_index`` over the combined corpus, row
+    for row, across all four components."""
+    import json as _json
+    import os
+
+    from pyspark.sql.window import Window
+
+    from ..sources import versioning as vn
+
+    cur = build_containment_index(spark, sf_dir, tag)
+    root = os.path.dirname(cur)
+    grams = spark.read.schema("doc_id bigint, gk bigint, sbucket int").parquet(
+        os.path.join(cur, "grams")
+    )
+    sizes = spark.read.schema("doc_id bigint, n bigint, sbucket int").parquet(
+        os.path.join(cur, "sizes")
+    )
+    dfs = (
+        grams.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gk"))
+    post = (
+        grams.select("doc_id", "gk")
+        .join(dfs, "gk")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .join(sizes.select("doc_id", "n"), "doc_id")
+        .select(
+            "gk",
+            "doc_id",
+            (
+                F.col("rn")
+                <= ppjoin_prefix_len(F.col("n"), CONTAIN_THRESHOLD)
+            ).alias("in_prefix"),
+            (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("gbucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dfs_out = dfs.select(
+        "gk", "df", (F.col("gk") % N_GRAM_BUCKETS).cast("int").alias("gbucket")
+    )
+    # post-rebuild the stored dfs ARE the true dfs, so the new baseline
+    # derives from the frames about to commit (checkpointed above —
+    # stats and writes see the same rows)
+    n_docs = sizes.count()
+    row = (
+        post.filter(F.col("in_prefix"))
+        .join(dfs, "gk")
+        .agg(F.count(F.lit(1)).alias("rows"), F.avg("df").alias("fanout"))
+        .head()
+    )
+    stats = {
+        "n_docs": int(n_docs),
+        "n_prefix_rows": int(row["rows"] or 0),
+        "mean_prefix_df": (
+            float(row["fanout"]) if row["fanout"] is not None else 0.0
+        ),
+    }
+
+    def _all_parts(comp: str) -> frozenset:
+        d = os.path.join(cur, comp)
+        return frozenset(
+            p for p in os.listdir(d) if p.startswith("gbucket=")
+        )
+
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component("post", ("gbucket",), _all_parts("post"), (post,)),
+            vn.Component("dfs", ("gbucket",), _all_parts("dfs"), (dfs_out,)),
+            vn.Component("grams", link_from=os.path.join(cur, "grams")),
+            vn.Component("sizes", link_from=os.path.join(cur, "sizes")),
+        ],
+        expected=os.path.basename(cur),
+        compact=CONTAINMENT_COMPONENTS,
+        extra_files={"build_stats.json": _json.dumps(stats)},
     )
 
 
@@ -2395,13 +2607,21 @@ def fsck_containment_index(
             .count()
         )
         out.append(("sizes_match_gram_counts", sz_bad == 0, f"bad={sz_bad}"))
+        # ADVICE r15 #2: join FROM sizes (left) — a doc with ZERO
+        # in_prefix rows (the worst completeness break this check
+        # exists for) is absent from the flagged side and must read as
+        # flagged = 0, not silently drop out of an inner join
         pf_bad = (
-            post.filter(F.col("in_prefix"))
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("flagged"))
-            .join(sizes.select("doc_id", "n"), "doc_id")
+            sizes.select("doc_id", "n")
+            .join(
+                post.filter(F.col("in_prefix"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("flagged")),
+                "doc_id",
+                "left",
+            )
             .filter(
-                F.col("flagged")
+                F.coalesce(F.col("flagged"), F.lit(0))
                 != ppjoin_prefix_len(F.col("n"), CONTAIN_THRESHOLD)
             )
             .count()
@@ -2409,6 +2629,28 @@ def fsck_containment_index(
         out.append(
             ("prefix_flags_exact_bound", pf_bad == 0, f"bad_docs={pf_bad}")
         )
+        # drift advisory (VERDICT r15 next #3 — the fsck_ivf_index
+        # centroid_drift discipline: a drifted index is not corrupt,
+        # the row's detail says what to run)
+        m = containment_drift_metrics(spark, sf_dir, tag)
+        if m["drifted"] is None:
+            out.append(
+                ("prefix_drift", True, "no build_stats.json (legacy build)")
+            )
+        else:
+            out.append(
+                (
+                    "prefix_drift",
+                    not m["drifted"],
+                    f"mass_growth={m['mass_growth'] and round(m['mass_growth'], 3)} "
+                    f"fanout_growth={m['fanout_growth'] and round(m['fanout_growth'], 3)}"
+                    + (
+                        " — run rebuild_containment_index"
+                        if m["drifted"]
+                        else ""
+                    ),
+                )
+            )
     except Exception as ex:  # noqa: BLE001 — diagnose, don't die
         out.append(("semantic_checks", False, repr(ex)[:200]))
     return out

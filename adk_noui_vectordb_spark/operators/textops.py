@@ -1306,8 +1306,45 @@ def cap_docs_per_source(
 DSIR_BUCKETS = 8192
 
 
+def _dsir_features(d: DataFrame, carry: "tuple[str, ...]" = ()) -> DataFrame:
+    """(doc_id, *carry, bucket) — one row per hashed unigram/bigram
+    OCCURRENCE of a (doc_id, text[, *carry]) frame; the shared DSIR
+    featurizer, so an explicit target corpus counts through the SAME
+    arithmetic as the raw corpus (the published recipe's requirement:
+    both LMs live in the same hashed feature space)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_long
+
+    tok = d.select(
+        "doc_id",
+        *carry,
+        F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w"),
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id",
+        *carry,
+        F.concat_ws(" ", F.col("w"), F.lead("w").over(wnd)).alias("feat"),
+        F.lead("w").over(wnd).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull()).select("doc_id", *carry, "feat")
+    return (
+        tok.select("doc_id", *carry, F.col("w").alias("feat"))
+        .unionByName(big)
+        .select(
+            "doc_id",
+            *carry,
+            (md5_long(F.col("feat")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+
+
 def dsir_importance_select(
-    spark: SparkSession, sf_dir: str, target_lang: str = "en", k: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    target_lang: str = "en",
+    k: int = 100,
+    target_docs: "DataFrame | None" = None,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.,
     NeurIPS 2023): rank raw-corpus documents by their importance weight
@@ -1321,12 +1358,16 @@ def dsir_importance_select(
         lr(b) = ln((c_t(b)+1)/(T+B)) − ln((c_r(b)+1)/(R+B))
 
     and a document's log-weight is the sum of lr over its feature
-    OCCURRENCES. The target here is the ``lang == target_lang`` slice
-    (a real pipeline passes a curated target corpus through the same
-    two count aggregates). Deterministic top-k by (weight desc, doc_id)
-    stands in for the paper's Gumbel-noise resampling draw — the
-    seedless-reproducibility convention every sampler in this repo
-    follows.
+    OCCURRENCES. The target distribution is an EXPLICIT curated corpus
+    when ``target_docs`` (doc_id, text) is passed — the paper's actual
+    recipe, composing with ``curate_corpus``/``split_train_holdout``
+    outputs — and defaults to the ``lang == target_lang`` corpus slice
+    (the oracle-pinned configuration; byte-identical to the pre-r16
+    behavior). Either way the target counts flow through the SAME
+    featurizer (``_dsir_features``). Deterministic top-k by (weight
+    desc, doc_id) stands in for the paper's Gumbel-noise resampling
+    draw — the seedless-reproducibility convention every sampler in
+    this repo follows.
 
     Cross-engine determinism: lr is computed ONCE PER BUCKET (≤ B rows),
     4-dp rounded, and frozen to a ×10⁴ BIGINT; document scores are then
@@ -1339,41 +1380,19 @@ def dsir_importance_select(
     an ≤8k-row broadcast ratio table, one groupBy(doc) integer sum,
     TakeOrderedAndProject — no shuffle wider than the doc-id rollup.
     """
-    from pyspark.sql.window import Window
-
-    from .dedup import md5_long
-
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w"),
-    )
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.select(
-        "doc_id",
-        "lang",
-        F.concat_ws(" ", F.col("w"), F.lead("w").over(wnd)).alias("feat"),
-        F.lead("w").over(wnd).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull()).select("doc_id", "lang", "feat")
-    feats = (
-        tok.select("doc_id", "lang", F.col("w").alias("feat"))
-        .unionByName(big)
-        .select(
-            "doc_id",
-            "lang",
-            (md5_long(F.col("feat")) % DSIR_BUCKETS).alias("bucket"),
-        )
-    )
+    feats = _dsir_features(d, ("lang",))
     raw_counts = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr")
     )
-    tgt_counts = (
-        feats.filter(F.col("lang") == target_lang)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    if target_docs is not None:
+        tgt_feats = _dsir_features(target_docs.select("doc_id", "text"))
+    else:
+        tgt_feats = feats.filter(F.col("lang") == target_lang)
+    tgt_counts = tgt_feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
     )
     totals = raw_counts.agg(
         F.sum("cr").alias("r_tot")

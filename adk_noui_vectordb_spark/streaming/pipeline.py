@@ -695,6 +695,61 @@ def stream_binq_ivf_index_ingest(
     )
 
 
+def stream_containment_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_stream_dir: str,
+    checkpoint_dir: str,
+    tag: str = "",
+):
+    """Streaming freshness for the containment shingle index (the 18th
+    mode, VERDICT r15 next #4): document batches landing in
+    ``docs_stream_dir`` ADMIT via ``dedup.update_containment_index``
+    (doc-level REPLACE under the frozen-dfs discipline, shared-kernel
+    CAS commit), so a ``dedup_containment_gate_for`` probe catches a
+    subset-duplicate of a streamed document one micro-batch after it
+    lands — the admit lifecycle that landed in r15 gets its stream like
+    every other updatable family (minhash 14, graph 15/16, binary-IVF
+    17). Same at-least-once/content-digest-marker contract
+    (order-independent md5 content sums, never batch_id-keyed); the
+    REPLACE admit is naturally replay-safe — an identical batch locates
+    its own postings through its stored shingles and rewrites identical
+    rows."""
+    from ..operators.dedup import (
+        build_containment_index,
+        containment_index_root,
+        update_containment_index,
+    )
+
+    raw = spark.readStream.schema("doc_id bigint, text string").parquet(
+        docs_stream_dir
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_containment_index(batch_df.sparkSession, sf_dir, tag)
+        root = containment_index_root(sf_dir, tag)
+        batch = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
+        digest = _batch_digest(batch, ("doc_id", "text"))
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return  # same content already admitted into the current version
+        _retry_cas(
+            lambda: update_containment_index(
+                batch_df.sparkSession, sf_dir, batch, tag
+            )
+        )
+        with open(_marker_path(root, "c", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ivfpq_index_ingest(
     spark: SparkSession,
     sf_dir: str,

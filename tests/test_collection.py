@@ -1563,3 +1563,64 @@ def test_graph_strategy_batch_equals_per_query(spark, sf_dir):
         ):
             solo.append((qi, r["id"], r["distance"]))
     assert batch == sorted(solo)
+
+
+def test_graph_auto_expansion_reads_compound_where_tree(spark, tmp_path):
+    """VERDICT r15 next #7: the auto-ACORN selectivity estimate counts
+    survivors of the FULL compiled where tree — a nested $and that cuts
+    to 10% routes to the ACORN walk (result identical to the forced
+    run), and a nested $or whose union covers 90% routes BLIND (result
+    identical to the forced-off run) even though each branch alone is
+    selective. An estimate that read only one branch would flip the
+    high-selectivity case to ACORN."""
+    import numpy as np
+
+    from tools.make_clustered_embeddings import make
+
+    n = 400
+    base = str(tmp_path / "cmpd")
+    make(base, n, 10, 0.25)
+    emb = np.array(
+        spark.read.parquet(base + "/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    coll = Collection(spark, str(tmp_path / "coll_cmpd"))
+    coll.add(
+        spark.createDataFrame(
+            [
+                (f"v{i:05d}", [float(x) for x in emb[i]], f"doc {i}", i % 10)
+                for i in range(n)
+            ],
+            "id string, embedding array<double>, document string, grp int",
+        )
+    )
+    qv = [float(x) for x in emb[3]]
+    # nested $and intersecting to grp == 0 (10% selectivity)
+    w_lo = {"$and": [{"grp": {"$in": [0, 1, 2]}}, {"grp": {"$in": [0, 9]}}]}
+    # nested $or unioning to 90% selectivity from two branches that are
+    # each individually at 50%
+    w_hi = {
+        "$or": [
+            {"grp": {"$in": [0, 1, 2, 3, 4]}},
+            {"grp": {"$in": [4, 5, 6, 7, 8]}},
+        ]
+    }
+
+    def ids(**kw):
+        return sorted(
+            r["id"]
+            for r in coll.query(
+                qv, n_results=5, filter_strategy="graph", **kw
+            ).collect()
+        )
+
+    auto_lo = ids(where=w_lo)
+    forced_acorn = ids(where=w_lo, graph_predicate_expansion=True)
+    assert auto_lo == forced_acorn, (auto_lo, forced_acorn)
+    auto_hi = ids(where=w_hi)
+    forced_blind = ids(where=w_hi, graph_predicate_expansion=False)
+    assert auto_hi == forced_blind, (auto_hi, forced_blind)

@@ -1473,3 +1473,153 @@ def test_containment_fsck_green_after_build_and_admit(spark, tmp_path):
     )
     got = fsck_containment_index(spark, base)
     assert all(ok for _, ok, _ in got), got
+
+
+def test_containment_drift_advisory_and_rebuild(spark, tmp_path):
+    """containment_drift_metrics + rebuild_containment_index (VERDICT
+    r15 next #3): a clone-heavy admit under frozen dfs fattens the
+    stored prefixes' true posting fanout — the metrics fire, the fsck
+    prefix_drift row points at the rebuild, the rebuild resets the
+    baseline, and the rebuilt index equals a fresh build over the
+    combined corpus row-for-row across all four components."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        build_containment_index,
+        containment_drift_metrics,
+        fsck_containment_index,
+        rebuild_containment_index,
+        update_containment_index,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = " ".join(f"x{i}" for i in range(10))
+    base = str(tmp_path / "drift")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    m0 = containment_drift_metrics(spark, base)
+    assert m0["drifted"] is False, m0
+    # admit 8 clones of doc 1: every stored prefix gk of doc 1 now
+    # posts 9 docs — fanout and mass both blow past their thresholds
+    update_containment_index(
+        spark,
+        base,
+        spark.createDataFrame(
+            [(100 + i, t1) for i in range(8)], "doc_id bigint, text string"
+        ),
+    )
+    m1 = containment_drift_metrics(spark, base)
+    assert m1["drifted"] is True, m1
+    assert m1["mass_growth"] == 5.0 and m1["fanout_growth"] > 1.5, m1
+    fsck = {c: (ok, d) for c, ok, d in fsck_containment_index(spark, base)}
+    ok, detail = fsck["prefix_drift"]
+    assert not ok and "rebuild_containment_index" in detail, fsck
+    new_cur = rebuild_containment_index(spark, base)
+    m2 = containment_drift_metrics(spark, base)
+    assert m2["drifted"] is False and m2["mass_growth"] == 1.0, m2
+    assert all(ok for _, ok, _ in fsck_containment_index(spark, base))
+    # equality with a fresh build over the combined corpus
+    base2 = str(tmp_path / "fresh")
+    os.makedirs(base2, exist_ok=True)
+    spark.createDataFrame(
+        [(1, t1), (2, t2)] + [(100 + i, t1) for i in range(8)],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(base2, "documents.parquet"))
+    cur2 = build_containment_index(spark, base2)
+    for comp, schema in [
+        ("post", "gk bigint, doc_id bigint, in_prefix boolean, gbucket int"),
+        ("dfs", "gk bigint, df bigint, gbucket int"),
+        ("grams", "doc_id bigint, gk bigint, sbucket int"),
+        ("sizes", "doc_id bigint, n bigint, sbucket int"),
+    ]:
+        a = sorted(
+            tuple(r)
+            for r in spark.read.schema(schema)
+            .parquet(os.path.join(new_cur, comp))
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.schema(schema)
+            .parquet(os.path.join(cur2, comp))
+            .collect()
+        )
+        assert a == b, comp
+
+
+def test_dsir_explicit_target_corpus_ranks_target_like_first(
+    spark, tmp_path
+):
+    """dsir_importance_select(target_docs=...): an explicit curated
+    target corpus (the paper's actual recipe) pulls corpus documents
+    that look like the TARGET to the top — independent of the lang
+    column — and the default lang-slice path is unaffected by the
+    refactor (same frame, same ranking)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.textops import (
+        dsir_importance_select,
+    )
+
+    corpus = [
+        (1, "en", "quantum physics lab entangled qubits decohere fast"),
+        (2, "en", "braised pork recipe simmer garlic onions slowly"),
+        (3, "en", "qubits entangled in the physics lab decohere"),
+        (4, "en", "recipe for garlic soup simmer onions and pork"),
+    ]
+    base = str(tmp_path / "dsirt")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(
+        corpus, "doc_id bigint, lang string, text string"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    target = spark.createDataFrame(
+        [
+            (900, "entangled qubits decohere in a quantum physics lab"),
+            (901, "physics lab measures entangled qubits"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = dsir_importance_select(
+        spark, base, k=4, target_docs=target
+    ).collect()
+    order = [r["doc_id"] for r in rows]
+    assert set(order[:2]) == {1, 3}, order  # physics docs outrank cooking
+    # per-feature affinity strictly separates the classes
+    byid = {r["doc_id"]: r["log_weight"] / r["n_feats"] for r in rows}
+    assert min(byid[1], byid[3]) > max(byid[2], byid[4]), byid
+
+
+def test_containment_fsck_catches_zero_prefix_doc(spark, tmp_path):
+    """ADVICE r15 #2 regression: a doc whose in_prefix rows were ALL
+    lost (the worst short-prefix completeness break) must fail
+    prefix_flags_exact_bound — the pre-fix inner join dropped such a
+    doc from the comparison entirely and passed."""
+    import os
+    import shutil
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        build_containment_index,
+        fsck_containment_index,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")]
+    base = str(tmp_path / "zp")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    cur = build_containment_index(spark, base)
+    assert all(ok for _, ok, _ in fsck_containment_index(spark, base))
+    schema = "gk bigint, doc_id bigint, in_prefix boolean, gbucket int"
+    post = spark.read.schema(schema).parquet(os.path.join(cur, "post"))
+    tampered = post.withColumn(
+        "in_prefix", F.col("in_prefix") & (F.col("doc_id") != 1)
+    ).collect()
+    shutil.rmtree(os.path.join(cur, "post"))
+    spark.createDataFrame(tampered, schema).write.partitionBy(
+        "gbucket"
+    ).parquet(os.path.join(cur, "post"))
+    got = {c: ok for c, ok, _ in fsck_containment_index(spark, base)}
+    assert got["prefix_flags_exact_bound"] is False, got

@@ -1184,3 +1184,62 @@ def test_stream_graph_index_deletes_stop_surfacing(spark, sf_dir, tmp_path):
     assert ga.build_graph_index(spark, base_dir) == cur1
     checks = {c[0]: c[1] for c in ga.fsck_graph_index(spark, base_dir)}
     assert all(checks.values()), checks
+
+
+def test_stream_containment_index_ingest_gates_next_probe(spark, tmp_path):
+    """18th mode: a document batch streamed into the containment index
+    becomes gate-visible (a clone probe surfaces the streamed doc), a
+    fresh-checkpoint replay converges without growing the index (the
+    content-digest marker skips the identical batch), and fsck stays
+    green including the drift advisory."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.dedup import (
+        build_containment_index,
+        containment_index_root,
+        dedup_containment_gate_for,
+        fsck_containment_index,
+    )
+    from adk_noui_vectordb_spark.sources import versioning as vn
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_containment_index_ingest,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta"
+    base = str(tmp_path / "csbase")
+    stream_dir = str(tmp_path / "csin")
+    os.makedirs(base), os.makedirs(stream_dir)
+    spark.createDataFrame(
+        [(1, t1), (2, " ".join(f"x{i}" for i in range(10)))],
+        "doc_id bigint, text string",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    build_containment_index(spark, base)
+
+    def gate(text):
+        b = spark.createDataFrame([(999, text)], "doc_id bigint, text string")
+        return {
+            r["dup_of"]
+            for r in dedup_containment_gate_for(spark, base, b).collect()
+        }
+
+    assert gate(t1) == {1}
+    spark.createDataFrame(
+        [(100, t1)], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+    q = stream_containment_index_ingest(
+        spark, base, stream_dir + "/*", str(tmp_path / "ckpt_c1")
+    )
+    q.awaitTermination(180)
+    assert gate(t1) == {1, 100}
+    ver1 = os.path.basename(vn.current_dir(containment_index_root(base)))
+    # fresh checkpoint, same files: the digest marker must no-op — the
+    # gate answer holds and no new version commits
+    q2 = stream_containment_index_ingest(
+        spark, base, stream_dir + "/*", str(tmp_path / "ckpt_c2")
+    )
+    q2.awaitTermination(180)
+    assert gate(t1) == {1, 100}
+    ver2 = os.path.basename(vn.current_dir(containment_index_root(base)))
+    assert ver2 == ver1, (ver1, ver2)
+    got = fsck_containment_index(spark, base)
+    assert all(ok for _, ok, _ in got), got
