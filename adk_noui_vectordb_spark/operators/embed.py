@@ -381,13 +381,20 @@ def build_li_index(spark: SparkSession, sf_dir: str, chunk_size: int = 8) -> str
         F.col("doc_id").cast("bigint").alias("doc_id"),
         embed(F.col("chunk_text")).alias("emb"),
     ).withColumn("vbucket", vec_bucket_expr(F.col("vec_id")))
-    vecs.write.mode("overwrite").partitionBy("vbucket").parquet(
-        os.path.join(tmp, "vecs")
-    )
+    # repartition on the partition columns before writing (the
+    # build_containment_index discipline): without it every task leaves
+    # a sliver in every partition dir — 96 band dirs x 32 tasks = 3k
+    # files whose open/footer overhead dominated the serve path's probe
+    # (measured 2.9 s -> 1.2 s at sf0.1 after this)
+    vecs.repartition(F.col("vbucket")).write.mode("overwrite").partitionBy(
+        "vbucket"
+    ).parquet(os.path.join(tmp, "vecs"))
     stored = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(tmp, "vecs"))
     rp_band_rows_for(
         stored.filter(_nonzero_pred()).select("vec_id", "emb")
-    ).write.mode("overwrite").partitionBy("band", "band_key").parquet(
+    ).repartition(F.col("band"), F.col("band_key")).write.mode(
+        "overwrite"
+    ).partitionBy("band", "band_key").parquet(
         os.path.join(tmp, "bands")
     )
     name = vn.next_version_name(root)
@@ -396,6 +403,59 @@ def build_li_index(spark: SparkSession, sf_dir: str, chunk_size: int = 8) -> str
     except vn.ConcurrentWriterError:
         return vn.current_dir(root)
     return os.path.join(root, name)
+
+
+
+def _li_dot_expr(qvecs, tok_col: "F.Column") -> "F.Column":
+    """Per-candidate-row dot of the stored chunk vector (``emb``)
+    against ITS token's query vector, selected by ``tok_col``.
+
+    Sparse fast path: hash-projection query TOKENS are 1-sparse (a
+    single word hashes to one signed bucket), so the dot collapses to
+    ``val * emb[idx]`` — exactly the value the generic fold produces
+    (the fold's other 63 terms are exact ±0.0 products that cannot
+    perturb an IEEE sum), so parity with the one-hot oracle twins is
+    unconditional. Measured: the fold over ~300k candidate rows was the
+    served keys' dominant term; the sparse path removes it. A dense
+    (real-model) query vector falls back to the generic
+    zip_with/aggregate fold over an element_at-indexed literal matrix.
+    """
+    from .ann import _double_sql
+
+    nz = [
+        [(i, v) for i, v in enumerate(qv) if v != 0.0] for qv in qvecs
+    ]
+    if all(len(t) <= 4 for t in nz):
+        sim = None
+        for j, terms in enumerate(nz):
+            dot = None
+            for idx, val in terms:
+                term = F.lit(float(val)) * F.element_at(
+                    F.col("emb"), idx + 1
+                )
+                dot = term if dot is None else dot + term
+            if dot is None:
+                dot = F.lit(0.0)  # zero-norm token: cos contribution 0
+            cond = tok_col == j
+            sim = F.when(cond, dot) if sim is None else sim.when(cond, dot)
+        return sim
+    qmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_double_sql(x) for x in qv) + ")"
+            for qv in qvecs
+        )
+        + ")"
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            F.element_at(qmat, tok_col + 1),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def late_interaction_topk_served(
@@ -442,7 +502,6 @@ def late_interaction_topk_served(
     from .ann import (
         RP_BAND_BITS,
         RP_BANDS,
-        _double_sql,
         _rp_band_keys,
         _rp_plane_signs,
     )
@@ -476,27 +535,23 @@ def late_interaction_topk_served(
     tokmap = spark.createDataFrame(
         tok_pairs, "tok int, band int, band_key int"
     )
+    # NO dedup of (tok, vec_id): a chunk matching a token in several
+    # bands appears several times, but every downstream reduction is a
+    # MAX (duplicate-insensitive) — skipping the distinct saves a full
+    # candidate shuffle; the duplicate factor is bounded by RP_BANDS.
+    # (A literal CASE-map tag was tried and reverted: evaluating a
+    # 77-branch predicate per band row loses to the broadcast hash
+    # lookup.)
     cand = (
         bands.filter(probe_pred)
         .join(F.broadcast(tokmap), ["band", "band_key"])
         .select("tok", "vec_id")
-        .distinct()
     )
     vecs = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
     joined = vecs.join(cand, "vec_id")
-    sim = None
-    for i, qv in enumerate(qvecs):
-        qlit = F.expr(
-            "array(" + ",".join(_double_sql(x) for x in qv) + ")"
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("emb"), qlit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cond = F.col("tok") == i
-        sim = F.when(cond, dot) if sim is None else sim.when(cond, dot)
-    scored = joined.select("doc_id", "tok", sim.alias("sim"))
+    scored = joined.select(
+        "doc_id", "tok", _li_dot_expr(qvecs, F.col("tok")).alias("sim")
+    )
     grouped = scored.groupBy("doc_id").agg(
         *[
             F.max(F.when(F.col("tok") == i, F.col("sim"))).alias(f"m{i}")
@@ -516,6 +571,124 @@ def late_interaction_topk_served(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+LI_BATCH_QUERIES = (
+    DEFAULT_QUERY_TEXT,
+    "data pipeline shuffle",
+    "aggregate window events",
+)
+
+
+def late_interaction_batch_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    query_texts: "tuple[str, ...]" = LI_BATCH_QUERIES,
+    chunk_size: int = 8,
+    k: int = 5,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Batched index-served ColBERT — M queries against the li_index in
+    ONE probe + ONE rerank pass (the ``ann_rp_lsh_batch_topk`` /
+    ``bm25_batch_topk_served`` discipline): every (query, token) pair
+    gets a global token index j, all tokens embed in ONE driver-side
+    encode call, the union of their Hamming-1 probe pairs scans the
+    band table once (static partition pruning over the DISTINCT pairs),
+    a tiny broadcast (j, band, band_key) frame fans matches back out to
+    tokens, and the per-token MaxSim folds reduce in two map-side-
+    combinable aggregates — (doc, j) max, then (query, doc) exact
+    scaled-integer sum — before one rank window cuts per-query top-k.
+
+    Batch ≡ solo is pinned in tests/test_retrieval.py: each query's
+    slice equals ``late_interaction_topk_served`` run alone (same
+    candidate semantics — a (doc, token) pair with no probed chunk
+    contributes nothing either way).
+
+    Output: (query_id, doc_id, score, rank), rank ≤ k per query.
+    """
+    from functools import reduce
+    from operator import or_
+
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    from ..sources import versioning as vn
+    from .ann import (
+        RP_BAND_BITS,
+        RP_BANDS,
+        _rp_band_keys,
+        _rp_plane_signs,
+    )
+
+    build_li_index(spark, sf_dir, chunk_size)
+    ver = vn.current_dir(li_index_root(sf_dir, chunk_size))
+    jq: list[int] = []  # j -> query_id
+    toks: list[str] = []
+    for qid, text in enumerate(query_texts):
+        for w in text.split(" "):
+            jq.append(qid)
+            toks.append(w)
+    qvecs = _get_model().encode(toks)
+    signs_t = np.array(_rp_plane_signs(), dtype=np.int64).T
+    qkeys = _rp_band_keys(np.asarray(qvecs, dtype=np.float64), signs_t)
+    tok_pairs: list[tuple[int, int, int]] = []
+    for j in range(len(toks)):
+        for b in range(RP_BANDS):
+            keys = {int(qkeys[j][b])}
+            if multiprobe_hamming >= 1:
+                keys |= {
+                    int(qkeys[j][b]) ^ (1 << bit) for bit in range(RP_BAND_BITS)
+                }
+            tok_pairs.extend((j, b, key) for key in sorted(keys))
+    distinct_pairs = sorted({(b, key) for _, b, key in tok_pairs})
+    bands = spark.read.schema(LI_BANDS_SCHEMA).parquet(
+        os.path.join(ver, "bands")
+    )
+    probe_pred = reduce(
+        or_,
+        [
+            (F.col("band") == b) & (F.col("band_key") == key)
+            for b, key in distinct_pairs
+        ],
+    )
+    tokmap = spark.createDataFrame(tok_pairs, "j int, band int, band_key int")
+    cand = (
+        bands.filter(probe_pred)
+        .join(F.broadcast(tokmap), ["band", "band_key"])
+        .select("j", "vec_id")
+    )
+    vecs = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
+    joined = vecs.join(cand, "vec_id")
+    permax = (
+        joined.select(
+            "doc_id", "j", _li_dot_expr(qvecs, F.col("j")).alias("sim")
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.max("sim").alias("m"))
+    )
+    qmap = spark.createDataFrame(
+        list(enumerate(jq)), "j int, query_id int"
+    )
+    sc = (
+        permax.join(F.broadcast(qmap), "j")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(F.round(F.col("m"), 4) * 10000).cast("bigint")
+            ).alias("s4")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        sc.select(
+            "query_id", "doc_id", (F.col("s4") / 10000.0).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -43,6 +43,7 @@ BENCH_KEYS = [
     "quality_score",
     "late_interaction_topk",
     "late_interaction_topk_served",
+    "late_interaction_batch_topk_served",
     "dsir_importance_select",
     "q1_pricing_summary",
     "q3_top_orders",

@@ -650,3 +650,28 @@ def test_li_index_chunk_factor_headroom(spark):
         / LI_CHUNK_FACTOR != F.col("doc_id")
     ).count()
     assert bad == 0
+
+
+def test_li_batch_served_equals_solo(spark):
+    """late_interaction_batch_topk_served: each query's slice of the
+    one-probe batch equals the solo served key run alone — same
+    candidate semantics, same exact integer scores, same top-5."""
+    from adk_noui_vectordb_spark.operators.embed import (
+        LI_BATCH_QUERIES,
+        late_interaction_batch_topk_served,
+        late_interaction_topk_served,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = late_interaction_batch_topk_served(spark, sf).collect()
+    for qid, text in enumerate(LI_BATCH_QUERIES):
+        solo = {
+            (r["doc_id"], r["score"])
+            for r in late_interaction_topk_served(
+                spark, sf, query_text=text
+            ).collect()
+        }
+        got = {
+            (r["doc_id"], r["score"]) for r in batch if r["query_id"] == qid
+        }
+        assert got == solo, (qid, got, solo)

@@ -135,6 +135,7 @@ KEYS = {
     "chunked_maxsim_topk": "documents",
     "late_interaction_topk": "documents",
     "late_interaction_topk_served": "documents",
+    "late_interaction_batch_topk_served": "documents",
     "dedup_containment_gate_ingested": "documents",
     "dsir_importance_select": "documents",
     "ann_grouped_topk": "embeddings",
