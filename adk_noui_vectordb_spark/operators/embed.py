@@ -328,7 +328,14 @@ def late_interaction_topk(
 # plausible doc_id space.
 LI_CHUNK_FACTOR = 65536
 LI_BANDS_SCHEMA = "vec_id bigint, band int, band_key int"
-LI_VECS_SCHEMA = "vec_id bigint, doc_id bigint, emb array<double>, vbucket int"
+# v2 layout: vecs/ carries the parent doc's metadata (lang) so the
+# filtered serve path never reads the source corpus — the ACORN
+# vecs-label-fold discipline. The root tag bumps with the layout, so
+# pre-fold v1 versions never resolve.
+LI_VECS_SCHEMA = (
+    "vec_id bigint, doc_id bigint, lang string, "
+    "emb array<double>, vbucket int"
+)
 
 
 def li_index_root(sf_dir: str, chunk_size: int = 8) -> str:
@@ -336,7 +343,7 @@ def li_index_root(sf_dir: str, chunk_size: int = 8) -> str:
     from .ann import N_VEC_BUCKETS, RP_BANDS, RP_PLANES
 
     return index_root(
-        "li_index_v1", sf_dir, chunk_size, RP_PLANES, RP_BANDS, N_VEC_BUCKETS
+        "li_index_v2", sf_dir, chunk_size, RP_PLANES, RP_BANDS, N_VEC_BUCKETS
     )
 
 
@@ -376,11 +383,17 @@ def build_li_index(spark: SparkSession, sf_dir: str, chunk_size: int = 8) -> str
         F.col("doc_id").cast("bigint") * LI_CHUNK_FACTOR
         + F.col("chunk_id").cast("bigint")
     )
-    vecs = chunks.select(
-        vid.alias("vec_id"),
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        embed(F.col("chunk_text")).alias("emb"),
-    ).withColumn("vbucket", vec_bucket_expr(F.col("vec_id")))
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    vecs = (
+        chunks.select(
+            vid.alias("vec_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            embed(F.col("chunk_text")).alias("emb"),
+        )
+        .join(meta, "doc_id")
+        .select("vec_id", "doc_id", "lang", "emb")
+        .withColumn("vbucket", vec_bucket_expr(F.col("vec_id")))
+    )
     # repartition on the partition columns before writing (the
     # build_containment_index discipline): without it every task leaves
     # a sliver in every partition dir — 96 band dirs x 32 tasks = 3k
@@ -465,6 +478,7 @@ def late_interaction_topk_served(
     chunk_size: int = 8,
     k: int = 5,
     multiprobe_hamming: int = 1,
+    lang: "str | None" = None,
 ) -> DataFrame:
     """Index-served ColBERT late interaction: the identical
     sum-of-MaxSim fold as ``late_interaction_topk``, but over PROBED
@@ -548,6 +562,11 @@ def late_interaction_topk_served(
         .select("tok", "vec_id")
     )
     vecs = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
+    if lang is not None:
+        # metadata filter served from the index's own vecs/ metadata
+        # fold (never the source corpus); the equality pushes down to
+        # the parquet scan (plan-pinned in tests/test_plans.py)
+        vecs = vecs.filter(F.col("lang") == lang)
     joined = vecs.join(cand, "vec_id")
     scored = joined.select(
         "doc_id", "tok", _li_dot_expr(qvecs, F.col("tok")).alias("sim")
@@ -571,6 +590,30 @@ def late_interaction_topk_served(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def late_interaction_filtered_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = DEFAULT_QUERY_TEXT,
+    lang: str = "en",
+    chunk_size: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-filtered served ColBERT — the family-completeness twin
+    of ``ann_rp_lsh_filtered_topk``: the candidate probe is unchanged
+    and the rerank intersects with a metadata predicate served from the
+    index's OWN ``vecs/`` lang fold (v2 layout), so a filtered query
+    still reads zero corpus rows. Documents outside the filter simply
+    never enter the per-token maxes."""
+    return late_interaction_topk_served(
+        spark,
+        sf_dir,
+        query_text=query_text,
+        chunk_size=chunk_size,
+        k=k,
+        lang=lang,
     )
 
 

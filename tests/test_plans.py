@@ -647,3 +647,18 @@ def test_li_served_probe_prunes_and_take_ordered(spark, sf_dir):
     assert "band" in head and "band_key" in head, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_li_filtered_serve_pushes_lang_to_index_scan(spark, sf_dir):
+    """late_interaction_filtered_topk_served: the metadata predicate
+    must be PushedFilters on the index's own vecs/ scan (the v2 lang
+    fold) — a filtered query reads zero corpus rows."""
+    from adk_noui_vectordb_spark.operators.embed import (
+        late_interaction_filtered_topk_served,
+    )
+
+    df = late_interaction_filtered_topk_served(spark, sf_dir)
+    plan = explain_str(df)
+    assert_pushed_filters(df, "lang")
+    seg = plan.split("PartitionFilters")
+    assert len(seg) > 1, plan
