@@ -328,79 +328,104 @@ def late_interaction_topk(
 # plausible doc_id space.
 LI_CHUNK_FACTOR = 65536
 LI_BANDS_SCHEMA = "vec_id bigint, band int, band_key int"
-# v2 layout: vecs/ carries the parent doc's metadata (lang) so the
-# filtered serve path never reads the source corpus — the ACORN
-# vecs-label-fold discipline. The root tag bumps with the layout, so
-# pre-fold v1 versions never resolve.
+# v3 layout: vecs/ carries the parent doc's metadata (lang — the
+# filtered serve path never reads the source corpus, the ACORN
+# vecs-label-fold discipline) and partitions by the DOC bucket, so the
+# admit path's doc-level replace locates a resubmitted doc's chunk rows
+# with one pruned partition read (the minhash sigs/ discipline; LI serve
+# joins on vec_id and never point-looks-up, so nothing needed the old
+# vec-hash bucketing). Root tag bumps with each layout, so pre-fold
+# versions never resolve.
 LI_VECS_SCHEMA = (
     "vec_id bigint, doc_id bigint, lang string, "
-    "emb array<double>, vbucket int"
+    "emb array<double>, dbucket int"
 )
+LI_COMPONENTS = [("bands", ["band", "band_key"]), ("vecs", ["dbucket"])]
 
 
-def li_index_root(sf_dir: str, chunk_size: int = 8) -> str:
+def li_index_root(sf_dir: str, chunk_size: int = 8, tag: str = "") -> str:
     from ..memo import index_root
-    from .ann import N_VEC_BUCKETS, RP_BANDS, RP_PLANES
+    from .ann import RP_BANDS, RP_PLANES
+    from .invindex import N_DOC_BUCKETS
 
+    # tag (only-when-set, the graph-root discipline): keys that MUTATE
+    # their index (the ingested lifecycle) never share a root with the
+    # read-only serve keys
+    extra = (tag,) if tag else ()
     return index_root(
-        "li_index_v2", sf_dir, chunk_size, RP_PLANES, RP_BANDS, N_VEC_BUCKETS
+        "li_index_v3", sf_dir, *extra,
+        chunk_size, RP_PLANES, RP_BANDS, N_DOC_BUCKETS,
     )
 
 
-def build_li_index(spark: SparkSession, sf_dir: str, chunk_size: int = 8) -> str:
+def _li_vec_rows_for(d: DataFrame, chunk_size: int = 8) -> DataFrame:
+    """The chunk-vector kernel over ANY (doc_id, text, lang) frame —
+    shared by the full build and the incremental ``update_li_index``
+    path, so batch chunk vectors are byte-identical to build-time ones
+    (chunker kernel + the same Arrow embed UDF + the same packing)."""
+    from .chunking import chunk_fixed_words_for
+    from .invindex import doc_bucket_expr
+
+    chunks = chunk_fixed_words_for(d.select("doc_id", "text"), chunk_size)
+    embed = make_embed_udf()
+    vid = (
+        F.col("doc_id").cast("bigint") * LI_CHUNK_FACTOR
+        + F.col("chunk_id").cast("bigint")
+    )
+    return (
+        chunks.select(
+            vid.alias("vec_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            embed(F.col("chunk_text")).alias("emb"),
+        )
+        .join(d.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang"), "doc_id")
+        .select("vec_id", "doc_id", "lang", "emb")
+        .withColumn("dbucket", doc_bucket_expr(F.col("doc_id")))
+    )
+
+
+def build_li_index(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 8, tag: str = ""
+) -> str:
     """Build the chunk-level late-interaction index: ONE chunker + Arrow
-    embed pass materializes ``vecs/vbucket=*/`` (the chunk-vector store,
-    point-lookupable by the md5 vec bucket), then ``bands/`` RP-bands
-    THE STORED VECTORS (read back from the just-written component, so
-    band signatures derive from the index's own corpus of record — the
-    embed UDF runs exactly once per chunk). Versioned via the shared
-    atomic ``_CURRENT`` lifecycle; the root tag hashes the dataset
-    fingerprint + chunk_size, so regenerated testdata or a different
-    chunker granularity gets a fresh build. Returns the version dir.
+    embed pass materializes ``vecs/dbucket=*/`` (the chunk-vector store,
+    doc-bucket-partitioned so the admit path's doc-level replace prunes),
+    then ``bands/`` RP-bands THE STORED VECTORS (read back from the
+    just-written component, so band signatures derive from the index's
+    own corpus of record — the embed UDF runs exactly once per chunk).
+    Versioned via the shared atomic ``_CURRENT`` lifecycle; the root tag
+    hashes the dataset fingerprint + chunk_size, so regenerated testdata
+    or a different chunker granularity gets a fresh build. Returns the
+    version dir.
 
     Scale shape: both writes are partitioned appends-at-build (bands by
     (band, band_key) — at most RP_BANDS * 2^RP_BAND_BITS = 96 leaf dirs;
-    vecs by 32 vbuckets); zero-norm chunks stay in vecs/ but band
-    nothing (no direction — the build_rp_index discipline).
+    vecs by 32 dbuckets), repartitioned on the partition columns first
+    (the build_containment_index discipline: without it every task
+    leaves a sliver in every dir — 3k files whose open/footer overhead
+    dominated the probe; measured 2.9 s -> 1.2 s at sf0.1). Zero-norm
+    chunks stay in vecs/ but band nothing (no direction — the
+    build_rp_index discipline).
     """
     import os
     import shutil
 
     from ..sources import versioning as vn
-    from .ann import _nonzero_pred, rp_band_rows_for, vec_bucket_expr
-    from .chunking import chunk_fixed_words
+    from .ann import _nonzero_pred, rp_band_rows_for
 
-    root = li_index_root(sf_dir, chunk_size)
+    root = li_index_root(sf_dir, chunk_size, tag)
     cur = vn.current_dir(root)
     if cur is not None:
         return cur
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, ".__tmp_build__")
     shutil.rmtree(tmp, ignore_errors=True)
-    chunks = chunk_fixed_words(spark, sf_dir, chunk_size)
-    embed = make_embed_udf()
-    vid = (
-        F.col("doc_id").cast("bigint") * LI_CHUNK_FACTOR
-        + F.col("chunk_id").cast("bigint")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
     )
-    meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    vecs = (
-        chunks.select(
-            vid.alias("vec_id"),
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            embed(F.col("chunk_text")).alias("emb"),
-        )
-        .join(meta, "doc_id")
-        .select("vec_id", "doc_id", "lang", "emb")
-        .withColumn("vbucket", vec_bucket_expr(F.col("vec_id")))
-    )
-    # repartition on the partition columns before writing (the
-    # build_containment_index discipline): without it every task leaves
-    # a sliver in every partition dir — 96 band dirs x 32 tasks = 3k
-    # files whose open/footer overhead dominated the serve path's probe
-    # (measured 2.9 s -> 1.2 s at sf0.1 after this)
-    vecs.repartition(F.col("vbucket")).write.mode("overwrite").partitionBy(
-        "vbucket"
+    vecs = _li_vec_rows_for(d, chunk_size)
+    vecs.repartition(F.col("dbucket")).write.mode("overwrite").partitionBy(
+        "dbucket"
     ).parquet(os.path.join(tmp, "vecs"))
     stored = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(tmp, "vecs"))
     rp_band_rows_for(
@@ -479,6 +504,7 @@ def late_interaction_topk_served(
     k: int = 5,
     multiprobe_hamming: int = 1,
     lang: "str | None" = None,
+    tag: str = "",
 ) -> DataFrame:
     """Index-served ColBERT late interaction: the identical
     sum-of-MaxSim fold as ``late_interaction_topk``, but over PROBED
@@ -520,8 +546,8 @@ def late_interaction_topk_served(
         _rp_plane_signs,
     )
 
-    build_li_index(spark, sf_dir, chunk_size)
-    ver = vn.current_dir(li_index_root(sf_dir, chunk_size))
+    build_li_index(spark, sf_dir, chunk_size, tag)
+    ver = vn.current_dir(li_index_root(sf_dir, chunk_size, tag))
     qtokens = query_text.split(" ")
     qvecs = _get_model().encode(qtokens)
     signs_t = np.array(_rp_plane_signs(), dtype=np.int64).T
@@ -615,6 +641,336 @@ def late_interaction_filtered_topk_served(
         k=k,
         lang=lang,
     )
+
+
+def update_li_index(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    chunk_size: int = 8,
+    tag: str = "",
+    auto_compact_threshold: int = 16,
+) -> str:
+    """ADMIT a document batch into the li_index with DOC-level REPLACE
+    (the ``update_rp_index`` discipline lifted to document granularity):
+    a batch doc's chunk vectors come from the SAME kernel as the build
+    (``_li_vec_rows_for`` — byte-identical chunks, embeddings, packing),
+    brand-new docs APPEND beside hardlinked partitions with zero reads
+    of existing data, and RE-submitted doc_ids retract their stale rows
+    — located by ONE dbucket-pruned read of ``vecs/`` (the doc-bucket
+    layout exists for exactly this), their stale band rows found by
+    re-banding the stored old vectors (the signature is a pure function
+    of the vector, so ``vecs/`` doubles as the reverse map) — rewriting
+    only the touched (band, band_key) and dbucket partitions. Atomic
+    CAS commit; a crash mid-update leaves every reader on the old
+    version. Unlike the containment index there is NO frozen coarse
+    structure (band keys are per-vector functions), so an updated index
+    equals a fresh build over the combined corpus EXACTLY (pinned in
+    tests/test_retrieval.py)."""
+    import os
+
+    from ..sources import versioning as vn
+    from .ann import _nonzero_pred, rp_band_rows_for
+
+    cur = build_li_index(spark, sf_dir, chunk_size, tag)
+    root = os.path.dirname(cur)
+    batch = new_docs.select("doc_id", "text", "lang").dropDuplicates(
+        ["doc_id"]
+    )
+    bvecs = _li_vec_rows_for(batch, chunk_size).localCheckpoint(eager=True)
+    if not bvecs.head(1):
+        return cur
+    batch_ids = bvecs.select("doc_id").distinct()
+    dbs = sorted(
+        r["dbucket"]
+        for r in bvecs.select("dbucket").distinct().collect()
+    )
+    old_aff = spark.read.schema(LI_VECS_SCHEMA).parquet(
+        os.path.join(cur, "vecs")
+    ).filter(F.col("dbucket").isin(dbs))
+    resub = (
+        old_aff.join(batch_ids, "doc_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    resub_vids = resub.select("vec_id")
+    rw_pairs = {
+        (r["band"], r["band_key"])
+        for r in rp_band_rows_for(
+            resub.select("vec_id", "emb").filter(_nonzero_pred())
+        )
+        .select("band", "band_key")
+        .distinct()
+        .collect()
+    }
+    rw_db = sorted(
+        r["dbucket"] for r in resub.select("dbucket").distinct().collect()
+    )
+    batch_bands = rp_band_rows_for(
+        bvecs.filter(_nonzero_pred()).select("vec_id", "emb")
+    )
+    band_writes = []
+    if rw_pairs:
+        from functools import reduce
+        from operator import or_
+
+        pair_pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("band_key") == k)
+                for b, k in sorted(rw_pairs)
+            ],
+        )
+        band_writes.append(
+            spark.read.schema(LI_BANDS_SCHEMA)
+            .parquet(os.path.join(cur, "bands"))
+            .filter(pair_pred)
+            .join(resub_vids, "vec_id", "left_anti")
+            .select("band", "band_key", "vec_id")
+        )
+    band_writes.append(batch_bands.select("band", "band_key", "vec_id"))
+    vec_writes = []
+    if rw_db:
+        vec_writes.append(
+            spark.read.schema(LI_VECS_SCHEMA)
+            .parquet(os.path.join(cur, "vecs"))
+            .filter(F.col("dbucket").isin(rw_db))
+            .join(batch_ids, "doc_id", "left_anti")
+            .select("dbucket", "vec_id", "doc_id", "lang", "emb")
+        )
+    vec_writes.append(
+        bvecs.select("dbucket", "vec_id", "doc_id", "lang", "emb")
+    )
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "bands",
+                ("band", "band_key"),
+                frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
+                tuple(band_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("dbucket",),
+                frozenset(f"dbucket={b}" for b in rw_db),
+                tuple(vec_writes),
+            ),
+        ],
+        expected=os.path.basename(cur),
+        compact=LI_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+
+
+def delete_from_li_index(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_ids: "list[int]",
+    chunk_size: int = 8,
+    tag: str = "",
+    auto_compact_threshold: int = 16,
+) -> str:
+    """Retract documents from the li_index — the delete side of the
+    admit lifecycle (the ``delete_from_rp_index`` discipline at doc
+    granularity): the victims' chunk rows are located by ONE
+    dbucket-pruned ``vecs/`` read, their band rows by re-banding the
+    stored vectors (vecs/ doubles as the reverse map), and only the
+    touched partitions rewrite with anti-joined survivors. A doc absent
+    from the index is a no-op. Atomic CAS commit; returns the new (or
+    unchanged) current version dir."""
+    import os
+
+    from ..sources import versioning as vn
+    from .ann import _nonzero_pred, rp_band_rows_for
+    from .invindex import doc_bucket_expr
+
+    cur = build_li_index(spark, sf_dir, chunk_size, tag)
+    root = os.path.dirname(cur)
+    if not doc_ids:
+        return cur
+    ids = spark.createDataFrame(
+        [(int(d),) for d in sorted(set(doc_ids))], "doc_id bigint"
+    )
+    dbs = sorted(
+        r["b"]
+        for r in ids.select(
+            doc_bucket_expr(F.col("doc_id")).alias("b")
+        ).distinct().collect()
+    )
+    victims = (
+        spark.read.schema(LI_VECS_SCHEMA)
+        .parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("dbucket").isin(dbs))
+        .join(ids, "doc_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    if not victims.head(1):
+        return cur
+    victim_vids = victims.select("vec_id")
+    rw_pairs = {
+        (r["band"], r["band_key"])
+        for r in rp_band_rows_for(
+            victims.select("vec_id", "emb").filter(_nonzero_pred())
+        )
+        .select("band", "band_key")
+        .distinct()
+        .collect()
+    }
+    rw_db = sorted(
+        r["dbucket"] for r in victims.select("dbucket").distinct().collect()
+    )
+    band_writes = []
+    if rw_pairs:
+        from functools import reduce
+        from operator import or_
+
+        pair_pred = reduce(
+            or_,
+            [
+                (F.col("band") == b) & (F.col("band_key") == k)
+                for b, k in sorted(rw_pairs)
+            ],
+        )
+        band_writes.append(
+            spark.read.schema(LI_BANDS_SCHEMA)
+            .parquet(os.path.join(cur, "bands"))
+            .filter(pair_pred)
+            .join(victim_vids, "vec_id", "left_anti")
+            .select("band", "band_key", "vec_id")
+        )
+    vec_writes = [
+        spark.read.schema(LI_VECS_SCHEMA)
+        .parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("dbucket").isin(rw_db))
+        .join(ids, "doc_id", "left_anti")
+        .select("dbucket", "vec_id", "doc_id", "lang", "emb")
+    ]
+    return vn.commit_version(
+        spark,
+        root,
+        [
+            vn.Component(
+                "bands",
+                ("band", "band_key"),
+                frozenset(f"band={b}/band_key={k}" for b, k in rw_pairs),
+                tuple(band_writes),
+            ),
+            vn.Component(
+                "vecs",
+                ("dbucket",),
+                frozenset(f"dbucket={b}" for b in rw_db),
+                tuple(vec_writes),
+            ),
+        ],
+        expected=os.path.basename(cur),
+        compact=LI_COMPONENTS,
+        compact_threshold=auto_compact_threshold,
+    )
+
+
+def fsck_li_index(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 8, tag: str = ""
+) -> list:
+    """Semantic integrity check for the li_index: the generic
+    versioned-root checks plus the invariants the serve and admit paths
+    rely on — every nonzero-norm vector banded EXACTLY RP_BANDS times
+    (zero-norm: zero band rows; no orphan band vec_ids), the
+    (doc_id, chunk) packing round-trips (doc_id = vec_id div 2^16, the
+    chunk part in range), per-doc chunk_ids contiguous from 0 (the
+    chunker's contract — a gap means a partial replace), and the stored
+    dbucket matches the md5 doc bucket. Returns (check, ok, detail)
+    tuples; never raises."""
+    import os
+
+    from ..sources import versioning as vn
+    from .ann import RP_BANDS, _nonzero_pred
+    from .invindex import doc_bucket_expr
+
+    cur = build_li_index(spark, sf_dir, chunk_size, tag)
+    root = os.path.dirname(cur)
+    out = vn.fsck_index(
+        spark,
+        root,
+        [
+            ("bands", ["band", "band_key"], LI_BANDS_SCHEMA),
+            ("vecs", ["dbucket"], LI_VECS_SCHEMA),
+        ],
+    )
+    try:
+        bands = spark.read.schema(LI_BANDS_SCHEMA).parquet(
+            os.path.join(cur, "bands")
+        )
+        vecs = spark.read.schema(LI_VECS_SCHEMA).parquet(
+            os.path.join(cur, "vecs")
+        )
+        per_vec = bands.groupBy("vec_id").agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        joined = vecs.select(
+            "vec_id", _nonzero_pred().alias("nonzero")
+        ).join(per_vec, "vec_id", "full")
+        bad_band = joined.filter(
+            F.when(F.col("nonzero").isNull(), F.lit(True))  # orphan band id
+            .when(F.col("nonzero"), F.coalesce(F.col("nb"), F.lit(0)) != RP_BANDS)
+            .otherwise(F.col("nb").isNotNull())  # zero-norm must not band
+        ).count()
+        out.append(
+            ("bands_cover_nonzero_vecs_exactly", bad_band == 0, f"bad={bad_band}")
+        )
+        bad_pack = vecs.filter(
+            (F.col("vec_id") - F.col("vec_id") % LI_CHUNK_FACTOR)
+            / LI_CHUNK_FACTOR
+            != F.col("doc_id")
+        ).count()
+        out.append(("vec_id_packing_roundtrips", bad_pack == 0, f"bad={bad_pack}"))
+        chunkpart = (F.col("vec_id") % LI_CHUNK_FACTOR).cast("bigint")
+        bad_chunks = (
+            vecs.select("doc_id", chunkpart.alias("c"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("c").alias("mx"))
+            .filter(F.col("mx") != F.col("n") - 1)
+            .count()
+        )
+        out.append(
+            ("doc_chunks_contiguous", bad_chunks == 0, f"bad_docs={bad_chunks}")
+        )
+        bad_db = vecs.filter(
+            F.col("dbucket") != doc_bucket_expr(F.col("doc_id"))
+        ).count()
+        out.append(("dbucket_matches_md5", bad_db == 0, f"bad={bad_db}"))
+    except Exception as ex:  # noqa: BLE001 — diagnose, don't die
+        out.append(("semantic_checks", False, repr(ex)[:200]))
+    return out
+
+
+def late_interaction_topk_ingested(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """The li_index ADMIT lifecycle as an oracle-checked driver key (the
+    ``dedup_containment_gate_ingested`` discipline): clone every 10th
+    document under a fresh id into a TAGGED root (mutating keys never
+    share a root with the read-only serve keys), then serve the default
+    query from the updated index. The clone of a top-scoring doc appears
+    in the top-k beside its original with the IDENTICAL score — a row
+    class that exists only if the admit advanced the index (the %10==3
+    slice contains a top-5 doc at sf0.001 AND the driver's sf0.01; pinned
+    in tests/test_retrieval.py).
+    Replay-idempotent: re-admitting the same batch is a doc-level
+    REPLACE that rewrites identical rows. The twin replays corpus ∪
+    batch from scratch — equivalent because the li_index has no frozen
+    coarse structure (band keys are pure per-vector functions), so an
+    updated index equals a fresh build over the combined corpus exactly
+    (pinned in tests/test_retrieval.py)."""
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"), "text", "lang"
+        )
+    )
+    update_li_index(spark, sf_dir, batch, tag="ing")
+    return late_interaction_topk_served(spark, sf_dir, k=k, tag="ing")
 
 
 LI_BATCH_QUERIES = (

@@ -750,6 +750,55 @@ def stream_containment_index_ingest(
     )
 
 
+def stream_li_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_stream_dir: str,
+    checkpoint_dir: str,
+    tag: str = "",
+):
+    """Streaming freshness for the late-interaction chunk index (the
+    19th mode): document batches landing in ``docs_stream_dir`` ADMIT
+    via ``embed.update_li_index`` (doc-level REPLACE — chunk + embed +
+    band through the build kernels, dbucket-pruned stale-row retraction,
+    shared-kernel CAS commit), so a ``late_interaction_topk_served``
+    query scores a streamed document one micro-batch after it lands.
+    Same at-least-once/content-digest-marker contract; the REPLACE
+    admit is naturally replay-safe (identical batch rewrites identical
+    rows)."""
+    from ..operators.embed import build_li_index, li_index_root, update_li_index
+
+    raw = spark.readStream.schema(
+        "doc_id bigint, text string, lang string"
+    ).parquet(docs_stream_dir)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        build_li_index(batch_df.sparkSession, sf_dir, tag=tag)
+        root = li_index_root(sf_dir, tag=tag)
+        batch = batch_df.select("doc_id", "text", "lang").localCheckpoint(
+            eager=True
+        )
+        digest = _batch_digest(batch, ("doc_id", "text", "lang"))
+        if digest is None:
+            return
+        if os.path.exists(_marker_path(root, "c", digest)):
+            return  # same content already admitted into the current version
+        _retry_cas(
+            lambda: update_li_index(
+                batch_df.sparkSession, sf_dir, batch, tag=tag
+            )
+        )
+        with open(_marker_path(root, "c", digest), "w") as f:
+            f.write("ok\n")
+
+    return (
+        raw.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_ivfpq_index_ingest(
     spark: SparkSession,
     sf_dir: str,

@@ -45,6 +45,7 @@ BENCH_KEYS = [
     "late_interaction_topk_served",
     "late_interaction_batch_topk_served",
     "late_interaction_filtered_topk_served",
+    "late_interaction_topk_ingested",
     "dsir_importance_select",
     "q1_pricing_summary",
     "q3_top_orders",

@@ -675,3 +675,146 @@ def test_li_batch_served_equals_solo(spark):
             (r["doc_id"], r["score"]) for r in batch if r["query_id"] == qid
         }
         assert got == solo, (qid, got, solo)
+
+
+def test_li_index_update_replace_and_rebuild_equality(spark, tmp_path):
+    """update_li_index: an admitted doc becomes serve-visible, a
+    re-submitted doc_id REPLACES its chunk vectors (stale chunks stop
+    scoring), fsck stays green through the lifecycle, and the updated
+    index equals a fresh build over the combined corpus row-for-row
+    (no frozen coarse structure — band keys are per-vector functions)."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.embed import (
+        LI_BANDS_SCHEMA,
+        LI_VECS_SCHEMA,
+        build_li_index,
+        fsck_li_index,
+        late_interaction_topk_served,
+        li_index_root,
+        update_li_index,
+    )
+    from adk_noui_vectordb_spark.sources import versioning as vn
+
+    t_hit = "spark query filter join extra words here pad"
+    t_miss = " ".join(f"z{i}" for i in range(8))
+    rows = [(1, t_miss, "en"), (2, " ".join(f"y{i}" for i in range(8)), "de")]
+    base = str(tmp_path / "liup")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+
+    def topk():
+        return {
+            r["doc_id"]: r["score"]
+            for r in late_interaction_topk_served(spark, base, k=3).collect()
+        }
+
+    before = topk()
+    assert 100 not in before
+    # admit doc 100 carrying the query words: it must win the serve
+    update_li_index(
+        spark,
+        base,
+        spark.createDataFrame([(100, t_hit, "en")], "doc_id bigint, text string, lang string"),
+    )
+    after = topk()
+    assert 100 in after and after[100] == max(after.values()), after
+    # REPLACE: resubmit doc 100 with miss-text — it must stop winning
+    update_li_index(
+        spark,
+        base,
+        spark.createDataFrame([(100, t_miss, "en")], "doc_id bigint, text string, lang string"),
+    )
+    replaced = topk()
+    assert replaced.get(100, 0.0) < after[100], (after, replaced)
+    assert all(ok for _, ok, _ in fsck_li_index(spark, base))
+    # equality with a fresh build over the combined corpus
+    base2 = str(tmp_path / "lifresh")
+    os.makedirs(base2, exist_ok=True)
+    spark.createDataFrame(
+        rows + [(100, t_miss, "en")], "doc_id bigint, text string, lang string"
+    ).write.parquet(os.path.join(base2, "documents.parquet"))
+    cur1 = vn.current_dir(li_index_root(base))
+    cur2 = build_li_index(spark, base2)
+    for comp, schema in [("bands", LI_BANDS_SCHEMA), ("vecs", LI_VECS_SCHEMA)]:
+        a = sorted(
+            tuple(r)
+            for r in spark.read.schema(schema)
+            .parquet(os.path.join(cur1, comp))
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.schema(schema)
+            .parquet(os.path.join(cur2, comp))
+            .collect()
+        )
+        assert a == b, comp
+
+
+def test_li_ingested_key_surfaces_admitted_clone(spark):
+    """late_interaction_topk_ingested: the admitted %10==3 clone of a
+    top-5 doc appears beside its original with the identical score at
+    sf0.001 — the row class that exists only if the admit advanced the
+    index — and a replay returns the identical frame (REPLACE
+    idempotence)."""
+    from adk_noui_vectordb_spark.operators.embed import (
+        late_interaction_topk_ingested,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = [tuple(r) for r in late_interaction_topk_ingested(spark, sf).collect()]
+    clones = {d - 4_000_000: s for d, s in rows if d >= 4_000_000}
+    origs = {d: s for d, s in rows if d < 4_000_000}
+    assert clones, rows
+    assert all(origs.get(o) == s for o, s in clones.items()), rows
+    rows2 = [tuple(r) for r in late_interaction_topk_ingested(spark, sf).collect()]
+    assert rows2 == rows
+
+
+def test_li_index_delete_retracts_doc(spark, tmp_path):
+    """delete_from_li_index: a deleted doc stops scoring (its chunk and
+    band rows retract), unrelated docs keep their scores, absent ids
+    no-op without a version bump, and fsck stays green."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.embed import (
+        build_li_index,
+        delete_from_li_index,
+        fsck_li_index,
+        late_interaction_topk_served,
+        li_index_root,
+    )
+    from adk_noui_vectordb_spark.sources import versioning as vn
+
+    t_hit = "spark query filter join pad pad pad pad"
+    rows = [
+        (1, t_hit, "en"),
+        (2, " ".join(f"z{i}" for i in range(8)), "en"),
+    ]
+    base = str(tmp_path / "lidel")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    build_li_index(spark, base)
+
+    def scores():
+        return {
+            r["doc_id"]: r["score"]
+            for r in late_interaction_topk_served(spark, base, k=3).collect()
+        }
+
+    before = scores()
+    assert before and max(before, key=before.get) == 1
+    delete_from_li_index(spark, base, [1])
+    after = scores()
+    assert 1 not in after and after.get(2) == before.get(2), (before, after)
+    ver1 = os.path.basename(vn.current_dir(li_index_root(base)))
+    delete_from_li_index(spark, base, [999999])  # absent: no-op
+    ver2 = os.path.basename(vn.current_dir(li_index_root(base)))
+    assert ver2 == ver1
+    got = fsck_li_index(spark, base)
+    assert all(ok for _, ok, _ in got), got

@@ -1243,3 +1243,56 @@ def test_stream_containment_index_ingest_gates_next_probe(spark, tmp_path):
     assert ver2 == ver1, (ver1, ver2)
     got = fsck_containment_index(spark, base)
     assert all(ok for _, ok, _ in got), got
+
+
+def test_stream_li_index_ingest_serves_next_query(spark, tmp_path):
+    """19th mode: a document batch streamed into the li_index becomes
+    serve-visible (the streamed doc carrying the query words wins the
+    next query), a fresh-checkpoint replay converges without a new
+    version (content-digest no-op), and fsck stays green."""
+    import os
+
+    from adk_noui_vectordb_spark.operators.embed import (
+        build_li_index,
+        fsck_li_index,
+        late_interaction_topk_served,
+        li_index_root,
+    )
+    from adk_noui_vectordb_spark.sources import versioning as vn
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_li_index_ingest,
+    )
+
+    base = str(tmp_path / "lisbase")
+    stream_dir = str(tmp_path / "lisin")
+    os.makedirs(base), os.makedirs(stream_dir)
+    spark.createDataFrame(
+        [(1, " ".join(f"z{i}" for i in range(8)), "en")],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(os.path.join(base, "documents.parquet"))
+    build_li_index(spark, base)
+
+    def winner():
+        r = late_interaction_topk_served(spark, base, k=1).head()
+        return r["doc_id"] if r is not None else None
+
+    assert winner() == 1
+    spark.createDataFrame(
+        [(100, "spark query filter join pad pad pad pad", "en")],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(os.path.join(stream_dir, "b1"))
+    q = stream_li_index_ingest(
+        spark, base, stream_dir + "/*", str(tmp_path / "ckpt_li1")
+    )
+    q.awaitTermination(180)
+    assert winner() == 100
+    ver1 = os.path.basename(vn.current_dir(li_index_root(base)))
+    q2 = stream_li_index_ingest(
+        spark, base, stream_dir + "/*", str(tmp_path / "ckpt_li2")
+    )
+    q2.awaitTermination(180)
+    assert winner() == 100
+    ver2 = os.path.basename(vn.current_dir(li_index_root(base)))
+    assert ver2 == ver1, (ver1, ver2)
+    got = fsck_li_index(spark, base)
+    assert all(ok for _, ok, _ in got), got

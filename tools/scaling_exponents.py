@@ -137,6 +137,7 @@ KEYS = {
     "late_interaction_topk_served": "documents",
     "late_interaction_batch_topk_served": "documents",
     "late_interaction_filtered_topk_served": "documents",
+    "late_interaction_topk_ingested": "documents",
     "dedup_containment_gate_ingested": "documents",
     "dsir_importance_select": "documents",
     "ann_grouped_topk": "embeddings",
