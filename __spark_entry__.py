@@ -1168,6 +1168,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_counts": _rel.events_tumbling_counts,
         "events_sessionize": _rel.events_sessionize,
         "events_sliding_counts": _rel.events_sliding_counts,
+        # r16: product-analytics pair — ordered-sequence funnel
+        # (view→click→purchase, earliest-completion within a 24h
+        # horizon) and the weekly signup-cohort retention triangle
+        "events_funnel_conversion": _rel.events_funnel_conversion,
+        "events_retention_cohorts": _rel.events_retention_cohorts,
         "stream_tumbling_counts": _q_stream_tumbling,
         "stream_dedup_counts": _q_stream_dedup,
         "stream_running_totals": _q_stream_running_totals,
@@ -6926,6 +6931,65 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         "customers_with_high_value_orders": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+""",
+        # Funnel twin: same earliest-completion semantics — first view,
+        # first click strictly after it within 24h, first purchase
+        # strictly after that click within 24h; comparisons in
+        # µs-truncated epoch ns (epoch_us×1000 ≡ load_table's ts_ns),
+        # gap seconds by exact integer division.
+        "events_funnel_conversion": """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) * 1000 AS tn FROM events
+), v AS (
+    SELECT user_id, min(tn) AS t1 FROM e
+    WHERE event_type = 'view' GROUP BY 1
+), c AS (
+    SELECT e.user_id, min(e.tn) AS t2, min(v.t1) AS t1
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.tn > v.t1
+      AND e.tn <= v.t1 + 86400000000000
+    GROUP BY 1
+), p AS (
+    SELECT e.user_id, min(e.tn) AS t3, min(c.t1) AS t1
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.tn > c.t2
+      AND e.tn <= c.t2 + 86400000000000
+    GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
+       CAST(0 AS BIGINT) AS total_gap_s FROM v
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum((t2 - t1) // 1000000000), 0) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum((t3 - t1) // 1000000000), 0) AS BIGINT) FROM p
+""",
+        # Retention twin: cohort day = first signup day; active_users
+        # counts DISTINCT users per (cohort_week, offset) via the same
+        # per-user collapse; Sunday-aligned week label (Spark
+        # dayofweek: Sun=1; DuckDB: Sun=0).
+        "events_retention_cohorts": """
+WITH per_day AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS has_signup
+    FROM events GROUP BY 1, 2
+), cohort AS (
+    SELECT user_id, min(day) AS cohort_day
+    FROM per_day WHERE has_signup = 1 GROUP BY 1
+), uw AS (
+    SELECT DISTINCT
+        strftime(c.cohort_day
+                 - CAST(dayofweek(c.cohort_day) AS INTEGER),
+                 '%Y-%m-%d') AS cohort_week,
+        CAST((p.day - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+        p.user_id
+    FROM per_day p JOIN cohort c ON p.user_id = c.user_id
+    WHERE p.day >= c.cohort_day
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS active_users
+FROM uw GROUP BY 1, 2
 """,
         "events_sliding_counts": """
 WITH secs AS (

@@ -1540,3 +1540,132 @@ def user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_seen"
         ),
     )
+
+
+def events_funnel_conversion(
+    spark: SparkSession, sf_dir: str, horizon_hours: int = 24
+) -> DataFrame:
+    """Ordered-sequence funnel over the event log — the
+    MATCH_RECOGNIZE-shaped product-analytics query (view → click →
+    purchase, earliest-completion semantics): per user, t1 = first
+    view, t2 = first click STRICTLY AFTER t1 within ``horizon_hours``,
+    t3 = first purchase strictly after t2 within the same horizon.
+    One row per stage: users reaching it and the total seconds from t1
+    (exact integer ns div, tie-free; the view stage anchors at 0).
+
+    Scale shape: the raw scan aggregates per (user, type) FIRST —
+    map-side combined, the only corpus-sized exchange — then every
+    later step (two conditional min-aggregates, two joins, the final
+    three 1-row rollups) runs on the per-user frame, co-partitioned on
+    user_id so AQE coalesces without re-shuffling the fact table.
+    Horizon comparisons use ``ts_ns`` (µs-truncated epoch ns, the
+    cross-engine contract — see events_time_exprs); a timestamp-typed
+    horizon add would round-trip through µs arithmetic identically but
+    the integer form keeps the bound exact by construction.
+    """
+    h_ns = F.lit(int(horizon_hours) * 3600 * 1_000_000_000)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts_ns") > F.col("t1")) & (F.col("ts_ns") <= F.col("t1") + h_ns))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"), F.first("t1").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts_ns") > F.col("t2")) & (F.col("ts_ns") <= F.col("t2") + h_ns))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"), F.first("t1").alias("t1"))
+    )
+
+    def _stage(df: DataFrame, name: str, tcol: "str | None") -> DataFrame:
+        gap = (
+            F.expr(f"({tcol} - t1) div 1000000000")
+            if tcol
+            else F.lit(0).cast("bigint")
+        )
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+            F.coalesce(F.sum(gap), F.lit(0)).cast("bigint").alias(
+                "total_gap_s"
+            ),
+        )
+
+    return (
+        _stage(v, "1_view", None)
+        .unionByName(_stage(c, "2_click", "t2"))
+        .unionByName(_stage(p, "3_purchase", "t3"))
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle — signup-cohort week × weeks-since-
+    signup → distinct active users (the classic cohort heatmap feed).
+    A user's cohort day is their FIRST signup event; any later event
+    (of any type) marks them active in week offset
+    ``(day − cohort_day) div 7``; pre-signup activity is out of scope
+    (offset ≥ 0 only).
+
+    Scale shape: stage 1 reduces the scan to (user, day) — map-side
+    combined, the one corpus-sized exchange (the user_activity_profile
+    discipline: never count_distinct over the fact table) — the cohort
+    frame and the final (cohort, offset) rollup both run on that tiny
+    per-user-day frame. All-integer day arithmetic via datediff on
+    DATE-truncated timestamps (exact cross-engine; no TZ ambiguity —
+    the contract TZ is UTC).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_day = (
+        e.select(
+            "user_id",
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.max((F.col("event_type") == "signup").cast("int")).alias(
+                "has_signup"
+            )
+        )
+    )
+    cohort = (
+        per_day.filter(F.col("has_signup") == 1)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    user_weeks = (
+        per_day.join(cohort, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .select(
+            F.date_format(
+                F.date_sub(
+                    F.col("cohort_day"),
+                    F.dayofweek("cohort_day") - 1,
+                ),
+                "yyyy-MM-dd",
+            ).alias("cohort_week"),
+            F.expr(
+                "CAST(datediff(day, cohort_day) div 7 AS BIGINT)"
+            ).alias("week_offset"),
+            "user_id",
+        )
+        # collapse a user's multiple active days inside one offset week
+        # BEFORE counting — active_users is distinct users, and the
+        # two-stage reduction keeps count_distinct's Expand out of the
+        # plan (both stages run on the already-tiny per-user-day frame)
+        .groupBy("user_id", "cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("_days"))
+    )
+    return user_weeks.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )

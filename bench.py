@@ -53,6 +53,8 @@ BENCH_KEYS = [
     "q6_revenue_forecast",
     "window_topn_orders",
     "events_sessionize",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
     "events_tumbling_counts",
     "asof_join_purchase_click",
     "range_join_bursts",

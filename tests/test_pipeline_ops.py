@@ -1623,3 +1623,93 @@ def test_containment_fsck_catches_zero_prefix_doc(spark, tmp_path):
     ).parquet(os.path.join(cur, "post"))
     got = {c: ok for c, ok, _ in fsck_containment_index(spark, base)}
     assert got["prefix_flags_exact_bound"] is False, got
+
+
+def _write_events(spark, base, rows):
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(base, "events.parquet"))
+
+
+def test_events_funnel_conversion_semantics(spark, tmp_path):
+    """Earliest-completion ordered funnel: a user converting inside the
+    horizon advances; a click past the horizon or an out-of-order
+    purchase (no prior view) never counts."""
+    from datetime import datetime as dt
+
+    from adk_noui_vectordb_spark.operators.relational import (
+        events_funnel_conversion,
+    )
+
+    base = str(tmp_path / "fe")
+    _write_events(
+        spark,
+        base,
+        [
+            # A completes: view 10:00 → click 10:30 → purchase 11:00
+            (1, dt(2024, 1, 7, 10, 0), 1, "view", 1.0, "{}"),
+            (2, dt(2024, 1, 7, 10, 30), 1, "click", 1.0, "{}"),
+            (3, dt(2024, 1, 7, 11, 0), 1, "purchase", 1.0, "{}"),
+            # B's click lands 25h after the first view: outside 24h
+            (4, dt(2024, 1, 7, 10, 0), 2, "view", 1.0, "{}"),
+            (5, dt(2024, 1, 8, 11, 0), 2, "click", 1.0, "{}"),
+            # C views only
+            (6, dt(2024, 1, 7, 9, 0), 3, "view", 1.0, "{}"),
+            # D clicks and purchases with NO view: in no stage
+            (7, dt(2024, 1, 7, 9, 0), 4, "click", 1.0, "{}"),
+            (8, dt(2024, 1, 7, 9, 5), 4, "purchase", 1.0, "{}"),
+        ],
+    )
+    got = {
+        r["stage"]: (r["users"], r["total_gap_s"])
+        for r in events_funnel_conversion(spark, base).collect()
+    }
+    assert got == {
+        "1_view": (3, 0),
+        "2_click": (1, 1800),
+        "3_purchase": (1, 3600),
+    }, got
+
+
+def test_events_retention_cohorts_semantics(spark, tmp_path):
+    """Cohort = first signup day; two active days inside one offset week
+    count the user ONCE; pre-signup activity is out of scope; the week
+    label is the cohort day's Sunday."""
+    from datetime import datetime as dt
+
+    from adk_noui_vectordb_spark.operators.relational import (
+        events_retention_cohorts,
+    )
+
+    base = str(tmp_path / "re")
+    _write_events(
+        spark,
+        base,
+        [
+            # A: signup Sun 01-07; active 01-15 + 01-16 (offset 1, one
+            # user-week), 01-21 (offset 2)
+            (1, dt(2024, 1, 7, 8, 0), 1, "signup", 1.0, "{}"),
+            (2, dt(2024, 1, 15, 8, 0), 1, "click", 1.0, "{}"),
+            (3, dt(2024, 1, 16, 8, 0), 1, "view", 1.0, "{}"),
+            (4, dt(2024, 1, 21, 8, 0), 1, "purchase", 1.0, "{}"),
+            # B: signup Wed 01-10 (same Sunday-aligned cohort week);
+            # pre-signup activity 01-05 excluded; 01-18 is offset 1
+            (5, dt(2024, 1, 5, 8, 0), 2, "view", 1.0, "{}"),
+            (6, dt(2024, 1, 10, 8, 0), 2, "signup", 1.0, "{}"),
+            (7, dt(2024, 1, 18, 8, 0), 2, "click", 1.0, "{}"),
+        ],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["active_users"]
+        for r in events_retention_cohorts(spark, base).collect()
+    }
+    assert got == {
+        ("2024-01-07", 0): 2,
+        ("2024-01-07", 1): 2,
+        ("2024-01-07", 2): 1,
+    }, got

@@ -46,6 +46,8 @@ KEYS = {
     "q18_large_orders": "lineitem",
     "q21_waiting_suppliers": "lineitem",
     "events_sessionize": "events",
+    "events_funnel_conversion": "events",
+    "events_retention_cohorts": "events",
     "events_tumbling_counts": "events",
     "asof_join_purchase_click": "events",
     "range_join_bursts": "events",
