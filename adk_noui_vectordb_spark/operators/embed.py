@@ -504,6 +504,7 @@ def late_interaction_topk_served(
     k: int = 5,
     multiprobe_hamming: int = 1,
     lang: "str | None" = None,
+    where: "dict | None" = None,
     tag: str = "",
 ) -> DataFrame:
     """Index-served ColBERT late interaction: the identical
@@ -594,6 +595,20 @@ def late_interaction_topk_served(
         # the parquet scan (plan-pinned in tests/test_plans.py)
         vecs = vecs.filter(F.col("lang") == lang)
     joined = vecs.join(cand, "vec_id")
+    if where is not None:
+        # full ChromaDB where grammar over the DOC metadata — the
+        # knn_where_dsl_topk discipline: the compiled predicate pushes
+        # into a NARROW column-pruned projection of the metadata table
+        # (doc_id + referenced fields only), and enters the rerank as a
+        # doc_id SEMI join, so non-matching docs never reach the maxes
+        from ..functions.where_dsl import compile_where
+
+        meta = (
+            load_table(spark, sf_dir, "documents")
+            .filter(compile_where(where))
+            .select("doc_id")
+        )
+        joined = joined.join(meta, "doc_id", "left_semi")
     scored = joined.select(
         "doc_id", "tok", _li_dot_expr(qvecs, F.col("tok")).alias("sim")
     )
@@ -640,6 +655,50 @@ def late_interaction_filtered_topk_served(
         chunk_size=chunk_size,
         k=k,
         lang=lang,
+    )
+
+
+# compound demo tree exercising $and/$or/$in/$gte over three metadata
+# fields — the LI analog of ANN_WHERE_DEMO (operators/ann.py)
+LI_WHERE_DEMO = {
+    "$and": [
+        {"lang": {"$in": ["en", "de"]}},
+        {
+            "$or": [
+                {"n_chars": {"$gte": 300}},
+                {"source": {"$in": ["src1", "src2", "src3"]}},
+            ]
+        },
+    ]
+}
+
+
+def late_interaction_where_topk_served(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = DEFAULT_QUERY_TEXT,
+    where: "dict | None" = None,
+    chunk_size: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """``collection.query(where={...})`` for the late-interaction
+    family — ChromaDB's FULL filter grammar ($and/$or/$in/$gte/...,
+    functions/where_dsl.py) instead of ``late_interaction_filtered_
+    topk_served``'s single-field lang equality, completing the where-DSL
+    symmetry the vector families already have (``knn_where_dsl_topk``,
+    ``docs_where_dsl_filter``, the collection facade's where= path,
+    the graph ACORN where tree). Same serving plan: per-token band probe (static partition
+    pruning), the compiled predicate pushed into a narrow column-pruned
+    metadata projection, doc_id semi-join into the exact rerank. The
+    DSL tree is shared with the DuckDB oracle via where_to_sql (one
+    filter, two engines)."""
+    return late_interaction_topk_served(
+        spark,
+        sf_dir,
+        query_text=query_text,
+        chunk_size=chunk_size,
+        k=k,
+        where=where or LI_WHERE_DEMO,
     )
 
 

@@ -662,3 +662,30 @@ def test_li_filtered_serve_pushes_lang_to_index_scan(spark, sf_dir):
     assert_pushed_filters(df, "lang")
     seg = plan.split("PartitionFilters")
     assert len(seg) > 1, plan
+
+
+def test_li_where_serve_narrow_meta_and_semi_join(spark, sf_dir):
+    """late_interaction_where_topk_served: the compiled where tree must
+    push into the documents scan (PushedFilters mentions a referenced
+    field), the metadata projection must stay NARROW (ReadSchema carries
+    doc_id + the three referenced fields, never text), and the filter
+    enters the rerank as a semi join — non-matching docs never reach
+    the maxes."""
+    from adk_noui_vectordb_spark.operators.embed import (
+        late_interaction_where_topk_served,
+    )
+
+    df = late_interaction_where_topk_served(spark, sf_dir)
+    plan = explain_str(df)
+    # the $gte leaf is a deterministic single-field pushdown candidate
+    assert "n_chars" in plan, plan
+    doc_scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "doc_id" in seg.split("\n")[0] and "n_chars" in seg.split("\n")[0]
+    ]
+    assert doc_scans, plan
+    assert all("text" not in s for s in doc_scans), doc_scans
+    assert "LeftSemi" in plan, plan
+    seg = plan.split("PartitionFilters")
+    assert len(seg) > 1, plan

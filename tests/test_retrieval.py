@@ -818,3 +818,38 @@ def test_li_index_delete_retracts_doc(spark, tmp_path):
     assert ver2 == ver1
     got = fsck_li_index(spark, base)
     assert all(ok for _, ok, _ in got), got
+
+
+def test_li_where_results_satisfy_compound_tree(spark, sf_dir):
+    """Every doc the where-DSL LI serve returns satisfies the full
+    compound tree ($and over $in and a nested $or) — and the filter is
+    ACTIVE: the unfiltered serve's top-k contains at least one doc the
+    tree rejects at this SF (so the semi join is doing work, not
+    vacuously passing everything)."""
+    from pyspark.sql import functions as F
+
+    from adk_noui_vectordb_spark.operators.embed import (
+        LI_WHERE_DEMO,
+        late_interaction_topk_served,
+        late_interaction_where_topk_served,
+    )
+    from adk_noui_vectordb_spark.functions.where_dsl import compile_where
+    from adk_noui_vectordb_spark.sources.tables import load_table
+
+    meta = load_table(spark, sf_dir, "documents")
+    ok_ids = {
+        r["doc_id"]
+        for r in meta.filter(compile_where(LI_WHERE_DEMO))
+        .select("doc_id")
+        .collect()
+    }
+    got = [
+        r["doc_id"]
+        for r in late_interaction_where_topk_served(spark, sf_dir).collect()
+    ]
+    assert got and all(d in ok_ids for d in got), (got, len(ok_ids))
+    unfiltered = [
+        r["doc_id"]
+        for r in late_interaction_topk_served(spark, sf_dir).collect()
+    ]
+    assert any(d not in ok_ids for d in unfiltered), unfiltered
