@@ -243,6 +243,52 @@ def _q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT p_id, c_id, p_user FROM {name}")
 
 
+def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING funnel under the batch oracle: drain the per-user
+    applyInPandasWithState state machine (20th mode,
+    stream_funnel_progress), keep each user's LATEST emission, and roll
+    the sink up to the batch key's exact (stage, users, total_gap_s)
+    shape. The DuckDB twin is the identical batch funnel SQL
+    (_FUNNEL_SQL) — the streaming/batch-equivalence contract."""
+    import tempfile
+    import uuid
+
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_funnel_progress,
+    )
+
+    name = f"funl_{uuid.uuid4().hex[:8]}"
+    q = stream_funnel_progress(spark, sf_dir, tempfile.mkdtemp(), name)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "stream_funnel_progress did not drain within 120s; "
+            "refusing to read a partial memory sink"
+        )
+    return spark.sql(
+        f"""
+        WITH latest AS (
+            -- fold update-mode re-emissions to the furthest state per
+            -- user: stage only advances, gap2/gap3 are write-once (max
+            -- ignores the NULLs of earlier-stage rows)
+            SELECT user_id, max(stage) AS stage, max(gap2_s) AS gap2_s,
+                   max(gap3_s) AS gap3_s
+            FROM {name} GROUP BY user_id
+        )
+        SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
+               CAST(0 AS BIGINT) AS total_gap_s FROM latest
+        UNION ALL
+        SELECT '2_click', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(gap2_s), 0) AS BIGINT)
+        FROM latest WHERE stage >= 2
+        UNION ALL
+        SELECT '3_purchase', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(gap3_s), 0) AS BIGINT)
+        FROM latest WHERE stage = 3
+        """
+    )
+
+
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING sessionization under the batch oracle: drain events
     through the built-in ``session_window`` (30-min gap, calibrated to the
@@ -1184,6 +1230,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_totals": _q_stream_running_totals,
         "stream_range_join": _q_stream_range_join,
         "stream_sessionize": _q_stream_sessionize,
+        # r16: the stateful per-user funnel state machine (20th
+        # mode) rolled up to the batch funnel's exact shape
+        "stream_funnel": _q_stream_funnel,
         "window_moving_avg": _rel.window_moving_avg,
         "rollup_segment_status": _rel.rollup_segment_status,
         "cube_status_priority": _rel.cube_status_priority,
@@ -3220,6 +3269,35 @@ LIMIT 5
 
 # Gaps-and-islands sessionization: shared verbatim by the batch
 # events_sessionize and streaming stream_sessionize oracles.
+_FUNNEL_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) * 1000 AS tn FROM events
+), v AS (
+    SELECT user_id, min(tn) AS t1 FROM e
+    WHERE event_type = 'view' GROUP BY 1
+), c AS (
+    SELECT e.user_id, min(e.tn) AS t2, min(v.t1) AS t1
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.tn > v.t1
+      AND e.tn <= v.t1 + 86400000000000
+    GROUP BY 1
+), p AS (
+    SELECT e.user_id, min(e.tn) AS t3, min(c.t1) AS t1
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.tn > c.t2
+      AND e.tn <= c.t2 + 86400000000000
+    GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
+       CAST(0 AS BIGINT) AS total_gap_s FROM v
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum((t2 - t1) // 1000000000), 0) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum((t3 - t1) // 1000000000), 0) AS BIGINT) FROM p
+"""
+
 _SESSIONIZE_SQL = """
 WITH b AS (
     SELECT user_id, event_id, value, ts,
@@ -4272,6 +4350,7 @@ FROM p JOIN c ON p.user_id = c.user_id
         # gaps-and-islands SQL as events_sessionize (the equivalence
         # contract; gap calibration in stream_sessionize_events).
         "stream_sessionize": _SESSIONIZE_SQL,
+        "stream_funnel": _FUNNEL_SQL,
         "cluster_kmeans": _kmeans_sql(),
         "semdedup_prune": _semdedup_sql(),
         "pq_encode_rows": _pq_encode_sql(),
@@ -7044,34 +7123,7 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
         # strictly after that click within 24h; comparisons in
         # µs-truncated epoch ns (epoch_us×1000 ≡ load_table's ts_ns),
         # gap seconds by exact integer division.
-        "events_funnel_conversion": """
-WITH e AS (
-    SELECT user_id, event_type, epoch_us(ts) * 1000 AS tn FROM events
-), v AS (
-    SELECT user_id, min(tn) AS t1 FROM e
-    WHERE event_type = 'view' GROUP BY 1
-), c AS (
-    SELECT e.user_id, min(e.tn) AS t2, min(v.t1) AS t1
-    FROM e JOIN v ON e.user_id = v.user_id
-    WHERE e.event_type = 'click' AND e.tn > v.t1
-      AND e.tn <= v.t1 + 86400000000000
-    GROUP BY 1
-), p AS (
-    SELECT e.user_id, min(e.tn) AS t3, min(c.t1) AS t1
-    FROM e JOIN c ON e.user_id = c.user_id
-    WHERE e.event_type = 'purchase' AND e.tn > c.t2
-      AND e.tn <= c.t2 + 86400000000000
-    GROUP BY 1
-)
-SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users,
-       CAST(0 AS BIGINT) AS total_gap_s FROM v
-UNION ALL
-SELECT '2_click', CAST(count(*) AS BIGINT),
-       CAST(coalesce(sum((t2 - t1) // 1000000000), 0) AS BIGINT) FROM c
-UNION ALL
-SELECT '3_purchase', CAST(count(*) AS BIGINT),
-       CAST(coalesce(sum((t3 - t1) // 1000000000), 0) AS BIGINT) FROM p
-""",
+        "events_funnel_conversion": _FUNNEL_SQL,
         # Retention twin: cohort day = first signup day; active_users
         # counts DISTINCT users per (cohort_week, offset) via the same
         # per-user collapse; Sunday-aligned week label (Spark

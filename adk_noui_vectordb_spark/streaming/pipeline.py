@@ -1224,3 +1224,126 @@ def stream_graph_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_funnel_progress(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    queryName: str,
+    horizon_hours: int = 24,
+):
+    """Per-user funnel state machine via ``applyInPandasWithState`` (the
+    20th mode): view → click → purchase with earliest-completion
+    semantics inside ``horizon_hours``, state = the three stage
+    timestamps carried across micro-batches — the streaming twin of the
+    batch ``events_funnel_conversion``.
+
+    Each micro-batch's rows are applied in event-time order, so under
+    in-order arrival (each batch later than the last) the state machine
+    reproduces the batch key's earliest-completion result EXACTLY
+    (pinned in tests/test_streaming.py); cross-batch late data advances
+    from the locked-in state without retraction — the standard
+    no-retraction trade every streaming funnel makes. State is three
+    nullable bigints per user, partitioned by user_id in the state
+    store: scale-out is by key cardinality, the
+    stream_user_running_totals story. Emits one row per touched user
+    per micro-batch (update mode) with the reached stage and the exact
+    integer gaps from first view to each completed stage — enough to
+    reconstruct the batch key's per-stage (users, total_gap_s) rollup
+    from the sink alone (the ``stream_funnel`` driver key does).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    _, ts_ns = events_time_exprs(batch_schema)
+    events = raw.select(
+        "user_id", "event_type", ts_ns.alias("tn")
+    )
+    h_ns = int(horizon_hours) * 3600 * 1_000_000_000
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("stage", LongType()),
+            StructField("gap2_s", LongType()),
+            StructField("gap3_s", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t1", LongType()),
+            StructField("t2", LongType()),
+            StructField("t3", LongType()),
+        ]
+    )
+
+    def advance(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+
+        def _ok(v):
+            return v is not None and not pd.isna(v)
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values("tn", kind="mergesort")
+            for et, tn in zip(rows["event_type"], rows["tn"]):
+                tn = int(tn)
+                if et == "view" and not _ok(t1):
+                    t1 = tn
+                elif (
+                    et == "click"
+                    and _ok(t1)
+                    and not _ok(t2)
+                    and t1 < tn <= t1 + h_ns
+                ):
+                    t2 = tn
+                elif (
+                    et == "purchase"
+                    and _ok(t2)
+                    and not _ok(t3)
+                    and t2 < tn <= t2 + h_ns
+                ):
+                    t3 = tn
+        state.update((t1, t2, t3))
+        if not _ok(t1):
+            return  # no funnel entry yet: nothing to emit
+        stage = 3 if _ok(t3) else (2 if _ok(t2) else 1)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [stage],
+                "gap2_s": [
+                    (int(t2) - int(t1)) // 1_000_000_000 if _ok(t2) else None
+                ],
+                "gap3_s": [
+                    (int(t3) - int(t1)) // 1_000_000_000 if _ok(t3) else None
+                ],
+            }
+        )
+
+    updated = events.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1296,3 +1296,43 @@ def test_stream_li_index_ingest_serves_next_query(spark, tmp_path):
     assert ver2 == ver1, (ver1, ver2)
     got = fsck_li_index(spark, base)
     assert all(ok for _, ok, _ in got), got
+
+
+def test_stream_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """20th mode: the stateful per-user funnel over the whole events
+    file converges to the batch events_funnel_conversion result —
+    same per-stage user counts and exact integer gap totals."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from adk_noui_vectordb_spark.operators.relational import (
+        events_funnel_conversion,
+    )
+    from adk_noui_vectordb_spark.streaming.pipeline import (
+        stream_funnel_progress,
+    )
+
+    q = stream_funnel_progress(
+        spark, sf_dir, str(tmp_path / "ckpt_funnel"), "funnel_prog"
+    )
+    q.awaitTermination(120)
+    # latest emission per user (update mode re-emits as state advances)
+    per_user = {
+        r.user_id: (r.stage, r.gap2_s, r.gap3_s)
+        for r in spark.sql("SELECT * FROM funnel_prog").collect()
+    }
+    got = {
+        "1_view": (len(per_user), 0),
+        "2_click": (
+            sum(1 for s, _, _ in per_user.values() if s >= 2),
+            sum(g2 for s, g2, _ in per_user.values() if s >= 2),
+        ),
+        "3_purchase": (
+            sum(1 for s, _, _ in per_user.values() if s == 3),
+            sum(g3 for s, _, g3 in per_user.values() if s == 3),
+        ),
+    }
+    batch = {
+        r["stage"]: (r["users"], r["total_gap_s"])
+        for r in events_funnel_conversion(spark, sf_dir).collect()
+    }
+    assert got == batch, (got, batch)
