@@ -964,6 +964,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_interaction_where_topk_served": (
             _embed.late_interaction_where_topk_served
         ),
+        # r16: per-token MaxSim breakdown for the top-k served docs
+        # (the bm25_explain_served analog — contribs sum to the score)
+        "late_interaction_explain_served": (
+            _embed.late_interaction_explain_served
+        ),
         # r16: the li_index ADMIT lifecycle — clone-slice batch into a
         # tagged root via update_li_index (doc-level REPLACE), serve
         # from the updated index; replay-idempotent
@@ -6255,6 +6260,101 @@ WITH qtok AS (
 SELECT doc_id, CAST(s4 AS DOUBLE) / 10000.0 AS score FROM sc
 ORDER BY score DESC, doc_id
 LIMIT 5
+""",
+        # Explain twin: the served twin's maxt arms joined to the
+        # top-k docs — the same values the score sums, unpivoted.
+"late_interaction_explain_served": """
+WITH qtok AS (
+    SELECT * FROM (VALUES (0, 'spark'), (1, 'query'),
+                          (2, 'filter'), (3, 'join')) AS t(i, w)
+), qv AS (
+    SELECT i,
+           CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64
+                AS INTEGER) AS bucket,
+           CASE WHEN (CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) >> 6)
+                     & 1 = 1
+                THEN 1 ELSE -1 END AS sign
+    FROM qtok
+), qbits AS (
+    SELECT qv.i, p.p,
+           CASE WHEN qv.sign *
+                (CASE WHEN CAST(('0x' || substr(
+                          md5('rp|' || p.p || '|' || (qv.bucket + 1)),
+                          1, 15)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM qv CROSS JOIN generate_series(0, 23) p(p)
+), qb AS (
+    SELECT i, CAST(p // 4 AS INTEGER) AS band,
+           CAST(sum(bit * (1 << CAST(p % 4 AS INTEGER))) AS INTEGER)
+               AS band_key
+    FROM qbits GROUP BY 1, 2
+), qexp AS (
+    SELECT i, band, band_key FROM qb
+    UNION
+    SELECT q.i, q.band, CAST(xor(q.band_key, (1 << t.b)) AS INTEGER)
+    FROM qb q CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+), ctok AS (
+    SELECT doc_id, CAST(floor((pos - 1) / 8) AS INTEGER) AS chunk_id, w
+    FROM tok
+), h AS (
+    SELECT doc_id, chunk_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM ctok
+), b AS (
+    SELECT doc_id, chunk_id, CAST(h % 64 AS INTEGER) AS bucket,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sign
+    FROM h
+), s AS (
+    SELECT doc_id, chunk_id, bucket, CAST(sum(sign) AS DOUBLE) AS v
+    FROM b GROUP BY 1, 2, 3
+), n AS (
+    SELECT doc_id, chunk_id, sqrt(sum(v * v)) AS norm FROM s GROUP BY 1, 2
+), cq AS (
+    SELECT s.doc_id, s.chunk_id, s.bucket,
+           CAST(floor(s.v / n.norm * 1000000 + 0.5) AS BIGINT) AS qcomp
+    FROM s JOIN n USING (doc_id, chunk_id)
+    WHERE n.norm > 0
+), cbits AS (
+    SELECT cq.doc_id, cq.chunk_id, p.p,
+           CASE WHEN sum(cq.qcomp *
+                (CASE WHEN CAST(('0x' || substr(
+                          md5('rp|' || p.p || '|' || (cq.bucket + 1)),
+                          1, 15)) AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM cq CROSS JOIN generate_series(0, 23) p(p)
+    GROUP BY 1, 2, 3
+), cbands AS (
+    SELECT doc_id, chunk_id, CAST(p // 4 AS INTEGER) AS band,
+           CAST(sum(bit * (1 << CAST(p % 4 AS INTEGER))) AS INTEGER)
+               AS band_key
+    FROM cbits GROUP BY 1, 2, 3
+), cand AS (
+    SELECT DISTINCT q.i, c.doc_id, c.chunk_id
+    FROM cbands c JOIN qexp q USING (band, band_key)
+), contrib AS (
+    SELECT cand.i, cand.doc_id, cand.chunk_id,
+           coalesce(qv.sign * s.v, 0.0) / n.norm AS c
+    FROM cand
+    JOIN n USING (doc_id, chunk_id)
+    JOIN qv ON qv.i = cand.i
+    LEFT JOIN s ON s.doc_id = cand.doc_id AND s.chunk_id = cand.chunk_id
+               AND s.bucket = qv.bucket
+), maxt AS (
+    SELECT doc_id, i, max(c) AS m FROM contrib GROUP BY 1, 2
+), sc AS (
+    SELECT doc_id,
+           sum(CAST(round(round(m, 4) * 10000) AS BIGINT)) AS s4
+    FROM maxt GROUP BY 1
+)
+, top AS (
+    SELECT doc_id FROM sc ORDER BY s4 DESC, doc_id LIMIT 3
+)
+SELECT m.doc_id, m.i AS tok, q.w AS token, round(m.m, 4) AS contrib
+FROM maxt m JOIN top USING (doc_id) JOIN qtok q ON q.i = m.i
 """,
         # Ingested-lifecycle twin: replays corpus UNION the %10==3 clone
         # batch from scratch — equivalent to serve-after-admit because

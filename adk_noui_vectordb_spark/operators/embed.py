@@ -534,6 +534,54 @@ def late_interaction_topk_served(
     top-k agreement vs the scan key is pinned >= 0.9 in
     tests/test_retrieval.py.
     """
+    grouped, n_tokens = _li_served_grouped(
+        spark,
+        sf_dir,
+        query_text,
+        chunk_size,
+        multiprobe_hamming,
+        lang,
+        where,
+        tag,
+    )
+    return (
+        grouped.select(
+            "doc_id", (_li_score_e4(n_tokens) / F.lit(10000.0)).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _li_score_e4(n_tokens: int) -> "F.Column":
+    """The exact scaled-integer sum-of-MaxSim over the grouped per-token
+    max columns ``m0..m{n-1}`` — THE scoring expression the served solo,
+    filtered, where-DSL, and explain keys all share (the ``_bm25_part``
+    discipline: one arithmetic, no drift between total and breakdown)."""
+    score_e4 = None
+    for i in range(n_tokens):
+        term = F.coalesce(
+            F.round(F.round(F.col(f"m{i}"), 4) * 10000).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+        score_e4 = term if score_e4 is None else score_e4 + term
+    return score_e4
+
+
+def _li_served_grouped(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str,
+    chunk_size: int = 8,
+    multiprobe_hamming: int = 1,
+    lang: "str | None" = None,
+    where: "dict | None" = None,
+    tag: str = "",
+):
+    """The shared served-ColBERT candidate fold: band probe → vecs
+    rerank → per-doc conditional max aggregates. Returns ``(grouped,
+    n_tokens)`` where grouped has doc_id + ``m0..m{n-1}`` (the
+    per-token MaxSim arms the score sums and ``explain`` unpivots)."""
     from functools import reduce
     from operator import or_
 
@@ -618,20 +666,7 @@ def late_interaction_topk_served(
             for i in range(len(qvecs))
         ]
     )
-    score_e4 = None
-    for i in range(len(qvecs)):
-        term = F.coalesce(
-            F.round(F.round(F.col(f"m{i}"), 4) * 10000).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        )
-        score_e4 = term if score_e4 is None else score_e4 + term
-    return (
-        grouped.select(
-            "doc_id", (score_e4 / F.lit(10000.0)).alias("score")
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    return grouped, len(qvecs)
 
 
 def late_interaction_filtered_topk_served(
@@ -656,6 +691,50 @@ def late_interaction_filtered_topk_served(
         k=k,
         lang=lang,
     )
+
+
+def late_interaction_explain_served(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = DEFAULT_QUERY_TEXT,
+    chunk_size: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Lucene-style ``explain`` for the late-interaction family (the
+    ``bm25_explain_served`` analog): the per-TOKEN MaxSim breakdown for
+    the top-k served documents — (doc_id, tok, token, contrib) with
+    contrib the EXACT arm of the total (``_li_score_e4`` sums the same
+    rounded values the rows show), so a doc's contribs added reproduce
+    its ``late_interaction_topk_served`` score. Tokens whose probe
+    found no candidate chunk for the doc contribute 0 and are omitted
+    (the BM25 explain's ``tf > 0`` convention). One extra unpivot over
+    the SAME grouped frame — the probe and rerank run once."""
+    grouped, n_tokens = _li_served_grouped(
+        spark, sf_dir, query_text, chunk_size
+    )
+    qtokens = query_text.split(" ")
+    top = (
+        grouped.select(
+            "doc_id",
+            *[F.col(f"m{i}") for i in range(n_tokens)],
+            (_li_score_e4(n_tokens) / F.lit(10000.0)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    slices = [
+        top.filter(F.col(f"m{i}").isNotNull()).select(
+            "doc_id",
+            F.lit(i).alias("tok"),
+            F.lit(qtokens[i]).alias("token"),
+            F.round(F.col(f"m{i}"), 4).alias("contrib"),
+        )
+        for i in range(n_tokens)
+    ]
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionAll(s)
+    return out
 
 
 # compound demo tree exercising $and/$or/$in/$gte over three metadata

@@ -47,6 +47,7 @@ BENCH_KEYS = [
     "late_interaction_filtered_topk_served",
     "late_interaction_topk_ingested",
     "late_interaction_where_topk_served",
+    "late_interaction_explain_served",
     "dsir_importance_select",
     "q1_pricing_summary",
     "q3_top_orders",

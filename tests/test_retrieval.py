@@ -853,3 +853,26 @@ def test_li_where_results_satisfy_compound_tree(spark, sf_dir):
         for r in late_interaction_topk_served(spark, sf_dir).collect()
     ]
     assert any(d not in ok_ids for d in unfiltered), unfiltered
+
+
+def test_li_explain_contribs_reproduce_served_scores(spark, sf_dir):
+    """The explain rows are the EXACT arms of the total: summing a
+    doc's per-token contribs reproduces its late_interaction_topk_served
+    score to the cent (the bm25_explain_served contract)."""
+    from collections import defaultdict
+
+    from adk_noui_vectordb_spark.operators.embed import (
+        late_interaction_explain_served,
+        late_interaction_topk_served,
+    )
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in late_interaction_topk_served(spark, sf_dir, k=3).collect()
+    }
+    sums = defaultdict(float)
+    for r in late_interaction_explain_served(spark, sf_dir, k=3).collect():
+        sums[r["doc_id"]] += r["contrib"]
+    assert set(sums) == set(scores), (set(sums), set(scores))
+    for d, s in scores.items():
+        assert abs(sums[d] - s) < 1e-9, (d, sums[d], s)

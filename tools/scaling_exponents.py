@@ -141,6 +141,7 @@ KEYS = {
     "late_interaction_filtered_topk_served": "documents",
     "late_interaction_topk_ingested": "documents",
     "late_interaction_where_topk_served": "documents",
+    "late_interaction_explain_served": "documents",
     "dedup_containment_gate_ingested": "documents",
     "dsir_importance_select": "documents",
     "ann_grouped_topk": "embeddings",
