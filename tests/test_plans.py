@@ -689,3 +689,23 @@ def test_li_where_serve_narrow_meta_and_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     seg = plan.split("PartitionFilters")
     assert len(seg) > 1, plan
+
+
+def test_funnel_and_retention_plans_stay_partial_no_expand(spark, sf_dir):
+    """events_funnel_conversion: the conditional stage minima must be
+    map-side combined (partial_min before the user_id exchange) and
+    nothing may degenerate to a cartesian product.
+    events_retention_cohorts: the distinct-active-users rollup is the
+    TWO-STAGE reduction by construction — no Expand node (the
+    count_distinct rewrite the docstring forbids) anywhere."""
+    from adk_noui_vectordb_spark.operators.relational import (
+        events_funnel_conversion,
+        events_retention_cohorts,
+    )
+
+    p1 = explain_str(events_funnel_conversion(spark, sf_dir))
+    assert "partial_min" in p1, p1
+    assert "Cartesian" not in p1, p1
+    p2 = explain_str(events_retention_cohorts(spark, sf_dir))
+    assert "Expand" not in p2, p2
+    assert "Cartesian" not in p2, p2
