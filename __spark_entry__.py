@@ -1230,6 +1230,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # horizon) and the weekly signup-cohort retention triangle
         "events_funnel_conversion": _rel.events_funnel_conversion,
         "events_retention_cohorts": _rel.events_retention_cohorts,
+        # r16: the revenue companion — cohort LTV curve in exact cents
+        "events_cohort_revenue": _rel.events_cohort_revenue,
         "stream_tumbling_counts": _q_stream_tumbling,
         "stream_dedup_counts": _q_stream_dedup,
         "stream_running_totals": _q_stream_running_totals,
@@ -7228,6 +7230,26 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
         # counts DISTINCT users per (cohort_week, offset) via the same
         # per-user collapse; Sunday-aligned week label (Spark
         # dayofweek: Sun=1; DuckDB: Sun=0).
+        # Cohort-revenue twin: same cohort/week arithmetic as retention,
+        # revenue floor-scaled to integer cents per event before any sum.
+        "events_cohort_revenue": """
+WITH cohort AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+), pur AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_day
+                - CAST(dayofweek(c.cohort_day) AS INTEGER),
+                '%Y-%m-%d') AS cohort_week,
+       CAST((p.day - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+       CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+FROM pur p JOIN cohort c ON p.user_id = c.user_id
+WHERE p.day >= c.cohort_day
+GROUP BY 1, 2
+""",
         "events_retention_cohorts": """
 WITH per_day AS (
     SELECT user_id, CAST(ts AS DATE) AS day,

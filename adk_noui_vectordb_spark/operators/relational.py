@@ -1669,3 +1669,50 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_weeks.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+def events_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve feed — the revenue companion to
+    ``events_retention_cohorts``: signup-cohort week × weeks-since-
+    signup → purchase revenue, in exact integer cents (value floor-
+    scaled ×100 per event before any sum, the tie-free discipline).
+    Post-signup purchases only, same Sunday-aligned cohort labels.
+
+    Scale shape: ONE corpus-sized aggregate — the purchase slice
+    reduces per (user, day) map-side (revenue_cents summed where it is
+    narrowest) — then the cohort join and the (cohort, offset) rollup
+    run on the tiny per-user-day frame; the signup-day reduction reuses
+    the same scan shape. No count_distinct, no Expand.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return (
+        purchases.join(cohort, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .groupBy(
+            F.date_format(
+                F.date_sub(
+                    F.col("cohort_day"), F.dayofweek("cohort_day") - 1
+                ),
+                "yyyy-MM-dd",
+            ).alias("cohort_week"),
+            F.expr(
+                "CAST(datediff(day, cohort_day) div 7 AS BIGINT)"
+            ).alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )

@@ -57,6 +57,7 @@ BENCH_KEYS = [
     "events_sessionize",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "events_cohort_revenue",
     "events_tumbling_counts",
     "asof_join_purchase_click",
     "range_join_bursts",

@@ -1713,3 +1713,37 @@ def test_events_retention_cohorts_semantics(spark, tmp_path):
         ("2024-01-07", 1): 2,
         ("2024-01-07", 2): 1,
     }, got
+
+
+def test_events_cohort_revenue_semantics(spark, tmp_path):
+    """Revenue lands in the purchaser's signup-cohort cell in exact
+    cents; pre-signup purchases and users who never signed up are out
+    of scope; two purchases in one offset week sum."""
+    from datetime import datetime as dt
+
+    from adk_noui_vectordb_spark.operators.relational import (
+        events_cohort_revenue,
+    )
+
+    base = str(tmp_path / "cr")
+    _write_events(
+        spark,
+        base,
+        [
+            (1, dt(2024, 1, 7, 8, 0), 1, "signup", 1.0, "{}"),
+            # offset 0: $1.50
+            (2, dt(2024, 1, 8, 8, 0), 1, "purchase", 1.50, "{}"),
+            # offset 1: $2.25 + $0.10 in the same week sum to 235 cents
+            (3, dt(2024, 1, 16, 8, 0), 1, "purchase", 2.25, "{}"),
+            (4, dt(2024, 1, 17, 8, 0), 1, "purchase", 0.10, "{}"),
+            # pre-signup purchase: excluded
+            (5, dt(2024, 1, 5, 8, 0), 1, "purchase", 9.99, "{}"),
+            # user 2 never signed up: no cohort, ignored
+            (6, dt(2024, 1, 9, 8, 0), 2, "purchase", 5.00, "{}"),
+        ],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["revenue_cents"]
+        for r in events_cohort_revenue(spark, base).collect()
+    }
+    assert got == {("2024-01-07", 0): 150, ("2024-01-07", 1): 235}, got

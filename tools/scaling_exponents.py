@@ -48,6 +48,7 @@ KEYS = {
     "events_sessionize": "events",
     "events_funnel_conversion": "events",
     "events_retention_cohorts": "events",
+    "events_cohort_revenue": "events",
     "events_tumbling_counts": "events",
     "asof_join_purchase_click": "events",
     "range_join_bursts": "events",
