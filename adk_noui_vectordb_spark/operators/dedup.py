@@ -406,9 +406,23 @@ def dedup_containment_pairs(
     bounded shingle arrays)."""
     from pyspark.sql.window import Window
 
+    from ..sources.tables import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", _shingles(whitespace_tokens(F.col("text"))).alias("words")
+    # pre-projected tokens + fan_out: same fix as _doc_gram_keys (r16) —
+    # the inline split re-evaluated per _shingles sequence element, and
+    # the single-row-group scan shingled on one task. The shingled frame
+    # is then materialized ONCE (guide §8 step 1: one derivation pass,
+    # reused everywhere): it feeds THREE consumers — the exploded token
+    # table and both sides of the verification join — and lazily each
+    # re-ran the whole tokenize+shingle kernel (measured ~1.4 s per
+    # extra pass at sf0.1, ~2x the whole key). An offline all-pairs job
+    # materializing its fingerprint table is the §8 decision-pass shape.
+    docs = (
+        fan_out(d)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("wtok"))
+        .select("doc_id", _shingles(F.col("wtok")).alias("words"))
+        .localCheckpoint(eager=True)
     )
     tok = docs.select("doc_id", F.explode("words").alias("w"))
     dfc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
@@ -495,11 +509,21 @@ def _doc_gram_keys(d: DataFrame) -> DataFrame:
     """(doc_id, gk) — each doc's DISTINCT 3-gram shingles as 60-bit md5
     keys (`md5_long`; a 60-bit collision merging two shingles is
     negligible AND mirrored exactly by the twin's identical md5, so
-    parity is unconditional)."""
+    parity is unconditional).
+
+    r16 (guide §4.1/§2.5): the token array is PRE-PROJECTED before
+    ``_shingles`` — the former inline ``whitespace_tokens(text)`` was
+    exactly the in-lambda re-evaluation `_shingles`'s own docstring
+    forbids (split re-ran per sequence element; measured 1.6x slower) —
+    and the input fans out first so a single-row-group corpus scan
+    doesn't shingle+hash on one task (another 1.2x; no-op on real
+    multi-split inputs)."""
+    from ..sources.tables import fan_out
+
     return (
-        d.select(
-            "doc_id", _shingles(whitespace_tokens(F.col("text"))).alias("sh")
-        )
+        fan_out(d)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+        .select("doc_id", _shingles(F.col("w")).alias("sh"))
         .select("doc_id", F.explode("sh").alias("shingle"))
         .select("doc_id", md5_long(F.col("shingle")).alias("gk"))
     )

@@ -1095,11 +1095,20 @@ def late_interaction_topk_ingested(
     slice contains a top-5 doc at sf0.001 AND the driver's sf0.01; pinned
     in tests/test_retrieval.py).
     Replay-idempotent: re-admitting the same batch is a doc-level
-    REPLACE that rewrites identical rows. The twin replays corpus ∪
-    batch from scratch — equivalent because the li_index has no frozen
-    coarse structure (band keys are pure per-vector functions), so an
-    updated index equals a fresh build over the combined corpus exactly
-    (pinned in tests/test_retrieval.py)."""
+    REPLACE that rewrites identical rows — so a repeat run detects the
+    fully-admitted batch via ONE dbucket-pruned vecs/ probe and skips
+    the commit entirely (r16; the ``dedup_containment_gate_ingested``
+    replay discipline: the batch derives deterministically from the
+    fingerprint-keyed corpus, so all-ids-present ⇒ identical content ⇒
+    the rewrite would be a byte-level no-op. Also bounds the version
+    count — the former shape re-REPLACEd on every invocation, paying
+    the full embed + commit (~3/4 of the key's runtime) to produce an
+    identical index). A mixed state raises, exactly as the containment
+    twin does."""
+    import os
+
+    from .invindex import doc_bucket_expr
+
     batch = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 == 3)
@@ -1107,7 +1116,31 @@ def late_interaction_topk_ingested(
             (F.col("doc_id") + 4_000_000).alias("doc_id"), "text", "lang"
         )
     )
-    update_li_index(spark, sf_dir, batch, tag="ing")
+    cur = build_li_index(spark, sf_dir, tag="ing")
+    a_ids = batch.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    dbs = sorted(
+        r["b"]
+        for r in a_ids.select(
+            doc_bucket_expr(F.col("doc_id")).alias("b")
+        ).distinct().collect()
+    )
+    present = (
+        spark.read.schema(LI_VECS_SCHEMA)
+        .parquet(os.path.join(cur, "vecs"))
+        .filter(F.col("dbucket").isin(dbs))
+        .join(a_ids, "doc_id", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    n_batch = batch.count()
+    if present == 0:
+        update_li_index(spark, sf_dir, batch, tag="ing")
+    elif present != n_batch:
+        raise ValueError(
+            f"li ingested root in a mixed state: {present}/{n_batch} of "
+            f"the admit batch indexed"
+        )
     return late_interaction_topk_served(spark, sf_dir, k=k, tag="ing")
 
 

@@ -1553,59 +1553,108 @@ def events_funnel_conversion(
     One row per stage: users reaching it and the total seconds from t1
     (exact integer ns div, tie-free; the view stage anchors at 0).
 
-    Scale shape: the raw scan aggregates per (user, type) FIRST —
-    map-side combined, the only corpus-sized exchange — then every
-    later step (two conditional min-aggregates, two joins, the final
-    three 1-row rollups) runs on the per-user frame, co-partitioned on
-    user_id so AQE coalesces without re-shuffling the fact table.
+    Scale shape (r16, guide §2.4 — remove shuffles outright): ONE scan
+    of the fact table, filtered to the three funnel types, shuffled
+    ONCE on user_id; the three dependent stage minima are unordered
+    per-user window aggregates over that single exchange (t1 feeds the
+    t2 window predicate feeds the t3 one — the sequential dependency
+    that previously forced two event-level joins, each re-scanning and
+    re-shuffling an event slice). The per-user collapse reuses the
+    window partitioning (no second corpus exchange) and the final
+    three-stage rollup is one 1-row aggregate exploded to the three
+    output rows. Exchange count: 2 (was 8, with 3 fact scans).
     Horizon comparisons use ``ts_ns`` (µs-truncated epoch ns, the
     cross-engine contract — see events_time_exprs); a timestamp-typed
     horizon add would round-trip through µs arithmetic identically but
     the integer form keeps the bound exact by construction.
     """
+    from pyspark.sql.window import Window
+
     h_ns = F.lit(int(horizon_hours) * 3600 * 1_000_000_000)
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_ns"
+    w = Window.partitionBy("user_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_ns")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter((F.col("ts_ns") > F.col("t1")) & (F.col("ts_ns") <= F.col("t1") + h_ns))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t2"), F.first("t1").alias("t1"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter((F.col("ts_ns") > F.col("t2")) & (F.col("ts_ns") <= F.col("t2") + h_ns))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t3"), F.first("t1").alias("t1"))
-    )
-
-    def _stage(df: DataFrame, name: str, tcol: "str | None") -> DataFrame:
-        gap = (
-            F.expr(f"({tcol} - t1) div 1000000000")
-            if tcol
-            else F.lit(0).cast("bigint")
+    # t1 = first view; t2 = first click in (t1, t1+h]; t3 = first
+    # purchase in (t2, t2+h] — identical semantics to the former
+    # slice-join-min chain: each min() skips rows where its WHEN guard
+    # is null/false, and a null t1/t2 nulls the dependent stage.
+    staged = (
+        e.withColumn(
+            "t1",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts_ns"))
+            ).over(w),
         )
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("users"),
-            F.coalesce(F.sum(gap), F.lit(0)).cast("bigint").alias(
-                "total_gap_s"
-            ),
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_ns") > F.col("t1"))
+                    & (F.col("ts_ns") <= F.col("t1") + h_ns),
+                    F.col("ts_ns"),
+                )
+            ).over(w),
         )
-
-    return (
-        _stage(v, "1_view", None)
-        .unionByName(_stage(c, "2_click", "t2"))
-        .unionByName(_stage(p, "3_purchase", "t3"))
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_ns") > F.col("t2"))
+                    & (F.col("ts_ns") <= F.col("t2") + h_ns),
+                    F.col("ts_ns"),
+                )
+            ).over(w),
+        )
     )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    # one row with every stage's count and gap-sum, exploded to the
+    # three (stage, users, total_gap_s) rows the contract serves
+    agg = per_user.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.coalesce(
+            F.sum(F.expr("(t2 - t1) div 1000000000")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("g2"),
+        F.count("t3").alias("u3"),
+        F.coalesce(
+            F.sum(F.expr("(t3 - t1) div 1000000000")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("g3"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("u1").alias("users"),
+                    zero.alias("total_gap_s"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("stage"),
+                    F.col("u2").alias("users"),
+                    F.col("g2").alias("total_gap_s"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"),
+                    F.col("u3").alias("users"),
+                    F.col("g3").alias("total_gap_s"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.stage", "r.users", "r.total_gap_s")
 
 
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1623,7 +1672,19 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user-day frame. All-integer day arithmetic via datediff on
     DATE-truncated timestamps (exact cross-engine; no TZ ambiguity —
     the contract TZ is UTC).
+
+    r16 (guide §2.4): the cohort day is attached with an unordered
+    per-user WINDOW min over the per-user-day frame instead of the
+    former groupBy(user) + self-join — the join re-planned the per_day
+    aggregate subtree on both sides (two corpus scans pre-reuse) and
+    cost a cohort-side exchange; the window is one reduced-frame
+    exchange and no join at all. min(day WHERE has_signup) over the
+    user partition is the same cohort day, and users with no signup
+    get a null cohort_day, dropped by the same day ≥ cohort_day filter
+    that the inner join used to enforce.
     """
+    from pyspark.sql.window import Window
+
     e = load_table(spark, sf_dir, "events")
     per_day = (
         e.select(
@@ -1638,13 +1699,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cohort = (
-        per_day.filter(F.col("has_signup") == 1)
-        .groupBy("user_id")
-        .agg(F.min("day").alias("cohort_day"))
+    cohorted = per_day.withColumn(
+        "cohort_day",
+        F.min(F.when(F.col("has_signup") == 1, F.col("day"))).over(
+            Window.partitionBy("user_id")
+        ),
     )
     user_weeks = (
-        per_day.join(cohort, "user_id")
+        cohorted
         .filter(F.col("day") >= F.col("cohort_day"))
         .select(
             F.date_format(
@@ -1678,30 +1740,49 @@ def events_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled ×100 per event before any sum, the tie-free discipline).
     Post-signup purchases only, same Sunday-aligned cohort labels.
 
-    Scale shape: ONE corpus-sized aggregate — the purchase slice
-    reduces per (user, day) map-side (revenue_cents summed where it is
-    narrowest) — then the cohort join and the (cohort, offset) rollup
-    run on the tiny per-user-day frame; the signup-day reduction reuses
-    the same scan shape. No count_distinct, no Expand.
+    Scale shape: ONE corpus-sized aggregate — ONE scan filtered to the
+    two relevant types reduces per (user, day) map-side, carrying both
+    the purchase-cents sum and the signup flag (r16, guide §2.4: the
+    former shape scanned events twice — a signup slice and a purchase
+    slice — and shuffle-joined them; the conditional aggregate + an
+    unordered per-user window min replaces both the second scan and
+    the join, the events_retention_cohorts discipline). Purchase-day
+    rows are identified by a has_pur flag, NOT by cents being non-null,
+    so a day whose purchases all carry null values still groups exactly
+    as the former purchase-slice row did. No count_distinct, no Expand.
     """
+    from pyspark.sql.window import Window
+
     e = load_table(spark, sf_dir, "events")
-    cohort = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
-    )
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
+    per_day = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
         .select(
             "user_id",
             F.to_date("ts").alias("day"),
-            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents0"),
         )
         .groupBy("user_id", "day")
-        .agg(F.sum("cents").alias("cents"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents0"))
+            ).alias("cents"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "has_pur"
+            ),
+            F.max((F.col("event_type") == "signup").cast("int")).alias(
+                "has_signup"
+            ),
+        )
     )
+    purchases = per_day.withColumn(
+        "cohort_day",
+        F.min(F.when(F.col("has_signup") == 1, F.col("day"))).over(
+            Window.partitionBy("user_id")
+        ),
+    ).filter(F.col("has_pur") == 1)
     return (
-        purchases.join(cohort, "user_id")
+        purchases
         .filter(F.col("day") >= F.col("cohort_day"))
         .groupBy(
             F.date_format(

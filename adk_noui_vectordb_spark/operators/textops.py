@@ -1311,26 +1311,46 @@ def _dsir_features(d: DataFrame, carry: "tuple[str, ...]" = ()) -> DataFrame:
     OCCURRENCE of a (doc_id, text[, *carry]) frame; the shared DSIR
     featurizer, so an explicit target corpus counts through the SAME
     arithmetic as the raw corpus (the published recipe's requirement:
-    both LMs live in the same hashed feature space)."""
-    from pyspark.sql.window import Window
+    both LMs live in the same hashed feature space).
 
+    r16 optimization (guide §2.4): bigrams are derived ARRAY-SIDE with
+    ``transform`` over the token array instead of posexplode + a
+    lead() window — the window forced a corpus-wide shuffle + sort by
+    doc_id per featurizer pass (two passes per DSIR run), and the
+    unigram/bigram union doubled the exploded row count crossing it.
+    The array form emits the identical feature multiset (each token,
+    plus each token⌢next pair) from a single narrow projection that
+    stays inside whole-stage codegen: zero exchanges in the featurizer.
+    """
     from .dedup import md5_long
 
-    tok = d.select(
-        "doc_id",
-        *carry,
-        F.posexplode(whitespace_tokens(F.col("text"))).alias("pos", "w"),
+    from ..sources.tables import fan_out
+
+    # Bind the token array ONCE per row before the lambda touches it:
+    # referencing split(text) inside transform's lambda would re-split
+    # the whole text for every element access (quadratic in tokens —
+    # measured 2.5x slower than the window it replaced). With `t` a
+    # materialized column, t[i + 1] is an O(1) array index.
+    # transform's lambda index is 0-based: element x of the first
+    # size-1 tokens paired with its successor t[i+1]. concat_ws(' ')
+    # matches the former lead()-window bigram spelling byte-for-byte.
+    #
+    # fan_out first (guide §2.5 input skew): the corpus parquet scans
+    # as ONE task below a row group, and md5-hashing ~2M exploded
+    # features single-threaded was the measured bottleneck of the whole
+    # DSIR key (the former window shape distributed the bigram branch
+    # only by accident of its shuffle). No-op on a real multi-split
+    # corpus — the minhash-kernel discipline.
+    feats = F.expr(
+        "concat(t, transform(slice(t, 1, size(t) - 1), "
+        "(x, i) -> concat_ws(' ', x, t[i + 1])))"
     )
-    wnd = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.select(
-        "doc_id",
-        *carry,
-        F.concat_ws(" ", F.col("w"), F.lead("w").over(wnd)).alias("feat"),
-        F.lead("w").over(wnd).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull()).select("doc_id", *carry, "feat")
     return (
-        tok.select("doc_id", *carry, F.col("w").alias("feat"))
-        .unionByName(big)
+        fan_out(d)
+        .select(
+            "doc_id", *carry, whitespace_tokens(F.col("text")).alias("t")
+        )
+        .select("doc_id", *carry, F.explode(feats).alias("feat"))
         .select(
             "doc_id",
             *carry,
@@ -1384,26 +1404,71 @@ def dsir_importance_select(
         "doc_id", "lang", "text"
     )
     feats = _dsir_features(d, ("lang",))
-    raw_counts = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr")
-    )
     if target_docs is not None:
-        tgt_feats = _dsir_features(target_docs.select("doc_id", "text"))
+        # explicit curated target: a separate corpus, counted through
+        # the same featurizer, joined raw-anchored as before
+        raw_counts = feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("cr")
+        )
+        tgt_counts = (
+            _dsir_features(target_docs.select("doc_id", "text"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        counts = raw_counts.join(tgt_counts, "bucket", "left").withColumn(
+            "ct", F.coalesce(F.col("ct"), F.lit(0))
+        )
+        # t_tot counts EVERY target feature — including ones hashing to
+        # buckets the raw corpus never populated, which the raw-anchored
+        # left join above drops — so it is summed from the pre-join
+        # target counts (the pre-r16 arithmetic, byte-identical).
+        totals = raw_counts.agg(F.sum("cr").alias("r_tot")).crossJoin(
+            tgt_counts.agg(F.sum("ct").alias("t_tot"))
+        )
     else:
-        tgt_feats = feats.filter(F.col("lang") == target_lang)
-    tgt_counts = tgt_feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
-    totals = raw_counts.agg(
-        F.sum("cr").alias("r_tot")
-    ).crossJoin(tgt_counts.agg(F.sum("ct").alias("t_tot")))
-    # every doc feature's bucket appears in raw_counts by construction,
+        # default target = the lang slice of the SAME corpus: both
+        # per-bucket counts come from ONE conditional aggregate over a
+        # single featurizer pass (guide §2.3/§2.4 — the former shape
+        # ran the featurizer once per count and joined the results;
+        # count(when cond) ≡ counting the filtered slice, and every
+        # target bucket is a raw bucket by construction, so the fused
+        # frame is row-identical to the old raw-anchored left join)
+        from pyspark.sql.window import Window
+
+        # in the fused branch every target feature IS a raw feature, so
+        # both totals are sums over the fused frame itself — attached
+        # with a single-partition window over the ≤8,192 bucket rows
+        # (guide §2.4: a separate .agg() re-planned and re-ran the whole
+        # corpus-count subtree a second time just to produce two
+        # scalars; the window keeps ONE count pass in the plan, and an
+        # 8k-row single-partition exchange is noise)
+        wall = Window.partitionBy()
+        counts = (
+            feats.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("cr"),
+                F.count(
+                    F.when(F.col("lang") == target_lang, 1)
+                ).alias("ct"),
+            )
+            .select(
+                "bucket",
+                "cr",
+                "ct",
+                F.sum("cr").over(wall).alias("r_tot"),
+                F.sum("ct").over(wall).alias("t_tot"),
+            )
+        )
+        totals = None
+    # every doc feature's bucket appears in raw counts by construction,
     # so the ratio table is raw-anchored; absent target buckets smooth
     # to c_t = 0
     lr = (
-        raw_counts.join(tgt_counts, "bucket", "left")
-        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
-        .crossJoin(F.broadcast(totals))
+        counts if totals is None
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    lr = (
+        lr
         .select(
             "bucket",
             F.round(

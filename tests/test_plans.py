@@ -692,9 +692,11 @@ def test_li_where_serve_narrow_meta_and_semi_join(spark, sf_dir):
 
 
 def test_funnel_and_retention_plans_stay_partial_no_expand(spark, sf_dir):
-    """events_funnel_conversion: the conditional stage minima must be
-    map-side combined (partial_min before the user_id exchange) and
-    nothing may degenerate to a cartesian product.
+    """events_funnel_conversion (r16 single-exchange shape): ONE scan
+    of the events parquet, the three dependent stage minima as per-user
+    window aggregates over ONE user_id exchange (no event-level joins,
+    so no second corpus shuffle), and nothing may degenerate to a
+    cartesian product.
     events_retention_cohorts: the distinct-active-users rollup is the
     TWO-STAGE reduction by construction — no Expand node (the
     count_distinct rewrite the docstring forbids) anywhere."""
@@ -703,9 +705,17 @@ def test_funnel_and_retention_plans_stay_partial_no_expand(spark, sf_dir):
         events_retention_cohorts,
     )
 
+    import re
+
     p1 = explain_str(events_funnel_conversion(spark, sf_dir))
-    assert "partial_min" in p1, p1
-    assert "Cartesian" not in p1, p1
+    # formatted plans name each node twice (tree + detail section), so
+    # count the numbered detail headers only
+    assert len(re.findall(r"\(\d+\) Scan parquet", p1)) == 1, p1
+    assert "Window" in p1, p1
+    # the only shuffles are the user_id window partitioning and the
+    # final 1-row rollup — the former 3-scan/3-join shape is gone
+    assert len(re.findall(r"\(\d+\) Exchange", p1)) <= 2, p1
+    assert "SortMergeJoin" not in p1 and "Cartesian" not in p1, p1
     p2 = explain_str(events_retention_cohorts(spark, sf_dir))
     assert "Expand" not in p2, p2
     assert "Cartesian" not in p2, p2

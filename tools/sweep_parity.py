@@ -65,6 +65,16 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # optional key filter (argv[2:]): spot-check just-edited keys without
+    # paying for the full 600 s sweep — the full no-args sweep stays the
+    # round-close gate.
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown keys: {sorted(unknown)}", flush=True)
+            return 1
+        queries = {k: queries[k] for k in only}
     failures = []
     t_all = time.time()
     for key in sorted(queries):
