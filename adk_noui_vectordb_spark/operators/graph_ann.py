@@ -70,6 +70,7 @@ probe in the ANN family.
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 from decimal import ROUND_HALF_UP, Decimal
@@ -181,6 +182,48 @@ GRAPH_COMPONENTS = [
     ("cents", []),
     ("tomb", ["vbucket"]),
 ]
+
+
+def _comp_df(
+    spark: SparkSession, cur: str, comp: str, schema: str
+) -> DataFrame:
+    """Session-memoized DataFrame handle for one component of an
+    IMMUTABLE index version dir (r16, guide §6/§7.3): every serving
+    fetch used to call ``spark.read.schema(...).parquet(path)`` afresh,
+    re-building the datasource relation and re-listing the partition
+    dirs on the DRIVER per point read — measured ~85 ms of each ~215 ms
+    fetch at sf0.1, and at 100 TB the listing grows with the dir count.
+    A version dir never changes after publish (the atomic _CURRENT
+    contract), so the handle is safe to reuse for the session; filters
+    applied per fetch still prune partitions statically. Keyed on the
+    version dir + schema (vecs/ is read under two schemas: with and
+    without the label column)."""
+    from ..memo import session_memo
+
+    return session_memo(
+        spark,
+        cur,
+        "graph_comp_df",
+        lambda: spark.read.schema(schema).parquet(os.path.join(cur, comp)),
+        comp,
+        schema,
+    )
+
+
+@contextlib.contextmanager
+def _point_reads(spark: SparkSession):
+    """AQE off for a block of bounded point-read collects (r16): these
+    are single-stage scan→filter→collect jobs — AQE's per-query adaptive
+    wrapper only adds a driver round-trip to each (measured ~40 ms per
+    fetch at sf0.1), and there is nothing adaptive to decide. The
+    dedup_gate_for prologue established the toggle discipline; results
+    are plan-shape-independent (no exchanges, no joins)."""
+    was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", was)
 
 
 def graph_index_root(
@@ -713,15 +756,14 @@ def _beam_visited(
     )
     if entry is None:
         raise ValueError("graph index has no usable entry hub")
-    vecs_path = os.path.join(cur, "vecs")
-    edges_path = os.path.join(cur, "edges")
+    vecs_df = _comp_df(spark, cur, "vecs", VECS_SCHEMA)
+    edges_df = _comp_df(spark, cur, "edges", GRAPH_EDGES_SCHEMA)
 
     def fetch_vecs(ids) -> dict:
         ids = sorted(ids)
         vbs = sorted({vec_bucket_py(i) for i in ids})
         rows = (
-            spark.read.schema(VECS_SCHEMA)
-            .parquet(vecs_path)
+            vecs_df
             .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
             .select("vec_id", "emb")
             .collect()
@@ -737,49 +779,50 @@ def _beam_visited(
     # never expanded at any beam width); seeding by coarse assignment
     # is the FAISS IVF+HNSW-hybrid answer, and our coarse quantizer IS
     # the index's top layer — multi-cell doors are its nprobe.
-    qv = fetch_vecs({query_vec_id})
-    if query_vec_id not in qv:
-        raise ValueError(f"query vec_id {query_vec_id} not in the index")
-    q = qv[query_vec_id]
-    if not any(x != 0.0 for x in q):
-        raise ValueError("zero-norm query vector: cosine undefined")
-    seeds = [entry] + [
-        h
-        for h in _seed_hubs(spark, cur, q, exclude=query_vec_id)
-        if h != entry
-    ]
-    first = fetch_vecs(set(seeds))
-    visited = {s: _sim4(q, first[s]) for s in set(seeds)}
-    frontier = sorted(visited, key=lambda v: (-visited[v], v))[:beam]
-    for _ in range(rounds):
-        sbs = sorted({vec_bucket_py(i) for i in frontier})
-        nbr_rows = (
-            spark.read.schema(GRAPH_EDGES_SCHEMA)
-            .parquet(edges_path)
-            .filter(
-                F.col("sbucket").isin(sbs) & F.col("src").isin(sorted(frontier))
-            )
-            .select("nbr")
-            .distinct()
-            .collect()
-        )
-        new_ids = (
-            {r["nbr"] for r in nbr_rows} - set(visited) - {query_vec_id}
-        )
-        if not new_ids:
-            # fixed point: visited is unchanged, so the frontier (its
-            # top-beam) cannot change either — every further round
-            # would re-fetch the same adjacency for nothing. Identical
-            # results, fewer point-read jobs on converged searches.
-            break
-        for vid, e in fetch_vecs(new_ids).items():
-            visited[vid] = _sim4(q, e)
-        frontier = [
-            v
-            for v, _s in sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[
-                :beam
-            ]
+    with _point_reads(spark):
+        qv = fetch_vecs({query_vec_id})
+        if query_vec_id not in qv:
+            raise ValueError(f"query vec_id {query_vec_id} not in the index")
+        q = qv[query_vec_id]
+        if not any(x != 0.0 for x in q):
+            raise ValueError("zero-norm query vector: cosine undefined")
+        seeds = [entry] + [
+            h
+            for h in _seed_hubs(spark, cur, q, exclude=query_vec_id)
+            if h != entry
         ]
+        first = fetch_vecs(set(seeds))
+        visited = {s: _sim4(q, first[s]) for s in set(seeds)}
+        frontier = sorted(visited, key=lambda v: (-visited[v], v))[:beam]
+        for _ in range(rounds):
+            sbs = sorted({vec_bucket_py(i) for i in frontier})
+            nbr_rows = (
+                edges_df
+                .filter(
+                    F.col("sbucket").isin(sbs)
+                    & F.col("src").isin(sorted(frontier))
+                )
+                .select("nbr")
+                .distinct()
+                .collect()
+            )
+            new_ids = (
+                {r["nbr"] for r in nbr_rows} - set(visited) - {query_vec_id}
+            )
+            if not new_ids:
+                # fixed point: visited is unchanged, so the frontier (its
+                # top-beam) cannot change either — every further round
+                # would re-fetch the same adjacency for nothing. Identical
+                # results, fewer point-read jobs on converged searches.
+                break
+            for vid, e in fetch_vecs(new_ids).items():
+                visited[vid] = _sim4(q, e)
+            frontier = [
+                v
+                for v, _s in sorted(
+                    visited.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:beam]
+            ]
     return visited
 
 
@@ -880,19 +923,21 @@ def ann_graph_batch_topk(
             .collect()
         ),
     )
-    vecs_path = os.path.join(cur, "vecs")
-    edges_path = os.path.join(cur, "edges")
+    vecs_df = _comp_df(spark, cur, "vecs", VECS_SCHEMA)
+    edges_df = _comp_df(spark, cur, "edges", GRAPH_EDGES_SCHEMA)
 
     def fetch_vecs(ids) -> dict:
         ids = sorted(ids)
         vbs = sorted({vec_bucket_py(i) for i in ids})
-        rows = (
-            spark.read.schema(VECS_SCHEMA)
-            .parquet(vecs_path)
-            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "emb")
-            .collect()
-        )
+        with _point_reads(spark):
+            rows = (
+                vecs_df
+                .filter(
+                    F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids)
+                )
+                .select("vec_id", "emb")
+                .collect()
+            )
         return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
     # one fused vecs fetch for the query embeddings, then pure driver
@@ -930,13 +975,15 @@ def ann_graph_batch_topk(
     for _ in range(rounds):
         all_srcs = sorted({s for qid in qids for s in frontier[qid]})
         sbs = sorted({vec_bucket_py(s) for s in all_srcs})
-        adj_rows = (
-            spark.read.schema(GRAPH_EDGES_SCHEMA)
-            .parquet(edges_path)
-            .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(all_srcs))
-            .select("src", "nbr")
-            .collect()
-        )
+        with _point_reads(spark):
+            adj_rows = (
+                edges_df
+                .filter(
+                    F.col("sbucket").isin(sbs) & F.col("src").isin(all_srcs)
+                )
+                .select("src", "nbr")
+                .collect()
+            )
         adj: dict = {}
         for r in adj_rows:
             adj.setdefault(r["src"], set()).add(r["nbr"])
@@ -1221,13 +1268,13 @@ def _tombstoned_among(spark: SparkSession, cur: str, ids) -> set:
         return set()
     ids = sorted(set(ids))
     vbs = sorted({vec_bucket_py(i) for i in ids})
-    rows = (
-        spark.read.schema(GRAPH_TOMB_SCHEMA)
-        .parquet(tomb_path)
-        .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-        .select("vec_id")
-        .collect()
-    )
+    with _point_reads(spark):
+        rows = (
+            _comp_df(spark, cur, "tomb", GRAPH_TOMB_SCHEMA)
+            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
+            .select("vec_id")
+            .collect()
+        )
     return {r["vec_id"] for r in rows}
 
 
@@ -1555,12 +1602,14 @@ def ann_graph_vacuumed_topk(
     ]
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters, tag)
     vbs = sorted({vec_bucket_py(i) for i in del_ids})
-    present = (
-        spark.read.schema(VECS_SCHEMA)
-        .parquet(os.path.join(cur, "vecs"))
-        .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(del_ids))
-        .count()
-    )
+    with _point_reads(spark):
+        present = (
+            _comp_df(spark, cur, "vecs", VECS_SCHEMA)
+            .filter(
+                F.col("vbucket").isin(vbs) & F.col("vec_id").isin(del_ids)
+            )
+            .count()
+        )
     if present == len(del_ids):
         delete_from_graph_index(
             spark, sf_dir, del_ids, degree, hub_degree, iters, tag
@@ -1681,22 +1730,23 @@ def _beam_visited_acorn(
     )
     if entry is None:
         raise ValueError("graph index has no usable entry hub")
-    edges_path = os.path.join(cur, "edges")
+    edges_df = _comp_df(spark, cur, "edges", GRAPH_EDGES_SCHEMA)
 
     def fetch_nbrs(srcs) -> set:
         if not srcs:
             return set()
         sbs = sorted({vec_bucket_py(i) for i in srcs})
-        rows = (
-            spark.read.schema(GRAPH_EDGES_SCHEMA)
-            .parquet(edges_path)
-            .filter(
-                F.col("sbucket").isin(sbs) & F.col("src").isin(sorted(srcs))
+        with _point_reads(spark):
+            rows = (
+                edges_df
+                .filter(
+                    F.col("sbucket").isin(sbs)
+                    & F.col("src").isin(sorted(srcs))
+                )
+                .select("nbr")
+                .distinct()
+                .collect()
             )
-            .select("nbr")
-            .distinct()
-            .collect()
-        )
         return {r["nbr"] for r in rows}
 
     qv = fetch_scored({query_vec_id})
@@ -1752,13 +1802,13 @@ def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
     streamed insert cannot match a label predicate). The labels/ sidecar
     remains the servability gate and the facade-meta-discipline
     component. Returns (fetch_scored, lazy-want state dict)."""
-    vecs_path = os.path.join(cur, "vecs")
     labels_path = os.path.join(cur, "labels")
     if not os.path.isdir(labels_path):
         raise ValueError(
             "graph index has no labels component (label-less corpus): "
             "the same-label ACORN predicate is unservable"
         )
+    vecs_df = _comp_df(spark, cur, "vecs", GRAPH_VECS_SCHEMA)
     # the query's label resolves LAZILY from the kernel's first fetch
     # (which is always fetch_scored({query_vec_id})) — no separate
     # point-read job for it
@@ -1769,14 +1819,16 @@ def _index_scored_fetcher(spark: SparkSession, cur: str, query_vec_id: int):
         if not ids:
             return {}
         vbs = sorted({vec_bucket_py(i) for i in ids})
-        got = {
-            r["vec_id"]: ([float(x) for x in r["emb"]], r["label"])
-            for r in spark.read.schema(GRAPH_VECS_SCHEMA)
-            .parquet(vecs_path)
-            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "emb", "label")
-            .collect()
-        }
+        with _point_reads(spark):
+            got = {
+                r["vec_id"]: ([float(x) for x in r["emb"]], r["label"])
+                for r in vecs_df
+                .filter(
+                    F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids)
+                )
+                .select("vec_id", "emb", "label")
+                .collect()
+            }
         if state["want"] is None:
             if query_vec_id not in got:
                 raise ValueError(
@@ -1866,14 +1918,14 @@ def ann_graph_acorn_batch_topk(
             .collect()
         ),
     )
-    edges_path = os.path.join(cur, "edges")
-    vecs_path = os.path.join(cur, "vecs")
     labels_path = os.path.join(cur, "labels")
     if not os.path.isdir(labels_path):
         raise ValueError(
             "graph index has no labels component (label-less corpus): "
             "the same-label ACORN predicate is unservable"
         )
+    edges_df = _comp_df(spark, cur, "edges", GRAPH_EDGES_SCHEMA)
+    vecs_df = _comp_df(spark, cur, "vecs", GRAPH_VECS_SCHEMA)
     cache: dict = {}  # id -> (emb, label), shared across queries/rounds
 
     def fetch(ids) -> None:
@@ -1884,13 +1936,16 @@ def ann_graph_acorn_batch_topk(
         if not ids:
             return
         vbs = sorted({vec_bucket_py(i) for i in ids})
-        for r in (
-            spark.read.schema(GRAPH_VECS_SCHEMA)
-            .parquet(vecs_path)
-            .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-            .select("vec_id", "emb", "label")
-            .collect()
-        ):
+        with _point_reads(spark):
+            rows = (
+                vecs_df
+                .filter(
+                    F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids)
+                )
+                .select("vec_id", "emb", "label")
+                .collect()
+            )
+        for r in rows:
             cache[r["vec_id"]] = ([float(x) for x in r["emb"]], r["label"])
 
     def fetch_nbrs(srcs) -> dict:
@@ -1899,13 +1954,14 @@ def ann_graph_acorn_batch_topk(
             return {}
         sbs = sorted({vec_bucket_py(s) for s in srcs})
         adj: dict = {}
-        for r in (
-            spark.read.schema(GRAPH_EDGES_SCHEMA)
-            .parquet(edges_path)
-            .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(srcs))
-            .select("src", "nbr")
-            .collect()
-        ):
+        with _point_reads(spark):
+            rows = (
+                edges_df
+                .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(srcs))
+                .select("src", "nbr")
+                .collect()
+            )
+        for r in rows:
             adj.setdefault(r["src"], set()).add(r["nbr"])
         return adj
 
