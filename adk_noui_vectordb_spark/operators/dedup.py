@@ -1128,18 +1128,33 @@ def dedup_containment_gate_for(
         .parquet(os.path.join(cur, "sizes"))
         .filter(F.col("sbucket").isin(sbs))
     ).select(F.col("doc_id").alias("old_id"), F.col("n").alias("n_old"))
+    # r16 (guide §3.1): every frame on the build side of these joins is
+    # BATCH- or CANDIDATE-bounded by construction (bg = the ingest
+    # batch's gram keys, cand = the prefix-theorem candidate pairs,
+    # bsizes = one row per batch doc, old_sizes = one row per candidate
+    # old doc) — never corpus-sized — so explicit broadcasts are
+    # scale-safe and collapse the serving plan from SMJ exchanges on
+    # every join to one streamed pass over the pruned grams/ scan plus
+    # a single (new_id, old_id) aggregate exchange (14 AQE stage-jobs
+    # -> ~6 measured at sf0.1).
     inter = (
-        bg.select(F.col("doc_id").alias("new_id"), "gk")
-        .join(old_grams, "gk")
-        .join(cand, ["new_id", "old_id"], "leftsemi")
+        old_grams
+        .join(
+            F.broadcast(bg.select(F.col("doc_id").alias("new_id"), "gk")),
+            "gk",
+        )
+        .join(F.broadcast(cand), ["new_id", "old_id"], "leftsemi")
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     scored = (
         inter.join(
-            bsizes.select(F.col("doc_id").alias("new_id"), "n_new"), "new_id"
+            F.broadcast(
+                bsizes.select(F.col("doc_id").alias("new_id"), "n_new")
+            ),
+            "new_id",
         )
-        .join(old_sizes, "old_id")
+        .join(F.broadcast(old_sizes), "old_id")
         .select(
             F.col("new_id").alias("new_doc_id"),
             F.col("old_id").alias("dup_of"),
