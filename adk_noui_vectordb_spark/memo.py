@@ -88,6 +88,32 @@ def session_memo(
     return hit
 
 
+def component_df(spark: SparkSession, ver_dir: str, comp: str, schema: str):
+    """Session-memoized DataFrame handle for one component of an
+    IMMUTABLE index version dir (r16, guide §6/§7.3): serving paths used
+    to rebuild the datasource relation — and re-list the partition dirs
+    on the driver — once per query (~85 ms of a ~215 ms point read at
+    sf0.1, growing with dir count at scale). A published version dir
+    never changes (the atomic ``_CURRENT`` contract), so the handle is
+    reusable for the whole session; per-query ``.filter`` calls on it
+    still prune partitions statically. Keyed on (version dir, component,
+    schema) — the fingerprint part of the memo key walks the version
+    dir, so a same-path rewrite (impossible under the contract, cheap
+    insurance anyway) would miss cleanly."""
+    import os as _os
+
+    return session_memo(
+        spark,
+        ver_dir,
+        "component_df",
+        lambda: spark.read.schema(schema).parquet(
+            _os.path.join(ver_dir, comp)
+        ),
+        comp,
+        schema,
+    )
+
+
 def index_root(name: str, sf_dir: str, *params: Any) -> str:
     """Deterministic on-disk root for a train-once/serve-many index
     (PQ codes, RP-LSH band table, trained-IVF assignment): a tmpdir

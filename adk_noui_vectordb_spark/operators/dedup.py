@@ -1040,16 +1040,20 @@ def dedup_containment_gate_for(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-    post = (
-        spark.read.schema("gk bigint, doc_id bigint, in_prefix boolean, gbucket int")
-        .parquet(os.path.join(cur, "post"))
-        .filter(F.col("gbucket").isin(gbs))
-    )
-    dfs = (
-        spark.read.schema("gk bigint, df bigint, gbucket int")
-        .parquet(os.path.join(cur, "dfs"))
-        .filter(F.col("gbucket").isin(gbs))
-    )
+    # r16: memoized component handles (memo.component_df) — version dirs
+    # are immutable, so the per-gate relation rebuild + partition-dir
+    # listing is paid once per session, not once per query
+    from ..memo import component_df
+
+    post = component_df(
+        spark,
+        cur,
+        "post",
+        "gk bigint, doc_id bigint, in_prefix boolean, gbucket int",
+    ).filter(F.col("gbucket").isin(gbs))
+    dfs = component_df(
+        spark, cur, "dfs", "gk bigint, df bigint, gbucket int"
+    ).filter(F.col("gbucket").isin(gbs))
     bsizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
     wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gk"))
     branked = (
@@ -1119,14 +1123,14 @@ def dedup_containment_gate_for(
         )
 
     old_grams = _restrict(
-        spark.read.schema("doc_id bigint, gk bigint, sbucket int")
-        .parquet(os.path.join(cur, "grams"))
-        .filter(F.col("sbucket").isin(sbs))
+        component_df(
+            spark, cur, "grams", "doc_id bigint, gk bigint, sbucket int"
+        ).filter(F.col("sbucket").isin(sbs))
     ).select(F.col("doc_id").alias("old_id"), "gk")
     old_sizes = _restrict(
-        spark.read.schema("doc_id bigint, n bigint, sbucket int")
-        .parquet(os.path.join(cur, "sizes"))
-        .filter(F.col("sbucket").isin(sbs))
+        component_df(
+            spark, cur, "sizes", "doc_id bigint, n bigint, sbucket int"
+        ).filter(F.col("sbucket").isin(sbs))
     ).select(F.col("doc_id").alias("old_id"), F.col("n").alias("n_old"))
     # r16 (guide §3.1): every frame on the build side of these joins is
     # BATCH- or CANDIDATE-bounded by construction (bg = the ingest
@@ -1229,9 +1233,12 @@ def dedup_containment_gate_ingested(
             doc_bucket_expr(F.col("doc_id")).alias("b")
         ).distinct().collect()
     )
+    from ..memo import component_df
+
     present = (
-        spark.read.schema("doc_id bigint, n bigint, sbucket int")
-        .parquet(os.path.join(cur, "sizes"))
+        component_df(
+            spark, cur, "sizes", "doc_id bigint, n bigint, sbucket int"
+        )
         .filter(F.col("sbucket").isin(sbs))
         .join(a_ids, "doc_id", "leftsemi")
         .count()
@@ -2389,9 +2396,9 @@ def dedup_gate_for(
         return spark.createDataFrame(
             [], "new_doc_id bigint, dup_of bigint, matches bigint, est_sim double"
         )
-    idx_bands = spark.read.schema(MINHASH_BANDS_SCHEMA).parquet(
-        os.path.join(cur, "bands")
-    )
+    from ..memo import component_df
+
+    idx_bands = component_df(spark, cur, "bands", MINHASH_BANDS_SCHEMA)
     # Static pruning pays only while the probe is NARROW: a batch
     # touching few of the 128 (band, kbucket) partitions skips the rest
     # with a literal predicate; a diverse batch covers most partitions,
@@ -2428,9 +2435,7 @@ def dedup_gate_for(
         .select("new_doc_id", F.col("doc_id").alias("dup_of"))
         .distinct()
     )
-    idx_sigs = spark.read.schema(MINHASH_SIGS_SCHEMA).parquet(
-        os.path.join(cur, "sigs")
-    )
+    idx_sigs = component_df(spark, cur, "sigs", MINHASH_SIGS_SCHEMA)
     l = batch_wide.select(
         F.col("doc_id").alias("new_doc_id"),
         *[F.col(f"m{i}").alias(f"l{i}") for i in range(NUM_HASHES)],

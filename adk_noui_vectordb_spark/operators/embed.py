@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
 from ..sources.tables import load_table
+from ..memo import component_df
 
 EMBED_DIM = 64
 
@@ -611,9 +612,10 @@ def _li_served_grouped(
                 }
             tok_pairs.extend((i, b, key) for key in sorted(keys))
     distinct_pairs = sorted({(b, key) for _, b, key in tok_pairs})
-    bands = spark.read.schema(LI_BANDS_SCHEMA).parquet(
-        os.path.join(ver, "bands")
-    )
+    # r16: memoized component handle (memo.component_df) — the version
+    # dir is immutable, so the relation rebuild + partition listing is
+    # paid once per session across the served LI keys
+    bands = component_df(spark, ver, "bands", LI_BANDS_SCHEMA)
     probe_pred = reduce(
         or_,
         [
@@ -636,7 +638,7 @@ def _li_served_grouped(
         .join(F.broadcast(tokmap), ["band", "band_key"])
         .select("tok", "vec_id")
     )
-    vecs = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
+    vecs = component_df(spark, ver, "vecs", LI_VECS_SCHEMA)
     if lang is not None:
         # metadata filter served from the index's own vecs/ metadata
         # fold (never the source corpus); the equality pushes down to
@@ -1125,8 +1127,7 @@ def late_interaction_topk_ingested(
         ).distinct().collect()
     )
     present = (
-        spark.read.schema(LI_VECS_SCHEMA)
-        .parquet(os.path.join(cur, "vecs"))
+        component_df(spark, cur, "vecs", LI_VECS_SCHEMA)
         .filter(F.col("dbucket").isin(dbs))
         .join(a_ids, "doc_id", "leftsemi")
         .select("doc_id")
@@ -1213,9 +1214,10 @@ def late_interaction_batch_topk_served(
                 }
             tok_pairs.extend((j, b, key) for key in sorted(keys))
     distinct_pairs = sorted({(b, key) for _, b, key in tok_pairs})
-    bands = spark.read.schema(LI_BANDS_SCHEMA).parquet(
-        os.path.join(ver, "bands")
-    )
+    # r16: memoized component handle (memo.component_df) — the version
+    # dir is immutable, so the relation rebuild + partition listing is
+    # paid once per session across the served LI keys
+    bands = component_df(spark, ver, "bands", LI_BANDS_SCHEMA)
     probe_pred = reduce(
         or_,
         [
@@ -1229,7 +1231,7 @@ def late_interaction_batch_topk_served(
         .join(F.broadcast(tokmap), ["band", "band_key"])
         .select("j", "vec_id")
     )
-    vecs = spark.read.schema(LI_VECS_SCHEMA).parquet(os.path.join(ver, "vecs"))
+    vecs = component_df(spark, ver, "vecs", LI_VECS_SCHEMA)
     joined = vecs.join(cand, "vec_id")
     permax = (
         joined.select(
