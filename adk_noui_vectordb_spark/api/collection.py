@@ -560,33 +560,43 @@ class Collection:
         structure (memoized collects), ranks each query's
         GRAPH_SEED_CELLS nearest cells driver-side and takes their hubs
         as seed doors (zero per-query jobs — cellhubs/ is collected
-        once per version), and returns (fetch_vecs, fetch_adj, visited)
+        once per version), and returns (fetch_vecs, fetch_adj,
+        payload, visited)
         — visited pre-seeded with each query's scored seeds (md5-min
         entry hub + its seed-cell hubs, NO self-exclusion: a stored
         vector identical to a query surfaces at distance 0, Chroma
         semantics)."""
-        from ..memo import session_memo
+        from ..memo import component_df, session_memo
         from ..operators.ann import VECS_SCHEMA as GV_SCHEMA
         from ..operators.ann import vec_bucket_py
         from ..operators.graph_ann import (
             GRAPH_EDGES_SCHEMA,
             GRAPH_ENTRY_SCHEMA,
+            _point_reads,
             _seed_hubs,
             _sim4,
         )
 
-        vecs_path = os.path.join(gver, "vecs")
+        # session-memoized handles for the immutable graph version's
+        # components + scoped-AQE point reads — the graph_ann.py r16
+        # serving discipline applied to the facade's fetchers (each
+        # fetch used to rebuild the datasource relation and pay AQE's
+        # wrapper on a single-stage collect)
+        vecs_df = component_df(self.spark, gver, "vecs", GV_SCHEMA)
+        edges_df = component_df(self.spark, gver, "edges", GRAPH_EDGES_SCHEMA)
 
         def fetch_vecs(ids) -> dict:
             ids = sorted(ids)
             vbs = sorted({vec_bucket_py(i) for i in ids})
-            rows = (
-                self.spark.read.schema(GV_SCHEMA)
-                .parquet(vecs_path)
-                .filter(F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids))
-                .select("vec_id", "emb")
-                .collect()
-            )
+            with _point_reads(self.spark):
+                rows = (
+                    vecs_df
+                    .filter(
+                        F.col("vbucket").isin(vbs) & F.col("vec_id").isin(ids)
+                    )
+                    .select("vec_id", "emb")
+                    .collect()
+                )
             return {r["vec_id"]: [float(x) for x in r["emb"]] for r in rows}
 
         # entry/ is a tiny table in an immutable graph version — one
@@ -617,10 +627,15 @@ class Collection:
             {s: _sim4(q, first[s]) for s in seeds if s in first}
             for q, seeds in zip(qvecs, seeds_per_q)
         ]
-        edges_path = os.path.join(gver, "edges")
+        # shared payload cache filled by fetch_adj from the edge rows'
+        # neighbor embeddings (r17 GRAPH_EDGES_SCHEMA): the beams read
+        # candidate vectors from here instead of a second vecs fetch
+        payload: dict = {}
 
         def fetch_adj(srcs) -> dict:
-            """One fused edges point-read: {src: {nbr, ...}}. NO
+            """One fused edges point-read: {src: {nbr, ...}}, and the
+            neighbors' embeddings land in ``payload`` from the same
+            rows (r17 — the per-round vecs fetch is gone). NO
             per-source expansion cap — a sim-ranked cap was measured to
             sever hub star-doors into interleaved sub-clusters
             (graph_ann.py module doc); volume is already bounded by the
@@ -630,32 +645,40 @@ class Collection:
                 return {}
             sbs = sorted({vec_bucket_py(s) for s in srcs})
             adj: dict = {}
-            for r in (
-                self.spark.read.schema(GRAPH_EDGES_SCHEMA)
-                .parquet(edges_path)
-                .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(srcs))
-                .select("src", "nbr")
-                .collect()
-            ):
+            with _point_reads(self.spark):
+                rows = (
+                    edges_df
+                    .filter(
+                        F.col("sbucket").isin(sbs) & F.col("src").isin(srcs)
+                    )
+                    .select("src", "nbr", "nemb")
+                    .collect()
+                )
+            for r in rows:
                 adj.setdefault(r["src"], set()).add(r["nbr"])
+                if r["nbr"] not in payload and r["nemb"] is not None:
+                    payload[r["nbr"]] = [float(x) for x in r["nemb"]]
             return adj
 
-        return fetch_vecs, fetch_adj, visited
+        return fetch_vecs, fetch_adj, payload, visited
 
     def _graph_beam_batch(
         self, gver: str, qvecs: list, beam: int, rounds: int
     ) -> list:
         """Beam searches for M RAW query vectors with FUSED IO (the
-        ann_graph_batch_topk discipline): each round issues one edges
-        point-read for the union of all frontiers plus one vecs fetch
-        for the union of unseen candidates (prologue jobs:
+        ann_graph_batch_topk discipline): each round issues ONE
+        payload-carrying edges point-read for the union of all
+        frontiers (r17: candidate embeddings ride the edge rows, so
+        the per-round vecs fetch is gone; prologue jobs:
         ``_graph_batch_state``). Per-query visited state is untouched,
         so each query's evolution equals its solo run
         (ann_graph_batch_topk's pinned property). Returns one
         {sid: 4-dp sim} per query, in input order."""
         from ..operators.graph_ann import _sim4
 
-        fetch_vecs, fetch_adj, visited = self._graph_batch_state(gver, qvecs)
+        fetch_vecs, fetch_adj, payload, visited = self._graph_batch_state(
+            gver, qvecs
+        )
         frontier = [
             sorted(v, key=lambda x: (-v[x], x))[:beam] for v in visited
         ]
@@ -672,11 +695,10 @@ class Collection:
             need = set().union(*new_per_q) if new_per_q else set()
             if not need:
                 break  # every query at its fixed point
-            vm = fetch_vecs(need)
             for qi, q in enumerate(qvecs):
                 for vid in new_per_q[qi]:
-                    if vid in vm:
-                        visited[qi][vid] = _sim4(q, vm[vid])
+                    if vid in payload:
+                        visited[qi][vid] = _sim4(q, payload[vid])
                 frontier[qi] = sorted(
                     visited[qi], key=lambda x: (-visited[qi][x], x)
                 )[:beam]
@@ -692,14 +714,17 @@ class Collection:
         passing are scarce), and hop-1's failing members get their own
         neighbors expanded (hop 2) — so a selective ``where`` keeps
         recall instead of thinning an oblivious pool (BASELINE.md r12b:
-        0.15 at 10% selectivity). Per round: two fused edges
-        point-reads (frontiers; failing hop-1), one fused pass lookup
-        on the filtered meta (mbucket-pruned), one fused vecs fetch —
-        ~2× the blind beam's IO, the documented opt-in cost. Returns
+        0.15 at 10% selectivity). Per round: two fused payload-carrying
+        edges point-reads (frontiers; failing hop-1) plus two fused
+        pass lookups on the filtered meta (mbucket-pruned) — the
+        per-round vecs fetch rides the edge rows since r17. ~2× the
+        blind beam's IO, the documented opt-in cost. Returns
         (visited list, passing sid set)."""
         from ..operators.graph_ann import _sim4
 
-        fetch_vecs, fetch_adj, visited = self._graph_batch_state(gver, qvecs)
+        fetch_vecs, fetch_adj, payload, visited = self._graph_batch_state(
+            gver, qvecs
+        )
         passing: set = set(pass_of({s for v in visited for s in v}))
         for _ in range(rounds):
             frontier = [
@@ -742,11 +767,10 @@ class Collection:
             need = need1 | need2
             if not need:
                 break
-            vm = fetch_vecs(need)
             for qi, q in enumerate(qvecs):
                 for vid in new1_per_q[qi] | new2_per_q[qi]:
-                    if vid in vm:
-                        visited[qi][vid] = _sim4(q, vm[vid])
+                    if vid in payload:
+                        visited[qi][vid] = _sim4(q, payload[vid])
         return visited, passing
 
     def _band_rows_for(self, e: DataFrame, dim: int) -> DataFrame:

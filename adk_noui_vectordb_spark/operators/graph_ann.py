@@ -150,7 +150,22 @@ GRAPH_HUB_ALLPAIRS_MAX = 4096
 # would stall the recursion at c <= 8 instead of converging to the
 # all-pairs-small top.
 GRAPH_HUB_RECURSE_MIN_CELLS = 2
-GRAPH_EDGES_SCHEMA = "src bigint, nbr bigint, sim double, sbucket int"
+# r17 (VERDICT r16 next #2): edge rows CARRY the neighbor's payload —
+# its embedding and (nullable) label — so a beam round's adjacency
+# fetch IS its vector/predicate fetch: ONE partition-pruned point read
+# per round instead of two (guide §2.4 fewer passes, §6 co-location;
+# HNSW's trade of storage for lookups, denormalized on disk because the
+# serving cost model is per-JOB round-trips, not RAM hops). vecs/ stays
+# the store of record; nemb/nlabel are frozen copies, safe because ids
+# are never updated in place (insert is ADD-only, delete is tombstone,
+# vacuum/rebuild re-derive every edge). Storage cost: ~out-degree
+# copies of each vector in edges/ — the documented price; serving jobs
+# per query drop from 2 + 2·rounds to 2 + rounds (the ACORN walk from
+# 2 + 4·rounds to 2 + 2·rounds).
+GRAPH_EDGES_SCHEMA = (
+    "src bigint, nbr bigint, sim double, nemb array<double>, "
+    "nlabel int, sbucket int"
+)
 GRAPH_ENTRY_SCHEMA = "rk int, vec_id bigint"
 GRAPH_HUBMAP_SCHEMA = "vec_id bigint, hub bigint, vbucket int"
 GRAPH_CELLHUBS_SCHEMA = "cluster int, hub bigint"
@@ -258,6 +273,10 @@ def graph_index_root(
         # (GRAPH_VECS_SCHEMA) — pre-r15 versions' vecs files lack the
         # column and would serve null labels, so they must not resolve
         "lv", 1,
+        # r17 layout token: edges carry the neighbor payload
+        # (GRAPH_EDGES_SCHEMA nemb/nlabel) — pre-r17 versions' edge
+        # files lack the columns and would serve null payloads
+        "ne", 1,
     )
 
 
@@ -516,6 +535,31 @@ def build_graph_index(
         fwd.unionByName(rev)
         .distinct()
         .withColumn("sbucket", vec_bucket_expr(F.col("src")))
+    )
+    # attach the neighbor payload (GRAPH_EDGES_SCHEMA doc): emb from the
+    # same vecs store serving reads, label (nullable) from the corpus —
+    # LEFT join so a hypothetically dangling edge keeps its row with a
+    # null payload (serving skips it, exactly like the old two-fetch
+    # shape, where a dangling nbr simply fetched no vector)
+    if "label" in emb_t.columns:
+        npay = vecs.select(
+            F.col("vec_id").alias("nbr"), F.col("emb").alias("nemb")
+        ).join(
+            emb_t.select(
+                F.col("vec_id").alias("nbr"),
+                F.col("label").cast("int").alias("nlabel"),
+            ),
+            "nbr",
+            "left",
+        )
+    else:
+        npay = vecs.select(
+            F.col("vec_id").alias("nbr"),
+            F.col("emb").alias("nemb"),
+            F.lit(None).cast("int").alias("nlabel"),
+        )
+    edges = edges.join(npay, "nbr", "left").select(
+        "src", "nbr", "sim", "nemb", "nlabel", "sbucket"
     )
     entry = (
         hv.select("vec_id", md.alias("md"))
@@ -795,6 +839,10 @@ def _beam_visited(
         visited = {s: _sim4(q, first[s]) for s in set(seeds)}
         frontier = sorted(visited, key=lambda v: (-visited[v], v))[:beam]
         for _ in range(rounds):
+            # ONE fused point read per round (GRAPH_EDGES_SCHEMA doc):
+            # the edge rows carry the neighbor's embedding, so the
+            # adjacency fetch IS the vector fetch — was two sequential
+            # jobs (edges, then vecs of the unseen ids)
             sbs = sorted({vec_bucket_py(i) for i in frontier})
             nbr_rows = (
                 edges_df
@@ -802,8 +850,7 @@ def _beam_visited(
                     F.col("sbucket").isin(sbs)
                     & F.col("src").isin(sorted(frontier))
                 )
-                .select("nbr")
-                .distinct()
+                .select("nbr", "nemb")
                 .collect()
             )
             new_ids = (
@@ -815,8 +862,10 @@ def _beam_visited(
                 # would re-fetch the same adjacency for nothing. Identical
                 # results, fewer point-read jobs on converged searches.
                 break
-            for vid, e in fetch_vecs(new_ids).items():
-                visited[vid] = _sim4(q, e)
+            for r in nbr_rows:
+                vid = r["nbr"]
+                if vid in new_ids and vid not in visited and r["nemb"] is not None:
+                    visited[vid] = _sim4(q, [float(x) for x in r["nemb"]])
             frontier = [
                 v
                 for v, _s in sorted(
@@ -899,8 +948,9 @@ def ann_graph_batch_topk(
     iters: int = 2,
 ) -> DataFrame:
     """Batched graph serving: M beam searches with FUSED probes — per
-    round, ONE edges point-read for the union of all queries' frontiers
-    and ONE vecs fetch for the union of their unseen candidates (the
+    round, ONE payload-carrying edges point-read for the union of all
+    queries' frontiers (r17: the edge rows carry the neighbor
+    embeddings, so there is no second vecs fetch; the
     ann_rp_lsh_batch_topk discipline: the reference loops
     collection.query per query; the index-served shape probes once).
     Each query's visited-set evolution is IDENTICAL to its solo
@@ -973,6 +1023,9 @@ def ann_graph_batch_topk(
         for qid in qids
     }
     for _ in range(rounds):
+        # ONE fused point read per round across all queries: the edge
+        # rows carry the neighbor embedding (GRAPH_EDGES_SCHEMA doc), so
+        # the union-of-frontiers adjacency fetch is also the vecs fetch
         all_srcs = sorted({s for qid in qids for s in frontier[qid]})
         sbs = sorted({vec_bucket_py(s) for s in all_srcs})
         with _point_reads(spark):
@@ -981,12 +1034,15 @@ def ann_graph_batch_topk(
                 .filter(
                     F.col("sbucket").isin(sbs) & F.col("src").isin(all_srcs)
                 )
-                .select("src", "nbr")
+                .select("src", "nbr", "nemb")
                 .collect()
             )
         adj: dict = {}
+        vm: dict = {}
         for r in adj_rows:
             adj.setdefault(r["src"], set()).add(r["nbr"])
+            if r["nbr"] not in vm and r["nemb"] is not None:
+                vm[r["nbr"]] = [float(x) for x in r["nemb"]]
         new_per_q = {
             qid: (
                 {n for s in frontier[qid] for n in adj.get(s, ())}
@@ -998,7 +1054,6 @@ def ann_graph_batch_topk(
         need = set().union(*new_per_q.values()) if qids else set()
         if not need:
             break  # every query hit its fixed point (the solo early-exit)
-        vm = fetch_vecs(need)
         for qid in qids:
             for vid in new_per_q[qid]:
                 if vid in vm:
@@ -1208,6 +1263,39 @@ def update_graph_index(
         new_vecs_rows = batch.select(
             vec_bucket_expr(F.col("vec_id")).alias("vbucket"), "vec_id", "emb"
         )
+    # neighbor payload on the appended edge rows (GRAPH_EDGES_SCHEMA
+    # doc): emb from existing vecs ∪ the batch, label matching what the
+    # committed vecs/ says for that id (existing labels are frozen —
+    # ADD-only inserts and tombstone deletes never change a stored
+    # label, so the copy cannot go stale)
+    if has_labels:
+        ex_pay = (
+            spark.read.schema(GRAPH_VECS_SCHEMA)
+            .parquet(os.path.join(cur, "vecs"))
+            .select("vec_id", "emb", "label")
+        )
+        if "label" in new_vecs.columns:
+            b_pay = batch.join(batch_lab, "vec_id", "left").select(
+                "vec_id", "emb", "label"
+            )
+        else:
+            b_pay = batch.select(
+                "vec_id", "emb", F.lit(None).cast("int").alias("label")
+            )
+        pay = ex_pay.unionByName(b_pay)
+    else:
+        pay = all_vecs.select(
+            "vec_id", "emb", F.lit(None).cast("int").alias("label")
+        )
+    new_edges = new_edges.join(
+        pay.select(
+            F.col("vec_id").alias("nbr"),
+            F.col("emb").alias("nemb"),
+            F.col("label").alias("nlabel"),
+        ),
+        "nbr",
+        "left",
+    ).select("src", "nbr", "sim", "nemb", "nlabel", "sbucket")
     components = [
         vn.Component("edges", ("sbucket",), frozenset(), (new_edges,)),
         vn.Component("entry", link_from=os.path.join(cur, "entry")),
@@ -1685,6 +1773,7 @@ def _beam_visited_acorn(
     beam: int,
     rounds: int,
     fetch_scored,
+    want_state: dict,
 ) -> "tuple[dict, set]":
     """ACORN-style predicate-aware beam (VERDICT r12 next #4, after
     ACORN, SIGMOD'24): the emission-filtered blind beam collapses on
@@ -1700,12 +1789,15 @@ def _beam_visited_acorn(
       of hop-1's FAILING members (hop 2 — ACORN-1's
       neighbors-of-neighbors rule, which restores the reachability the
       induced subgraph loses when a bridge fails the predicate);
-    - the predicate rides the vector fetch: ``fetch_scored(ids) ->
-      {id: (emb, passes)}`` resolves embedding AND predicate in ONE
-      bounded point read (r13 bench: a separate pass lookup per hop
-      made this the family's priciest key — fused, each round is two
-      edges reads + two scored fetches), the traversal's structure
-      (edges, sims, tie-breaks) stays untouched.
+    - the predicate rides the edge rows: hop candidates arrive with
+      their embedding AND label on the adjacency read itself
+      (GRAPH_EDGES_SCHEMA nemb/nlabel, r17), so each round is TWO
+      fused point reads (hop-1 edges, hop-2 edges) — r13 had six
+      (separate pass lookups), r16 four (scored fetch per hop).
+      ``fetch_scored(ids) -> {id: (emb, passes)}`` still resolves the
+      query and seed rows (and the query's own label, the lazy-want
+      contract); the traversal's structure (edges, sims, tie-breaks)
+      stays untouched.
 
     Per-round state stays bounded: ≤ beam + beam·degree expansion
     sources, ≤ beam·degree² new candidates — corpus-size-independent
@@ -1732,9 +1824,15 @@ def _beam_visited_acorn(
         raise ValueError("graph index has no usable entry hub")
     edges_df = _comp_df(spark, cur, "edges", GRAPH_EDGES_SCHEMA)
 
-    def fetch_nbrs(srcs) -> set:
+    def fetch_nbr_scored(srcs) -> dict:
+        """{nbr: (emb, label)} over the srcs' out-edges — ONE fused
+        adjacency+payload+predicate point read (r17: the edge rows
+        carry the neighbor's embedding and label, GRAPH_EDGES_SCHEMA
+        doc); was an edges read followed by a scored vecs fetch. A
+        null-payload (dangling) edge drops out exactly like the old
+        vecs fetch returned nothing for it."""
         if not srcs:
-            return set()
+            return {}
         sbs = sorted({vec_bucket_py(i) for i in srcs})
         with _point_reads(spark):
             rows = (
@@ -1743,11 +1841,16 @@ def _beam_visited_acorn(
                     F.col("sbucket").isin(sbs)
                     & F.col("src").isin(sorted(srcs))
                 )
-                .select("nbr")
-                .distinct()
+                .select("nbr", "nemb", "nlabel")
                 .collect()
             )
-        return {r["nbr"] for r in rows}
+        out: dict = {}
+        for r in rows:
+            if r["nbr"] not in out and r["nemb"] is not None:
+                out[r["nbr"]] = (
+                    [float(x) for x in r["nemb"]], r["nlabel"]
+                )
+        return out
 
     qv = fetch_scored({query_vec_id})
     if query_vec_id not in qv:
@@ -1755,6 +1858,10 @@ def _beam_visited_acorn(
     q = qv[query_vec_id][0]
     if not any(x != 0.0 for x in q):
         raise ValueError("zero-norm query vector: cosine undefined")
+    # the query's own label — resolved by the first fetch_scored call
+    # (the _index_scored_fetcher lazy-want contract); edge-carried
+    # labels below apply the same pass rule (null never passes)
+    want = want_state["want"]
     # same multi-cell doors as the blind kernel (module constants doc);
     # the predicate-aware frontier rule below is unchanged
     seeds = [entry] + [
@@ -1770,18 +1877,24 @@ def _beam_visited_acorn(
             visited, key=lambda v: (v not in passing, -visited[v], v)
         )
         frontier = ranked[:beam]
-        nbrs1 = fetch_nbrs(frontier)
-        new1 = nbrs1 - {query_vec_id} - set(visited)
-        got1 = fetch_scored(new1) if new1 else {}
+        pay1 = fetch_nbr_scored(frontier)
+        new1 = set(pay1) - {query_vec_id} - set(visited)
+        got1 = {
+            i: (pay1[i][0], pay1[i][1] is not None and pay1[i][1] == want)
+            for i in new1
+        }
         # hop 2 through hop-1's FAILING members (new this round — an
         # already-visited failing node either was a frontier once or
         # will be via the fill rule). Only FETCHED ids can fail: an
         # edge pointing at a missing vector (impossible on an fsck'd
         # index) drops out here exactly like the oracle's join drops it
         fail1 = {i for i, (_e, ok) in got1.items() if not ok}
-        nbrs2 = fetch_nbrs(fail1)
-        new2 = nbrs2 - set(visited) - new1 - {query_vec_id}
-        got2 = fetch_scored(new2) if new2 else {}
+        pay2 = fetch_nbr_scored(fail1)
+        new2 = set(pay2) - set(visited) - new1 - {query_vec_id}
+        got2 = {
+            i: (pay2[i][0], pay2[i][1] is not None and pay2[i][1] == want)
+            for i in new2
+        }
         if not new1 and not new2:
             break
         for vid, (e, ok) in {**got1, **got2}.items():
@@ -1866,9 +1979,9 @@ def ann_graph_acorn_topk(
     thinning the pool. The default filtered key is untouched (the r11
     opt-in lesson)."""
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
-    fetch_scored, _state = _index_scored_fetcher(spark, cur, query_vec_id)
+    fetch_scored, state = _index_scored_fetcher(spark, cur, query_vec_id)
     visited, passing = _beam_visited_acorn(
-        spark, cur, query_vec_id, beam, rounds, fetch_scored
+        spark, cur, query_vec_id, beam, rounds, fetch_scored, state
     )
     top = [
         (vid, s)
@@ -1894,10 +2007,11 @@ def ann_graph_acorn_batch_topk(
 ) -> DataFrame:
     """Batched ACORN serving — M predicate-aware beams with FUSED IO
     (the ann_graph_batch_topk discipline applied to the acorn loop):
-    per round, ONE edges read for the union of frontiers, ONE scored
-    fetch (vector + label) for the union of hop-1 candidates, ONE
-    edges read for the union of failing members, ONE scored fetch for
-    hop-2. The predicate is per-query (same-label-as-THAT-query), so
+    per round, ONE payload-carrying edges read for the union of
+    frontiers and ONE for the union of failing hop-1 members (r17: the
+    edge rows carry neighbor embedding + label, so the two per-hop
+    scored vecs fetches are gone). The predicate is per-query
+    (same-label-as-THAT-query), so
     pass sets are per-query over the SHARED label cache; per-query
     visited/passing evolution is identical to the solo
     ``ann_graph_acorn_topk`` run (batch == solo, pinned; the solo
@@ -1949,6 +2063,10 @@ def ann_graph_acorn_batch_topk(
             cache[r["vec_id"]] = ([float(x) for x in r["emb"]], r["label"])
 
     def fetch_nbrs(srcs) -> dict:
+        """Fused adjacency + payload read (r17): one pruned edges scan
+        returns the neighbor set AND fills the shared (emb, label)
+        cache from the edge-carried payload — the per-hop vecs fetch
+        is gone (GRAPH_EDGES_SCHEMA doc)."""
         srcs = sorted(srcs)
         if not srcs:
             return {}
@@ -1958,11 +2076,15 @@ def ann_graph_acorn_batch_topk(
             rows = (
                 edges_df
                 .filter(F.col("sbucket").isin(sbs) & F.col("src").isin(srcs))
-                .select("src", "nbr")
+                .select("src", "nbr", "nemb", "nlabel")
                 .collect()
             )
         for r in rows:
             adj.setdefault(r["src"], set()).add(r["nbr"])
+            if r["nbr"] not in cache and r["nemb"] is not None:
+                cache[r["nbr"]] = (
+                    [float(x) for x in r["nemb"]], r["nlabel"]
+                )
         return adj
 
     # one fused fetch for the query rows, then driver-math seed doors
@@ -2005,6 +2127,9 @@ def ann_graph_acorn_batch_topk(
             )[:beam]
             for qid in qids
         }
+        # two fused point reads per round (hop-1 edges, hop-2 edges) —
+        # the edge payload fills the cache, so the old per-hop fetch()
+        # vecs jobs are gone (r16: four jobs/round, r17: two)
         adj = fetch_nbrs({s for qid in qids for s in frontier[qid]})
         new1 = {
             qid: {n for s in frontier[qid] for n in adj.get(s, ())}
@@ -2012,7 +2137,6 @@ def ann_graph_acorn_batch_topk(
             - {qid}
             for qid in qids
         }
-        fetch(set().union(*new1.values()))
         fail1 = {
             qid: {i for i in new1[qid] if i in cache and cache[i][1] != want[qid]}
             for qid in qids
@@ -2025,7 +2149,6 @@ def ann_graph_acorn_batch_topk(
             - {qid}
             for qid in qids
         }
-        fetch(set().union(*new2.values()))
         if not any(new1[qid] | new2[qid] for qid in qids):
             break
         for qid in qids:
