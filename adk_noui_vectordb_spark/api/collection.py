@@ -566,7 +566,7 @@ class Collection:
         entry hub + its seed-cell hubs, NO self-exclusion: a stored
         vector identical to a query surfaces at distance 0, Chroma
         semantics)."""
-        from ..memo import component_df, session_memo
+        from ..memo import component_df, version_memo
         from ..operators.ann import VECS_SCHEMA as GV_SCHEMA
         from ..operators.ann import vec_bucket_py
         from ..operators.graph_ann import (
@@ -601,7 +601,7 @@ class Collection:
 
         # entry/ is a tiny table in an immutable graph version — one
         # collect per (session, version), not one job per query
-        entry = session_memo(
+        entry = version_memo(
             self.spark,
             gver,
             "coll_graph_entry",
@@ -1988,9 +1988,9 @@ class Collection:
                 # the oracle-pinned driver keys pass one, so their
                 # executed plan never depends on a cardinality count.
                 if has_filter:
-                    from ..memo import session_memo
+                    from ..memo import version_memo
 
-                    n_total = session_memo(
+                    n_total = version_memo(
                         self.spark,
                         cur,
                         "coll_meta_total_rows",

@@ -88,6 +88,52 @@ def session_memo(
     return hit
 
 
+# Version-dir memo (r17, ADVICE r16): entries keyed on the version-dir
+# PATH with NO fingerprint walk. A published version dir is immutable
+# (the atomic ``_CURRENT`` contract: lifecycles only ever publish NEW
+# dirs and swing the pointer), so re-os.walk()ing it per lookup — the
+# session_memo discipline for REGENERATABLE testdata dirs — priced every
+# point read at one full directory listing, partially undoing the
+# listing-avoidance the handle memo exists for. Separate from _MEMO so
+# cheap lazy handles can never FIFO-evict expensive built frames
+# (minhash/simhash/band signatures); LRU because ingest lifecycles mint
+# new version dirs all session long.
+VERSION_MEMO_MAX = 256
+_VERSION_MEMO: "dict[tuple, Any]" = {}
+
+
+def version_memo(
+    spark: SparkSession,
+    ver_dir: str,
+    name: str,
+    build: Callable[[], Any],
+    *extra: Any,
+) -> Any:
+    """``session_memo`` for IMMUTABLE version dirs: keys on
+    (applicationId, path, name, *extra) without fingerprinting the dir.
+    Only pass dirs published by ``versioning.commit_version`` (or a
+    content-addressed ``index_root`` scratch) — never a path whose
+    contents can be rewritten in place."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(ver_dir),
+        name,
+        *extra,
+    )
+    hit = _VERSION_MEMO.get(key, _MISS)
+    if hit is _MISS:
+        hit = build()
+        while len(_VERSION_MEMO) >= VERSION_MEMO_MAX:
+            _VERSION_MEMO.pop(next(iter(_VERSION_MEMO)))
+        _VERSION_MEMO[key] = hit
+    else:
+        # LRU touch: re-insert at the back so steady-state serving
+        # handles survive a long tail of one-shot lifecycle dirs
+        _VERSION_MEMO.pop(key)
+        _VERSION_MEMO[key] = hit
+    return hit
+
+
 def component_df(spark: SparkSession, ver_dir: str, comp: str, schema: str):
     """Session-memoized DataFrame handle for one component of an
     IMMUTABLE index version dir (r16, guide §6/§7.3): serving paths used
@@ -97,12 +143,11 @@ def component_df(spark: SparkSession, ver_dir: str, comp: str, schema: str):
     never changes (the atomic ``_CURRENT`` contract), so the handle is
     reusable for the whole session; per-query ``.filter`` calls on it
     still prune partitions statically. Keyed on (version dir, component,
-    schema) — the fingerprint part of the memo key walks the version
-    dir, so a same-path rewrite (impossible under the contract, cheap
-    insurance anyway) would miss cleanly."""
+    schema) via ``version_memo`` — no fingerprint walk per lookup
+    (ADVICE r16)."""
     import os as _os
 
-    return session_memo(
+    return version_memo(
         spark,
         ver_dir,
         "component_df",

@@ -212,10 +212,11 @@ def _comp_df(
     contract), so the handle is safe to reuse for the session; filters
     applied per fetch still prune partitions statically. Keyed on the
     version dir + schema (vecs/ is read under two schemas: with and
-    without the label column)."""
-    from ..memo import session_memo
+    without the label column) via ``version_memo`` — no fingerprint
+    walk per lookup (ADVICE r16)."""
+    from ..memo import version_memo
 
-    return session_memo(
+    return version_memo(
         spark,
         cur,
         "graph_comp_df",
@@ -695,9 +696,9 @@ def _graph_coarse_rows(spark: SparkSession, cur: str) -> tuple:
     version — two tiny immutable tables collected once per (session,
     version), the entry-rows memo discipline. The serve-time seed
     resolution is thereafter pure driver math: zero per-query jobs."""
-    from ..memo import session_memo
+    from ..memo import version_memo
 
-    return session_memo(
+    return version_memo(
         spark,
         cur,
         "graph_coarse_rows",
@@ -779,12 +780,12 @@ def _beam_visited(
     semantics: deleted nodes stay navigable so the graph's reachability
     is unharmed; only RESULT emission filters) — so a tombstoned index
     visits the identical set a fresh one does."""
-    from ..memo import session_memo
+    from ..memo import version_memo
 
     # entry/ is two rows in an immutable version dir — collect once per
     # (session, version), not once per query (the _ivf_centroid_rows
-    # memo discipline; the fingerprint key makes a new version miss)
-    entry_rows = session_memo(
+    # memo discipline; version dirs are immutable so the path is the key)
+    entry_rows = version_memo(
         spark,
         cur,
         "graph_entry_rows",
@@ -960,9 +961,9 @@ def ann_graph_batch_topk(
     sim, rank) — top-k per query."""
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
     qids = list(query_vec_ids)
-    from ..memo import session_memo
+    from ..memo import version_memo
 
-    entry_rows = session_memo(
+    entry_rows = version_memo(
         spark,
         cur,
         "graph_entry_rows",
@@ -1804,9 +1805,9 @@ def _beam_visited_acorn(
     like the blind beam, at ~2× its point reads (the documented cost
     of the opt-in). Returns (visited {vec_id: 4-dp sim}, passing ids
     among visited); emission takes top-k of the passing subset."""
-    from ..memo import session_memo
+    from ..memo import version_memo
 
-    entry_rows = session_memo(
+    entry_rows = version_memo(
         spark,
         cur,
         "graph_entry_rows",
@@ -2017,11 +2018,11 @@ def ann_graph_acorn_batch_topk(
     ``ann_graph_acorn_topk`` run (batch == solo, pinned; the solo
     oracle's pass-flagged chain serves per query). Output:
     (query_id, vec_id, sim, rank) — top-k passing per query."""
-    from ..memo import session_memo
+    from ..memo import version_memo
 
     cur = build_graph_index(spark, sf_dir, degree, hub_degree, iters)
     qids = list(query_vec_ids)
-    entry_rows = session_memo(
+    entry_rows = version_memo(
         spark,
         cur,
         "graph_entry_rows",
