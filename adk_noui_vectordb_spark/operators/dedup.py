@@ -1062,39 +1062,47 @@ def dedup_containment_gate_for(
         .withColumn("rn", F.row_number().over(wdoc))
         .join(bsizes, "doc_id")
     )
-    bprefix = branked.filter(
-        F.col("rn") <= ppjoin_prefix_len(F.col("n_new"), threshold)
-    ).select("doc_id", "gk")
-    c1 = bprefix.alias("b").join(
-        post.select("gk", F.col("doc_id").alias("old_id")), "gk"
-    )
-    c2 = bg.alias("b").join(
-        post.filter(F.col("in_prefix")).select(
-            "gk", F.col("doc_id").alias("old_id")
-        ),
+    # r17 (VERDICT r16 next #4): the two PPJoin candidate probes share
+    # ONE pruned post/ read. bprefix ⊆ bg (a doc's prefix keys are a
+    # subset of its keys), so tagging every batch key with its
+    # in-prefix flag lets a single broadcast join evaluate both
+    # directions at once: a post row is a candidate when the BATCH key
+    # is a prefix key (the new ⊂ old probe) OR the stored row itself is
+    # a prefix (the old ⊂ new probe). The candidate pairs are collected
+    # directly — they are broadcast as build sides below anyway, so
+    # driver-side materialization is the same order of memory and saves
+    # the checkpoint job plus the separate old_ids collect (prologue
+    # eager actions after the bg checkpoint: 3 → 2).
+    bkeys = branked.select(
+        F.col("doc_id").alias("new_id"),
         "gk",
+        (
+            F.col("rn") <= ppjoin_prefix_len(F.col("n_new"), threshold)
+        ).alias("bpref"),
     )
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        cand = (
-            c1.select(F.col("b.doc_id").alias("new_id"), "old_id")
-            .unionByName(
-                c2.select(F.col("b.doc_id").alias("new_id"), "old_id")
-            )
+        pair_rows = (
+            post.select("gk", F.col("doc_id").alias("old_id"), "in_prefix")
+            .join(F.broadcast(bkeys), "gk")
+            .filter(F.col("bpref") | F.col("in_prefix"))
+            .select("new_id", "old_id")
             .distinct()
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        old_ids = [
-            r["old_id"] for r in cand.select("old_id").distinct().collect()
-        ]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    old_ids = sorted({r["old_id"] for r in pair_rows})
     if not old_ids:
         return spark.createDataFrame(
             [],
             "new_doc_id bigint, dup_of bigint, cont_new_in_old double,"
             " cont_old_in_new double",
         )
+    cand = spark.createDataFrame(
+        [(r["new_id"], r["old_id"]) for r in pair_rows],
+        "new_id bigint, old_id bigint",
+    )
     import hashlib
 
     from .invindex import N_DOC_BUCKETS
