@@ -42,28 +42,6 @@ def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(DoubleType())
-def _dot_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """BIT-EXACT left-to-right dot product (r17, VERDICT r16 next #5):
-    the einsum kernels above use SIMD/pairwise summation, whose last-ulp
-    drift flips 4-dp rounding on exact .xxxx5 ties — so they cannot
-    replace the Catalyst HOF fold in an ORACLE-CHECKED query. This
-    kernel accumulates column-by-column (``acc += a[:,j] * b[:,j]``):
-    one IEEE multiply then one IEEE add per element in index order,
-    exactly the HOF fold's ``acc + x*y`` sequence (numpy's multiply/add
-    ufuncs do not fuse), vectorized ACROSS rows instead of along the
-    vector. d numpy ops per batch ≈ native speed; bit-identical doubles
-    to functions/vector.py dot_product, proven by
-    tests/test_vector_arrow.py::test_dot_seq_bit_equals_hof_fold."""
-    if len(a) == 0:
-        return pd.Series([], dtype="float64")
-    va, vb = _stack(a), _stack(b)
-    acc = np.zeros(va.shape[0], dtype=np.float64)
-    for j in range(va.shape[1]):
-        acc += va[:, j] * vb[:, j]
-    return pd.Series(acc)
-
-
-@pandas_udf(DoubleType())
 def _l2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     d = _stack(a) - _stack(b)
     return pd.Series(np.sqrt(np.einsum("ij,ij->i", d, d)))
@@ -75,12 +53,6 @@ def cosine_similarity_arrow(a: Column, b: Column) -> Column:
 
 def dot_product_arrow(a: Column, b: Column) -> Column:
     return _dot_udf(a, b)
-
-
-def dot_seq_arrow(a: Column, b: Column) -> Column:
-    """Bit-exact twin of ``functions.vector.dot_product`` (see
-    ``_dot_seq_udf``) — safe in oracle-checked scoring expressions."""
-    return _dot_seq_udf(a, b)
 
 
 def l2_distance_arrow(a: Column, b: Column) -> Column:

@@ -173,6 +173,15 @@ N_VEC_BUCKETS = 32
 # property test).
 RP_BANDS_SCHEMA = "vec_id bigint, band int, band_key int"
 VECS_SCHEMA = "vec_id bigint, emb array<double>, vbucket int"
+
+
+def _pair_eq(pairs):
+    """(band, band_key) OR-probe as ONE parsed expression — the py4j
+    round-trip killer shared by the serving probes and the update
+    paths' rewrite filters (functions/predicates.py doc)."""
+    from ..functions.predicates import pair_eq_any
+
+    return pair_eq_any("band", "band_key", pairs)
 IVF_ASSIGN_SCHEMA = "vec_id bigint, cluster int"
 PQ_CODES_SCHEMA = "vec_id bigint, subspace int, code int, vbucket int"
 
@@ -384,16 +393,7 @@ def update_rp_index(
     # replacements beside their rewritten partition's files).
     band_writes = []
     if rw_pairs:
-        from functools import reduce
-        from operator import or_
-
-        pair_pred = reduce(
-            or_,
-            [
-                (F.col("band") == b) & (F.col("band_key") == k)
-                for b, k in sorted(rw_pairs)
-            ],
-        )
+        pair_pred = _pair_eq(sorted(rw_pairs))
         band_writes.append(
             spark.read.schema(RP_BANDS_SCHEMA)
             .parquet(os.path.join(cur, "bands"))
@@ -572,13 +572,7 @@ def _rp_probe(
             keys |= {int(qkeys[b]) ^ (1 << bit) for bit in range(RP_BAND_BITS)}
         pairs.extend((b, key) for key in sorted(keys))
     bands = spark.read.schema(RP_BANDS_SCHEMA).parquet(os.path.join(ver, "bands"))
-    probe_pred = reduce(
-        or_,
-        [
-            (F.col("band") == b) & (F.col("band_key") == key)
-            for b, key in pairs
-        ],
-    )
+    probe_pred = _pair_eq(pairs)
     cand = (
         bands.filter(probe_pred)
         .filter(F.col("vec_id") != query_vec_id)
@@ -640,16 +634,7 @@ def ann_rp_lsh_batch_topk(
         os.path.join(ver, "bands")
     )
     # partition pruning over the union of probed (band, band_key) pairs
-    from functools import reduce
-    from operator import or_
-
-    union_pred = reduce(
-        or_,
-        [
-            (F.col("band") == b) & (F.col("band_key") == key)
-            for b, key in sorted({(b, key) for _q, b, key in probe_rows})
-        ],
-    )
+    union_pred = _pair_eq(sorted({(b, key) for _q, b, key in probe_rows}))
     cand = (
         bands.filter(union_pred)
         .join(F.broadcast(probes), ["band", "band_key"])
@@ -2544,7 +2529,6 @@ def knn_join_topk(
     from pyspark.sql.window import Window
 
     from ..functions.vector import dot_product
-    from ..functions.vector_arrow import dot_seq_arrow
 
     # FULLY index-served (ADVICE r9, medium): candidates AND scoring
     # vectors come from the SAME resolved index version — bands/ for the
@@ -2594,15 +2578,17 @@ def knn_join_topk(
         F.col("e").alias("ne"),
         F.col("nrm").alias("nnrm"),
     )
-    # r17 (guide §4.2, VERDICT r16 next #5): the candidate-pair dot is
-    # the bench's largest single CPU kernel (~1.3M pairs × d interpreted
-    # HOF lambda calls; the only scaling-positive keys in the r16 CPU
-    # sweep). The Arrow kernel accumulates in the HOF fold's exact IEEE
-    # order (see functions/vector_arrow.dot_seq_arrow), so the rounded
-    # sims — and the oracle hash — are unchanged; the per-vector norms
-    # (n rows, not n_pairs) stay on the Catalyst fold.
+    # r17 negative result (VERDICT r16 next #5, guide §4.2): a BIT-EXACT
+    # Arrow twin of this fold (functions/vector_arrow.dot_seq_arrow,
+    # commit c93496f — sequential column-wise accumulation, proven
+    # bit-identical) was measured 0.76x HERE: serializing both 64-dim
+    # arrays for ~1.3M pairs across the JVM->Python boundary costs more
+    # than the interpreted HOF fold saves (A/B: 2.98 -> 3.94 s at
+    # sf0.1, calibration-adjusted worse). The fold stays — at this
+    # dimensionality the pair volume, not the per-pair kernel, is the
+    # cost, and the §3 candidate bounds already cap that.
     sim = F.round(
-        dot_seq_arrow(F.col("se"), F.col("ne"))
+        dot_product(F.col("se"), F.col("ne"))
         / (F.col("snrm") * F.col("nnrm")),
         4,
     )
@@ -2715,13 +2701,7 @@ def delete_from_rp_index(
 
     band_writes = []
     if rw_pairs:
-        pair_pred = reduce(
-            or_,
-            [
-                (F.col("band") == b) & (F.col("band_key") == k)
-                for b, k in sorted(rw_pairs)
-            ],
-        )
+        pair_pred = _pair_eq(sorted(rw_pairs))
         band_writes.append(
             spark.read.schema(RP_BANDS_SCHEMA)
             .parquet(os.path.join(cur, "bands"))
@@ -3960,7 +3940,6 @@ def knn_join_ivf_topk(
     from pyspark.sql.window import Window
 
     from ..functions.vector import dot_product
-    from ..functions.vector_arrow import dot_seq_arrow
     from ..sources.tables import load_table
 
     if n_centroids is None:
@@ -4021,11 +4000,10 @@ def knn_join_ivf_topk(
         F.col("e").alias("ne"),
         F.col("nrm").alias("nnrm"),
     )
-    # r17: Arrow sequential-fold dot over the candidate pairs — the HOF
-    # fold's exact IEEE order, so sims and the oracle hash are unchanged
-    # (see knn_join_topk / functions/vector_arrow.dot_seq_arrow)
+    # r17: the Arrow sequential-fold twin was tried and reverted here
+    # too — see the knn_join_topk negative-result note
     sim = F.round(
-        dot_seq_arrow(F.col("se"), F.col("ne"))
+        dot_product(F.col("se"), F.col("ne"))
         / (F.col("snrm") * F.col("nnrm")),
         4,
     )

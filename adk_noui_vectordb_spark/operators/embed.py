@@ -26,8 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-from ..sources.tables import load_table
+from ..functions.predicates import pair_eq_any
 from ..memo import component_df
+from ..sources.tables import load_table
 
 EMBED_DIM = 64
 
@@ -583,9 +584,6 @@ def _li_served_grouped(
     rerank → per-doc conditional max aggregates. Returns ``(grouped,
     n_tokens)`` where grouped has doc_id + ``m0..m{n-1}`` (the
     per-token MaxSim arms the score sums and ``explain`` unpivots)."""
-    from functools import reduce
-    from operator import or_
-
     import numpy as np
 
     from ..sources import versioning as vn
@@ -616,13 +614,11 @@ def _li_served_grouped(
     # dir is immutable, so the relation rebuild + partition listing is
     # paid once per session across the served LI keys
     bands = component_df(spark, ver, "bands", LI_BANDS_SCHEMA)
-    probe_pred = reduce(
-        or_,
-        [
-            (F.col("band") == b) & (F.col("band_key") == key)
-            for b, key in distinct_pairs
-        ],
-    )
+    # r17: ONE parsed expression instead of per-pair py4j Column ops —
+    # 0.6-0.7 s of driver gateway chat per serve removed for the ~77
+    # probe pairs (functions/predicates.py doc); identical Catalyst
+    # tree, partition pruning unchanged (pinned in test_plans.py)
+    probe_pred = pair_eq_any("band", "band_key", distinct_pairs)
     tokmap = spark.createDataFrame(
         tok_pairs, "tok int, band int, band_key int"
     )
@@ -850,16 +846,7 @@ def update_li_index(
     )
     band_writes = []
     if rw_pairs:
-        from functools import reduce
-        from operator import or_
-
-        pair_pred = reduce(
-            or_,
-            [
-                (F.col("band") == b) & (F.col("band_key") == k)
-                for b, k in sorted(rw_pairs)
-            ],
-        )
+        pair_pred = pair_eq_any("band", "band_key", sorted(rw_pairs))
         band_writes.append(
             spark.read.schema(LI_BANDS_SCHEMA)
             .parquet(os.path.join(cur, "bands"))
@@ -962,16 +949,7 @@ def delete_from_li_index(
     )
     band_writes = []
     if rw_pairs:
-        from functools import reduce
-        from operator import or_
-
-        pair_pred = reduce(
-            or_,
-            [
-                (F.col("band") == b) & (F.col("band_key") == k)
-                for b, k in sorted(rw_pairs)
-            ],
-        )
+        pair_pred = pair_eq_any("band", "band_key", sorted(rw_pairs))
         band_writes.append(
             spark.read.schema(LI_BANDS_SCHEMA)
             .parquet(os.path.join(cur, "bands"))
@@ -1134,7 +1112,14 @@ def late_interaction_topk_ingested(
         .distinct()
         .count()
     )
-    n_batch = batch.count()
+    # r17 (ADVICE r16): compare against docs that PRODUCE chunk rows —
+    # a NULL-text doc yields nothing from the chunker (posexplode of
+    # split(null) emits no rows; split('') still emits one token), so
+    # it can never appear in vecs/ and must count as admitted, not as
+    # "missing" (the former batch.count() made every replay of such a
+    # batch raise the mixed-state error). text-is-not-null is exactly
+    # update_li_index's bvecs-membership predicate, minus the embed.
+    n_batch = batch.filter(F.col("text").isNotNull()).count()
     if present == 0:
         update_li_index(spark, sf_dir, batch, tag="ing")
     elif present != n_batch:
@@ -1178,9 +1163,6 @@ def late_interaction_batch_topk_served(
 
     Output: (query_id, doc_id, score, rank), rank ≤ k per query.
     """
-    from functools import reduce
-    from operator import or_
-
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -1218,13 +1200,11 @@ def late_interaction_batch_topk_served(
     # dir is immutable, so the relation rebuild + partition listing is
     # paid once per session across the served LI keys
     bands = component_df(spark, ver, "bands", LI_BANDS_SCHEMA)
-    probe_pred = reduce(
-        or_,
-        [
-            (F.col("band") == b) & (F.col("band_key") == key)
-            for b, key in distinct_pairs
-        ],
-    )
+    # r17: ONE parsed expression instead of per-pair py4j Column ops —
+    # 0.6-0.7 s of driver gateway chat per serve removed for the ~77
+    # probe pairs (functions/predicates.py doc); identical Catalyst
+    # tree, partition pruning unchanged (pinned in test_plans.py)
+    probe_pred = pair_eq_any("band", "band_key", distinct_pairs)
     tokmap = spark.createDataFrame(tok_pairs, "j int, band int, band_key int")
     cand = (
         bands.filter(probe_pred)

@@ -719,3 +719,43 @@ def test_funnel_and_retention_plans_stay_partial_no_expand(spark, sf_dir):
     p2 = explain_str(events_retention_cohorts(spark, sf_dir))
     assert "Expand" not in p2, p2
     assert "Cartesian" not in p2, p2
+
+
+def test_serving_path_job_budgets(spark, sf_dir):
+    """VERDICT r16 next #3: machine-independent pins for the multi-job
+    serving families. Seconds are bench weather; Spark JOB counts are
+    scheduler round-trips and reproduce anywhere — so the r17 serving
+    wins (graph beam fusion halving per-round point reads, the fused
+    containment-gate prologue, PQ memo handles) are pinned here as a
+    WARM-serve job ceiling per key. Budgets are the measured warm
+    counts + 2 slack (sf0.001: graph solo/batch 6, acorn solo/batch 6,
+    collection graph 9, containment gate 15, pq_rerank 6, served-LI 4);
+    a regression that re-adds a per-round fetch or an eager prologue
+    job jumps by >= rounds and fails the pin, not a bench."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "ann_graph_topk": 8,
+        "ann_graph_batch_topk": 8,
+        "ann_graph_acorn_topk": 8,
+        "ann_graph_acorn_batch_topk": 8,
+        "collection_query_graph_topk": 11,
+        "dedup_containment_gate": 17,
+        "knn_pq_rerank": 8,
+        "late_interaction_topk_served": 6,
+    }
+    sc = spark.sparkContext
+    failures = []
+    for key, budget in budgets.items():
+        qs[key](spark, sf_dir).collect()  # warm: index builds + memos
+        group = f"job-budget-{key}"
+        sc.setJobGroup(group, key)
+        try:
+            qs[key](spark, sf_dir).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        n = len(sc.statusTracker().getJobIdsForGroup(group))
+        if n > budget:
+            failures.append(f"{key}: {n} jobs (budget {budget})")
+    assert not failures, "; ".join(failures)

@@ -41,21 +41,6 @@ def test_arrow_matches_catalyst(pairs, expr_fn, arrow_fn):
         assert r.fast == pytest.approx(r.ref, rel=1e-9, abs=1e-9)
 
 
-def test_dot_seq_bit_equals_hof_fold(pairs):
-    """The sequential-fold Arrow kernel must be BIT-IDENTICAL to the
-    Catalyst HOF fold — not approximately equal: it substitutes for the
-    fold inside oracle-checked scoring expressions (knn_join_topk /
-    knn_join_ivf_topk), where a last-ulp drift flips 4-dp rounding on
-    exact ties and breaks the driver's hash match."""
-    rows = pairs.select(
-        v.dot_product(F.col("x"), F.col("y")).alias("ref"),
-        va.dot_seq_arrow(F.col("x"), F.col("y")).alias("fast"),
-    ).collect()
-    assert rows, "no pairs loaded"
-    for r in rows:
-        assert r.fast == r.ref, f"bit mismatch: {r.fast!r} != {r.ref!r}"
-
-
 def test_simhash_kernel_matches_expression_twin(spark, sf_dir):
     """The mapInPandas simhash kernel and the pure-JVM expression pipeline
     must produce byte-identical signatures (same md5-prefix arithmetic)."""

@@ -1,8 +1,11 @@
-"""Dump .explain("formatted") for declared keys to plans/r16/.
+"""Dump .explain("formatted") for declared keys to plans/<round>/.
 
 Usage: python tools/explain_key.py SUFFIX key1 [key2 ...]
 
-Writes plans/r16/<key>_<SUFFIX>.txt for each key (SUFFIX is "before" or
+Env: TREE (repo tree to import, default /root/repo), PLANS_ROUND
+(output subdir under plans/, default r17).
+
+Writes plans/<round>/<key>_<SUFFIX>.txt for each key (SUFFIX is "before" or
 "after" per the optimization-round deliverable contract). Uses the same
 session factory as bench.py so the plan matches what the bench times.
 """
@@ -12,7 +15,8 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# tree must be on the path before the package imports below
+sys.path.insert(0, os.environ.get("TREE", "/root/repo"))
 
 from adk_noui_vectordb_spark.plans.explain import explain_str  # noqa: E402
 from adk_noui_vectordb_spark.session import get_spark  # noqa: E402
@@ -22,7 +26,10 @@ def main() -> None:
     suffix = sys.argv[1]
     keys = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r16")
+    out_dir = os.path.join(
+        os.path.dirname(__file__), "..", "plans",
+        os.environ.get("PLANS_ROUND", "r17"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="explain-key")
     spark.sparkContext.setLogLevel("ERROR")
